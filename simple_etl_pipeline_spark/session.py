@@ -1,0 +1,51 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference is a single-threaded eager pandas pipeline
+(/root/reference/main.py:26-109); here the session is configured for a
+real cluster: AQE (runtime re-plan, skew-join splitting, partition
+coalescing), Arrow for any pandas interchange, and a shuffle-partition
+count sized to the local test harness (override for a cluster).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "simple_etl_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    Local defaults come from SPARK_GRAFT_CPUS; on a cluster, pass
+    ``master=None`` with an external cluster manager and size
+    ``shuffle_partitions`` to ~2-3x total cores.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "4")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Runtime adaptivity: coalesce tiny shuffle partitions, split skewed
+        # ones, convert sort-merge to broadcast when a side turns out small.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for toPandas / pandas UDF exchange (vectorized path).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    return builder.getOrCreate()
