@@ -1,0 +1,190 @@
+"""Event-stream analytics in batch: tumbling / sliding / session windows
+and JSON extraction over the `events` table.
+
+These are the batch twins of the Structured Streaming operators in
+streaming/events.py — same F.window / F.session_window expressions, so
+semantics are verified here against a DuckDB oracle and reused verbatim
+under readStream (where only a rows-only check is possible).
+
+All window bounds are emitted as epoch-second bigints (engine-neutral
+hashing, see functions/agg.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simple_etl_pipeline_spark.functions.agg import dsum, epoch_seconds, sql_dsum, sql_epoch
+from simple_etl_pipeline_spark.schemas import load_table
+
+
+def ev_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event type: F.window is the idiomatic
+    Spark form; for aligned tumbling windows it equals date_trunc."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            epoch_seconds(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+EV_TUMBLING_ORACLE = f"""
+SELECT {sql_epoch("date_trunc('hour', ts)")} AS window_start, event_type,
+       COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def ev_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes. Each event lands in
+    exactly two windows; Spark expands this without data duplication in
+    the shuffle (the window expression is computed pre-aggregation)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            epoch_seconds(F.col("w.start")).alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+# Every ts belongs to windows starting at s0 = 1800*floor(epoch/1800) and
+# s0 - 1800 (both always satisfy ws <= ts < ws + 3600 for slide=1800).
+EV_SLIDING_ORACLE = f"""
+WITH expanded AS (
+  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800 AS window_start, value FROM events
+  UNION ALL
+  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800 - 1800 AS window_start, value FROM events
+)
+SELECT window_start, COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
+FROM expanded GROUP BY window_start ORDER BY window_start
+"""
+
+
+def ev_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap —
+    F.session_window in batch (same expression streams with a watermark).
+    Session end = last event + gap, per Spark semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            epoch_seconds(F.col("w.start")).alias("session_start"),
+            epoch_seconds(F.col("w.end")).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# Sessionization in ANSI SQL: a new session starts when the gap from the
+# previous event is >= 30 min (Spark sessions are [start, last+gap), so an
+# event landing exactly at prev_ts + gap opens a new session).
+EV_SESSION_ORACLE = f"""
+WITH marked AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+), numbered AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM marked
+)
+SELECT user_id,
+  {sql_epoch('min(ts)')} AS session_start,
+  {sql_epoch('max(ts)')} + 1800 AS session_end,
+  COUNT(*) AS n_events,
+  {sql_dsum('value')} AS sum_value
+FROM numbered GROUP BY user_id, sess_id ORDER BY user_id, session_start
+"""
+
+
+def ev_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction (semi-structured column) + aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            dsum(k).alias("sum_k"),
+            F.count(k).alias("n_with_k"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EV_JSON_ORACLE = f"""
+SELECT event_type,
+  {sql_dsum("TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)")} AS sum_k,
+  COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+  COUNT(*) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def ev_user_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-user rollup — the partition-pruning shape: on a real
+    hypertable this groups within date partitions, no cross-day shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            epoch_seconds("day").alias("day_epoch"),
+            "user_id",
+            "n_events",
+            "n_types",
+            "sum_value",
+        )
+        .orderBy("day_epoch", "user_id")
+    )
+
+
+EV_DAILY_ORACLE = f"""
+SELECT {sql_epoch("date_trunc('day', ts)")} AS day_epoch, user_id,
+  COUNT(*) AS n_events, COUNT(DISTINCT event_type) AS n_types,
+  {sql_dsum('value')} AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+QUERIES = {
+    "ev_tumbling_hourly": ev_tumbling_hourly,
+    "ev_sliding_windows": ev_sliding_windows,
+    "ev_session_windows": ev_session_windows,
+    "ev_json_extract": ev_json_extract,
+    "ev_user_daily_activity": ev_user_daily_activity,
+}
+
+ORACLES = {
+    "ev_tumbling_hourly": EV_TUMBLING_ORACLE,
+    "ev_sliding_windows": EV_SLIDING_ORACLE,
+    "ev_session_windows": EV_SESSION_ORACLE,
+    "ev_json_extract": EV_JSON_ORACLE,
+    "ev_user_daily_activity": EV_DAILY_ORACLE,
+}

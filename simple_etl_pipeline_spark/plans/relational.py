@@ -1,0 +1,519 @@
+"""Relational query surface: joins, aggregations, windows, set ops.
+
+The reference has none of these (SURVEY.md §2f) — its only dataflow is
+scan->filter->project->sink. This module supplies the relational algebra
+a real engine needs, expressed declaratively so Catalyst owns the
+physical strategy:
+
+- joins shuffle on their keys; small dims (part/nation/region/supplier)
+  are broadcast (explicit hint where the stats can't prove it);
+- aggregations get map-side partial aggregation for free;
+- filters/projections sit against the parquet scan (pushdown + pruning);
+- top-k per group is window row_number <= k (no global sort);
+- AQE re-plans skew and coalesces small shuffle partitions at runtime.
+
+Every query aliases its computed columns identically to its DuckDB
+oracle twin, sums via decimal (see functions/agg.py), and emits
+timestamps as epoch bigints so value hashes are engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from simple_etl_pipeline_spark.functions.agg import (
+    davg,
+    dsum,
+    epoch_seconds,
+    sql_davg,
+    sql_dsum,
+    sql_epoch,
+)
+from simple_etl_pipeline_spark.schemas import load_table
+
+
+# --- Q1: pricing summary (TPC-H Q1 shape) -------------------------------
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-heavy single-table agg: filter pushes into the parquet scan,
+    partial aggregation map-side, tiny shuffle (6 groups)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+  {sql_dsum('l_quantity')} AS sum_qty,
+  {sql_dsum('l_extendedprice')} AS sum_base_price,
+  {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+  {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+  {sql_davg('l_quantity')} AS avg_qty,
+  {sql_davg('l_extendedprice')} AS avg_price,
+  {sql_davg('l_discount')} AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- Q3: shipping priority (3-way join + top-k) --------------------------
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer (broadcast) |><| orders |><| lineitem, agg by order, top 10.
+    Revenue is decimal-summed so the top-10 cut is engine-deterministic;
+    o_orderkey breaks ties."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select(
+            "o_orderkey",
+            epoch_seconds("o_orderdate").alias("o_orderdate_epoch"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_ORACLE = f"""
+SELECT o_orderkey,
+  {sql_epoch('o_orderdate')} AS o_orderdate_epoch,
+  o_orderpriority,
+  {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1997-03-15'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# --- Q5: local supplier volume (6-way join) ------------------------------
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: the dimension chain region->nation->customer/supplier is
+    broadcast; only orders|><|lineitem shuffles. The c_nationkey =
+    s_nationkey condition rides on the join, not a post-filter."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    dims = (
+        customer.join(
+            F.broadcast(nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)),
+            customer.c_nationkey == nation.n_nationkey,
+        )
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (li.l_suppkey == supplier.s_suppkey)
+            & (supplier.s_nationkey == dims.n_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+Q5_ORACLE = f"""
+SELECT n_name, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+# --- Q6: forecast revenue change (pushdown showcase) ----------------------
+def q6_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three predicates reach the parquet scan (PushedFilters);
+    single partial+final agg, no join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+Q6_ORACLE = f"""
+SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue, COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+# --- semi / anti joins ----------------------------------------------------
+def join_semi_discounted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders having >=1 heavily discounted line: left_semi join — no
+    row multiplication, no dedup needed (EXISTS semantics)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.08)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("sum_total"))
+        .orderBy("o_orderstatus")
+    )
+
+
+JOIN_SEMI_ORACLE = f"""
+SELECT o_orderstatus, COUNT(*) AS n_orders, {sql_dsum('o_totalprice')} AS sum_total
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.08)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders: left_anti (NOT EXISTS semantics)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+JOIN_ANTI_ORACLE = """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def join_broadcast_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact |><| broadcast(dim): part is small at every SF — the hint
+    pins a broadcast hash join so lineitem never shuffles."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+JOIN_BROADCAST_ORACLE = f"""
+SELECT p_brand, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+# --- aggregation variants -------------------------------------------------
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts: Spark expands to a two-phase aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_partkey").alias("n_part"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_DISTINCT_ORACLE = """
+SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
+       COUNT(DISTINCT l_partkey) AS n_part, COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def agg_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(status, priority): hierarchy totals in one pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("sum_total"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+AGG_ROLLUP_ORACLE = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS sum_total
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+def agg_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(returnflag, linestatus): all 2^2 grouping sets in one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum("l_quantity").alias("sum_qty"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+AGG_CUBE_ORACLE = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows, {sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL surface (also exercises
+    spark.sql as an API entry point)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """
+    )
+
+
+AGG_GROUPING_SETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ sketch counts — the 100 TB path for distincts.
+    No oracle (sketch estimates are engine-specific) -> rows-only check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", 0.01).alias("approx_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --- window functions -----------------------------------------------------
+def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: row_number window, no global sort —
+    the scalable form of per-group top-k."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+WINDOW_TOPK_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3 ORDER BY o_custkey, rn
+"""
+
+
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running sum ordered by (date, orderkey). The frame
+    sum is decimal so segment-tree vs sequential evaluation in different
+    engines cannot produce different doubles."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        epoch_seconds("o_orderdate").alias("o_orderdate_epoch"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).over(w).cast("double").alias("running_total"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+WINDOW_RUNNING_ORACLE = f"""
+SELECT o_custkey, o_orderkey, {sql_epoch('o_orderdate')} AS o_orderdate_epoch,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+FROM orders ORDER BY o_custkey, o_orderkey
+"""
+
+
+def window_lag_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over an event stream per user; delta in plain double
+    (deterministic per-row arithmetic)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    ).orderBy("user_id", "event_id")
+
+
+WINDOW_LAG_ORACLE = """
+SELECT user_id, event_id, value,
+  LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+  value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+FROM events ORDER BY user_id, event_id
+"""
+
+
+# --- set operations -------------------------------------------------------
+def setops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION in one tagged result."""
+    cust_nk = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp_nk = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    both = cust_nk.intersect(supp_nk).withColumn("op", F.lit("intersect"))
+    cust_only = cust_nk.subtract(supp_nk).withColumn("op", F.lit("except"))
+    either = cust_nk.union(supp_nk).distinct().withColumn("op", F.lit("union"))
+    return both.unionByName(cust_only).unionByName(either).orderBy("op", "nationkey")
+
+
+SETOPS_ORACLE = """
+SELECT nationkey, 'intersect' AS op FROM
+  (SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'except' AS op FROM
+  (SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'union' AS op FROM
+  (SELECT c_nationkey AS nationkey FROM customer UNION SELECT s_nationkey FROM supplier)
+ORDER BY op, nationkey
+"""
+
+
+def orderby_limit_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — a per-partition
+    heap + driver merge, never a full sort of the table."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+ORDERBY_LIMIT_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_region_revenue": q5_region_revenue,
+    "q6_revenue_filter": q6_revenue_filter,
+    "join_semi_discounted": join_semi_discounted,
+    "join_anti_customers_without_orders": join_anti_customers_without_orders,
+    "join_broadcast_brand_revenue": join_broadcast_brand_revenue,
+    "agg_distinct_counts": agg_distinct_counts,
+    "agg_rollup_orders": agg_rollup_orders,
+    "agg_cube_lineitem": agg_cube_lineitem,
+    "agg_grouping_sets": agg_grouping_sets,
+    "agg_approx_distinct": agg_approx_distinct,
+    "window_topk_orders_per_customer": window_topk_orders_per_customer,
+    "window_running_total": window_running_total,
+    "window_lag_events": window_lag_events,
+    "setops_nations": setops_nations,
+    "orderby_limit_top_orders": orderby_limit_top_orders,
+}
+
+ORACLES = {
+    "q1_pricing_summary": Q1_ORACLE,
+    "q3_shipping_priority": Q3_ORACLE,
+    "q5_region_revenue": Q5_ORACLE,
+    "q6_revenue_filter": Q6_ORACLE,
+    "join_semi_discounted": JOIN_SEMI_ORACLE,
+    "join_anti_customers_without_orders": JOIN_ANTI_ORACLE,
+    "join_broadcast_brand_revenue": JOIN_BROADCAST_ORACLE,
+    "agg_distinct_counts": AGG_DISTINCT_ORACLE,
+    "agg_rollup_orders": AGG_ROLLUP_ORACLE,
+    "agg_cube_lineitem": AGG_CUBE_ORACLE,
+    "agg_grouping_sets": AGG_GROUPING_SETS_ORACLE,
+    # agg_approx_distinct: sketch — rows-only check by design
+    "window_topk_orders_per_customer": WINDOW_TOPK_ORACLE,
+    "window_running_total": WINDOW_RUNNING_ORACLE,
+    "window_lag_events": WINDOW_LAG_ORACLE,
+    "setops_nations": SETOPS_ORACLE,
+    "orderby_limit_top_orders": ORDERBY_LIMIT_ORACLE,
+}

@@ -9,6 +9,7 @@ schemas mirror FIXTURES.md §5.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # Raw scrape output: 7 string columns (reference utils/extract.py:76-84).
@@ -68,7 +69,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TESTDATA_TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.ts is TIMESTAMP(NANOS) in parquet; with nanosAsLong (see
+    # session.py) it surfaces as bigint nanos — convert to microsecond
+    # timestamps (truncation, consistent with DuckDB's epoch() floor).
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,80 @@
+"""Mini oracle harness mirroring the driver's correctness gate.
+
+Runs a Spark query DataFrame and its DuckDB oracle SQL side by side,
+normalizes (columns sorted by name, rows sorted, floats compared with
+tight relative tolerance), and reports the first divergence. Used by
+tests/test_oracle_parity.py so mismatches are caught before the driver
+runs CORRECTNESS_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from simple_etl_pipeline_spark.schemas import TESTDATA_TABLES
+
+
+def duckdb_connection(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm_cell(v: Any) -> Any:
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return None
+        return v
+    return v
+
+
+def _rows(records: list[dict[str, Any]], cols: list[str]) -> list[tuple]:
+    out = []
+    for r in records:
+        out.append(tuple(_norm_cell(r[c]) for c in cols))
+
+    def key(row: tuple) -> tuple:
+        return tuple(
+            (v is None, str(type(v).__name__), str(v)) for v in row
+        )
+
+    return sorted(out, key=key)
+
+
+def compare_with_oracle(
+    spark_df: DataFrame, oracle_sql: str, sf_dir: str, rtol: float = 1e-9
+) -> None:
+    """Raise AssertionError with a pinpointed diff on any divergence."""
+    con = duckdb_connection(sf_dir)
+    exp = con.execute(oracle_sql).fetchdf()
+    got = spark_df.toPandas()
+
+    exp_cols = sorted(exp.columns.tolist())
+    got_cols = sorted(got.columns.tolist())
+    assert exp_cols == got_cols, f"column mismatch: spark={got_cols} oracle={exp_cols}"
+    assert len(exp) == len(got), f"row count: spark={len(got)} oracle={len(exp)}"
+
+    exp_rows = _rows(exp.to_dict("records"), exp_cols)
+    got_rows = _rows(got.to_dict("records"), exp_cols)
+
+    for i, (e_row, g_row) in enumerate(zip(exp_rows, got_rows)):
+        for c, e, g in zip(exp_cols, e_row, g_row):
+            if e is None and g is None:
+                continue
+            if isinstance(e, float) and isinstance(g, float):
+                if not math.isclose(e, g, rel_tol=rtol, abs_tol=1e-9):
+                    raise AssertionError(
+                        f"row {i} col {c}: spark={g!r} oracle={e!r} (float diff)"
+                    )
+            elif e != g:
+                raise AssertionError(f"row {i} col {c}: spark={g!r} oracle={e!r}")
