@@ -22,9 +22,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _all_modules():
-    from simple_etl_pipeline_spark.plans import events, reference_parity, relational
+    from simple_etl_pipeline_spark.plans import (
+        events,
+        reference_parity,
+        relational,
+        similarity,
+        text,
+    )
 
-    return [reference_parity, relational, events]
+    return [reference_parity, relational, events, text, similarity]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,89 @@
+"""Text-analysis building blocks: tokenization, shingles, deterministic
+hashing, fingerprints.
+
+Everything is a native Column expression (JVM codegen; no Python UDFs on
+the hot path). The hash primitive is md5-based so the exact same 60-bit
+values are computable in DuckDB (`CAST(concat('0x', substr(md5(s),1,15))
+AS BIGINT)`), which keeps MinHash/SimHash oracle-checkable — a plain
+xxhash/murmur would be engine-specific.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens_col(c: Column | str) -> Column:
+    """Whitespace tokenization; empty/blank text -> empty array (split of
+    '' yields [''], which would count as one token)."""
+    c = F.col(c) if isinstance(c, str) else c
+    t = F.trim(c)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count_col(c: Column | str) -> Column:
+    return F.size(tokens_col(c))
+
+
+def shingles_col(c: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string>; fewer than n tokens ->
+    empty. DuckDB twin: list_transform(generate_series(1, len-n+1),
+    i -> array_to_string(toks[i:i+n-1], ' '))."""
+    toks = tokens_col(c)
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def md5_hash60(c: Column | str, salt: Column | str | None = None) -> Column:
+    """Deterministic 60-bit hash: first 15 hex chars of md5 -> bigint.
+
+    60 bits keeps the value positive and exactly representable in both
+    engines' BIGINT; md5 makes it identical everywhere.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    if salt is not None:
+        salt = F.col(salt) if isinstance(salt, str) else salt
+        c = F.concat(salt.cast("string"), F.lit("|"), c)
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def sql_md5_hash60(expr: str, salt_expr: str | None = None) -> str:
+    """DuckDB twin of :func:`md5_hash60`."""
+    if salt_expr is not None:
+        expr = f"concat(CAST({salt_expr} AS VARCHAR), '|', {expr})"
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def fingerprint_col(c: Column | str) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized, lowercased
+    text (the reference has no fingerprinting; this is the standard
+    exact-dup key for a 100 TB corpus — cheap, shuffle-friendly, and a
+    stable join key across runs)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+SQL_FINGERPRINT = "md5(regexp_replace(lower(trim({expr})), '\\s+', ' ', 'g'))"
+
+SQL_TOKENS = (
+    "CASE WHEN trim({expr}) = '' THEN [] "
+    "ELSE string_split_regex(trim({expr}), '\\s+') END"
+)
+
+
+def sql_tokens(expr: str) -> str:
+    return SQL_TOKENS.format(expr=expr)
+
+
+def sql_shingles(toks_expr: str, n: int = 3) -> str:
+    return (
+        f"list_transform(generate_series(1, greatest(len({toks_expr}) - {n - 1}, 0)), "
+        f"i -> array_to_string(({toks_expr})[i:i+{n - 1}], ' '))"
+    )

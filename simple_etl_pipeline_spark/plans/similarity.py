@@ -1,0 +1,177 @@
+"""Similarity search over the `embeddings` table (array<float>, dim 64).
+
+- sim_knn_brute: exact cosine top-k — the correctness baseline. The
+  query side is tiny (broadcast); the candidate scan is
+  embarrassingly parallel; per-query top-k is a window, so nothing
+  ever materializes the full similarity matrix on one node.
+- sim_ann_lsh: sign-bit LSH (axis-aligned hyperplanes on the first 8
+  dims -> 256 buckets). Queries probe only their own bucket — the
+  100 TB path: the candidate join is bucket-keyed, cutting compared
+  pairs by ~256x at the cost of recall (raise bits/probes to trade).
+- sim_centroids_by_label: per-label centroid via posexplode +
+  decimal-summed per-dimension means (IVF coarse quantizer shape).
+
+All cosine values round to 6 decimals (see functions/vectors.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from simple_etl_pipeline_spark.functions.vectors import as_double_array, cosine_col
+from simple_etl_pipeline_spark.schemas import load_table
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+LSH_BITS = 8
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v"), "label"
+    )
+
+
+def sim_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    sims = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(cosine_col(F.col("qv"), F.col("v")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .orderBy("q_id", "rn")
+    )
+
+
+SIM_KNN_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+), sims AS (
+  SELECT q_id, vec_id, round(list_cosine_similarity(qv, cv), 6) AS sim
+  FROM q CROSS JOIN c WHERE vec_id != q_id
+)
+SELECT q_id, vec_id, sim, rn FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rn
+  FROM sims
+) WHERE rn <= {TOP_K} ORDER BY q_id, rn
+"""
+
+
+def _bucket_col(v: str = "v") -> F.Column:
+    # Sign bits of the first LSH_BITS dimensions -> bucket id in [0, 256).
+    bits = [
+        F.when(F.col(v).getItem(j) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        for j in range(LSH_BITS)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3: candidates restricted to the query's sign-bit
+    bucket. The join is bucket-keyed (shuffle by bucket, no cross join).
+    """
+    emb = _emb(spark, sf_dir).withColumn("bucket", _bucket_col())
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("bucket")
+    )
+    sims = (
+        emb.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "bucket",
+            "vec_id",
+            F.round(cosine_col(F.col("qv"), F.col("v")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .orderBy("q_id", "rn")
+    )
+
+
+def _sql_bucket(v: str) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {v}[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)" for j in range(LSH_BITS)
+    )
+    return f"CAST({terms} AS INTEGER)"
+
+
+SIM_ANN_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {_sql_bucket('embedding')} AS bucket
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, v AS qv, bucket FROM e WHERE vec_id < {N_QUERIES}
+), sims AS (
+  SELECT q_id, e.bucket, vec_id, round(list_cosine_similarity(qv, e.v), 6) AS sim
+  FROM e JOIN q ON e.bucket = q.bucket
+  WHERE vec_id != q_id
+)
+SELECT q_id, bucket, vec_id, sim, rn FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rn
+  FROM sims
+) WHERE rn <= 3 ORDER BY q_id, rn
+"""
+
+
+def sim_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids (IVF coarse-quantizer shape): posexplode to
+    (label, pos, val), decimal-sum per dimension — one shuffle keyed by
+    (label, pos), order-independent means."""
+    emb = _emb(spark, sf_dir)
+    exploded = emb.select("label", F.posexplode("v").alias("pos0", "val"))
+    return (
+        exploded.groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
+SIM_CENTROIDS_ORACLE = f"""
+SELECT label, i AS pos,
+  CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS centroid,
+  COUNT(*) AS n_vectors
+FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+GROUP BY label, i ORDER BY label, pos
+"""
+
+
+QUERIES = {
+    "sim_knn_brute": sim_knn_brute,
+    "sim_ann_lsh": sim_ann_lsh,
+    "sim_centroids_by_label": sim_centroids_by_label,
+}
+
+ORACLES = {
+    "sim_knn_brute": SIM_KNN_ORACLE,
+    "sim_ann_lsh": SIM_ANN_ORACLE,
+    "sim_centroids_by_label": SIM_CENTROIDS_ORACLE,
+}

@@ -1,0 +1,587 @@
+"""Text analysis + deduplication over the `documents` corpus — the
+LLM-training-data operators (BASELINE.json north star). None exist in
+the reference (SURVEY.md §2f); all are built scale-first:
+
+- exact dedup: fingerprint groupBy — one shuffle on a 32-byte key.
+- n-gram Jaccard: shared-shingle candidate join (the exact method; its
+  cost grows with shingle-bucket skew — MinHash-LSH below is the 100 TB
+  path that bounds candidates per band bucket).
+- MinHash + banded LSH: md5-based permutation hashes -> 16-slot
+  signature -> 4 bands -> bucket join -> Jaccard verification. Fully
+  deterministic, so it is oracle-checkable in DuckDB — unlike
+  pyspark.ml's MinHashLSH (also provided, rows-only).
+- SimHash: 60-bit signatures from per-token md5 hashes; near-dup pairs
+  via 15-bit band buckets + Hamming verification.
+- language ID / quality scoring / fingerprinting: pure Column
+  arithmetic (no transcendental fns -> bit-identical across engines).
+
+A corpus view with injected exact (doc_id%17) and near (doc_id%23)
+duplicates makes the dedup outputs non-trivial at every SF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simple_etl_pipeline_spark.functions.agg import davg, sql_davg
+from simple_etl_pipeline_spark.functions.text import (
+    fingerprint_col,
+    md5_hash60,
+    shingles_col,
+    sql_md5_hash60,
+    sql_shingles,
+    sql_tokens,
+    tokens_col,
+)
+from simple_etl_pipeline_spark.schemas import load_table
+
+NEAR_DUP_TAIL = " nearly duplicated tail token"
+
+
+def corpus_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 23 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(NEAR_DUP_TAIL)).alias("text"),
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+CORPUS_SQL = f"""
+SELECT doc_id, text FROM documents
+UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 17 = 0
+UNION ALL SELECT doc_id + 2000000, concat(text, '{NEAR_DUP_TAIL}')
+          FROM documents WHERE doc_id % 23 = 0
+"""
+
+
+# --- text statistics ------------------------------------------------------
+def txt_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(tokens_col("text"))).cast("bigint").alias("sum_tokens"),
+            davg("n_chars").alias("avg_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("lang")
+    )
+
+
+TXT_TOKEN_STATS_ORACLE = f"""
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(len({sql_tokens('text')})) AS BIGINT) AS sum_tokens,
+  {sql_davg('n_chars')} AS avg_chars,
+  COUNT(DISTINCT source) AS n_sources
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def txt_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features. The quality score uses only
+    rational arithmetic (+,-,*,/) — transcendental functions are not
+    bit-identical across engines and would break the value hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    n_tokens = F.size(toks)
+    nonspace = F.length(F.regexp_replace("text", r"\s", ""))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin("the", "a")))
+    avg_token_len = nonspace.cast("double") / F.nullif(n_tokens, F.lit(0))
+    stop_ratio = n_stop.cast("double") / F.nullif(n_tokens, F.lit(0))
+    quality = (
+        F.least(n_tokens.cast("double") / 100.0, F.lit(1.0)) * 0.5
+        + (1.0 - stop_ratio) * 0.3
+        + F.least(avg_token_len / 8.0, F.lit(1.0)) * 0.2
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.length("text").alias("n_chars_text"),
+        avg_token_len.alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+TXT_DOC_FEATURES_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, {sql_tokens('text')} AS toks,
+         length(regexp_replace(text, '\\s', '', 'g')) AS nonspace
+  FROM documents
+), f AS (
+  SELECT doc_id, length(text) AS n_chars_text, len(toks) AS n_tokens,
+         CAST(nonspace AS DOUBLE) / NULLIF(len(toks), 0) AS avg_token_len,
+         CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE)
+           / NULLIF(len(toks), 0) AS stopword_ratio
+  FROM t
+)
+SELECT doc_id, n_tokens, n_chars_text, avg_token_len, stopword_ratio,
+  least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+  + (1.0 - stopword_ratio) * 0.3
+  + least(avg_token_len / 8.0, 1.0) * 0.2 AS quality_score
+FROM f ORDER BY doc_id
+"""
+
+
+# --- language identification ---------------------------------------------
+_LANG_MARKERS = [("en", "the"), ("de", "der"), ("es", "el"), ("fr", "le"), ("zh", "的")]
+
+
+def txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID over a synthesized multilingual view: each
+    doc gets a language-specific marker (by doc_id%5) appended ~20x, then
+    the classifier counts space-delimited marker occurrences and argmaxes
+    with a fixed tie-break order. Occurrence counting is the
+    (len - len(replace))/len(marker) trick — pure integer math."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    marker = F.element_at(
+        F.array(*[F.lit(m) for _, m in _LANG_MARKERS]),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    aug = F.concat(
+        "text", F.lit(" "), F.repeat(F.concat(marker, F.lit(" ")), (F.col("doc_id") % 4 + 20).cast("int"))
+    )
+    padded = F.concat(F.lit(" "), aug, F.lit(" "))
+    occs = {
+        lang: (
+            (F.length(padded) - F.length(F.replace(padded, F.lit(f" {m} "), F.lit(""))))
+            / F.length(F.lit(f" {m} "))
+        ).cast("bigint").alias(f"occ_{lang}")
+        for lang, m in _LANG_MARKERS
+    }
+    scored = docs.select("doc_id", "lang", *occs.values())
+    pred = F.lit(None).cast("string")
+    cond_chain = None
+    for lang, _ in _LANG_MARKERS:
+        cond = F.lit(True)
+        for other, _ in _LANG_MARKERS:
+            if other != lang:
+                cond = cond & (F.col(f"occ_{lang}") >= F.col(f"occ_{other}"))
+        cond_chain = (
+            F.when(cond, F.lit(lang)) if cond_chain is None else cond_chain.when(cond, F.lit(lang))
+        )
+    return scored.select(
+        "doc_id", "lang", cond_chain.alias("predicted_lang"),
+        *[F.col(f"occ_{lang}") for lang, _ in _LANG_MARKERS],
+    ).orderBy("doc_id")
+
+
+def _langid_oracle() -> str:
+    markers_list = ", ".join(f"'{m}'" for _, m in _LANG_MARKERS)
+    occ_cols = ",\n  ".join(
+        f"CAST((length(padded) - length(replace(padded, ' {m} ', ''))) // length(' {m} ') AS BIGINT) AS occ_{lang}"
+        for lang, m in _LANG_MARKERS
+    )
+    whens = []
+    for lang, _ in _LANG_MARKERS:
+        conds = " AND ".join(
+            f"occ_{lang} >= occ_{other}" for other, _ in _LANG_MARKERS if other != lang
+        )
+        whens.append(f"WHEN {conds} THEN '{lang}'")
+    case = "CASE " + " ".join(whens) + " END"
+    return f"""
+WITH aug AS (
+  SELECT doc_id, lang,
+    concat(' ', text, ' ',
+      repeat(concat(([{markers_list}])[(doc_id % 5) + 1], ' '), doc_id % 4 + 20), ' ') AS padded
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+  {occ_cols}
+  FROM aug
+)
+SELECT doc_id, lang, {case} AS predicted_lang, occ_en, occ_de, occ_es, occ_fr, occ_zh
+FROM scored ORDER BY doc_id
+"""
+
+
+# --- fingerprint + exact dedup --------------------------------------------
+def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = corpus_with_dups(spark, sf_dir)
+    return corpus.select(
+        "doc_id", fingerprint_col("text").alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+TXT_FINGERPRINT_ORACLE = f"""
+WITH corpus AS ({CORPUS_SQL})
+SELECT doc_id,
+  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM corpus ORDER BY doc_id
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup at scale: one groupBy on the fingerprint; keeps the
+    lowest doc_id per group (deterministic survivor policy)."""
+    corpus = corpus_with_dups(spark, sf_dir)
+    return (
+        corpus.select("doc_id", fingerprint_col("text").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("kept_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("kept_doc_id")
+    )
+
+
+DEDUP_EXACT_ORACLE = f"""
+WITH corpus AS ({CORPUS_SQL})
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       MIN(doc_id) AS kept_doc_id, COUNT(*) AS n_copies
+FROM corpus GROUP BY 1 ORDER BY kept_doc_id
+"""
+
+
+# --- n-gram Jaccard near-dup ----------------------------------------------
+JACCARD_THRESHOLD = 0.7
+
+
+def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = corpus_with_dups(spark, sf_dir)
+    return corpus.select(
+        "doc_id", F.explode(F.array_distinct(shingles_col("text"))).alias("sh")
+    )
+
+
+SHINGLES_SQL = f"""
+SELECT doc_id, unnest(list_distinct({sql_shingles(sql_tokens('text'))})) AS sh
+FROM corpus
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard near-dup pairs via shared-shingle candidate join.
+    Correct but candidate count grows with shingle-bucket skew — at
+    100 TB use dedup_minhash_lsh (banded) instead; this is the oracle of
+    record for it."""
+    sh = _shingle_sets(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_JACCARD_ORACLE = f"""
+WITH corpus AS ({CORPUS_SQL}),
+sh AS ({SHINGLES_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+  CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+# --- MinHash + banded LSH (deterministic, oracle-checkable) ----------------
+MINHASH_K = 16
+MINHASH_BANDS = 4
+_ROWS_PER_BAND = MINHASH_K // MINHASH_BANDS
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed MinHash-LSH: shingles x K md5 'permutations' -> min per
+    (doc, perm) -> 4-slot band keys -> bucket self-join -> Jaccard
+    verification. Every shuffle is keyed (shingle, doc/perm, band key);
+    candidates per bucket are bounded by band selectivity — this is the
+    100 TB near-dup path."""
+    sh = _shingle_sets(spark, sf_dir)
+    perms = spark.range(MINHASH_K).select(F.col("id").cast("int").alias("i"))
+    hashed = sh.crossJoin(perms).select(
+        "doc_id", "i", md5_hash60("sh", salt="i").alias("h")
+    )
+    minh = hashed.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
+    bands = (
+        minh.withColumn("band", F.expr(f"i div {_ROWS_PER_BAND}"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                    lambda x: x["mh"].cast("string"),
+                ),
+                ",",
+            ).alias("bkey")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # Verify candidates with exact Jaccard (semi-joined to candidates only).
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_val"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_val"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "sh_val"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_MINHASH_ORACLE = f"""
+WITH corpus AS ({CORPUS_SQL}),
+sh AS ({SHINGLES_SQL}),
+hashed AS (
+  SELECT doc_id, i, {sql_md5_hash60('sh', 'i')} AS h
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {MINHASH_K - 1})) AS i)
+),
+minh AS (SELECT doc_id, i, MIN(h) AS mh FROM hashed GROUP BY doc_id, i),
+bands AS (
+  SELECT doc_id, i // {_ROWS_PER_BAND} AS band,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bkey
+  FROM minh GROUP BY doc_id, i // {_ROWS_PER_BAND}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND a.sh = b.sh
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+  CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pyspark.ml MinHashLSH variant (HashingTF -> MinHashLSH ->
+    approxSimilarityJoin). Hash seeds are Spark-internal, so this is a
+    rows-only check; dedup_minhash_lsh above is the oracle-checked twin.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    corpus = corpus_with_dups(spark, sf_dir)
+    toks = corpus.select("doc_id", tokens_col("text").alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(toks)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = mh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.3, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.col("jaccard_dist"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- SimHash ---------------------------------------------------------------
+SIMHASH_BITS = 60
+_SIMHASH_BANDS = 4
+_BITS_PER_BAND = SIMHASH_BITS // _SIMHASH_BANDS  # 15
+
+
+def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = corpus_with_dups(spark, sf_dir)
+    tok = corpus.select(
+        "doc_id", F.explode(tokens_col("text")).alias("tok")
+    ).withColumn("h", md5_hash60("tok", salt=F.lit("sim")))
+    bit_sums = [
+        F.sum(
+            F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sums = tok.groupBy("doc_id").agg(*bit_sums)
+    assemble = " + ".join(
+        f"IF(s{b} > 0, CAST({1 << b} AS BIGINT), CAST(0 AS BIGINT))"
+        for b in range(SIMHASH_BITS)
+    )
+    return sums.select("doc_id", F.expr(assemble).alias("simhash"))
+
+
+def _simhash_sql_core() -> str:
+    h = sql_md5_hash60("tok", "'sim'")
+    terms = ",\n    ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+tok AS (
+  SELECT doc_id, {h} AS h FROM (
+    SELECT doc_id, unnest({sql_tokens('text')}) AS tok FROM corpus
+  )
+),
+sums AS (SELECT doc_id, {terms} FROM tok GROUP BY doc_id),
+simhashes AS (SELECT doc_id, {assemble} AS simhash FROM sums)
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash signature per document."""
+    return _simhash_df(spark, sf_dir).orderBy("doc_id")
+
+
+DEDUP_SIMHASH_ORACLE = f"""
+WITH corpus AS ({CORPUS_SQL}),
+{_simhash_sql_core()}
+SELECT doc_id, simhash FROM simhashes ORDER BY doc_id
+"""
+
+HAMMING_MAX = 6
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs: 15-bit band bucketing (a pair within Hamming
+    distance 3 must agree on >=1 of 4 bands; we verify <= HAMMING_MAX
+    among candidates) — bucket join, no quadratic scan."""
+    sim = _simhash_df(spark, sf_dir)
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), i * _BITS_PER_BAND)
+                    .bitwiseAND(F.lit((1 << _BITS_PER_BAND) - 1))
+                    for i in range(_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band", "bval"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _simhash_pairs_oracle() -> str:
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS band, (simhash >> {i * _BITS_PER_BAND}) & {(1 << _BITS_PER_BAND) - 1} AS bval FROM simhashes"
+        for i in range(_SIMHASH_BANDS)
+    )
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+{_simhash_sql_core()},
+bands AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {HAMMING_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+
+QUERIES = {
+    "txt_token_stats": txt_token_stats,
+    "txt_doc_features": txt_doc_features,
+    "txt_langid": txt_langid,
+    "txt_fingerprint": txt_fingerprint,
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_ml": dedup_minhash_ml,
+    "dedup_simhash": dedup_simhash,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
+}
+
+ORACLES = {
+    "txt_token_stats": TXT_TOKEN_STATS_ORACLE,
+    "txt_doc_features": TXT_DOC_FEATURES_ORACLE,
+    "txt_langid": _langid_oracle(),
+    "txt_fingerprint": TXT_FINGERPRINT_ORACLE,
+    "dedup_exact": DEDUP_EXACT_ORACLE,
+    "dedup_ngram_jaccard": DEDUP_JACCARD_ORACLE,
+    "dedup_minhash_lsh": DEDUP_MINHASH_ORACLE,
+    # dedup_minhash_ml: Spark-internal hash seeds — rows-only by design
+    "dedup_simhash": DEDUP_SIMHASH_ORACLE,
+    "dedup_simhash_pairs": _simhash_pairs_oracle(),
+}
