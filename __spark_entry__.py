@@ -24,13 +24,23 @@ def entry(spark: SparkSession) -> DataFrame:
 def _all_modules():
     from simple_etl_pipeline_spark.plans import (
         events,
+        multimodal,
         reference_parity,
         relational,
         similarity,
         text,
     )
+    from simple_etl_pipeline_spark.streaming import events as streaming_events
 
-    return [reference_parity, relational, events, text, similarity]
+    return [
+        reference_parity,
+        relational,
+        events,
+        text,
+        similarity,
+        multimodal,
+        streaming_events,
+    ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

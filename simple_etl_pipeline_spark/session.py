@@ -25,6 +25,15 @@ def get_spark(
     ``master=None`` with an external cluster manager and size
     ``shuffle_partitions`` to ~2-3x total cores.
     """
+    # Make the package importable inside Python workers regardless of the
+    # driver's cwd (mapInPandas closures reference module functions).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "4")
     if master is None:
         master = f"local[{cpus}]"

@@ -1,0 +1,150 @@
+"""Structured Streaming over the events table.
+
+The reference has zero streaming (SURVEY.md §2f). These operators reuse
+the *same window expressions* as the batch twins in plans/events.py —
+the semantics are oracle-verified there; here they run under
+readStream with watermarks, which is the part batch can't check (late
+data, incremental state). Tests drive them with Trigger.AvailableNow
+into memory sinks.
+
+Scale design: file-source streaming partitions by input file; state
+(windows, dedup keys) is bounded by the watermark, so a 100 TB backlog
+replays incrementally instead of materializing one giant batch.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from simple_etl_pipeline_spark.functions.agg import dsum, epoch_seconds
+
+# Parquet stores ts as TIMESTAMP(NANOS); with nanosAsLong (session.py)
+# the stream schema must declare it long, converted right after.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # File-stream sources take a directory; pathGlobFilter selects the
+    # events file out of the shared testdata dir.
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_hourly_stream(stream: DataFrame) -> DataFrame:
+    """Same expression as plans/events.ev_tumbling_hourly, plus a
+    watermark bounding window state to 1 hour of lateness."""
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            epoch_seconds(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_windows_stream(stream: DataFrame) -> DataFrame:
+    """Streaming twin of ev_session_windows (append mode: sessions emit
+    once the watermark passes their close)."""
+    return (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            epoch_seconds(F.col("w.start")).alias("session_start"),
+            epoch_seconds(F.col("w.end")).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_stream(stream: DataFrame) -> DataFrame:
+    """Streaming exact dedup on event_id; watermark bounds the key state
+    (at 100 TB/day this is the difference between bounded and unbounded
+    state stores)."""
+    return stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id", "ts"])
+
+
+def _run_to_memory(result: DataFrame, mode: str) -> DataFrame:
+    name = f"st_{uuid.uuid4().hex[:12]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.table(name)
+
+
+# queries() adapters: execute the stream to completion, return the result.
+def st_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete-mode tumbling aggregation — with the full file replayed,
+    output equals the batch twin, so it shares its DuckDB oracle."""
+    stream = read_events_stream(spark, sf_dir)
+    return _run_to_memory(tumbling_hourly_stream(stream), "complete")
+
+
+def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode sessions: sessions still open at end-of-stream are
+    withheld by the watermark -> rows-only check by design."""
+    stream = read_events_stream(spark, sf_dir)
+    return _run_to_memory(session_windows_stream(stream), "append")
+
+
+def st_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup over a doubled stream (the file unioned with itself) —
+    exactly one row per event_id survives; oracle = plain SELECT."""
+    a = read_events_stream(spark, sf_dir)
+    b = read_events_stream(spark, sf_dir)
+    doubled = a.unionByName(b)
+    result = dedup_stream(doubled).select("event_id", "user_id", "event_type")
+    return _run_to_memory(result, "append")
+
+
+ST_TUMBLING_ORACLE = """
+SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+ST_DEDUP_ORACLE = """
+SELECT event_id, user_id, event_type FROM events
+"""
+
+QUERIES = {
+    "st_tumbling_hourly": st_tumbling_hourly,
+    "st_session_windows": st_session_windows,
+    "st_dedup_events": st_dedup_events,
+}
+
+ORACLES = {
+    "st_tumbling_hourly": ST_TUMBLING_ORACLE,
+    # st_session_windows: append-mode watermark withholding -> rows-only
+    "st_dedup_events": ST_DEDUP_ORACLE,
+}
