@@ -34,6 +34,10 @@ HEADLINE = [
     "ev_session_windows",
     "ev_tumbling_hourly",
     "ref_transform_full",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "txt_doc_features",
+    "sim_knn_brute",
 ]
 
 
@@ -45,6 +49,10 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
+
+    # Warm the JVM/codegen/file-listing paths so per-query numbers measure
+    # the queries, not session startup.
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     timings: dict[str, float] = {}

@@ -306,6 +306,14 @@ ORDER BY doc_a, doc_b
 MINHASH_K = 16
 MINHASH_BANDS = 4
 _ROWS_PER_BAND = MINHASH_K // MINHASH_BANDS
+# One md5 per shingle, then K universal-hash "permutations"
+# h_i = (a_i*h + b_i) mod (2^31-1) — pure bigint arithmetic (products stay
+# under 2^62), identical in any engine, 16x cheaper than K md5 calls.
+MINHASH_P = 2147483647
+_PERM = [
+    ((1103515245 * (i + 1)) % MINHASH_P or 1, (12345 + 2654435761 * i) % MINHASH_P)
+    for i in range(MINHASH_K)
+]
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -314,25 +322,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification. Every shuffle is keyed (shingle, doc/perm, band key);
     candidates per bucket are bounded by band selectivity — this is the
     100 TB near-dup path."""
+    # The shingle set feeds three passes (signature + both sides of the
+    # Jaccard verification). At cluster scale persist()/checkpoint the
+    # signature stage; here recompute is cheaper than cache churn across
+    # the driver's many query runs in one session.
     sh = _shingle_sets(spark, sf_dir)
-    perms = spark.range(MINHASH_K).select(F.col("id").cast("int").alias("i"))
-    hashed = sh.crossJoin(perms).select(
-        "doc_id", "i", md5_hash60("sh", salt="i").alias("h")
-    )
-    minh = hashed.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
-    bands = (
-        minh.withColumn("band", F.expr(f"i div {_ROWS_PER_BAND}"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "mh"))),
-                    lambda x: x["mh"].cast("string"),
-                ),
+    # All K min-hashes in ONE aggregation pass: each permutation is a
+    # min() over an arithmetic rehash of the shingle's single md5 value,
+    # so map-side partial aggregation collapses to one row per doc
+    # *before* the shuffle (vs. exploding K x shingles rows).
+    h31 = (md5_hash60(F.col("sh")) % MINHASH_P).alias("h31")
+    hashed = sh.select("doc_id", h31)
+    mh_cols = [
+        F.min((F.lit(a) * F.col("h31") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_PERM)
+    ]
+    sig = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"), *mh_cols)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
                 ",",
-            ).alias("bkey")
+                *[
+                    F.col(f"mh{b * _ROWS_PER_BAND + j}").cast("string")
+                    for j in range(_ROWS_PER_BAND)
+                ],
+            ).alias("bkey"),
         )
-    )
+        for b in range(MINHASH_BANDS)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -347,7 +368,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Verify candidates with exact Jaccard (semi-joined to candidates only).
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_val"))
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_val"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes = sig.select("doc_id", "n_sh")
     inter = (
         cand.join(sh_a, "doc_a")
         .join(sh_b, ["doc_b", "sh_val"])
@@ -373,9 +394,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_MINHASH_ORACLE = f"""
 WITH corpus AS ({CORPUS_SQL}),
 sh AS ({SHINGLES_SQL}),
+h31s AS (
+  SELECT doc_id, {sql_md5_hash60('sh')} % {MINHASH_P} AS h31 FROM sh
+),
 hashed AS (
-  SELECT doc_id, i, {sql_md5_hash60('sh', 'i')} AS h
-  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {MINHASH_K - 1})) AS i)
+  SELECT doc_id, i,
+         (([{", ".join(str(a) for a, _ in _PERM)}])[i + 1] * h31
+          + ([{", ".join(str(b) for _, b in _PERM)}])[i + 1]) % {MINHASH_P} AS h
+  FROM h31s CROSS JOIN (SELECT unnest(generate_series(0, {MINHASH_K - 1})) AS i)
 ),
 minh AS (SELECT doc_id, i, MIN(h) AS mh FROM hashed GROUP BY doc_id, i),
 bands AS (
