@@ -478,6 +478,100 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
 """
 
 
+# --- pivot / percentiles / histogram / relative-to-group -----------------
+def agg_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order totals: status columns per priority row. Spark's pivot
+    compiles to conditional aggregates — one shuffle, no per-status scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(dsum("o_totalprice"))
+        .orderBy("o_orderpriority")
+    )
+
+
+AGG_PIVOT_ORACLE = f"""
+SELECT o_orderpriority,
+  {sql_dsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS "F",
+  {sql_dsum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS "O",
+  {sql_dsum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS "P"
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (the sketch-free form;
+    at 100 TB use approx_percentile — same API shape). Rounded because
+    interpolation factoring differs across engines in the last bits."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+AGG_PERCENTILES_ORACLE = """
+SELECT o_orderstatus,
+  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+  COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via integer bucketing — a groupBy on a
+    derived key, the scalable form of numeric distribution profiling."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.col("l_quantity") / 10).cast("long")
+    return (
+        li.groupBy(bucket.alias("qty_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum("l_extendedprice").alias("sum_price"))
+        .orderBy("qty_bucket")
+    )
+
+
+AGG_HISTOGRAM_ORACLE = f"""
+SELECT CAST(floor(l_quantity / 10) AS BIGINT) AS qty_bucket,
+  COUNT(*) AS n_rows, {sql_dsum('l_extendedprice')} AS sum_price
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
+def window_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above their customer's average (correlated-subquery shape,
+    expressed as a window — one shuffle instead of a self-join)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    cust_avg = (
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        orders.withColumn("cust_avg", cust_avg)
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_custkey", "o_orderkey", "o_totalprice", "cust_avg")
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+WINDOW_ABOVE_AVG_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice, cust_avg FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (PARTITION BY o_custkey) AS DOUBLE)
+      / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg
+  FROM orders
+) WHERE o_totalprice > cust_avg
+ORDER BY o_custkey, o_orderkey
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -491,6 +585,10 @@ QUERIES = {
     "agg_cube_lineitem": agg_cube_lineitem,
     "agg_grouping_sets": agg_grouping_sets,
     "agg_approx_distinct": agg_approx_distinct,
+    "agg_conditional_pivot": agg_conditional_pivot,
+    "agg_percentiles": agg_percentiles,
+    "agg_histogram": agg_histogram,
+    "window_above_customer_avg": window_above_customer_avg,
     "window_topk_orders_per_customer": window_topk_orders_per_customer,
     "window_running_total": window_running_total,
     "window_lag_events": window_lag_events,
@@ -511,6 +609,10 @@ ORACLES = {
     "agg_cube_lineitem": AGG_CUBE_ORACLE,
     "agg_grouping_sets": AGG_GROUPING_SETS_ORACLE,
     # agg_approx_distinct: sketch — rows-only check by design
+    "agg_conditional_pivot": AGG_PIVOT_ORACLE,
+    "agg_percentiles": AGG_PERCENTILES_ORACLE,
+    "agg_histogram": AGG_HISTOGRAM_ORACLE,
+    "window_above_customer_avg": WINDOW_ABOVE_AVG_ORACLE,
     "window_topk_orders_per_customer": WINDOW_TOPK_ORACLE,
     "window_running_total": WINDOW_RUNNING_ORACLE,
     "window_lag_events": WINDOW_LAG_ORACLE,
