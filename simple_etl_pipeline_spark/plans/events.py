@@ -173,7 +173,49 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def ev_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase annotated with the user's latest prior
+    click (operators/asof.py — one keyed shuffle, no range explosion).
+    Oracle: DuckDB's native ASOF JOIN."""
+    from simple_etl_pipeline_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload={"event_id": "last_click_id", "value": "last_click_value"},
+        right_tiebreak="event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        epoch_seconds("ts").alias("ts_epoch"),
+        "last_click_id",
+        "last_click_value",
+    ).orderBy("event_id")
+
+
+EV_ASOF_ORACLE = f"""
+SELECT p.event_id, p.user_id, {sql_epoch('p.ts')} AS ts_epoch,
+       c.event_id AS last_click_id, c.value AS last_click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+"""
+
+
 QUERIES = {
+    "ev_asof_purchase_click": ev_asof_purchase_click,
     "ev_tumbling_hourly": ev_tumbling_hourly,
     "ev_sliding_windows": ev_sliding_windows,
     "ev_session_windows": ev_session_windows,
@@ -182,6 +224,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ev_asof_purchase_click": EV_ASOF_ORACLE,
     "ev_tumbling_hourly": EV_TUMBLING_ORACLE,
     "ev_sliding_windows": EV_SLIDING_ORACLE,
     "ev_session_windows": EV_SESSION_ORACLE,

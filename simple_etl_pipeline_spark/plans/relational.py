@@ -508,8 +508,8 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.groupBy("o_orderstatus")
         .agg(
-            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
-            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy("o_orderstatus")
@@ -518,8 +518,8 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 AGG_PERCENTILES_ORACLE = """
 SELECT o_orderstatus,
-  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+  round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
   COUNT(*) AS n_orders
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
@@ -541,6 +541,31 @@ AGG_HISTOGRAM_ORACLE = f"""
 SELECT CAST(floor(l_quantity / 10) AS BIGINT) AS qty_bucket,
   COUNT(*) AS n_rows, {sql_dsum('l_extendedprice')} AS sum_price
 FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
+def agg_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (operators/skew.py) on a
+    deliberately hot key (3 return flags over all of lineitem). The
+    salted plan must be value-identical to the plain GROUP BY oracle —
+    decimal reduction makes that exact, proving salting is a drop-in."""
+    from simple_etl_pipeline_spark.operators.skew import salted_sum_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_sum_count(
+        li,
+        ["l_returnflag"],
+        F.col("l_extendedprice") * (1 - F.col("l_discount")),
+        sum_alias="sum_revenue",
+        count_alias="n_rows",
+    ).orderBy("l_returnflag")
+
+
+AGG_SALTED_ORACLE = f"""
+SELECT l_returnflag,
+  {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_revenue,
+  COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
@@ -588,6 +613,7 @@ QUERIES = {
     "agg_conditional_pivot": agg_conditional_pivot,
     "agg_percentiles": agg_percentiles,
     "agg_histogram": agg_histogram,
+    "agg_salted_sum": agg_salted_sum,
     "window_above_customer_avg": window_above_customer_avg,
     "window_topk_orders_per_customer": window_topk_orders_per_customer,
     "window_running_total": window_running_total,
@@ -612,6 +638,7 @@ ORACLES = {
     "agg_conditional_pivot": AGG_PIVOT_ORACLE,
     "agg_percentiles": AGG_PERCENTILES_ORACLE,
     "agg_histogram": AGG_HISTOGRAM_ORACLE,
+    "agg_salted_sum": AGG_SALTED_ORACLE,
     "window_above_customer_avg": WINDOW_ABOVE_AVG_ORACLE,
     "window_topk_orders_per_customer": WINDOW_TOPK_ORACLE,
     "window_running_total": WINDOW_RUNNING_ORACLE,
