@@ -1,0 +1,51 @@
+"""File sources beyond parquet: schema-explicit CSV and JSON(L) readers.
+
+Always pass an explicit schema: inference costs an extra full scan (at
+100 TB, a non-starter) and silently drifts types between runs. Readers
+here mirror what load_table does for parquet (schemas.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    **options,
+) -> DataFrame:
+    return (
+        spark.read.schema(schema)
+        .option("header", header)
+        .option("mode", "PERMISSIVE")
+        .options(**options)
+        .csv(path)
+    )
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType, **options
+) -> DataFrame:
+    return spark.read.schema(schema).options(**options).json(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Parquet writer; partition_by turns a column into a directory key —
+    the primary pruning lever at 100 TB (e.g. partition events by day)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

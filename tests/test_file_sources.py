@@ -1,0 +1,48 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from simple_etl_pipeline_spark.schemas import CLEAN_PRODUCT_SCHEMA
+from simple_etl_pipeline_spark.sources.files import (
+    read_csv,
+    read_json,
+    write_json,
+    write_parquet,
+)
+
+ROWS = [
+    ("A", 160000.0, 4.5, 3, "M", "Men", "t1"),
+    ("B", 320000.0, 3.0, 2, "L", "Women", "t2"),
+]
+
+
+def test_csv_roundtrip_with_schema(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, CLEAN_PRODUCT_SCHEMA)
+    path = str(tmp_path / "csv")
+    df.write.option("header", True).csv(path)
+    back = read_csv(spark, path, CLEAN_PRODUCT_SCHEMA)
+    # file sources mark everything nullable; names+types must round-trip
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in CLEAN_PRODUCT_SCHEMA.fields
+    ]
+    assert sorted((r.title, r.colors) for r in back.collect()) == [("A", 3), ("B", 2)]
+
+
+def test_json_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, CLEAN_PRODUCT_SCHEMA)
+    path = str(tmp_path / "json")
+    write_json(df, path)
+    back = read_json(spark, path, CLEAN_PRODUCT_SCHEMA)
+    assert back.count() == 2
+    assert back.filter(F.col("title") == "A").first().price == 160000.0
+
+
+def test_partitioned_parquet_prunes(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, CLEAN_PRODUCT_SCHEMA)
+    path = str(tmp_path / "pq")
+    write_parquet(df, path, partition_by=["gender"])
+    back = spark.read.parquet(path).filter(F.col("gender") == "Men")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert back.count() == 1
+    # partition filter must prune at the source, not post-scan
+    assert "PartitionFilters: [isnotnull(gender" in plan or "gender=Men" in plan
