@@ -69,6 +69,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TESTDATA_TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
+    if name == "events":
+        # events.parquet uses TIMESTAMP(NANOS), which Spark's reader
+        # rejects by default. Runtime-settable, so harness-provided
+        # sessions (built without our factory) work too.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # events.ts is TIMESTAMP(NANOS) in parquet; with nanosAsLong (see
     # session.py) it surfaces as bigint nanos — convert to microsecond

@@ -38,7 +38,9 @@ EVENTS_RAW_SCHEMA = T.StructType(
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # File-stream sources take a directory; pathGlobFilter selects the
-    # events file out of the shared testdata dir.
+    # events file out of the shared testdata dir. nanosAsLong set here
+    # too so harness-provided sessions work (see schemas.load_table).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("maxFilesPerTrigger", 1)
