@@ -31,6 +31,7 @@ def _all_modules():
         text,
     )
     from simple_etl_pipeline_spark.streaming import events as streaming_events
+    from simple_etl_pipeline_spark.streaming import stateful as streaming_stateful
 
     return [
         reference_parity,
@@ -40,6 +41,7 @@ def _all_modules():
         similarity,
         multimodal,
         streaming_events,
+        streaming_stateful,
     ]
 
 

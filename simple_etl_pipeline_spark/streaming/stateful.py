@@ -1,0 +1,91 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+Built-in windows cover time bucketing; arbitrary per-key state (running
+counters, ML feature accumulators, custom session logic) needs
+applyInPandasWithState: the runtime shuffles rows by key, hands each
+key's micro-batch to pandas with a persistent state handle, and the
+state store checkpoints it. State per key here is 16 bytes — at 100 TB
+/day the store holds |users| entries, independent of stream length.
+
+The operator emits cumulative (n_events, sum_value) per user each
+micro-batch; the final per-user row equals the batch aggregate, which
+is what the oracle checks.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+STATE_SCHEMA = T.StructType(
+    [T.StructField("n", T.LongType()), T.StructField("s", T.DoubleType())]
+)
+
+
+def _update_user_totals(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import math
+
+    (user_id,) = key
+    n, s = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        # fsum is exactly rounded — bit-identical to a decimal-sum oracle
+        s += math.fsum(pdf["value"])
+    state.update((n, s))
+    yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "sum_value": [s]})
+
+
+def user_totals_stateful(stream: DataFrame) -> DataFrame:
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _update_user_totals,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def st_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() adapter: run to completion, keep each user's final
+    cumulative row (update mode re-emits per batch; the max is the
+    total). Rounded to absorb float-batch-order bits vs the oracle's
+    decimal sum."""
+    from simple_etl_pipeline_spark.streaming.events import (
+        _run_to_memory,
+        read_events_stream,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    out = _run_to_memory(user_totals_stateful(stream), "update")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.round(F.max("sum_value"), 4).alias("sum_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ST_USER_TOTALS_ORACLE = """
+SELECT user_id, COUNT(*) AS n_events,
+  round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_value
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+QUERIES: dict[str, Any] = {"st_user_totals_stateful": st_user_totals_stateful}
+ORACLES = {"st_user_totals_stateful": ST_USER_TOTALS_ORACLE}
