@@ -478,6 +478,111 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
 """
 
 
+# --- more TPC-H shapes ----------------------------------------------------
+def q2_top_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier): best supplier per nation via a
+    window rank — replaces Q2's correlated subquery with one shuffle."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey")
+    )
+    best = supplier.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.join(F.broadcast(nation), best.s_nationkey == nation.n_nationkey)
+        .select("n_name", "s_suppkey", "s_name", "s_acctbal")
+        .orderBy("n_name")
+    )
+
+
+Q2_ORACLE = """
+SELECT n_name, s_suppkey, s_name, s_acctbal FROM (
+  SELECT s.*, ROW_NUMBER() OVER (PARTITION BY s_nationkey
+          ORDER BY s_acctbal DESC, s_suppkey ASC) AS rn
+  FROM supplier s
+) b JOIN nation ON b.s_nationkey = n_nationkey
+WHERE rn = 1 ORDER BY n_name
+"""
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between customer-nation and
+    supplier-nation pairs by ship year. Both nation lookups broadcast;
+    the only shuffles are lineitem|><|orders and the final group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cust_nation = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    supp_nation = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_nation), orders.o_custkey == cust_nation.c_custkey)
+        .join(F.broadcast(supp_nation), li.l_suppkey == supp_nation.s_suppkey)
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"))
+        .orderBy("cust_nation", "supp_nation", "ship_year")
+    )
+
+
+Q7_ORACLE = f"""
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+  CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS ship_year,
+  {sql_dsum('l_extendedprice * (1 - l_discount)')} AS volume
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE cn.n_name != sn.n_name
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average balance and no
+    orders — scalar aggregate (decimal avg, broadcast as a 1-row cross
+    join) + anti join, grouped by nation."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+Q22_ORACLE = f"""
+SELECT c_nationkey, COUNT(*) AS n_customers, {sql_dsum('c_acctbal')} AS total_bal
+FROM customer c
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+    FROM customer WHERE c_acctbal > 0
+  )
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
 # --- pivot / percentiles / histogram / relative-to-group -----------------
 def agg_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot order totals: status columns per priority row. Spark's pivot
@@ -602,6 +707,9 @@ QUERIES = {
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_revenue": q5_region_revenue,
     "q6_revenue_filter": q6_revenue_filter,
+    "q2_top_supplier_per_nation": q2_top_supplier_per_nation,
+    "q7_nation_volume": q7_nation_volume,
+    "q22_idle_customers": q22_idle_customers,
     "join_semi_discounted": join_semi_discounted,
     "join_anti_customers_without_orders": join_anti_customers_without_orders,
     "join_broadcast_brand_revenue": join_broadcast_brand_revenue,
@@ -627,6 +735,9 @@ ORACLES = {
     "q3_shipping_priority": Q3_ORACLE,
     "q5_region_revenue": Q5_ORACLE,
     "q6_revenue_filter": Q6_ORACLE,
+    "q2_top_supplier_per_nation": Q2_ORACLE,
+    "q7_nation_volume": Q7_ORACLE,
+    "q22_idle_customers": Q22_ORACLE,
     "join_semi_discounted": JOIN_SEMI_ORACLE,
     "join_anti_customers_without_orders": JOIN_ANTI_ORACLE,
     "join_broadcast_brand_revenue": JOIN_BROADCAST_ORACLE,

@@ -164,14 +164,68 @@ GROUP BY label, i ORDER BY label, pos
 """
 
 
+COSINE_DUP_THRESHOLD = 0.999
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection: a corpus with injected
+    scaled copies (cosine-invariant, so cos≈1), candidates restricted to
+    matching sign-bit buckets (scaling preserves signs), verified by
+    exact cosine ≥ threshold. The bucket join keeps this linear-ish at
+    100 TB — never an all-pairs scan."""
+    emb = _emb(spark, sf_dir).select("vec_id", "v")
+    dups = emb.filter(F.col("vec_id") % 11 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("v", lambda x: x * 1.5).alias("v"),
+    )
+    corpus = emb.unionByName(dups).withColumn("bucket", _bucket_col())
+    a, b = corpus.alias("a"), corpus.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cosine_col(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
+        .orderBy("vec_a", "vec_b")
+    )
+    return pairs
+
+
+DEDUP_EMB_COSINE_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), corpus AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(v, x -> x * 1.5) FROM base WHERE vec_id % 11 = 0
+), bucketed AS (
+  SELECT vec_id, v, {_sql_bucket('v')} AS bucket FROM corpus
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {COSINE_DUP_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+
 QUERIES = {
     "sim_knn_brute": sim_knn_brute,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_centroids_by_label": sim_centroids_by_label,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
 ORACLES = {
     "sim_knn_brute": SIM_KNN_ORACLE,
     "sim_ann_lsh": SIM_ANN_ORACLE,
     "sim_centroids_by_label": SIM_CENTROIDS_ORACLE,
+    "dedup_embedding_cosine": DEDUP_EMB_COSINE_ORACLE,
 }

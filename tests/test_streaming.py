@@ -31,6 +31,27 @@ def test_streaming_dedup_exact(spark, sf_dir):
     assert deduped.count() == n_events  # doubled stream -> unique survivors
 
 
+def test_foreachbatch_csv_sink(spark, sf_dir, tmp_path):
+    import csv
+    import glob
+
+    from simple_etl_pipeline_spark.streaming.events import read_events_stream
+    from simple_etl_pipeline_spark.streaming.sinks import stream_to_csv_batches
+
+    stream = read_events_stream(spark, sf_dir).select("event_id", "event_type")
+    q = stream_to_csv_batches(stream, str(tmp_path))
+    q.awaitTermination()
+    files = glob.glob(str(tmp_path / "batch_*.csv"))
+    assert files, "no batch files written"
+    total = 0
+    for f in files:
+        with open(f) as fh:
+            total += sum(1 for _ in csv.DictReader(fh))
+    from simple_etl_pipeline_spark.schemas import load_table
+
+    assert total == load_table(spark, sf_dir, "events").count()
+
+
 def test_streaming_sessions_run(spark, sf_dir):
     out = st_session_windows(spark, sf_dir)
     # append mode withholds sessions not yet past the watermark; emitted
