@@ -164,6 +164,106 @@ GROUP BY label, i ORDER BY label, pos
 """
 
 
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: label centroids are the coarse quantizer; every
+    vector (and query) is assigned to its *nearest* centroid by L2, and
+    queries search only their cell. All declarative: centroid build and
+    assignment are keyed joins/aggregations — at 100 TB the cell id
+    becomes a partition column and a query touches one cell's files.
+
+    Distances reduce in decimal (order-independent) so the argmin — and
+    therefore the cells — are engine-identical; label asc breaks ties.
+    """
+    emb = _emb(spark, sf_dir)
+    dims = emb.select("vec_id", "label", F.posexplode("v").alias("pos", "x"))
+    centroids = (
+        dims.groupBy(F.col("label").alias("c_label"), "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+    )
+    # nearest centroid per vector: decimal-summed squared L2 per (vec, centroid)
+    dists = (
+        dims.join(centroids, "pos")
+        .groupBy("vec_id", "c_label")
+        .agg(
+            F.sum(
+                ((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).cast(
+                    "decimal(38,12)"
+                )
+            )
+            .cast("double")
+            .alias("d2")
+        )
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("c_label"))
+    cells = (
+        dists.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("c_label").alias("cell"))
+    )
+    assigned = emb.join(cells, "vec_id").select("vec_id", "v", "cell")
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "cell"
+    )
+    sims = (
+        assigned.join(F.broadcast(q), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "cell",
+            "vec_id",
+            F.round(cosine_col(F.col("qv"), F.col("v")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .orderBy("q_id", "rn")
+    )
+
+
+SIM_IVF_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), dims AS (
+  SELECT vec_id, label, i AS pos, v[i] AS x
+  FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+), centroids AS (
+  SELECT label AS c_label, pos,
+    CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS c
+  FROM dims GROUP BY label, pos
+), dists AS (
+  SELECT vec_id, c_label,
+    CAST(SUM(CAST((x - c) * (x - c) AS DECIMAL(38,12))) AS DOUBLE) AS d2
+  FROM dims JOIN centroids USING (pos)
+  GROUP BY vec_id, c_label
+), cells AS (
+  SELECT vec_id, c_label AS cell FROM (
+    SELECT vec_id, c_label,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c_label ASC) AS rn
+    FROM dists
+  ) WHERE rn = 1
+), assigned AS (
+  SELECT e.vec_id, e.v, cells.cell FROM e JOIN cells ON e.vec_id = cells.vec_id
+), q AS (
+  SELECT vec_id AS q_id, v AS qv, cell FROM assigned WHERE vec_id < {N_QUERIES}
+), sims AS (
+  SELECT q_id, a.cell, a.vec_id, round(list_cosine_similarity(qv, a.v), 6) AS sim
+  FROM assigned a JOIN q ON a.cell = q.cell
+  WHERE a.vec_id != q.q_id
+)
+SELECT q_id, cell, vec_id, sim, rn FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rn
+  FROM sims
+) WHERE rn <= 3 ORDER BY q_id, rn
+"""
+
+
 COSINE_DUP_THRESHOLD = 0.999
 
 
@@ -220,6 +320,7 @@ QUERIES = {
     "sim_knn_brute": sim_knn_brute,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_centroids_by_label": sim_centroids_by_label,
+    "sim_ivf_topk": sim_ivf_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
@@ -227,5 +328,6 @@ ORACLES = {
     "sim_knn_brute": SIM_KNN_ORACLE,
     "sim_ann_lsh": SIM_ANN_ORACLE,
     "sim_centroids_by_label": SIM_CENTROIDS_ORACLE,
+    "sim_ivf_topk": SIM_IVF_ORACLE,
     "dedup_embedding_cosine": DEDUP_EMB_COSINE_ORACLE,
 }
