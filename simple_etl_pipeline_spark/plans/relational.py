@@ -583,6 +583,156 @@ GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority counts for orders with >=1 late
+    line — EXISTS as a left_semi join."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    late = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional aggregation (CASE inside SUM) —
+    high/low-priority line counts per return flag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q12_ORACLE = """
+SELECT l_returnflag,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: ratio of conditional to total revenue (promo =
+    parts whose type starts with a prefix). Both sums decimal-reduced;
+    the final ratio is one double division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("STANDARD"), rev).otherwise(F.lit(0.0))
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        (dsum(promo) * 100.0 / dsum(rev)).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+Q14_ORACLE = f"""
+SELECT
+  {sql_dsum("CASE WHEN p_type LIKE 'STANDARD%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+    * 100.0 / {sql_dsum('l_extendedprice * (1 - l_discount)')} AS promo_revenue_pct,
+  COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive predicates across the
+    join — Catalyst extracts the common l_partkey=p_partkey conjunct so
+    the join stays an equi-join with a residual OR filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    c1 = (F.col("p_brand") == "Brand#1") & (F.col("l_quantity") >= 1) & (
+        F.col("l_quantity") <= 11
+    ) & (F.col("p_size") <= 10)
+    c2 = (F.col("p_brand") == "Brand#2") & (F.col("l_quantity") >= 10) & (
+        F.col("l_quantity") <= 20
+    ) & (F.col("p_size") <= 20)
+    c3 = (F.col("p_brand") == "Brand#3") & (F.col("l_quantity") >= 20) & (
+        F.col("l_quantity") <= 30
+    ) & (F.col("p_size") <= 30)
+    return joined.filter(c1 | c2 | c3).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+Q19_ORACLE = f"""
+SELECT {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue, COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size <= 10)
+   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size <= 20)
+   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size <= 30)
+"""
+
+
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function coverage in one projection: string ops, date
+    parts/arithmetic, null handling — every expression dialect-safe in
+    both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.upper(F.col("o_orderstatus")).alias("status_upper"),
+        F.substring("o_orderpriority", 1, 1).alias("priority_digit"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_priority"),
+        F.length("o_orderpriority").alias("priority_len"),
+        F.col("o_orderpriority").like("%HIGH%").alias("is_high_like"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        epoch_seconds(F.date_trunc("month", "o_orderdate")).alias("month_start_epoch"),
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")
+        ).alias("status_or_pending"),
+        F.when(F.col("o_totalprice") > 100000, "big").otherwise("small").alias(
+            "size_class"
+        ),
+    ).orderBy("o_orderkey")
+
+
+SCALAR_FUNCTIONS_ORACLE = f"""
+SELECT o_orderkey,
+  upper(o_orderstatus) AS status_upper,
+  substr(o_orderpriority, 1, 1) AS priority_digit,
+  concat_ws('-', o_orderstatus, o_orderpriority) AS status_priority,
+  length(o_orderpriority) AS priority_len,
+  o_orderpriority LIKE '%HIGH%' AS is_high_like,
+  CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+  CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS order_month,
+  CAST(EXTRACT(day FROM o_orderdate) AS INTEGER) AS order_day,
+  {sql_epoch("date_trunc('month', o_orderdate)")} AS month_start_epoch,
+  coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_or_pending,
+  CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END AS size_class
+FROM orders ORDER BY o_orderkey
+"""
+
+
 # --- pivot / percentiles / histogram / relative-to-group -----------------
 def agg_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot order totals: status columns per priority row. Spark's pivot
@@ -708,8 +858,13 @@ QUERIES = {
     "q5_region_revenue": q5_region_revenue,
     "q6_revenue_filter": q6_revenue_filter,
     "q2_top_supplier_per_nation": q2_top_supplier_per_nation,
+    "q4_order_priority": q4_order_priority,
     "q7_nation_volume": q7_nation_volume,
+    "q12_shipmode_priority": q12_shipmode_priority,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q19_disjunctive_filter": q19_disjunctive_filter,
     "q22_idle_customers": q22_idle_customers,
+    "scalar_functions": scalar_functions,
     "join_semi_discounted": join_semi_discounted,
     "join_anti_customers_without_orders": join_anti_customers_without_orders,
     "join_broadcast_brand_revenue": join_broadcast_brand_revenue,
@@ -736,8 +891,13 @@ ORACLES = {
     "q5_region_revenue": Q5_ORACLE,
     "q6_revenue_filter": Q6_ORACLE,
     "q2_top_supplier_per_nation": Q2_ORACLE,
+    "q4_order_priority": Q4_ORACLE,
     "q7_nation_volume": Q7_ORACLE,
+    "q12_shipmode_priority": Q12_ORACLE,
+    "q14_promo_revenue": Q14_ORACLE,
+    "q19_disjunctive_filter": Q19_ORACLE,
     "q22_idle_customers": Q22_ORACLE,
+    "scalar_functions": SCALAR_FUNCTIONS_ORACLE,
     "join_semi_discounted": JOIN_SEMI_ORACLE,
     "join_anti_customers_without_orders": JOIN_ANTI_ORACLE,
     "join_broadcast_brand_revenue": JOIN_BROADCAST_ORACLE,
