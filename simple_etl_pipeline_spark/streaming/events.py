@@ -111,6 +111,36 @@ def st_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(tumbling_hourly_stream(stream), "complete")
 
 
+def st_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete-mode sliding windows (1h/30m) — full-replay output equals
+    the batch twin, so it shares plans/events.ev_sliding_windows' oracle
+    shape."""
+    stream = read_events_stream(spark, sf_dir)
+    result = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            epoch_seconds(F.col("w.start")).alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(result, "complete")
+
+
+ST_SLIDING_ORACLE = """
+WITH expanded AS (
+  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800 AS window_start, value FROM events
+  UNION ALL
+  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800 - 1800 AS window_start, value FROM events
+)
+SELECT window_start, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM expanded GROUP BY window_start
+"""
+
+
 def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Append-mode sessions: sessions still open at end-of-stream are
     withheld by the watermark -> rows-only check by design."""
@@ -141,12 +171,14 @@ SELECT event_id, user_id, event_type FROM events
 
 QUERIES = {
     "st_tumbling_hourly": st_tumbling_hourly,
+    "st_sliding_windows": st_sliding_windows,
     "st_session_windows": st_session_windows,
     "st_dedup_events": st_dedup_events,
 }
 
 ORACLES = {
     "st_tumbling_hourly": ST_TUMBLING_ORACLE,
+    "st_sliding_windows": ST_SLIDING_ORACLE,
     # st_session_windows: append-mode watermark withholding -> rows-only
     "st_dedup_events": ST_DEDUP_ORACLE,
 }

@@ -16,7 +16,6 @@ from __future__ import annotations
 
 from typing import Any, Iterator
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -34,22 +33,28 @@ STATE_SCHEMA = T.StructType(
 )
 
 
-def _update_user_totals(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    import math
-
-    (user_id,) = key
-    n, s = state.get if state.exists else (0, 0.0)
-    for pdf in pdfs:
-        n += len(pdf)
-        # fsum is exactly rounded — bit-identical to a decimal-sum oracle
-        s += math.fsum(pdf["value"])
-    state.update((n, s))
-    yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "sum_value": [s]})
-
-
 def user_totals_stateful(stream: DataFrame) -> DataFrame:
+    # Defined nested so cloudpickle ships it BY VALUE: executors then
+    # need no import of this package, which keeps the operator working
+    # under harness sessions whose workers lack our PYTHONPATH.
+    def _update_user_totals(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        import math
+
+        import pandas as pd
+
+        (user_id,) = key
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # fsum is exactly rounded — bit-identical to a decimal-sum oracle
+            s += math.fsum(pdf["value"])
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "sum_value": [s]}
+        )
+
     return stream.groupBy("user_id").applyInPandasWithState(
         _update_user_totals,
         outputStructType=OUTPUT_SCHEMA,
