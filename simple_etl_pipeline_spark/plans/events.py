@@ -214,8 +214,80 @@ ORDER BY p.event_id
 """
 
 
+def ev_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: hour, day, and total
+    aggregates in ONE pass via GROUPING SETS over derived time buckets
+    (the continuous-aggregate shape — no three separate scans)."""
+    ev = load_table(spark, sf_dir, "events")
+    bucketed = ev.select(
+        epoch_seconds(F.date_trunc("hour", "ts")).alias("hour_epoch"),
+        epoch_seconds(F.date_trunc("day", "ts")).alias("day_epoch"),
+        "value",
+    )
+    bucketed.createOrReplaceTempView("ev_buckets_mr")
+    return spark.sql(
+        f"""
+        SELECT hour_epoch, day_epoch,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        FROM ev_buckets_mr
+        GROUP BY GROUPING SETS ((hour_epoch, day_epoch), (day_epoch), ())
+        ORDER BY day_epoch ASC NULLS FIRST, hour_epoch ASC NULLS FIRST
+        """
+    )
+
+
+EV_ROLLUP_MULTIRES_ORACLE = f"""
+WITH b AS (
+  SELECT {sql_epoch("date_trunc('hour', ts)")} AS hour_epoch,
+         {sql_epoch("date_trunc('day', ts)")} AS day_epoch, value
+  FROM events
+)
+SELECT hour_epoch, day_epoch, COUNT(*) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM b GROUP BY GROUPING SETS ((hour_epoch, day_epoch), (day_epoch), ())
+ORDER BY day_epoch ASC NULLS FIRST, hour_epoch ASC NULLS FIRST
+"""
+
+
+def ev_range_join_nearby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi+range self-join: pairs of same-user events within 5 minutes.
+    The user_id equi-key keeps this a keyed sort-merge join with a range
+    residual — never a cross product (the range alone would be)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    a, b = ev.alias("a"), ev.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_id") < F.col("b.event_id"))
+            & (
+                F.abs(F.unix_micros(F.col("b.ts")) - F.unix_micros(F.col("a.ts")))
+                <= 300_000_000  # integer micros: exact in any engine
+            ),
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.event_id").alias("event_a"),
+            F.col("b.event_id").alias("event_b"),
+        )
+        .orderBy("user_id", "event_a", "event_b")
+    )
+
+
+EV_RANGE_JOIN_ORACLE = """
+SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+  AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 300000000
+ORDER BY a.user_id, event_a, event_b
+"""
+
+
 QUERIES = {
     "ev_asof_purchase_click": ev_asof_purchase_click,
+    "ev_rollup_multires": ev_rollup_multires,
+    "ev_range_join_nearby": ev_range_join_nearby,
     "ev_tumbling_hourly": ev_tumbling_hourly,
     "ev_sliding_windows": ev_sliding_windows,
     "ev_session_windows": ev_session_windows,
@@ -225,6 +297,8 @@ QUERIES = {
 
 ORACLES = {
     "ev_asof_purchase_click": EV_ASOF_ORACLE,
+    "ev_rollup_multires": EV_ROLLUP_MULTIRES_ORACLE,
+    "ev_range_join_nearby": EV_RANGE_JOIN_ORACLE,
     "ev_tumbling_hourly": EV_TUMBLING_ORACLE,
     "ev_sliding_windows": EV_SLIDING_ORACLE,
     "ev_session_windows": EV_SESSION_ORACLE,
