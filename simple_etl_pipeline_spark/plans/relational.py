@@ -611,6 +611,37 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns —
+    join, decimal-summed agg, deterministic top-k cut."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_ORACLE = f"""
+SELECT c_custkey, c_name, n_name, c_acctbal,
+  {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name, c_acctbal
+ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+"""
+
+
 def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: conditional aggregation (CASE inside SUM) —
     high/low-priority line counts per return flag."""
@@ -860,6 +891,7 @@ QUERIES = {
     "q2_top_supplier_per_nation": q2_top_supplier_per_nation,
     "q4_order_priority": q4_order_priority,
     "q7_nation_volume": q7_nation_volume,
+    "q10_returned_items": q10_returned_items,
     "q12_shipmode_priority": q12_shipmode_priority,
     "q14_promo_revenue": q14_promo_revenue,
     "q19_disjunctive_filter": q19_disjunctive_filter,
@@ -893,6 +925,7 @@ ORACLES = {
     "q2_top_supplier_per_nation": Q2_ORACLE,
     "q4_order_priority": Q4_ORACLE,
     "q7_nation_volume": Q7_ORACLE,
+    "q10_returned_items": Q10_ORACLE,
     "q12_shipmode_priority": Q12_ORACLE,
     "q14_promo_revenue": Q14_ORACLE,
     "q19_disjunctive_filter": Q19_ORACLE,

@@ -201,6 +201,74 @@ FROM scored ORDER BY doc_id
 """
 
 
+def txt_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-50 bigrams: explode 2-gram shingles, count, global
+    top-k (TakeOrderedAndProject) — the vocabulary-profiling pass of a
+    training-data pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = docs.select(F.explode(shingles_col("text", n=2)).alias("bigram"))
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("bigram"))
+        .limit(50)
+    )
+
+
+TXT_NGRAM_FREQ_ORACLE = f"""
+SELECT bigram, COUNT(*) AS n_occurrences FROM (
+  SELECT unnest({sql_shingles(sql_tokens('text'), 2)}) AS bigram FROM documents
+) GROUP BY bigram ORDER BY n_occurrences DESC, bigram ASC LIMIT 50
+"""
+
+
+def txt_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top term by tf-idf. The idf is the rational BM25
+    form (N - df + 0.5)/(df + 0.5) — no logarithm, so scores are
+    bit-identical across engines. Two keyed shuffles: term-frequency
+    groupBy and document-frequency groupBy (broadcast back)."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(tokens_col("text")).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = terms.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()  # scalar; testdata-sized driver value, not data
+    scored = tf.join(F.broadcast(df_), "term").withColumn(
+        "tfidf",
+        F.col("tf") * (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "term", "tf", "df", "tfidf")
+        .orderBy("doc_id")
+    )
+
+
+TXT_TFIDF_ORACLE = f"""
+WITH terms AS (
+  SELECT doc_id, unnest({sql_tokens('text')}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         tf * (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+  FROM scored
+) WHERE rn = 1 ORDER BY doc_id
+"""
+
+
 # --- fingerprint + exact dedup --------------------------------------------
 def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = corpus_with_dups(spark, sf_dir)
@@ -590,6 +658,8 @@ QUERIES = {
     "txt_token_stats": txt_token_stats,
     "txt_doc_features": txt_doc_features,
     "txt_langid": txt_langid,
+    "txt_ngram_freq": txt_ngram_freq,
+    "txt_tfidf_top_term": txt_tfidf_top_term,
     "txt_fingerprint": txt_fingerprint,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -603,6 +673,8 @@ ORACLES = {
     "txt_token_stats": TXT_TOKEN_STATS_ORACLE,
     "txt_doc_features": TXT_DOC_FEATURES_ORACLE,
     "txt_langid": _langid_oracle(),
+    "txt_ngram_freq": TXT_NGRAM_FREQ_ORACLE,
+    "txt_tfidf_top_term": TXT_TFIDF_ORACLE,
     "txt_fingerprint": TXT_FINGERPRINT_ORACLE,
     "dedup_exact": DEDUP_EXACT_ORACLE,
     "dedup_ngram_jaccard": DEDUP_JACCARD_ORACLE,
