@@ -70,8 +70,6 @@ def fingerprint_col(c: Column | str) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
 
 
-SQL_FINGERPRINT = "md5(regexp_replace(lower(trim({expr})), '\\s+', ' ', 'g'))"
-
 SQL_TOKENS = (
     "CASE WHEN trim({expr}) = '' THEN [] "
     "ELSE string_split_regex(trim({expr}), '\\s+') END"
