@@ -284,8 +284,53 @@ ORDER BY a.user_id, event_a, event_b
 """
 
 
+def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel: per user, earliest view -> click -> purchase
+    in strict order; per-stage user counts. One conditional-min
+    aggregation per user, then a tiny count — the classic product-
+    analytics shape, no self-joins."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    stages = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", us)).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("t_purchase"),
+    )
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_viewed"),
+        F.sum(
+            F.when((F.col("t_click") > F.col("t_view")), 1).otherwise(0)
+        ).alias("n_clicked_after_view"),
+        F.sum(
+            F.when(
+                (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            ).otherwise(0)
+        ).alias("n_full_funnel"),
+    )
+
+
+EV_FUNNEL_ORACLE = """
+WITH stages AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+    MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+  COUNT(t_view) AS n_viewed,
+  SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS n_clicked_after_view,
+  SUM(CASE WHEN t_click > t_view AND t_purchase > t_click THEN 1 ELSE 0 END) AS n_full_funnel
+FROM stages
+"""
+
+
 QUERIES = {
     "ev_asof_purchase_click": ev_asof_purchase_click,
+    "ev_funnel": ev_funnel,
     "ev_rollup_multires": ev_rollup_multires,
     "ev_range_join_nearby": ev_range_join_nearby,
     "ev_tumbling_hourly": ev_tumbling_hourly,
@@ -297,6 +342,7 @@ QUERIES = {
 
 ORACLES = {
     "ev_asof_purchase_click": EV_ASOF_ORACLE,
+    "ev_funnel": EV_FUNNEL_ORACLE,
     "ev_rollup_multires": EV_ROLLUP_MULTIRES_ORACLE,
     "ev_range_join_nearby": EV_RANGE_JOIN_ORACLE,
     "ev_tumbling_hourly": EV_TUMBLING_ORACLE,

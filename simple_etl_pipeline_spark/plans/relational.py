@@ -546,6 +546,112 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the maximum revenue —
+    scalar max joined back by equality. The decimal-derived revenue
+    makes the equality comparison engine-safe."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    revenue = li.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_ORACLE = f"""
+WITH revenue AS (
+  SELECT l_suppkey, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold
+    (HAVING), joined back to customers — the having filter runs on the
+    aggregated (small) side before the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            epoch_seconds("o_orderdate").alias("o_orderdate_epoch"),
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    )
+
+
+Q18_ORACLE = f"""
+SELECT c_custkey, c_name, o_orderkey, {sql_epoch('o_orderdate')} AS o_orderdate_epoch,
+       o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, {sql_dsum('l_quantity')} AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING {sql_dsum('l_quantity')} > 150
+) big
+JOIN orders ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+"""
+
+
+def window_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based window frame (RANGE, not ROWS): each order with its
+    customer's trailing-7-day order total. rangeBetween over epoch
+    seconds = the sliding aggregate SQL engines express with RANGE
+    INTERVAL frames."""
+    orders = load_table(spark, sf_dir, "orders")
+    with_epoch = orders.withColumn("od_epoch", epoch_seconds("o_orderdate"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("od_epoch")
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return with_epoch.select(
+        "o_custkey",
+        "o_orderkey",
+        "od_epoch",
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_7d_total"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+WINDOW_ROLLING_7D_ORACLE = f"""
+SELECT o_custkey, o_orderkey, od_epoch,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+    PARTITION BY o_custkey ORDER BY od_epoch
+    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_7d_total
+FROM (SELECT *, {sql_epoch('o_orderdate')} AS od_epoch FROM orders)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
 def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: customers with above-average balance and no
     orders — scalar aggregate (decimal avg, broadcast as a 1-row cross
@@ -894,7 +1000,10 @@ QUERIES = {
     "q10_returned_items": q10_returned_items,
     "q12_shipmode_priority": q12_shipmode_priority,
     "q14_promo_revenue": q14_promo_revenue,
+    "q15_top_supplier": q15_top_supplier,
+    "q18_large_volume_customers": q18_large_volume_customers,
     "q19_disjunctive_filter": q19_disjunctive_filter,
+    "window_rolling_7d": window_rolling_7d,
     "q22_idle_customers": q22_idle_customers,
     "scalar_functions": scalar_functions,
     "join_semi_discounted": join_semi_discounted,
@@ -928,7 +1037,10 @@ ORACLES = {
     "q10_returned_items": Q10_ORACLE,
     "q12_shipmode_priority": Q12_ORACLE,
     "q14_promo_revenue": Q14_ORACLE,
+    "q15_top_supplier": Q15_ORACLE,
+    "q18_large_volume_customers": Q18_ORACLE,
     "q19_disjunctive_filter": Q19_ORACLE,
+    "window_rolling_7d": WINDOW_ROLLING_7D_ORACLE,
     "q22_idle_customers": Q22_ORACLE,
     "scalar_functions": SCALAR_FUNCTIONS_ORACLE,
     "join_semi_discounted": JOIN_SEMI_ORACLE,
