@@ -546,6 +546,68 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join so zero-order customers count,
+    then a distribution over the per-customer counts (two aggregations,
+    each keyed)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
+
+
+Q13_ORACLE = """
+SELECT n_orders, COUNT(*) AS n_customers FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) GROUP BY n_orders ORDER BY n_customers DESC, n_orders DESC
+"""
+
+
+def join_full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: customer-count vs supplier-count per nation key,
+    keeping nations present on either side only."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("ck"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("sk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        cust.join(supp, cust.ck == supp.sk, "full_outer")
+        .select(
+            F.coalesce(F.col("ck"), F.col("sk")).alias("nationkey"),
+            F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
+            F.coalesce(F.col("n_suppliers"), F.lit(0)).alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+JOIN_FULL_OUTER_ORACLE = """
+SELECT coalesce(ck, sk) AS nationkey,
+       coalesce(n_customers, 0) AS n_customers,
+       coalesce(n_suppliers, 0) AS n_suppliers
+FROM (SELECT c_nationkey AS ck, COUNT(*) AS n_customers FROM customer GROUP BY 1) c
+FULL OUTER JOIN (SELECT s_nationkey AS sk, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1) s
+  ON ck = sk
+ORDER BY nationkey
+"""
+
+
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: supplier(s) achieving the maximum revenue —
     scalar max joined back by equality. The decimal-derived revenue
@@ -999,6 +1061,8 @@ QUERIES = {
     "q7_nation_volume": q7_nation_volume,
     "q10_returned_items": q10_returned_items,
     "q12_shipmode_priority": q12_shipmode_priority,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "join_full_outer_nation_presence": join_full_outer_nation_presence,
     "q14_promo_revenue": q14_promo_revenue,
     "q15_top_supplier": q15_top_supplier,
     "q18_large_volume_customers": q18_large_volume_customers,
@@ -1036,6 +1100,8 @@ ORACLES = {
     "q7_nation_volume": Q7_ORACLE,
     "q10_returned_items": Q10_ORACLE,
     "q12_shipmode_priority": Q12_ORACLE,
+    "q13_order_count_distribution": Q13_ORACLE,
+    "join_full_outer_nation_presence": JOIN_FULL_OUTER_ORACLE,
     "q14_promo_revenue": Q14_ORACLE,
     "q15_top_supplier": Q15_ORACLE,
     "q18_large_volume_customers": Q18_ORACLE,
