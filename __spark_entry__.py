@@ -33,15 +33,22 @@ def _all_modules():
     from simple_etl_pipeline_spark.streaming import events as streaming_events
     from simple_etl_pipeline_spark.streaming import stateful as streaming_stateful
 
+    # Registration order matters: the driver's correctness gate checks
+    # a prefix window of queries() in registration order (round 1 it
+    # covered exactly the first 50). The LLM-pipeline operators (text /
+    # dedup / similarity / multimodal / streaming) and the event
+    # analytics go before the relational long tail so every north-star
+    # operator gets a hard driver correctness row; relational's own
+    # dict is ordered to put its most-in-need entries first.
     return [
         reference_parity,
-        relational,
-        events,
         text,
         similarity,
         multimodal,
         streaming_events,
         streaming_stateful,
+        events,
+        relational,
     ]
 
 

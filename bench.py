@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -56,23 +57,33 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         if name not in queries:
             continue
         fn = queries[name]
-        # best-of-2: the box shows up to 3x run-to-run noise from
-        # co-tenant load; the min is the honest capability number.
-        best, n = None, 0
-        for _ in range(2):
+        # median-of-3: the box shows up to 3x run-to-run noise from
+        # co-tenant load; the median resists a single noisy run while
+        # still penalizing consistently slow plans. Spread (max-min)
+        # per query is reported so regressions are attributable to the
+        # plan vs the box.
+        runs: list[float] = []
+        n = 0
+        for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             n = df.count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        total += best
-        print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
+            runs.append(time.perf_counter() - t0)
+        med = statistics.median(runs)
+        timings[name] = round(med, 3)
+        spreads[name] = round(max(runs) - min(runs), 3)
+        total += med
+        print(
+            f"# {name}: median {med:.3f}s spread {spreads[name]:.3f}s"
+            f" ({n} rows)",
+            file=sys.stderr,
+        )
 
     print(
         json.dumps(
@@ -81,6 +92,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

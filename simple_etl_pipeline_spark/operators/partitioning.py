@@ -1,0 +1,65 @@
+"""Date-partitioned table layout + partition pruning for time-series facts.
+
+At 100 TB the events table is append-only and almost every query is
+time-bounded, so the first deployment step is laying it out as
+date-partitioned parquet: a day-bounded query then reads only the
+matching partition directories (``PartitionFilters`` in the scan node,
+files outside the range never opened) instead of scanning the full
+table. This is the storage-layout complement to operators/bucketing.py
+(which pre-shuffles for the join side); together they are the two
+ingest-time layouts a 100 TB cluster relies on.
+
+The reference loads its whole dataset into one pandas frame per run
+(/root/reference/utils/extract.py:133) — partition layout has no
+equivalent there; this is the scale path the survey's §6 calls for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import load_table
+
+
+def write_partitioned(df: DataFrame, path: str, *partition_cols: str) -> None:
+    """Write ``df`` as parquet partitioned by ``partition_cols``.
+
+    Partition columns become directory levels (``col=value/``); pick
+    low-cardinality columns (date, region) — a high-cardinality key
+    would explode the file count and drown the driver in listing.
+    """
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def write_events_by_date(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
+    """Materialize events as date-partitioned parquet under ``out_dir``.
+
+    ``event_date`` is derived from ``ts`` (UTC day); the raw ``ts``
+    column is kept so intra-day predicates still push down as ordinary
+    row-group filters inside each partition.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    write_partitioned(ev, out_dir, "event_date")
+    return out_dir
+
+
+def read_events_day(spark: SparkSession, path: str, day: str) -> DataFrame:
+    """One-day slice of the partitioned events table.
+
+    The ``event_date = day`` predicate is a partition filter: Spark
+    prunes non-matching directories at planning time, so the scan's
+    ``PartitionFilters`` carries the predicate and only that day's
+    files appear in ``inputFiles()``.
+    """
+    return spark.read.parquet(path).filter(F.col("event_date") == F.lit(day))
+
+
+def explain_formatted(df: DataFrame) -> str:
+    """Formatted physical plan as a string (what ``.explain`` prints)."""
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)

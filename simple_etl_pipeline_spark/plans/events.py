@@ -322,8 +322,8 @@ WITH stages AS (
 )
 SELECT COUNT(*) AS n_users,
   COUNT(t_view) AS n_viewed,
-  SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS n_clicked_after_view,
-  SUM(CASE WHEN t_click > t_view AND t_purchase > t_click THEN 1 ELSE 0 END) AS n_full_funnel
+  CAST(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after_view,
+  CAST(SUM(CASE WHEN t_click > t_view AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
 FROM stages
 """
 

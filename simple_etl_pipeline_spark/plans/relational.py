@@ -350,13 +350,40 @@ ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
 
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ sketch counts — the 100 TB path for distincts.
-    No oracle (sketch estimates are engine-specific) -> rows-only check."""
+
+    Sketch estimates are engine-specific, so the hashed output carries
+    the EXACT distinct counts plus a boolean asserting the HLL estimate
+    landed within 5% of exact; the oracle emits the exact counts and a
+    literal TRUE. That makes the sketch driver-checkable without
+    requiring bit-identical HLL registers across engines."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey", 0.01).alias("approx_supps"),
+    agg = li.agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_suppkey").alias("exact_supps"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("_ap"),
+        F.approx_count_distinct("l_suppkey", 0.01).alias("_as"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+    within = lambda approx, exact: (  # noqa: E731
+        F.abs(F.col(approx) - F.col(exact)) / F.col(exact) < F.lit(0.05)
+    )
+    return agg.select(
+        "exact_parts",
+        "exact_supps",
+        "n_rows",
+        within("_ap", "exact_parts").alias("parts_within_5pct"),
+        within("_as", "exact_supps").alias("supps_within_5pct"),
+    )
+
+
+AGG_APPROX_DISTINCT_ORACLE = """
+SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+  COUNT(DISTINCT l_suppkey) AS exact_supps,
+  COUNT(*) AS n_rows,
+  TRUE AS parts_within_5pct,
+  TRUE AS supps_within_5pct
+FROM lineitem
+"""
 
 
 # --- window functions -----------------------------------------------------
@@ -829,8 +856,8 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q12_ORACLE = """
 SELECT l_returnflag,
-  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY l_returnflag ORDER BY l_returnflag
 """
@@ -1051,33 +1078,377 @@ ORDER BY o_custkey, o_orderkey
 """
 
 
+# --- remaining TPC-H shapes (Q8/Q9/Q11/Q16/Q17/Q20/Q21) ------------------
+# The testdata has no partsupp table and no l_commitdate/l_receiptdate
+# columns, so Q9/Q11/Q16/Q20/Q21 are adapted to the available schema
+# while keeping each query's *characteristic plan shape* — that shape
+# (scalar-subquery HAVING, correlated per-group average, nested
+# semi-joins, exists/not-exists) is what exercises the optimizer.
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of PROMO-part revenue sold
+    into ASIA, by order year. Two conditional decimal sums, one ratio;
+    every dimension (part/customer-nation-region/supplier-nation)
+    broadcast, so only lineitem|><|orders shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    cust_in_region = customer.join(
+        F.broadcast(
+            nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        ),
+        customer.c_nationkey == nation.n_nationkey,
+    ).select("c_custkey")
+    supp_nation = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_in_region), orders.o_custkey == cust_in_region.c_custkey)
+        .join(F.broadcast(supp_nation), li.l_suppkey == supp_nation.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg((dsum(target) / dsum(vol)).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+Q8_ORACLE = f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+  {sql_dsum("CASE WHEN sn.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+    / {sql_dsum('l_extendedprice * (1 - l_discount)')} AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and year for parts
+    matching a name pattern. No partsupp in the testdata, so unit cost
+    is modeled as 60% of p_retailprice (same join/agg shape: fact joins
+    two broadcast dims, grouped on nation x year)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    supp_nation = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.6) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp_nation), li.l_suppkey == supp_nation.s_suppkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(dsum(amount).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+Q9_ORACLE = f"""
+SELECT n_name AS nation,
+  CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+  {sql_dsum('l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity')} AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2 ORDER BY nation, o_year DESC
+"""
+
+
+Q11_FRACTION = 0.0005
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups whose value exceeds a fraction of the
+    GLOBAL total — the scalar-subquery HAVING. The global total is a
+    broadcast 1-row aggregate cross-joined onto the per-part rollup
+    (never a driver-side collect), so the threshold comparison is a
+    map-side filter after one reuse-able aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    val = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(dsum(val).alias("part_value"))
+    total = li.agg(dsum(val).alias("total_value"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.lit(Q11_FRACTION) * F.col("total_value"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+Q11_ORACLE = f"""
+SELECT l_partkey, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS part_value
+FROM lineitem
+GROUP BY l_partkey
+HAVING {sql_dsum('l_extendedprice * (1 - l_discount)')} > {Q11_FRACTION} * (
+  SELECT {sql_dsum('l_extendedprice * (1 - l_discount)')} FROM lineitem
+)
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+def q16_supplier_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    combo, with NOT-predicates on the part side and an exclusion
+    subquery on the supplier side (here: negative-balance suppliers,
+    standing in for the complaints filter; anti-join keeps it a
+    broadcast). The part-supplier relation comes from lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#4")
+        & (~F.col("p_type").startswith("PROMO"))
+        & (F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+    )
+    bad_suppliers = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(bad_suppliers),
+            li.l_suppkey == bad_suppliers.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_ORACLE = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#4'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems under 20% of their part's
+    average quantity — the correlated scalar subquery, expressed as a
+    per-part aggregate joined back to the fact (one extra keyed shuffle
+    instead of N correlated rescans)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
+    branded = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    avg_qty = branded.groupBy("p_partkey").agg(
+        (F.lit(0.2) * davg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        branded.join(F.broadcast(avg_qty), "p_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q17_ORACLE = f"""
+WITH branded AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#4'
+),
+thresholds AS (
+  SELECT l_partkey AS t_partkey, 0.2 * {sql_davg('l_quantity')} AS qty_threshold
+  FROM branded GROUP BY 1
+)
+SELECT {sql_dsum('l_extendedprice')} / 7.0 AS avg_yearly, COUNT(*) AS n_lines
+FROM branded JOIN thresholds ON l_partkey = t_partkey
+WHERE l_quantity < qty_threshold
+"""
+
+
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who dominate shipment of red-named
+    parts (>20% of a part's total shipped quantity — a scale-free
+    stand-in for the 0.5*availqty threshold; no partsupp table, and
+    supplier shares in the synthetic data are near-uniform ~5-10%, so
+    20% means 2-4x a fair share). Nested aggregation -> semi-join chain
+    into the supplier dimension."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").startswith("red"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    red_lines = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    per_supp = red_lines.groupBy("l_partkey", "l_suppkey").agg(
+        dsum("l_quantity").alias("supp_qty")
+    )
+    per_part = red_lines.groupBy("l_partkey").agg(
+        dsum("l_quantity").alias("part_qty")
+    )
+    dominant = (
+        per_supp.join(per_part, "l_partkey")
+        .filter(F.col("supp_qty") > F.lit(0.2) * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(dominant, supplier.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_ORACLE = f"""
+WITH red_lines AS (
+  SELECT l_partkey, l_suppkey, l_quantity
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'red%'
+),
+per_supp AS (
+  SELECT l_partkey, l_suppkey, {sql_dsum('l_quantity')} AS supp_qty
+  FROM red_lines GROUP BY 1, 2
+),
+per_part AS (
+  SELECT l_partkey, {sql_dsum('l_quantity')} AS part_qty
+  FROM red_lines GROUP BY 1
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM per_supp JOIN per_part USING (l_partkey)
+  WHERE supp_qty > 0.2 * part_qty
+)
+ORDER BY s_suppkey
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers solely responsible for late
+    multi-supplier finished orders. Lateness adapted to
+    l_shipdate > o_orderdate + 90 days (no l_receiptdate/l_commitdate in
+    the testdata). The exists / not-exists pair is one per-order
+    aggregate (distinct suppliers vs distinct late suppliers) instead of
+    two correlated self-joins — one shuffle on orderkey replaces two."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    lines = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+        "is_late",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).cast(
+            "int"
+        ),
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    sole_late = (
+        lines.filter(F.col("is_late") == 1)
+        .join(
+            per_order.filter(
+                (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+            ),
+            "l_orderkey",
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        sole_late.join(
+            F.broadcast(supplier), sole_late.l_suppkey == supplier.s_suppkey
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+Q21_ORACLE = """
+WITH lines AS (
+  SELECT l_orderkey, l_suppkey,
+    CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+),
+per_order AS (
+  SELECT l_orderkey,
+    COUNT(DISTINCT l_suppkey) AS n_supp,
+    COUNT(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END) AS n_late_supp
+  FROM lines GROUP BY 1
+),
+sole_late AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM lines l JOIN per_order o ON l.l_orderkey = o.l_orderkey
+  WHERE l.is_late = 1 AND o.n_supp > 1 AND o.n_late_supp = 1
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM sole_late JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
 QUERIES = {
+    # Registration order is meaningful: the driver's correctness gate
+    # checks a prefix window of queries() in registration order, so the
+    # entries most in need of a fresh driver row (q12 after the oracle
+    # CAST fix, agg_approx_distinct after gaining an oracle) come first.
+    "q12_shipmode_priority": q12_shipmode_priority,
+    "agg_approx_distinct": agg_approx_distinct,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_revenue": q5_region_revenue,
     "q6_revenue_filter": q6_revenue_filter,
+    "q14_promo_revenue": q14_promo_revenue,
+    "join_broadcast_brand_revenue": join_broadcast_brand_revenue,
+    "window_rolling_7d": window_rolling_7d,
+    "orderby_limit_top_orders": orderby_limit_top_orders,
     "q2_top_supplier_per_nation": q2_top_supplier_per_nation,
     "q4_order_priority": q4_order_priority,
     "q7_nation_volume": q7_nation_volume,
     "q10_returned_items": q10_returned_items,
-    "q12_shipmode_priority": q12_shipmode_priority,
     "q13_order_count_distribution": q13_order_count_distribution,
     "join_full_outer_nation_presence": join_full_outer_nation_presence,
-    "q14_promo_revenue": q14_promo_revenue,
     "q15_top_supplier": q15_top_supplier,
     "q18_large_volume_customers": q18_large_volume_customers,
     "q19_disjunctive_filter": q19_disjunctive_filter,
-    "window_rolling_7d": window_rolling_7d,
     "q22_idle_customers": q22_idle_customers,
     "scalar_functions": scalar_functions,
     "join_semi_discounted": join_semi_discounted,
     "join_anti_customers_without_orders": join_anti_customers_without_orders,
-    "join_broadcast_brand_revenue": join_broadcast_brand_revenue,
     "agg_distinct_counts": agg_distinct_counts,
     "agg_rollup_orders": agg_rollup_orders,
     "agg_cube_lineitem": agg_cube_lineitem,
     "agg_grouping_sets": agg_grouping_sets,
-    "agg_approx_distinct": agg_approx_distinct,
     "agg_conditional_pivot": agg_conditional_pivot,
     "agg_percentiles": agg_percentiles,
     "agg_histogram": agg_histogram,
@@ -1087,7 +1458,13 @@ QUERIES = {
     "window_running_total": window_running_total,
     "window_lag_events": window_lag_events,
     "setops_nations": setops_nations,
-    "orderby_limit_top_orders": orderby_limit_top_orders,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
+    "q11_important_parts": q11_important_parts,
+    "q16_supplier_cardinality": q16_supplier_cardinality,
+    "q17_small_qty_revenue": q17_small_qty_revenue,
+    "q20_excess_shippers": q20_excess_shippers,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
 }
 
 ORACLES = {
@@ -1116,7 +1493,7 @@ ORACLES = {
     "agg_rollup_orders": AGG_ROLLUP_ORACLE,
     "agg_cube_lineitem": AGG_CUBE_ORACLE,
     "agg_grouping_sets": AGG_GROUPING_SETS_ORACLE,
-    # agg_approx_distinct: sketch — rows-only check by design
+    "agg_approx_distinct": AGG_APPROX_DISTINCT_ORACLE,
     "agg_conditional_pivot": AGG_PIVOT_ORACLE,
     "agg_percentiles": AGG_PERCENTILES_ORACLE,
     "agg_histogram": AGG_HISTOGRAM_ORACLE,
@@ -1127,4 +1504,11 @@ ORACLES = {
     "window_lag_events": WINDOW_LAG_ORACLE,
     "setops_nations": SETOPS_ORACLE,
     "orderby_limit_top_orders": ORDERBY_LIMIT_ORACLE,
+    "q8_market_share": Q8_ORACLE,
+    "q9_product_profit": Q9_ORACLE,
+    "q11_important_parts": Q11_ORACLE,
+    "q16_supplier_cardinality": Q16_ORACLE,
+    "q17_small_qty_revenue": Q17_ORACLE,
+    "q20_excess_shippers": Q20_ORACLE,
+    "q21_waiting_suppliers": Q21_ORACLE,
 }

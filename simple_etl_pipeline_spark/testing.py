@@ -64,6 +64,20 @@ def compare_with_oracle(
     assert exp_cols == got_cols, f"column mismatch: spark={got_cols} oracle={exp_cols}"
     assert len(exp) == len(got), f"row count: spark={len(got)} oracle={len(exp)}"
 
+    # Type strictness: the driver's check hashes typed values, so an
+    # int64 Spark column vs a float64 oracle column (e.g. DuckDB's
+    # HUGEINT from an uncast SUM(CASE...)) hash-mismatches even when
+    # every value is numerically equal. Mirror that power here: fail
+    # when exactly one side of a column is floating-point.
+    for c in exp_cols:
+        ek, gk = exp[c].dtype.kind, got[c].dtype.kind
+        if (ek == "f") != (gk == "f"):
+            raise AssertionError(
+                f"column {c}: dtype kind mismatch spark={got[c].dtype} "
+                f"oracle={exp[c].dtype} (int-vs-float drift breaks the "
+                f"driver's value hash; CAST the oracle aggregate)"
+            )
+
     exp_rows = _rows(exp.to_dict("records"), exp_cols)
     got_rows = _rows(got.to_dict("records"), exp_cols)
 

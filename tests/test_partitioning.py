@@ -1,0 +1,79 @@
+"""Partitioned-write + partition-pruning: the events table layout story.
+
+Asserts the three things that matter at 100 TB:
+1. the day-filter appears as a PartitionFilter in the scan (directory
+   pruning at planning time, not row filtering at runtime),
+2. the pruned scan touches strictly fewer files than the full table,
+3. results are identical to filtering the unpartitioned source.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from simple_etl_pipeline_spark.operators.partitioning import (
+    explain_formatted,
+    read_events_day,
+    write_events_by_date,
+)
+from simple_etl_pipeline_spark.schemas import load_table
+
+
+@pytest.fixture(scope="module")
+def events_path(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("part") / "events_by_date")
+    write_events_by_date(spark, sf_dir, out)
+    return out
+
+
+def _some_day(spark, sf_dir) -> str:
+    row = (
+        load_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("d"))
+        .groupBy("d")
+        .count()
+        .orderBy(F.desc("count"))
+        .first()
+    )
+    return str(row["d"])
+
+
+def test_partition_filter_in_plan(spark, sf_dir, events_path):
+    day = _some_day(spark, sf_dir)
+    plan = explain_formatted(read_events_day(spark, events_path, day))
+    assert "PartitionFilters" in plan
+    # The predicate must live in PartitionFilters (directory pruning),
+    # not only in the data-filter section.
+    pf_line = next(
+        line for line in plan.splitlines() if "PartitionFilters" in line
+    )
+    assert "event_date" in pf_line and pf_line.count("[]") == 0
+
+
+def test_pruned_scan_reads_fewer_files(spark, sf_dir, events_path):
+    # inputFiles() lists the unpruned file index, so measure at runtime:
+    # input_file_name() only surfaces files the executed scan touched.
+    day = _some_day(spark, sf_dir)
+    all_files = spark.read.parquet(events_path).inputFiles()
+    day_files = [
+        r["f"]
+        for r in read_events_day(spark, events_path, day)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    ]
+    assert 0 < len(day_files) < len(all_files)
+    assert all(f"event_date={day}" in f for f in day_files)
+
+
+def test_pruned_results_match_unpartitioned(spark, sf_dir, events_path):
+    day = _some_day(spark, sf_dir)
+    expected = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.to_date("ts") == F.lit(day))
+        .count()
+    )
+    got = read_events_day(spark, events_path, day).count()
+    assert got == expected > 0

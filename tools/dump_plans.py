@@ -27,6 +27,31 @@ def main():
     for name, why in PICKS.items():
         plan = qs[name](spark, sf)._jdf.queryExecution().explainString(mode)
         out.append(f"## {name}\n\n*{why}*\n\n```\n{plan.strip()}\n```\n")
+
+    # Partition-pruning evidence: date-partitioned events layout, one-day
+    # read. Look for PartitionFilters carrying the event_date predicate —
+    # directory-level pruning, the 100 TB time-series layout.
+    import tempfile
+    from simple_etl_pipeline_spark.operators.partitioning import (
+        explain_formatted, read_events_day, write_events_by_date)
+    from simple_etl_pipeline_spark.schemas import load_table
+    from pyspark.sql import functions as F
+    part_dir = os.path.join(tempfile.gettempdir(), "spark_graft_plans_events_by_date")
+    write_events_by_date(spark, sf, part_dir)
+    day = str(load_table(spark, sf, "events")
+              .select(F.to_date("ts").alias("d")).groupBy("d").count()
+              .orderBy(F.desc("count")).first()["d"])
+    pruned = read_events_day(spark, part_dir, day)
+    n_all = len(spark.read.parquet(part_dir).inputFiles())
+    # runtime file count: input_file_name() reflects pruning, inputFiles() doesn't
+    n_day = pruned.select(F.input_file_name()).distinct().count()
+    out.append(
+        f"## events_partition_pruning (event_date={day})\n\n"
+        f"*date-partitioned events layout: the day predicate lands in "
+        f"PartitionFilters (directory pruning) — scan reads {n_day} of "
+        f"{n_all} files*\n\n```\n{explain_formatted(pruned).strip()}\n```\n"
+    )
+
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     open(os.path.join(root, "PLANS.md"), "w").write("\n".join(out))
 
