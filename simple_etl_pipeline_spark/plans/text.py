@@ -374,8 +374,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_JACCARD_ORACLE = f"""
-WITH corpus AS ({CORPUS_SQL}),
+# CTE chain producing the exact-Jaccard near-dup pairs; shared by the
+# pairs oracle and the connected-components oracle below.
+_JACCARD_PAIRS_CTES = f"""corpus AS ({CORPUS_SQL}),
 raw_sh AS ({SHINGLES_SQL}),
 hot AS (SELECT sh FROM raw_sh GROUP BY sh HAVING COUNT(*) > {SHINGLE_DF_CAP}),
 sh AS (SELECT * FROM raw_sh WHERE sh NOT IN (SELECT sh FROM hot)),
@@ -384,14 +385,19 @@ inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
-SELECT doc_a, doc_b,
-  CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {JACCARD_THRESHOLD}
-ORDER BY doc_a, doc_b
+),
+pairs AS (
+  SELECT doc_a, doc_b,
+    CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {JACCARD_THRESHOLD}
+)"""
+
+DEDUP_JACCARD_ORACLE = f"""
+WITH {_JACCARD_PAIRS_CTES}
+SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b
 """
 
 
@@ -683,6 +689,153 @@ ORDER BY doc_a, doc_b
 """
 
 
+# --- near-dup clustering: connected components ----------------------------
+CC_MAX_ITERS = 10
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the exact-Jaccard
+    pair graph, by hash-min label propagation — each vertex's label
+    converges to the minimum doc_id in its component, giving a
+    deterministic cluster id (and survivor: the doc equal to its
+    component id).
+
+    Each round is one keyed shuffle (join + groupBy on vertex id);
+    lineage is truncated per round with localCheckpoint so round N does
+    not replay rounds 1..N-1. Near-dup clusters are shallow (pairs all
+    share a source doc), so rounds ~ graph diameter ~ 2-3; at 100 TB
+    scale the same loop with large-star/small-star contraction bounds
+    rounds at O(log n). The per-round convergence count is the iterative
+    algorithm's stopping rule (driver control flow), not a data-path
+    collect."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.unionByName(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .toDF("src", "dst")
+        .localCheckpoint()  # materialized once; feeds every round
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+    )
+    for _ in range(CC_MAX_ITERS):
+        neigh_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("component").alias("neigh_min"))
+            .withColumnRenamed("src", "doc_id")
+        )
+        updated = labels.join(neigh_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("component"), F.coalesce("neigh_min", "component")
+            ).alias("component"),
+            (F.col("neigh_min") < F.col("component")).alias("_changed"),
+        )
+        updated = updated.localCheckpoint()
+        n_changed = updated.filter(F.col("_changed")).count()
+        labels = updated.drop("_changed")
+        if n_changed == 0:
+            break
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        labels.join(sizes, "component")
+        .select("doc_id", "component", "cluster_size")
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE {_JACCARD_PAIRS_CTES},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+  FROM reach GROUP BY src
+)
+SELECT doc_id, component, cluster_size
+FROM comp
+JOIN (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+  USING (component)
+ORDER BY doc_id
+"""
+
+
+# --- end-to-end training-corpus preparation -------------------------------
+MIN_TOKENS = 10
+
+
+def txt_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data prep pipeline as ONE lazy plan:
+    corpus (with injected dups) -> token-count quality filter -> exact
+    dedup (min-doc_id survivor per fingerprint) -> per-language corpus
+    stats. Every stage is narrow or a keyed shuffle; nothing
+    materializes between stages, so Catalyst fuses the filter into the
+    scan and pipelines the dedup into the final rollup."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    exact = docs.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
+    )
+    corpus = docs.unionByName(exact)
+    quality = corpus.withColumn("n_tokens", F.size(tokens_col("text"))).filter(
+        F.col("n_tokens") >= MIN_TOKENS
+    )
+    survivors = (
+        quality.select("doc_id", fingerprint_col("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        quality.join(survivors, "doc_id", "left_semi")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            davg("n_tokens").alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+TXT_TRAINING_CORPUS_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang FROM documents WHERE doc_id % 17 = 0
+),
+quality AS (
+  SELECT doc_id, text, lang, len({sql_tokens('text')}) AS n_tokens
+  FROM corpus WHERE len({sql_tokens('text')}) >= {MIN_TOKENS}
+),
+survivors AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM quality
+  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+)
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+  {sql_davg('n_tokens')} AS avg_tokens
+FROM quality
+WHERE doc_id IN (SELECT doc_id FROM survivors)
+GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
     "txt_token_stats": txt_token_stats,
     "txt_doc_features": txt_doc_features,
@@ -696,6 +849,8 @@ QUERIES = {
     "dedup_minhash_ml": dedup_minhash_ml,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
+    "dedup_components": dedup_components,
+    "txt_training_corpus": txt_training_corpus,
 }
 
 ORACLES = {
@@ -711,4 +866,6 @@ ORACLES = {
     # dedup_minhash_ml: Spark-internal hash seeds — rows-only by design
     "dedup_simhash": DEDUP_SIMHASH_ORACLE,
     "dedup_simhash_pairs": _simhash_pairs_oracle(),
+    "dedup_components": DEDUP_COMPONENTS_ORACLE,
+    "txt_training_corpus": TXT_TRAINING_CORPUS_ORACLE,
 }
