@@ -91,3 +91,88 @@ def extract_blob_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(batch_features, BLOB_FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, frame_bytes: int = 64, every: int = 4) -> DataFrame:
+    """Frame sampling over video blobs: each blob is split into
+    consecutive ``frame_bytes`` windows ("frames" — a real decoder would
+    produce these from the container format) and every ``every``-th full
+    frame is emitted as its own row.
+
+    This is the 1 -> N cardinality change real frame sampling performs,
+    expressed as mapInPandas so one input batch yields a variable-length
+    output batch without any explode-side shuffle; at 100 TB the frame
+    rows inherit the input partitioning (no repartition needed until a
+    downstream keyed op)."""
+    import hashlib
+
+    import pandas as pd
+
+    def batch_frames(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_md5": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                n_frames = len(blob) // frame_bytes
+                for i in range(0, n_frames, every):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_md5"].append(
+                        hashlib.md5(
+                            blob[i * frame_bytes : (i + 1) * frame_bytes]
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(out).astype(
+                {"doc_id": "int64", "frame_idx": "int64"}
+            )
+
+    return df.mapInPandas(batch_frames, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("resized_md5", T.StringType()),
+        T.StructField("resized_sum", T.LongType()),
+        T.StructField("resized_mean", T.DoubleType()),
+    ]
+)
+
+
+def resize_blob(df: DataFrame, target: int = 32) -> DataFrame:
+    """Nearest-neighbor resize of an image blob to ``target`` samples:
+    sample index i reads source byte (i*size)//target — exact integer
+    arithmetic, so the identical bytes are computable in any engine.
+    Works for both down- and up-sampling (bytes repeat when
+    size < target). The real decoder would do this per pixel row; the
+    plumbing (Arrow batches, fixed output schema) is identical."""
+    import hashlib
+
+    import pandas as pd
+
+    def batch_resize(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "resized_md5": [], "resized_sum": [], "resized_mean": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                if len(blob) == 0:
+                    continue
+                sampled = bytes(
+                    blob[(i * len(blob)) // target] for i in range(target)
+                )
+                out["doc_id"].append(doc_id)
+                out["resized_md5"].append(hashlib.md5(sampled).hexdigest())
+                out["resized_sum"].append(sum(sampled))
+                out["resized_mean"].append(sum(sampled) / float(target))
+            yield pd.DataFrame(out).astype(
+                {"doc_id": "int64", "resized_sum": "int64"}
+            )
+
+    return df.mapInPandas(batch_resize, RESIZE_SCHEMA)

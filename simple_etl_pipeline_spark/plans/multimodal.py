@@ -55,12 +55,71 @@ FROM documents ORDER BY doc_id
 """
 
 
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 4th 64-byte 'frame' of each video blob as its own row — the
+    1->N explode real frame sampling performs, via mapInPandas (no
+    shuffle; frame rows inherit input partitioning)."""
+    from simple_etl_pipeline_spark.multimodal.features import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    videos = with_blob_column(docs).filter(F.col("mime") == "video/mp4")
+    return sample_frames(videos, frame_bytes=64, every=4).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+MM_FRAME_SAMPLE_ORACLE = """
+WITH v AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS sz
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT doc_id, i AS frame_idx, md5(substr(text, i * 64 + 1, 64)) AS frame_md5
+FROM v, UNNEST(generate_series(0, sz // 64 - 1)) AS t(i)
+WHERE i % 4 = 0
+ORDER BY doc_id, frame_idx
+"""
+
+
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor 'resize' of image blobs to 32 samples: sample i
+    reads source byte (i*size)//32, exact integer arithmetic in both
+    engines, md5-checkable output."""
+    from simple_etl_pipeline_spark.multimodal.features import resize_blob
+
+    docs = load_table(spark, sf_dir, "documents")
+    images = with_blob_column(docs).filter(F.col("mime") == "image/png")
+    return resize_blob(images, target=32).orderBy("doc_id")
+
+
+MM_RESIZE_ORACLE = """
+WITH im AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS sz
+  FROM documents WHERE doc_id % 3 = 0 AND octet_length(encode(text)) > 0
+),
+s AS (
+  SELECT doc_id,
+    list_transform(generate_series(0, 31),
+                   i -> substr(text, (i * sz) // 32 + 1, 1)) AS chars
+  FROM im
+)
+SELECT doc_id,
+  md5(array_to_string(chars, '')) AS resized_md5,
+  CAST(list_sum(list_transform(chars, c -> ord(c))) AS BIGINT) AS resized_sum,
+  CAST(list_sum(list_transform(chars, c -> ord(c))) AS DOUBLE) / 32.0 AS resized_mean
+FROM s ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "mm_binary_meta": mm_binary_meta,
     "mm_blob_features": mm_blob_features,
+    "mm_frame_sample": mm_frame_sample,
+    "mm_resize": mm_resize,
 }
 
 ORACLES = {
     "mm_binary_meta": MM_BINARY_META_ORACLE,
     "mm_blob_features": MM_BLOB_FEATURES_ORACLE,
+    "mm_frame_sample": MM_FRAME_SAMPLE_ORACLE,
+    "mm_resize": MM_RESIZE_ORACLE,
 }
