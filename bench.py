@@ -39,6 +39,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "txt_doc_features",
     "sim_knn_brute",
+    "txt_training_corpus",
+    "q8_market_share",
 ]
 
 
