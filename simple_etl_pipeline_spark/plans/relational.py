@@ -1259,11 +1259,15 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
     branded = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-    avg_qty = branded.groupBy("p_partkey").agg(
-        (F.lit(0.2) * davg("l_quantity")).alias("qty_threshold")
+    # per-part average as a window, not an aggregate-and-join-back:
+    # one scan of the fact instead of two, one shuffle on p_partkey.
+    w = Window.partitionBy("p_partkey")
+    threshold = F.lit(0.2) * (
+        F.sum(F.col("l_quantity").cast("decimal(38,6)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
     )
     return (
-        branded.join(F.broadcast(avg_qty), "p_partkey")
+        branded.withColumn("qty_threshold", threshold)
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             (dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
@@ -1363,19 +1367,25 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "int"
         ),
     )
-    per_order = lines.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("is_late") == 1, F.col("l_suppkey"))
-        ).alias("n_late_supp"),
+    # per-order distinct-supplier counts as window expressions over one
+    # shuffle on l_orderkey — a groupBy-and-join-back would scan
+    # lineitem|><|orders twice (verified in .explain before this form).
+    w = Window.partitionBy("l_orderkey")
+    annotated = lines.withColumn(
+        "n_supp", F.size(F.collect_set("l_suppkey").over(w))
+    ).withColumn(
+        "n_late_supp",
+        F.size(
+            F.collect_set(
+                F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+            ).over(w)
+        ),
     )
     sole_late = (
-        lines.filter(F.col("is_late") == 1)
-        .join(
-            per_order.filter(
-                (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
-            ),
-            "l_orderkey",
+        annotated.filter(
+            (F.col("is_late") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late_supp") == 1)
         )
         .select("l_orderkey", "l_suppkey")
         .distinct()

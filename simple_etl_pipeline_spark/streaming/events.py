@@ -158,6 +158,62 @@ def st_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(result, "append")
 
 
+def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's clicks in the preceding 10 minutes, both sides watermarked.
+
+    The time bound in the join condition is what lets Spark evict join
+    state (without it, both sides buffer forever) — at 100 TB/day the
+    state store holds only the watermark-bounded 10-minute tail. Inner
+    join emits matches as they form, so a full availableNow replay
+    produces exactly the batch join's rows -> oracle-checkable."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("click_ts") < F.col("purchase_ts")),
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        epoch_seconds("purchase_ts").alias("purchase_epoch"),
+        epoch_seconds("click_ts").alias("click_epoch"),
+    )
+    return _run_to_memory(joined, "append")
+
+
+ST_STREAM_JOIN_ORACLE = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+  p.user_id AS user_id,
+  CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch,
+  CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch
+FROM events p
+JOIN events c ON p.user_id = c.user_id
+  AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
 ST_TUMBLING_ORACLE = """
 SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
        event_type, COUNT(*) AS n_events,
@@ -174,6 +230,7 @@ QUERIES = {
     "st_sliding_windows": st_sliding_windows,
     "st_session_windows": st_session_windows,
     "st_dedup_events": st_dedup_events,
+    "st_stream_stream_join": st_stream_stream_join,
 }
 
 ORACLES = {
@@ -181,4 +238,5 @@ ORACLES = {
     "st_sliding_windows": ST_SLIDING_ORACLE,
     # st_session_windows: append-mode watermark withholding -> rows-only
     "st_dedup_events": ST_DEDUP_ORACLE,
+    "st_stream_stream_join": ST_STREAM_JOIN_ORACLE,
 }
