@@ -689,6 +689,97 @@ ORDER BY doc_a, doc_b
 """
 
 
+# --- BPE-style pre-tokenization ------------------------------------------
+# GPT-2-ish pre-tokenizer simplified to an engine-portable character
+# class split: letter runs, digit runs, and single non-space symbols
+# each become one pre-token (real BPE then merges within these; the
+# pre-token count is the standard fast token-budget estimator).
+BPE_PRETOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def txt_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways: whitespace tokens vs BPE-style
+    pre-tokens, rolled up per language. The regex runs JVM-side
+    (regexp_extract_all, codegen) — at 100 TB this is a narrow
+    scan-speed pass, the cheap budget estimate before any real
+    tokenizer."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(tokens_col("text"))
+    bpe = F.size(F.regexp_extract_all("text", F.lit(BPE_PRETOKEN_RE), 0))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(ws).cast("bigint").alias("sum_ws_tokens"),
+            F.sum(bpe).cast("bigint").alias("sum_bpe_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+TXT_BPE_TOKENS_ORACLE = f"""
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(len({sql_tokens('text')})) AS BIGINT) AS sum_ws_tokens,
+  CAST(SUM(len(regexp_extract_all(text, '{BPE_PRETOKEN_RE}'))) AS BIGINT)
+    AS sum_bpe_tokens
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+# --- winnowing fingerprints (rolling-hash document sketch) ----------------
+WINNOW_WINDOW = 4
+
+
+def txt_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (the MOSS scheme): hash every word 3-gram,
+    slide a window of WINNOW_WINDOW consecutive hashes, keep each
+    window's minimum, emit the distinct minima as the document's
+    fingerprint set. Guarantees any shared run of >= window+2 tokens
+    between two documents shares a fingerprint — the rolling-hash
+    sketch for partial-overlap detection (plagiarism / quote / mirror
+    detection), complementary to whole-doc fingerprints and MinHash.
+
+    All Column algebra: shingle hashes via md5 (engine-portable), the
+    window minima via transform(sequence)+array_min — scan-speed, no
+    shuffle until the final explode-distinct."""
+    corpus = corpus_with_dups(spark, sf_dir)
+    hashed = corpus.select(
+        "doc_id",
+        F.transform(shingles_col("text"), lambda s: md5_hash60(s)).alias("h"),
+    )
+    wins = hashed.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, greatest(size(h) - {WINNOW_WINDOW} + 1, 0)),"
+            f" i -> array_min(slice(h, i, {WINNOW_WINDOW})))"
+        ).alias("mins"),
+    )
+    return (
+        wins.select("doc_id", F.explode(F.array_distinct("mins")).alias("fingerprint"))
+        .orderBy("doc_id", "fingerprint")
+    )
+
+
+TXT_WINNOW_ORACLE = f"""
+WITH corpus AS ({CORPUS_SQL}),
+sh AS (
+  SELECT doc_id,
+    list_transform({sql_shingles(sql_tokens('text'))},
+                   s -> {sql_md5_hash60('s')}) AS h
+  FROM corpus
+),
+wins AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      generate_series(1, greatest(len(h) - {WINNOW_WINDOW} + 1, 0)),
+      i -> list_min(list_slice(h, i, i + {WINNOW_WINDOW} - 1)))) AS mins
+  FROM sh
+)
+SELECT doc_id, UNNEST(mins) AS fingerprint
+FROM wins ORDER BY doc_id, fingerprint
+"""
+
+
 # --- near-dup clustering: connected components ----------------------------
 CC_MAX_ITERS = 10
 
@@ -851,6 +942,8 @@ QUERIES = {
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_components": dedup_components,
     "txt_training_corpus": txt_training_corpus,
+    "txt_bpe_tokens": txt_bpe_tokens,
+    "txt_winnow_fingerprint": txt_winnow_fingerprint,
 }
 
 ORACLES = {
@@ -868,4 +961,6 @@ ORACLES = {
     "dedup_simhash_pairs": _simhash_pairs_oracle(),
     "dedup_components": DEDUP_COMPONENTS_ORACLE,
     "txt_training_corpus": TXT_TRAINING_CORPUS_ORACLE,
+    "txt_bpe_tokens": TXT_BPE_TOKENS_ORACLE,
+    "txt_winnow_fingerprint": TXT_WINNOW_ORACLE,
 }
