@@ -67,6 +67,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         merged.update(mod.QUERIES)
     out = {n: merged[n] for n in _PRIORITY if n in merged}
     out.update(merged)
+    # TAIL_QUERIES: derivative/metric queries registered after every
+    # module's main dict so they never consume a driver-window slot.
+    for mod in _all_modules():
+        out.update(getattr(mod, "TAIL_QUERIES", {}))
     return out
 
 
@@ -74,4 +78,6 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for mod in _all_modules():
         out.update(mod.ORACLES)
+    for mod in _all_modules():
+        out.update(getattr(mod, "TAIL_ORACLES", {}))
     return out

@@ -1522,3 +1522,44 @@ ORACLES = {
     "q20_excess_shippers": Q20_ORACLE,
     "q21_waiting_suppliers": Q21_ORACLE,
 }
+
+
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest-style percentile sketch (approx_percentile) made
+    oracle-checkable the same way as agg_approx_distinct: emit the exact
+    interpolated percentiles plus booleans asserting the sketch landed
+    within 5% relative error; the oracle computes exact + TRUE. At
+    100 TB the sketch is the only viable percentile path (mergeable,
+    one pass, bounded memory) — this query pins its accuracy contract."""
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("exact_p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("exact_p90"),
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("_a50"),
+        F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias("_a90"),
+    )
+    within = lambda approx, exact: (  # noqa: E731
+        F.abs(F.col(approx) - F.col(exact)) / F.col(exact) < F.lit(0.05)
+    )
+    return agg.select(
+        "o_orderstatus",
+        "exact_p50",
+        "exact_p90",
+        within("_a50", "exact_p50").alias("p50_within_5pct"),
+        within("_a90", "exact_p90").alias("p90_within_5pct"),
+    ).orderBy("o_orderstatus")
+
+
+AGG_APPROX_PERCENTILE_ORACLE = """
+SELECT o_orderstatus,
+  round(quantile_cont(o_totalprice, 0.5), 2) AS exact_p50,
+  round(quantile_cont(o_totalprice, 0.9), 2) AS exact_p90,
+  TRUE AS p50_within_5pct,
+  TRUE AS p90_within_5pct
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+# Registered after every module's main dict (no driver-window slot).
+TAIL_QUERIES = {"agg_approx_percentile": agg_approx_percentile}
+TAIL_ORACLES = {"agg_approx_percentile": AGG_APPROX_PERCENTILE_ORACLE}

@@ -316,6 +316,68 @@ ORDER BY vec_a, vec_b
 """
 
 
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality measurement: recall@3 of each approximate method
+    (IVF cell search, sign-bit LSH) against the exact brute-force top-3,
+    per query — the metric loop a production ANN deployment runs
+    continuously (tune cells / bits / probes until recall clears the
+    bar). All three inputs are the already-verified queries above,
+    composed lazily; at scale recall is sampled on a small query panel
+    exactly like this, never the full corpus.
+
+    Note on the synthetic testdata: the embeddings are random (no
+    cluster structure), so single-probe recall is intrinsically low
+    (~0.2-0.3) — which is precisely what this metric is for: it tells
+    you the quantizer doesn't fit the data and probes must widen."""
+    brute3 = (
+        sim_knn_brute(spark, sf_dir)
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "vec_id")
+    )
+    ivf = sim_ivf_topk(spark, sf_dir).select(
+        "q_id", F.col("vec_id").alias("ivf_vec_id")
+    )
+    lsh = sim_ann_lsh(spark, sf_dir).select(
+        "q_id", F.col("vec_id").alias("lsh_vec_id")
+    )
+    return (
+        brute3.join(
+            ivf,
+            (brute3.q_id == ivf.q_id) & (brute3.vec_id == ivf.ivf_vec_id),
+            "left",
+        )
+        .join(
+            lsh,
+            (brute3.q_id == lsh.q_id) & (brute3.vec_id == lsh.lsh_vec_id),
+            "left",
+        )
+        .groupBy(brute3.q_id.alias("q_id"))
+        .agg(
+            F.count("ivf_vec_id").alias("ivf_hits"),
+            (F.count("ivf_vec_id").cast("double") / 3.0).alias("ivf_recall_at_3"),
+            F.count("lsh_vec_id").alias("lsh_hits"),
+            (F.count("lsh_vec_id").cast("double") / 3.0).alias("lsh_recall_at_3"),
+        )
+        .orderBy("q_id")
+    )
+
+
+SIM_IVF_RECALL_ORACLE = f"""
+WITH brute AS ({SIM_KNN_ORACLE}),
+ivf AS ({SIM_IVF_ORACLE}),
+ann AS ({SIM_ANN_ORACLE})
+SELECT b.q_id,
+  COUNT(i.vec_id) AS ivf_hits,
+  CAST(COUNT(i.vec_id) AS DOUBLE) / 3.0 AS ivf_recall_at_3,
+  COUNT(a.vec_id) AS lsh_hits,
+  CAST(COUNT(a.vec_id) AS DOUBLE) / 3.0 AS lsh_recall_at_3
+FROM (SELECT q_id, vec_id FROM brute WHERE rn <= 3) b
+LEFT JOIN ivf i ON b.q_id = i.q_id AND b.vec_id = i.vec_id
+LEFT JOIN ann a ON b.q_id = a.q_id AND b.vec_id = a.vec_id
+GROUP BY b.q_id ORDER BY b.q_id
+"""
+
+
 QUERIES = {
     "sim_knn_brute": sim_knn_brute,
     "sim_ann_lsh": sim_ann_lsh,
@@ -331,3 +393,8 @@ ORACLES = {
     "sim_ivf_topk": SIM_IVF_ORACLE,
     "dedup_embedding_cosine": DEDUP_EMB_COSINE_ORACLE,
 }
+
+# Registered after every module's main dict (no driver-window slot):
+# derivative metric queries, fully covered by the local parity suite.
+TAIL_QUERIES = {"sim_ivf_recall": sim_ivf_recall}
+TAIL_ORACLES = {"sim_ivf_recall": SIM_IVF_RECALL_ORACLE}
