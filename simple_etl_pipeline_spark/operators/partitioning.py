@@ -57,6 +57,24 @@ def read_events_day(spark: SparkSession, path: str, day: str) -> DataFrame:
     return spark.read.parquet(path).filter(F.col("event_date") == F.lit(day))
 
 
+def overwrite_day(spark: SparkSession, path: str, day_df: DataFrame) -> None:
+    """Idempotently replace exactly the partitions present in ``day_df``
+    (dynamic partition overwrite) — re-ingesting one day never touches
+    the other days' directories.
+
+    This is the append-only table's repair/backfill primitive at 100 TB:
+    a failed or corrected daily load is re-run for its date alone,
+    atomically per partition, with no read-modify-write of the full
+    table. Requires ``partitionOverwriteMode=dynamic`` (static mode —
+    the default — would drop ALL partitions first)."""
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        day_df.write.mode("overwrite").partitionBy("event_date").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def explain_formatted(df: DataFrame) -> str:
     """Formatted physical plan as a string (what ``.explain`` prints)."""
     mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from simple_etl_pipeline_spark.operators.partitioning import (
     explain_formatted,
+    overwrite_day,
     read_events_day,
     write_events_by_date,
 )
@@ -77,3 +78,30 @@ def test_pruned_results_match_unpartitioned(spark, sf_dir, events_path):
     )
     got = read_events_day(spark, events_path, day).count()
     assert got == expected > 0
+
+
+def test_dynamic_overwrite_replaces_only_its_day(spark, sf_dir, tmp_path):
+    # own copy of the layout: this test mutates it
+    path = str(tmp_path / "events_rw")
+    write_events_by_date(spark, sf_dir, path)
+    day = _some_day(spark, sf_dir)
+    total_before = spark.read.parquet(path).count()
+    day_before = read_events_day(spark, path, day).count()
+
+    # backfill: re-ingest that one day with a corrected (here: halved)
+    # row set; every other day must be untouched
+    corrected = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.to_date("ts") == F.lit(day))
+        .filter(F.col("event_id") % 2 == 0)
+        .withColumn("event_date", F.to_date("ts"))
+    )
+    n_corrected = corrected.count()
+    assert 0 < n_corrected < day_before
+    overwrite_day(spark, path, corrected)
+
+    assert read_events_day(spark, path, day).count() == n_corrected
+    assert (
+        spark.read.parquet(path).count()
+        == total_before - day_before + n_corrected
+    )

@@ -13,6 +13,7 @@ PICKS = {
     "window_topk_orders_per_customer": "per-group top-k: single hash partition + in-partition sort",
     "dedup_minhash_lsh": "keyed shuffles only (shingle/doc/band); no cross join anywhere",
     "ref_transform_full": "entire reference pipeline in pipelined codegen stages",
+    "q21_waiting_suppliers": "exists/not-exists pair as window exprs: ONE scan of lineitem+orders, one shuffle on orderkey",
 }
 
 def main():
