@@ -56,6 +56,89 @@ TESTDATA_TABLES = [
     "embeddings",
 ]
 
+
+def _st(*fields: tuple[str, T.DataType]) -> T.StructType:
+    return T.StructType([T.StructField(n, t) for n, t in fields])
+
+
+# Explicit reader schemas for every testdata table: passing these to the
+# reader skips parquet footer/schema inference entirely — at 100 TB that
+# inference is a per-query driver job over file metadata; with a declared
+# schema, building a plan submits ZERO jobs (enforced by
+# tests/test_laziness.py). events.ts is declared long because the file
+# stores TIMESTAMP(NANOS) and the session reads nanos as long
+# (see load_table below).
+TABLE_SCHEMAS: dict[str, T.StructType] = {
+    "region": _st(("r_regionkey", T.IntegerType()), ("r_name", T.StringType())),
+    "nation": _st(
+        ("n_nationkey", T.IntegerType()),
+        ("n_name", T.StringType()),
+        ("n_regionkey", T.IntegerType()),
+    ),
+    "customer": _st(
+        ("c_custkey", T.LongType()),
+        ("c_name", T.StringType()),
+        ("c_nationkey", T.IntegerType()),
+        ("c_acctbal", T.DoubleType()),
+        ("c_mktsegment", T.StringType()),
+    ),
+    "supplier": _st(
+        ("s_suppkey", T.LongType()),
+        ("s_name", T.StringType()),
+        ("s_nationkey", T.IntegerType()),
+        ("s_acctbal", T.DoubleType()),
+    ),
+    "part": _st(
+        ("p_partkey", T.LongType()),
+        ("p_name", T.StringType()),
+        ("p_brand", T.StringType()),
+        ("p_type", T.StringType()),
+        ("p_size", T.IntegerType()),
+        ("p_retailprice", T.DoubleType()),
+    ),
+    "orders": _st(
+        ("o_orderkey", T.LongType()),
+        ("o_custkey", T.LongType()),
+        ("o_orderstatus", T.StringType()),
+        ("o_totalprice", T.DoubleType()),
+        ("o_orderdate", T.TimestampType()),
+        ("o_orderpriority", T.StringType()),
+    ),
+    "lineitem": _st(
+        ("l_orderkey", T.LongType()),
+        ("l_partkey", T.LongType()),
+        ("l_suppkey", T.LongType()),
+        ("l_linenumber", T.IntegerType()),
+        ("l_quantity", T.DoubleType()),
+        ("l_extendedprice", T.DoubleType()),
+        ("l_discount", T.DoubleType()),
+        ("l_tax", T.DoubleType()),
+        ("l_returnflag", T.StringType()),
+        ("l_linestatus", T.StringType()),
+        ("l_shipdate", T.TimestampType()),
+    ),
+    "events": _st(
+        ("event_id", T.LongType()),
+        ("ts", T.LongType()),
+        ("user_id", T.LongType()),
+        ("event_type", T.StringType()),
+        ("value", T.DoubleType()),
+        ("props", T.StringType()),
+    ),
+    "documents": _st(
+        ("doc_id", T.LongType()),
+        ("text", T.StringType()),
+        ("lang", T.StringType()),
+        ("source", T.StringType()),
+        ("n_chars", T.LongType()),
+    ),
+    "embeddings": _st(
+        ("vec_id", T.LongType()),
+        ("embedding", T.ArrayType(T.FloatType())),
+        ("label", T.IntegerType()),
+    ),
+}
+
 # Small dimensions that should always be broadcast in joins.
 BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
 
@@ -74,11 +157,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # rejects by default. Runtime-settable, so harness-provided
         # sessions (built without our factory) work too.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Explicit schema: no footer-inference job at plan-build time.
+    df = spark.read.schema(TABLE_SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
     # events.ts is TIMESTAMP(NANOS) in parquet; with nanosAsLong (see
     # session.py) it surfaces as bigint nanos — convert to microsecond
     # timestamps (truncation, consistent with DuckDB's epoch() floor).
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
