@@ -75,6 +75,34 @@ def overwrite_day(spark: SparkSession, path: str, day_df: DataFrame) -> None:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+def compact_partitions(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    files_per_partition: int = 1,
+    partition_col: str = "event_date",
+) -> None:
+    """Small-files compaction: rewrite a partitioned table so each
+    partition directory holds ~``files_per_partition`` files.
+
+    Streaming / micro-batch ingest leaves thousands of tiny files per
+    partition; at 100 TB that inflates file listings, footer reads, and
+    task counts. Compaction is the standing maintenance job:
+    repartition on the partition column (each output task then writes
+    whole partitions) and rewrite. Deliberately out-of-place — Spark
+    cannot safely overwrite a path it is lazily reading from — the
+    caller swaps directories (an atomic rename on HDFS/object-store
+    manifests) once the write commits. Run on closed (past-date)
+    partitions only in production."""
+    (
+        spark.read.parquet(src_path)
+        .repartition(files_per_partition, F.col(partition_col))
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(dst_path)
+    )
+
+
 def explain_formatted(df: DataFrame) -> str:
     """Formatted physical plan as a string (what ``.explain`` prints)."""
     mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(

@@ -105,3 +105,40 @@ def test_dynamic_overwrite_replaces_only_its_day(spark, sf_dir, tmp_path):
         spark.read.parquet(path).count()
         == total_before - day_before + n_corrected
     )
+
+
+def test_compaction_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    from simple_etl_pipeline_spark.operators.partitioning import compact_partitions
+
+    # build a deliberately fragmented layout (micro-batch-style: many
+    # small files per day) by spreading each day across 8 write tasks
+    src = str(tmp_path / "events_fragmented")
+    dst = str(tmp_path / "events_compacted")
+    (
+        load_table(spark, sf_dir, "events")
+        .withColumn("event_date", F.to_date("ts"))
+        .repartition(8)
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(src)
+    )
+    files_before = len(spark.read.parquet(src).inputFiles())
+    rows_before = spark.read.parquet(src).count()
+
+    compact_partitions(spark, src, dst, files_per_partition=1)
+
+    compacted = spark.read.parquet(dst)
+    files_after = len(compacted.inputFiles())
+    n_days = compacted.select("event_date").distinct().count()
+    assert compacted.count() == rows_before
+    # exactly one file per partition directory
+    assert files_after == n_days < files_before
+    # layout still prunes: one day reads one file
+    day = _some_day(spark, sf_dir)
+    day_files = (
+        read_events_day(spark, dst, day)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    assert day_files == 1
