@@ -152,6 +152,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TESTDATA_TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
+    # Date/window bucketing is session-timezone-dependent; oracles assume
+    # UTC. Runtime-settable, so harness-provided sessions built without
+    # our factory (session.py sets it too) get the same alignment.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.parquet uses TIMESTAMP(NANOS), which Spark's reader
         # rejects by default. Runtime-settable, so harness-provided
