@@ -34,3 +34,46 @@ def quality_score_udf():
         )
 
     return _score
+
+
+@cache
+def trimmed_mean_udaf():
+    """Arrow-batched grouped aggregation (the UDAF shape): mean after
+    dropping one min and one max per group. Each group's values arrive
+    as ONE pandas Series per group — fine for bounded groups (this is a
+    per-key statistic), but an unbounded 100 TB group must use the
+    built-in two-phase aggregates instead; tests assert equality with
+    the Column-expression formulation ((sum-min-max)/(n-2))."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType passed explicitly: with `from __future__ import
+    # annotations` the Series -> float type hints pandas_udf would
+    # otherwise infer from are unresolvable strings.
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def _trimmed_mean(v):
+        if len(v) <= 2:
+            return float(v.mean())
+        return float((v.sum() - v.min() - v.max()) / (len(v) - 2))
+
+    return _trimmed_mean
+
+
+@cache
+def ngrams_udtf():
+    """Python UDTF (Spark 4 table function): one input row -> N output
+    rows of (pos, ngram). The lateral-join form of row expansion — for
+    the hot path prefer the native explode(shingles_col(...)) (tests
+    assert both emit identical rows); the UDTF exists for logic a
+    Column expression can't state (per-row imperative tokenizers)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, ngram: string")
+    class NGrams:
+        def eval(self, text: str, n: int):
+            if text is None:
+                return
+            toks = text.split()
+            for i in range(max(len(toks) - n + 1, 0)):
+                yield i, " ".join(toks[i : i + n])
+
+    return NGrams
