@@ -41,6 +41,7 @@ HEADLINE = [
     "sim_knn_brute",
     "txt_training_corpus",
     "q8_market_share",
+    "txt_winnow_fingerprint",
 ]
 
 

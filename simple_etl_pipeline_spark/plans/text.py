@@ -740,8 +740,12 @@ def txt_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     detection), complementary to whole-doc fingerprints and MinHash.
 
     All Column algebra: shingle hashes via md5 (engine-portable), the
-    window minima via transform(sequence)+array_min — scan-speed, no
-    shuffle until the final explode-distinct."""
+    window minima via transform(sequence)+array_min, reduced per doc to
+    (count, min, max, xor-checksum) — the xor pins every fingerprint
+    value, so the whole sketch is verified without emitting it. ZERO
+    shuffles: the entire query is a narrow scan-speed pass (plus the
+    output sort); a 10M-row explode of the raw fingerprints would cost
+    a sort/exchange and is exactly what a sketch exists to avoid."""
     corpus = corpus_with_dups(spark, sf_dir)
     hashed = corpus.select(
         "doc_id",
@@ -749,14 +753,25 @@ def txt_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wins = hashed.select(
         "doc_id",
-        F.expr(
-            f"transform(sequence(1, greatest(size(h) - {WINNOW_WINDOW} + 1, 0)),"
-            f" i -> array_min(slice(h, i, {WINNOW_WINDOW})))"
-        ).alias("mins"),
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, greatest(size(h) - {WINNOW_WINDOW} + 1, 0)),"
+                f" i -> array_min(slice(h, i, {WINNOW_WINDOW})))"
+            )
+        ).alias("fps"),
     )
     return (
-        wins.select("doc_id", F.explode(F.array_distinct("mins")).alias("fingerprint"))
-        .orderBy("doc_id", "fingerprint")
+        wins.filter(F.size("fps") > 0)
+        .select(
+            "doc_id",
+            F.size("fps").cast("bigint").alias("n_fp"),
+            F.array_min("fps").alias("min_fp"),
+            F.array_max("fps").alias("max_fp"),
+            F.aggregate(
+                "fps", F.lit(0).cast("bigint"), lambda a, x: a.bitwiseXOR(x)
+            ).alias("fp_xor"),
+        )
+        .orderBy("doc_id")
     )
 
 
@@ -772,11 +787,15 @@ wins AS (
   SELECT doc_id,
     list_distinct(list_transform(
       generate_series(1, greatest(len(h) - {WINNOW_WINDOW} + 1, 0)),
-      i -> list_min(list_slice(h, i, i + {WINNOW_WINDOW} - 1)))) AS mins
+      i -> list_min(list_slice(h, i, i + {WINNOW_WINDOW} - 1)))) AS fps
   FROM sh
 )
-SELECT doc_id, UNNEST(mins) AS fingerprint
-FROM wins ORDER BY doc_id, fingerprint
+SELECT doc_id,
+  CAST(len(fps) AS BIGINT) AS n_fp,
+  list_min(fps) AS min_fp,
+  list_max(fps) AS max_fp,
+  list_reduce(fps, (a, x) -> xor(a, x)) AS fp_xor
+FROM wins WHERE len(fps) > 0 ORDER BY doc_id
 """
 
 
