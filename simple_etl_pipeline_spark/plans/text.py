@@ -740,29 +740,38 @@ def txt_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     detection), complementary to whole-doc fingerprints and MinHash.
 
     All Column algebra: shingle hashes via md5 (engine-portable), the
-    window minima via transform(sequence)+array_min, reduced per doc to
+    window minima via W-1 zip_with(least) folds over shifted slices of
+    the hash array (elementwise min of W shifted copies — O(n*W) with
+    ~2W array allocations per doc, vs one slice allocation PER POSITION
+    for the naive transform(sequence)+slice form), reduced per doc to
     (count, min, max, xor-checksum) — the xor pins every fingerprint
     value, so the whole sketch is verified without emitting it. ZERO
     shuffles: the entire query is a narrow scan-speed pass (plus the
     output sort); a 10M-row explode of the raw fingerprints would cost
-    a sort/exchange and is exactly what a sketch exists to avoid."""
+    a sort/exchange and is exactly what a sketch exists to avoid.
+
+    The short-doc guard is a CHEAP pre-filter on token count (>= W+2
+    tokens <=> >= W shingles <=> non-empty fingerprint set) pushed to
+    the scan. Filtering on size(fps) > 0 AFTER the fact re-evaluates
+    the whole HOF chain inside an interpreted Filter per row — measured
+    16x slower (45.7 s -> 2.8 s for the full query at sf0.01) — and the
+    pre-filter also keeps size(h)-W+1 strictly positive, so no
+    greatest()/empty-sequence edge cases."""
     corpus = corpus_with_dups(spark, sf_dir)
-    hashed = corpus.select(
+    pre = corpus.filter(F.size(tokens_col("text")) >= WINNOW_WINDOW + 2)
+    hashed = pre.select(
         "doc_id",
         F.transform(shingles_col("text"), lambda s: md5_hash60(s)).alias("h"),
     )
-    wins = hashed.select(
-        "doc_id",
-        F.array_distinct(
-            F.expr(
-                f"transform(sequence(1, greatest(size(h) - {WINNOW_WINDOW} + 1, 0)),"
-                f" i -> array_min(slice(h, i, {WINNOW_WINDOW})))"
-            )
-        ).alias("fps"),
-    )
+    length = F.expr(f"size(h) - {WINNOW_WINDOW} + 1")
+    mins = F.slice("h", 1, length)
+    for j in range(1, WINNOW_WINDOW):
+        mins = F.zip_with(
+            mins, F.slice("h", F.lit(1 + j), length), lambda a, b: F.least(a, b)
+        )
+    wins = hashed.select("doc_id", F.array_distinct(mins).alias("fps"))
     return (
-        wins.filter(F.size("fps") > 0)
-        .select(
+        wins.select(
             "doc_id",
             F.size("fps").cast("bigint").alias("n_fp"),
             F.array_min("fps").alias("min_fp"),
