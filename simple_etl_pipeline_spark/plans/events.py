@@ -351,3 +351,48 @@ ORACLES = {
     "ev_json_extract": EV_JSON_ORACLE,
     "ev_user_daily_activity": EV_DAILY_ORACLE,
 }
+
+
+# --- heavy-hitter / key-skew profile (TAIL: no driver-window slot) --------
+HH_TOP_K = 10
+
+
+def ev_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic: the top-K hottest user_ids with their share
+    of total traffic. This is the profiling query you run BEFORE picking
+    join/agg strategies at 100 TB — any key above a few percent share is
+    a salting / skew-join-hint candidate (operators/skew.py is the
+    mitigation this query motivates).
+
+    Scale shape: one partial-aggregated groupBy on the key, a 1-row
+    total broadcast, then TakeOrderedAndProject for the top-K — the
+    full per-key histogram never leaves the executors un-aggregated and
+    never sorts globally."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    total = ev.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("n_events").cast("double") / F.col("n_total"), 6).alias(
+                "traffic_share"
+            ),
+        )
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(HH_TOP_K)
+    )
+
+
+EV_HEAVY_HITTERS_ORACLE = f"""
+WITH c AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id),
+t AS (SELECT COUNT(*) AS n_total FROM events)
+SELECT user_id, n_events,
+  round(CAST(n_events AS DOUBLE) / n_total, 6) AS traffic_share
+FROM c, t ORDER BY n_events DESC, user_id ASC LIMIT {HH_TOP_K}
+"""
+
+
+TAIL_QUERIES = {"ev_heavy_hitters": ev_heavy_hitters}
+TAIL_ORACLES = {"ev_heavy_hitters": EV_HEAVY_HITTERS_ORACLE}

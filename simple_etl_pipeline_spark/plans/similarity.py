@@ -378,6 +378,70 @@ GROUP BY b.q_id ORDER BY b.q_id
 """
 
 
+# --- int8 embedding quantization ------------------------------------------
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension symmetric int8 quantization of the embedding table —
+    the compression step before an ANN index ships to serving (4x
+    smaller vectors, SIMD-friendly dot products). Dimension scales are
+    max|v| per position.
+
+    Scale shape: the scale vector is a tiny posexplode+groupBy aggregate
+    (64 rows) collapsed to ONE broadcast row; the quantization itself is
+    a narrow zip_with over each vector — no explode of the 100 TB side,
+    no per-vector shuffle. Quantized values use floor(v/s*127): floor on
+    IEEE doubles is bit-deterministic cross-engine, unlike round()
+    half-way ties. Emits per-vector checksums (count/min/max/sum) so the
+    whole quantized matrix is hash-verified without materializing it.
+    """
+    emb = _emb(spark, sf_dir)
+    dims = (
+        emb.select(F.posexplode("v").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.max(F.abs("val")).alias("mx"))
+    )
+    scales = dims.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "mx"))), lambda x: x.mx
+        ).alias("scales")
+    )
+    q = F.zip_with(
+        "v",
+        "scales",
+        lambda v, s: F.floor(v / F.nullif(s, F.lit(0.0)) * 127).cast("bigint"),
+    )
+    return (
+        emb.crossJoin(F.broadcast(scales))
+        .select("vec_id", q.alias("q"))
+        .select(
+            "vec_id",
+            F.size("q").cast("bigint").alias("n_dims"),
+            F.array_min("q").alias("q_min"),
+            F.array_max("q").alias("q_max"),
+            F.aggregate("q", F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+                "q_sum"
+            ),
+        )
+        .orderBy("vec_id")
+    )
+
+
+SIM_QUANTIZE_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+),
+d AS (SELECT pos, MAX(abs(v)) AS mx FROM e GROUP BY pos),
+q AS (
+  SELECT vec_id, CAST(floor(v / NULLIF(mx, 0) * 127) AS BIGINT) AS q
+  FROM e JOIN d USING (pos)
+)
+SELECT vec_id, COUNT(*) AS n_dims, MIN(q) AS q_min, MAX(q) AS q_max,
+  CAST(SUM(q) AS BIGINT) AS q_sum
+FROM q GROUP BY vec_id ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "sim_knn_brute": sim_knn_brute,
     "sim_ann_lsh": sim_ann_lsh,
@@ -396,5 +460,11 @@ ORACLES = {
 
 # Registered after every module's main dict (no driver-window slot):
 # derivative metric queries, fully covered by the local parity suite.
-TAIL_QUERIES = {"sim_ivf_recall": sim_ivf_recall}
-TAIL_ORACLES = {"sim_ivf_recall": SIM_IVF_RECALL_ORACLE}
+TAIL_QUERIES = {
+    "sim_ivf_recall": sim_ivf_recall,
+    "sim_quantize_int8": sim_quantize_int8,
+}
+TAIL_ORACLES = {
+    "sim_ivf_recall": SIM_IVF_RECALL_ORACLE,
+    "sim_quantize_int8": SIM_QUANTIZE_ORACLE,
+}

@@ -992,3 +992,312 @@ ORACLES = {
     "txt_bpe_tokens": TXT_BPE_TOKENS_ORACLE,
     "txt_winnow_fingerprint": TXT_WINNOW_ORACLE,
 }
+
+
+# ==========================================================================
+# TAIL queries — registered after every module's main dict so they never
+# consume a driver check-window slot (see __spark_entry__.queries()).
+# ==========================================================================
+
+# --- PII detection / redaction --------------------------------------------
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{4}-\d{4}\b"
+
+
+def pii_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`documents` with deterministic synthetic PII appended (the testdata
+    corpus is PII-free word soup): every 7th doc gains an email, every
+    11th a phone number — so detection/redaction counts are non-trivial
+    at every SF, and the injection itself is pure Column arithmetic."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    email = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(
+            F.lit(" call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") * 7 % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id", "lang", F.concat("text", email, phone).alias("text")
+    )
+
+
+PII_CORPUS_SQL = """
+SELECT doc_id, lang,
+  text
+  || CASE WHEN doc_id % 7 = 0
+       THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+       ELSE '' END
+  || CASE WHEN doc_id % 11 = 0
+       THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            || '-' || lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0')
+       ELSE '' END
+  AS text
+FROM documents
+"""
+
+
+def txt_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass for a training corpus: count email/phone matches
+    per document (JVM-side regexp_extract_all — scan-speed, no UDF),
+    redact them with placeholder tokens, and roll detection + redaction
+    stats up per language. At 100 TB this is a narrow map-only pass; the
+    only shuffle is the final tiny per-lang aggregate. The reference has
+    no PII handling (SURVEY.md §2f extension)."""
+    docs = pii_corpus(spark, sf_dir)
+    emails = F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL_RE), 0))
+    phones = F.size(F.regexp_extract_all("text", F.lit(PII_PHONE_RE), 0))
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", PII_EMAIL_RE, "[EMAIL]"),
+        PII_PHONE_RE,
+        "[PHONE]",
+    )
+    per_doc = docs.select(
+        "lang",
+        emails.alias("n_em"),
+        phones.alias("n_ph"),
+        F.length(redacted).alias("red_len"),
+        F.length("text").alias("raw_len"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_em") > 0).cast("bigint")).alias("docs_with_email"),
+            F.sum((F.col("n_ph") > 0).cast("bigint")).alias("docs_with_phone"),
+            F.sum("n_em").cast("bigint").alias("n_emails"),
+            F.sum("n_ph").cast("bigint").alias("n_phones"),
+            F.sum(F.col("raw_len") - F.col("red_len")).cast("bigint").alias(
+                "chars_removed"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+TXT_PII_REDACT_ORACLE = f"""
+WITH corpus AS ({PII_CORPUS_SQL}),
+per_doc AS (
+  SELECT lang,
+    len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS n_em,
+    len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS n_ph,
+    length(regexp_replace(regexp_replace(text, '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{PII_PHONE_RE}', '[PHONE]', 'g')) AS red_len,
+    length(text) AS raw_len
+  FROM corpus
+)
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN n_em > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+  CAST(SUM(CASE WHEN n_ph > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_phone,
+  CAST(SUM(n_em) AS BIGINT) AS n_emails,
+  CAST(SUM(n_ph) AS BIGINT) AS n_phones,
+  CAST(SUM(raw_len - red_len) AS BIGINT) AS chars_removed
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
+# --- benchmark-contamination check ----------------------------------------
+CONTAM_BENCH_MOD = 50
+
+
+def txt_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: treat every CONTAM_BENCH_MOD-th doc
+    as a held-out eval set, build its distinct word-3-gram set, and
+    score every other document by the fraction of its distinct shingles
+    that appear in the benchmark set.
+
+    Scale shape: the benchmark shingle set is aggregated to ONE row and
+    broadcast (crossJoin(broadcast)) — the corpus side stays a narrow
+    scan with a per-row array_intersect, no explode/groupBy of corpus
+    shingles and therefore no corpus-sized shuffle. At 100 TB the
+    benchmark set (a few eval suites) is KBs-to-MBs, exactly the
+    broadcast-dimension pattern."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+    bset = (
+        bench.select(F.explode(shingles_col("text")).alias("s"))
+        .distinct()
+        .agg(F.collect_list("s").alias("bench_sh"))
+    )
+    ev = docs.filter(
+        (F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+        & (F.size(tokens_col("text")) >= 3)
+    ).select("doc_id", F.array_distinct(shingles_col("text")).alias("sh"))
+    hits = F.size(F.array_intersect("sh", "bench_sh"))
+    return (
+        ev.crossJoin(F.broadcast(bset))
+        .select(
+            "doc_id",
+            F.size("sh").cast("bigint").alias("n_shingles"),
+            hits.cast("bigint").alias("n_contaminated"),
+            F.round(hits.cast("double") / F.size("sh"), 6).alias("contamination"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TXT_CONTAMINATION_ORACLE = f"""
+WITH bench AS (
+  SELECT DISTINCT unnest({sql_shingles(sql_tokens('text'))}) AS s
+  FROM documents WHERE doc_id % {CONTAM_BENCH_MOD} = 0
+),
+b AS (SELECT list(s) AS bench_sh FROM bench),
+ev AS (
+  SELECT doc_id, list_distinct({sql_shingles(sql_tokens('text'))}) AS sh
+  FROM documents
+  WHERE doc_id % {CONTAM_BENCH_MOD} <> 0 AND len({sql_tokens('text')}) >= 3
+)
+SELECT doc_id,
+  CAST(len(sh) AS BIGINT) AS n_shingles,
+  CAST(len(list_filter(sh, t -> list_contains(bench_sh, t))) AS BIGINT)
+    AS n_contaminated,
+  round(CAST(len(list_filter(sh, t -> list_contains(bench_sh, t))) AS DOUBLE)
+        / len(sh), 6) AS contamination
+FROM ev, b ORDER BY doc_id
+"""
+
+
+# --- deterministic stratified sampling ------------------------------------
+SAMPLE_PCT = 20
+
+
+def txt_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible stratified sampling: hash-bucket each doc_id with the
+    engine-portable md5 hash and keep bucket < SAMPLE_PCT within each
+    language stratum. Unlike rand()-based sampling this is deterministic
+    across runs, engines, and partitionings — the property a training
+    pipeline needs for auditable subsets. Narrow scan + tiny per-lang
+    aggregate; the sample predicate pushes to the scan at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = md5_hash60(F.col("doc_id").cast("string")) % 100
+    in_sample = bucket < SAMPLE_PCT
+    n_tokens = F.size(tokens_col("text"))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(in_sample.cast("bigint")).cast("bigint").alias("n_sampled"),
+            F.sum(F.when(in_sample, n_tokens).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("sampled_tokens"),
+        )
+        .withColumn(
+            "sample_rate",
+            F.round(F.col("n_sampled").cast("double") / F.col("n_total"), 6),
+        )
+        .orderBy("lang")
+    )
+
+
+TXT_SAMPLE_STRATIFIED_ORACLE = f"""
+WITH t AS (
+  SELECT lang,
+    ({sql_md5_hash60("CAST(doc_id AS VARCHAR)")}) % 100 < {SAMPLE_PCT} AS in_sample,
+    len({sql_tokens('text')}) AS n_tokens
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_total,
+  CAST(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+  CAST(SUM(CASE WHEN in_sample THEN n_tokens ELSE 0 END) AS BIGINT)
+    AS sampled_tokens,
+  round(CAST(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+    AS sample_rate
+FROM t GROUP BY lang ORDER BY lang
+"""
+
+
+# --- greedy sequence packing ----------------------------------------------
+PACK_CTX = 256
+
+
+def txt_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training-batch assembly: within each language
+    stratum, docs are laid out in doc_id order and cut into packs of
+    PACK_CTX tokens by running token count (contiguous greedy packing —
+    the streaming-friendly scheme; docs longer than the context simply
+    overflow their pack). Emits per-pack document count, token sum and
+    fill ratio.
+
+    Scale shape: ONE window shuffle partitioned by the stratum (lang at
+    this SF; at 100 TB the partition key would be lang x shard so no
+    single stratum serializes), then a tiny groupBy that reuses the same
+    partitioning."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang", F.size(tokens_col("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = t.select(
+        "lang",
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("cum_before"),
+    ).select(
+        "lang",
+        "doc_id",
+        "n_tokens",
+        F.expr(f"cum_before div {PACK_CTX}").alias("pack_id"),
+    )
+    return (
+        packed.groupBy("lang", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .withColumn(
+            "fill_ratio",
+            F.round(F.col("pack_tokens").cast("double") / PACK_CTX, 6),
+        )
+        .orderBy("lang", "pack_id")
+    )
+
+
+TXT_PACK_SEQUENCES_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, len({sql_tokens('text')}) AS n_tokens FROM documents
+),
+packed AS (
+  SELECT lang, doc_id, n_tokens,
+    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // {PACK_CTX}
+      AS BIGINT) AS pack_id
+  FROM t
+)
+SELECT lang, pack_id, COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+  MIN(doc_id) AS first_doc,
+  round(CAST(SUM(n_tokens) AS DOUBLE) / {PACK_CTX}, 6) AS fill_ratio
+FROM packed GROUP BY lang, pack_id ORDER BY lang, pack_id
+"""
+
+
+TAIL_QUERIES = {
+    "txt_pii_redact": txt_pii_redact,
+    "txt_contamination": txt_contamination,
+    "txt_sample_stratified": txt_sample_stratified,
+    "txt_pack_sequences": txt_pack_sequences,
+}
+
+TAIL_ORACLES = {
+    "txt_pii_redact": TXT_PII_REDACT_ORACLE,
+    "txt_contamination": TXT_CONTAMINATION_ORACLE,
+    "txt_sample_stratified": TXT_SAMPLE_STRATIFIED_ORACLE,
+    "txt_pack_sequences": TXT_PACK_SEQUENCES_ORACLE,
+}
