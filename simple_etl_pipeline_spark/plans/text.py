@@ -1288,11 +1288,158 @@ FROM packed GROUP BY lang, pack_id ORDER BY lang, pack_id
 """
 
 
+# --- incremental dedup: new batch vs corpus fingerprint index -------------
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-ingest dedup path: an incoming batch (the injected
+    +1M/+2M docs of corpus_with_dups) is checked against the existing
+    corpus's fingerprint index. Exact copies are flagged with the doc
+    they collide with; near-dups (changed text) pass — catching those is
+    MinHash's job (dedup_minhash_lsh).
+
+    Scale shape: this is a keyed equi-join on the 32-byte fingerprint.
+    At 100 TB the index side is huge and the batch small — the join
+    shuffles only the BATCH if the index is bucketed by fingerprint
+    (operators/bucketing.py pattern); nothing rescans old text, only
+    the fingerprint column. matched_doc uses -1, not NULL, for absent
+    matches: nullable bigints decay to float64 in Arrow/pandas and
+    would break the driver's exact value hash."""
+    corpus = corpus_with_dups(spark, sf_dir)
+    fp = corpus.select("doc_id", fingerprint_col("text").alias("fingerprint"))
+    index = (
+        fp.filter(F.col("doc_id") < 1000000)
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    batch = fp.filter(F.col("doc_id") >= 1000000)
+    return (
+        batch.join(index, "fingerprint", "left")
+        .select(
+            "doc_id",
+            F.col("first_doc").isNotNull().cast("bigint").alias("is_duplicate"),
+            F.coalesce("first_doc", F.lit(-1)).alias("matched_doc"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_INCREMENTAL_ORACLE = f"""
+WITH corpus AS ({CORPUS_SQL}),
+fp AS (
+  SELECT doc_id,
+    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+  FROM corpus
+),
+index_side AS (
+  SELECT fingerprint, MIN(doc_id) AS first_doc
+  FROM fp WHERE doc_id < 1000000 GROUP BY fingerprint
+)
+SELECT b.doc_id,
+  CAST(CASE WHEN i.first_doc IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+    AS is_duplicate,
+  COALESCE(i.first_doc, -1) AS matched_doc
+FROM fp b LEFT JOIN index_side i USING (fingerprint)
+WHERE b.doc_id >= 1000000
+ORDER BY b.doc_id
+"""
+
+
+# --- quality-ranked survivor per near-dup cluster -------------------------
+def dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator composition: connected components (dedup_components) x
+    quality scoring (txt_doc_features formula) -> keep the HIGHEST
+    quality doc per near-dup cluster instead of the naive min-doc_id
+    survivor. This is the policy real training pipelines want: dedup
+    should keep the best copy, not the first one.
+
+    Ranking uses round(quality, 6): the 6-dp values are the ones the
+    oracle hash already proves identical cross-engine, so the argmax is
+    deterministic; ties break on doc_id. One extra window shuffle on
+    the component key on top of the components cost."""
+    from pyspark.sql import Window
+
+    comp = dedup_components(spark, sf_dir)
+    corpus = corpus_with_dups(spark, sf_dir)
+    toks = tokens_col("text")
+    n_tokens = F.size(toks)
+    nonspace = F.length(F.regexp_replace("text", r"\s", ""))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin("the", "a")))
+    avg_token_len = nonspace.cast("double") / F.nullif(n_tokens, F.lit(0))
+    stop_ratio = n_stop.cast("double") / F.nullif(n_tokens, F.lit(0))
+    quality = (
+        F.least(n_tokens.cast("double") / 100.0, F.lit(1.0)) * 0.5
+        + (1.0 - stop_ratio) * 0.3
+        + F.least(avg_token_len / 8.0, F.lit(1.0)) * 0.2
+    )
+    scored = comp.join(
+        corpus.select("doc_id", F.round(quality, 6).alias("q")), "doc_id"
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("q"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            "cluster_size",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("q").alias("kept_quality"),
+        )
+        .orderBy("component")
+    )
+
+
+DEDUP_SURVIVORS_ORACLE = f"""
+WITH RECURSIVE {_JACCARD_PAIRS_CTES},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+  FROM reach GROUP BY src
+),
+csize AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY 1),
+t AS (
+  SELECT doc_id, {sql_tokens('text')} AS toks,
+         length(regexp_replace(text, '\\s', '', 'g')) AS nonspace
+  FROM corpus
+),
+f AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         CAST(nonspace AS DOUBLE) / NULLIF(len(toks), 0) AS avg_token_len,
+         CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE)
+           / NULLIF(len(toks), 0) AS stopword_ratio
+  FROM t
+),
+quality AS (
+  SELECT doc_id,
+    round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+      + (1.0 - stopword_ratio) * 0.3
+      + least(avg_token_len / 8.0, 1.0) * 0.2, 6) AS q
+  FROM f
+),
+ranked AS (
+  SELECT comp.component, csize.cluster_size, comp.doc_id, quality.q,
+    row_number() OVER (PARTITION BY comp.component
+                       ORDER BY quality.q DESC, comp.doc_id ASC) AS rn
+  FROM comp JOIN csize USING (component) JOIN quality USING (doc_id)
+)
+SELECT component, cluster_size, doc_id AS kept_doc_id, q AS kept_quality
+FROM ranked WHERE rn = 1 ORDER BY component
+"""
+
+
 TAIL_QUERIES = {
     "txt_pii_redact": txt_pii_redact,
     "txt_contamination": txt_contamination,
     "txt_sample_stratified": txt_sample_stratified,
     "txt_pack_sequences": txt_pack_sequences,
+    "dedup_incremental": dedup_incremental,
+    "dedup_survivors_quality": dedup_survivors_quality,
 }
 
 TAIL_ORACLES = {
@@ -1300,4 +1447,6 @@ TAIL_ORACLES = {
     "txt_contamination": TXT_CONTAMINATION_ORACLE,
     "txt_sample_stratified": TXT_SAMPLE_STRATIFIED_ORACLE,
     "txt_pack_sequences": TXT_PACK_SEQUENCES_ORACLE,
+    "dedup_incremental": DEDUP_INCREMENTAL_ORACLE,
+    "dedup_survivors_quality": DEDUP_SURVIVORS_ORACLE,
 }

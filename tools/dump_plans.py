@@ -14,6 +14,10 @@ PICKS = {
     "dedup_minhash_lsh": "keyed shuffles only (shingle/doc/band); no cross join anywhere",
     "ref_transform_full": "entire reference pipeline in pipelined codegen stages",
     "q21_waiting_suppliers": "exists/not-exists pair as window exprs: ONE scan of lineitem+orders, one shuffle on orderkey",
+    "txt_winnow_fingerprint": "whole sketch in one narrow scan: no exchange anywhere before the output sort",
+    "txt_contamination": "benchmark shingle set as one broadcast row; corpus side stays a narrow scan (no corpus shuffle)",
+    "sim_quantize_int8": "64-row scale aggregate broadcast; quantization is a narrow zip_with over each vector",
+    "txt_pack_sequences": "one window exchange on the stratum key, reused by the downstream groupBy (no second shuffle)",
 }
 
 def main():
