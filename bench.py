@@ -42,6 +42,8 @@ HEADLINE = [
     "txt_training_corpus",
     "q8_market_share",
     "txt_winnow_fingerprint",
+    "sim_quantize_int8",
+    "dedup_incremental",
 ]
 
 
