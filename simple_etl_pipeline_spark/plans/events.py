@@ -394,5 +394,50 @@ FROM c, t ORDER BY n_events DESC, user_id ASC LIMIT {HH_TOP_K}
 """
 
 
-TAIL_QUERIES = {"ev_heavy_hitters": ev_heavy_hitters}
-TAIL_ORACLES = {"ev_heavy_hitters": EV_HEAVY_HITTERS_ORACLE}
+# --- Variant-typed JSON (Spark 4 semi-structured native type) -------------
+def ev_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType path for semi-structured props: parse_json()
+    once into the binary variant encoding, then typed try_variant_get
+    extractions. Versus per-field get_json_object (ev_json_extract,
+    which re-parses the string per extraction), variant parses ONCE and
+    each field access is a cheap binary probe — the right shape when a
+    100 TB event table carries many-keyed props read by several fields
+    per query. Same oracle family as the string-JSON twin, so the two
+    paths are proven value-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EV_JSON_VARIANT_ORACLE = """
+WITH t AS (
+  SELECT event_type,
+    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n_events, COUNT(k) AS n_with_k,
+  MIN(k) AS min_k, MAX(k) AS max_k, CAST(SUM(k) AS BIGINT) AS sum_k
+FROM t GROUP BY event_type ORDER BY event_type
+"""
+
+
+TAIL_QUERIES = {
+    "ev_heavy_hitters": ev_heavy_hitters,
+    "ev_json_variant": ev_json_variant,
+}
+TAIL_ORACLES = {
+    "ev_heavy_hitters": EV_HEAVY_HITTERS_ORACLE,
+    "ev_json_variant": EV_JSON_VARIANT_ORACLE,
+}

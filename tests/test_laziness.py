@@ -5,6 +5,7 @@ txt_tfidf_top_term ran docs.count() at plan-build time).
 Exclusions, by documented design:
 - st_*          streaming adapters execute the stream to completion
 - dedup_components  iterative algorithm (per-round convergence actions)
+- dedup_survivors_quality  composes dedup_components (same loop)
 """
 
 from __future__ import annotations
@@ -14,7 +15,7 @@ import pytest
 import __spark_entry__ as entrymod
 
 EXCLUDED_PREFIXES = ("st_",)
-EXCLUDED = {"dedup_components"}
+EXCLUDED = {"dedup_components", "dedup_survivors_quality"}
 
 QUERIES = entrymod.queries()
 LAZY_QUERIES = sorted(
