@@ -730,6 +730,36 @@ FROM documents GROUP BY lang ORDER BY lang
 WINNOW_WINDOW = 4
 
 
+def shingle_hashes_col(text: str | F.Column) -> F.Column:
+    """md5 60-bit hash per word-3-gram shingle. Project this to a named
+    column BEFORE passing it to winnow_fps_col — the fps expression
+    references the hash array W+1 times, and each reference would
+    otherwise duplicate (and re-evaluate) the whole md5-transform tree."""
+    return F.transform(shingles_col(text), lambda s: md5_hash60(s))
+
+
+def winnow_fps_col(h: str | F.Column, window: int = WINNOW_WINDOW) -> F.Column:
+    """Distinct winnowing fingerprints from a PROJECTED hash-array
+    column `h` (see shingle_hashes_col): sliding-window minima of
+    `window` consecutive hashes as W-1 zip_with(least) folds over
+    shifted slices. Caller should pre-filter to >= window+2 tokens so
+    the slice length stays positive (empty docs yield empty arrays via
+    greatest(...,0) regardless).
+
+    MOSS guarantee (tested in tests/test_winnowing.py): two documents
+    sharing a run of >= window+2 tokens share at least one fingerprint —
+    the full hash window inside the shared run has the same minimum in
+    both documents."""
+    h = F.col(h) if isinstance(h, str) else h
+    length = F.greatest(F.size(h) - window + 1, F.lit(0))
+    mins = F.slice(h, 1, length)
+    for j in range(1, window):
+        mins = F.zip_with(
+            mins, F.slice(h, F.lit(1 + j), length), lambda a, b: F.least(a, b)
+        )
+    return F.array_distinct(mins)
+
+
 def txt_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (the MOSS scheme): hash every word 3-gram,
     slide a window of WINNOW_WINDOW consecutive hashes, keep each
@@ -759,17 +789,8 @@ def txt_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     greatest()/empty-sequence edge cases."""
     corpus = corpus_with_dups(spark, sf_dir)
     pre = corpus.filter(F.size(tokens_col("text")) >= WINNOW_WINDOW + 2)
-    hashed = pre.select(
-        "doc_id",
-        F.transform(shingles_col("text"), lambda s: md5_hash60(s)).alias("h"),
-    )
-    length = F.expr(f"size(h) - {WINNOW_WINDOW} + 1")
-    mins = F.slice("h", 1, length)
-    for j in range(1, WINNOW_WINDOW):
-        mins = F.zip_with(
-            mins, F.slice("h", F.lit(1 + j), length), lambda a, b: F.least(a, b)
-        )
-    wins = hashed.select("doc_id", F.array_distinct(mins).alias("fps"))
+    hashed = pre.select("doc_id", shingle_hashes_col("text").alias("h"))
+    wins = hashed.select("doc_id", winnow_fps_col("h").alias("fps"))
     return (
         wins.select(
             "doc_id",
@@ -1433,6 +1454,64 @@ FROM ranked WHERE rn = 1 ORDER BY component
 """
 
 
+# --- corpus mixture weights ------------------------------------------------
+def txt_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing table for training: per-language token shares and the
+    resampling weight that would equalize the mixture (weight =
+    uniform_share / actual_share). The output IS the sampling policy a
+    trainer feeds back into txt_sample_stratified-style selection.
+
+    Scale shape: one per-stratum aggregate plus a ONE-row global total
+    broadcast — shares and weights are per-stratum arithmetic, nothing
+    document-sized moves."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("lang", F.size(tokens_col("text")).alias("n"))
+    per = t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").cast("bigint").alias("sum_tokens"),
+    )
+    tot = t.agg(
+        F.sum("n").cast("bigint").alias("total_tokens"),
+        F.countDistinct("lang").alias("n_strata"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "sum_tokens",
+            F.round(
+                F.col("sum_tokens").cast("double") / F.col("total_tokens"), 6
+            ).alias("token_share"),
+            F.round(
+                F.col("total_tokens").cast("double")
+                / (F.col("n_strata") * F.col("sum_tokens")),
+                6,
+            ).alias("resample_weight"),
+        )
+        .orderBy("lang")
+    )
+
+
+TXT_MIXTURE_WEIGHTS_ORACLE = f"""
+WITH t AS (SELECT lang, len({sql_tokens('text')}) AS n FROM documents),
+per AS (
+  SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS sum_tokens
+  FROM t GROUP BY lang
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total_tokens,
+         COUNT(DISTINCT lang) AS n_strata
+  FROM t
+)
+SELECT lang, n_docs, sum_tokens,
+  round(CAST(sum_tokens AS DOUBLE) / total_tokens, 6) AS token_share,
+  round(CAST(total_tokens AS DOUBLE) / (n_strata * sum_tokens), 6)
+    AS resample_weight
+FROM per, tot ORDER BY lang
+"""
+
+
 TAIL_QUERIES = {
     "txt_pii_redact": txt_pii_redact,
     "txt_contamination": txt_contamination,
@@ -1440,6 +1519,7 @@ TAIL_QUERIES = {
     "txt_pack_sequences": txt_pack_sequences,
     "dedup_incremental": dedup_incremental,
     "dedup_survivors_quality": dedup_survivors_quality,
+    "txt_mixture_weights": txt_mixture_weights,
 }
 
 TAIL_ORACLES = {
@@ -1449,4 +1529,5 @@ TAIL_ORACLES = {
     "txt_pack_sequences": TXT_PACK_SEQUENCES_ORACLE,
     "dedup_incremental": DEDUP_INCREMENTAL_ORACLE,
     "dedup_survivors_quality": DEDUP_SURVIVORS_ORACLE,
+    "txt_mixture_weights": TXT_MIXTURE_WEIGHTS_ORACLE,
 }
