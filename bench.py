@@ -9,8 +9,10 @@ small results is fine — none of the headline results exceed ~100k rows).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import re
 import statistics
 import sys
 import time
@@ -47,6 +49,22 @@ HEADLINE = [
 ]
 
 
+def _plan_fingerprint(df) -> str:
+    """Stable 12-hex fingerprint of the physical plan: expression ids
+    and plan ids are session counters, so they are normalized out. A
+    changed fingerprint between rounds means the PLAN changed — timing
+    regressions become attributable to plan vs box noise."""
+    s = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    s = re.sub(r"#\d+", "#", s)
+    s = re.sub(r"plan_id=\d+", "plan_id=", s)
+    s = re.sub(r"Statistics\([^)]*\)", "Statistics()", s)
+    return hashlib.md5(s.encode()).hexdigest()[:12]
+
+
 def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     os.environ["SPARK_GRAFT_CPUS"] = cpus
@@ -63,11 +81,13 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    plan_fps: dict[str, str] = {}
     total = 0.0
     for name in HEADLINE:
         if name not in queries:
             continue
         fn = queries[name]
+        plan_fps[name] = _plan_fingerprint(fn(spark, SF_DIR))
         # median-of-3: the box shows up to 3x run-to-run noise from
         # co-tenant load; the median resists a single noisy run while
         # still penalizing consistently slow plans. Spread (max-min)
@@ -98,6 +118,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spreads,
+                "plan_fp": plan_fps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

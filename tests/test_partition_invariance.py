@@ -1,0 +1,49 @@
+"""Results must not depend on the physical partitioning.
+
+This is the core 100 TB determinism claim (SCALING.md "Global session
+posture"): float aggregates reduce in DECIMAL(38,6) (order-independent)
+and hashed outputs avoid transcendentals, so the same query returns
+bit-identical rows whether it runs on 1 shuffle partition or 32 — i.e.
+on a laptop or a 1000-executor cluster. rand()-free sampling and
+md5-based hashing make the non-aggregate queries partition-stable too.
+
+spark.sql.shuffle.partitions is a runtime conf: setting it between runs
+replans subsequent queries without a new session.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+QUERIES = entrymod.queries()
+
+# Float-aggregate-heavy and sketch queries — the ones that WOULD diverge
+# under double-sum reordering or rand()-based sampling.
+INVARIANT_QUERIES = [
+    "q1_pricing_summary",
+    "ev_tumbling_hourly",
+    "txt_mixture_weights",
+    "txt_sample_stratified",
+    "txt_winnow_fingerprint",
+    "agg_salted_sum",
+    "sim_quantize_int8",
+]
+
+
+@pytest.mark.parametrize("name", INVARIANT_QUERIES)
+def test_result_identical_across_partitionings(spark, sf_dir, name):
+    conf = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(conf)
+    try:
+        spark.conf.set(conf, "1")
+        rows_1 = [tuple(r) for r in QUERIES[name](spark, sf_dir).collect()]
+        spark.conf.set(conf, "32")
+        rows_32 = [tuple(r) for r in QUERIES[name](spark, sf_dir).collect()]
+    finally:
+        spark.conf.set(conf, before)
+    assert rows_1 == rows_32, (
+        f"{name} diverges between 1 and 32 shuffle partitions — "
+        f"a partition-order-dependent reduction leaked into the output"
+    )
