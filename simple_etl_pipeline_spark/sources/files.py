@@ -49,3 +49,24 @@ def write_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType, **options
+) -> DataFrame:
+    """ORC reader (columnar sibling of parquet; native vectorized scan
+    with predicate pushdown, same as parquet). Schema-explicit for the
+    same no-footer-inference reason."""
+    return spark.read.schema(schema).options(**options).orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

@@ -46,3 +46,33 @@ def test_partitioned_parquet_prunes(spark, tmp_path):
     assert back.count() == 1
     # partition filter must prune at the source, not post-scan
     assert "PartitionFilters: [isnotnull(gender" in plan or "gender=Men" in plan
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from simple_etl_pipeline_spark.sources.files import read_orc, write_orc
+
+    df = spark.range(100).selectExpr(
+        "id", "CAST(id * 2 AS DOUBLE) AS dbl", "concat('v', id) AS s"
+    )
+    path = str(tmp_path / "orc")
+    write_orc(df, path)
+    back = read_orc(spark, path, df.schema)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+
+
+def test_orc_predicate_pushdown_in_plan(spark, tmp_path):
+    from simple_etl_pipeline_spark.sources.files import read_orc, write_orc
+
+    df = spark.range(1000).selectExpr("id", "id % 7 AS k")
+    path = str(tmp_path / "orc_pd")
+    write_orc(df, path)
+    plan = (
+        read_orc(spark, path, df.schema)
+        .filter("k = 3")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "k" in plan.split("PushedFilters")[1][:60]
