@@ -426,7 +426,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once, not three times. Spark's cache manager dedupes by
     # canonicalized plan, so repeated calls in one session reuse the
     # same entry instead of churning. At cluster scale this becomes a
-    # checkpoint of the signature stage.
+    # checkpoint of the signature stage. Lifetime note: the entry lives
+    # until clearCache()/unpersist — MEMORY_AND_DISK so it spills rather
+    # than OOMs, but a long-lived session cycling through many DISTINCT
+    # corpora should clearCache() between them (tools/scale_probe.py
+    # does; measured 3-10x slowdowns on later queries otherwise).
     from pyspark import StorageLevel
 
     sh = _shingle_sets(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)

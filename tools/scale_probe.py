@@ -1,0 +1,132 @@
+"""Scaling probe: run the dedup/sketch operators on K×-multiplied
+corpora and measure how wall time grows with input size.
+
+The multiplier crossJoins `documents` with range(K) and rewrites every
+token with a per-copy suffix, so copies are NOT near-duplicates of each
+other — the duplicate rate stays constant as the corpus grows, like a
+real corpus at 100× (naive row duplication would instead create K-sized
+near-dup families and quadratic candidate blowup, which no real corpus
+has). doc_ids shift by 10M per copy so corpus_with_dups' +1M/+2M
+injected-duplicate bands stay disjoint per copy.
+
+Prints one JSON line per (K, query) and a scaling-exponent summary:
+exponent = log(t_Kmax / t_1) / log(Kmax); ~1.0 is linear. Results are
+recorded in SCALING.md ("Measured scaling probe").
+
+Usage: python tools/scale_probe.py [K ...]   (default 1 16 64)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from simple_etl_pipeline_spark.functions.text import tokens_col
+from simple_etl_pipeline_spark.schemas import load_table
+from simple_etl_pipeline_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+PROBE_QUERIES = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "txt_winnow_fingerprint",
+    "txt_training_corpus",
+]
+
+
+def write_scaled(spark, sf_dir: str, k: int, out_dir: str) -> None:
+    docs = load_table(spark, sf_dir, "documents")
+    copies = spark.range(k).withColumnRenamed("id", "copy")
+    scaled = docs.crossJoin(copies).select(
+        (F.col("doc_id") + F.col("copy") * 10_000_000).alias("doc_id"),
+        F.array_join(
+            F.transform(
+                tokens_col("text"),
+                lambda x: F.concat(x, F.lit("_"), F.col("copy").cast("string")),
+            ),
+            " ",
+        ).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    scaled.repartition(max(1, k // 8)).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+
+
+def main() -> None:
+    ks = [int(a) for a in sys.argv[1:]] or [1, 16, 64]
+    spark = get_spark(app_name="scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+    results: dict[str, dict[int, float]] = {q: {} for q in PROBE_QUERIES}
+    base = tempfile.mkdtemp(prefix="spark_graft_scale_")
+    try:
+        # Warm-up: run every probe query once on the unscaled corpus so
+        # JVM/codegen/file-listing costs don't masquerade as data cost in
+        # the K=1 measurements.
+        warm = os.path.join(base, "warm")
+        os.makedirs(warm, exist_ok=True)
+        write_scaled(spark, SF_DIR, 1, warm)
+        for name in PROBE_QUERIES:
+            queries[name](spark, warm).count()
+        for k in ks:
+            kdir = os.path.join(base, f"k{k}")
+            os.makedirs(kdir, exist_ok=True)
+            write_scaled(spark, SF_DIR, k, kdir)
+            n_docs = spark.read.parquet(
+                os.path.join(kdir, "documents.parquet")
+            ).count()
+            for name in PROBE_QUERIES:
+                t0 = time.perf_counter()
+                n_out = queries[name](spark, kdir).count()
+                wall = time.perf_counter() - t0
+                results[name][k] = wall
+                # dedup_minhash_lsh persists its shingle stage (by design:
+                # three consumers, cache-manager-deduped across calls in a
+                # session). Across probe iterations those entries are dead
+                # weight — drop them so K=256 isn't measured under K=64's
+                # cache pressure.
+                spark.catalog.clearCache()
+                print(
+                    json.dumps(
+                        {
+                            "k": k,
+                            "n_docs": n_docs,
+                            "query": name,
+                            "wall_s": round(wall, 3),
+                            "rows_out": n_out,
+                            "docs_per_s": round(n_docs / wall),
+                        }
+                    ),
+                    flush=True,
+                )
+        kmax, kmin = max(ks), min(ks)
+        if kmax > kmin:
+            summary = {
+                name: round(
+                    math.log(results[name][kmax] / results[name][kmin])
+                    / math.log(kmax / kmin),
+                    2,
+                )
+                for name in PROBE_QUERIES
+            }
+            print(json.dumps({"scaling_exponent": summary}))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
