@@ -42,6 +42,16 @@ PROBE_QUERIES = [
     "txt_winnow_fingerprint",
     "txt_training_corpus",
 ]
+# Embedding-side probe (SPARK_GRAFT_PROBE=sim): vectors are perturbed
+# per copy (direction-dependent per-dim scaling), so LSH/sign buckets
+# don't fill with K identical vectors — candidate growth stays linear
+# like a real corpus, not quadratic like naive duplication.
+SIM_PROBE_QUERIES = [
+    "sim_knn_brute",
+    "sim_ann_lsh",
+    "dedup_embedding_cosine",
+    "sim_quantize_int8",
+]
 
 
 def write_scaled(spark, sf_dir: str, k: int, out_dir: str) -> None:
@@ -65,12 +75,38 @@ def write_scaled(spark, sf_dir: str, k: int, out_dir: str) -> None:
     )
 
 
+def write_scaled_embeddings(spark, sf_dir: str, k: int, out_dir: str) -> None:
+    emb = load_table(spark, sf_dir, "embeddings")
+    copies = spark.range(k).withColumnRenamed("id", "copy")
+    scaled = emb.crossJoin(copies).select(
+        (F.col("vec_id") + F.col("copy") * 10_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (
+                x
+                * (
+                    1.0
+                    + ((F.col("copy") * 31 + i) % 7 - F.lit(3)).cast("double")
+                    * 0.15
+                )
+            ).cast("float"),
+        ).alias("embedding"),
+        "label",
+    )
+    scaled.repartition(max(1, k // 8)).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
+
+
 def main() -> None:
+    mode = os.environ.get("SPARK_GRAFT_PROBE", "text")
+    probe = SIM_PROBE_QUERIES if mode == "sim" else PROBE_QUERIES
+    writer = write_scaled_embeddings if mode == "sim" else write_scaled
     ks = [int(a) for a in sys.argv[1:]] or [1, 16, 64]
     spark = get_spark(app_name="scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
-    results: dict[str, dict[int, float]] = {q: {} for q in PROBE_QUERIES}
+    results: dict[str, dict[int, float]] = {q: {} for q in probe}
     base = tempfile.mkdtemp(prefix="spark_graft_scale_")
     try:
         # Warm-up: run every probe query once on the unscaled corpus so
@@ -78,17 +114,19 @@ def main() -> None:
         # the K=1 measurements.
         warm = os.path.join(base, "warm")
         os.makedirs(warm, exist_ok=True)
-        write_scaled(spark, SF_DIR, 1, warm)
-        for name in PROBE_QUERIES:
+        writer(spark, SF_DIR, 1, warm)
+        for name in probe:
             queries[name](spark, warm).count()
+        spark.catalog.clearCache()
         for k in ks:
             kdir = os.path.join(base, f"k{k}")
             os.makedirs(kdir, exist_ok=True)
-            write_scaled(spark, SF_DIR, k, kdir)
+            writer(spark, SF_DIR, k, kdir)
+            table = "embeddings" if mode == "sim" else "documents"
             n_docs = spark.read.parquet(
-                os.path.join(kdir, "documents.parquet")
+                os.path.join(kdir, f"{table}.parquet")
             ).count()
-            for name in PROBE_QUERIES:
+            for name in probe:
                 t0 = time.perf_counter()
                 n_out = queries[name](spark, kdir).count()
                 wall = time.perf_counter() - t0
@@ -120,7 +158,7 @@ def main() -> None:
                     / math.log(kmax / kmin),
                     2,
                 )
-                for name in PROBE_QUERIES
+                for name in probe
             }
             print(json.dumps({"scaling_exponent": summary}))
     finally:
