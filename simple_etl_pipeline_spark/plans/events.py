@@ -433,11 +433,78 @@ FROM t GROUP BY event_type ORDER BY event_type
 """
 
 
+# --- cohort retention (TAIL: no driver-window slot) -----------------------
+def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, retention =
+    share of the cohort active again N days later. The canonical
+    engagement query every event warehouse runs daily.
+
+    Scale shape: the heavy movement is the user_id-keyed shuffle that
+    serves the first-seen min-aggregate and the distinct user-day
+    activity set (bucketing events on user_id removes it entirely,
+    operators/bucketing.py). Cohort size is NOT a second scan: every
+    user is active on their own first day, so n_active at offset 0 IS
+    the cohort size — recovered with a window over the tiny
+    (days × offsets) rollup instead of re-aggregating events and
+    joining sizes back. One pass over the fact table, total."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    activity = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    joined = activity.join(first, "user_id")
+    per_offset = joined.groupBy(
+        "cohort_day",
+        F.datediff("day", "cohort_day").cast("bigint").alias("day_offset"),
+    ).agg(F.count(F.lit(1)).alias("n_active"))
+    size_w = Window.partitionBy("cohort_day")
+    return (
+        per_offset.withColumn(
+            "cohort_size",
+            F.max(F.when(F.col("day_offset") == 0, F.col("n_active"))).over(size_w),
+        )
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+EV_RETENTION_ORACLE = """
+WITH f AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+),
+a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+j AS (
+  SELECT f.cohort_day, date_diff('day', f.cohort_day, a.day) AS day_offset
+  FROM a JOIN f USING (user_id)
+),
+c AS (SELECT cohort_day, day_offset, COUNT(*) AS n_active FROM j GROUP BY 1, 2),
+w AS (
+  SELECT *, MAX(CASE WHEN day_offset = 0 THEN n_active END)
+              OVER (PARTITION BY cohort_day) AS cohort_size
+  FROM c
+)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day, day_offset,
+  n_active, cohort_size,
+  round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
+FROM w ORDER BY 1, 2
+"""
+
+
 TAIL_QUERIES = {
     "ev_heavy_hitters": ev_heavy_hitters,
     "ev_json_variant": ev_json_variant,
+    "ev_retention_cohorts": ev_retention_cohorts,
 }
 TAIL_ORACLES = {
     "ev_heavy_hitters": EV_HEAVY_HITTERS_ORACLE,
     "ev_json_variant": EV_JSON_VARIANT_ORACLE,
+    "ev_retention_cohorts": EV_RETENTION_ORACLE,
 }
