@@ -47,3 +47,39 @@ def salted_sum_count(
         F.sum("__psum").cast("double").alias(sum_alias),
         F.sum("__pcnt").alias(count_alias),
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big side, replicate the small side.
+
+    AQE skew-join splitting handles most hot keys, but it only fires on
+    sort-merge joins over freshly shuffled exchanges — it cannot split
+    when the input is already partitioned (bucketed tables, reused
+    exchange) or when a hot key's partition exceeds what post-shuffle
+    splitting can rebalance. The classic manual remedy: each big-side
+    row gets a salt in [0, salt_buckets); the small side is replicated
+    once per bucket (an explode over a literal array — no shuffle);
+    joining on keys+salt spreads every hot key over `salt_buckets`
+    reducers. Cost: small side shuffles salt_buckets× its size — use
+    when `small` is 10-100× too big to broadcast and `big` is skewed.
+
+    Only inner/left joins from the big side are semantically safe
+    (replication would multiply unmatched small-side rows under
+    right/full outer).
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(f"salted_join supports inner/left only, got {how!r}")
+    salted_big = big.withColumn(
+        "__salt",
+        F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets)).cast("int"),
+    )
+    replicated_small = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return salted_big.join(replicated_small, [*on, "__salt"], how).drop("__salt")
