@@ -51,6 +51,28 @@ def write_parquet(
     w.parquet(path)
 
 
+def read_parquet_evolved(
+    spark: SparkSession, path: str, schema: T.StructType, **options
+) -> DataFrame:
+    """Parquet reader for tables whose schema grew over time.
+
+    A multi-year 100 TB table accretes columns: files written before a
+    column existed simply lack it. Passing the CURRENT schema explicitly
+    (superset of every historical file) makes old files surface the new
+    columns as nulls — no footer-merge job (`mergeSchema`, which reads
+    every file's footer up front) and no inference drift. This is the
+    evolution policy: additive columns only; renames/retypes are a
+    rewrite, not a read-time remap.
+
+    Sharp edge: Spark only descends into `key=value` partition
+    directories by default — a root with plain subdirectories silently
+    reads ZERO rows. Pass recursiveFileLookup=True for non-partitioned
+    nesting (it disables partition discovery, which such layouts don't
+    have anyway).
+    """
+    return spark.read.schema(schema).options(**options).parquet(path)
+
+
 def read_orc(
     spark: SparkSession, path: str, schema: T.StructType, **options
 ) -> DataFrame:

@@ -76,3 +76,52 @@ def test_orc_predicate_pushdown_in_plan(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters: [" in plan and "k" in plan.split("PushedFilters")[1][:60]
+
+
+def test_schema_evolution_additive_columns(spark, tmp_path):
+    """Old files (pre-column) + new files read under the CURRENT schema:
+    missing columns surface as nulls, no mergeSchema footer sweep."""
+    from pyspark.sql import types as T
+
+    from simple_etl_pipeline_spark.sources.files import read_parquet_evolved
+
+    path = str(tmp_path / "evolved")
+    old = spark.range(3).selectExpr("id", "CAST(id * 10 AS DOUBLE) AS v")
+    old.write.parquet(path + "/batch=old")
+    new = spark.range(3, 6).selectExpr(
+        "id", "CAST(id * 10 AS DOUBLE) AS v", "concat('tag', id) AS tag"
+    )
+    new.write.parquet(path + "/batch=new")
+
+    current = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+            T.StructField("tag", T.StringType()),
+        ]
+    )
+    back = read_parquet_evolved(spark, path, current)
+    rows = {r.id: (r.v, r.tag) for r in back.collect()}
+    assert len(rows) == 6
+    assert rows[0] == (0.0, None)      # pre-evolution file: tag is null
+    assert rows[5] == (50.0, "tag5")   # post-evolution file: tag present
+
+
+def test_schema_evolution_recursive_layout(spark, tmp_path):
+    """Non-partitioned nested layout reads 0 rows by default (Spark only
+    descends into key=value dirs) — recursiveFileLookup is the fix."""
+    from pyspark.sql import types as T
+
+    from simple_etl_pipeline_spark.sources.files import read_parquet_evolved
+
+    path = str(tmp_path / "nested")
+    spark.range(2).selectExpr("id").write.parquet(path + "/a")
+    spark.range(2, 4).selectExpr("id", "concat('t', id) AS tag").write.parquet(
+        path + "/b"
+    )
+    sch = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("tag", T.StringType())]
+    )
+    assert read_parquet_evolved(spark, path, sch).count() == 0
+    back = read_parquet_evolved(spark, path, sch, recursiveFileLookup=True)
+    assert back.count() == 4
