@@ -46,6 +46,7 @@ HEADLINE = [
     "txt_winnow_fingerprint",
     "sim_quantize_int8",
     "dedup_incremental",
+    "ev_retention_cohorts",
 ]
 
 
