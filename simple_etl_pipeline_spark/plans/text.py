@@ -1516,7 +1516,71 @@ FROM per, tot ORDER BY lang
 """
 
 
+# --- dataset card (TAIL: no driver-window slot) ---------------------------
+def txt_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus datasheet in ONE pass: per-language rows plus an overall
+    rollup row, each with doc/token/source counts and the exact-dup rate
+    (1 - distinct fingerprints / docs). This is the summary table a
+    dataset release ships ("dataset card"), and the first sanity check
+    before any 100 TB training run.
+
+    Scale shape: rollup(lang) computes lang-level and grand-total rows
+    in one aggregation; countDistinct over the md5 fingerprint expands
+    to a two-level aggregate (distinct-expand then count) — still one
+    keyed shuffle family, no second scan of the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.size(tokens_col("text")).alias("n_toks"),
+        fingerprint_col("text").alias("fp"),
+    )
+    return (
+        base.rollup("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("sum_tokens"),
+            davg("n_chars").alias("avg_chars"),
+            F.countDistinct("fp").alias("n_unique_docs"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("__all__")).alias("lang"),
+            "n_docs",
+            "sum_tokens",
+            "avg_chars",
+            "n_unique_docs",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_unique_docs").cast("double") / F.col("n_docs"),
+                6,
+            ).alias("dup_rate"),
+            "n_sources",
+        )
+        .orderBy("lang")
+    )
+
+
+TXT_DATASET_CARD_ORACLE = f"""
+WITH base AS (
+  SELECT lang, source, n_chars,
+    len({sql_tokens('text')}) AS n_toks,
+    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+)
+SELECT COALESCE(lang, '__all__') AS lang, COUNT(*) AS n_docs,
+  CAST(SUM(n_toks) AS BIGINT) AS sum_tokens,
+  {sql_davg('n_chars')} AS avg_chars,
+  COUNT(DISTINCT fp) AS n_unique_docs,
+  round(1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 6) AS dup_rate,
+  COUNT(DISTINCT source) AS n_sources
+FROM base GROUP BY ROLLUP(lang) ORDER BY lang
+"""
+
+
 TAIL_QUERIES = {
+    "txt_dataset_card": txt_dataset_card,
     "txt_pii_redact": txt_pii_redact,
     "txt_contamination": txt_contamination,
     "txt_sample_stratified": txt_sample_stratified,
@@ -1527,6 +1591,7 @@ TAIL_QUERIES = {
 }
 
 TAIL_ORACLES = {
+    "txt_dataset_card": TXT_DATASET_CARD_ORACLE,
     "txt_pii_redact": TXT_PII_REDACT_ORACLE,
     "txt_contamination": TXT_CONTAMINATION_ORACLE,
     "txt_sample_stratified": TXT_SAMPLE_STRATIFIED_ORACLE,
