@@ -458,13 +458,148 @@ ORACLES = {
     "dedup_embedding_cosine": DEDUP_EMB_COSINE_ORACLE,
 }
 
+PQ_SUBDIM = 16  # 64 dims -> 4 subspaces of 16
+
+
+def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization + asymmetric distance computation (ADC):
+    the memory-compression ANN path. Vectors are split into 4 subspaces
+    of 16 dims; each subspace has a small codebook (here: per-label
+    subspace means — a deterministic 'trained' codebook, same device as
+    sim_ivf_topk's coarse quantizer); a vector stores only its 4 codes
+    (64 floats -> 4 bytes at scale). A query keeps its EXACT subvectors
+    and precomputes a (subspace, code) -> distance table; the corpus
+    scan is then a table lookup + sum per stored code — never touching
+    the original floats.
+
+    Scale shape: the codebook and the per-query distance table are tiny
+    (subspaces × codes × queries) and broadcast; the only big movement
+    is the one keyed aggregation that assigns codes — and at 100 TB
+    codes are computed once at ingest and stored, making the ADC scan a
+    4-column parquet read. Decimal-reduced distances keep code
+    assignment and ranking engine-identical.
+    """
+    emb = _emb(spark, sf_dir)
+    dims = emb.select(
+        "vec_id", "label", F.posexplode("v").alias("pos0", "x")
+    ).select(
+        "vec_id",
+        "label",
+        F.col("pos0").alias("pos"),
+        F.floor(F.col("pos0") / PQ_SUBDIM).cast("int").alias("sub"),
+        "x",
+    )
+    codebook = dims.groupBy(
+        F.col("label").alias("code"), "sub", "pos"
+    ).agg(
+        (
+            F.sum(F.col("x").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    # code assignment: nearest subspace centroid per (vector, subspace)
+    sub_d2 = (
+        dims.join(codebook, ["sub", "pos"])
+        .groupBy("vec_id", "sub", "code")
+        .agg(
+            F.sum(
+                ((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).cast(
+                    "decimal(38,12)"
+                )
+            )
+            .cast("double")
+            .alias("d2")
+        )
+    )
+    w_code = Window.partitionBy("vec_id", "sub").orderBy(F.asc("d2"), F.asc("code"))
+    codes = (
+        sub_d2.withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", "code")
+    )
+    # per-query ADC table: exact query subvector vs every codebook entry
+    adc_table = (
+        dims.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), "sub", "pos", F.col("x").alias("qx"))
+        .join(codebook, ["sub", "pos"])
+        .groupBy("q_id", "sub", "code")
+        .agg(
+            F.sum(
+                ((F.col("qx") - F.col("c")) * (F.col("qx") - F.col("c"))).cast(
+                    "decimal(38,12)"
+                )
+            )
+            .cast("double")
+            .alias("dq")
+        )
+    )
+    approx = (
+        codes.join(F.broadcast(adc_table), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(
+            F.sum(F.col("dq").cast("decimal(38,12)")).cast("double").alias("d2")
+        )
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(F.asc("d2"), F.asc("vec_id"))
+    return (
+        approx.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "vec_id", F.round("d2", 6).alias("adc_d2"), "rn")
+        .orderBy("q_id", "rn")
+    )
+
+
+SIM_PQ_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), dims AS (
+  SELECT vec_id, label, i - 1 AS pos, (i - 1) // {PQ_SUBDIM} AS sub, v[i] AS x
+  FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+), codebook AS (
+  SELECT label AS code, sub, pos,
+    CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS c
+  FROM dims GROUP BY label, sub, pos
+), sub_d2 AS (
+  SELECT vec_id, sub, code,
+    CAST(SUM(CAST((x - c) * (x - c) AS DECIMAL(38,12))) AS DOUBLE) AS d2
+  FROM dims JOIN codebook USING (sub, pos)
+  GROUP BY vec_id, sub, code
+), codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn
+    FROM sub_d2
+  ) WHERE rn = 1
+), adc_table AS (
+  SELECT d.vec_id AS q_id, d.sub, cb.code,
+    CAST(SUM(CAST((d.x - cb.c) * (d.x - cb.c) AS DECIMAL(38,12))) AS DOUBLE) AS dq
+  FROM dims d JOIN codebook cb ON d.sub = cb.sub AND d.pos = cb.pos
+  WHERE d.vec_id < {N_QUERIES}
+  GROUP BY d.vec_id, d.sub, cb.code
+), approx AS (
+  SELECT t.q_id, codes.vec_id,
+    CAST(SUM(CAST(t.dq AS DECIMAL(38,12))) AS DOUBLE) AS d2
+  FROM codes JOIN adc_table t USING (sub, code)
+  WHERE codes.vec_id != t.q_id
+  GROUP BY t.q_id, codes.vec_id
+)
+SELECT q_id, vec_id, round(d2, 6) AS adc_d2, rn FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2 ASC, vec_id ASC) AS rn
+  FROM approx
+) WHERE rn <= 3 ORDER BY q_id, rn
+"""
+
+
 # Registered after every module's main dict (no driver-window slot):
 # derivative metric queries, fully covered by the local parity suite.
 TAIL_QUERIES = {
     "sim_ivf_recall": sim_ivf_recall,
     "sim_quantize_int8": sim_quantize_int8,
+    "sim_pq_adc": sim_pq_adc,
 }
 TAIL_ORACLES = {
     "sim_ivf_recall": SIM_IVF_RECALL_ORACLE,
     "sim_quantize_int8": SIM_QUANTIZE_ORACLE,
+    "sim_pq_adc": SIM_PQ_ORACLE,
 }
