@@ -142,3 +142,52 @@ def test_compaction_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
         .count()
     )
     assert day_files == 1
+
+
+def _files_covering(path, col, value):
+    """Count parquet files whose footer min/max range covers `value`."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    n = 0
+    for f in sorted(glob.glob(path + "/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(col)
+        lo = min(md.row_group(r).column(idx).statistics.min for r in range(md.num_row_groups))
+        hi = max(md.row_group(r).column(idx).statistics.max for r in range(md.num_row_groups))
+        if lo <= value <= hi:
+            n += 1
+    return n
+
+
+def test_zorder_balances_file_skipping(spark, tmp_path):
+    """On a 64x64 grid split into 16 files: linear sort on x serves x
+    perfectly (1 file) but y terribly (all 16); z-order serves BOTH with
+    ~4 files — the min/max footer stats actually prune on either column."""
+    from simple_etl_pipeline_spark.operators.partitioning import write_zordered
+
+    grid = spark.range(64 * 64).selectExpr("id % 64 AS x", "id DIV 64 AS y")
+
+    linear = str(tmp_path / "linear")
+    (
+        grid.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(linear)
+    )
+    zpath = str(tmp_path / "zorder")
+    write_zordered(grid, zpath, "x", "y", n_files=16)
+
+    lin_x, lin_y = _files_covering(linear, "x", 10), _files_covering(linear, "y", 10)
+    z_x, z_y = _files_covering(zpath, "x", 10), _files_covering(zpath, "y", 10)
+    assert lin_x <= 2 and lin_y == 16          # linear: one column unserved
+    assert z_x <= 6 and z_y <= 6               # z-order: both columns prune
+    assert z_x + z_y < lin_x + lin_y
+
+    # Round-trip: clustering must not change the data.
+    back = spark.read.parquet(zpath)
+    assert back.count() == 64 * 64
+    assert back.selectExpr("sum(x)", "sum(y)").first() == grid.selectExpr(
+        "sum(x)", "sum(y)"
+    ).first()
