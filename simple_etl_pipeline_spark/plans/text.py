@@ -1516,6 +1516,129 @@ FROM per, tot ORDER BY lang
 """
 
 
+# --- repetition quality rule (TAIL: no driver-window slot) ----------------
+REP_NGRAM = 2
+REP_MAX_RATIO = 0.2
+
+
+def txt_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition rule: a document whose single most
+    frequent word bigram accounts for more than REP_MAX_RATIO of all its
+    bigrams is boilerplate/spam-shaped and dropped from training data.
+
+    Scale shape: explode bigrams, two per-doc keyed aggregations
+    (doc×bigram counts, then per-doc sum/max/distinct) — the same
+    one-key shuffle family as every dedup op; short docs (no bigrams)
+    never enter the explode and are re-attached with a left join as
+    keep=true."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(shingles_col("text", REP_NGRAM)).alias("sh")
+    )
+    per = sh.groupBy("doc_id", "sh").agg(F.count(F.lit(1)).alias("c"))
+    stats = per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_ngrams"),
+        F.countDistinct("sh").alias("n_distinct"),
+        F.max("c").alias("top_count"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+            F.coalesce("top_count", F.lit(0)).alias("top_count"),
+            F.round(
+                F.coalesce(
+                    F.col("top_count").cast("double") / F.col("n_ngrams"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("rep_ratio"),
+        )
+        .withColumn("keep", F.col("rep_ratio") <= REP_MAX_RATIO)
+        .orderBy("doc_id")
+    )
+
+
+TXT_REPETITION_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(shingles) AS sh
+  FROM (SELECT doc_id, {sql_shingles(sql_tokens('text'), REP_NGRAM)} AS shingles
+        FROM documents)
+), per AS (
+  SELECT doc_id, sh, COUNT(*) AS c FROM sh GROUP BY doc_id, sh
+), stats AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_ngrams,
+    COUNT(DISTINCT sh) AS n_distinct, CAST(MAX(c) AS BIGINT) AS top_count
+  FROM per GROUP BY doc_id
+)
+SELECT d.doc_id,
+  COALESCE(n_ngrams, 0) AS n_ngrams,
+  COALESCE(n_distinct, 0) AS n_distinct,
+  COALESCE(top_count, 0) AS top_count,
+  round(COALESCE(CAST(top_count AS DOUBLE) / n_ngrams, 0.0), 6) AS rep_ratio,
+  round(COALESCE(CAST(top_count AS DOUBLE) / n_ngrams, 0.0), 6) <= {REP_MAX_RATIO}
+    AS keep
+FROM documents d LEFT JOIN stats ON d.doc_id = stats.doc_id
+ORDER BY d.doc_id
+"""
+
+
+# --- context-window chunking (TAIL: no driver-window slot) ----------------
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+def txt_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunker: split each document into
+    CHUNK_TOKENS-token windows every CHUNK_STRIDE tokens (RAG/embedding
+    prep — the step between a cleaned corpus and an embedding table).
+
+    All array expressions: one sequence of chunk starts per doc, a
+    slice+join per start, posexplode to one row per chunk. Narrow until
+    the explode, no shuffle at all, no UDF — at 100 TB this runs as a
+    map-only stage writing straight back to parquet. Chunk text is
+    emitted as md5 (value-hash-friendly); length and token counts carry
+    the verifiable structure."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(toks) - (CHUNK_TOKENS - CHUNK_STRIDE), F.lit(1)),
+        F.lit(CHUNK_STRIDE),
+    )
+    chunks = F.transform(starts, lambda s: F.slice(toks, s, CHUNK_TOKENS))
+    return (
+        docs.filter(F.size(toks) > 0)
+        .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "ctoks"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.size("ctoks").cast("bigint").alias("n_chunk_tokens"),
+            F.md5(F.array_join("ctoks", " ")).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+TXT_CHUNK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks,
+    unnest(generate_series(1, greatest(len(toks) - {CHUNK_TOKENS - CHUNK_STRIDE}, 1),
+                           {CHUNK_STRIDE})) AS start
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id, (start - 1) // {CHUNK_STRIDE} AS chunk_idx,
+  len(toks[start:start + {CHUNK_TOKENS - 1}]) AS n_chunk_tokens,
+  md5(array_to_string(toks[start:start + {CHUNK_TOKENS - 1}], ' ')) AS chunk_md5
+FROM s ORDER BY doc_id, chunk_idx
+"""
+
+
 # --- dataset card (TAIL: no driver-window slot) ---------------------------
 def txt_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus datasheet in ONE pass: per-language rows plus an overall
@@ -1581,6 +1704,8 @@ FROM base GROUP BY ROLLUP(lang) ORDER BY lang
 
 TAIL_QUERIES = {
     "txt_dataset_card": txt_dataset_card,
+    "txt_repetition_filter": txt_repetition_filter,
+    "txt_chunk_windows": txt_chunk_windows,
     "txt_pii_redact": txt_pii_redact,
     "txt_contamination": txt_contamination,
     "txt_sample_stratified": txt_sample_stratified,
@@ -1592,6 +1717,8 @@ TAIL_QUERIES = {
 
 TAIL_ORACLES = {
     "txt_dataset_card": TXT_DATASET_CARD_ORACLE,
+    "txt_repetition_filter": TXT_REPETITION_ORACLE,
+    "txt_chunk_windows": TXT_CHUNK_ORACLE,
     "txt_pii_redact": TXT_PII_REDACT_ORACLE,
     "txt_contamination": TXT_CONTAMINATION_ORACLE,
     "txt_sample_stratified": TXT_SAMPLE_STRATIFIED_ORACLE,
