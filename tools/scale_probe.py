@@ -51,6 +51,7 @@ SIM_PROBE_QUERIES = [
     "sim_ann_lsh",
     "dedup_embedding_cosine",
     "sim_quantize_int8",
+    "sim_pq_adc",
 ]
 
 
