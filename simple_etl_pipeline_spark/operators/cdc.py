@@ -1,0 +1,54 @@
+"""CDC merge: apply an insert/update/delete change batch to a snapshot.
+
+The lakehouse MERGE INTO shape without an engine extension: union the
+snapshot with the change batch and keep the newest row per key (change
+rows outrank snapshot rows on timestamp ties), dropping keys whose
+newest row is a delete. One window over one key-partitioned shuffle —
+no join, so there is no skew-sensitive build side and AQE handles hot
+keys like any aggregation.
+
+At 100 TB the snapshot is date/bucket-partitioned: prune the union's
+snapshot side to the partitions present in the change batch (semi-join
+on partition values — tiny) and rewrite only those via dynamic
+partition overwrite (operators/partitioning.overwrite_day). The merge
+itself is unchanged.
+
+No reference equivalent (the reference overwrites its whole CSV/table
+per run, utils/load.py); extension surface per SURVEY §2f.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+OP_UPSERT = "U"
+OP_DELETE = "D"
+
+
+def merge_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Return the post-merge snapshot.
+
+    ``base``: current snapshot, one row per key, NO op column.
+    ``changes``: change rows carrying ``op_col`` (OP_UPSERT/OP_DELETE)
+    and the same data columns. Newest ``ts_col`` per key wins; a change
+    row beats a base row at equal timestamp; a winning delete removes
+    the key. Applying the same batch twice is a no-op (idempotent).
+    """
+    b = base.withColumn(op_col, F.lit(OP_UPSERT)).withColumn("__src", F.lit(0))
+    c = changes.withColumn("__src", F.lit(1))
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc(ts_col), F.desc("__src")
+    )
+    return (
+        b.unionByName(c)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col(op_col) != OP_DELETE))
+        .drop("__rn", "__src", op_col)
+    )

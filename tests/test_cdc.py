@@ -1,0 +1,71 @@
+"""CDC merge semantics: latest-wins upserts, deletes, tie-breaking,
+idempotency."""
+
+from __future__ import annotations
+
+from simple_etl_pipeline_spark.operators.cdc import merge_changes
+
+
+def _snap(spark):
+    return spark.createDataFrame(
+        [(1, "alice", 10.0, 100), (2, "bob", 20.0, 100), (3, "carol", 30.0, 100)],
+        "k int, name string, v double, ts int",
+    )
+
+
+def _state(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_upsert_insert_delete(spark):
+    changes = spark.createDataFrame(
+        [
+            (2, "bob2", 25.0, 200, "U"),   # update
+            (4, "dave", 40.0, 200, "U"),   # insert
+            (3, None, None, 200, "D"),     # delete
+        ],
+        "k int, name string, v double, ts int, op string",
+    )
+    out = merge_changes(_snap(spark), changes, ["k"], "ts")
+    assert _state(out) == [
+        (1, "alice", 10.0, 100),
+        (2, "bob2", 25.0, 200),
+        (4, "dave", 40.0, 200),
+    ]
+
+
+def test_latest_change_wins_and_ties_beat_base(spark):
+    changes = spark.createDataFrame(
+        [
+            (1, "a1", 11.0, 150, "U"),
+            (1, "a2", 12.0, 300, "U"),     # newest wins
+            (2, "bob-tied", 21.0, 100, "U"),  # same ts as base: change wins
+        ],
+        "k int, name string, v double, ts int, op string",
+    )
+    out = merge_changes(_snap(spark), changes, ["k"], "ts")
+    rows = {r.k: (r.name, r.v) for r in out.collect()}
+    assert rows[1] == ("a2", 12.0)
+    assert rows[2] == ("bob-tied", 21.0)
+
+
+def test_merge_is_idempotent(spark):
+    changes = spark.createDataFrame(
+        [(2, "bob2", 25.0, 200, "U"), (3, None, None, 200, "D")],
+        "k int, name string, v double, ts int, op string",
+    )
+    once = merge_changes(_snap(spark), changes, ["k"], "ts")
+    twice = merge_changes(once, changes, ["k"], "ts")
+    assert _state(once) == _state(twice)
+
+
+def test_merge_plan_has_no_join(spark):
+    changes = spark.createDataFrame(
+        [(2, "bob2", 25.0, 200, "U")], "k int, name string, v double, ts int, op string"
+    )
+    out = merge_changes(_snap(spark), changes, ["k"], "ts")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    # Spark pushes a partial per-key top-1 below the shuffle: only each
+    # input partition's newest row per key travels, not the whole batch.
+    assert "WindowGroupLimit" in plan
