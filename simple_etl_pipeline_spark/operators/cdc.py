@@ -52,3 +52,44 @@ def merge_changes(
         .filter((F.col("__rn") == 1) & (F.col(op_col) != OP_DELETE))
         .drop("__rn", "__src", op_col)
     )
+
+
+def delete_keys(
+    spark,
+    path: str,
+    key_col: str,
+    keys: DataFrame,
+    partition_col: str = "event_date",
+) -> list:
+    """Right-to-be-forgotten: remove all rows for ``keys`` from a
+    partitioned parquet table, rewriting ONLY the partitions that
+    contain them.
+
+    Three steps: (1) find affected partition values with a semi-join —
+    the collect is partition METADATA (thousands of values at most),
+    never data; (2) anti-join those partitions' rows against the keys;
+    (3) dynamic-partition-overwrite exactly those partitions. A 100 TB
+    table with 3 affected days rewrites 3 directories; every other file
+    is untouched (asserted by mtime in tests). Returns the affected
+    partition values.
+    """
+    table = spark.read.parquet(path)
+    affected = [
+        r[0]
+        for r in table.join(F.broadcast(keys), key_col, "left_semi")
+        .select(partition_col)
+        .distinct()
+        .collect()
+    ]
+    if not affected:
+        return []
+    remaining = table.filter(F.col(partition_col).isin(affected)).join(
+        F.broadcast(keys), key_col, "left_anti"
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        remaining.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return affected

@@ -69,3 +69,42 @@ def test_merge_plan_has_no_join(spark):
     # Spark pushes a partial per-key top-1 below the shuffle: only each
     # input partition's newest row per key travels, not the whole batch.
     assert "WindowGroupLimit" in plan
+
+
+def test_delete_keys_rewrites_only_affected_partitions(spark, tmp_path):
+    """GDPR delete: target users vanish, other rows survive, and files in
+    partitions without the users keep their exact mtime (never rewritten)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from simple_etl_pipeline_spark.operators.cdc import delete_keys
+
+    path = str(tmp_path / "events")
+    df = spark.createDataFrame(
+        [(u, d, u * 100 + i) for u in range(1, 5) for i, d in enumerate(("d1", "d2"))]
+        + [(9, "d3", 999)],  # user 9 only in d3
+        "user_id int, event_date string, payload int",
+    )
+    df.write.partitionBy("event_date").parquet(path)
+    before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(path + "/event_date=d3/*.parquet")
+    }
+
+    keys = spark.createDataFrame([(2,), (3,)], "user_id int")
+    affected = delete_keys(spark, path, "user_id", keys)
+    assert sorted(affected) == ["d1", "d2"]
+
+    back = spark.read.parquet(path)
+    assert back.filter(F.col("user_id").isin(2, 3)).count() == 0
+    assert back.count() == 5  # users 1, 4 in d1+d2, user 9 in d3
+    after = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(path + "/event_date=d3/*.parquet")
+    }
+    assert before == after  # d3 never rewritten
+
+    # no matching keys -> no-op, no partitions touched
+    assert delete_keys(spark, path, "user_id", spark.createDataFrame([(77,)], "user_id int")) == []
