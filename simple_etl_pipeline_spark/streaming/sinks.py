@@ -33,3 +33,50 @@ def stream_to_csv_batches(stream: DataFrame, output_path: str) -> StreamingQuery
         .option("checkpointLocation", os.path.join(output_path, "_checkpoint"))
         .start()
     )
+
+
+def stream_upsert_snapshot(
+    stream: DataFrame,
+    snapshot_path: str,
+    key_cols: list[str],
+    ts_col: str,
+    checkpoint_path: str,
+) -> StreamingQuery:
+    """Streaming CDC: maintain a keyed parquet snapshot from a change
+    stream (op column per operators/cdc semantics).
+
+    Each micro-batch merges into the current snapshot via the join-free
+    latest-wins merge and rewrites it out-of-place (write to .next, then
+    swap) — Spark cannot overwrite a path it is lazily reading. At
+    100 TB the snapshot is partitioned and only affected partitions
+    rewrite (operators/cdc.delete_keys shows that pruning); the merge
+    logic is IDENTICAL, which is the point: batch semantics, verified
+    against the batch tests, reused under readStream unchanged.
+    """
+    import shutil
+
+    from simple_etl_pipeline_spark.operators.cdc import merge_changes
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if os.path.exists(snapshot_path):
+            base = spark.read.parquet(snapshot_path)
+            merged = merge_changes(base, batch_df, key_cols, ts_col)
+        else:
+            merged = merge_changes(
+                batch_df.filter("1=0").drop("op"), batch_df, key_cols, ts_col
+            )
+        nxt = snapshot_path + ".next"
+        merged.write.mode("overwrite").parquet(nxt)
+        if os.path.exists(snapshot_path):
+            shutil.rmtree(snapshot_path)
+        os.rename(nxt, snapshot_path)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )

@@ -116,3 +116,33 @@ def test_checkpoint_incremental_resume(spark, sf_dir, tmp_path):
     assert out.count() == n1 + n2
     # no duplicates: every event_id exactly once
     assert out.select("event_id").distinct().count() == n1 + n2
+
+
+def test_streaming_upsert_snapshot(spark, tmp_path):
+    """Change stream -> maintained keyed snapshot: upserts and deletes
+    applied with batch-identical merge semantics."""
+    from simple_etl_pipeline_spark.streaming.sinks import stream_upsert_snapshot
+
+    src = str(tmp_path / "changes")
+    spark.createDataFrame(
+        [
+            (1, "alice", 10.0, 100, "U"),
+            (2, "bob", 20.0, 100, "U"),
+            (2, "bob2", 25.0, 200, "U"),
+            (3, "carol", 30.0, 100, "U"),
+            (3, None, None, 300, "D"),
+        ],
+        "k int, name string, v double, ts int, op string",
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "k int, name string, v double, ts int, op string"
+    ).parquet(src)
+    snap = str(tmp_path / "snapshot")
+    q = stream_upsert_snapshot(
+        stream, snap, ["k"], "ts", str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    state = sorted(tuple(r) for r in spark.read.parquet(snap).collect())
+    assert state == [(1, "alice", 10.0, 100), (2, "bob2", 25.0, 200)]
