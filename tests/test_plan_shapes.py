@@ -1,0 +1,76 @@
+"""Plan-shape regression: the properties that make queries scale must
+survive refactors — pushdown reaching the scan, broadcasts where
+intended, top-k without global sort, rank-limit pushdown, no cartesian
+products. Each assert here is a claim PLANS.md/SCALING.md makes."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+QUERIES = entrymod.queries()
+
+
+def _plan(spark, sf_dir, name) -> str:
+    return QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filters_reach_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q6_revenue_filter")
+    # range predicates reach the parquet scan (list may be truncated in
+    # toString, so match the head of it)
+    assert "PushedFilters: [IsNotNull" in plan
+    assert "GreaterThanOrEqual(" in plan
+    # column pruning: only the 4 needed columns in ReadSchema
+    read = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert read.count(":") == 4, read
+
+
+def test_star_joins_broadcast_dimensions(spark, sf_dir):
+    for name in ("q3_shipping_priority", "q5_region_revenue",
+                 "join_broadcast_brand_revenue"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "orderby_limit_top_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pergroup_topk_pushes_rank_limit(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "window_topk_orders_per_customer")
+    assert "WindowGroupLimit" in plan
+
+
+def test_reference_transform_is_narrow(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ref_transform_full")
+    # the transform is filter+project only: no hash shuffle for compute;
+    # the single rangepartitioning exchange is the final presentation sort
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("Exchange") <= 1
+
+
+def test_retention_scans_are_pruned(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ev_retention_cohorts")
+    for read in plan.split("ReadSchema: ")[1:]:
+        cols = read.splitlines()[0]
+        assert cols.count(":") == 2, cols  # ts,user_id only
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q1_pricing_summary",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "txt_training_corpus",
+        "sim_ann_lsh",
+        "ev_funnel",
+    ],
+)
+def test_no_cartesian_anywhere(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, name

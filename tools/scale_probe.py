@@ -53,6 +53,17 @@ SIM_PROBE_QUERIES = [
     "sim_quantize_int8",
     "sim_pq_adc",
 ]
+# Events-side probe (SPARK_GRAFT_PROBE=ev): each copy shifts user_id and
+# event_id, so the per-user event structure (cohorts, funnels, as-of
+# pairs) is preserved while user count grows K× — outputs grow in
+# GROUPS, wall should track rows, not groups².
+EV_PROBE_QUERIES = [
+    "ev_retention_cohorts",
+    "ev_user_daily_activity",
+    "ev_heavy_hitters",
+    "ev_funnel",
+    "ev_asof_purchase_click",
+]
 
 
 def write_scaled(spark, sf_dir: str, k: int, out_dir: str) -> None:
@@ -99,10 +110,44 @@ def write_scaled_embeddings(spark, sf_dir: str, k: int, out_dir: str) -> None:
     )
 
 
+def write_scaled_events(spark, sf_dir: str, k: int, out_dir: str) -> None:
+    # Raw read (ts stays bigint nanos) so the rewritten file round-trips
+    # through load_table's explicit schema + nanos conversion unchanged.
+    from simple_etl_pipeline_spark.schemas import TABLE_SCHEMAS
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.schema(TABLE_SCHEMAS["events"]).parquet(
+        os.path.join(sf_dir, "events.parquet")
+    )
+    copies = spark.range(k).withColumnRenamed("id", "copy")
+    scaled = ev.crossJoin(copies).select(
+        (F.col("event_id") + F.col("copy") * 1_000_000_000).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("copy") * 1_000_000).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    )
+    scaled.repartition(max(1, k // 8)).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "events.parquet")
+    )
+
+
+_MODES = {
+    "text": (PROBE_QUERIES, "documents"),
+    "sim": (SIM_PROBE_QUERIES, "embeddings"),
+    "ev": (EV_PROBE_QUERIES, "events"),
+}
+
+
 def main() -> None:
     mode = os.environ.get("SPARK_GRAFT_PROBE", "text")
-    probe = SIM_PROBE_QUERIES if mode == "sim" else PROBE_QUERIES
-    writer = write_scaled_embeddings if mode == "sim" else write_scaled
+    probe = _MODES[mode][0]
+    writer = {
+        "text": write_scaled,
+        "sim": write_scaled_embeddings,
+        "ev": write_scaled_events,
+    }[mode]
     ks = [int(a) for a in sys.argv[1:]] or [1, 16, 64]
     spark = get_spark(app_name="scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -123,7 +168,7 @@ def main() -> None:
             kdir = os.path.join(base, f"k{k}")
             os.makedirs(kdir, exist_ok=True)
             writer(spark, SF_DIR, k, kdir)
-            table = "embeddings" if mode == "sim" else "documents"
+            table = _MODES[mode][1]
             n_docs = spark.read.parquet(
                 os.path.join(kdir, f"{table}.parquet")
             ).count()
