@@ -1561,5 +1561,54 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 
 
 # Registered after every module's main dict (no driver-window slot).
-TAIL_QUERIES = {"agg_approx_percentile": agg_approx_percentile}
-TAIL_ORACLES = {"agg_approx_percentile": AGG_APPROX_PERCENTILE_ORACLE}
+def window_ntile_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-value deciles: rank customers by total spend, NTILE(10),
+    then per-decile totals — the segmentation query behind every
+    marketing/LTV dashboard. Ordering is made fully deterministic
+    (spend desc, custkey asc) so the decile assignment — and therefore
+    the oracle hash — is engine-identical.
+
+    Scale shape: the per-customer aggregate shuffles on c_custkey; the
+    NTILE is a single global ordering of the already-aggregated rows
+    (customers, not orders). At 100 TB you'd range-partition that sort;
+    the decile rollup after it is 10 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        dsum("o_totalprice").alias("spend"), F.count(F.lit(1)).alias("n_orders")
+    )
+    w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    return (
+        spend.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("spend").alias("decile_spend"),
+            F.sum("n_orders").alias("n_orders"),
+        )
+        .orderBy("decile")
+    )
+
+
+WINDOW_NTILE_ORACLE = f"""
+WITH spend AS (
+  SELECT o_custkey, {sql_dsum('o_totalprice')} AS spend, COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT *, NTILE(10) OVER (ORDER BY spend DESC, o_custkey ASC) AS decile
+  FROM spend
+)
+SELECT decile, COUNT(*) AS n_customers,
+  {sql_dsum('spend')} AS decile_spend,
+  CAST(SUM(n_orders) AS BIGINT) AS n_orders
+FROM ranked GROUP BY decile ORDER BY decile
+"""
+
+
+TAIL_QUERIES = {
+    "agg_approx_percentile": agg_approx_percentile,
+    "window_ntile_customer_deciles": window_ntile_customer_deciles,
+}
+TAIL_ORACLES = {
+    "agg_approx_percentile": AGG_APPROX_PERCENTILE_ORACLE,
+    "window_ntile_customer_deciles": WINDOW_NTILE_ORACLE,
+}
