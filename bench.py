@@ -47,6 +47,8 @@ HEADLINE = [
     "sim_quantize_int8",
     "dedup_incremental",
     "ev_retention_cohorts",
+    "txt_dataset_card",
+    "txt_chunk_windows",
 ]
 
 
