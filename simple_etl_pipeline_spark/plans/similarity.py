@@ -489,13 +489,19 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("pos0") / PQ_SUBDIM).cast("int").alias("sub"),
         "x",
     )
-    codebook = dims.groupBy(
-        F.col("label").alias("code"), "sub", "pos"
-    ).agg(
-        (
-            F.sum(F.col("x").cast("decimal(38,12)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("c")
+    # Persisted: two consumers (code assignment + the per-query distance
+    # table) would otherwise each recompute the full-corpus scan behind
+    # this tiny (codes × dims) frame. Same device as dedup_minhash_lsh's
+    # shingle persist; at cluster scale the codebook is checkpointed.
+    codebook = (
+        dims.groupBy(F.col("label").alias("code"), "sub", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+        .persist()
     )
     # code assignment: nearest subspace centroid per (vector, subspace)
     sub_d2 = (
