@@ -1604,11 +1604,74 @@ FROM ranked GROUP BY decile ORDER BY decile
 """
 
 
+FUZZY_LEN_BAND = 4
+FUZZY_MAX_DIST = 2
+
+
+def join_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: near-identical part names within a brand via a
+    banded self-join + Levenshtein verify — the record-linkage shape for
+    dirty catalog data (the reference's domain is exactly such records).
+
+    Scale shape: candidate pairs come from an equi-join on
+    (brand, length-band) — never a cross join — so the verify runs on
+    bucket-bounded candidates; edit distance is computed only inside
+    buckets. The band admits distance edits that preserve length band;
+    like LSH banding, boundary-crossing pairs are the documented recall
+    trade. Distance-0 pairs are excluded (exact dedup's job)."""
+    part = load_table(spark, sf_dir, "part")
+    b = part.select(
+        "p_partkey",
+        "p_brand",
+        "p_name",
+        F.floor(F.length("p_name") / FUZZY_LEN_BAND).alias("lb"),
+    )
+    x = b.alias("x")
+    y = b.alias("y")
+    dist = F.levenshtein(F.col("x.p_name"), F.col("y.p_name"))
+    return (
+        x.join(
+            y,
+            (F.col("x.p_brand") == F.col("y.p_brand"))
+            & (F.col("x.lb") == F.col("y.lb"))
+            & (F.col("x.p_partkey") < F.col("y.p_partkey")),
+        )
+        .filter(dist.between(1, FUZZY_MAX_DIST))
+        .select(
+            F.col("x.p_brand").alias("p_brand"),
+            F.col("x.p_partkey").alias("key1"),
+            F.col("y.p_partkey").alias("key2"),
+            F.col("x.p_name").alias("name1"),
+            F.col("y.p_name").alias("name2"),
+            dist.alias("edit_dist"),
+        )
+        .orderBy("key1", "key2")
+    )
+
+
+JOIN_FUZZY_ORACLE = f"""
+WITH b AS (
+  SELECT p_partkey, p_brand, p_name,
+         length(p_name) // {FUZZY_LEN_BAND} AS lb
+  FROM part
+)
+SELECT x.p_brand, x.p_partkey AS key1, y.p_partkey AS key2,
+  x.p_name AS name1, y.p_name AS name2,
+  levenshtein(x.p_name, y.p_name) AS edit_dist
+FROM b x JOIN b y
+  ON x.p_brand = y.p_brand AND x.lb = y.lb AND x.p_partkey < y.p_partkey
+WHERE levenshtein(x.p_name, y.p_name) BETWEEN 1 AND {FUZZY_MAX_DIST}
+ORDER BY key1, key2
+"""
+
+
 TAIL_QUERIES = {
     "agg_approx_percentile": agg_approx_percentile,
     "window_ntile_customer_deciles": window_ntile_customer_deciles,
+    "join_fuzzy_part_names": join_fuzzy_part_names,
 }
 TAIL_ORACLES = {
     "agg_approx_percentile": AGG_APPROX_PERCENTILE_ORACLE,
     "window_ntile_customer_deciles": WINDOW_NTILE_ORACLE,
+    "join_fuzzy_part_names": JOIN_FUZZY_ORACLE,
 }
