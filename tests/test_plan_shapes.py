@@ -74,3 +74,11 @@ def test_retention_scans_are_pruned(spark, sf_dir):
 def test_no_cartesian_anywhere(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     assert "CartesianProduct" not in plan, name
+
+
+def test_fuzzy_join_is_equi_not_nested_loop(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_fuzzy_part_names")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # candidates come from the (brand, length-band) equality keys
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
