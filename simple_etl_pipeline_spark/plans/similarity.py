@@ -597,15 +597,189 @@ SELECT q_id, vec_id, round(d2, 6) AS adc_d2, rn FROM (
 """
 
 
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed: coarse cells prune candidates, PQ codes replace
+    the floats in the distance computation — the production ANN layout
+    (FAISS IVFPQ) where a query touches ONE cell's worth of 4-byte
+    codes instead of the whole corpus's 256-byte vectors.
+
+    The per-label per-dimension mean serves double duty: grouped over
+    all 64 dims it is the coarse quantizer (cell centroid); grouped per
+    16-dim subspace it IS the PQ codebook. One aggregation, persisted,
+    feeds both — then cell assignment (full-dim argmin), code
+    assignment (per-subspace argmin), the per-query ADC table, and a
+    candidate set restricted to the query's cell. Every join is keyed;
+    distances reduce in decimal so cells, codes, and ranking are
+    engine-identical."""
+    emb = _emb(spark, sf_dir)
+    dims = emb.select(
+        "vec_id", "label", F.posexplode("v").alias("pos0", "x")
+    ).select(
+        "vec_id",
+        "label",
+        F.col("pos0").alias("pos"),
+        F.floor(F.col("pos0") / PQ_SUBDIM).cast("int").alias("sub"),
+        "x",
+    )
+    centroids = (
+        dims.groupBy(F.col("label").alias("code"), "sub", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+        .persist()
+    )
+
+    def _argmin(d2_frame, part_cols, out_alias):
+        w = Window.partitionBy(*part_cols).orderBy(F.asc("d2"), F.asc("code"))
+        return (
+            d2_frame.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(*part_cols, F.col("code").alias(out_alias))
+        )
+
+    full_d2 = (
+        dims.join(centroids.drop("sub"), "pos")
+        .groupBy("vec_id", "code")
+        .agg(
+            F.sum(
+                ((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).cast(
+                    "decimal(38,12)"
+                )
+            )
+            .cast("double")
+            .alias("d2")
+        )
+    )
+    cells = _argmin(full_d2, ["vec_id"], "cell")
+    sub_d2 = (
+        dims.join(centroids, ["sub", "pos"])
+        .groupBy("vec_id", "sub", "code")
+        .agg(
+            F.sum(
+                ((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).cast(
+                    "decimal(38,12)"
+                )
+            )
+            .cast("double")
+            .alias("d2")
+        )
+    )
+    codes = _argmin(sub_d2, ["vec_id", "sub"], "code")
+    adc_table = (
+        dims.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), "sub", "pos", F.col("x").alias("qx"))
+        .join(centroids, ["sub", "pos"])
+        .groupBy("q_id", "sub", "code")
+        .agg(
+            F.sum(
+                ((F.col("qx") - F.col("c")) * (F.col("qx") - F.col("c"))).cast(
+                    "decimal(38,12)"
+                )
+            )
+            .cast("double")
+            .alias("dq")
+        )
+    )
+    q_cells = cells.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("cell").alias("q_cell")
+    )
+    # candidate set: same cell as the query (IVF pruning), then ADC sum
+    candidates = (
+        codes.join(cells, "vec_id")
+        .join(F.broadcast(q_cells), F.col("cell") == F.col("q_cell"))
+        .filter(F.col("vec_id") != F.col("q_id"))
+    )
+    approx = (
+        candidates.join(F.broadcast(adc_table), ["q_id", "sub", "code"])
+        .groupBy("q_id", "q_cell", "vec_id")
+        .agg(F.sum(F.col("dq").cast("decimal(38,12)")).cast("double").alias("d2"))
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(F.asc("d2"), F.asc("vec_id"))
+    return (
+        approx.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "q_id",
+            F.col("q_cell").alias("cell"),
+            "vec_id",
+            F.round("d2", 6).alias("adc_d2"),
+            "rn",
+        )
+        .orderBy("q_id", "rn")
+    )
+
+
+SIM_IVFPQ_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), dims AS (
+  SELECT vec_id, label, i - 1 AS pos, (i - 1) // {PQ_SUBDIM} AS sub, v[i] AS x
+  FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+), centroids AS (
+  SELECT label AS code, sub, pos,
+    CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS c
+  FROM dims GROUP BY label, sub, pos
+), full_d2 AS (
+  SELECT vec_id, code,
+    CAST(SUM(CAST((x - c) * (x - c) AS DECIMAL(38,12))) AS DOUBLE) AS d2
+  FROM dims JOIN centroids USING (pos)
+  GROUP BY vec_id, code
+), cells AS (
+  SELECT vec_id, code AS cell FROM (
+    SELECT vec_id, code,
+      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, code ASC) AS rn
+    FROM full_d2
+  ) WHERE rn = 1
+), sub_d2 AS (
+  SELECT vec_id, sub, code,
+    CAST(SUM(CAST((x - c) * (x - c) AS DECIMAL(38,12))) AS DOUBLE) AS d2
+  FROM dims JOIN centroids USING (sub, pos)
+  GROUP BY vec_id, sub, code
+), codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn
+    FROM sub_d2
+  ) WHERE rn = 1
+), adc_table AS (
+  SELECT d.vec_id AS q_id, d.sub, cb.code,
+    CAST(SUM(CAST((d.x - cb.c) * (d.x - cb.c) AS DECIMAL(38,12))) AS DOUBLE) AS dq
+  FROM dims d JOIN centroids cb ON d.sub = cb.sub AND d.pos = cb.pos
+  WHERE d.vec_id < {N_QUERIES}
+  GROUP BY d.vec_id, d.sub, cb.code
+), q_cells AS (
+  SELECT vec_id AS q_id, cell AS q_cell FROM cells WHERE vec_id < {N_QUERIES}
+), approx AS (
+  SELECT t.q_id, q.q_cell, codes.vec_id,
+    CAST(SUM(CAST(t.dq AS DECIMAL(38,12))) AS DOUBLE) AS d2
+  FROM codes
+  JOIN cells USING (vec_id)
+  JOIN q_cells q ON cells.cell = q.q_cell
+  JOIN adc_table t ON t.q_id = q.q_id AND t.sub = codes.sub AND t.code = codes.code
+  WHERE codes.vec_id != q.q_id
+  GROUP BY t.q_id, q.q_cell, codes.vec_id
+)
+SELECT q_id, q_cell AS cell, vec_id, round(d2, 6) AS adc_d2, rn FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2 ASC, vec_id ASC) AS rn
+  FROM approx
+) WHERE rn <= 3 ORDER BY q_id, rn
+"""
+
+
 # Registered after every module's main dict (no driver-window slot):
 # derivative metric queries, fully covered by the local parity suite.
 TAIL_QUERIES = {
     "sim_ivf_recall": sim_ivf_recall,
     "sim_quantize_int8": sim_quantize_int8,
     "sim_pq_adc": sim_pq_adc,
+    "sim_ivfpq_topk": sim_ivfpq_topk,
 }
 TAIL_ORACLES = {
     "sim_ivf_recall": SIM_IVF_RECALL_ORACLE,
     "sim_quantize_int8": SIM_QUANTIZE_ORACLE,
     "sim_pq_adc": SIM_PQ_ORACLE,
+    "sim_ivfpq_topk": SIM_IVFPQ_ORACLE,
 }
