@@ -1665,13 +1665,69 @@ ORDER BY key1, key2
 """
 
 
+def join_fuzzy_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the banded fuzzy join vs the unbanded within-brand
+    ground truth (brand buckets are small enough to verify exhaustively
+    here — the same pattern as sim_ivf_recall: the cheap exact twin
+    exists precisely to pin the approximate path's quality).
+
+    One row: ground-truth pairs, banded pairs, recall. Banded is a
+    strict subset of ground truth (banding only drops pairs), so
+    banded/full IS the recall."""
+    part = load_table(spark, sf_dir, "part")
+    b = part.select(
+        "p_partkey",
+        "p_brand",
+        "p_name",
+        F.floor(F.length("p_name") / FUZZY_LEN_BAND).alias("lb"),
+    )
+    x, y = b.alias("x"), b.alias("y")
+    dist = F.levenshtein(F.col("x.p_name"), F.col("y.p_name"))
+    full = (
+        x.join(
+            y,
+            (F.col("x.p_brand") == F.col("y.p_brand"))
+            & (F.col("x.p_partkey") < F.col("y.p_partkey")),
+        )
+        .filter(dist.between(1, FUZZY_MAX_DIST))
+        .select((F.col("x.lb") == F.col("y.lb")).cast("bigint").alias("in_band"))
+    )
+    return full.groupBy().agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        F.sum("in_band").alias("n_banded_pairs"),
+        F.round(
+            F.sum("in_band").cast("double") / F.count(F.lit(1)), 6
+        ).alias("recall"),
+    )
+
+
+JOIN_FUZZY_RECALL_ORACLE = f"""
+WITH b AS (
+  SELECT p_partkey, p_brand, p_name,
+         length(p_name) // {FUZZY_LEN_BAND} AS lb
+  FROM part
+), full_pairs AS (
+  SELECT CAST(x.lb = y.lb AS BIGINT) AS in_band
+  FROM b x JOIN b y
+    ON x.p_brand = y.p_brand AND x.p_partkey < y.p_partkey
+  WHERE levenshtein(x.p_name, y.p_name) BETWEEN 1 AND {FUZZY_MAX_DIST}
+)
+SELECT COUNT(*) AS n_true_pairs,
+  CAST(SUM(in_band) AS BIGINT) AS n_banded_pairs,
+  round(CAST(SUM(in_band) AS DOUBLE) / COUNT(*), 6) AS recall
+FROM full_pairs
+"""
+
+
 TAIL_QUERIES = {
     "agg_approx_percentile": agg_approx_percentile,
     "window_ntile_customer_deciles": window_ntile_customer_deciles,
     "join_fuzzy_part_names": join_fuzzy_part_names,
+    "join_fuzzy_recall": join_fuzzy_recall,
 }
 TAIL_ORACLES = {
     "agg_approx_percentile": AGG_APPROX_PERCENTILE_ORACLE,
     "window_ntile_customer_deciles": WINDOW_NTILE_ORACLE,
     "join_fuzzy_part_names": JOIN_FUZZY_ORACLE,
+    "join_fuzzy_recall": JOIN_FUZZY_RECALL_ORACLE,
 }
