@@ -41,6 +41,9 @@ PROBE_QUERIES = [
     "dedup_minhash_lsh",
     "txt_winnow_fingerprint",
     "txt_training_corpus",
+    "txt_repetition_filter",
+    "txt_chunk_windows",
+    "txt_dataset_card",
 ]
 # Embedding-side probe (SPARK_GRAFT_PROBE=sim): vectors are perturbed
 # per copy (direction-dependent per-dim scaling), so LSH/sign buckets
