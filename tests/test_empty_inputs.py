@@ -1,0 +1,47 @@
+"""Empty-table robustness: representative queries from every family must
+plan and execute (returning empty or a single all-zero row) on
+zero-row inputs — the day-one state of every new deployment, and the
+state of any partition-pruned read that matches nothing."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from simple_etl_pipeline_spark.schemas import TABLE_SCHEMAS, TESTDATA_TABLES
+
+QUERIES = entrymod.queries()
+
+REPRESENTATIVE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "txt_dataset_card",
+    "txt_repetition_filter",
+    "txt_chunk_windows",
+    "sim_knn_brute",
+    "sim_pq_adc",
+    "ev_retention_cohorts",
+    "ev_funnel",
+    "window_ntile_customer_deciles",
+    "join_fuzzy_part_names",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, tmp_path_factory) -> str:
+    d = tmp_path_factory.mktemp("empty_sf")
+    for t in TESTDATA_TABLES:
+        schema = TABLE_SCHEMAS[t]
+        spark.createDataFrame([], schema).write.mode("overwrite").parquet(
+            str(d / f"{t}.parquet")
+        )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_query_survives_empty_tables(spark, empty_sf_dir, name):
+    df = QUERIES[name](spark, empty_sf_dir)
+    rows = df.collect()  # must execute without error
+    assert len(rows) <= 1  # empty, or one global-aggregate row
