@@ -1,0 +1,78 @@
+"""Adversarial-content oracle parity: edge-case documents (empty,
+whitespace-only, unicode, spam repetition, null, very long) flow
+through the SAME Spark-vs-DuckDB comparison as the driver's gate.
+Divergences love to hide in degenerate text (regex whitespace classes,
+empty-array semantics, null propagation) — this pins them."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import __spark_entry__ as entrymod
+from simple_etl_pipeline_spark.testing import compare_with_oracle
+from simple_etl_pipeline_spark.schemas import TESTDATA_TABLES
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+EDGE_DOCS = [
+    # (doc_id, text, lang, source)
+    (1, "", "en", "s1"),                                  # empty
+    (2, "   \t\n  ", "en", "s1"),                         # whitespace-only
+    (3, "single", "en", "s2"),                            # one token
+    (4, "spam " * 200, "en", "s2"),                       # extreme repetition
+    (5, "中文 文本 处理 测试 中文 文本", "zh", "s3"),          # CJK tokens
+    (6, "héllo wörld héllo wörld naïve café", "fr", "s3"),  # accents
+    (7, "a b " * 500 + "unique tail tokens here", "en", "s4"),  # long doc
+    (8, None, "en", "s4"),                                # null text
+    (9, "the the the the the a a a a a", "en", "s5"),     # stopword soup
+    (10, "x", "de", "s5"),                                # minimal
+]
+
+ADVERSARIAL_QUERIES = [
+    "txt_token_stats",
+    "txt_doc_features",
+    "dedup_exact",
+    "txt_repetition_filter",
+    "txt_chunk_windows",
+    "txt_dataset_card",
+    "txt_fingerprint",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_sf_dir(spark, sf_dir, tmp_path_factory) -> str:
+    """A testdata layout whose documents table is the edge corpus; all
+    other tables symlink to the real sf fixtures (both engines follow
+    symlinks)."""
+    d = tmp_path_factory.mktemp("edge_sf")
+    # single parquet FILE (like the driver's testdata — DuckDB's
+    # read_parquet targets a file, not a Spark-style directory)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "doc_id": pa.array([i for i, *_ in EDGE_DOCS], pa.int64()),
+            "text": pa.array([t for _, t, *_ in EDGE_DOCS], pa.string()),
+            "lang": pa.array([lg for *_, lg, _ in EDGE_DOCS], pa.string()),
+            "source": pa.array([s for *_, s in EDGE_DOCS], pa.string()),
+            "n_chars": pa.array(
+                [len(t) if t is not None else None for _, t, *_ in EDGE_DOCS],
+                pa.int64(),
+            ),
+        }
+    )
+    pq.write_table(table, str(d / "documents.parquet"))
+    for t in TESTDATA_TABLES:
+        if t != "documents":
+            os.symlink(f"{sf_dir}/{t}.parquet", str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", ADVERSARIAL_QUERIES)
+def test_edge_corpus_oracle_parity(spark, edge_sf_dir, name):
+    df = QUERIES[name](spark, edge_sf_dir)
+    compare_with_oracle(df, ORACLES[name], edge_sf_dir)
