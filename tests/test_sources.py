@@ -72,3 +72,36 @@ def test_ingest_html_files(spark, tmp_path):
     assert df.schema.fieldNames() == [
         "title", "price", "rating", "colors", "size", "gender", "timestamp",
     ]
+
+
+def test_jdbc_reader_config(spark):
+    import pytest as _pytest
+
+    import simple_etl_pipeline_spark.sinks as sinks
+    from simple_etl_pipeline_spark.sources.jdbc import (
+        build_jdbc_reader,
+        jdbc_reader_options,
+    )
+
+    params = {"host": "h", "database": "d", "user": "u", "password": "p"}
+    with _pytest.raises(sinks.LoadError, match="missing connection params"):
+        jdbc_reader_options("t", {"host": "h"})
+    with _pytest.raises(sinks.LoadError, match="lower_bound"):
+        jdbc_reader_options("t", params, partition_column="id")
+
+    opts = jdbc_reader_options(
+        "events", params,
+        partition_column="event_id", lower_bound=0, upper_bound=1_000_000,
+        num_partitions=16,
+    )
+    assert opts["url"] == "jdbc:postgresql://h:5432/d"
+    assert opts["dbtable"] == "public.events"
+    assert opts["partitionColumn"] == "event_id"
+    assert (opts["lowerBound"], opts["upperBound"]) == ("0", "1000000")
+    assert opts["numPartitions"] == "16"
+
+    r = build_jdbc_reader(
+        spark, "events", params,
+        partition_column="event_id", lower_bound=0, upper_bound=1_000_000,
+    )
+    assert hasattr(r, "load")
