@@ -123,3 +123,51 @@ ORACLES = {
     "mm_frame_sample": MM_FRAME_SAMPLE_ORACLE,
     "mm_resize": MM_RESIZE_ORACLE,
 }
+
+
+# --- blob-level dedup (TAIL: no driver-window slot) -----------------------
+def mm_dedup_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup of binary payloads by content hash, BEFORE any decode:
+    at 100 TB of media the cheapest flop is the one skipped on a
+    byte-identical copy (re-crawled images, mirrored videos). One
+    groupBy on md5(blob) per mime type; survivors = min doc_id —
+    identical shape to the text-side dedup_exact, applied to binary."""
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = with_blob_column(docs)
+    per_hash = blobs.groupBy("mime", F.md5("blob").alias("h")).agg(
+        F.count(F.lit(1)).alias("copies"), F.min("doc_id").alias("survivor")
+    )
+    return (
+        per_hash.groupBy("mime")
+        .agg(
+            F.sum("copies").alias("n_blobs"),
+            F.count(F.lit(1)).alias("n_unique"),
+            F.sum(F.col("copies") - 1).alias("n_dropped"),
+            F.round(
+                F.sum(F.col("copies") - 1).cast("double") / F.sum("copies"), 6
+            ).alias("dup_rate"),
+        )
+        .orderBy("mime")
+    )
+
+
+MM_DEDUP_BLOBS_ORACLE = """
+WITH b AS (
+  SELECT doc_id,
+    (['image/png', 'audio/wav', 'video/mp4'])[(doc_id % 3) + 1] AS mime,
+    md5(text) AS h
+  FROM documents
+), per_hash AS (
+  SELECT mime, h, COUNT(*) AS copies, MIN(doc_id) AS survivor
+  FROM b GROUP BY mime, h
+)
+SELECT mime, CAST(SUM(copies) AS BIGINT) AS n_blobs,
+  COUNT(*) AS n_unique,
+  CAST(SUM(copies - 1) AS BIGINT) AS n_dropped,
+  round(CAST(SUM(copies - 1) AS DOUBLE) / SUM(copies), 6) AS dup_rate
+FROM per_hash GROUP BY mime ORDER BY mime
+"""
+
+
+TAIL_QUERIES = {"mm_dedup_blobs": mm_dedup_blobs}
+TAIL_ORACLES = {"mm_dedup_blobs": MM_DEDUP_BLOBS_ORACLE}
