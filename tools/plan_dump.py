@@ -1,0 +1,78 @@
+"""Dump a machine-readable plan inventory for every queries() entry.
+
+For each query: a stable fingerprint of the physical plan (node names
+only — ids and paths stripped, same normalization as bench.py) plus
+counts of the scale-relevant node types. Written to PLANS_ALL.json;
+diff it across rounds to catch plan regressions (a new shuffle, a lost
+broadcast, a cartesian product) before they cost wall-clock at scale.
+
+Usage: python tools/plan_dump.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from simple_etl_pipeline_spark.session import get_spark
+
+NODES = [
+    "Exchange hashpartitioning",
+    "Exchange rangepartitioning",
+    "BroadcastExchange",
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
+    "HashAggregate",
+    "Window",
+    "WindowGroupLimit",
+    "TakeOrderedAndProject",
+    "FileScan parquet",
+    "InMemoryTableScan",
+    "ArrowEvalPython",
+    "MapInPandas",
+]
+
+
+def fingerprint(plan: str) -> str:
+    normalized = re.sub(r"#\d+L?|plan_id=\d+|file:[^\],\s]+", "", plan)
+    names = "\n".join(
+        re.sub(r"\(\d+\)", "", ln).strip().lstrip("+-:* ")
+        for ln in normalized.splitlines()
+        if ln.strip()
+    )
+    return hashlib.md5(names.encode()).hexdigest()[:12]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="plan_dump")
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict[str, dict] = {}
+    for name, fn in entrymod.queries().items():
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+            out[name] = {
+                "fp": fingerprint(plan),
+                "nodes": {n: plan.count(n) for n in NODES if plan.count(n)},
+            }
+        except Exception as ex:  # streaming entries have no batch plan
+            out[name] = {"err": str(ex)[:80]}
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "PLANS_ALL.json"), "w") as f:
+        json.dump({"sf_dir": sf_dir, "plans": out}, f, indent=1, sort_keys=True)
+    bad = [n for n, v in out.items() if v.get("nodes", {}).get("CartesianProduct")]
+    print(json.dumps({"queries": len(out), "cartesian_products": bad}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
