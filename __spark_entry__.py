@@ -46,31 +46,88 @@ def _all_modules():
 
 
 # Registration order matters: the driver's correctness gate checks a
-# prefix window of queries() in registration order (round 1 it covered
-# exactly the first 50). The names below are pinned to the front so
-# every north-star operator (text / dedup / similarity / multimodal /
-# streaming / events) plus the entries that most need a fresh driver
-# row (q12 after its oracle CAST fix, agg_approx_distinct after gaining
-# an oracle, q1 flagship) are guaranteed hard correctness rows; the
-# relational long tail follows and is covered by the local parity suite
-# at sf0.001 and sf0.01 (tests/test_oracle_parity.py).
-_PRIORITY = [
+# prefix window of queries() in registration order (rounds 1 and 2 each
+# covered exactly the first 50). _WINDOW pins those 50 slots explicitly.
+#
+# Round-3 composition (per VERDICT r2 items 2+3): the 29 queries that
+# had never received a driver correctness row in rounds 1-2 come first
+# (the production ANN layouts sim_ivfpq_topk/sim_pq_adc leading), then
+# st_session_windows (newly oracle-backed via the watermark sentinel),
+# then 20 canaries — one per family, green in both prior rounds, biased
+# toward code that changed this round (dedup_components pointer-doubling,
+# sim_quantize_int8 zero-scale fix rides in the never-checked block).
+# Union of r1-r3 driver rows then covers 111 of 112 queries; the one
+# remaining rows-only entry (dedup_minhash_ml, Spark-internal hash
+# seeds) is TAIL-registered and occupies no slot.
+_WINDOW = [
+    # -- never driver-checked in r1/r2 (29) --------------------------------
+    "sim_ivfpq_topk",
+    "sim_pq_adc",
+    "sim_quantize_int8",
+    "sim_ivf_recall",
+    "join_fuzzy_part_names",
+    "join_fuzzy_recall",
+    "txt_pii_redact",
+    "txt_contamination",
+    "txt_sample_stratified",
+    "txt_pack_sequences",
+    "txt_mixture_weights",
+    "txt_dataset_card",
+    "txt_repetition_filter",
+    "txt_chunk_windows",
+    "dedup_incremental",
+    "dedup_survivors_quality",
+    "mm_dedup_blobs",
+    "ev_heavy_hitters",
+    "ev_json_variant",
+    "ev_retention_cohorts",
+    "agg_approx_percentile",
+    "window_ntile_customer_deciles",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q16_supplier_cardinality",
+    "q17_small_qty_revenue",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
+    # -- newly oracle-backed this round ------------------------------------
+    "st_session_windows",
+    # -- canaries: green in r1+r2, one per family (20) ---------------------
+    "q1_pricing_summary",
     "q12_shipmode_priority",
     "agg_approx_distinct",
-    "q1_pricing_summary",
+    "ref_clean_price",
+    "ref_transform_full",
+    "txt_token_stats",
+    "txt_tfidf_top_term",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "dedup_components",
+    "sim_knn_brute",
+    "sim_ann_lsh",
+    "sim_ivf_topk",
+    "dedup_embedding_cosine",
+    "mm_blob_features",
+    "st_user_totals_stateful",
+    "ev_asof_purchase_click",
+    "ev_session_windows",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    tails: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in _all_modules():
         merged.update(mod.QUERIES)
-    out = {n: merged[n] for n in _PRIORITY if n in merged}
+        tails.update(getattr(mod, "TAIL_QUERIES", {}))
+    lookup = {**merged, **tails}
+    out = {n: lookup[n] for n in _WINDOW if n in lookup}
+    # Remaining main-module queries (all driver-green in r1/r2), then the
+    # remaining tail entries (derivative metrics / rows-only sketches).
     out.update(merged)
-    # TAIL_QUERIES: derivative/metric queries registered after every
-    # module's main dict so they never consume a driver-window slot.
-    for mod in _all_modules():
-        out.update(getattr(mod, "TAIL_QUERIES", {}))
+    out.update(tails)
     return out
 
 

@@ -1,6 +1,17 @@
 """Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
-JSON line {"metric", "value", "unit", "queries", "sf"}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (round-3 fix — the round-2 single giant line overflowed
+the driver's tail capture and recorded parsed:null):
+  stdout, second-to-last line : full detail JSON (queries/spread/plan_fp)
+  stdout, LAST line           : SHORT headline JSON
+                                {"metric","value","unit","queries","sf"}
+  BENCH_DETAIL.json           : same detail JSON, written next to this file
+
+The final line carries the per-query map too but rounded to 2dp with no
+spread/plan_fp so it stays well under tail-capture size (~1 KB for 25
+queries); the detail line/file keeps the 3dp timings, spreads and plan
+fingerprints for round-over-round attribution.
 
 Each query is fully executed via a count-style action over the final
 result (write.noop would skip the orderBy/limit semantics; collect on
@@ -49,6 +60,10 @@ HEADLINE = [
     "ev_retention_cohorts",
     "txt_dataset_card",
     "txt_chunk_windows",
+    # round 3: the two most expensive operators in the repo, previously
+    # absent from the headline so their perf trend was invisible.
+    "sim_ivfpq_topk",
+    "dedup_components",
 ]
 
 
@@ -113,16 +128,31 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail = {
+        "metric": "headline_queries_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "spread": spreads,
+        "plan_fp": plan_fps,
+        "sf": sf_val,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps(detail))
+    # LAST line = the one the driver parses: keep it short.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
-                "spread": spreads,
-                "plan_fp": plan_fps,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries": {k: round(v, 2) for k, v in timings.items()},
+                "sf": sf_val,
             }
         )
     )

@@ -65,14 +65,42 @@ def delete_keys(
     partitioned parquet table, rewriting ONLY the partitions that
     contain them.
 
-    Three steps: (1) find affected partition values with a semi-join —
+    Four steps: (1) find affected partition values with a semi-join —
     the collect is partition METADATA (thousands of values at most),
     never data; (2) anti-join those partitions' rows against the keys;
-    (3) dynamic-partition-overwrite exactly those partitions. A 100 TB
-    table with 3 affected days rewrites 3 directories; every other file
-    is untouched (asserted by mtime in tests). Returns the affected
-    partition values.
+    (3) write the survivors OUT-OF-PLACE to a staging directory — the
+    lazy read of ``path`` fully materializes before anything under
+    ``path`` is touched, so a mid-job failure leaves the table intact
+    (an in-place dynamic overwrite would be reading the same files its
+    commit deletes); (4) swap each affected partition directory in via
+    rename (dir -> .old, staging -> dir, drop .old), mirroring
+    stream_upsert_snapshot's .next+rename commit. A 100 TB table with 3
+    affected days rewrites 3 directories; every other file is untouched
+    (asserted by mtime in tests). Returns the affected partition values.
+
+    Single-writer, local-FS commit (os.rename) — same contract as
+    stream_upsert_snapshot; on HDFS/object stores the swap maps onto the
+    store's rename/commit API. A crash mid-swap leaves a ``.old`` dir
+    next to a missing partition; the recovery pass at function start
+    restores it before doing new work.
     """
+    import os
+    import shutil
+
+    staging = path.rstrip("/") + ".staging-delete"
+    # Recover from a previous crash: restore any partition whose swap
+    # half-finished (dir gone, .old still there), then clear stale runs.
+    if os.path.isdir(path):
+        for name in os.listdir(path):
+            if name.endswith(".old"):
+                orig = os.path.join(path, name[: -len(".old")])
+                old = os.path.join(path, name)
+                if os.path.exists(orig):
+                    shutil.rmtree(old)
+                else:
+                    os.rename(old, orig)
+    shutil.rmtree(staging, ignore_errors=True)
+
     table = spark.read.parquet(path)
     affected = [
         r[0]
@@ -86,10 +114,18 @@ def delete_keys(
     remaining = table.filter(F.col(partition_col).isin(affected)).join(
         F.broadcast(keys), key_col, "left_anti"
     )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        remaining.write.mode("overwrite").partitionBy(partition_col).parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    remaining.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+    for v in affected:
+        sub = f"{partition_col}={v}"
+        src = os.path.join(staging, sub)
+        dst = os.path.join(path, sub)
+        old = dst + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(dst, old)
+        if os.path.isdir(src):
+            os.rename(src, dst)
+        # else: every row of this partition was deleted — dir stays gone
+        shutil.rmtree(old)
+    shutil.rmtree(staging, ignore_errors=True)
     return affected

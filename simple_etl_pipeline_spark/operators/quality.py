@@ -29,7 +29,17 @@ def not_null(col: str) -> tuple[str, Column]:
 
 
 def unique(col: str) -> tuple[str, Column]:
-    return f"{col}_unique", F.count(col) - F.countDistinct(col)
+    """Violations = rows beyond one per distinct value, NULLs included:
+    F.count(col)/countDistinct both skip NULLs, so a key column that is
+    half NULL would otherwise sail through the uniqueness check. Count
+    all rows, and let all-NULL-but-one count as duplicates too (NULL
+    keys are duplicate keys in practice; pair with not_null to report
+    them separately)."""
+    # coalesce before least: on empty input SUM is NULL and Spark's
+    # least() SKIPS nulls (least(NULL,1)=1), which would yield -1.
+    n_nulls = F.coalesce(F.sum(F.col(col).isNull().cast("bigint")), F.lit(0))
+    distinct_incl_null = F.countDistinct(col) + F.least(n_nulls, F.lit(1))
+    return f"{col}_unique", F.count(F.lit(1)) - distinct_incl_null
 
 
 def in_range(col: str, lo, hi) -> tuple[str, Column]:

@@ -33,18 +33,42 @@ def list_versions(table_path: str) -> list[int]:
         return sorted(json.load(f)["versions"])
 
 
+def _existing_version_dirs(table_path: str) -> list[int]:
+    """v=N directories on disk, committed or not (orphan detection)."""
+    if not os.path.isdir(table_path):
+        return []
+    out = []
+    for name in os.listdir(table_path):
+        if name.startswith("v=") and name[2:].isdigit():
+            out.append(int(name[2:]))
+    return sorted(out)
+
+
 def write_version(df: DataFrame, table_path: str) -> int:
     """Write ``df`` as the next immutable version; returns its number.
 
     The data lands fully under ``v=N/`` BEFORE the manifest names it, so
-    a reader never resolves a half-written version (the manifest write
-    is the commit point, same discipline as a lakehouse transaction
-    log's atomic append)."""
+    a reader never resolves a half-written version. Crash-safety of the
+    commit point itself:
+
+    - the manifest is written to a temp file and os.rename'd into place
+      (atomic on POSIX), so a concurrent reader never observes
+      empty/partial JSON from an in-place truncate;
+    - the next version number is max(manifest versions, v=* dirs on
+      disk) + 1, so a crash after the parquet write but before the
+      manifest rename leaves an orphan directory that is simply skipped
+      — it never collides with (and permanently wedges) the next write.
+      Orphans are invisible to readers (not in the manifest) and can be
+      garbage-collected at leisure."""
     versions = list_versions(table_path)
-    n = (versions[-1] + 1) if versions else 1
+    on_disk = _existing_version_dirs(table_path)
+    n = max(versions + on_disk, default=0) + 1
     df.write.mode("errorifexists").parquet(os.path.join(table_path, f"v={n}"))
-    with open(_manifest_path(table_path), "w") as f:
+    mf = _manifest_path(table_path)
+    tmp = mf + ".tmp"
+    with open(tmp, "w") as f:
         json.dump({"versions": versions + [n], "latest": n}, f)
+    os.rename(tmp, mf)
     return n
 
 

@@ -404,10 +404,16 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sort_array(F.collect_list(F.struct("pos", "mx"))), lambda x: x.mx
         ).alias("scales")
     )
+    # A dimension whose max|v| is 0 quantizes to 0 explicitly: without
+    # the coalesce the NULL from v/NULLIF(0,0) propagates through
+    # F.aggregate into q_sum, while the DuckDB oracle's SUM skips NULLs
+    # — an engine-parity break on that (degenerate) edge.
     q = F.zip_with(
         "v",
         "scales",
-        lambda v, s: F.floor(v / F.nullif(s, F.lit(0.0)) * 127).cast("bigint"),
+        lambda v, s: F.coalesce(
+            F.floor(v / F.nullif(s, F.lit(0.0)) * 127), F.lit(0)
+        ).cast("bigint"),
     )
     return (
         emb.crossJoin(F.broadcast(scales))
@@ -433,7 +439,8 @@ WITH e AS (
 ),
 d AS (SELECT pos, MAX(abs(v)) AS mx FROM e GROUP BY pos),
 q AS (
-  SELECT vec_id, CAST(floor(v / NULLIF(mx, 0) * 127) AS BIGINT) AS q
+  SELECT vec_id,
+         CAST(COALESCE(floor(v / NULLIF(mx, 0) * 127), 0) AS BIGINT) AS q
   FROM e JOIN d USING (pos)
 )
 SELECT vec_id, COUNT(*) AS n_dims, MIN(q) AS q_min, MAX(q) AS q_max,

@@ -834,58 +834,96 @@ FROM wins WHERE len(fps) > 0 ORDER BY doc_id
 
 
 # --- near-dup clustering: connected components ----------------------------
-CC_MAX_ITERS = 10
+# With the pointer-doubling shortcut the label-to-min distance roughly
+# doubles per round, so 16 rounds cover components of diameter ~2^15 --
+# far past anything a near-dup graph produces (test_components_long_chain
+# drives a 300-link chain through in <=10 rounds).
+CC_MAX_ITERS = 16
 
 
-def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clusters: connected components over the exact-Jaccard
-    pair graph, by hash-min label propagation — each vertex's label
-    converges to the minimum doc_id in its component, giving a
-    deterministic cluster id (and survivor: the doc equal to its
-    component id).
+def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:
+    """Connected components by hash-min label propagation with a
+    pointer-doubling shortcut: (doc_id, component=min doc_id reachable).
 
-    Each round is one keyed shuffle (join + groupBy on vertex id);
-    lineage is truncated per round with localCheckpoint so round N does
-    not replay rounds 1..N-1. Near-dup clusters are shallow (pairs all
-    share a source doc), so rounds ~ graph diameter ~ 2-3; at 100 TB
-    scale the same loop with large-star/small-star contraction bounds
-    rounds at O(log n). The per-round convergence count is the iterative
-    algorithm's stopping rule (driver control flow), not a data-path
-    collect."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.unionByName(
-            pairs.select(
-                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-            )
-        )
-        .toDF("src", "dst")
-        .localCheckpoint()  # materialized once; feeds every round
-    )
+    Each round does (1) propagate -- every vertex takes the min label
+    among its neighbors, one keyed shuffle -- then (2) shortcut -- every
+    vertex jumps to its *label's* label (labels self-join), the
+    large-star contraction step. Propagation alone needs rounds equal to
+    the component diameter (a pathological chain at 100 TB means that
+    many full shuffles); the shortcut roughly doubles the distance a
+    label has travelled each round, bounding rounds at O(log diameter).
+
+    Lineage is truncated per round with localCheckpoint so round N does
+    not replay rounds 1..N-1. The per-round convergence count is the
+    iterative algorithm's stopping rule (driver control flow), not a
+    data-path collect. Raises instead of returning silently-unconverged
+    labels if max_iters is hit.
+
+    `edges` must be symmetric (both (a,b) and (b,a) present) with
+    columns (src, dst).
+    """
+    edges = edges.toDF("src", "dst").localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("component", F.col("doc_id"))
     )
-    for _ in range(CC_MAX_ITERS):
+    for _ in range(max_iters):
         neigh_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
             .agg(F.min("component").alias("neigh_min"))
             .withColumnRenamed("src", "doc_id")
         )
-        updated = labels.join(neigh_min, "doc_id", "left").select(
+        prop = labels.join(neigh_min, "doc_id", "left").select(
             "doc_id",
+            F.col("component").alias("old_component"),
             F.least(
                 F.col("component"), F.coalesce("neigh_min", "component")
             ).alias("component"),
-            (F.col("neigh_min") < F.col("component")).alias("_changed"),
+        )
+        # Shortcut: component <- label(component). Labels always point at
+        # an existing vertex id (mins over doc_ids), so the join hits.
+        ptr = prop.select(
+            F.col("doc_id").alias("c_id"), F.col("component").alias("c_comp")
+        )
+        updated = (
+            prop.join(ptr, prop.component == ptr.c_id, "left")
+            .select(
+                "doc_id",
+                "old_component",
+                F.least(
+                    F.col("component"), F.coalesce("c_comp", "component")
+                ).alias("component"),
+            )
+            .select(
+                "doc_id",
+                "component",
+                (F.col("component") < F.col("old_component")).alias("_changed"),
+            )
         )
         updated = updated.localCheckpoint()
         n_changed = updated.filter(F.col("_changed")).count()
         labels = updated.drop("_changed")
         if n_changed == 0:
-            break
+            return labels
+    raise RuntimeError(
+        f"connected_components: no convergence in {max_iters} rounds -- "
+        "component diameter exceeds the doubling bound; raise max_iters"
+    )
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the exact-Jaccard
+    pair graph -- each vertex's label converges to the minimum doc_id in
+    its component, giving a deterministic cluster id (and survivor: the
+    doc equal to its component id). See connected_components for the
+    O(log diameter) round bound."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = connected_components(edges)
     sizes = labels.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
@@ -894,7 +932,6 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "component", "cluster_size")
         .orderBy("doc_id")
     )
-
 
 DEDUP_COMPONENTS_ORACLE = f"""
 WITH RECURSIVE {_JACCARD_PAIRS_CTES},
@@ -990,7 +1027,8 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
-    "dedup_minhash_ml": dedup_minhash_ml,
+    # dedup_minhash_ml: rows-only by design (Spark-internal hash seeds) —
+    # registered in TAIL_QUERIES so it never occupies a hard-check slot.
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_components": dedup_components,
@@ -1703,6 +1741,7 @@ FROM base GROUP BY ROLLUP(lang) ORDER BY lang
 
 
 TAIL_QUERIES = {
+    "dedup_minhash_ml": dedup_minhash_ml,
     "txt_dataset_card": txt_dataset_card,
     "txt_repetition_filter": txt_repetition_filter,
     "txt_chunk_windows": txt_chunk_windows,

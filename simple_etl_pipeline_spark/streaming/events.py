@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from simple_etl_pipeline_spark.functions.agg import dsum, epoch_seconds
+from simple_etl_pipeline_spark.plans.events import EV_SESSION_ORACLE
 
 # Parquet stores ts as TIMESTAMP(NANOS); with nanosAsLong (session.py)
 # the stream schema must declare it long, converted right after.
@@ -141,11 +142,76 @@ FROM expanded GROUP BY window_start
 """
 
 
+# Sentinel timestamp: 2100-01-01 UTC, far past any testdata event. One
+# sentinel row at this time advances the watermark beyond every real
+# session close, so append mode flushes ALL real sessions and the query
+# becomes oracle-checkable (it shares EV_SESSION_ORACLE).
+_SENTINEL_EPOCH = 4102444800
+
+
 def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Append-mode sessions: sessions still open at end-of-stream are
-    withheld by the watermark -> rows-only check by design."""
-    stream = read_events_stream(spark, sf_dir)
-    return _run_to_memory(session_windows_stream(stream), "append")
+    """Append-mode sessions, oracle-checkable via a watermark sentinel.
+
+    Why a sentinel: in append mode the watermark (max event time - 30 min)
+    ends up 30 min short of the final sessions' close, so they are
+    withheld and the output is a strict subset of the batch twin (round-2
+    recorded 9536 vs 9549 rows — rows-only check). Staging the events
+    file next to a single sentinel event at 2100-01-01 pushes the
+    watermark past every real session close; the availableNow no-data
+    batch then evicts them all, and the result equals
+    plans/events.ev_session_windows exactly (the sentinel's own user is
+    filtered out; its session is also withheld by its own watermark).
+
+    Both files land in ONE micro-batch (no maxFilesPerTrigger here), so
+    file processing order cannot drop the real events as late data.
+
+    Pushdown trap (measured): filtering user_id >= 0 on the *stream*
+    result gets pushed through the groupBy down to the parquet scan,
+    which removes the sentinel row before the watermark operator sees it
+    — the watermark then never advances past the real data. The filter
+    must be applied to the materialized memory-sink table instead; the
+    sentinel's own session is withheld by its own watermark regardless
+    (its close = sentinel + gap, watermark = sentinel - delay).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    staging = tempfile.mkdtemp(prefix="st_session_sentinel_")
+    try:
+        shutil.copy2(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(staging, "events.parquet"),
+        )
+        sentinel = pa.table(
+            {
+                "event_id": pa.array([-1], pa.int64()),
+                # Plain INT64 nanos: with nanosAsLong the real file's
+                # TIMESTAMP(NANOS) column also surfaces as long, so the
+                # declared LongType schema reads both files.
+                "ts": pa.array([_SENTINEL_EPOCH * 10**9], pa.int64()),
+                "user_id": pa.array([-1], pa.int64()),
+                "event_type": pa.array(["sentinel"], pa.string()),
+                "value": pa.array([0.0], pa.float64()),
+                "props": pa.array([None], pa.string()),
+            }
+        )
+        pq.write_table(sentinel, os.path.join(staging, "zz_sentinel.parquet"))
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(staging)
+        )
+        stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        sunk = _run_to_memory(session_windows_stream(stream), "append")
+        return sunk.filter(F.col("user_id") >= 0)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 def st_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -236,7 +302,9 @@ QUERIES = {
 ORACLES = {
     "st_tumbling_hourly": ST_TUMBLING_ORACLE,
     "st_sliding_windows": ST_SLIDING_ORACLE,
-    # st_session_windows: append-mode watermark withholding -> rows-only
+    # Watermark-sentinel flush makes append-mode sessions equal the batch
+    # twin, so it shares the batch sessionization oracle.
+    "st_session_windows": EV_SESSION_ORACLE,
     "st_dedup_events": ST_DEDUP_ORACLE,
     "st_stream_stream_join": ST_STREAM_JOIN_ORACLE,
 }

@@ -108,3 +108,53 @@ def test_delete_keys_rewrites_only_affected_partitions(spark, tmp_path):
 
     # no matching keys -> no-op, no partitions touched
     assert delete_keys(spark, path, "user_id", spark.createDataFrame([(77,)], "user_id int")) == []
+
+
+def test_delete_keys_out_of_place_and_full_partition(spark, tmp_path):
+    """The rewrite stages out-of-place (no .staging-delete/.old debris
+    after commit), and a partition whose every row is deleted disappears
+    entirely."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from simple_etl_pipeline_spark.operators.cdc import delete_keys
+
+    path = str(tmp_path / "events")
+    spark.createDataFrame(
+        [(1, "d1", 10), (2, "d1", 20), (2, "d2", 21)],
+        "user_id int, event_date string, payload int",
+    ).write.partitionBy("event_date").parquet(path)
+
+    affected = delete_keys(
+        spark, path, "user_id", spark.createDataFrame([(2,)], "user_id int")
+    )
+    assert sorted(affected) == ["d1", "d2"]
+    back = spark.read.parquet(path)
+    assert [(r.user_id, r.event_date) for r in back.collect()] == [(1, "d1")]
+    # d2 lost its only row -> directory gone; no staging/old leftovers
+    assert not os.path.exists(path + "/event_date=d2")
+    assert not os.path.exists(path + ".staging-delete")
+    assert not any(n.endswith(".old") for n in os.listdir(path))
+
+
+def test_delete_keys_recovers_half_finished_swap(spark, tmp_path):
+    """A crash between dir->old and staging->dir leaves partition.old with
+    no partition; the next call restores it before doing new work."""
+    import os
+
+    from simple_etl_pipeline_spark.operators.cdc import delete_keys
+
+    path = str(tmp_path / "events")
+    spark.createDataFrame(
+        [(1, "d1", 10), (2, "d2", 20)],
+        "user_id int, event_date string, payload int",
+    ).write.partitionBy("event_date").parquet(path)
+    os.rename(path + "/event_date=d1", path + "/event_date=d1.old")
+
+    affected = delete_keys(
+        spark, path, "user_id", spark.createDataFrame([(2,)], "user_id int")
+    )
+    assert affected == ["d2"]
+    back = spark.read.parquet(path)
+    assert [(r.user_id, r.event_date) for r in back.collect()] == [(1, "d1")]

@@ -49,10 +49,26 @@ def test_constraints_count_violations(spark):
     rows = {r.check: r.n_violations for r in out.collect()}
     assert rows == {
         "k_not_null": 1,
-        "k_unique": 1,  # two rows share k=1 (nulls don't count into count(col))
+        "k_unique": 1,  # two rows share k=1; the single NULL adds none
         "v_in_range": 1,
         "tag_in_set": 1,
     }
+
+
+def test_unique_counts_null_duplicates(spark):
+    # count(col)/countDistinct skip NULLs, so many NULL key rows used to
+    # pass unique(); they are duplicate keys in practice.
+    df = spark.createDataFrame(
+        [(None,), (None,), (None,), (7,)], "k int"
+    )
+    rows = {r.check: r.n_violations for r in check_constraints(df, [unique("k")]).collect()}
+    assert rows == {"k_unique": 2}  # 4 rows, distinct {7, NULL-as-one}
+
+
+def test_unique_on_empty_input_is_zero(spark):
+    df = spark.createDataFrame([], "k int")
+    rows = {r.check: r.n_violations for r in check_constraints(df, [unique("k")]).collect()}
+    assert rows == {"k_unique": 0}
 
 
 def test_constraints_single_scan(spark, sf_dir):

@@ -52,12 +52,16 @@ def test_foreachbatch_csv_sink(spark, sf_dir, tmp_path):
     assert total == load_table(spark, sf_dir, "events").count()
 
 
-def test_streaming_sessions_run(spark, sf_dir):
+def test_streaming_sessions_equal_batch(spark, sf_dir):
+    """The watermark sentinel flushes ALL real sessions, so append-mode
+    output now equals the batch twin exactly (this used to be a weaker
+    subset check when final sessions were withheld)."""
+    from simple_etl_pipeline_spark.plans.events import ev_session_windows
+
     out = st_session_windows(spark, sf_dir)
-    # append mode withholds sessions not yet past the watermark; emitted
-    # ones must be plausible sessions
-    rows = out.collect()
-    assert all(r.session_end >= r.session_start for r in rows)
+    batch = ev_session_windows(spark, sf_dir)
+    assert out.exceptAll(batch).count() == 0
+    assert batch.exceptAll(out).count() == 0
 
 
 def test_checkpoint_incremental_resume(spark, sf_dir, tmp_path):
@@ -146,3 +150,43 @@ def test_streaming_upsert_snapshot(spark, tmp_path):
 
     state = sorted(tuple(r) for r in spark.read.parquet(snap).collect())
     assert state == [(1, "alice", 10.0, 100), (2, "bob2", 25.0, 200)]
+
+
+def test_streaming_upsert_recovers_dangling_swap(spark, tmp_path):
+    """Crash window simulation: snapshot moved aside to .old, .next
+    written, process died before .next->snapshot. On the next run the
+    sink must restore .old (not rebuild from one batch alone) and then
+    apply the new batch — no previously merged keys lost."""
+    import os
+
+    from simple_etl_pipeline_spark.streaming.sinks import stream_upsert_snapshot
+
+    schema = "k int, name string, v double, ts int, op string"
+    src = str(tmp_path / "changes")
+    spark.createDataFrame([(1, "alice", 10.0, 100, "U")], schema).write.parquet(src)
+    snap = str(tmp_path / "snapshot")
+    q = stream_upsert_snapshot(
+        spark.readStream.schema(schema).parquet(src),
+        snap, ["k"], "ts", str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    # simulate the crash mid-swap
+    os.rename(snap, snap + ".old")
+    spark.createDataFrame(
+        [(99, "junk", 0.0, 1)], "k int, name string, v double, ts int"
+    ).write.parquet(snap + ".next")
+
+    spark.createDataFrame([(2, "bob", 20.0, 200, "U")], schema).write.mode(
+        "append"
+    ).parquet(src)
+    q = stream_upsert_snapshot(
+        spark.readStream.schema(schema).parquet(src),
+        snap, ["k"], "ts", str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    state = sorted(tuple(r) for r in spark.read.parquet(snap).collect())
+    assert state == [(1, "alice", 10.0, 100), (2, "bob", 20.0, 200)]
+    assert not os.path.exists(snap + ".old")
+    assert not os.path.exists(snap + ".next")

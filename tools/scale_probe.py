@@ -44,6 +44,10 @@ PROBE_QUERIES = [
     "txt_repetition_filter",
     "txt_chunk_windows",
     "txt_dataset_card",
+    # iterative connected components: rounds must stay ~constant as the
+    # corpus grows (near-dup clusters keep their diameter), so wall
+    # should track the per-round shuffle size, i.e. ~linear.
+    "dedup_components",
 ]
 # Embedding-side probe (SPARK_GRAFT_PROBE=sim): vectors are perturbed
 # per copy (direction-dependent per-dim scaling), so LSH/sign buckets
@@ -66,6 +70,18 @@ EV_PROBE_QUERIES = [
     "ev_heavy_hitters",
     "ev_funnel",
     "ev_asof_purchase_click",
+]
+# Relational probe (SPARK_GRAFT_PROBE=rel): the banded fuzzy self-join.
+# Each copy gets its own brand namespace (brand#copy), so cross-copy
+# rows never meet in the (brand, length-band) equi-join — candidate
+# structure per copy is identical and total work should grow ~linearly,
+# the way a K× bigger catalog with K× more brands behaves. Naive
+# partkey-shifted copies sharing brands would instead make every
+# band bucket K× deeper -> quadratic candidates, which no real catalog
+# growth produces.
+REL_PROBE_QUERIES = [
+    "join_fuzzy_part_names",
+    "join_fuzzy_recall",
 ]
 
 
@@ -136,10 +152,29 @@ def write_scaled_events(spark, sf_dir: str, k: int, out_dir: str) -> None:
     )
 
 
+def write_scaled_part(spark, sf_dir: str, k: int, out_dir: str) -> None:
+    part = load_table(spark, sf_dir, "part")
+    copies = spark.range(k).withColumnRenamed("id", "copy")
+    scaled = part.crossJoin(copies).select(
+        (F.col("p_partkey") + F.col("copy") * 10_000_000).alias("p_partkey"),
+        "p_name",
+        F.concat("p_brand", F.lit("#"), F.col("copy").cast("string")).alias(
+            "p_brand"
+        ),
+        "p_type",
+        "p_size",
+        "p_retailprice",
+    )
+    scaled.repartition(max(1, k // 8)).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "part.parquet")
+    )
+
+
 _MODES = {
     "text": (PROBE_QUERIES, "documents"),
     "sim": (SIM_PROBE_QUERIES, "embeddings"),
     "ev": (EV_PROBE_QUERIES, "events"),
+    "rel": (REL_PROBE_QUERIES, "part"),
 }
 
 
@@ -150,6 +185,7 @@ def main() -> None:
         "text": write_scaled,
         "sim": write_scaled_embeddings,
         "ev": write_scaled_events,
+        "rel": write_scaled_part,
     }[mode]
     ks = [int(a) for a in sys.argv[1:]] or [1, 16, 64]
     spark = get_spark(app_name="scale_probe")
