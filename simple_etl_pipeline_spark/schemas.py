@@ -65,9 +65,9 @@ def _st(*fields: tuple[str, T.DataType]) -> T.StructType:
 # reader skips parquet footer/schema inference entirely — at 100 TB that
 # inference is a per-query driver job over file metadata; with a declared
 # schema, building a plan submits ZERO jobs (enforced by
-# tests/test_laziness.py). events.ts is declared long because the file
-# stores TIMESTAMP(NANOS) and the session reads nanos as long
-# (see load_table below).
+# tests/test_laziness.py). events.ts is TIMESTAMP(MICROS) in current
+# testdata generations; older TIMESTAMP(NANOS) files take a fallback
+# read path (see load_table below).
 TABLE_SCHEMAS: dict[str, T.StructType] = {
     "region": _st(("r_regionkey", T.IntegerType()), ("r_name", T.StringType())),
     "nation": _st(
@@ -119,7 +119,7 @@ TABLE_SCHEMAS: dict[str, T.StructType] = {
     ),
     "events": _st(
         ("event_id", T.LongType()),
-        ("ts", T.LongType()),
+        ("ts", T.TimestampType()),
         ("user_id", T.LongType()),
         ("event_type", T.StringType()),
         ("value", T.DoubleType()),
@@ -142,6 +142,24 @@ TABLE_SCHEMAS: dict[str, T.StructType] = {
 # Small dimensions that should always be broadcast in joins.
 BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
 
+# Per-sf_dir cache of the events.ts physical unit. A single driver-side
+# footer read (pyarrow, no Spark job) — testdata generations have flipped
+# between TIMESTAMP(NANOS) and TIMESTAMP(MICROS), and misreading the unit
+# silently shifts every epoch by 1000x.
+_EVENTS_TS_NANOS_CACHE: dict[str, bool] = {}
+
+
+def _events_ts_is_nanos(sf_dir: str) -> bool:
+    cached = _EVENTS_TS_NANOS_CACHE.get(sf_dir)
+    if cached is None:
+        import pyarrow.dataset as ds
+
+        # dataset() resolves both single-file and Spark directory layouts.
+        schema = ds.dataset(f"{sf_dir}/events.parquet", format="parquet").schema
+        cached = getattr(schema.field("ts").type, "unit", None) == "ns"
+        _EVENTS_TS_NANOS_CACHE[sf_dir] = cached
+    return cached
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata parquet table.
@@ -156,19 +174,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # UTC. Runtime-settable, so harness-provided sessions built without
     # our factory (session.py sets it too) get the same alignment.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if name == "events":
-        # events.parquet uses TIMESTAMP(NANOS), which Spark's reader
-        # rejects by default. Runtime-settable, so harness-provided
-        # sessions (built without our factory) work too.
+    if name == "events" and _events_ts_is_nanos(sf_dir):
+        # Older testdata generations store events.ts as TIMESTAMP(NANOS),
+        # which Spark's reader rejects by default: read it as bigint nanos
+        # and convert to microsecond timestamps (truncation, consistent
+        # with DuckDB's epoch() floor). Newer generations use plain
+        # TIMESTAMP(MICROS) which reads directly via TABLE_SCHEMAS.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = _st(
+            ("event_id", T.LongType()),
+            ("ts", T.LongType()),
+            ("user_id", T.LongType()),
+            ("event_type", T.StringType()),
+            ("value", T.DoubleType()),
+            ("props", T.StringType()),
+        )
+        df = spark.read.schema(schema).parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     # Explicit schema: no footer-inference job at plan-build time.
-    df = spark.read.schema(TABLE_SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
-    # events.ts is TIMESTAMP(NANOS) in parquet; with nanosAsLong (see
-    # session.py) it surfaces as bigint nanos — convert to microsecond
-    # timestamps (truncation, consistent with DuckDB's epoch() floor).
-    if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return spark.read.schema(TABLE_SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -23,32 +23,50 @@ from pyspark.sql import types as T
 from simple_etl_pipeline_spark.functions.agg import dsum, epoch_seconds
 from simple_etl_pipeline_spark.plans.events import EV_SESSION_ORACLE
 
-# Parquet stores ts as TIMESTAMP(NANOS); with nanosAsLong (session.py)
-# the stream schema must declare it long, converted right after.
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+# Current testdata stores ts as TIMESTAMP(MICROS), read directly. Older
+# generations used TIMESTAMP(NANOS), which needs nanosAsLong + a long
+# schema converted right after (see _stream_events).
+EVENTS_RAW_SCHEMA = _events_raw_schema(T.TimestampType())
+
+
+def _stream_events(
+    spark: SparkSession, directory: str, unit_dir: str, glob: str, **options
+) -> DataFrame:
+    """File-stream reader over events parquet, robust to the ts physical
+    unit of the testdata generation (micros now, nanos historically).
+    unit_dir is the sf_dir whose events.parquet determines the unit —
+    sentinel staging dirs copy that file, so they share its unit."""
+    from simple_etl_pipeline_spark.schemas import _events_ts_is_nanos
+
+    reader = spark.readStream.option("pathGlobFilter", glob)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if _events_ts_is_nanos(unit_dir):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = reader.schema(_events_raw_schema(T.LongType())).parquet(directory)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return reader.schema(EVENTS_RAW_SCHEMA).parquet(directory)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # File-stream sources take a directory; pathGlobFilter selects the
-    # events file out of the shared testdata dir. nanosAsLong set here
-    # too so harness-provided sessions work (see schemas.load_table).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    # events file out of the shared testdata dir.
+    return _stream_events(
+        spark, sf_dir, sf_dir, "events.parquet", maxFilesPerTrigger=1
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def tumbling_hourly_stream(stream: DataFrame) -> DataFrame:
@@ -186,13 +204,19 @@ def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(sf_dir, "events.parquet"),
             os.path.join(staging, "events.parquet"),
         )
+        from simple_etl_pipeline_spark.schemas import _events_ts_is_nanos
+
+        # The sentinel file's ts unit must match the copied real file so
+        # one declared stream schema reads both (nanos surfaces as long
+        # under nanosAsLong; micros reads as a plain timestamp).
+        if _events_ts_is_nanos(sf_dir):
+            ts_arr = pa.array([_SENTINEL_EPOCH * 10**9], pa.int64())
+        else:
+            ts_arr = pa.array([_SENTINEL_EPOCH * 10**6], pa.timestamp("us"))
         sentinel = pa.table(
             {
                 "event_id": pa.array([-1], pa.int64()),
-                # Plain INT64 nanos: with nanosAsLong the real file's
-                # TIMESTAMP(NANOS) column also surfaces as long, so the
-                # declared LongType schema reads both files.
-                "ts": pa.array([_SENTINEL_EPOCH * 10**9], pa.int64()),
+                "ts": ts_arr,
                 "user_id": pa.array([-1], pa.int64()),
                 "event_type": pa.array(["sentinel"], pa.string()),
                 "value": pa.array([0.0], pa.float64()),
@@ -201,13 +225,7 @@ def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         pq.write_table(sentinel, os.path.join(staging, "zz_sentinel.parquet"))
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = (
-            spark.readStream.schema(EVENTS_RAW_SCHEMA)
-            .option("pathGlobFilter", "*.parquet")
-            .parquet(staging)
-        )
-        stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        stream = _stream_events(spark, staging, sf_dir, "*.parquet")
         sunk = _run_to_memory(session_windows_stream(stream), "append")
         return sunk.filter(F.col("user_id") >= 0)
     finally:

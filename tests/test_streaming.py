@@ -82,8 +82,9 @@ def test_checkpoint_incremental_resume(spark, sf_dir, tmp_path):
     ckpt = tmp_path / "ckpt"
     src.mkdir()
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from simple_etl_pipeline_spark.schemas import load_table
+
+    events = load_table(spark, sf_dir, "events")
     half1 = events.filter(F.col("event_id") % 2 == 0)
     half2 = events.filter(F.col("event_id") % 2 == 1)
     n1, n2 = half1.count(), half2.count()
@@ -95,11 +96,9 @@ def test_checkpoint_incremental_resume(spark, sf_dir, tmp_path):
         shutil.copy(part, src / f"{name}.parquet")
 
     def _run_once():
-        stream = (
-            spark.readStream.schema(EVENTS_RAW_SCHEMA)
-            .parquet(str(src))
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
+        # Staged files are Spark-written (ts is TIMESTAMP_MICROS), so the
+        # declared timestamp schema reads them directly.
+        stream = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(str(src))
         q = (
             stream.writeStream.format("parquet")
             .option("path", str(sink))

@@ -130,14 +130,12 @@ def write_scaled_embeddings(spark, sf_dir: str, k: int, out_dir: str) -> None:
 
 
 def write_scaled_events(spark, sf_dir: str, k: int, out_dir: str) -> None:
-    # Raw read (ts stays bigint nanos) so the rewritten file round-trips
-    # through load_table's explicit schema + nanos conversion unchanged.
-    from simple_etl_pipeline_spark.schemas import TABLE_SCHEMAS
+    # load_table normalizes ts to a micros timestamp regardless of the
+    # source generation's unit; the rewrite lands as TIMESTAMP_MICROS,
+    # which load_table on out_dir reads directly.
+    from simple_etl_pipeline_spark.schemas import load_table
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.schema(TABLE_SCHEMAS["events"]).parquet(
-        os.path.join(sf_dir, "events.parquet")
-    )
+    ev = load_table(spark, sf_dir, "events")
     copies = spark.range(k).withColumnRenamed("id", "copy")
     scaled = ev.crossJoin(copies).select(
         (F.col("event_id") + F.col("copy") * 1_000_000_000).alias("event_id"),
