@@ -498,13 +498,84 @@ FROM w ORDER BY 1, 2
 """
 
 
+ZSCORE_THRESHOLD = 3.0
+
+
+def ev_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type anomaly detection: z-score every event's value against
+    its type's mean/stddev, report outlier counts (|z| > 3) per type —
+    the standing data-quality monitor on an event firehose.
+
+    Determinism across engines: both moments come from decimal sums
+    (order-independent), and variance is computed from the SAME
+    algebraic expression ((ss - n*m*m)/(n-1)) in both engines rather
+    than each engine's native STDDEV (Welford vs naive accumulate in
+    different orders would differ in the last float bits and flip
+    borderline |z|>3 rows). Two passes over a 5-row broadcast stats
+    side: one shuffle to build stats, map-only scoring after.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("value").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("ss"),
+    )
+    stats = stats.withColumn(
+        "sd",
+        F.sqrt(
+            (F.col("ss") - F.col("n") * F.col("m") * F.col("m"))
+            / (F.col("n") - 1)
+        ),
+    )
+    scored = ev.join(F.broadcast(stats), "event_type").withColumn(
+        "z", (F.col("value") - F.col("m")) / F.col("sd")
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.abs("z") > ZSCORE_THRESHOLD).cast("bigint")).alias(
+                "n_outliers"
+            ),
+            F.round(F.max(F.abs("z")), 6).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EV_ZSCORE_ORACLE = f"""
+WITH stats AS (
+  SELECT event_type, COUNT(*) AS n,
+    CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m,
+    CAST(SUM(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS ss
+  FROM events GROUP BY event_type
+), st AS (
+  SELECT *, sqrt((ss - n * m * m) / (n - 1)) AS sd FROM stats
+), scored AS (
+  SELECT e.event_type, (e.value - st.m) / st.sd AS z
+  FROM events e JOIN st USING (event_type)
+)
+SELECT event_type, COUNT(*) AS n_events,
+  CAST(SUM(CAST(abs(z) > {ZSCORE_THRESHOLD} AS BIGINT)) AS BIGINT) AS n_outliers,
+  round(MAX(abs(z)), 6) AS max_abs_z
+FROM scored GROUP BY event_type ORDER BY event_type
+"""
+
+
 TAIL_QUERIES = {
     "ev_heavy_hitters": ev_heavy_hitters,
     "ev_json_variant": ev_json_variant,
     "ev_retention_cohorts": ev_retention_cohorts,
+    "ev_zscore_outliers": ev_zscore_outliers,
 }
 TAIL_ORACLES = {
     "ev_heavy_hitters": EV_HEAVY_HITTERS_ORACLE,
     "ev_json_variant": EV_JSON_VARIANT_ORACLE,
     "ev_retention_cohorts": EV_RETENTION_ORACLE,
+    "ev_zscore_outliers": EV_ZSCORE_ORACLE,
 }

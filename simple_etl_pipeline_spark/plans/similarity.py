@@ -778,15 +778,249 @@ SELECT q_id, q_cell AS cell, vec_id, round(d2, 6) AS adc_d2, rn FROM (
 
 # Registered after every module's main dict (no driver-window slot):
 # derivative metric queries, fully covered by the local parity suite.
+# --- SemDeDup-style semantic dedup ----------------------------------------
+# Cluster-then-prune (Abbas et al. 2023, "SemDeDup"): assign every vector
+# to its nearest centroid, compare pairs only WITHIN a cluster, and keep
+# one representative of each semantic duplicate group. Differs from
+# dedup_embedding_cosine (sign-bit buckets) in the candidate structure:
+# K centroid cells instead of 2^bits hash buckets — the layout SemDeDup
+# uses because cluster cells track semantic density, not raw sign
+# patterns. Assignment here is by COSINE to the centroid (not L2), so
+# scale-invariant duplicates provably land in the same cell.
+SEMDEDUP_THRESHOLD = 0.99
+
+
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup over a corpus with injected scaled copies
+    (vec_id%7 -> x0.5, cosine-invariant): per-label centroids (decimal
+    per-dimension means), cosine argmax assignment, within-cell pair
+    scan at >= SEMDEDUP_THRESHOLD, survivor = lowest vec_id of each
+    duplicate group.
+
+    Scale shape: centroid build is one keyed aggregation; assignment is
+    a broadcast of K centroids against a linear corpus scan; the pair
+    scan is cell-keyed (never corpus-wide all-pairs) and in production
+    K grows with corpus size to bound cell width. All reductions are
+    decimal-summed, so cells — and therefore results — are
+    engine-identical (argmax ties cannot flip between engines).
+    """
+    emb = _emb(spark, sf_dir).select("vec_id", "v", "label")
+    dups = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.transform("v", lambda x: x * 0.5).alias("v"),
+        "label",
+    )
+    corpus = emb.unionByName(dups)
+    dims = corpus.select("vec_id", "label", F.posexplode("v").alias("pos", "x"))
+    centroids = dims.groupBy(F.col("label").alias("c_label"), "pos").agg(
+        (
+            F.sum(F.col("x").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    # cosine(vec, centroid), every reduction in decimal: dot and both
+    # squared norms are order-independent, the final double arithmetic
+    # is the same IEEE expression in DuckDB.
+    cos_parts = (
+        dims.join(centroids, "pos")
+        .groupBy("vec_id", "c_label")
+        .agg(
+            F.sum((F.col("x") * F.col("c")).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("dot"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("nv"),
+            F.sum((F.col("c") * F.col("c")).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("nc"),
+        )
+        .select(
+            "vec_id",
+            "c_label",
+            (F.col("dot") / (F.sqrt("nv") * F.sqrt("nc"))).alias("ccos"),
+        )
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("ccos"), F.asc("c_label")
+    )
+    cells = (
+        cos_parts.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("c_label").alias("cell"))
+    )
+    assigned = corpus.join(cells, "vec_id").select("vec_id", "v", "cell")
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dominated = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(
+            F.round(cosine_col(F.col("a.v"), F.col("b.v")), 6)
+            >= SEMDEDUP_THRESHOLD
+        )
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dominated.withColumn("dom", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce(~F.col("dom"), F.lit(True)).alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+DEDUP_SEMDEDUP_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+), corpus AS (
+  SELECT vec_id, v, label FROM base
+  UNION ALL
+  SELECT vec_id + 200000, list_transform(v, x -> x * 0.5), label
+  FROM base WHERE vec_id % 7 = 0
+), dims AS (
+  SELECT vec_id, label, i AS pos, v[i] AS x
+  FROM corpus CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+), centroids AS (
+  SELECT label AS c_label, pos,
+    CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS c
+  FROM dims GROUP BY label, pos
+), cos_parts AS (
+  SELECT vec_id, c_label,
+    CAST(SUM(CAST(x * c AS DECIMAL(38,12))) AS DOUBLE)
+      / (sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE))
+         * sqrt(CAST(SUM(CAST(c * c AS DECIMAL(38,12))) AS DOUBLE))) AS ccos
+  FROM dims JOIN centroids USING (pos)
+  GROUP BY vec_id, c_label
+), cells AS (
+  SELECT vec_id, c_label AS cell FROM (
+    SELECT vec_id, c_label,
+      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_label ASC) AS rn
+    FROM cos_parts
+  ) WHERE rn = 1
+), assigned AS (
+  SELECT corpus.vec_id, corpus.v, cells.cell
+  FROM corpus JOIN cells ON corpus.vec_id = cells.vec_id
+), dominated AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {SEMDEDUP_THRESHOLD}
+)
+SELECT vec_id, cell, vec_id NOT IN (SELECT vec_id FROM dominated) AS keep
+FROM assigned ORDER BY vec_id
+"""
+
+
+# --- Matryoshka (MRL) truncation recall ------------------------------------
+MRL_DIMS = 16
+
+
+def sim_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-embedding retrieval quality (Matryoshka Representation
+    Learning, Kusupati et al. 2022): search with only the first
+    MRL_DIMS of 64 dimensions (renormalized implicitly by cosine) and
+    measure recall@3 against the full-dimension exact top-3.
+
+    The production question this answers: how much retrieval quality
+    does a 4x cheaper index (16 of 64 dims -> 4x less memory bandwidth,
+    4x smaller ANN index) give up? On random synthetic embeddings the
+    truncated prefix carries ~1/4 of the signal, so recall is
+    intrinsically low — the metric exists to measure exactly that.
+    Same composed-lazy shape as sim_ivf_recall: both arms are broadcast
+    query panels against a linear scan, never all-pairs.
+    """
+    brute3 = (
+        sim_knn_brute(spark, sf_dir)
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "vec_id")
+    )
+    emb16 = _emb(spark, sf_dir).select(
+        "vec_id", F.slice("v", 1, MRL_DIMS).alias("v16")
+    )
+    q16 = emb16.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v16").alias("qv16")
+    )
+    sims16 = (
+        emb16.crossJoin(F.broadcast(q16))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(cosine_col(F.col("qv16"), F.col("v16")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    mrl3 = (
+        sims16.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", F.col("vec_id").alias("mrl_vec_id"))
+    )
+    # per-query best truncated similarity: varies per query, so the
+    # value-hash checks real numeric work even when recall is 0 on the
+    # random testdata (see docstring).
+    top_sim = sims16.groupBy("q_id").agg(F.max("sim").alias("mrl_top1_sim"))
+    return (
+        brute3.join(
+            mrl3,
+            (brute3.q_id == mrl3.q_id) & (brute3.vec_id == mrl3.mrl_vec_id),
+            "left",
+        )
+        .groupBy(brute3.q_id.alias("q_id"))
+        .agg(
+            F.count("mrl_vec_id").alias("mrl_hits"),
+            (F.count("mrl_vec_id").cast("double") / 3.0).alias("mrl_recall_at_3"),
+        )
+        .join(top_sim, "q_id")
+        .select("q_id", "mrl_hits", "mrl_recall_at_3", "mrl_top1_sim")
+        .orderBy("q_id")
+    )
+
+
+SIM_MRL_RECALL_ORACLE = f"""
+WITH brute AS ({SIM_KNN_ORACLE}),
+e16 AS (
+  SELECT vec_id, (CAST(embedding AS DOUBLE[]))[1:{MRL_DIMS}] AS v16
+  FROM embeddings
+), q16 AS (
+  SELECT vec_id AS q_id, v16 AS qv16 FROM e16 WHERE vec_id < {N_QUERIES}
+), sims16 AS (
+  SELECT q_id, vec_id, round(list_cosine_similarity(qv16, v16), 6) AS sim
+  FROM q16 CROSS JOIN e16 WHERE vec_id != q_id
+), mrl3 AS (
+  SELECT q_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rn
+    FROM sims16
+  ) WHERE rn <= 3
+)
+SELECT b.q_id,
+  COUNT(m.vec_id) AS mrl_hits,
+  CAST(COUNT(m.vec_id) AS DOUBLE) / 3.0 AS mrl_recall_at_3,
+  (SELECT MAX(sim) FROM sims16 s WHERE s.q_id = b.q_id) AS mrl_top1_sim
+FROM (SELECT q_id, vec_id FROM brute WHERE rn <= 3) b
+LEFT JOIN mrl3 m ON b.q_id = m.q_id AND b.vec_id = m.vec_id
+GROUP BY b.q_id ORDER BY b.q_id
+"""
+
+
 TAIL_QUERIES = {
     "sim_ivf_recall": sim_ivf_recall,
     "sim_quantize_int8": sim_quantize_int8,
     "sim_pq_adc": sim_pq_adc,
     "sim_ivfpq_topk": sim_ivfpq_topk,
+    "dedup_semdedup": dedup_semdedup,
+    "sim_mrl_recall": sim_mrl_recall,
 }
 TAIL_ORACLES = {
     "sim_ivf_recall": SIM_IVF_RECALL_ORACLE,
     "sim_quantize_int8": SIM_QUANTIZE_ORACLE,
     "sim_pq_adc": SIM_PQ_ORACLE,
     "sim_ivfpq_topk": SIM_IVFPQ_ORACLE,
+    "dedup_semdedup": DEDUP_SEMDEDUP_ORACLE,
+    "sim_mrl_recall": SIM_MRL_RECALL_ORACLE,
 }

@@ -1740,6 +1740,180 @@ FROM base GROUP BY ROLLUP(lang) ORDER BY lang
 """
 
 
+# --- Gopher-style quality rules ------------------------------------------
+# Document-level quality gate after Rae et al. 2021 (Gopher, §A1.1): word
+# count bounds, mean-word-length band, and a minimum number of distinct
+# stopwords. The reference has no notion of document quality (SURVEY.md
+# §2f); at 100 TB this is the first pass over a crawled corpus — a pure
+# map-side filter, no shuffle, no UDF.
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 400
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+# Gopher requires >=2 of a fixed stopword list; the synthetic corpus
+# vocabulary contains 'the'/'a'/'data', so the rule discriminates.
+GOPHER_STOPWORDS = ["the", "a", "and", "of", "data"]
+GOPHER_MIN_STOP_HITS = 2
+
+
+def txt_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher quality signals + keep decision.
+
+    mean_word_len divides two exact integers in double — identical in
+    any IEEE engine, so the band comparison (and the hash) is
+    engine-stable without rounding tricks. stop_hits counts DISTINCT
+    stopwords present (array_contains per word), mirroring Gopher's
+    "contains at least 2 of ..." rule.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    n_words = F.size(toks).cast("bigint")
+    sum_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    mean_len = sum_chars.cast("double") / n_words
+    stop_hits = None
+    for w in GOPHER_STOPWORDS:
+        hit = F.array_contains(toks, w).cast("int")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    keep = (
+        (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS)
+        & (mean_len >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_len <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (stop_hits >= GOPHER_MIN_STOP_HITS)
+    )
+    return (
+        docs.filter(F.size(toks) > 0)
+        .select(
+            "doc_id",
+            n_words.alias("n_words"),
+            F.round(mean_len, 6).alias("mean_word_len"),
+            stop_hits.cast("bigint").alias("stop_hits"),
+            keep.alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SQL_STOP_HITS = " + ".join(
+    f"CAST(list_contains(t, '{w}') AS INT)" for w in GOPHER_STOPWORDS
+)
+
+TXT_GOPHER_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {sql_tokens('text')} AS t FROM documents
+), sig AS (
+  SELECT doc_id,
+    CAST(len(t) AS BIGINT) AS n_words,
+    CAST(list_sum(list_transform(t, x -> CAST(length(x) AS BIGINT))) AS DOUBLE)
+      / len(t) AS mean_len,
+    CAST({_SQL_STOP_HITS} AS BIGINT) AS stop_hits
+  FROM toks WHERE len(t) > 0
+)
+SELECT doc_id, n_words, round(mean_len, 6) AS mean_word_len, stop_hits,
+  (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+   AND mean_len >= {GOPHER_MIN_MEAN_WORD_LEN}
+   AND mean_len <= {GOPHER_MAX_MEAN_WORD_LEN}
+   AND stop_hits >= {GOPHER_MIN_STOP_HITS}) AS keep
+FROM sig ORDER BY doc_id
+"""
+
+
+# --- paragraph-level dedup (RefinedWeb/Dolma-style) -----------------------
+PAR_TOKENS = 20
+
+
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document paragraph dedup: split each document into
+    PAR_TOKENS-token paragraphs, keep only the FIRST occurrence of each
+    distinct paragraph corpus-wide (first = lowest (doc_id, chunk_idx)),
+    and reassemble what survives of each document.
+
+    This is the line/paragraph-level pass production corpora run before
+    document-level near-dup (boilerplate headers/footers repeat across
+    millions of pages that are not document-level duplicates). The
+    corpus here is corpus_with_dups, whose injected exact and near
+    duplicates share all (or all-but-last) paragraphs — so survivors are
+    non-trivial at every SF.
+
+    Shape at 100 TB: chunking is narrow (sequence+slice per doc, then
+    one explode); first-occurrence selection is ONE shuffle keyed by the
+    paragraph text (row_number over its partition — at production scale
+    key on fingerprint_col(chunk_text) to shrink the shuffle); reassembly is one
+    shuffle back on doc_id with an order-independent sort_array — no
+    collect_list ordering assumptions, no UDFs, no all-pairs anything.
+    Reassembled text is emitted as md5 (value-hash-friendly).
+    """
+    from pyspark.sql import Window
+
+    docs = corpus_with_dups(spark, sf_dir)
+    toks = tokens_col("text")
+    paragraphs = F.transform(
+        F.sequence(F.lit(1), F.size(toks), F.lit(PAR_TOKENS)),
+        lambda s: F.array_join(F.slice(toks, s, PAR_TOKENS), " "),
+    )
+    chunks = docs.filter(F.size(toks) > 0).select(
+        "doc_id", F.posexplode(paragraphs).alias("chunk_idx", "chunk_text")
+    )
+    w = Window.partitionBy("chunk_text").orderBy("doc_id", "chunk_idx")
+    ranked = chunks.withColumn(
+        "is_first", F.row_number().over(w) == 1
+    )
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paragraphs"),
+            F.sum(F.col("is_first").cast("bigint")).alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.when(
+                                    F.col("is_first"),
+                                    F.struct("chunk_idx", "chunk_text"),
+                                )
+                            )
+                        ),
+                        lambda x: x.chunk_text,
+                    ),
+                    " ",
+                )
+            ).alias("kept_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_PARAGRAPHS_ORACLE = f"""
+WITH corpus AS ({CORPUS_SQL}),
+toks AS (
+  SELECT doc_id, {sql_tokens('text')} AS t FROM corpus
+), s AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t), {PAR_TOKENS})) AS start
+  FROM toks WHERE len(t) > 0
+), chunks AS (
+  SELECT doc_id, (start - 1) // {PAR_TOKENS} AS chunk_idx,
+         array_to_string(t[start:start + {PAR_TOKENS - 1}], ' ') AS chunk_text
+  FROM s
+), ranked AS (
+  SELECT doc_id, chunk_idx, chunk_text,
+    ROW_NUMBER() OVER (PARTITION BY chunk_text ORDER BY doc_id, chunk_idx) = 1
+      AS is_first
+  FROM chunks
+)
+SELECT doc_id, COUNT(*) AS n_paragraphs,
+  CAST(SUM(CAST(is_first AS BIGINT)) AS BIGINT) AS n_kept,
+  md5(COALESCE(
+    string_agg(CASE WHEN is_first THEN chunk_text END, ' ' ORDER BY chunk_idx),
+    '')) AS kept_md5
+FROM ranked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 TAIL_QUERIES = {
     "dedup_minhash_ml": dedup_minhash_ml,
     "txt_dataset_card": txt_dataset_card,
@@ -1752,6 +1926,8 @@ TAIL_QUERIES = {
     "dedup_incremental": dedup_incremental,
     "dedup_survivors_quality": dedup_survivors_quality,
     "txt_mixture_weights": txt_mixture_weights,
+    "txt_gopher_quality": txt_gopher_quality,
+    "dedup_paragraphs": dedup_paragraphs,
 }
 
 TAIL_ORACLES = {
@@ -1765,4 +1941,6 @@ TAIL_ORACLES = {
     "dedup_incremental": DEDUP_INCREMENTAL_ORACLE,
     "dedup_survivors_quality": DEDUP_SURVIVORS_ORACLE,
     "txt_mixture_weights": TXT_MIXTURE_WEIGHTS_ORACLE,
+    "txt_gopher_quality": TXT_GOPHER_ORACLE,
+    "dedup_paragraphs": DEDUP_PARAGRAPHS_ORACLE,
 }

@@ -309,13 +309,66 @@ ST_DEDUP_ORACLE = """
 SELECT event_id, user_id, event_type FROM events
 """
 
+def st_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental dedup index: the state-store twin of
+    plans/text.dedup_incremental. Each micro-batch folds its documents'
+    fingerprints into a running (fingerprint -> min doc_id, copies)
+    index maintained as streaming-aggregation state; complete mode
+    emits the whole index, which after full replay equals the batch
+    exact-dedup table — so it shares DEDUP_EXACT_ORACLE.
+
+    The dup-injection transforms (exact %17 copies, near %23 tails) are
+    stateless column ops applied to the stream itself — the same
+    expressions as the batch corpus_with_dups, which is the point:
+    batch-verified logic reused under readStream unchanged. At 100 TB/day
+    the index state is fingerprint-keyed and RocksDB-backed; daily
+    ingest touches only the new keys, never re-reads the corpus.
+    """
+    from simple_etl_pipeline_spark.functions.text import fingerprint_col
+    from simple_etl_pipeline_spark.plans.text import NEAR_DUP_TAIL
+    from simple_etl_pipeline_spark.schemas import TABLE_SCHEMAS
+
+    docs = (
+        spark.readStream.option("pathGlobFilter", "documents.parquet")
+        .schema(TABLE_SCHEMAS["documents"])
+        .parquet(sf_dir)
+        .select("doc_id", "text")
+    )
+    exact = docs.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 23 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(NEAR_DUP_TAIL)).alias("text"),
+    )
+    corpus = docs.unionByName(exact).unionByName(near)
+    index = (
+        corpus.select("doc_id", fingerprint_col("text").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("kept_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+    return _run_to_memory(index, "complete")
+
+
 QUERIES = {
     "st_tumbling_hourly": st_tumbling_hourly,
     "st_sliding_windows": st_sliding_windows,
     "st_session_windows": st_session_windows,
     "st_dedup_events": st_dedup_events,
     "st_stream_stream_join": st_stream_stream_join,
+    "st_dedup_index": st_dedup_index,
 }
+
+def _dedup_exact_oracle() -> str:
+    # Deferred import: plans.text imports nothing from here, but keeping
+    # the module-load graph acyclic is cheap insurance.
+    from simple_etl_pipeline_spark.plans.text import DEDUP_EXACT_ORACLE
+
+    return DEDUP_EXACT_ORACLE
+
 
 ORACLES = {
     "st_tumbling_hourly": ST_TUMBLING_ORACLE,
@@ -325,4 +378,6 @@ ORACLES = {
     "st_session_windows": EV_SESSION_ORACLE,
     "st_dedup_events": ST_DEDUP_ORACLE,
     "st_stream_stream_join": ST_STREAM_JOIN_ORACLE,
+    # Full replay of the incremental index equals batch exact dedup.
+    "st_dedup_index": _dedup_exact_oracle(),
 }

@@ -39,6 +39,8 @@ ADVERSARIAL_QUERIES = [
     "txt_chunk_windows",
     "txt_dataset_card",
     "txt_fingerprint",
+    "txt_gopher_quality",
+    "dedup_paragraphs",
 ]
 
 

@@ -82,3 +82,32 @@ def test_fuzzy_join_is_equi_not_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     # candidates come from the (brand, length-band) equality keys
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_paragraph_dedup_is_two_keyed_shuffles(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_paragraphs")
+    # first-occurrence window shuffles on the paragraph text, reassembly
+    # on doc_id; chunking itself is narrow — nothing else may shuffle
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan.count(
+        "Exchange hashpartitioning"
+    )
+
+
+def test_gopher_quality_is_map_only(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "txt_gopher_quality")
+    # pure per-row signals: no aggregation shuffle at all; the only
+    # exchange is the final presentation sort
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_semdedup_pairs_are_cell_keyed(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_semdedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zscore_stats_side_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ev_zscore_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
