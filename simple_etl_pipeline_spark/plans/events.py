@@ -567,15 +567,72 @@ FROM scored GROUP BY event_type ORDER BY event_type
 """
 
 
+def ev_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-day HLL sketches of distinct users,
+    unioned into a whole-range estimate WITHOUT rescanning the events —
+    the property that makes 100 TB distinct-count dashboards feasible
+    (daily sketch build is incremental; any date-range union is
+    sketch-sized work, not data-sized). Uses Spark 4's Apache
+    DataSketches functions (hll_sketch_agg / hll_union_agg).
+
+    Driver-checkability follows agg_approx_distinct's contract: sketch
+    registers are engine-specific, so the hashed output carries the
+    exact distinct counts plus booleans asserting (a) the per-day
+    estimate and (b) the UNIONED estimate land within 5% of exact; the
+    oracle emits exact counts and literal TRUEs."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_day_users"),
+    )
+    per_day = daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "exact_day_users",
+        (
+            F.abs(
+                F.hll_sketch_estimate("sk") - F.col("exact_day_users")
+            )
+            / F.col("exact_day_users")
+            < 0.05
+        ).alias("day_est_within_5pct"),
+    )
+    total_exact = ev.agg(F.countDistinct("user_id").alias("exact_total"))
+    union_est = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est")
+    )
+    totals = total_exact.crossJoin(union_est).select(
+        F.lit("__total__").alias("day"),
+        F.col("exact_total").alias("exact_day_users"),
+        (
+            F.abs(F.col("_est") - F.col("exact_total")) / F.col("exact_total")
+            < 0.05
+        ).alias("day_est_within_5pct"),
+    )
+    return per_day.unionByName(totals).orderBy("day")
+
+
+EV_HLL_ROLLUP_ORACLE = """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       COUNT(DISTINCT user_id) AS exact_day_users,
+       TRUE AS day_est_within_5pct
+FROM events GROUP BY 1
+UNION ALL
+SELECT '__total__', COUNT(DISTINCT user_id), TRUE FROM events
+ORDER BY day
+"""
+
+
 TAIL_QUERIES = {
     "ev_heavy_hitters": ev_heavy_hitters,
     "ev_json_variant": ev_json_variant,
     "ev_retention_cohorts": ev_retention_cohorts,
     "ev_zscore_outliers": ev_zscore_outliers,
+    "ev_hll_user_rollup": ev_hll_user_rollup,
 }
 TAIL_ORACLES = {
     "ev_heavy_hitters": EV_HEAVY_HITTERS_ORACLE,
     "ev_json_variant": EV_JSON_VARIANT_ORACLE,
     "ev_retention_cohorts": EV_RETENTION_ORACLE,
     "ev_zscore_outliers": EV_ZSCORE_ORACLE,
+    "ev_hll_user_rollup": EV_HLL_ROLLUP_ORACLE,
 }

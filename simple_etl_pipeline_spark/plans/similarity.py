@@ -818,34 +818,28 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("c")
     )
-    # cosine(vec, centroid), every reduction in decimal: dot and both
-    # squared norms are order-independent, the final double arithmetic
-    # is the same IEEE expression in DuckDB.
-    cos_parts = (
-        dims.join(centroids, "pos")
-        .groupBy("vec_id", "c_label")
-        .agg(
-            F.sum((F.col("x") * F.col("c")).cast("decimal(38,12)"))
-            .cast("double")
-            .alias("dot"),
-            F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)"))
-            .cast("double")
-            .alias("nv"),
-            F.sum((F.col("c") * F.col("c")).cast("decimal(38,12)"))
-            .cast("double")
-            .alias("nc"),
-        )
-        .select(
-            "vec_id",
-            "c_label",
-            (F.col("dot") / (F.sqrt("nv") * F.sqrt("nc"))).alias("ccos"),
-        )
+    # Assignment is a BROADCAST of K centroid arrays against a map-only
+    # corpus scan (K x 64 doubles), not a per-dimension join: the naive
+    # dims ⋈ centroids shape shuffles |corpus| x K x dim rows (measured
+    # 7.3 s at sf0.1); this one shuffles nothing. Cosine values round to
+    # 6 decimals BEFORE the argmax (ties broken by label asc), so cell
+    # assignment is engine-identical under the same discipline as every
+    # pair cosine in this module.
+    cent_arr = centroids.groupBy("c_label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s.c
+        ).alias("cv")
+    )
+    assign = corpus.crossJoin(F.broadcast(cent_arr)).select(
+        "vec_id",
+        "c_label",
+        F.round(cosine_col(F.col("v"), F.col("cv")), 6).alias("ccos"),
     )
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.desc("ccos"), F.asc("c_label")
     )
     cells = (
-        cos_parts.withColumn("rn", F.row_number().over(w_assign))
+        assign.withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("c_label").alias("cell"))
     )
@@ -890,18 +884,17 @@ WITH base AS (
   SELECT label AS c_label, pos,
     CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS c
   FROM dims GROUP BY label, pos
-), cos_parts AS (
+), cent_arr AS (
+  SELECT c_label, list(c ORDER BY pos) AS cv FROM centroids GROUP BY c_label
+), assign AS (
   SELECT vec_id, c_label,
-    CAST(SUM(CAST(x * c AS DECIMAL(38,12))) AS DOUBLE)
-      / (sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE))
-         * sqrt(CAST(SUM(CAST(c * c AS DECIMAL(38,12))) AS DOUBLE))) AS ccos
-  FROM dims JOIN centroids USING (pos)
-  GROUP BY vec_id, c_label
+    round(list_cosine_similarity(corpus.v, cent_arr.cv), 6) AS ccos
+  FROM corpus CROSS JOIN cent_arr
 ), cells AS (
   SELECT vec_id, c_label AS cell FROM (
     SELECT vec_id, c_label,
       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_label ASC) AS rn
-    FROM cos_parts
+    FROM assign
   ) WHERE rn = 1
 ), assigned AS (
   SELECT corpus.vec_id, corpus.v, cells.cell

@@ -1751,6 +1751,108 @@ FROM base GROUP BY ROLLUP(lang) ORDER BY lang
 """
 
 
+# --- PageRank over the near-dup pair graph --------------------------------
+PAGERANK_ITERS = 3
+PAGERANK_DAMPING = 0.85
+
+
+def txt_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the verified near-dup pair graph:
+    centrality identifies template/boilerplate hubs (documents that are
+    near-dups of MANY others score high and are prime removal targets —
+    the dedup-graph triage step after pair generation).
+
+    Unlike connected_components (converge-until-stable, driver-stepped),
+    this is a FIXED number of unrolled iterations in one lazy plan — no
+    driver actions at all; each iteration is one keyed join + one keyed
+    aggregation, the textbook Pregel-as-SQL shape. Neighbor sums reduce
+    in decimal, so every iteration's ranks — not just the output — are
+    bit-identical across engines (a raw double sum would let engine
+    partition order leak into the ranks and flip the hash).
+
+    Symmetric edges mean no dangling vertices (every vertex has
+    out-degree >= 1), so no dangling-mass redistribution term is needed.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # One materialization of the pair graph (same discipline as
+    # connected_components): every iteration and the vert/deg branches
+    # re-read the checkpointed edges instead of replaying the whole
+    # candidate-join pipeline per branch (measured 25s -> ~3s at sf0.01).
+    edges = (
+        pairs.unionByName(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .toDF("src", "dst")
+        .localCheckpoint()
+    )
+    verts = edges.select(F.col("src").alias("doc_id")).distinct()
+    nn = F.broadcast(verts.agg(F.count(F.lit(1)).alias("n")))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges_deg = edges.join(deg, "src")
+    r = verts.crossJoin(nn).select(
+        "doc_id", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(PAGERANK_ITERS):
+        contribs = (
+            edges_deg.join(r, edges_deg.src == r.doc_id)
+            .groupBy("dst")
+            .agg(
+                F.sum((F.col("pr") / F.col("deg")).cast("decimal(38,12)"))
+                .cast("double")
+                .alias("acc")
+            )
+        )
+        r = (
+            verts.join(contribs, verts.doc_id == contribs.dst, "left")
+            .crossJoin(nn)
+            .select(
+                "doc_id",
+                (
+                    (F.lit(1.0) - PAGERANK_DAMPING) / F.col("n")
+                    + F.lit(PAGERANK_DAMPING) * F.coalesce("acc", F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return r.select("doc_id", F.round("pr", 6).alias("pr")).orderBy("doc_id")
+
+
+def _pagerank_oracle() -> str:
+    d = PAGERANK_DAMPING
+    prev = "r0"
+    its = []
+    for k in range(1, PAGERANK_ITERS + 1):
+        its.append(f"""it{k} AS (
+  SELECT v.doc_id,
+    (CAST({1.0 - d} AS DOUBLE) / (SELECT n FROM nn))
+      + CAST({d} AS DOUBLE) * COALESCE(s.acc, CAST(0 AS DOUBLE)) AS pr
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS doc_id,
+      CAST(SUM(CAST(r.pr / d.deg AS DECIMAL(38,12))) AS DOUBLE) AS acc
+    FROM edges e JOIN {prev} r ON e.src = r.doc_id JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) s USING (doc_id)
+)""")
+        prev = f"it{k}"
+    return f"""
+WITH {_JACCARD_PAIRS_CTES},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+verts AS (SELECT DISTINCT src AS doc_id FROM edges),
+nn AS (SELECT COUNT(*) AS n FROM verts),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT doc_id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS pr FROM verts),
+{",".join(its)}
+SELECT doc_id, round(pr, 6) AS pr FROM {prev} ORDER BY doc_id
+"""
+
+
+TXT_PAGERANK_ORACLE = _pagerank_oracle()
+
+
 # --- Gopher-style quality rules ------------------------------------------
 # Document-level quality gate after Rae et al. 2021 (Gopher, §A1.1): word
 # count bounds, mean-word-length band, and a minimum number of distinct
@@ -1939,6 +2041,7 @@ TAIL_QUERIES = {
     "txt_mixture_weights": txt_mixture_weights,
     "txt_gopher_quality": txt_gopher_quality,
     "dedup_paragraphs": dedup_paragraphs,
+    "txt_pagerank": txt_pagerank,
 }
 
 TAIL_ORACLES = {
@@ -1954,4 +2057,5 @@ TAIL_ORACLES = {
     "txt_mixture_weights": TXT_MIXTURE_WEIGHTS_ORACLE,
     "txt_gopher_quality": TXT_GOPHER_ORACLE,
     "dedup_paragraphs": DEDUP_PARAGRAPHS_ORACLE,
+    "txt_pagerank": TXT_PAGERANK_ORACLE,
 }

@@ -52,6 +52,11 @@ def get_spark(
         # Arrow for toPandas / pandas UDF exchange (vectorized path).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Write timestamps as TIMESTAMP_MICROS, not legacy INT96: INT96
+        # surfaces as timestamp[ns] in arrow footer probes (breaking the
+        # nanos-unit detection in schemas.py) and is deprecated in the
+        # parquet spec; micros round-trips bit-exact with our readers.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # testdata events.parquet stores TIMESTAMP(NANOS); Spark has no
         # nanos timestamp type — read as long, converted in load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -104,7 +104,15 @@ def test_gopher_quality_is_map_only(spark, sf_dir):
 def test_semdedup_pairs_are_cell_keyed(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_semdedup")
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    # every BroadcastNestedLoopJoin must be the deliberate K-row centroid
+    # array broadcast (BuildRight, Cross; K = number of cells, tiny at
+    # any corpus size — the assignment subtree replays per consumer)...
+    bnlj = [l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l]
+    assert bnlj and all("BuildRight, Cross" in l for l in bnlj), bnlj
+    # ...and the within-cell pair scan stays an equi-join on the cell key
+    assert any(
+        "Join [cell" in l and "Inner" in l for l in plan.splitlines()
+    ), "pair scan lost its cell equi-key"
 
 
 def test_zscore_stats_side_broadcasts(spark, sf_dir):

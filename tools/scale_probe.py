@@ -48,6 +48,10 @@ PROBE_QUERIES = [
     # corpus grows (near-dup clusters keep their diameter), so wall
     # should track the per-round shuffle size, i.e. ~linear.
     "dedup_components",
+    # paragraph dedup: two keyed shuffles, both ∝ chunk count — linear.
+    "dedup_paragraphs",
+    # map-only quality rules: should be the flattest line in the probe.
+    "txt_gopher_quality",
 ]
 # Embedding-side probe (SPARK_GRAFT_PROBE=sim): vectors are perturbed
 # per copy (direction-dependent per-dim scaling), so LSH/sign buckets
@@ -59,6 +63,12 @@ SIM_PROBE_QUERIES = [
     "dedup_embedding_cosine",
     "sim_quantize_int8",
     "sim_pq_adc",
+    "sim_mrl_recall",
+    # NOTE deliberately probed at FIXED cell count (10 label centroids):
+    # within-cell pairs grow ~K²/cells, so the exponent documents why
+    # production SemDeDup grows K (centroid count) with corpus size —
+    # the same contract as IVF cell counts.
+    "dedup_semdedup",
 ]
 # Events-side probe (SPARK_GRAFT_PROBE=ev): each copy shifts user_id and
 # event_id, so the per-user event structure (cohorts, funnels, as-of
@@ -70,6 +80,7 @@ EV_PROBE_QUERIES = [
     "ev_heavy_hitters",
     "ev_funnel",
     "ev_asof_purchase_click",
+    "ev_zscore_outliers",
 ]
 # Relational probe (SPARK_GRAFT_PROBE=rel): the banded fuzzy self-join.
 # Each copy gets its own brand namespace (brand#copy), so cross-copy
