@@ -466,6 +466,57 @@ ORACLES = {
 }
 
 PQ_SUBDIM = 16  # 64 dims -> 4 subspaces of 16
+PQ_SUBSPACES = 64 // PQ_SUBDIM
+
+
+def _l2_dec(a, b) -> F.Column:
+    """Squared L2 between two equal-length double arrays, reduced in
+    decimal(38,12): per-element (x-c)^2 stays IEEE double (identical in
+    any engine), the fold is exact decimal addition (associative), so
+    the result EQUALS a decimal-summed groupBy over exploded dims — the
+    oracles keep their per-dimension join formulation while the Spark
+    side computes the same value as a map-only array fold."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    # Precision bookkeeping: decimal(38,12) addends would make Spark
+    # type the sum decimal(38,11) — a per-step HALF-UP rounding that
+    # would diverge from the oracle's exact scale-12 SUM. Small
+    # precisions keep scale 12 exact end-to-end: elements round to 12
+    # decimals exactly like CAST(x AS DECIMAL(38,12)) does (scale-12
+    # rounding is precision-independent), the add is typed (22,12) —
+    # no scale reduction — and the re-cast to the (21,12) accumulator
+    # is exact while |total| < 10^9 (squared distances here are < 1e5).
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("decimal(21,12)"),
+        lambda acc, d: (acc + d.cast("decimal(20,12)")).cast("decimal(21,12)"),
+    ).cast("double")
+
+
+def _ordered_vals(pos_col: str, val_col: str) -> F.Column:
+    """collect_list values ordered by position — order-independent
+    aggregation (sort_array fixes the order after collection)."""
+    return F.transform(
+        F.sort_array(F.collect_list(F.struct(pos_col, val_col))),
+        lambda s: s[val_col],
+    )
+
+
+def _subvectors(frame: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(id, sub, sv): each vector split into PQ_SUBSPACES slices —
+    narrow array ops, no shuffle."""
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("int").alias("sub"),
+                F.slice("v", s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+            )
+            for s in range(PQ_SUBSPACES)
+        ]
+    )
+    return frame.select(id_col, F.explode(parts).alias("z")).select(
+        id_col, F.col("z.sub").alias("sub"), F.col("z.sv").alias("sv")
+    )
 
 
 def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -510,19 +561,18 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    # Codebook as (code, sub) -> 16-dim ARRAY, broadcast (codes x subs
+    # rows, tiny at any scale): code assignment and the ADC table become
+    # map-only array folds over subvector slices instead of per-dimension
+    # joins shuffling |corpus| x codes x dim rows. _l2_dec's decimal fold
+    # equals the oracle's decimal-summed join bit-for-bit.
+    cb_arr = codebook.groupBy("code", "sub").agg(
+        _ordered_vals("pos", "c").alias("cv")
+    )
+    subv = _subvectors(emb)
     # code assignment: nearest subspace centroid per (vector, subspace)
-    sub_d2 = (
-        dims.join(codebook, ["sub", "pos"])
-        .groupBy("vec_id", "sub", "code")
-        .agg(
-            F.sum(
-                ((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).cast(
-                    "decimal(38,12)"
-                )
-            )
-            .cast("double")
-            .alias("d2")
-        )
+    sub_d2 = subv.join(F.broadcast(cb_arr), "sub").select(
+        "vec_id", "sub", "code", _l2_dec("sv", "cv").alias("d2")
     )
     w_code = Window.partitionBy("vec_id", "sub").orderBy(F.asc("d2"), F.asc("code"))
     codes = (
@@ -532,19 +582,10 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # per-query ADC table: exact query subvector vs every codebook entry
     adc_table = (
-        dims.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("q_id"), "sub", "pos", F.col("x").alias("qx"))
-        .join(codebook, ["sub", "pos"])
-        .groupBy("q_id", "sub", "code")
-        .agg(
-            F.sum(
-                ((F.col("qx") - F.col("c")) * (F.col("qx") - F.col("c"))).cast(
-                    "decimal(38,12)"
-                )
-            )
-            .cast("double")
-            .alias("dq")
-        )
+        subv.filter(F.col("vec_id") < N_QUERIES)
+        .withColumnRenamed("vec_id", "q_id")
+        .join(F.broadcast(cb_arr), "sub")
+        .select("q_id", "sub", "code", _l2_dec("sv", "cv").alias("dq"))
     )
     approx = (
         codes.join(F.broadcast(adc_table), ["sub", "code"])
@@ -647,48 +688,35 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(*part_cols, F.col("code").alias(out_alias))
         )
 
-    full_d2 = (
-        dims.join(centroids.drop("sub"), "pos")
-        .groupBy("vec_id", "code")
-        .agg(
-            F.sum(
-                ((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).cast(
-                    "decimal(38,12)"
-                )
-            )
-            .cast("double")
-            .alias("d2")
-        )
+    # Both quantizers broadcast as ARRAYS (the same persisted per-label
+    # means, re-shaped): full-dim centroid arrays for cells, per-subspace
+    # codebook arrays for codes/ADC. Every distance is then a map-only
+    # decimal array fold over the corpus scan — zero per-dimension
+    # shuffles (the old shape moved |corpus| x codes x dim rows through
+    # two exchanges; at sf0.1 wall only drops 2.9 -> 2.4 s because stage
+    # overhead dominates at test scale, but the removed exchanges are
+    # exactly what charges at 100 TB). _l2_dec equals the oracle's
+    # decimal-summed join values bit-for-bit.
+    cell_arr = centroids.groupBy("code").agg(
+        _ordered_vals("pos", "c").alias("cv")
+    )
+    cb_arr = centroids.groupBy("code", "sub").agg(
+        _ordered_vals("pos", "c").alias("cv")
+    )
+    full_d2 = emb.crossJoin(F.broadcast(cell_arr)).select(
+        "vec_id", "code", _l2_dec("v", "cv").alias("d2")
     )
     cells = _argmin(full_d2, ["vec_id"], "cell")
-    sub_d2 = (
-        dims.join(centroids, ["sub", "pos"])
-        .groupBy("vec_id", "sub", "code")
-        .agg(
-            F.sum(
-                ((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).cast(
-                    "decimal(38,12)"
-                )
-            )
-            .cast("double")
-            .alias("d2")
-        )
+    subv = _subvectors(emb)
+    sub_d2 = subv.join(F.broadcast(cb_arr), "sub").select(
+        "vec_id", "sub", "code", _l2_dec("sv", "cv").alias("d2")
     )
     codes = _argmin(sub_d2, ["vec_id", "sub"], "code")
     adc_table = (
-        dims.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("q_id"), "sub", "pos", F.col("x").alias("qx"))
-        .join(centroids, ["sub", "pos"])
-        .groupBy("q_id", "sub", "code")
-        .agg(
-            F.sum(
-                ((F.col("qx") - F.col("c")) * (F.col("qx") - F.col("c"))).cast(
-                    "decimal(38,12)"
-                )
-            )
-            .cast("double")
-            .alias("dq")
-        )
+        subv.filter(F.col("vec_id") < N_QUERIES)
+        .withColumnRenamed("vec_id", "q_id")
+        .join(F.broadcast(cb_arr), "sub")
+        .select("q_id", "sub", "code", _l2_dec("sv", "cv").alias("dq"))
     )
     q_cells = cells.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("cell").alias("q_cell")
