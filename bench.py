@@ -64,6 +64,12 @@ HEADLINE = [
     # absent from the headline so their perf trend was invisible.
     "sim_ivfpq_topk",
     "dedup_components",
+    # round 3 additions: paragraph-level dedup, SemDeDup, PageRank over
+    # the dup graph (pagerank shares the persisted shingle/pair stage
+    # with dedup_components above, like a real corpus pipeline would).
+    "dedup_paragraphs",
+    "dedup_semdedup",
+    "txt_pagerank",
 ]
 
 

@@ -600,12 +600,19 @@ def ev_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     union_est = daily.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est")
     )
+    # when/otherwise so the division never sees a zero (ANSI mode makes
+    # x/0 an error, and an empty table has exact_total = 0); the empty
+    # case degenerates to TRUE, matching the oracle's literal.
     totals = total_exact.crossJoin(union_est).select(
         F.lit("__total__").alias("day"),
         F.col("exact_total").alias("exact_day_users"),
-        (
-            F.abs(F.col("_est") - F.col("exact_total")) / F.col("exact_total")
-            < 0.05
+        F.coalesce(
+            F.when(F.col("exact_total") == 0, F.col("_est").isNull()).otherwise(
+                F.abs(F.col("_est") - F.col("exact_total"))
+                / F.col("exact_total")
+                < 0.05
+            ),
+            F.lit(True),
         ).alias("day_est_within_5pct"),
     )
     return per_day.unionByName(totals).orderBy("day")

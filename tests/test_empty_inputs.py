@@ -26,6 +26,14 @@ REPRESENTATIVE = [
     "ev_funnel",
     "window_ntile_customer_deciles",
     "join_fuzzy_part_names",
+    # round-3 operators
+    "txt_gopher_quality",
+    "dedup_paragraphs",
+    "dedup_semdedup",
+    "sim_mrl_recall",
+    "ev_zscore_outliers",
+    "ev_hll_user_rollup",
+    "txt_pagerank",
 ]
 
 

@@ -6,6 +6,8 @@ Exclusions, by documented design:
 - st_*          streaming adapters execute the stream to completion
 - dedup_components  iterative algorithm (per-round convergence actions)
 - dedup_survivors_quality  composes dedup_components (same loop)
+- txt_pagerank  checkpoints the pair graph once before the unrolled
+  iterations (one eager job; the iterations themselves are lazy)
 """
 
 from __future__ import annotations
@@ -15,7 +17,7 @@ import pytest
 import __spark_entry__ as entrymod
 
 EXCLUDED_PREFIXES = ("st_",)
-EXCLUDED = {"dedup_components", "dedup_survivors_quality"}
+EXCLUDED = {"dedup_components", "dedup_survivors_quality", "txt_pagerank"}
 
 QUERIES = entrymod.queries()
 LAZY_QUERIES = sorted(
