@@ -74,9 +74,19 @@ def clean_colors_col(c: Column | str) -> Column:
 
 
 def _strip_prefix(c: Column, prefix: str) -> Column:
-    # Case-insensitive leading "<prefix>:" + whitespace removal, trim,
+    # Case-insensitive leading "<prefix>:" + whitespace removal, strip,
     # empty-after-strip -> NULL (reference utils/transform.py:78-106).
-    return F.nullif(F.trim(F.regexp_replace(c, rf"(?i)^{prefix}:\s*", "")), F.lit(""))
+    # The strip is a (?U)\s regex, NOT F.trim: Spark's trim removes
+    # spaces only, while the reference's Python str.strip() removes all
+    # whitespace — found by the hypothesis property test on "\t"
+    # (tests/test_property_cleaning.py). (?U) makes Java's \s match
+    # Character.isWhitespace, aligning with Python's isspace() set.
+    stripped = F.regexp_replace(
+        F.regexp_replace(c, rf"(?i)^{prefix}:\s*", ""),
+        r"(?U)^\s+|(?U)\s+$",
+        "",
+    )
+    return F.nullif(stripped, F.lit(""))
 
 
 def clean_size_col(c: Column | str) -> Column:

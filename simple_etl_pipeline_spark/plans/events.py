@@ -515,26 +515,7 @@ def ev_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     side: one shuffle to build stats, map-only scoring after.
     """
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
-    stats = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        (
-            F.sum(F.col("value").cast("decimal(38,12)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("m"),
-        F.sum((F.col("value") * F.col("value")).cast("decimal(38,12)"))
-        .cast("double")
-        .alias("ss"),
-    )
-    stats = stats.withColumn(
-        "sd",
-        F.sqrt(
-            (F.col("ss") - F.col("n") * F.col("m") * F.col("m"))
-            / (F.col("n") - 1)
-        ),
-    )
-    scored = ev.join(F.broadcast(stats), "event_type").withColumn(
-        "z", (F.col("value") - F.col("m")) / F.col("sd")
-    )
+    scored = zscore_scored(ev, zscore_stats(ev))
     return (
         scored.groupBy("event_type")
         .agg(
@@ -545,6 +526,35 @@ def ev_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(F.abs("z")), 6).alias("max_abs_z"),
         )
         .orderBy("event_type")
+    )
+
+
+def zscore_stats(ev: DataFrame) -> DataFrame:
+    """Per-type decimal moments (n, mean, sum-of-squares, stddev) — the
+    broadcastable stats side of the z-score monitor; shared with the
+    stream-static scoring twin in streaming/events.py."""
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("value").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("ss"),
+    )
+    return stats.withColumn(
+        "sd",
+        F.sqrt(
+            (F.col("ss") - F.col("n") * F.col("m") * F.col("m"))
+            / (F.col("n") - 1)
+        ),
+    )
+
+
+def zscore_scored(ev: DataFrame, stats: DataFrame) -> DataFrame:
+    return ev.join(F.broadcast(stats), "event_type").withColumn(
+        "z", (F.col("value") - F.col("m")) / F.col("sd")
     )
 
 

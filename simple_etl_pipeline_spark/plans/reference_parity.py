@@ -182,8 +182,17 @@ SQL_CLEAN_COLORS = """
 CASE WHEN colors IS NULL OR colors = '' OR colors = 'Unknown Colors' THEN NULL
      ELSE TRY_CAST(NULLIF(regexp_extract(colors, '([0-9]+)', 1), '') AS BIGINT) END
 """
-SQL_CLEAN_SIZE = "NULLIF(trim(regexp_replace(size, '(?i)^Size:\\s*', '')), '')"
-SQL_CLEAN_GENDER = "NULLIF(trim(regexp_replace(gender, '(?i)^Gender:\\s*', '')), '')"
+# regex strip (not trim) to mirror the Spark side's all-whitespace
+# strip — functions/cleaning._strip_prefix; identical on this view's
+# ASCII domain, and trim() would differ on tab-padded values.
+SQL_CLEAN_SIZE = (
+    "NULLIF(regexp_replace(regexp_replace(size, '(?i)^Size:\\s*', ''),"
+    " '^\\s+|\\s+$', '', 'g'), '')"
+)
+SQL_CLEAN_GENDER = (
+    "NULLIF(regexp_replace(regexp_replace(gender, '(?i)^Gender:\\s*', ''),"
+    " '^\\s+|\\s+$', '', 'g'), '')"
+)
 
 SQL_DIRTY_KEEP = """
 title IS NOT NULL AND title NOT IN ('Unknown Product', 'N/A', '')

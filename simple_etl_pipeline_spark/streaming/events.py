@@ -353,6 +353,42 @@ def st_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(index, "complete")
 
 
+def st_static_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join: live events scored against a batch-computed
+    per-type moments table — the standard online-anomaly-monitor shape
+    (stats refresh on a slow batch cadence; the stream only pays a
+    broadcast hash lookup per event, no state). This is the one join
+    topology the other st_* queries don't cover: stream ⋈ static needs
+    no watermark on the static side and re-plans the broadcast each
+    micro-batch.
+
+    With the full file replayed, the complete-mode aggregate equals the
+    batch ev_zscore_outliers, whose oracle it shares; the moment and
+    scoring expressions are IMPORTED from the batch module, not
+    re-implemented — batch-verified logic under readStream unchanged.
+    """
+    from simple_etl_pipeline_spark.plans.events import (
+        ZSCORE_THRESHOLD,
+        zscore_scored,
+        zscore_stats,
+    )
+    from simple_etl_pipeline_spark.schemas import load_table
+
+    static_stats = zscore_stats(
+        load_table(spark, sf_dir, "events").select("event_type", "value")
+    )
+    stream = read_events_stream(spark, sf_dir).select("event_type", "value")
+    scored = zscore_scored(stream, static_stats)
+    result = scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.abs("z") > ZSCORE_THRESHOLD).cast("bigint")).alias(
+            "n_outliers"
+        ),
+        F.round(F.max(F.abs("z")), 6).alias("max_abs_z"),
+    )
+    return _run_to_memory(result, "complete")
+
+
 QUERIES = {
     "st_tumbling_hourly": st_tumbling_hourly,
     "st_sliding_windows": st_sliding_windows,
@@ -360,6 +396,7 @@ QUERIES = {
     "st_dedup_events": st_dedup_events,
     "st_stream_stream_join": st_stream_stream_join,
     "st_dedup_index": st_dedup_index,
+    "st_static_zscore": st_static_zscore,
 }
 
 def _dedup_exact_oracle() -> str:
@@ -368,6 +405,12 @@ def _dedup_exact_oracle() -> str:
     from simple_etl_pipeline_spark.plans.text import DEDUP_EXACT_ORACLE
 
     return DEDUP_EXACT_ORACLE
+
+
+def _zscore_oracle() -> str:
+    from simple_etl_pipeline_spark.plans.events import EV_ZSCORE_ORACLE
+
+    return EV_ZSCORE_ORACLE
 
 
 ORACLES = {
@@ -380,4 +423,6 @@ ORACLES = {
     "st_stream_stream_join": ST_STREAM_JOIN_ORACLE,
     # Full replay of the incremental index equals batch exact dedup.
     "st_dedup_index": _dedup_exact_oracle(),
+    # Full replay of the stream-static scoring equals the batch monitor.
+    "st_static_zscore": _zscore_oracle(),
 }
