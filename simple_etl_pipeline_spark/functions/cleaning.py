@@ -76,14 +76,16 @@ def clean_colors_col(c: Column | str) -> Column:
 def _strip_prefix(c: Column, prefix: str) -> Column:
     # Case-insensitive leading "<prefix>:" + whitespace removal, strip,
     # empty-after-strip -> NULL (reference utils/transform.py:78-106).
-    # The strip is a (?U)\s regex, NOT F.trim: Spark's trim removes
-    # spaces only, while the reference's Python str.strip() removes all
-    # whitespace — found by the hypothesis property test on "\t"
-    # (tests/test_property_cleaning.py). (?U) makes Java's \s match
-    # Character.isWhitespace, aligning with Python's isspace() set.
+    # The strip is a (?U)[\s\x1c-\x1f] regex, NOT F.trim: Spark's trim
+    # removes spaces only, while the reference's Python str.strip()
+    # removes every char where isspace() is true — found by the
+    # hypothesis property tests on "\t" and "\x1f"
+    # (tests/test_property_cleaning.py). (?U)\s is Unicode White_Space
+    # (covers \x85, \xa0, U+2000..U+200A, ...); Python additionally
+    # treats the ASCII separators \x1c-\x1f as space, hence the class.
     stripped = F.regexp_replace(
         F.regexp_replace(c, rf"(?i)^{prefix}:\s*", ""),
-        r"(?U)^\s+|(?U)\s+$",
+        r"(?U)^[\s\x1c-\x1f]+|(?U)[\s\x1c-\x1f]+$",
         "",
     )
     return F.nullif(stripped, F.lit(""))

@@ -22,27 +22,39 @@ from hypothesis import strategies as st
 from pyspark.sql import types as T
 
 from simple_etl_pipeline_spark.functions.cleaning import (
+    clean_colors_col,
     clean_price_col,
     clean_rating_col,
     clean_size_col,
 )
 from tests.test_cleaning_differential import (
+    clean_colors_py,
     clean_price_py,
     clean_rating_py,
     clean_size_py,
 )
 
+# fully arbitrary unicode — this is what found the \t and \x1f
+# whitespace-strip divergences (Python isspace() vs Spark trim/\s)
+soup_any = st.text(min_size=0, max_size=12)
+
 # digit/comma/dot soup with occasional currency noise — the exact shape
 # the price comma-heuristic has to disambiguate
-price_soup = st.text(
-    alphabet="0123456789.,$€ ABy", min_size=0, max_size=16
+price_soup = st.one_of(
+    st.text(alphabet="0123456789.,$€ ABy", min_size=0, max_size=16),
+    soup_any,
 )
-rating_soup = st.text(
-    alphabet="0123456789. /⭐★of", min_size=0, max_size=16
+rating_soup = st.one_of(
+    st.text(alphabet="0123456789. /⭐★of", min_size=0, max_size=16),
+    soup_any,
+)
+colors_soup = st.one_of(
+    st.text(alphabet="0123456789 ColorsUnknown", min_size=0, max_size=20),
+    soup_any,
 )
 size_soup = st.one_of(
     st.text(alphabet="SsIiZzEe: MLXxl\t", min_size=0, max_size=14),
-    st.text(min_size=0, max_size=12),
+    soup_any,
 )
 
 _SETTINGS = settings(
@@ -85,6 +97,14 @@ def test_rating_matches_spec(spark, values):
     got = _run_column(spark, values, clean_rating_col, "double")
     for v, g in zip(values, got):
         assert _agree(g, clean_rating_py(v)), (v, g, clean_rating_py(v))
+
+
+@_SETTINGS
+@given(st.lists(colors_soup, min_size=1, max_size=40))
+def test_colors_matches_spec(spark, values):
+    got = _run_column(spark, values, clean_colors_col, "long")
+    for v, g in zip(values, got):
+        assert _agree(g, clean_colors_py(v)), (v, g, clean_colors_py(v))
 
 
 @_SETTINGS
