@@ -3,6 +3,8 @@ agree with the batch twins (semantics proven in plans/events.py)."""
 
 from __future__ import annotations
 
+import pytest
+
 from simple_etl_pipeline_spark.plans.events import ev_tumbling_hourly
 from simple_etl_pipeline_spark.streaming.events import (
     st_dedup_events,
@@ -189,3 +191,32 @@ def test_streaming_upsert_recovers_dangling_swap(spark, tmp_path):
     assert state == [(1, "alice", 10.0, 100), (2, "bob", 20.0, 200)]
     assert not os.path.exists(snap + ".old")
     assert not os.path.exists(snap + ".next")
+
+
+def test_tws_registration_matches_dependency_probe():
+    # the transformWithState twin registers only where google.protobuf
+    # works (its state-server protocol needs it); either way the
+    # applyInPandasWithState twin must always be present.
+    from simple_etl_pipeline_spark.streaming import stateful
+
+    assert "st_user_totals_stateful" in stateful.QUERIES
+    assert ("st_user_totals_tws" in stateful.QUERIES) == stateful.tws_available()
+    assert set(stateful.ORACLES) == set(stateful.QUERIES)
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "simple_etl_pipeline_spark.streaming.stateful", fromlist=["x"]
+    ).tws_available(),
+    reason="google.protobuf unavailable: transformWithState cannot run here",
+)
+def test_tws_matches_oracle(spark, sf_dir):
+    from simple_etl_pipeline_spark.streaming.stateful import (
+        ST_USER_TOTALS_ORACLE,
+        st_user_totals_tws,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    compare_with_oracle(
+        st_user_totals_tws(spark, sf_dir), ST_USER_TOTALS_ORACLE, sf_dir
+    )
