@@ -1774,10 +1774,16 @@ def txt_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     out-degree >= 1), so no dangling-mass redistribution term is needed.
     """
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    # One materialization of the pair graph (same discipline as
-    # connected_components): every iteration and the vert/deg branches
-    # re-read the checkpointed edges instead of replaying the whole
-    # candidate-join pipeline per branch (measured 25s -> ~3s at sf0.01).
+    # One materialization of the DEGREE-ANNOTATED pair graph (same
+    # discipline as connected_components): the candidate-join pipeline
+    # and the degree aggregation run once; every iteration then reads
+    # the checkpoint (measured 25s -> ~3s at sf0.01 for the plain edge
+    # checkpoint; annotating degrees before checkpointing removes a
+    # further SortMergeJoin per iteration).
+    # Checkpoint BEFORE the degree join: deg derives from edges, so
+    # joining unmaterialized edges to it would run the candidate
+    # pipeline twice (measured: 9.5s vs 4.7s at sf0.1). The second
+    # checkpoint is a cheap re-materialization of already-local rows.
     edges = (
         pairs.unionByName(
             pairs.select(
@@ -1787,15 +1793,19 @@ def txt_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .toDF("src", "dst")
         .localCheckpoint()
     )
-    verts = edges.select(F.col("src").alias("doc_id")).distinct()
-    nn = F.broadcast(verts.agg(F.count(F.lit(1)).alias("n")))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    edges_deg = edges.join(deg, "src")
+    edges_deg = edges.join(deg, "src").localCheckpoint()
+    verts = edges_deg.select(F.col("src").alias("doc_id")).distinct()
+    nn = F.broadcast(verts.agg(F.count(F.lit(1)).alias("n")))
     r = verts.crossJoin(nn).select(
         "doc_id", (F.lit(1.0) / F.col("n")).alias("pr")
     )
+    # Symmetric edges mean every vertex has in-degree >= 1, so the
+    # contribution aggregate already covers ALL vertices — no apply-back
+    # LeftOuter join against the vertex list is needed (the oracle keeps
+    # its LEFT JOIN formulation; its NULL branch is provably dead).
     for _ in range(PAGERANK_ITERS):
-        contribs = (
+        r = (
             edges_deg.join(r, edges_deg.src == r.doc_id)
             .groupBy("dst")
             .agg(
@@ -1803,15 +1813,12 @@ def txt_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("double")
                 .alias("acc")
             )
-        )
-        r = (
-            verts.join(contribs, verts.doc_id == contribs.dst, "left")
             .crossJoin(nn)
             .select(
-                "doc_id",
+                F.col("dst").alias("doc_id"),
                 (
                     (F.lit(1.0) - PAGERANK_DAMPING) / F.col("n")
-                    + F.lit(PAGERANK_DAMPING) * F.coalesce("acc", F.lit(0.0))
+                    + F.lit(PAGERANK_DAMPING) * F.col("acc")
                 ).alias("pr"),
             )
         )
