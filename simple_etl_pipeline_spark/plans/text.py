@@ -509,8 +509,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_MINHASH_ORACLE = f"""
-WITH corpus AS ({CORPUS_SQL}),
+# CTE chain producing the MinHash-LSH verified near-dup pairs (mpairs);
+# shared by the minhash oracle and the LSH connected-components oracle.
+_MINHASH_PAIRS_CTES = f"""corpus AS ({CORPUS_SQL}),
 sh AS ({SHINGLES_SQL}),
 h31s AS (
   SELECT doc_id, {sql_md5_hash60('sh')} % {MINHASH_P} AS h31 FROM sh
@@ -539,14 +540,20 @@ inter AS (
   JOIN sh a ON a.doc_id = c.doc_a
   JOIN sh b ON b.doc_id = c.doc_b AND a.sh = b.sh
   GROUP BY 1, 2
-)
-SELECT doc_a, doc_b,
-  CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {JACCARD_THRESHOLD}
-ORDER BY doc_a, doc_b
+),
+mpairs AS (
+  SELECT doc_a, doc_b,
+    CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)
+        >= {JACCARD_THRESHOLD}
+)"""
+
+DEDUP_MINHASH_ORACLE = f"""
+WITH {_MINHASH_PAIRS_CTES}
+SELECT doc_a, doc_b, jaccard FROM mpairs ORDER BY doc_a, doc_b
 """
 
 
@@ -924,13 +931,9 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
     )
 
 
-def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clusters: connected components over the exact-Jaccard
-    pair graph -- each vertex's label converges to the minimum doc_id in
-    its component, giving a deterministic cluster id (and survivor: the
-    doc equal to its component id). See connected_components for the
-    O(log diameter) round bound."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+def _components_over_pairs(pairs: DataFrame) -> DataFrame:
+    """(doc_id, component, cluster_size) from an undirected pair list —
+    the shared clustering tail of both components queries."""
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
@@ -943,6 +946,51 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "component", "cluster_size")
         .orderBy("doc_id")
     )
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the exact-Jaccard
+    pair graph -- each vertex's label converges to the minimum doc_id in
+    its component, giving a deterministic cluster id (and survivor: the
+    doc equal to its component id). See connected_components for the
+    O(log diameter) round bound."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return _components_over_pairs(pairs)
+
+
+def dedup_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters over the MinHash-LSH verified pairs — the pair
+    source a 100 TB corpus actually uses (banded signatures bound the
+    candidate count; dedup_components' exact-Jaccard source is the
+    oracle-of-record shape whose shared-shingle join costs more as
+    shingle buckets deepen). Same hash-min clustering; clusters can
+    differ from the exact variant only where a true pair's bands all
+    missed (the documented LSH recall trade)."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    return _components_over_pairs(pairs)
+
+
+DEDUP_COMPONENTS_LSH_ORACLE = f"""
+WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM mpairs
+  UNION SELECT doc_b, doc_a FROM mpairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+  FROM reach GROUP BY src
+)
+SELECT doc_id, component, cluster_size
+FROM comp
+JOIN (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+  USING (component)
+ORDER BY doc_id
+"""
 
 DEDUP_COMPONENTS_ORACLE = f"""
 WITH RECURSIVE {_JACCARD_PAIRS_CTES},
@@ -2049,6 +2097,7 @@ TAIL_QUERIES = {
     "txt_gopher_quality": txt_gopher_quality,
     "dedup_paragraphs": dedup_paragraphs,
     "txt_pagerank": txt_pagerank,
+    "dedup_components_lsh": dedup_components_lsh,
 }
 
 TAIL_ORACLES = {
@@ -2065,4 +2114,5 @@ TAIL_ORACLES = {
     "txt_gopher_quality": TXT_GOPHER_ORACLE,
     "dedup_paragraphs": DEDUP_PARAGRAPHS_ORACLE,
     "txt_pagerank": TXT_PAGERANK_ORACLE,
+    "dedup_components_lsh": DEDUP_COMPONENTS_LSH_ORACLE,
 }

@@ -17,7 +17,12 @@ import pytest
 import __spark_entry__ as entrymod
 
 EXCLUDED_PREFIXES = ("st_",)
-EXCLUDED = {"dedup_components", "dedup_survivors_quality", "txt_pagerank"}
+EXCLUDED = {
+    "dedup_components",
+    "dedup_components_lsh",
+    "dedup_survivors_quality",
+    "txt_pagerank",
+}
 
 QUERIES = entrymod.queries()
 LAZY_QUERIES = sorted(

@@ -48,6 +48,8 @@ PROBE_QUERIES = [
     # corpus grows (near-dup clusters keep their diameter), so wall
     # should track the per-round shuffle size, i.e. ~linear.
     "dedup_components",
+    # components over the banded LSH pairs — the 100 TB pair source.
+    "dedup_components_lsh",
     # paragraph dedup: two keyed shuffles, both ∝ chunk count — linear.
     "dedup_paragraphs",
     # map-only quality rules: should be the flattest line in the probe.
