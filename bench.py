@@ -70,6 +70,9 @@ HEADLINE = [
     "dedup_paragraphs",
     "dedup_semdedup",
     "txt_pagerank",
+    # both components configurations: exact-Jaccard pairs (oracle of
+    # record) vs banded LSH pairs (the 100 TB pair source).
+    "dedup_components_lsh",
 ]
 
 
