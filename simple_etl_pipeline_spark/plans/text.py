@@ -337,14 +337,29 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     corpus = corpus_with_dups(spark, sf_dir)
-    return corpus.select(
-        "doc_id", F.explode(F.array_distinct(shingles_col("text"))).alias("sh")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # 60-bit md5 hash of the shingle, not the string: every downstream
+    # shuffle (hot-df, self-join, MinHash) then moves 8-byte bigints
+    # instead of ~20-byte strings, and MinHash's per-shingle md5 is
+    # already paid here. The oracle hashes with the identical md5
+    # formula, so even the ~1e-8 collision case is bit-identical across
+    # engines. (Two selects: a generator cannot nest inside the hash
+    # expression.)
+    return (
+        corpus.select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles_col("text"))).alias("sh0"),
+        )
+        .select("doc_id", md5_hash60(F.col("sh0")).alias("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
 
 SHINGLES_SQL = f"""
-SELECT doc_id, unnest(list_distinct({sql_shingles(sql_tokens('text'))})) AS sh
-FROM corpus
+SELECT doc_id, {sql_md5_hash60('sh0')} AS sh FROM (
+  SELECT doc_id,
+         unnest(list_distinct({sql_shingles(sql_tokens('text'))})) AS sh0
+  FROM corpus
+)
 """
 
 
@@ -449,7 +464,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # min() over an arithmetic rehash of the shingle's single md5 value,
     # so map-side partial aggregation collapses to one row per doc
     # *before* the shuffle (vs. exploding K x shingles rows).
-    h31 = (md5_hash60(F.col("sh")) % MINHASH_P).alias("h31")
+    # sh is already the 60-bit md5 hash (see _shingle_sets)
+    h31 = (F.col("sh") % MINHASH_P).alias("h31")
     hashed = sh.select("doc_id", h31)
     mh_cols = [
         F.min((F.lit(a) * F.col("h31") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
@@ -514,7 +530,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_PAIRS_CTES = f"""corpus AS ({CORPUS_SQL}),
 sh AS ({SHINGLES_SQL}),
 h31s AS (
-  SELECT doc_id, {sql_md5_hash60('sh')} % {MINHASH_P} AS h31 FROM sh
+  SELECT doc_id, sh % {MINHASH_P} AS h31 FROM sh
 ),
 hashed AS (
   SELECT doc_id, i,
