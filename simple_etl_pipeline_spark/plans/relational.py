@@ -1719,15 +1719,58 @@ FROM full_pairs
 """
 
 
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long): melt three lineitem measure columns into
+    (measure, value) rows and aggregate per (returnflag, measure) — the
+    inverse of agg_conditional_pivot and the missing half of the
+    pivot/unpivot pair. DataFrame.unpivot is a narrow Expand node (each
+    input row fans out to 3, no shuffle until the aggregate), so the
+    plan is scan -> expand -> partial agg -> one keyed exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return (
+        long.groupBy("l_returnflag", "measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("val").alias("sum_val"),
+            davg("val").alias("avg_val"),
+        )
+        .orderBy("l_returnflag", "measure")
+    )
+
+
+UNPIVOT_ORACLE = f"""
+WITH long AS (
+  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+)
+SELECT l_returnflag, measure, COUNT(*) AS n,
+  {sql_dsum('val')} AS sum_val,
+  {sql_davg('val')} AS avg_val
+FROM long GROUP BY l_returnflag, measure
+ORDER BY l_returnflag, measure
+"""
+
+
 TAIL_QUERIES = {
     "agg_approx_percentile": agg_approx_percentile,
     "window_ntile_customer_deciles": window_ntile_customer_deciles,
     "join_fuzzy_part_names": join_fuzzy_part_names,
     "join_fuzzy_recall": join_fuzzy_recall,
+    "unpivot_lineitem_measures": unpivot_lineitem_measures,
 }
 TAIL_ORACLES = {
     "agg_approx_percentile": AGG_APPROX_PERCENTILE_ORACLE,
     "window_ntile_customer_deciles": WINDOW_NTILE_ORACLE,
     "join_fuzzy_part_names": JOIN_FUZZY_ORACLE,
     "join_fuzzy_recall": JOIN_FUZZY_RECALL_ORACLE,
+    "unpivot_lineitem_measures": UNPIVOT_ORACLE,
 }
