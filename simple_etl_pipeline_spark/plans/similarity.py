@@ -706,7 +706,10 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     full_d2 = emb.crossJoin(F.broadcast(cell_arr)).select(
         "vec_id", "code", _l2_dec("v", "cv").alias("d2")
     )
-    cells = _argmin(full_d2, ["vec_id"], "cell")
+    # cells feeds two consumers (q_cells + the candidate join): persist
+    # the tiny (vec_id, cell) frame so the fold+argmin subtree runs
+    # once, same cache-manager sharing as the centroid aggregate.
+    cells = _argmin(full_d2, ["vec_id"], "cell").persist()
     subv = _subvectors(emb)
     sub_d2 = subv.join(F.broadcast(cb_arr), "sub").select(
         "vec_id", "sub", "code", _l2_dec("sv", "cv").alias("d2")
