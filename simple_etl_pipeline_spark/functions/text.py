@@ -14,13 +14,29 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+# Explicit separator class instead of \s, and an explicit edge-strip
+# instead of trim(): Java's \s includes \x0b (vertical tab) while
+# RE2's (DuckDB) does not, and DuckDB's trim() removes unicode spaces
+# (\xa0) while Spark's removes ASCII space only — both found by the
+# cross-engine property tests (tests/test_property_cross_engine.py).
+# With the explicit class the SAME bytes separate/strip in both
+# engines, which every downstream shingle/minhash/fingerprint oracle
+# depends on.
+_WS_CLASS = "[\\t\\n\\f\\r ]"
+_WS_STRIP = "^" + _WS_CLASS + "+|" + _WS_CLASS + "+$"
+
+
+def _strip_ws(c: Column) -> Column:
+    return F.regexp_replace(c, _WS_STRIP, "")
+
+
 def tokens_col(c: Column | str) -> Column:
     """Whitespace tokenization; empty/blank text -> empty array (split of
     '' yields [''], which would count as one token)."""
     c = F.col(c) if isinstance(c, str) else c
-    t = F.trim(c)
+    t = _strip_ws(c)
     return F.when(t == "", F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
+        F.split(t, _WS_CLASS + "+")
     )
 
 
@@ -67,12 +83,17 @@ def fingerprint_col(c: Column | str) -> Column:
     exact-dup key for a 100 TB corpus — cheap, shuffle-friendly, and a
     stable join key across runs)."""
     c = F.col(c) if isinstance(c, str) else c
-    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+    # explicit class + strip, not \s/trim (see _WS_CLASS note)
+    return F.md5(
+        F.regexp_replace(F.lower(_strip_ws(c)), _WS_CLASS + "+", " ")
+    )
 
 
+# same explicit class/strip as _WS_CLASS/_WS_STRIP (see note above)
+SQL_WS_STRIP = "regexp_replace({expr}, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g')"
 SQL_TOKENS = (
-    "CASE WHEN trim({expr}) = '' THEN [] "
-    "ELSE string_split_regex(trim({expr}), '\\s+') END"
+    "CASE WHEN " + SQL_WS_STRIP + " = '' THEN [] "
+    "ELSE string_split_regex(" + SQL_WS_STRIP + ", '[\\t\\n\\f\\r ]+') END"
 )
 
 

@@ -90,7 +90,7 @@ def txt_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens_col("text")
     n_tokens = F.size(toks)
-    nonspace = F.length(F.regexp_replace("text", r"\s", ""))
+    nonspace = F.length(F.regexp_replace("text", "[\\t\\n\\f\\r ]", ""))
     n_stop = F.size(F.filter(toks, lambda t: t.isin("the", "a")))
     avg_token_len = nonspace.cast("double") / F.nullif(n_tokens, F.lit(0))
     stop_ratio = n_stop.cast("double") / F.nullif(n_tokens, F.lit(0))
@@ -112,7 +112,7 @@ def txt_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 TXT_DOC_FEATURES_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, text, {sql_tokens('text')} AS toks,
-         length(regexp_replace(text, '\\s', '', 'g')) AS nonspace
+         length(regexp_replace(text, '[\\t\\n\\f\\r ]', '', 'g')) AS nonspace
   FROM documents
 ), f AS (
   SELECT doc_id, length(text) AS n_chars_text, len(toks) AS n_tokens,
@@ -288,7 +288,7 @@ def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 TXT_FINGERPRINT_ORACLE = f"""
 WITH corpus AS ({CORPUS_SQL})
 SELECT doc_id,
-  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+  md5(regexp_replace(lower(regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g')), '[\\t\\n\\f\\r ]+', ' ', 'g')) AS fingerprint
 FROM corpus ORDER BY doc_id
 """
 
@@ -307,7 +307,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_EXACT_ORACLE = f"""
 WITH corpus AS ({CORPUS_SQL})
-SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+SELECT md5(regexp_replace(lower(regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g')), '[\\t\\n\\f\\r ]+', ' ', 'g')) AS fingerprint,
        MIN(doc_id) AS kept_doc_id, COUNT(*) AS n_copies
 FROM corpus GROUP BY 1 ORDER BY kept_doc_id
 """
@@ -732,7 +732,7 @@ ORDER BY doc_a, doc_b
 # class split: letter runs, digit runs, and single non-space symbols
 # each become one pre-token (real BPE then merges within these; the
 # pre-token count is the standard fast token-budget estimator).
-BPE_PRETOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+BPE_PRETOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\t\\n\\f\\r ]"
 
 
 def txt_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1081,7 +1081,7 @@ quality AS (
 survivors AS (
   SELECT MIN(doc_id) AS doc_id
   FROM quality
-  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+  GROUP BY md5(regexp_replace(lower(regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g')), '[\\t\\n\\f\\r ]+', ' ', 'g'))
 )
 SELECT lang, COUNT(*) AS n_docs,
   CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
@@ -1464,7 +1464,7 @@ DEDUP_INCREMENTAL_ORACLE = f"""
 WITH corpus AS ({CORPUS_SQL}),
 fp AS (
   SELECT doc_id,
-    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+    md5(regexp_replace(lower(regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g')), '[\\t\\n\\f\\r ]+', ' ', 'g')) AS fingerprint
   FROM corpus
 ),
 index_side AS (
@@ -1499,7 +1499,7 @@ def dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = corpus_with_dups(spark, sf_dir)
     toks = tokens_col("text")
     n_tokens = F.size(toks)
-    nonspace = F.length(F.regexp_replace("text", r"\s", ""))
+    nonspace = F.length(F.regexp_replace("text", "[\\t\\n\\f\\r ]", ""))
     n_stop = F.size(F.filter(toks, lambda t: t.isin("the", "a")))
     avg_token_len = nonspace.cast("double") / F.nullif(n_tokens, F.lit(0))
     stop_ratio = n_stop.cast("double") / F.nullif(n_tokens, F.lit(0))
@@ -1543,7 +1543,7 @@ comp AS (
 csize AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY 1),
 t AS (
   SELECT doc_id, {sql_tokens('text')} AS toks,
-         length(regexp_replace(text, '\\s', '', 'g')) AS nonspace
+         length(regexp_replace(text, '[\\t\\n\\f\\r ]', '', 'g')) AS nonspace
   FROM corpus
 ),
 f AS (
@@ -1802,7 +1802,7 @@ TXT_DATASET_CARD_ORACLE = f"""
 WITH base AS (
   SELECT lang, source, n_chars,
     len({sql_tokens('text')}) AS n_toks,
-    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    md5(regexp_replace(lower(regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g')), '[\\t\\n\\f\\r ]+', ' ', 'g')) AS fp
   FROM documents
 )
 SELECT COALESCE(lang, '__all__') AS lang, COUNT(*) AS n_docs,

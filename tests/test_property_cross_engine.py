@@ -1,0 +1,117 @@
+"""Cross-engine property tests (hypothesis): the text primitives that
+every dedup/text oracle is built on — whitespace tokenization, word
+shingles, and the 60-bit md5 hash — must produce IDENTICAL values in
+Spark and DuckDB for arbitrary unicode input, not just the testdata
+domain. A dialect drift here (Java vs RE2 regex classes, md5 of UTF-8
+bytes, array slicing) would silently skew every downstream hash check.
+
+Each hypothesis example writes the strings to a parquet file both
+engines read — the same substrate the driver's gate uses.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from simple_etl_pipeline_spark.functions.text import (
+    md5_hash60,
+    shingles_col,
+    sql_md5_hash60,
+    sql_shingles,
+    sql_tokens,
+    tokens_col,
+)
+
+# surrogates can't encode to UTF-8 (parquet rejects them); everything
+# else — control chars, unicode whitespace, CJK, emoji — is in scope
+text_soup = st.text(
+    alphabet=st.characters(exclude_categories=("Cs",)), min_size=0, max_size=40
+)
+
+_SETTINGS = settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _both_engines(spark, tmp_path_factory, values, spark_expr, duck_expr):
+    d = tmp_path_factory.mktemp("xengine")
+    path = os.path.join(str(d), "vals.parquet")
+    pq.write_table(pa.table({"s": pa.array(values, pa.string())}), path)
+    got = [
+        r[0]
+        for r in spark.read.parquet(path)
+        .select(spark_expr(F.col("s")))
+        .collect()
+    ]
+    exp = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT {duck_expr('s')} FROM read_parquet('{path}')"
+        ).fetchall()
+    ]
+    return got, exp
+
+
+@_SETTINGS
+@given(st.lists(text_soup, min_size=1, max_size=30))
+def test_tokens_identical(spark, tmp_path_factory, values):
+    got, exp = _both_engines(
+        spark, tmp_path_factory, values, tokens_col, sql_tokens
+    )
+    for v, g, x in zip(values, got, exp):
+        assert list(g) == list(x), (repr(v), g, x)
+
+
+@_SETTINGS
+@given(st.lists(text_soup, min_size=1, max_size=30))
+def test_shingles_identical(spark, tmp_path_factory, values):
+    got, exp = _both_engines(
+        spark,
+        tmp_path_factory,
+        values,
+        shingles_col,
+        lambda c: sql_shingles(sql_tokens(c)),
+    )
+    for v, g, x in zip(values, got, exp):
+        assert list(g) == list(x), (repr(v), g, x)
+
+
+@_SETTINGS
+@given(st.lists(text_soup, min_size=1, max_size=30))
+def test_md5_hash60_identical(spark, tmp_path_factory, values):
+    got, exp = _both_engines(
+        spark, tmp_path_factory, values, md5_hash60, sql_md5_hash60
+    )
+    for v, g, x in zip(values, got, exp):
+        assert g == x, (repr(v), g, x)
+
+
+@_SETTINGS
+@given(st.lists(text_soup, min_size=1, max_size=30))
+def test_fingerprint_identical(spark, tmp_path_factory, values):
+    from simple_etl_pipeline_spark.functions.text import fingerprint_col
+
+    got, exp = _both_engines(
+        spark,
+        tmp_path_factory,
+        values,
+        fingerprint_col,
+        lambda c: (
+            "md5(regexp_replace(lower(regexp_replace("
+            + c
+            + ", '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g')),"
+            " '[\\t\\n\\f\\r ]+', ' ', 'g'))"
+        ),
+    )
+    for v, g, x in zip(values, got, exp):
+        assert g == x, (repr(v), g, x)
