@@ -115,3 +115,60 @@ def test_fingerprint_identical(spark, tmp_path_factory, values):
     )
     for v, g, x in zip(values, got, exp):
         assert g == x, (repr(v), g, x)
+
+
+# one ulp at the 6-decimal rounding grid: queries round cosine to 6dp
+# precisely because the two engines may factor the norm product with
+# different association; this test pins the drift to that bound for
+# arbitrary vectors (incl. tiny/huge magnitudes), so a real formula
+# divergence (wrong norm, wrong fold order) cannot hide behind it.
+_COS_TOL = 1e-6
+
+finite_f32 = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, width=32
+).filter(lambda x: abs(x) > 1e-3 or x == 0.0)
+vec8 = st.lists(finite_f32, min_size=8, max_size=8).filter(
+    lambda v: any(x != 0.0 for x in v)
+)
+
+
+@_SETTINGS
+@given(st.lists(st.tuples(vec8, vec8), min_size=1, max_size=20))
+def test_cosine_within_rounding_ulp(spark, tmp_path_factory, pairs):
+    from simple_etl_pipeline_spark.functions.vectors import (
+        as_double_array,
+        cosine_col,
+    )
+
+    d = tmp_path_factory.mktemp("xcos")
+    path = os.path.join(str(d), "vecs.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "a": pa.array([p[0] for p in pairs], pa.list_(pa.float32())),
+                "b": pa.array([p[1] for p in pairs], pa.list_(pa.float32())),
+            }
+        ),
+        path,
+    )
+    got = [
+        r[0]
+        for r in spark.read.parquet(path)
+        .select(
+            F.round(
+                cosine_col(as_double_array("a"), as_double_array("b")), 6
+            )
+        )
+        .collect()
+    ]
+    exp = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT round(list_cosine_similarity("
+            "CAST(a AS DOUBLE[]), CAST(b AS DOUBLE[])), 6) "
+            f"FROM read_parquet('{path}')"
+        ).fetchall()
+    ]
+    for (va, vb), g, x in zip(pairs, got, exp):
+        assert g is not None and x is not None, (va, vb, g, x)
+        assert abs(g - x) <= _COS_TOL, (va, vb, g, x)
