@@ -96,7 +96,7 @@ _WINDOW = [
     "q21_waiting_suppliers",
     # -- newly oracle-backed this round ------------------------------------
     "st_session_windows",
-    # -- added in round 3 (8) ----------------------------------------------
+    # -- added in round 3 (11) ---------------------------------------------
     "txt_gopher_quality",
     "dedup_paragraphs",
     "dedup_semdedup",
@@ -105,17 +105,20 @@ _WINDOW = [
     "ev_hll_user_rollup",
     "st_dedup_index",
     "txt_pagerank",
-    # -- canaries: green in r1+r2, changed-code biased (12) ----------------
+    "dedup_components_lsh",
+    "st_static_zscore",
+    "unpivot_lineitem_measures",
+    # -- canaries: green in r1+r2, changed-code biased (9) -----------------
+    # (sim_knn_brute / sim_ivf_topk / st_user_totals_stateful swapped out
+    # late round 3 for the three operators above: double-green, unchanged
+    # code, still under the local parity suite)
     "q1_pricing_summary",
     "ref_transform_full",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_components",
-    "sim_knn_brute",
-    "sim_ivf_topk",
     "dedup_embedding_cosine",
-    "st_user_totals_stateful",
     "ev_asof_purchase_click",
     "ev_session_windows",
 ]
