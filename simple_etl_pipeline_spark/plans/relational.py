@@ -1760,12 +1760,47 @@ ORDER BY l_returnflag, measure
 """
 
 
+def agg_mode_source_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE: the most frequent source per language, with
+    explicit tie-breaks (count desc, value asc). Built-in mode() in both
+    engines returns an ARBITRARY value on ties, which can never pass a
+    cross-engine value-hash — so the operator is expressed as the
+    count-then-rank idiom (one keyed aggregation + a WindowGroupLimit
+    rank over the tiny per-group counts), which is also how a 100 TB
+    mode should run: partial counts map-side, rank over groups, never a
+    global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("source"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "lang", F.col("source").alias("mode_source"), F.col("n").alias("n")
+        )
+        .orderBy("lang")
+    )
+
+
+AGG_MODE_ORACLE = """
+SELECT lang, mode_source, n FROM (
+  SELECT lang, source AS mode_source, COUNT(*) AS n,
+    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, source ASC)
+      AS rn
+  FROM documents GROUP BY lang, source
+) WHERE rn = 1 ORDER BY lang
+"""
+
+
 TAIL_QUERIES = {
     "agg_approx_percentile": agg_approx_percentile,
     "window_ntile_customer_deciles": window_ntile_customer_deciles,
     "join_fuzzy_part_names": join_fuzzy_part_names,
     "join_fuzzy_recall": join_fuzzy_recall,
     "unpivot_lineitem_measures": unpivot_lineitem_measures,
+    "agg_mode_source_by_lang": agg_mode_source_by_lang,
 }
 TAIL_ORACLES = {
     "agg_approx_percentile": AGG_APPROX_PERCENTILE_ORACLE,
@@ -1773,4 +1808,5 @@ TAIL_ORACLES = {
     "join_fuzzy_part_names": JOIN_FUZZY_ORACLE,
     "join_fuzzy_recall": JOIN_FUZZY_RECALL_ORACLE,
     "unpivot_lineitem_measures": UNPIVOT_ORACLE,
+    "agg_mode_source_by_lang": AGG_MODE_ORACLE,
 }
