@@ -516,23 +516,20 @@ def ev_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     scored = zscore_scored(ev, zscore_stats(ev))
-    return (
-        scored.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum((F.abs("z") > ZSCORE_THRESHOLD).cast("bigint")).alias(
-                "n_outliers"
-            ),
-            F.round(F.max(F.abs("z")), 6).alias("max_abs_z"),
-        )
-        .orderBy("event_type")
-    )
+    return zscore_outlier_agg(scored).orderBy("event_type")
 
 
 def zscore_stats(ev: DataFrame) -> DataFrame:
     """Per-type decimal moments (n, mean, sum-of-squares, stddev) — the
     broadcastable stats side of the z-score monitor; shared with the
-    stream-static scoring twin in streaming/events.py."""
+    stream-static scoring twin in streaming/events.py.
+
+    Degenerate groups are guarded, not crashed: a single-event type
+    makes (n-1) = 0 and a constant-valued type makes the variance 0 —
+    under ANSI mode the raw division raises DIVIDE_BY_ZERO, and without
+    it Spark's NULL-on-zero vs DuckDB's IEEE inf diverge. sd is emitted
+    only WHEN n > 1 AND variance > 0 (else NULL), and the oracle
+    mirrors the same CASE so both engines agree on degenerate types."""
     stats = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         (
@@ -543,18 +540,35 @@ def zscore_stats(ev: DataFrame) -> DataFrame:
         .cast("double")
         .alias("ss"),
     )
+    var = F.col("ss") - F.col("n") * F.col("m") * F.col("m")
     return stats.withColumn(
         "sd",
-        F.sqrt(
-            (F.col("ss") - F.col("n") * F.col("m") * F.col("m"))
-            / (F.col("n") - 1)
+        F.when(
+            (F.col("n") > 1) & (var > 0),
+            F.sqrt(var / (F.col("n") - 1)),
         ),
     )
 
 
 def zscore_scored(ev: DataFrame, stats: DataFrame) -> DataFrame:
+    # NULL sd (degenerate group) propagates to a NULL z, which the
+    # outlier aggregate counts as 0 outliers / NULL max_abs_z.
     return ev.join(F.broadcast(stats), "event_type").withColumn(
-        "z", (F.col("value") - F.col("m")) / F.col("sd")
+        "z",
+        F.when(F.col("sd").isNotNull(), (F.col("value") - F.col("m")) / F.col("sd")),
+    )
+
+
+def zscore_outlier_agg(scored: DataFrame) -> DataFrame:
+    """Per-type outlier rollup over a z-scored frame — shared by the
+    batch monitor and the stream-static twin so the degenerate-group
+    contract (NULL z → 0 outliers, NULL max_abs_z) lives in one place."""
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.coalesce(
+            F.sum((F.abs("z") > ZSCORE_THRESHOLD).cast("bigint")), F.lit(0)
+        ).alias("n_outliers"),
+        F.round(F.max(F.abs("z")), 6).alias("max_abs_z"),
     )
 
 
@@ -565,13 +579,17 @@ WITH stats AS (
     CAST(SUM(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS ss
   FROM events GROUP BY event_type
 ), st AS (
-  SELECT *, sqrt((ss - n * m * m) / (n - 1)) AS sd FROM stats
+  SELECT *, CASE WHEN n > 1 AND (ss - n * m * m) > 0
+                 THEN sqrt((ss - n * m * m) / (n - 1)) END AS sd
+  FROM stats
 ), scored AS (
-  SELECT e.event_type, (e.value - st.m) / st.sd AS z
+  SELECT e.event_type,
+         CASE WHEN st.sd IS NOT NULL THEN (e.value - st.m) / st.sd END AS z
   FROM events e JOIN st USING (event_type)
 )
 SELECT event_type, COUNT(*) AS n_events,
-  CAST(SUM(CAST(abs(z) > {ZSCORE_THRESHOLD} AS BIGINT)) AS BIGINT) AS n_outliers,
+  CAST(COALESCE(SUM(CAST(abs(z) > {ZSCORE_THRESHOLD} AS BIGINT)), 0) AS BIGINT)
+    AS n_outliers,
   round(MAX(abs(z)), 6) AS max_abs_z
 FROM scored GROUP BY event_type ORDER BY event_type
 """

@@ -448,18 +448,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates per bucket are bounded by band selectivity — this is the
     100 TB near-dup path."""
     # The shingle set feeds three passes (signature + both sides of the
-    # Jaccard verification): persist it so tokenize+shingle+md5 runs
-    # once, not three times. Spark's cache manager dedupes by
-    # canonicalized plan, so repeated calls in one session reuse the
-    # same entry instead of churning. At cluster scale this becomes a
-    # checkpoint of the signature stage. Lifetime note: the entry lives
-    # until clearCache()/unpersist — MEMORY_AND_DISK so it spills rather
-    # than OOMs, but a long-lived session cycling through many DISTINCT
-    # corpora should clearCache() between them (tools/scale_probe.py
-    # does; measured 3-10x slowdowns on later queries otherwise).
-    from pyspark import StorageLevel
-
-    sh = _shingle_sets(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    # Jaccard verification); _shingle_sets persists internally
+    # (MEMORY_AND_DISK, shared across the dedup family), so the frame is
+    # used directly here. At cluster scale this becomes a checkpoint of
+    # the signature stage.
+    sh = _shingle_sets(spark, sf_dir)
     # All K min-hashes in ONE aggregation pass: each permutation is a
     # min() over an arithmetic rehash of the shingle's single md5 value,
     # so map-side partial aggregation collapses to one row per doc

@@ -368,7 +368,7 @@ def st_static_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-implemented — batch-verified logic under readStream unchanged.
     """
     from simple_etl_pipeline_spark.plans.events import (
-        ZSCORE_THRESHOLD,
+        zscore_outlier_agg,
         zscore_scored,
         zscore_stats,
     )
@@ -379,14 +379,7 @@ def st_static_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream = read_events_stream(spark, sf_dir).select("event_type", "value")
     scored = zscore_scored(stream, static_stats)
-    result = scored.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum((F.abs("z") > ZSCORE_THRESHOLD).cast("bigint")).alias(
-            "n_outliers"
-        ),
-        F.round(F.max(F.abs("z")), 6).alias("max_abs_z"),
-    )
-    return _run_to_memory(result, "complete")
+    return _run_to_memory(zscore_outlier_agg(scored), "complete")
 
 
 QUERIES = {
@@ -399,19 +392,11 @@ QUERIES = {
     "st_static_zscore": st_static_zscore,
 }
 
-def _dedup_exact_oracle() -> str:
-    # Deferred import: plans.text imports nothing from here, but keeping
-    # the module-load graph acyclic is cheap insurance.
-    from simple_etl_pipeline_spark.plans.text import DEDUP_EXACT_ORACLE
-
-    return DEDUP_EXACT_ORACLE
-
-
-def _zscore_oracle() -> str:
-    from simple_etl_pipeline_spark.plans.events import EV_ZSCORE_ORACLE
-
-    return EV_ZSCORE_ORACLE
-
+# Top-level imports: no cycle exists (plans.text / plans.events import
+# nothing from the streaming package), and these are resolved at module
+# load inside the ORACLES literal anyway — indirection would add nothing.
+from simple_etl_pipeline_spark.plans.events import EV_ZSCORE_ORACLE
+from simple_etl_pipeline_spark.plans.text import DEDUP_EXACT_ORACLE
 
 ORACLES = {
     "st_tumbling_hourly": ST_TUMBLING_ORACLE,
@@ -422,7 +407,7 @@ ORACLES = {
     "st_dedup_events": ST_DEDUP_ORACLE,
     "st_stream_stream_join": ST_STREAM_JOIN_ORACLE,
     # Full replay of the incremental index equals batch exact dedup.
-    "st_dedup_index": _dedup_exact_oracle(),
+    "st_dedup_index": DEDUP_EXACT_ORACLE,
     # Full replay of the stream-static scoring equals the batch monitor.
-    "st_static_zscore": _zscore_oracle(),
+    "st_static_zscore": EV_ZSCORE_ORACLE,
 }

@@ -53,3 +53,31 @@ def test_query_survives_empty_tables(spark, empty_sf_dir, name):
     df = QUERIES[name](spark, empty_sf_dir)
     rows = df.collect()  # must execute without error
     assert len(rows) <= 1  # empty, or one global-aggregate row
+
+
+def test_zscore_degenerate_groups(spark):
+    """A single-event type makes (n-1)=0 and a constant-valued type
+    makes variance 0 — both must yield NULL sd (no DIVIDE_BY_ZERO under
+    ANSI mode), 0 outliers, and NULL max_abs_z, matching the CASE the
+    oracle mirrors."""
+    from simple_etl_pipeline_spark.plans.events import (
+        zscore_outlier_agg,
+        zscore_scored,
+        zscore_stats,
+    )
+
+    ev = spark.createDataFrame(
+        [("solo", 42.0)]
+        + [("const", 7.0)] * 5
+        + [("normal", float(x)) for x in (1, 2, 3, 100)],
+        "event_type string, value double",
+    )
+    out = {
+        r["event_type"]: r
+        for r in zscore_outlier_agg(zscore_scored(ev, zscore_stats(ev))).collect()
+    }
+    assert out["solo"]["n_outliers"] == 0
+    assert out["solo"]["max_abs_z"] is None
+    assert out["const"]["n_outliers"] == 0
+    assert out["const"]["max_abs_z"] is None
+    assert out["normal"]["max_abs_z"] is not None
