@@ -115,6 +115,13 @@ def main() -> None:
             continue
         fn = queries[name]
         plan_fps[name] = _plan_fingerprint(fn(spark, SF_DIR))
+        # One UNTIMED warmup execution first: the first run pays JIT
+        # compilation, codegen compile, shuffle-service spin-up and any
+        # persist() population — round-3 medians carried that cost
+        # (sim_ivfpq_topk spread 3.05 s ≈ its median), making the
+        # per-query number useless for regression detection. Warmup
+        # brings the timed runs to steady state.
+        fn(spark, SF_DIR).count()
         # median-of-3: the box shows up to 3x run-to-run noise from
         # co-tenant load; the median resists a single noisy run while
         # still penalizing consistently slow plans. Spread (max-min)

@@ -32,3 +32,70 @@ def norm_col(a: Column) -> Column:
 
 def cosine_col(a: Column, b: Column) -> Column:
     return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+# Fixed-point scale for the deterministic dot product: 2^40. A power
+# of two, so scaling a double by it is EXACT (pure exponent shift) —
+# unlike a decimal cast, whose half-way tie-breaking differs between
+# engines (Java BigDecimal rounds the shortest decimal repr HALF_UP;
+# DuckDB rounds the same ties half-even — measured 19% disagreement on
+# tie-adjacent adversarial values).
+_DOT_SCALE = float(2**40)
+
+
+def dot_dec(a: Column | str, b: Column | str) -> Column:
+    """BIT-IDENTICAL cross-engine dot product via fixed-point folding.
+
+    Per element: fl(x*y) is the correctly-rounded IEEE product —
+    identical in any IEEE-754 engine; multiplying by 2^40 is exact
+    (power-of-two exponent shift); floor() is exact. The resulting
+    integers are summed exactly (associative, order-independent), so
+    Spark's array fold equals the oracle's list_sum regardless of
+    order, and the final int->double conversion and /2^40 are again
+    correctly-rounded/exact IEEE ops on identical inputs. No decimal
+    cast anywhere — the one primitive whose tie-breaking differs
+    between engines.
+
+    Precondition: sum(|x*y|) * 2^40 < 2^63 (bigint), i.e.
+    sum(|x*y|) < ~8.4e6 — embedding dots here are O(100). Each element
+    loses at most 2^-40 ~ 9e-13 to the floor — the same granularity
+    the previous decimal(…,12) discipline had, but deterministic."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return (
+        F.aggregate(
+            F.zip_with(
+                a, b, lambda x, y: F.floor(x * y * F.lit(_DOT_SCALE)).cast("long")
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, d: acc + d,
+        ).cast("double")
+        / F.lit(_DOT_SCALE)
+    )
+
+
+def cosine_dec(a: Column | str, b: Column | str) -> Column:
+    """Cosine from fixed-point-folded dot/norms: the three sums are
+    bit-identical across engines (dot_dec), and sqrt/division are
+    correctly-rounded IEEE ops on identical inputs — so the cosine is
+    bit-identical too, and a 6-dp round can never flip between
+    engines. Use for argmax cell assignment and threshold comparisons
+    where a 1-ulp boundary flip would change the result set."""
+    return dot_dec(a, b) / (F.sqrt(dot_dec(a, a)) * F.sqrt(dot_dec(b, b)))
+
+
+def sql_dot_dec(a: str, b: str) -> str:
+    """DuckDB twin of dot_dec — same fixed-point fold, bit-identical."""
+    return (
+        f"(CAST(list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> CAST(floor(p[1]*p[2]*{_DOT_SCALE!r}) AS BIGINT))) AS DOUBLE)"
+        f" / {_DOT_SCALE!r})"
+    )
+
+
+def sql_cosine_dec(a: str, b: str) -> str:
+    """DuckDB twin of cosine_dec — bit-identical to the Spark value."""
+    return (
+        f"({sql_dot_dec(a, b)} / "
+        f"(sqrt({sql_dot_dec(a, a)}) * sqrt({sql_dot_dec(b, b)})))"
+    )

@@ -109,10 +109,14 @@ def test_semdedup_pairs_are_cell_keyed(spark, sf_dir):
     # any corpus size — the assignment subtree replays per consumer)...
     bnlj = [l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l]
     assert bnlj and all("BuildRight, Cross" in l for l in bnlj), bnlj
-    # ...and the within-cell pair scan stays an equi-join on the cell key
+    # ...and the within-cell pair scan stays an equi-join on BOTH the
+    # cell key and the sign-bit sub-bucket (the round-4 scale fix: cell
+    # width stays bounded as the corpus grows, so losing the bucket key
+    # would silently reintroduce the quadratic within-cell scan)
     assert any(
-        "Join [cell" in l and "Inner" in l for l in plan.splitlines()
-    ), "pair scan lost its cell equi-key"
+        "Join [cell" in l and "bucket" in l and "Inner" in l
+        for l in plan.splitlines()
+    ), "pair scan lost its (cell, bucket) equi-keys"
 
 
 def test_zscore_stats_side_broadcasts(spark, sf_dir):

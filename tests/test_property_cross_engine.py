@@ -172,3 +172,60 @@ def test_cosine_within_rounding_ulp(spark, tmp_path_factory, pairs):
     for (va, vb), g, x in zip(pairs, got, exp):
         assert g is not None and x is not None, (va, vb, g, x)
         assert abs(g - x) <= _COS_TOL, (va, vb, g, x)
+
+
+# cosine_dec eliminates even that 1-ulp drift: decimal-folded dot and
+# norms are bit-identical across engines (no double is an exact tie at
+# decimal scale 12 — dyadic rationals can't have 5^12 denominators — so
+# the per-element cast is unambiguous), and sqrt/division are correctly
+# rounded IEEE ops on identical inputs. Precondition: |x*y| < 1e8 per
+# element (embedding-scale data; the strategy respects it).
+finite_small = st.floats(
+    min_value=-100.0, max_value=100.0, allow_nan=False, width=32
+)
+vec8_small = st.lists(finite_small, min_size=8, max_size=8).filter(
+    lambda v: any(abs(x) > 1e-3 for x in v)
+)
+
+
+@_SETTINGS
+@given(st.lists(st.tuples(vec8_small, vec8_small), min_size=1, max_size=20))
+def test_cosine_dec_bit_identical(spark, tmp_path_factory, pairs):
+    from simple_etl_pipeline_spark.functions.vectors import (
+        as_double_array,
+        cosine_dec,
+        sql_cosine_dec,
+    )
+
+    d = tmp_path_factory.mktemp("xcosdec")
+    path = os.path.join(str(d), "vecs.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "a": pa.array([p[0] for p in pairs], pa.list_(pa.float32())),
+                "b": pa.array([p[1] for p in pairs], pa.list_(pa.float32())),
+            }
+        ),
+        path,
+    )
+    got = [
+        r[0]
+        for r in spark.read.parquet(path)
+        .select(cosine_dec(as_double_array("a"), as_double_array("b")))
+        .collect()
+    ]
+    exp = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT "
+            + sql_cosine_dec("CAST(a AS DOUBLE[])", "CAST(b AS DOUBLE[])")
+            + f" FROM read_parquet('{path}')"
+        ).fetchall()
+    ]
+    import struct as _struct
+
+    for (va, vb), g, x in zip(pairs, got, exp):
+        assert (g is None) == (x is None), (va, vb, g, x)
+        if g is not None:
+            # bit-for-bit, not approximate
+            assert _struct.pack("d", g) == _struct.pack("d", x), (va, vb, g, x)
