@@ -46,81 +46,92 @@ def _all_modules():
 
 
 # Registration order matters: the driver's correctness gate checks a
-# prefix window of queries() in registration order (rounds 1 and 2 each
+# prefix window of queries() in registration order (rounds 1-3 each
 # covered exactly the first 50). _WINDOW pins those 50 slots explicitly.
 #
-# Round-3 composition (per VERDICT r2 items 2+3): the 29 queries that
-# had never received a driver correctness row in rounds 1-2 come first
-# (the production ANN layouts sim_ivfpq_topk/sim_pq_adc leading), then
-# st_session_windows (newly oracle-backed via the watermark sentinel),
-# then the 8 operators ADDED in round 3 (never checkable before), then
-# 12 canaries — green in both prior rounds, biased toward code that
-# changed this round (dedup_components/dedup_ngram_jaccard shingle
-# persist, ev_asof as the events-regeneration tripwire). Union of
-# r1-r3 driver rows then covers 111 of 120 queries; the swapped-out
-# canaries (q12, agg_approx_distinct, ref_clean_price, txt_token_stats,
-# txt_tfidf_top_term, dedup_simhash_pairs, sim_ann_lsh,
-# mm_blob_features) are double-green with unchanged code and stay under
-# the local parity suite; dedup_minhash_ml stays TAIL (rows-only by
-# design, Spark-internal hash seeds).
+# Round-4 composition, governed by the rotation invariant that
+# tests/test_driver_window.py now ENFORCES (every oracle-backed query
+# must appear in the union of the last two recorded CORRECTNESS
+# windows plus this list — i.e. no query goes more than two rounds
+# without a fresh driver row):
+#   1. The 34 queries whose last driver row was round 1 (the whole
+#      classic relational surface: TPC-H shapes incl. the correlated-
+#      subquery forms q2/q4/q13/q15/q18/q22, agg/window/setops/join
+#      families) — mandatory under the invariant, and among them
+#      agg_mode_source_by_lang, the one query that has NEVER had a
+#      driver row (added after the r3 window froze).
+#   2. 10 changed-code canaries: every query whose cosine moved to the
+#      bit-exact fixed-point fold this round (sim_knn_brute, sim_ann_lsh,
+#      sim_ivf_topk, sim_ivf_recall, sim_mrl_recall, dedup_semdedup —
+#      which also gained scale-adaptive sub-bucketed cells —
+#      dedup_embedding_cosine), the z-score pair that gained
+#      degenerate-group guards (ev_zscore_outliers, st_static_zscore),
+#      and dedup_minhash_lsh (persist restructuring).
+#   3. st_user_totals_stateful, rotated back (last row r2, swapped out
+#      late r3).
+#   4. The 3 queries ADDED this round: ev_range_join_incidents
+#      (bucketed interval join), ev_countmin_users (count-min sketch),
+#      window_percent_rank_suppliers.
+#   5. 2 standing canaries: q1_pricing_summary, ref_transform_full.
+# Everything else is double-green r2+r3 with unchanged code and stays
+# under the local parity suite; dedup_minhash_ml stays TAIL (rows-only
+# by design, Spark-internal hash seeds).
 _WINDOW = [
-    # -- never driver-checked in r1/r2 (29) --------------------------------
-    "sim_ivfpq_topk",
-    "sim_pq_adc",
-    "sim_quantize_int8",
+    # -- last driver row in round 1 (34) -----------------------------------
+    "agg_mode_source_by_lang",
+    "q2_top_supplier_per_nation",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_region_revenue",
+    "q6_revenue_filter",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q18_large_volume_customers",
+    "q19_disjunctive_filter",
+    "q22_idle_customers",
+    "scalar_functions",
+    "join_semi_discounted",
+    "join_anti_customers_without_orders",
+    "join_broadcast_brand_revenue",
+    "join_full_outer_nation_presence",
+    "orderby_limit_top_orders",
+    "agg_distinct_counts",
+    "agg_rollup_orders",
+    "agg_cube_lineitem",
+    "agg_grouping_sets",
+    "agg_conditional_pivot",
+    "agg_percentiles",
+    "agg_histogram",
+    "agg_salted_sum",
+    "setops_nations",
+    "window_above_customer_avg",
+    "window_topk_orders_per_customer",
+    "window_running_total",
+    "window_lag_events",
+    "window_rolling_7d",
+    # -- changed-code canaries (10) ----------------------------------------
+    "sim_knn_brute",
+    "sim_ann_lsh",
+    "sim_ivf_topk",
     "sim_ivf_recall",
-    "join_fuzzy_part_names",
-    "join_fuzzy_recall",
-    "txt_pii_redact",
-    "txt_contamination",
-    "txt_sample_stratified",
-    "txt_pack_sequences",
-    "txt_mixture_weights",
-    "txt_dataset_card",
-    "txt_repetition_filter",
-    "txt_chunk_windows",
-    "dedup_incremental",
-    "dedup_survivors_quality",
-    "mm_dedup_blobs",
-    "ev_heavy_hitters",
-    "ev_json_variant",
-    "ev_retention_cohorts",
-    "agg_approx_percentile",
-    "window_ntile_customer_deciles",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q16_supplier_cardinality",
-    "q17_small_qty_revenue",
-    "q20_excess_shippers",
-    "q21_waiting_suppliers",
-    # -- newly oracle-backed this round ------------------------------------
-    "st_session_windows",
-    # -- added in round 3 (11) ---------------------------------------------
-    "txt_gopher_quality",
-    "dedup_paragraphs",
-    "dedup_semdedup",
     "sim_mrl_recall",
+    "dedup_semdedup",
+    "dedup_embedding_cosine",
     "ev_zscore_outliers",
-    "ev_hll_user_rollup",
-    "st_dedup_index",
-    "txt_pagerank",
-    "dedup_components_lsh",
     "st_static_zscore",
-    "unpivot_lineitem_measures",
-    # -- canaries: green in r1+r2, changed-code biased (9) -----------------
-    # (sim_knn_brute / sim_ivf_topk / st_user_totals_stateful swapped out
-    # late round 3 for the three operators above: double-green, unchanged
-    # code, still under the local parity suite)
+    "dedup_minhash_lsh",
+    # -- rotated back (1) --------------------------------------------------
+    "st_user_totals_stateful",
+    # -- added in round 4 (3) ----------------------------------------------
+    "ev_range_join_incidents",
+    "ev_countmin_users",
+    "window_percent_rank_suppliers",
+    # -- standing canaries (2) ---------------------------------------------
     "q1_pricing_summary",
     "ref_transform_full",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_components",
-    "dedup_embedding_cosine",
-    "ev_asof_purchase_click",
-    "ev_session_windows",
 ]
 
 

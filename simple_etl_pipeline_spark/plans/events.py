@@ -657,12 +657,189 @@ ORDER BY day
 """
 
 
+RANGE_WINDOW_US = 1800 * 1_000_000  # 30-minute incident window, microseconds
+
+
+def ev_range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed INTERVAL JOIN (point-in-range) via bucketed
+    equi-join: every 'error' event opens a 30-minute incident window;
+    count the 'click' events (and their value) that land inside each
+    window for the same user.
+
+    Spark has no native range-join optimization — a naive
+    `ON a.user = b.user AND b.ts BETWEEN a.t0 AND a.t1` plans as a
+    nested-loop over the user groups. The scalable shape: quantize time
+    into buckets the width of the window, EXPLODE each interval into
+    the (at most 2) buckets it overlaps, give each point its single
+    containing bucket, equi-join on (user_id, bucket), then apply the
+    exact range predicate. A (interval, point) pair can only meet in
+    the point's bucket, so no post-join dedup is needed. At 100 TB both
+    sides shuffle once on a well-distributed composite key — never a
+    per-user nested loop.
+
+    All time arithmetic is integer microseconds (unix_micros /
+    epoch_us), so bucket ids and range bounds are engine-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    w = RANGE_WINDOW_US
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        "user_id",
+        F.unix_micros("ts").alias("t0u"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.unix_micros("ts").alias("cu"),
+        "value",
+    )
+    spans = errors.select(
+        "incident_id",
+        "user_id",
+        "t0u",
+        F.explode(
+            F.sequence(
+                F.expr(f"t0u div {w}"), F.expr(f"(t0u + {w} - 1) div {w}")
+            )
+        ).alias("bucket"),
+    )
+    hits = spans.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("bucket") == F.expr(f"cu div {w}"))
+        & (F.col("cu") >= F.col("t0u"))
+        & (F.col("cu") < F.col("t0u") + F.lit(w)),
+    )
+    counts = hits.groupBy("incident_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        dsum("value").alias("click_value"),
+    )
+    return (
+        errors.join(counts, "incident_id", "left")
+        .select(
+            "incident_id",
+            "user_id",
+            F.expr("t0u div 1000000").alias("t0_epoch"),
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            "click_value",
+        )
+        .orderBy("incident_id")
+    )
+
+
+EV_RANGE_JOIN_ORACLE = f"""
+WITH err AS (
+  SELECT event_id AS incident_id, user_id, epoch_us(ts) AS t0u
+  FROM events WHERE event_type = 'error'
+), cl AS (
+  SELECT user_id, epoch_us(ts) AS cu, value
+  FROM events WHERE event_type = 'click'
+)
+SELECT e.incident_id, e.user_id, e.t0u // 1000000 AS t0_epoch,
+  COUNT(cl.cu) AS n_clicks, {sql_dsum('cl.value')} AS click_value
+FROM err e LEFT JOIN cl
+  ON e.user_id = cl.user_id
+  AND cl.cu >= e.t0u AND cl.cu < e.t0u + {RANGE_WINDOW_US}
+GROUP BY 1, 2, 3 ORDER BY incident_id
+"""
+
+
+# Count-min sketch: d x w counter table with universal hashes — pure
+# bigint arithmetic, so both engines compute the identical sketch.
+CMS_P = 2147483647
+CMS_W = 64
+CMS_HASHES = [
+    ((1103515245 * (i + 3)) % CMS_P, (12345 + 2654435761 * (i + 1)) % CMS_P)
+    for i in range(3)
+]
+
+
+def ev_countmin_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch of per-user event frequencies, checked against
+    exact counts for the 20 heaviest users. The sketch is a d=3 x w=64
+    counter table built in ONE keyed aggregation (explode the d hash
+    rows, groupBy (row, bucket)); a key's estimate is the MIN of its d
+    counters. Counters are additive, so per-day sketches merge by
+    summing cells — the frequency analogue of the HLL rollup
+    (ev_hll_user_rollup): any date-range estimate is sketch-sized
+    work, not data-sized. Hashes are universal (a*u + b mod p mod w)
+    in pure bigint arithmetic — both engines build the identical
+    sketch, so estimates hash-match exactly; the no_underestimate
+    column doubles as the CMS guarantee check."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("h"),
+                (
+                    (F.lit(a) * F.col("user_id") + F.lit(b)) % CMS_P % CMS_W
+                ).alias("bucket"),
+            )
+            for i, (a, b) in enumerate(CMS_HASHES)
+        ]
+    )
+    cms = (
+        ev.select(F.explode(rows).alias("r"))
+        .groupBy(F.col("r.h").alias("h"), F.col("r.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cell_n"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = exact.orderBy(F.desc("exact_n"), F.asc("user_id")).limit(20)
+    probes = top.select(
+        "user_id",
+        "exact_n",
+        F.explode(rows).alias("r"),
+    ).select("user_id", "exact_n", F.col("r.h").alias("h"), F.col("r.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(cms), ["h", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cell_n").alias("cms_n"))
+        .select(
+            "user_id",
+            "exact_n",
+            "cms_n",
+            (F.col("cms_n") >= F.col("exact_n")).alias("no_underestimate"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _cms_hash_sql(col: str, i: int) -> str:
+    a, b = CMS_HASHES[i]
+    return f"((({a} * {col} + {b}) % {CMS_P}) % {CMS_W})"
+
+
+EV_COUNTMIN_ORACLE = f"""
+WITH probes_src AS (
+  SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY user_id
+  ORDER BY exact_n DESC, user_id ASC LIMIT 20
+), cms AS (
+  SELECT h, bucket, COUNT(*) AS cell_n FROM (
+    {" UNION ALL ".join(
+        f"SELECT {i} AS h, {_cms_hash_sql('user_id', i)} AS bucket FROM events"
+        for i in range(len(CMS_HASHES))
+    )}
+  ) GROUP BY h, bucket
+), probes AS (
+  {" UNION ALL ".join(
+      f"SELECT user_id, exact_n, {i} AS h, {_cms_hash_sql('user_id', i)} AS bucket"
+      f" FROM probes_src"
+      for i in range(len(CMS_HASHES))
+  )}
+)
+SELECT p.user_id, p.exact_n, MIN(c.cell_n) AS cms_n,
+       MIN(c.cell_n) >= p.exact_n AS no_underestimate
+FROM probes p JOIN cms c ON p.h = c.h AND p.bucket = c.bucket
+GROUP BY p.user_id, p.exact_n ORDER BY user_id
+"""
+
+
 TAIL_QUERIES = {
     "ev_heavy_hitters": ev_heavy_hitters,
     "ev_json_variant": ev_json_variant,
     "ev_retention_cohorts": ev_retention_cohorts,
     "ev_zscore_outliers": ev_zscore_outliers,
     "ev_hll_user_rollup": ev_hll_user_rollup,
+    "ev_range_join_incidents": ev_range_join_incidents,
+    "ev_countmin_users": ev_countmin_users,
 }
 TAIL_ORACLES = {
     "ev_heavy_hitters": EV_HEAVY_HITTERS_ORACLE,
@@ -670,4 +847,6 @@ TAIL_ORACLES = {
     "ev_retention_cohorts": EV_RETENTION_ORACLE,
     "ev_zscore_outliers": EV_ZSCORE_ORACLE,
     "ev_hll_user_rollup": EV_HLL_ROLLUP_ORACLE,
+    "ev_range_join_incidents": EV_RANGE_JOIN_ORACLE,
+    "ev_countmin_users": EV_COUNTMIN_ORACLE,
 }

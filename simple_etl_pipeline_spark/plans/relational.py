@@ -1794,6 +1794,37 @@ SELECT lang, mode_source, n FROM (
 """
 
 
+def window_percent_rank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-standing window functions: percent_rank and cume_dist
+    of supplier account balance within each nation — the remaining
+    analytic-window shapes the engine didn't yet cover (rank/lag/ntile/
+    rolling are elsewhere). Both are rank-based, so ties produce the
+    same value regardless of row order — deterministic across engines.
+    One shuffle keyed by nation; WindowExec sorts within partitions."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.asc("s_acctbal"))
+    return (
+        supplier.select(
+            "s_suppkey",
+            "s_nationkey",
+            "s_acctbal",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+WINDOW_PERCENT_RANK_ORACLE = """
+SELECT s_suppkey, s_nationkey, s_acctbal,
+  round(percent_rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal ASC), 6)
+    AS pct_rank,
+  round(cume_dist() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal ASC), 6)
+    AS cume_dist
+FROM supplier ORDER BY s_suppkey
+"""
+
+
 TAIL_QUERIES = {
     "agg_approx_percentile": agg_approx_percentile,
     "window_ntile_customer_deciles": window_ntile_customer_deciles,
@@ -1801,6 +1832,7 @@ TAIL_QUERIES = {
     "join_fuzzy_recall": join_fuzzy_recall,
     "unpivot_lineitem_measures": unpivot_lineitem_measures,
     "agg_mode_source_by_lang": agg_mode_source_by_lang,
+    "window_percent_rank_suppliers": window_percent_rank_suppliers,
 }
 TAIL_ORACLES = {
     "agg_approx_percentile": AGG_APPROX_PERCENTILE_ORACLE,
@@ -1809,4 +1841,5 @@ TAIL_ORACLES = {
     "join_fuzzy_recall": JOIN_FUZZY_RECALL_ORACLE,
     "unpivot_lineitem_measures": UNPIVOT_ORACLE,
     "agg_mode_source_by_lang": AGG_MODE_ORACLE,
+    "window_percent_rank_suppliers": WINDOW_PERCENT_RANK_ORACLE,
 }

@@ -940,12 +940,20 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bucket")
         )
     )
+    # assigned feeds three consumers (both pair-scan sides + the output
+    # join): persist it so the centroid build, argmax assignment and
+    # bucket aggregation run once, not three times (same pattern as the
+    # IVF-PQ codebook persist; collapses the plan from 18 exchanges /
+    # 3 assignment replays to one).
+    from pyspark import StorageLevel
+
     assigned = (
         corpus.join(cells, "vec_id")
         .join(buckets, "vec_id", "left")
         .select(
             "vec_id", "v", "cell", F.coalesce("bucket", F.lit(0)).alias("bucket")
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     dominated = (

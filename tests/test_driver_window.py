@@ -34,3 +34,32 @@ def test_registry_totals():
     assert len(q) >= 112
     # Only dedup_minhash_ml (Spark-internal hash seeds) is rows-only.
     assert set(q) - set(o) == {"dedup_minhash_ml"}
+
+
+def test_rotation_invariant_no_query_waits_three_rounds():
+    """Every oracle-backed query must appear in the union of the LAST
+    TWO recorded driver windows (CORRECTNESS_r{N}.json keys) plus the
+    current _WINDOW — i.e. no registered query goes more than two
+    rounds without a scheduled driver row. This is the crack
+    agg_mode_source_by_lang fell through in round 3: registered in the
+    final commit, absent from every window. A failure here means the
+    window needs re-balancing before the round ships."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.abspath(entrymod.__file__))
+    rounds = sorted(
+        glob.glob(os.path.join(root, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    covered = set(entrymod._WINDOW)
+    for path in rounds[-2:]:
+        with open(path) as f:
+            covered |= set(json.load(f))
+    uncovered = sorted(set(entrymod.oracle_sql()) - covered)
+    assert uncovered == [], (
+        f"queries with no driver slot in the last two rounds nor the "
+        f"current window: {uncovered}"
+    )

@@ -123,3 +123,16 @@ def test_zscore_stats_side_broadcasts(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ev_zscore_outliers")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_range_join_is_bucketed_equi_join(spark, sf_dir):
+    # the interval join must run as a (user, time-bucket) equi-join —
+    # a naive range predicate would plan as a nested loop that explodes
+    # at scale
+    plan = _plan(spark, sf_dir, "ev_range_join_incidents")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert any(
+        k in plan
+        for k in ["SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"]
+    )
