@@ -73,6 +73,8 @@ HEADLINE = [
     # both components configurations: exact-Jaccard pairs (oracle of
     # record) vs banded LSH pairs (the 100 TB pair source).
     "dedup_components_lsh",
+    # round 4: the bucketed interval join (range-join pattern).
+    "ev_range_join_incidents",
 ]
 
 

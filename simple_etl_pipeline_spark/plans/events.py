@@ -725,7 +725,7 @@ def ev_range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EV_RANGE_JOIN_ORACLE = f"""
+EV_RANGE_INCIDENTS_ORACLE = f"""
 WITH err AS (
   SELECT event_id AS incident_id, user_id, epoch_us(ts) AS t0u
   FROM events WHERE event_type = 'error'
@@ -847,6 +847,6 @@ TAIL_ORACLES = {
     "ev_retention_cohorts": EV_RETENTION_ORACLE,
     "ev_zscore_outliers": EV_ZSCORE_ORACLE,
     "ev_hll_user_rollup": EV_HLL_ROLLUP_ORACLE,
-    "ev_range_join_incidents": EV_RANGE_JOIN_ORACLE,
+    "ev_range_join_incidents": EV_RANGE_INCIDENTS_ORACLE,
     "ev_countmin_users": EV_COUNTMIN_ORACLE,
 }

@@ -34,6 +34,10 @@ REPRESENTATIVE = [
     "ev_zscore_outliers",
     "ev_hll_user_rollup",
     "txt_pagerank",
+    # round-4 operators
+    "ev_range_join_incidents",
+    "ev_countmin_users",
+    "window_percent_rank_suppliers",
 ]
 
 

@@ -54,6 +54,9 @@ PROBE_QUERIES = [
     "dedup_paragraphs",
     # map-only quality rules: should be the flattest line in the probe.
     "txt_gopher_quality",
+    # fixed-iteration pagerank over the dup-pair graph: edges ∝ pairs,
+    # 3 unrolled iterations -> wall should track the edge count.
+    "txt_pagerank",
 ]
 # Embedding-side probe (SPARK_GRAFT_PROBE=sim): vectors are perturbed
 # per copy (direction-dependent per-dim scaling), so LSH/sign buckets
@@ -66,10 +69,11 @@ SIM_PROBE_QUERIES = [
     "sim_quantize_int8",
     "sim_pq_adc",
     "sim_mrl_recall",
-    # NOTE deliberately probed at FIXED cell count (10 label centroids):
-    # within-cell pairs grow ~K²/cells, so the exponent documents why
-    # production SemDeDup grows K (centroid count) with corpus size —
-    # the same contract as IVF cell counts.
+    # Since round 4 the cell count auto-scales: sign-bit sub-buckets
+    # with B = ceil(log2(N / (labels * target_width))) bits, so cell
+    # width — and therefore the within-cell pair scan — stays bounded
+    # as the corpus grows. The probe logs max (cell, bucket) width per
+    # K to evidence exactly that.
     "dedup_semdedup",
 ]
 # Events-side probe (SPARK_GRAFT_PROBE=ev): each copy shifts user_id and
@@ -122,6 +126,13 @@ def write_scaled(spark, sf_dir: str, k: int, out_dir: str) -> None:
 def write_scaled_embeddings(spark, sf_dir: str, k: int, out_dir: str) -> None:
     emb = load_table(spark, sf_dir, "embeddings")
     copies = spark.range(k).withColumnRenamed("id", "copy")
+    # Per-(copy, dim) magnitude perturbation AND sign flips: a fresh
+    # corpus at K× has independent directions, so copies must not share
+    # sign patterns with their originals — sign-correlated copies would
+    # adversarially stack into the same sign-bit buckets (semdedup
+    # sub-buckets, LSH buckets) in a way no real corpus growth does.
+    # Flips are per-copy-deterministic, so within-copy near-dup
+    # injections (x0.5 / x1.5 scaled pairs) stay cosine-invariant.
     scaled = emb.crossJoin(copies).select(
         (F.col("vec_id") + F.col("copy") * 10_000_000).alias("vec_id"),
         F.transform(
@@ -133,6 +144,8 @@ def write_scaled_embeddings(spark, sf_dir: str, k: int, out_dir: str) -> None:
                     + ((F.col("copy") * 31 + i) % 7 - F.lit(3)).cast("double")
                     * 0.15
                 )
+                * F.when((F.col("copy") * 37 + i * 13) % 2 == 0, F.lit(1.0))
+                .otherwise(F.lit(-1.0))
             ).cast("float"),
         ).alias("embedding"),
         "label",
@@ -227,6 +240,31 @@ def main() -> None:
                 n_out = queries[name](spark, kdir).count()
                 wall = time.perf_counter() - t0
                 results[name][k] = wall
+                if name == "dedup_semdedup":
+                    # evidence for the bounded-cell-width contract: the
+                    # output carries (cell, bucket), so max width is one
+                    # tiny aggregate over the result
+                    width = (
+                        queries[name](spark, kdir)
+                        .groupBy("cell", "bucket")
+                        .count()
+                        .agg(
+                            F.max("count").alias("mx"),
+                            F.count(F.lit(1)).alias("n_cells"),
+                        )
+                        .collect()[0]
+                    )
+                    print(
+                        json.dumps(
+                            {
+                                "k": k,
+                                "query": name,
+                                "max_cell_width": width["mx"],
+                                "n_cells": width["n_cells"],
+                            }
+                        ),
+                        flush=True,
+                    )
                 # dedup_minhash_lsh persists its shingle stage (by design:
                 # three consumers, cache-manager-deduped across calls in a
                 # session). Across probe iterations those entries are dead
