@@ -85,12 +85,26 @@ def cosine_dec(a: Column | str, b: Column | str) -> Column:
 
 
 def sql_dot_dec(a: str, b: str) -> str:
-    """DuckDB twin of dot_dec — same fixed-point fold, bit-identical."""
-    return (
-        f"(CAST(list_sum(list_transform(list_zip({a}, {b}), "
-        f"p -> CAST(floor(p[1]*p[2]*{_DOT_SCALE!r}) AS BIGINT))) AS DOUBLE)"
-        f" / {_DOT_SCALE!r})"
+    """DuckDB twin of dot_dec — same fixed-point fold, bit-identical.
+
+    The integer sum is converted to double via a high/low 2^32 split
+    instead of a direct CAST: DuckDB's HUGEINT->DOUBLE cast goes
+    through two roundings (upper*2^64 + lower, each rounded) and is
+    off by 1 ulp for |sum| > 2^53, while the JVM's long->double is a
+    single correctly-rounded conversion. quotient*2^32 is an exact
+    exponent shift, quotient (< 2^53 for any |sum| < 2^85) and
+    remainder (< 2^32) are exact as doubles, and the one final add is
+    the single correctly-rounded step — matching the JVM bit-for-bit
+    for every bigint-range sum, not just |sum| < 2^53."""
+    fold = (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> CAST(floor(p[1]*p[2]*{_DOT_SCALE!r}) AS BIGINT)))"
     )
+    exact_double = (
+        f"(CAST(({fold}) // 4294967296 AS DOUBLE) * 4294967296.0"
+        f" + CAST(({fold}) % 4294967296 AS DOUBLE))"
+    )
+    return f"({exact_double} / {_DOT_SCALE!r})"
 
 
 def sql_cosine_dec(a: str, b: str) -> str:
