@@ -832,6 +832,210 @@ GROUP BY p.user_id, p.exact_n ORDER BY user_id
 """
 
 
+# --- SCD Type-2 dimension build (CDC compaction) --------------------------
+def ev_scd2_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 build: compact each user's event
+    stream into validity intervals of their current event_type — the
+    standard CDC-to-dimension shape (attribute history with
+    valid_from / valid_to / is_current).
+
+    Plan shape: ONE shuffle on user_id serves everything — the change
+    detector (lag over user/ts), the run id (running sum of change
+    flags), the per-run groupBy, and the valid_to stitch (lead over the
+    same key) all share the user_id partitioning, so Catalyst plans a
+    single Exchange followed by co-partitioned windows/aggregation. At
+    100 TB this is a linear keyed pass; no self-join of history against
+    itself (the naive SCD2 formulation) ever appears.
+
+    Determinism: events are ordered by (ts, event_id) within a user —
+    event_id breaks timestamp ties identically in both engines."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    changed = (prev.isNull() | (F.col("event_type") != prev)).cast("int")
+    runs = ev.withColumn(
+        "version",
+        F.sum(changed).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    # event_type is constant within a run by construction; min() makes
+    # that order-independent (first() would hinge on shuffle order).
+    intervals = runs.groupBy("user_id", "version").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("_start_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    vw = Window.partitionBy("user_id").orderBy("version")
+    return (
+        intervals.select(
+            "user_id",
+            "version",
+            "event_type",
+            "n_events",
+            epoch_seconds(F.col("_start_ts")).alias("valid_from"),
+            F.lead(epoch_seconds(F.col("_start_ts"))).over(vw).alias("valid_to"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .orderBy("user_id", "version")
+    )
+
+
+EV_SCD2_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_type, event_id,
+    CASE WHEN LAG(event_type) OVER w IS NULL
+           OR event_type <> LAG(event_type) OVER w
+         THEN 1 ELSE 0 END AS changed
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), runs AS (
+  SELECT *, CAST(SUM(changed) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+  FROM flagged
+), intervals AS (
+  SELECT user_id, version,
+    MIN(event_type) AS event_type,
+    COUNT(*) AS n_events,
+    {sql_epoch("MIN(ts)")} AS valid_from
+  FROM runs GROUP BY user_id, version
+)
+SELECT user_id, version, event_type, n_events, valid_from,
+  LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+  LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version) IS NULL
+    AS is_current
+FROM intervals ORDER BY user_id, version
+"""
+
+
+# --- Z-order data layout (multi-dimensional clustering stats) -------------
+# 8 bits per dimension: both coordinates are normalized into [0, 256)
+# BEFORE interleaving — raw user_id (~150 values at sf0.01) against a
+# ~40k-minute clock would put all its bits below the clock's, and the
+# z-ranges would degenerate to a pure time sort (measured: every file
+# spanned the full user range). Real OPTIMIZE ZORDER implementations
+# solve exactly this with sampled range boundaries per dimension; here
+# the user dimension is dictionary-ranked (the distinct-user table is
+# dim-sized, so its global row_number window is a broadcast-scale sort,
+# not a fact-table sort) and time is fixed 3-hour buckets.
+ZORDER_BITS = 8
+ZORDER_EPOCH0 = 1704067200  # 2024-01-01T00:00:00Z — testdata time origin
+ZORDER_Y_SECONDS = 10800  # 3-hour buckets -> 8 bits spans ~32 days
+ZORDER_FILE_SHIFT = 10  # 2^16 z-space / 2^10 -> up to 64 target files
+
+
+def _interleave_bits(x, y):
+    """Morton/Z-value: bit i of x at position 2i, of y at 2i+1 — pure
+    shift/mask/add Column arithmetic (identical bigint ops in DuckDB)."""
+    z = F.lit(0).cast("long")
+    for i in range(ZORDER_BITS):
+        z = z + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return z
+
+
+def _sql_interleave(x: str, y: str) -> str:
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def ev_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER layout planner: interleave (user_id, minutes-since-origin)
+    into a Morton code, assign rows to target files by z-range, and emit
+    the per-file min/max column statistics a reader would prune on —
+    i.e. the OPTIMIZE ZORDER BY (user_id, ts) step of a lakehouse table,
+    reduced to its decision procedure.
+
+    Why it matters at 100 TB: a time-sorted layout gives perfect
+    pruning on ts and NONE on user_id (every file spans all users);
+    the Morton code bounds BOTH dims per file (each z-range file covers
+    at most a power-of-two aligned rectangle of the key space), so
+    point/range predicates on either column skip most files. The
+    emitted min/max pairs are exactly the parquet footer stats that
+    implement that skipping.
+
+    Plan shape: the user dictionary (distinct user_id -> dense rank,
+    dim-sized) is built once and broadcast back onto the fact table;
+    the z computation is then map-only and one groupBy on the derived
+    file id stands in for the write-side repartitionByRange(z). No
+    fact-table sort, no fact-sized window."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    # dim-sized global window: ~n_users rows, broadcast-scale by design
+    ud = users.select(
+        "user_id",
+        (F.row_number().over(Window.orderBy("user_id")) - 1).alias("urank"),
+    )
+    n_users = users.agg(F.count(F.lit(1)).alias("n_users"))
+    dim = ud.crossJoin(F.broadcast(n_users)).select(
+        "user_id",
+        F.expr(f"(urank * {1 << ZORDER_BITS}) div n_users").alias("x"),
+    )
+    # positive-range / then truncate == floor; values well under 2^53
+    y = (
+        ((epoch_seconds("ts") - ZORDER_EPOCH0) / ZORDER_Y_SECONDS)
+        .cast("long")
+        % (1 << ZORDER_BITS)
+    ).cast("long")
+    keyed = ev.join(F.broadcast(dim), "user_id").select(
+        F.col("x").cast("long").alias("x"), y.alias("y")
+    )
+    z = _interleave_bits(F.col("x"), F.col("y"))
+    return (
+        keyed.select(
+            F.shiftright(z, ZORDER_FILE_SHIFT).alias("file_id"), "x", "y"
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("min_user"),
+            F.max("x").alias("max_user"),
+            F.min("y").alias("min_tbucket"),
+            F.max("y").alias("max_tbucket"),
+        )
+        .orderBy("file_id")
+    )
+
+
+EV_ZORDER_ORACLE = f"""
+WITH users AS (
+  SELECT DISTINCT user_id FROM events
+), nd AS (
+  SELECT COUNT(*) AS n_users FROM users
+), ud AS (
+  SELECT user_id,
+         (ROW_NUMBER() OVER (ORDER BY user_id) - 1) AS urank
+  FROM users
+), dim AS (
+  SELECT ud.user_id,
+         (ud.urank * {1 << ZORDER_BITS}) // nd.n_users AS x
+  FROM ud, nd
+), keyed AS (
+  SELECT dim.x AS x,
+    (({sql_epoch('ts')} - {ZORDER_EPOCH0}) // {ZORDER_Y_SECONDS})
+      % {1 << ZORDER_BITS} AS y
+  FROM events e JOIN dim ON e.user_id = dim.user_id
+), coded AS (
+  SELECT x, y, {_sql_interleave('x', 'y')} >> {ZORDER_FILE_SHIFT} AS file_id
+  FROM keyed
+)
+SELECT file_id, COUNT(*) AS n_rows,
+  MIN(x) AS min_user, MAX(x) AS max_user,
+  MIN(y) AS min_tbucket, MAX(y) AS max_tbucket
+FROM coded GROUP BY file_id ORDER BY file_id
+"""
+
+
 TAIL_QUERIES = {
     "ev_heavy_hitters": ev_heavy_hitters,
     "ev_json_variant": ev_json_variant,
@@ -840,6 +1044,8 @@ TAIL_QUERIES = {
     "ev_hll_user_rollup": ev_hll_user_rollup,
     "ev_range_join_incidents": ev_range_join_incidents,
     "ev_countmin_users": ev_countmin_users,
+    "ev_scd2_users": ev_scd2_users,
+    "ev_zorder_layout": ev_zorder_layout,
 }
 TAIL_ORACLES = {
     "ev_heavy_hitters": EV_HEAVY_HITTERS_ORACLE,
@@ -849,4 +1055,6 @@ TAIL_ORACLES = {
     "ev_hll_user_rollup": EV_HLL_ROLLUP_ORACLE,
     "ev_range_join_incidents": EV_RANGE_INCIDENTS_ORACLE,
     "ev_countmin_users": EV_COUNTMIN_ORACLE,
+    "ev_scd2_users": EV_SCD2_ORACLE,
+    "ev_zorder_layout": EV_ZORDER_ORACLE,
 }

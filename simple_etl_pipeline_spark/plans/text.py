@@ -2091,6 +2091,225 @@ FROM ranked GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# --- unigram-LM quality proxy: OOV / rare-token profile -------------------
+# Top-V vocabulary size. Real pipelines (e.g. CCNet-style LM filtering)
+# prune the unigram table to a fixed vocabulary and BROADCAST it; any
+# token outside the table is out-of-vocabulary. That keeps the per-doc
+# scoring a broadcast-hash-join map stage — no corpus-sized shuffle on
+# the token column, whose Zipf head would otherwise be the worst skew
+# key in the whole pipeline (the word "the" alone would be one reducer).
+# V is a tuning knob: production corpora use 10^5-10^6; the synthetic
+# documents table has only ~31 distinct tokens, so V=16 keeps the OOV
+# tail non-degenerate (V >= vocab would make every token in-vocabulary
+# and the score constant-zero).
+VOCAB_TOP_V = 16
+
+
+def txt_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality proxy: score every document by how much of it
+    falls outside the corpus's top-V vocabulary, plus the summed corpus
+    frequency of its in-vocabulary tokens (the rational-arithmetic stand-
+    in for a unigram log-prob — monotone in it, but engine-exact).
+
+    Scale shape: one explode+groupBy builds the unigram table (partial
+    aggregation absorbs the Zipf head map-side), TakeOrdered keeps the
+    top V=1000 (freq desc, token asc — deterministic at ties), and the
+    pruned table is broadcast back against the exploded corpus: the
+    scoring join is a map-stage hash probe, never a shuffle keyed by
+    token. At 100 TB the vocabulary table is a few MB regardless of
+    corpus size — the same broadcast-dimension contract as
+    txt_contamination's benchmark set.
+
+    V=16 here (see VOCAB_TOP_V note); with the synthetic corpus's ~31
+    distinct tokens that puts roughly half the vocabulary out-of-table,
+    so oov_ratio varies per document instead of collapsing to zero."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    inst = docs.select("doc_id", F.explode(tokens_col("text")).alias("tok"))
+    vocab = (
+        inst.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(VOCAB_TOP_V)
+    )
+    return (
+        inst.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("freq").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            F.coalesce(F.sum("freq"), F.lit(0)).cast("bigint").alias("sum_freq"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            "sum_freq",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TXT_RARE_TOKEN_ORACLE = f"""
+WITH inst AS (
+  SELECT doc_id, unnest({sql_tokens('text')}) AS tok FROM documents
+), vocab AS (
+  SELECT tok, COUNT(*) AS freq FROM inst GROUP BY tok
+  ORDER BY freq DESC, tok ASC LIMIT {VOCAB_TOP_V}
+)
+SELECT i.doc_id, COUNT(*) AS n_tokens,
+  CAST(SUM(CASE WHEN v.freq IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+  CAST(COALESCE(SUM(v.freq), 0) AS BIGINT) AS sum_freq,
+  round(CAST(SUM(CASE WHEN v.freq IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*), 6) AS oov_ratio
+FROM inst i LEFT JOIN vocab v ON i.tok = v.tok
+GROUP BY i.doc_id ORDER BY i.doc_id
+"""
+
+
+# --- broadcast Bloom-filter contamination ---------------------------------
+# 4096 bits as 128 x 32-bit words (32-bit words keep every mask and
+# shift strictly positive — BIGINT sign-bit semantics never enter the
+# cross-engine comparison), 3 salted md5 hashes per shingle.
+BLOOM_BITS = 4096
+BLOOM_WORD_BITS = 32
+BLOOM_K = 3
+
+
+def txt_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination via a broadcast BLOOM FILTER instead of
+    the broadcast shingle list (txt_contamination): the benchmark's
+    distinct 3-gram shingles are folded into a 4096-bit filter (128
+    32-bit words, bit_or aggregation, 3 salted md5 hashes), and every
+    document probes the filter with per-shingle bit tests — a pure map
+    stage against a KB-sized broadcast.
+
+    This is the membership structure that still works when the
+    reference set is too large to broadcast verbatim: the filter is
+    CONSTANT-sized however many shingles went in (false-positive rate,
+    not memory, degrades). The audit columns prove the Bloom contract
+    on real data: exact_hits recomputed against the true set (as
+    txt_contamination does), n_false_pos = bloom_hits - exact_hits >= 0,
+    and no_false_neg TRUE on every row (a Bloom filter can only
+    over-report)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+    bench_sh = (
+        bench.select(F.explode(shingles_col("text")).alias("s")).distinct()
+    )
+    idxs = F.array(
+        *[
+            (md5_hash60(F.col("s"), F.lit(i)) % BLOOM_BITS).alias(f"h{i}")
+            for i in range(BLOOM_K)
+        ]
+    )
+    words = (
+        bench_sh.select(F.explode(idxs).alias("idx"))
+        .groupBy(F.expr(f"idx div {BLOOM_WORD_BITS}").alias("word"))
+        .agg(
+            F.bit_or(
+                F.expr(f"shiftleft(1L, CAST(idx % {BLOOM_WORD_BITS} AS INT))")
+            ).alias("mask")
+        )
+    )
+    bloom = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "mask"))).alias("bloom")
+    )
+    bset = bench_sh.agg(F.collect_list("s").alias("bench_sh"))
+    ev = docs.filter(
+        (F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+        & (F.size(tokens_col("text")) >= 3)
+    ).select("doc_id", F.array_distinct(shingles_col("text")).alias("sh"))
+
+    def _bit_set(s, i: int):
+        # One salted hash -> (word, bit) -> mask & 2^bit test. The bit
+        # mask is built as pow(2, bit) cast to long — exact for bit<32
+        # in both engines — because shiftleft by a COLUMN amount isn't
+        # in the PySpark function API and 32-bit words make every
+        # intermediate positive.
+        idx = md5_hash60(s, F.lit(i)) % BLOOM_BITS
+        word_key = F.floor(idx / BLOOM_WORD_BITS).cast("long")
+        bit = idx % BLOOM_WORD_BITS
+        mask = F.coalesce(
+            F.element_at(F.col("bloom"), word_key), F.lit(0).cast("long")
+        )
+        bitmask = F.pow(F.lit(2.0), bit.cast("double")).cast("long")
+        return mask.bitwiseAND(bitmask) != 0
+
+    def _in_bloom(s):
+        cond = _bit_set(s, 0)
+        for i in range(1, BLOOM_K):
+            cond = cond & _bit_set(s, i)
+        return cond
+
+    bloom_hits = F.size(F.filter("sh", _in_bloom))
+    exact_hits = F.size(F.array_intersect("sh", "bench_sh"))
+    return (
+        ev.crossJoin(F.broadcast(bloom))
+        .crossJoin(F.broadcast(bset))
+        .select(
+            "doc_id",
+            F.size("sh").cast("bigint").alias("n_shingles"),
+            bloom_hits.cast("bigint").alias("bloom_hits"),
+            exact_hits.cast("bigint").alias("exact_hits"),
+            (bloom_hits - exact_hits).cast("bigint").alias("n_false_pos"),
+            (bloom_hits >= exact_hits).alias("no_false_neg"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_bloom_bit(s_expr: str, i: int) -> str:
+    idx = f"({sql_md5_hash60(s_expr, str(i))} % {BLOOM_BITS})"
+    return (
+        f"(COALESCE(bloom[CAST({idx} // {BLOOM_WORD_BITS} AS INT) + 1], 0)"
+        f" & CAST(pow(2, {idx} % {BLOOM_WORD_BITS}) AS BIGINT)) <> 0"
+    )
+
+
+TXT_BLOOM_CONTAMINATION_ORACLE = f"""
+WITH bench AS (
+  SELECT DISTINCT unnest({sql_shingles(sql_tokens('text'))}) AS s
+  FROM documents WHERE doc_id % {CONTAM_BENCH_MOD} = 0
+), bits AS (
+  {" UNION ALL ".join(
+      f"SELECT ({sql_md5_hash60('s', str(i))} % {BLOOM_BITS}) AS idx FROM bench"
+      for i in range(BLOOM_K)
+  )}
+), words AS (
+  SELECT idx // {BLOOM_WORD_BITS} AS word,
+         bit_or(CAST(pow(2, idx % {BLOOM_WORD_BITS}) AS BIGINT)) AS mask
+  FROM bits GROUP BY 1
+), dense AS (
+  SELECT g.w AS word, COALESCE(words.mask, 0) AS mask
+  FROM (SELECT unnest(generate_series(0, {BLOOM_BITS // BLOOM_WORD_BITS - 1})) AS w) g
+  LEFT JOIN words ON words.word = g.w
+), barr AS (
+  SELECT list(mask ORDER BY word) AS bloom FROM dense
+), bl AS (
+  SELECT list(s) AS bench_sh FROM bench
+), ev AS (
+  SELECT doc_id, list_distinct({sql_shingles(sql_tokens('text'))}) AS sh
+  FROM documents
+  WHERE doc_id % {CONTAM_BENCH_MOD} <> 0 AND len({sql_tokens('text')}) >= 3
+)
+SELECT doc_id,
+  CAST(len(sh) AS BIGINT) AS n_shingles,
+  CAST(len(list_filter(sh, s -> {" AND ".join(_sql_bloom_bit("s", i) for i in range(BLOOM_K))}))
+    AS BIGINT) AS bloom_hits,
+  CAST(len(list_filter(sh, t -> list_contains(bench_sh, t))) AS BIGINT)
+    AS exact_hits,
+  CAST(len(list_filter(sh, s -> {" AND ".join(_sql_bloom_bit("s", i) for i in range(BLOOM_K))}))
+    - len(list_filter(sh, t -> list_contains(bench_sh, t))) AS BIGINT)
+    AS n_false_pos,
+  len(list_filter(sh, s -> {" AND ".join(_sql_bloom_bit("s", i) for i in range(BLOOM_K))}))
+    >= len(list_filter(sh, t -> list_contains(bench_sh, t))) AS no_false_neg
+FROM ev, barr, bl ORDER BY doc_id
+"""
+
+
 TAIL_QUERIES = {
     "dedup_minhash_ml": dedup_minhash_ml,
     "txt_dataset_card": txt_dataset_card,
@@ -2107,6 +2326,8 @@ TAIL_QUERIES = {
     "dedup_paragraphs": dedup_paragraphs,
     "txt_pagerank": txt_pagerank,
     "dedup_components_lsh": dedup_components_lsh,
+    "txt_rare_token_ratio": txt_rare_token_ratio,
+    "txt_bloom_contamination": txt_bloom_contamination,
 }
 
 TAIL_ORACLES = {
@@ -2124,4 +2345,6 @@ TAIL_ORACLES = {
     "dedup_paragraphs": DEDUP_PARAGRAPHS_ORACLE,
     "txt_pagerank": TXT_PAGERANK_ORACLE,
     "dedup_components_lsh": DEDUP_COMPONENTS_LSH_ORACLE,
+    "txt_rare_token_ratio": TXT_RARE_TOKEN_ORACLE,
+    "txt_bloom_contamination": TXT_BLOOM_CONTAMINATION_ORACLE,
 }

@@ -101,6 +101,46 @@ def test_gopher_quality_is_map_only(spark, sf_dir):
     assert "Exchange hashpartitioning" not in plan
 
 
+def test_rare_token_vocab_is_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "txt_rare_token_ratio")
+    # the top-V vocabulary must come back as a broadcast hash probe —
+    # a SortMergeJoin keyed on the token column would put the Zipf head
+    # ("the") on a single reducer at corpus scale
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # top-V selection without a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bloom_probe_is_map_only(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "txt_bloom_contamination")
+    assert "CartesianProduct" not in plan
+    # both the 128-word filter and the audit shingle list arrive as
+    # 1-row broadcasts; the corpus side must not shuffle to probe them
+    bnlj = [l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l]
+    assert bnlj and all("BuildRight, Cross" in l for l in bnlj), bnlj
+    assert "SortMergeJoin" not in plan
+
+
+def test_scd2_uses_one_keyed_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ev_scd2_users")
+    # lag-window, run-sum window, per-run groupBy and the valid_to
+    # stitch all share the user_id partitioning: exactly one hash
+    # exchange (the rangepartitioning one is the presentation sort)
+    assert plan.count("Exchange hashpartitioning") == 1, plan.count(
+        "Exchange hashpartitioning"
+    )
+
+
+def test_zorder_dimension_is_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ev_zorder_layout")
+    # the user-rank dictionary joins back as a broadcast; the fact table
+    # never shuffles on user_id (its only hash exchange is the file_id
+    # aggregation)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_semdedup_pairs_are_cell_keyed(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_semdedup")
     assert "CartesianProduct" not in plan
