@@ -75,6 +75,12 @@ HEADLINE = [
     "dedup_components_lsh",
     # round 4: the bucketed interval join (range-join pattern).
     "ev_range_join_incidents",
+    # round 4 additions: broadcast top-V OOV scoring, Bloom-filter
+    # contamination, SCD2 compaction, z-order layout stats.
+    "txt_rare_token_ratio",
+    "txt_bloom_contamination",
+    "ev_scd2_users",
+    "ev_zorder_layout",
 ]
 
 

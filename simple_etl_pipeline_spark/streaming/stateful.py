@@ -92,6 +92,134 @@ SELECT user_id, COUNT(*) AS n_events,
 FROM events GROUP BY user_id ORDER BY user_id
 """
 
+SCD2_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("version", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("valid_from", T.LongType()),
+        T.StructField("valid_to", T.LongType()),
+    ]
+)
+SCD2_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("cur_type", T.StringType()),
+        T.StructField("version", T.LongType()),
+        T.StructField("run_start", T.LongType()),
+        T.StructField("run_n", T.LongType()),
+    ]
+)
+
+
+def scd2_stateful(stream: DataFrame) -> DataFrame:
+    """Streaming SCD Type-2: per-user state holds the OPEN dimension row
+    (current event_type, its version number, start epoch, event count);
+    each attribute change CLOSES the previous interval and emits it.
+    This is the streaming twin of plans/events.ev_scd2_users — a CDC
+    feed maintaining a dimension table incrementally instead of
+    recompacting history per batch.
+
+    Emission is deterministic because only CLOSED intervals are ever
+    output (exactly once, when the change arrives); the open run lives
+    in state and is never emitted, so micro-batch boundaries cannot
+    change the result — the query equals the batch build minus its
+    is_current rows. State per key is ~40 bytes: at 100 TB/day the
+    store holds |users| entries, independent of stream length."""
+
+    def _update_scd2(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        (user_id,) = key
+        cur_type, version, run_start, run_n = (
+            state.get if state.exists else (None, 0, 0, 0)
+        )
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        # arrival order within a micro-batch is shuffle order; the
+        # operator's contract is event-time order with event_id ties
+        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+        out = {k: [] for k in ("version", "event_type", "n_events",
+                               "valid_from", "valid_to")}
+        for ts, etype in zip(batch["ts"], batch["event_type"]):
+            ep = ts.value // 1_000_000_000  # floor(epoch), pandas nanos
+            if cur_type is None:
+                cur_type, version, run_start, run_n = etype, 1, ep, 1
+            elif etype != cur_type:
+                out["version"].append(version)
+                out["event_type"].append(cur_type)
+                out["n_events"].append(run_n)
+                out["valid_from"].append(run_start)
+                out["valid_to"].append(ep)
+                cur_type, version, run_start, run_n = (
+                    etype, version + 1, ep, 1,
+                )
+            else:
+                run_n += 1
+        state.update((cur_type, version, run_start, run_n))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(out["version"]),
+                "version": out["version"],
+                "event_type": out["event_type"],
+                "n_events": out["n_events"],
+                "valid_from": out["valid_from"],
+                "valid_to": out["valid_to"],
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _update_scd2,
+        outputStructType=SCD2_OUTPUT_SCHEMA,
+        stateStructType=SCD2_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def st_scd2_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() adapter: the emitted rows are exactly the batch SCD2
+    build's closed intervals (EV_SCD2_ORACLE filtered to
+    valid_to IS NOT NULL), so the oracle is shared with the batch twin."""
+    from simple_etl_pipeline_spark.streaming.events import (
+        _run_to_memory,
+        read_events_stream,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    out = _run_to_memory(scd2_stateful(stream), "append")
+    return out.orderBy("user_id", "version")
+
+
+ST_SCD2_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_type, event_id,
+    CASE WHEN LAG(event_type) OVER w IS NULL
+           OR event_type <> LAG(event_type) OVER w
+         THEN 1 ELSE 0 END AS changed
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), runs AS (
+  SELECT *, CAST(SUM(changed) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+  FROM flagged
+), intervals AS (
+  SELECT user_id, version, MIN(event_type) AS event_type,
+    COUNT(*) AS n_events,
+    CAST(floor(epoch(MIN(ts))) AS BIGINT) AS valid_from
+  FROM runs GROUP BY user_id, version
+), stitched AS (
+  SELECT user_id, version, event_type, n_events, valid_from,
+    LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to
+  FROM intervals
+)
+SELECT * FROM stitched WHERE valid_to IS NOT NULL
+ORDER BY user_id, version
+"""
+
+
 def user_totals_tws(stream: DataFrame) -> DataFrame:
     """Same per-user running totals via transformWithStateInPandas —
     Spark 4's successor API to applyInPandasWithState: typed state
@@ -188,6 +316,8 @@ def st_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Any] = {"st_user_totals_stateful": st_user_totals_stateful}
 ORACLES = {"st_user_totals_stateful": ST_USER_TOTALS_ORACLE}
+TAIL_QUERIES: dict[str, Any] = {"st_scd2_users": st_scd2_users}
+TAIL_ORACLES = {"st_scd2_users": ST_SCD2_ORACLE}
 if tws_available():  # see tws_available docstring — env-gated feature
     QUERIES["st_user_totals_tws"] = st_user_totals_tws
     ORACLES["st_user_totals_tws"] = ST_USER_TOTALS_ORACLE

@@ -18,6 +18,10 @@ PICKS = {
     "txt_contamination": "benchmark shingle set as one broadcast row; corpus side stays a narrow scan (no corpus shuffle)",
     "sim_quantize_int8": "64-row scale aggregate broadcast; quantization is a narrow zip_with over each vector",
     "txt_pack_sequences": "one window exchange on the stratum key, reused by the downstream groupBy (no second shuffle)",
+    "txt_rare_token_ratio": "top-V vocab via TakeOrderedAndProject, scored back as a broadcast hash probe (no token-keyed corpus shuffle)",
+    "txt_bloom_contamination": "128-word Bloom filter + audit list as 1-row broadcasts; corpus probe stays a narrow scan",
+    "ev_scd2_users": "lag/run-sum windows, per-run agg and valid_to stitch share ONE user_id exchange",
+    "ev_zorder_layout": "user-rank dictionary broadcast onto the fact scan; only the file_id agg shuffles",
 }
 
 def main():

@@ -54,6 +54,11 @@ PROBE_QUERIES = [
     "dedup_paragraphs",
     # map-only quality rules: should be the flattest line in the probe.
     "txt_gopher_quality",
+    # broadcast top-V vocab probe: explode+groupBy for the table, then
+    # map-only scoring — should track the token count ~linearly.
+    "txt_rare_token_ratio",
+    # 1-row Bloom broadcast probe: map-only like contamination.
+    "txt_bloom_contamination",
     # fixed-iteration pagerank over the dup-pair graph: edges ∝ pairs,
     # 3 unrolled iterations -> wall should track the edge count.
     "txt_pagerank",
@@ -87,6 +92,10 @@ EV_PROBE_QUERIES = [
     "ev_funnel",
     "ev_asof_purchase_click",
     "ev_zscore_outliers",
+    # SCD2 compaction: one keyed shuffle -> wall should track rows.
+    "ev_scd2_users",
+    # z-order stats: dim-sized dictionary + one agg shuffle -> linear.
+    "ev_zorder_layout",
 ]
 # Relational probe (SPARK_GRAFT_PROBE=rel): the banded fuzzy self-join.
 # Each copy gets its own brand namespace (brand#copy), so cross-copy
