@@ -60,28 +60,29 @@ def _all_modules():
 #      families) — mandatory under the invariant, and among them
 #      agg_mode_source_by_lang, the one query that has NEVER had a
 #      driver row (added after the r3 window froze).
-#   2. 5 changed-code canaries for the bit-exact fixed-point cosine
+#   2. 4 changed-code canaries for the bit-exact fixed-point cosine
 #      fold (and its round-4 HUGEINT->DOUBLE oracle-conversion fix):
 #      sim_mrl_recall, dedup_semdedup (which also gained
-#      scale-adaptive sub-bucketed cells), dedup_embedding_cosine,
-#      plus the z-score pair that gained degenerate-group guards
-#      (ev_zscore_outliers, st_static_zscore). The other cosine-family
-#      queries (sim_knn_brute, sim_ann_lsh, sim_ivf_topk, sim_ivf_recall
-#      — all r2- or r3-green — and dedup_minhash_lsh, green r2+r3 with
-#      only a no-op persist removed) ceded their slots to the 5
-#      operators added later this round; the shared dot_dec/cosine_dec
-#      core they exercise stays driver-covered through the kept
-#      canaries, and all were re-verified hash-green locally after the
-#      fold fix.
+#      scale-adaptive sub-bucketed cells), plus the z-score pair that
+#      gained degenerate-group guards (ev_zscore_outliers,
+#      st_static_zscore). The other cosine-family queries
+#      (sim_knn_brute, sim_ann_lsh, sim_ivf_topk, sim_ivf_recall,
+#      dedup_embedding_cosine — all r2- or r3-green — and
+#      dedup_minhash_lsh, green r2+r3 with only a no-op persist
+#      removed) ceded their slots to the 6 operators added later this
+#      round; the shared dot_dec/cosine_dec core they exercise stays
+#      driver-covered through the kept canaries, and all were
+#      re-verified hash-green locally after the fold fix.
 #   3. st_user_totals_stateful, rotated back (last row r2, swapped out
 #      late r3).
-#   4. The 8 queries ADDED this round: ev_range_join_incidents
+#   4. The 9 queries ADDED this round: ev_range_join_incidents
 #      (bucketed interval join), ev_countmin_users (count-min sketch),
 #      window_percent_rank_suppliers, txt_rare_token_ratio (broadcast
 #      top-V OOV profile), txt_bloom_contamination (broadcast Bloom
 #      membership), ev_scd2_users (SCD2 interval build),
 #      ev_zorder_layout (Morton-code layout stats), st_scd2_users
-#      (streaming SCD2 via applyInPandasWithState).
+#      (streaming SCD2 via applyInPandasWithState), sim_kmeans_lloyd
+#      (the iterative quantizer-training loop).
 #   5. 2 standing canaries: q1_pricing_summary, ref_transform_full.
 # Everything else is double-green r2+r3 with unchanged code and stays
 # under the local parity suite; dedup_minhash_ml stays TAIL (rows-only
@@ -122,10 +123,9 @@ _WINDOW = [
     "window_running_total",
     "window_lag_events",
     "window_rolling_7d",
-    # -- changed-code canaries (5) -----------------------------------------
+    # -- changed-code canaries (4) -----------------------------------------
     "sim_mrl_recall",
     "dedup_semdedup",
-    "dedup_embedding_cosine",
     "ev_zscore_outliers",
     "st_static_zscore",
     # -- rotated back (1) --------------------------------------------------
@@ -139,6 +139,7 @@ _WINDOW = [
     "ev_scd2_users",
     "ev_zorder_layout",
     "st_scd2_users",
+    "sim_kmeans_lloyd",
     # -- standing canaries (2) ---------------------------------------------
     "q1_pricing_summary",
     "ref_transform_full",

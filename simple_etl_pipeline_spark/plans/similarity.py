@@ -1136,6 +1136,133 @@ GROUP BY b.q_id ORDER BY b.q_id
 """
 
 
+# --- Lloyd's k-means: the iterative training loop itself ------------------
+KMEANS_ITERS = 2
+
+
+def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus — the TRAINING loop
+    behind every quantizer in this module (sim_ivf_topk / sim_pq_adc
+    use one-shot label-mean 'trained' codebooks; this operator runs the
+    actual assign/update iterations and emits the per-iteration
+    convergence summary: cells in use, inertia).
+
+    Scale shape per iteration: the K centroid arrays are BROADCAST and
+    assignment is a map-side |corpus| x K fold (no posexplode of the
+    corpus against centroids — that formulation shuffles
+    |corpus| x K x dims rows); the argmin is one keyed shuffle on
+    vec_id; the update step is one explode+groupBy keyed by (cell,
+    dim). Iterations are unrolled lazily like txt_pagerank — one
+    Catalyst plan, no driver-side actions between iterations. At 100 TB
+    with K ~ sqrt(N) this is the standard shuffle k-means; the
+    broadcast-assign variant here is exactly FAISS's train() loop
+    re-expressed declaratively.
+
+    Determinism: seeds are per-label dimension means, distances are
+    _l2_dec decimal folds (engine-exact), argmin ties break on c_id
+    asc — both engines produce identical assignments, so the
+    per-iteration inertia hash-matches. Lloyd guarantees inertia is
+    non-increasing across iterations; with exact seeds + exact argmin
+    both engines agree on the value either way."""
+    emb = _emb(spark, sf_dir)
+    dims = emb.select("vec_id", "label", F.posexplode("v").alias("pos", "x"))
+    cmeans = dims.groupBy(F.col("label").alias("c_id"), "pos").agg(
+        (
+            F.sum(F.col("x").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    cent = cmeans.groupBy("c_id").agg(_ordered_vals("pos", "c").alias("cv"))
+    out = None
+    for it in range(1, KMEANS_ITERS + 1):
+        d2 = emb.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "v", "c_id", _l2_dec("v", "cv").alias("d2")
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("c_id"))
+        assign = (
+            d2.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "c_id", "d2")
+        )
+        summary = assign.agg(
+            F.countDistinct("c_id").alias("n_cells"),
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(
+                F.sum(F.col("d2").cast("decimal(38,12)")).cast("double"), 6
+            ).alias("inertia"),
+        ).select(
+            F.lit(it).alias("iteration"), "n_cells", "n_vectors", "inertia"
+        )
+        out = summary if out is None else out.unionByName(summary)
+        if it < KMEANS_ITERS:
+            # update step: new centroids from the fresh assignment
+            adims = assign.select(
+                "c_id", F.posexplode("v").alias("pos", "x")
+            )
+            cent = (
+                adims.groupBy("c_id", "pos")
+                .agg(
+                    (
+                        F.sum(F.col("x").cast("decimal(38,12)")).cast("double")
+                        / F.count(F.lit(1))
+                    ).alias("c")
+                )
+                .groupBy("c_id")
+                .agg(_ordered_vals("pos", "c").alias("cv"))
+            )
+    return out.orderBy("iteration")
+
+
+SIM_KMEANS_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), dims AS (
+  SELECT vec_id, label, i - 1 AS pos, v[i] AS x
+  FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+), cm0 AS (
+  SELECT label AS c_id, pos,
+    CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS c
+  FROM dims GROUP BY label, pos
+), d1 AS (
+  SELECT d.vec_id, c.c_id,
+    CAST(SUM(CAST((d.x - c.c) * (d.x - c.c) AS DECIMAL(38,12))) AS DOUBLE) AS d2
+  FROM dims d JOIN cm0 c ON d.pos = c.pos
+  GROUP BY d.vec_id, c.c_id
+), a1 AS (
+  SELECT vec_id, c_id, d2 FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY d2 ASC, c_id ASC) AS rn
+    FROM d1
+  ) WHERE rn = 1
+), cm1 AS (
+  SELECT a.c_id, d.pos,
+    CAST(SUM(CAST(d.x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS c
+  FROM a1 a JOIN dims d ON a.vec_id = d.vec_id
+  GROUP BY a.c_id, d.pos
+), d2_ AS (
+  SELECT d.vec_id, c.c_id,
+    CAST(SUM(CAST((d.x - c.c) * (d.x - c.c) AS DECIMAL(38,12))) AS DOUBLE) AS d2
+  FROM dims d JOIN cm1 c ON d.pos = c.pos
+  GROUP BY d.vec_id, c.c_id
+), a2 AS (
+  SELECT vec_id, c_id, d2 FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY d2 ASC, c_id ASC) AS rn
+    FROM d2_
+  ) WHERE rn = 1
+)
+SELECT 1 AS iteration, COUNT(DISTINCT c_id) AS n_cells,
+  COUNT(*) AS n_vectors,
+  round(CAST(SUM(CAST(d2 AS DECIMAL(38,12))) AS DOUBLE), 6) AS inertia
+FROM a1
+UNION ALL
+SELECT 2, COUNT(DISTINCT c_id), COUNT(*),
+  round(CAST(SUM(CAST(d2 AS DECIMAL(38,12))) AS DOUBLE), 6)
+FROM a2
+ORDER BY iteration
+"""
+
+
 TAIL_QUERIES = {
     "sim_ivf_recall": sim_ivf_recall,
     "sim_quantize_int8": sim_quantize_int8,
@@ -1143,6 +1270,7 @@ TAIL_QUERIES = {
     "sim_ivfpq_topk": sim_ivfpq_topk,
     "dedup_semdedup": dedup_semdedup,
     "sim_mrl_recall": sim_mrl_recall,
+    "sim_kmeans_lloyd": sim_kmeans_lloyd,
 }
 TAIL_ORACLES = {
     "sim_ivf_recall": SIM_IVF_RECALL_ORACLE,
@@ -1151,4 +1279,5 @@ TAIL_ORACLES = {
     "sim_ivfpq_topk": SIM_IVFPQ_ORACLE,
     "dedup_semdedup": DEDUP_SEMDEDUP_ORACLE,
     "sim_mrl_recall": SIM_MRL_RECALL_ORACLE,
+    "sim_kmeans_lloyd": SIM_KMEANS_ORACLE,
 }
