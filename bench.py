@@ -81,6 +81,8 @@ HEADLINE = [
     "txt_bloom_contamination",
     "ev_scd2_users",
     "ev_zorder_layout",
+    # the iterative quantizer-training loop (2 unrolled Lloyd rounds).
+    "sim_kmeans_lloyd",
 ]
 
 

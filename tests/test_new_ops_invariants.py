@@ -1,0 +1,187 @@
+"""Structural invariants of the round-4 operators — properties the
+oracle hash cannot state directly: the Bloom filter's membership
+contract, SCD2 interval algebra, Morton-code bijectivity, Lloyd
+monotonicity, and batch/streaming SCD2 equivalence.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_SETTINGS = settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# --- Morton code: the python reference of the SQL/Column arithmetic ------
+def _py_interleave(x: int, y: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def _py_deinterleave(z: int, bits: int) -> tuple[int, int]:
+    x = y = 0
+    for i in range(bits):
+        x |= ((z >> (2 * i)) & 1) << i
+        y |= ((z >> (2 * i + 1)) & 1) << i
+    return x, y
+
+
+@given(st.integers(0, 255), st.integers(0, 255))
+@_SETTINGS
+def test_zorder_interleave_is_a_bijection(x, y):
+    from simple_etl_pipeline_spark.plans.events import ZORDER_BITS
+
+    z = _py_interleave(x, y, ZORDER_BITS)
+    assert 0 <= z < 1 << (2 * ZORDER_BITS)
+    assert _py_deinterleave(z, ZORDER_BITS) == (x, y)
+
+
+@given(st.integers(0, 255), st.integers(0, 255))
+@_SETTINGS
+def test_zorder_sql_matches_python(x, y):
+    from simple_etl_pipeline_spark.plans.events import (
+        ZORDER_BITS,
+        _sql_interleave,
+    )
+
+    got = duckdb.sql(
+        f"SELECT {_sql_interleave(str(x), str(y))}"
+    ).fetchone()[0]
+    assert got == _py_interleave(x, y, ZORDER_BITS)
+
+
+def test_zorder_file_rectangles_are_axis_aligned():
+    """z >> shift constant ⟹ the top (2*bits - shift) z-bits are fixed,
+    so each file covers an axis-aligned power-of-two rectangle — the
+    property that makes min/max stats prune on EITHER dimension."""
+    from simple_etl_pipeline_spark.plans.events import (
+        ZORDER_BITS,
+        ZORDER_FILE_SHIFT,
+    )
+
+    half = (2 * ZORDER_BITS - ZORDER_FILE_SHIFT) // 2
+    side = 1 << (ZORDER_BITS - half)
+    seen: dict[int, tuple[set, set]] = {}
+    for x in range(0, 256, 7):
+        for y in range(0, 256, 5):
+            f = _py_interleave(x, y, ZORDER_BITS) >> ZORDER_FILE_SHIFT
+            xs, ys = seen.setdefault(f, (set(), set()))
+            xs.add(x)
+            ys.add(y)
+    for f, (xs, ys) in seen.items():
+        assert max(xs) - min(xs) < side, (f, sorted(xs))
+        assert max(ys) - min(ys) < side, (f, sorted(ys))
+
+
+# --- Bloom filter: DuckDB bit arithmetic == python md5 reference ---------
+def _py_bloom_positions(s: str, k: int, bits: int) -> list[int]:
+    import hashlib
+
+    out = []
+    for i in range(k):
+        h = hashlib.md5(f"{i}|{s}".encode()).hexdigest()[:15]
+        out.append(int(h, 16) % bits)
+    return out
+
+
+@given(st.text(st.characters(exclude_categories=("Cs",)), max_size=20))
+@_SETTINGS
+def test_bloom_bit_positions_match_python(s):
+    from simple_etl_pipeline_spark.functions.text import sql_md5_hash60
+    from simple_etl_pipeline_spark.plans.text import BLOOM_BITS, BLOOM_K
+
+    exprs = ", ".join(
+        f"{sql_md5_hash60('s', str(i))} % {BLOOM_BITS}" for i in range(BLOOM_K)
+    )
+    got = list(
+        duckdb.sql(
+            f"SELECT {exprs} FROM (SELECT ? AS s)", params=[s]
+        ).fetchone()
+    )
+    assert got == _py_bloom_positions(s, BLOOM_K, BLOOM_BITS)
+
+
+def test_bloom_never_underreports(spark, sf_dir):
+    from simple_etl_pipeline_spark.plans.text import txt_bloom_contamination
+
+    rows = txt_bloom_contamination(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.bloom_hits >= r.exact_hits, r
+        assert r.no_false_neg
+
+
+# --- SCD2 interval algebra ------------------------------------------------
+def test_scd2_intervals_tile_each_user(spark, sf_dir):
+    from simple_etl_pipeline_spark.plans.events import ev_scd2_users
+
+    rows = ev_scd2_users(spark, sf_dir).collect()
+    assert rows
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, ivs in by_user.items():
+        ivs.sort(key=lambda r: r.version)
+        assert [r.version for r in ivs] == list(range(1, len(ivs) + 1))
+        assert ivs[-1].is_current and ivs[-1].valid_to is None
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from, (user, a, b)
+            assert not a.is_current
+            # a run ends only on an actual attribute change
+            assert a.event_type != b.event_type, (user, a, b)
+
+
+def test_scd2_event_counts_cover_the_stream(spark, sf_dir):
+    from simple_etl_pipeline_spark.plans.events import ev_scd2_users
+    from simple_etl_pipeline_spark.schemas import load_table
+
+    per_user = {
+        r.user_id: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got: dict[int, int] = {}
+    for r in ev_scd2_users(spark, sf_dir).collect():
+        got[r.user_id] = got.get(r.user_id, 0) + r.n_events
+    assert got == per_user
+
+
+def test_streaming_scd2_equals_batch_closed_intervals(spark, sf_dir):
+    from simple_etl_pipeline_spark.plans.events import ev_scd2_users
+    from simple_etl_pipeline_spark.streaming.stateful import st_scd2_users
+
+    batch = {
+        (r.user_id, r.version, r.event_type, r.n_events, r.valid_from, r.valid_to)
+        for r in ev_scd2_users(spark, sf_dir).collect()
+        if not r.is_current
+    }
+    stream = {
+        (r.user_id, r.version, r.event_type, r.n_events, r.valid_from, r.valid_to)
+        for r in st_scd2_users(spark, sf_dir).collect()
+    }
+    assert stream == batch
+
+
+# --- Lloyd monotonicity ---------------------------------------------------
+def test_kmeans_inertia_non_increasing(spark, sf_dir):
+    from simple_etl_pipeline_spark.plans.similarity import sim_kmeans_lloyd
+
+    rows = sorted(
+        sim_kmeans_lloyd(spark, sf_dir).collect(), key=lambda r: r.iteration
+    )
+    assert len(rows) >= 2
+    assert all(r.n_vectors == rows[0].n_vectors for r in rows)
+    for a, b in zip(rows, rows[1:]):
+        assert b.inertia <= a.inertia + 1e-6, (a, b)
