@@ -1917,6 +1917,104 @@ SELECT doc_id, round(pr, 6) AS pr FROM {prev} ORDER BY doc_id
 TXT_PAGERANK_ORACLE = _pagerank_oracle()
 
 
+def txt_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle membership over the near-dup pair graph —
+    the clustering-coefficient signal that separates template/boiler-
+    plate families (dense, triangle-rich) from chance pairwise overlaps
+    (triangle-free). Complements txt_pagerank's centrality triage on
+    the same graph.
+
+    Scale shape (Suri & Vassilvitskii's MapReduce triangle count):
+    every edge is ORIENTED from its lower-(degree, id) endpoint to the
+    higher one, so each triangle is generated exactly once and the
+    wedge join fans out only over out-neighbors — max out-degree under
+    degree ordering is O(sqrt(|E|)) regardless of how skewed the raw
+    degree distribution is, which is what keeps the wedge count
+    bounded on a hub-heavy dup graph. Three keyed equi-joins total
+    (wedge build + closure probe), no cartesian anywhere."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    deg = edges.groupBy(F.col("doc_a").alias("v")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    ranked = (
+        pairs.join(deg.select(F.col("v").alias("doc_a"), F.col("deg").alias("deg_a")), "doc_a")
+        .join(deg.select(F.col("v").alias("doc_b"), F.col("deg").alias("deg_b")), "doc_b")
+    )
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    oriented = ranked.select(
+        F.when(a_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("u"),
+        F.when(a_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("w"),
+        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_w"),
+    )
+    e1 = oriented.select(
+        "u", F.col("w").alias("w1"), F.col("deg_w").alias("dw1")
+    )
+    e2 = oriented.select(
+        "u", F.col("w").alias("w2"), F.col("deg_w").alias("dw2")
+    )
+    wedges = e1.join(e2, "u").filter(
+        (F.col("dw1") < F.col("dw2"))
+        | ((F.col("dw1") == F.col("dw2")) & (F.col("w1") < F.col("w2")))
+    )
+    closing = oriented.select(
+        F.col("u").alias("w1"), F.col("w").alias("w2")
+    )
+    tris = wedges.join(closing, ["w1", "w2"]).select("u", "w1", "w2")
+    members = (
+        tris.select(F.col("u").alias("doc_id"))
+        .unionByName(tris.select(F.col("w1").alias("doc_id")))
+        .unionByName(tris.select(F.col("w2").alias("doc_id")))
+    )
+    return (
+        members.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy("doc_id")
+    )
+
+
+TXT_TRIANGLES_ORACLE = f"""
+WITH {_JACCARD_PAIRS_CTES},
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+deg AS (SELECT doc_a AS v, COUNT(*) AS deg FROM edges GROUP BY doc_a),
+oriented AS (
+  SELECT
+    CASE WHEN (da.deg, p.doc_a) < (db.deg, p.doc_b)
+         THEN p.doc_a ELSE p.doc_b END AS u,
+    CASE WHEN (da.deg, p.doc_a) < (db.deg, p.doc_b)
+         THEN p.doc_b ELSE p.doc_a END AS w,
+    CASE WHEN (da.deg, p.doc_a) < (db.deg, p.doc_b)
+         THEN db.deg ELSE da.deg END AS deg_w
+  FROM pairs p
+  JOIN deg da ON da.v = p.doc_a
+  JOIN deg db ON db.v = p.doc_b
+),
+wedges AS (
+  SELECT e1.u, e1.w AS w1, e2.w AS w2
+  FROM oriented e1 JOIN oriented e2 ON e1.u = e2.u
+  WHERE (e1.deg_w, e1.w) < (e2.deg_w, e2.w)
+),
+tris AS (
+  SELECT wd.u, wd.w1, wd.w2
+  FROM wedges wd JOIN oriented c ON c.u = wd.w1 AND c.w = wd.w2
+),
+members AS (
+  SELECT u AS doc_id FROM tris
+  UNION ALL SELECT w1 FROM tris
+  UNION ALL SELECT w2 FROM tris
+)
+SELECT doc_id, COUNT(*) AS n_triangles
+FROM members GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # --- Gopher-style quality rules ------------------------------------------
 # Document-level quality gate after Rae et al. 2021 (Gopher, §A1.1): word
 # count bounds, mean-word-length band, and a minimum number of distinct
@@ -2328,6 +2426,7 @@ TAIL_QUERIES = {
     "dedup_components_lsh": dedup_components_lsh,
     "txt_rare_token_ratio": txt_rare_token_ratio,
     "txt_bloom_contamination": txt_bloom_contamination,
+    "txt_triangle_count": txt_triangle_count,
 }
 
 TAIL_ORACLES = {
@@ -2347,4 +2446,5 @@ TAIL_ORACLES = {
     "dedup_components_lsh": DEDUP_COMPONENTS_LSH_ORACLE,
     "txt_rare_token_ratio": TXT_RARE_TOKEN_ORACLE,
     "txt_bloom_contamination": TXT_BLOOM_CONTAMINATION_ORACLE,
+    "txt_triangle_count": TXT_TRIANGLES_ORACLE,
 }
