@@ -1193,6 +1193,10 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(
             F.lit(it).alias("iteration"), "n_cells", "n_vectors", "inertia"
         )
+        # an empty corpus yields a degenerate all-zero summary per
+        # iteration (global agg always emits one row); drop those so
+        # empty input -> empty output, mirrored by the oracle's HAVING
+        summary = summary.filter(F.col("n_vectors") > 0)
         out = summary if out is None else out.unionByName(summary)
         if it < KMEANS_ITERS:
             # update step: new centroids from the fresh assignment
@@ -1254,11 +1258,11 @@ WITH e AS (
 SELECT 1 AS iteration, COUNT(DISTINCT c_id) AS n_cells,
   COUNT(*) AS n_vectors,
   round(CAST(SUM(CAST(d2 AS DECIMAL(38,12))) AS DOUBLE), 6) AS inertia
-FROM a1
+FROM a1 HAVING COUNT(*) > 0
 UNION ALL
 SELECT 2, COUNT(DISTINCT c_id), COUNT(*),
   round(CAST(SUM(CAST(d2 AS DECIMAL(38,12))) AS DOUBLE), 6)
-FROM a2
+FROM a2 HAVING COUNT(*) > 0
 ORDER BY iteration
 """
 

@@ -38,6 +38,12 @@ REPRESENTATIVE = [
     "ev_range_join_incidents",
     "ev_countmin_users",
     "window_percent_rank_suppliers",
+    "txt_rare_token_ratio",
+    "txt_bloom_contamination",
+    "ev_scd2_users",
+    "ev_zorder_layout",
+    "sim_kmeans_lloyd",
+    "txt_triangle_count",
 ]
 
 
