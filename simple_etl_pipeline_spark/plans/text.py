@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from simple_etl_pipeline_spark.functions.agg import davg, sql_davg
 from simple_etl_pipeline_spark.functions.text import (
+    bind_once,
     fingerprint_col,
     md5_hash60,
     shingles_col,
@@ -1247,31 +1248,47 @@ def txt_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     score every other document by the fraction of its distinct shingles
     that appear in the benchmark set.
 
-    Scale shape: the benchmark shingle set is aggregated to ONE row and
-    broadcast (crossJoin(broadcast)) — the corpus side stays a narrow
-    scan with a per-row array_intersect, no explode/groupBy of corpus
-    shingles and therefore no corpus-sized shuffle. At 100 TB the
-    benchmark set (a few eval suites) is KBs-to-MBs, exactly the
-    broadcast-dimension pattern."""
+    Scale shape: the benchmark shingle table (a few eval suites —
+    KBs-to-MBs at any corpus size) is BROADCAST and the corpus's
+    exploded distinct shingles hash-probe it map-side; the only
+    shuffles are doc_id-keyed counts of narrow (bigint, bigint) rows.
+    The earlier one-row collect_list + per-row array_intersect
+    formulation was quadratic in practice: Spark rebuilds the
+    |bench|-sized hash set for EVERY corpus row (it cannot see the
+    joined array is constant) — measured 12 s -> ~1 s at sf0.1 from
+    this rewrite, and the per-row set build would grow with the
+    benchmark while the broadcast-join probe stays O(1) per shingle."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    bench = docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
-    bset = (
-        bench.select(F.explode(shingles_col("text")).alias("s"))
+    bench_tbl = (
+        docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+        .select(F.explode(shingles_col("text")).alias("sh"))
         .distinct()
-        .agg(F.collect_list("s").alias("bench_sh"))
     )
     ev = docs.filter(
         (F.col("doc_id") % CONTAM_BENCH_MOD != 0)
         & (F.size(tokens_col("text")) >= 3)
-    ).select("doc_id", F.array_distinct(shingles_col("text")).alias("sh"))
-    hits = F.size(F.array_intersect("sh", "bench_sh"))
+    ).select(
+        "doc_id", F.explode(F.array_distinct(shingles_col("text"))).alias("sh")
+    )
+    n_sh = ev.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    )
+    hits = (
+        ev.join(F.broadcast(bench_tbl), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+    )
     return (
-        ev.crossJoin(F.broadcast(bset))
+        n_sh.join(hits, "doc_id", "left")
         .select(
             "doc_id",
-            F.size("sh").cast("bigint").alias("n_shingles"),
-            hits.cast("bigint").alias("n_contaminated"),
-            F.round(hits.cast("double") / F.size("sh"), 6).alias("contamination"),
+            "n_shingles",
+            F.coalesce("hits", F.lit(0)).cast("bigint").alias("n_contaminated"),
+            F.round(
+                F.coalesce("hits", F.lit(0)).cast("double")
+                / F.col("n_shingles"),
+                6,
+            ).alias("contamination"),
         )
         .orderBy("doc_id")
     )
@@ -1710,12 +1727,21 @@ def txt_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     the verifiable structure."""
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens_col("text")
-    starts = F.sequence(
-        F.lit(1),
-        F.greatest(F.size(toks) - (CHUNK_TOKENS - CHUNK_STRIDE), F.lit(1)),
-        F.lit(CHUNK_STRIDE),
+    # token array bound once (functions/text.bind_once): a captured
+    # toks would re-run the regex split once per chunk
+    chunks = bind_once(
+        toks,
+        lambda tarr: F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(
+                    F.size(tarr) - (CHUNK_TOKENS - CHUNK_STRIDE), F.lit(1)
+                ),
+                F.lit(CHUNK_STRIDE),
+            ),
+            lambda s: F.slice(tarr, s, CHUNK_TOKENS),
+        ),
     )
-    chunks = F.transform(starts, lambda s: F.slice(toks, s, CHUNK_TOKENS))
     return (
         docs.filter(F.size(toks) > 0)
         .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "ctoks"))
@@ -1931,8 +1957,17 @@ def txt_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree ordering is O(sqrt(|E|)) regardless of how skewed the raw
     degree distribution is, which is what keeps the wedge count
     bounded on a hub-heavy dup graph. Three keyed equi-joins total
-    (wedge build + closure probe), no cartesian anywhere."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    (wedge build + closure probe), no cartesian anywhere.
+
+    The pair list is persisted: the oriented edge set has three
+    consumers (both wedge sides + the closure probe) and each would
+    otherwise replay the full shingle-join pair generation — measured
+    35 s -> ~2 s at sf0.1 from this persist alone. Same device as
+    _shingle_sets / sim_pq_adc's codebook; at cluster scale the
+    verified pair list is checkpointed storage, not a recomputation."""
+    pairs = (
+        dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").persist()
+    )
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
@@ -1965,10 +2000,10 @@ def txt_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u").alias("w1"), F.col("w").alias("w2")
     )
     tris = wedges.join(closing, ["w1", "w2"]).select("u", "w1", "w2")
-    members = (
-        tris.select(F.col("u").alias("doc_id"))
-        .unionByName(tris.select(F.col("w1").alias("doc_id")))
-        .unionByName(tris.select(F.col("w2").alias("doc_id")))
+    # explode, not a 3-way self-union: one consumer of the triangle
+    # subtree instead of three replays
+    members = tris.select(
+        F.explode(F.array("u", "w1", "w2")).alias("doc_id")
     )
     return (
         members.groupBy("doc_id")
@@ -2126,9 +2161,14 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = corpus_with_dups(spark, sf_dir)
     toks = tokens_col("text")
-    paragraphs = F.transform(
-        F.sequence(F.lit(1), F.size(toks), F.lit(PAR_TOKENS)),
-        lambda s: F.array_join(F.slice(toks, s, PAR_TOKENS), " "),
+    # token array bound once (functions/text.bind_once): a captured
+    # toks would re-run the regex split once per paragraph
+    paragraphs = bind_once(
+        toks,
+        lambda tarr: F.transform(
+            F.sequence(F.lit(1), F.size(tarr), F.lit(PAR_TOKENS)),
+            lambda s: F.array_join(F.slice(tarr, s, PAR_TOKENS), " "),
+        ),
     )
     chunks = docs.filter(F.size(toks) > 0).select(
         "doc_id", F.posexplode(paragraphs).alias("chunk_idx", "chunk_text")
@@ -2291,7 +2331,12 @@ def txt_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     on real data: exact_hits recomputed against the true set (as
     txt_contamination does), n_false_pos = bloom_hits - exact_hits >= 0,
     and no_false_neg TRUE on every row (a Bloom filter can only
-    over-report)."""
+    over-report).
+
+    The probe runs over EXPLODED distinct shingles (3 md5s + an O(1)
+    map lookup per shingle, map-side) with doc_id-keyed counts — the
+    same shuffle discipline as txt_contamination, whose docstring
+    explains why the per-row array formulation was quadratic."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     bench = docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
     bench_sh = (
@@ -2315,11 +2360,12 @@ def txt_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom = words.agg(
         F.map_from_entries(F.collect_list(F.struct("word", "mask"))).alias("bloom")
     )
-    bset = bench_sh.agg(F.collect_list("s").alias("bench_sh"))
     ev = docs.filter(
         (F.col("doc_id") % CONTAM_BENCH_MOD != 0)
         & (F.size(tokens_col("text")) >= 3)
-    ).select("doc_id", F.array_distinct(shingles_col("text")).alias("sh"))
+    ).select(
+        "doc_id", F.explode(F.array_distinct(shingles_col("text"))).alias("sh")
+    )
 
     def _bit_set(s, i: int):
         # One salted hash -> (word, bit) -> mask & 2^bit test. The bit
@@ -2342,18 +2388,39 @@ def txt_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             cond = cond & _bit_set(s, i)
         return cond
 
-    bloom_hits = F.size(F.filter("sh", _in_bloom))
-    exact_hits = F.size(F.array_intersect("sh", "bench_sh"))
+    per_shingle = ev.crossJoin(F.broadcast(bloom)).select(
+        "doc_id",
+        "sh",
+        _in_bloom(F.col("sh")).cast("int").alias("in_bloom"),
+    )
+    counted = per_shingle.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.sum("in_bloom").cast("bigint").alias("bloom_hits"),
+    )
+    exact = (
+        ev.join(
+            F.broadcast(bench_sh.withColumnRenamed("s", "sh")), "sh"
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_raw"))
+    )
     return (
-        ev.crossJoin(F.broadcast(bloom))
-        .crossJoin(F.broadcast(bset))
+        counted.join(exact, "doc_id", "left")
         .select(
             "doc_id",
-            F.size("sh").cast("bigint").alias("n_shingles"),
-            bloom_hits.cast("bigint").alias("bloom_hits"),
-            exact_hits.cast("bigint").alias("exact_hits"),
-            (bloom_hits - exact_hits).cast("bigint").alias("n_false_pos"),
-            (bloom_hits >= exact_hits).alias("no_false_neg"),
+            "n_shingles",
+            "bloom_hits",
+            F.coalesce("exact_raw", F.lit(0)).cast("bigint").alias("exact_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "bloom_hits",
+            "exact_hits",
+            (F.col("bloom_hits") - F.col("exact_hits"))
+            .cast("bigint")
+            .alias("n_false_pos"),
+            (F.col("bloom_hits") >= F.col("exact_hits")).alias("no_false_neg"),
         )
         .orderBy("doc_id")
     )

@@ -112,14 +112,32 @@ def test_rare_token_vocab_is_broadcast(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_bloom_probe_is_map_only(spark, sf_dir):
+def test_bloom_probe_is_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "txt_bloom_contamination")
     assert "CartesianProduct" not in plan
-    # both the 128-word filter and the audit shingle list arrive as
-    # 1-row broadcasts; the corpus side must not shuffle to probe them
+    # the 128-word filter arrives as a 1-row broadcast and the exact
+    # audit probes the benchmark shingle table via a broadcast hash
+    # join — the corpus never shuffles on the shingle key
     bnlj = [l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l]
     assert bnlj and all("BuildRight, Cross" in l for l in bnlj), bnlj
-    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_contamination_probe_is_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "txt_contamination")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # at most ONE shingle-keyed exchange — the benchmark side's
+    # distinct (benchmark-sized). The corpus side must reach its hits
+    # via the broadcast probe, never via its own shingle-keyed shuffle
+    # (the Zipf head would be one reducer at scale).
+    sh_exchanges = [
+        line
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+        and line.split("hashpartitioning(")[1][:20].startswith("sh")
+    ]
+    assert len(sh_exchanges) <= 1, sh_exchanges
 
 
 def test_scd2_uses_one_keyed_shuffle(spark, sf_dir):

@@ -15,7 +15,7 @@ PICKS = {
     "ref_transform_full": "entire reference pipeline in pipelined codegen stages",
     "q21_waiting_suppliers": "exists/not-exists pair as window exprs: ONE scan of lineitem+orders, one shuffle on orderkey",
     "txt_winnow_fingerprint": "whole sketch in one narrow scan: no exchange anywhere before the output sort",
-    "txt_contamination": "benchmark shingle set as one broadcast row; corpus side stays a narrow scan (no corpus shuffle)",
+    "txt_contamination": "benchmark shingle table broadcast-hash-probed by exploded corpus shingles; only doc_id-keyed count shuffles",
     "sim_quantize_int8": "64-row scale aggregate broadcast; quantization is a narrow zip_with over each vector",
     "txt_pack_sequences": "one window exchange on the stratum key, reused by the downstream groupBy (no second shuffle)",
     "txt_rare_token_ratio": "top-V vocab via TakeOrderedAndProject, scored back as a broadcast hash probe (no token-keyed corpus shuffle)",
