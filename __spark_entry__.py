@@ -75,15 +75,16 @@ def _all_modules():
 #      re-verified hash-green locally after the fold fix.
 #   3. st_user_totals_stateful, rotated back (last row r2, swapped out
 #      late r3).
-#   4. The 10 queries ADDED this round: ev_range_join_incidents
-#      (bucketed interval join), ev_countmin_users (count-min sketch),
-#      window_percent_rank_suppliers, txt_rare_token_ratio (broadcast
-#      top-V OOV profile), txt_bloom_contamination (broadcast Bloom
-#      membership), ev_scd2_users (SCD2 interval build),
-#      ev_zorder_layout (Morton-code layout stats), st_scd2_users
-#      (streaming SCD2 via applyInPandasWithState), sim_kmeans_lloyd
-#      (the iterative quantizer-training loop), txt_triangle_count
-#      (degree-ordered triangle counting on the dup graph).
+#   4. The 11 queries ADDED this round: ev_range_join_incidents
+#      (bucketed point-in-range join), ev_countmin_users (count-min
+#      sketch), window_percent_rank_suppliers, txt_rare_token_ratio
+#      (broadcast top-V OOV profile), txt_bloom_contamination
+#      (broadcast Bloom membership), ev_scd2_users (SCD2 interval
+#      build), ev_zorder_layout (Morton-code layout stats),
+#      st_scd2_users (streaming SCD2 via applyInPandasWithState),
+#      sim_kmeans_lloyd (the iterative quantizer-training loop),
+#      txt_triangle_count (degree-ordered triangle counting),
+#      ev_overlap_incident_sessions (range-vs-range interval join).
 #   5. 1 standing canary: ref_transform_full (q1_pricing_summary is
 #      covered by the driver's entry() smoke + r2/r3 hash rows).
 # Everything else is double-green r2+r3 with unchanged code and stays
@@ -125,10 +126,12 @@ _WINDOW = [
     "window_running_total",
     "window_lag_events",
     "window_rolling_7d",
-    # -- changed-code canaries (4) -----------------------------------------
+    # -- changed-code canaries (3) -----------------------------------------
+    # (ev_zscore_outliers ceded its slot to ev_overlap_incident_sessions;
+    # st_static_zscore imports the same guarded z-score moments, so the
+    # changed code keeps a driver row through the streaming twin.)
     "sim_mrl_recall",
     "dedup_semdedup",
-    "ev_zscore_outliers",
     "st_static_zscore",
     # -- rotated back (1) --------------------------------------------------
     "st_user_totals_stateful",
@@ -143,6 +146,7 @@ _WINDOW = [
     "st_scd2_users",
     "sim_kmeans_lloyd",
     "txt_triangle_count",
+    "ev_overlap_incident_sessions",
     # -- standing canary (1) -----------------------------------------------
     # (q1_pricing_summary ceded its standing slot to txt_triangle_count:
     # it is hash-green r2+r3, exercised every round by the driver's

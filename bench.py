@@ -83,6 +83,10 @@ HEADLINE = [
     "ev_zorder_layout",
     # the iterative quantizer-training loop (2 unrolled Lloyd rounds).
     "sim_kmeans_lloyd",
+    # degree-ordered triangle counting on the dup graph.
+    "txt_triangle_count",
+    # range-vs-range interval-overlap join (sessions x incidents).
+    "ev_overlap_incident_sessions",
 ]
 
 

@@ -742,6 +742,108 @@ GROUP BY 1, 2, 3 ORDER BY incident_id
 """
 
 
+OVERLAP_BUCKET_S = 1800  # bucket width = incident window width, seconds
+
+
+def ev_overlap_incident_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided INTERVAL-OVERLAP join: per-user activity sessions
+    (30-min-gap session windows, [start, last+gap)) joined against
+    30-minute incident windows opened by 'error' events — how many
+    incidents each session overlapped. Completes the interval-join
+    family: ev_asof_purchase_click is point-to-latest-point,
+    ev_range_join_incidents is point-in-range; this is range-vs-range.
+
+    Scale shape: BOTH interval sets explode into the fixed-width time
+    buckets they overlap (an interval of length L hits at most
+    L/W + 1 buckets), the join is an equi-join on (user_id, bucket),
+    the exact overlap predicate [s,e) x [t0,t1) is a residual filter,
+    and countDistinct de-duplicates pairs that met in several buckets.
+    No per-user nested loop; shuffle keys are well-distributed
+    composites. All arithmetic in epoch-second bigints."""
+    ev = load_table(spark, sf_dir, "events")
+    sessions = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            epoch_seconds(F.col("w.start")).alias("s_start"),
+            epoch_seconds(F.col("w.end")).alias("s_end"),
+            "n_events",
+        )
+    )
+    incidents = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("user_id").alias("i_user"),
+        epoch_seconds("ts").alias("t0"),
+        (epoch_seconds("ts") + OVERLAP_BUCKET_S).alias("t1"),
+    )
+    w = OVERLAP_BUCKET_S
+    s_spans = sessions.select(
+        "user_id",
+        "s_start",
+        "s_end",
+        "n_events",
+        F.explode(
+            F.sequence(
+                F.expr(f"s_start div {w}"), F.expr(f"(s_end - 1) div {w}")
+            )
+        ).alias("bucket"),
+    )
+    i_spans = incidents.select(
+        "incident_id",
+        "i_user",
+        "t0",
+        "t1",
+        F.explode(
+            F.sequence(F.expr(f"t0 div {w}"), F.expr(f"(t1 - 1) div {w}"))
+        ).alias("bucket"),
+    )
+    hits = s_spans.join(
+        i_spans,
+        (F.col("user_id") == F.col("i_user"))
+        & (s_spans["bucket"] == i_spans["bucket"])
+        & (F.col("s_start") < F.col("t1"))
+        & (F.col("t0") < F.col("s_end")),
+    )
+    return (
+        hits.groupBy("user_id", "s_start", "s_end", "n_events")
+        .agg(F.countDistinct("incident_id").alias("n_incidents"))
+        .orderBy("user_id", "s_start")
+    )
+
+
+EV_OVERLAP_ORACLE = f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+), numbered AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM marked
+), sessions AS (
+  SELECT user_id,
+    CAST(floor(epoch(min(ts))) AS BIGINT) AS s_start,
+    CAST(floor(epoch(max(ts))) AS BIGINT) + 1800 AS s_end,
+    COUNT(*) AS n_events
+  FROM numbered GROUP BY user_id, sess_id
+), incidents AS (
+  SELECT event_id AS incident_id, user_id AS i_user,
+    CAST(floor(epoch(ts)) AS BIGINT) AS t0,
+    CAST(floor(epoch(ts)) AS BIGINT) + {OVERLAP_BUCKET_S} AS t1
+  FROM events WHERE event_type = 'error'
+)
+SELECT s.user_id, s.s_start, s.s_end, s.n_events,
+  COUNT(DISTINCT i.incident_id) AS n_incidents
+FROM sessions s JOIN incidents i
+  ON s.user_id = i.i_user AND s.s_start < i.t1 AND i.t0 < s.s_end
+GROUP BY 1, 2, 3, 4 ORDER BY s.user_id, s.s_start
+"""
+
+
 # Count-min sketch: d x w counter table with universal hashes — pure
 # bigint arithmetic, so both engines compute the identical sketch.
 CMS_P = 2147483647
@@ -1046,6 +1148,7 @@ TAIL_QUERIES = {
     "ev_countmin_users": ev_countmin_users,
     "ev_scd2_users": ev_scd2_users,
     "ev_zorder_layout": ev_zorder_layout,
+    "ev_overlap_incident_sessions": ev_overlap_incident_sessions,
 }
 TAIL_ORACLES = {
     "ev_heavy_hitters": EV_HEAVY_HITTERS_ORACLE,
@@ -1057,4 +1160,5 @@ TAIL_ORACLES = {
     "ev_countmin_users": EV_COUNTMIN_ORACLE,
     "ev_scd2_users": EV_SCD2_ORACLE,
     "ev_zorder_layout": EV_ZORDER_ORACLE,
+    "ev_overlap_incident_sessions": EV_OVERLAP_ORACLE,
 }

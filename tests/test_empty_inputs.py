@@ -44,6 +44,7 @@ REPRESENTATIVE = [
     "ev_zorder_layout",
     "sim_kmeans_lloyd",
     "txt_triangle_count",
+    "ev_overlap_incident_sessions",
 ]
 
 
