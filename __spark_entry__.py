@@ -60,12 +60,12 @@ def _all_modules():
 #      families) — mandatory under the invariant, and among them
 #      agg_mode_source_by_lang, the one query that has NEVER had a
 #      driver row (added after the r3 window froze).
-#   2. 4 changed-code canaries for the bit-exact fixed-point cosine
+#   2. 2 changed-code canaries for the bit-exact fixed-point cosine
 #      fold (and its round-4 HUGEINT->DOUBLE oracle-conversion fix):
-#      sim_mrl_recall, dedup_semdedup (which also gained
-#      scale-adaptive sub-bucketed cells), plus the z-score pair that
-#      gained degenerate-group guards (ev_zscore_outliers,
-#      st_static_zscore). The other cosine-family queries
+#      dedup_semdedup (which also gained scale-adaptive sub-bucketed
+#      cells), plus st_static_zscore for the z-score degenerate-group
+#      guards (ev_zscore_outliers ceded its slot — see inline note).
+#      The other cosine-family queries
 #      (sim_knn_brute, sim_ann_lsh, sim_ivf_topk, sim_ivf_recall,
 #      dedup_embedding_cosine — all r2- or r3-green — and
 #      dedup_minhash_lsh, green r2+r3 with only a no-op persist
@@ -75,7 +75,7 @@ def _all_modules():
 #      re-verified hash-green locally after the fold fix.
 #   3. st_user_totals_stateful, rotated back (last row r2, swapped out
 #      late r3).
-#   4. The 11 queries ADDED this round: ev_range_join_incidents
+#   4. The 13 queries ADDED this round: ev_range_join_incidents
 #      (bucketed point-in-range join), ev_countmin_users (count-min
 #      sketch), window_percent_rank_suppliers, txt_rare_token_ratio
 #      (broadcast top-V OOV profile), txt_bloom_contamination
@@ -84,9 +84,9 @@ def _all_modules():
 #      st_scd2_users (streaming SCD2 via applyInPandasWithState),
 #      sim_kmeans_lloyd (the iterative quantizer-training loop),
 #      txt_triangle_count (degree-ordered triangle counting),
-#      ev_overlap_incident_sessions (range-vs-range interval join).
-#   5. 1 standing canary: ref_transform_full (q1_pricing_summary is
-#      covered by the driver's entry() smoke + r2/r3 hash rows).
+#      ev_overlap_incident_sessions (range-vs-range interval join),
+#      dedup_ngram_spans (substring-level duplicated-span profile),
+#      txt_dsir_weights (DSIR hashed-bigram importance resampling).
 # Everything else is double-green r2+r3 with unchanged code and stays
 # under the local parity suite; dedup_minhash_ml stays TAIL (rows-only
 # by design, Spark-internal hash seeds).
@@ -126,16 +126,20 @@ _WINDOW = [
     "window_running_total",
     "window_lag_events",
     "window_rolling_7d",
-    # -- changed-code canaries (3) -----------------------------------------
+    # -- changed-code canaries (2) -----------------------------------------
     # (ev_zscore_outliers ceded its slot to ev_overlap_incident_sessions;
     # st_static_zscore imports the same guarded z-score moments, so the
-    # changed code keeps a driver row through the streaming twin.)
-    "sim_mrl_recall",
+    # changed code keeps a driver row through the streaming twin.
+    # sim_mrl_recall ceded its slot to txt_dsir_weights: the r4-changed
+    # fixed-point cosine fold it exercises is identically exercised by
+    # dedup_semdedup below — both route every cross-engine comparison
+    # through dot_dec/sql_dot_dec — and sim_mrl_recall is hash-green r3
+    # plus locally re-verified after the fold fix.)
     "dedup_semdedup",
     "st_static_zscore",
     # -- rotated back (1) --------------------------------------------------
     "st_user_totals_stateful",
-    # -- added in round 4 (7) ----------------------------------------------
+    # -- added in round 4 (13) ---------------------------------------------
     "ev_range_join_incidents",
     "ev_countmin_users",
     "window_percent_rank_suppliers",
@@ -147,11 +151,16 @@ _WINDOW = [
     "sim_kmeans_lloyd",
     "txt_triangle_count",
     "ev_overlap_incident_sessions",
-    # -- standing canary (1) -----------------------------------------------
+    "dedup_ngram_spans",
+    "txt_dsir_weights",
     # (q1_pricing_summary ceded its standing slot to txt_triangle_count:
     # it is hash-green r2+r3, exercised every round by the driver's
-    # entry() smoke, and covered by the local parity suite.)
-    "ref_transform_full",
+    # entry() smoke, and covered by the local parity suite.
+    # ref_transform_full ceded its slot to dedup_ngram_spans: it is
+    # hash-green r1+r2+r3 with its code path unchanged this round, and
+    # the reference-surface cleaners stay pinned by the differential
+    # suite that runs the actual reference transform against the Spark
+    # columns every pytest run.)
 ]
 
 

@@ -2475,6 +2475,194 @@ FROM ev, barr, bl ORDER BY doc_id
 """
 
 
+# --- substring-level duplicated-span profile ------------------------------
+# Word n-gram window length for the duplicated-span scan. 5 tokens is
+# long enough that organic cross-document collisions are rare but the
+# injected exact/near duplicates light up end-to-end.
+SPAN_N = 5
+SPAN_DUP_PPM = 500000  # >= half the spans duplicated -> substring-dup doc
+
+
+def dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact-duplication profile (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    every document, the fraction of its word 5-gram start positions
+    whose 5-gram also occurs in at least one OTHER document. Doc-level
+    dedup (dedup_exact) misses partially-copied text; paragraph dedup
+    (dedup_paragraphs) needs paragraph boundaries; this is the
+    boundary-free form — the distributed n-gram approximation of the
+    paper's suffix-array scan (a suffix array is single-machine; the
+    positional n-gram table is its shuffle-friendly equivalent).
+
+    Scale shape: one explode builds the positional gram table (rows =
+    corpus token count — linear), one gram-keyed count-distinct finds
+    grams seen in >1 document (partial aggregation absorbs repeats
+    map-side), and one gram-keyed left join marks each start position.
+    Both shuffles key on the gram hash — never all-pairs, never a
+    driver-side structure, so the plan is the same at 100 TB. The
+    duplicated-fraction is reported in exact integer parts-per-million
+    (floor DIV — no double division, so the 6-dp rounding boundary
+    risk the cosine operators document cannot arise at all). Documents
+    with fewer than 5 tokens have no spans and are not scored.
+
+    Reference has no dedup at all (SURVEY.md §2f); the corpus view
+    injects exact (+1M doc_id) and near (+2M) duplicates so the
+    profile is non-trivial at every SF."""
+    corpus = corpus_with_dups(spark, sf_dir)
+    occ = corpus.select(
+        "doc_id", F.explode(shingles_col("text", SPAN_N)).alias("g")
+    )
+    dup_grams = (
+        occ.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("g", F.lit(1).alias("dup"))
+    )
+    return (
+        occ.join(dup_grams, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.coalesce(F.col("dup"), F.lit(0)))
+            .cast("bigint")
+            .alias("dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "dup_spans",
+            F.expr("dup_spans * 1000000L div n_spans").alias("dup_ppm"),
+            (F.expr("dup_spans * 1000000L div n_spans") >= SPAN_DUP_PPM).alias(
+                "is_dup"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_NGRAM_SPANS_ORACLE = f"""
+WITH corpus AS ({CORPUS_SQL}),
+occ AS (
+  SELECT doc_id, unnest({sql_shingles(sql_tokens('text'), SPAN_N)}) AS g
+  FROM corpus
+), dup_grams AS (
+  SELECT g FROM occ GROUP BY g HAVING COUNT(DISTINCT doc_id) > 1
+), per_doc AS (
+  SELECT o.doc_id, COUNT(*) AS n_spans,
+    CAST(SUM(CASE WHEN d.g IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS dup_spans
+  FROM occ o LEFT JOIN dup_grams d ON o.g = d.g
+  GROUP BY o.doc_id
+)
+SELECT doc_id, n_spans, dup_spans,
+  (dup_spans * 1000000) // n_spans AS dup_ppm,
+  (dup_spans * 1000000) // n_spans >= {SPAN_DUP_PPM} AS is_dup
+FROM per_doc ORDER BY doc_id
+"""
+
+
+# --- DSIR hashed-n-gram importance weights --------------------------------
+DSIR_BUCKETS = 64
+DSIR_TARGET_LANG = "en"
+DSIR_TOP_K = 60
+
+
+def txt_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023,
+    NeurIPS): score every document by how target-like its hashed
+    bigram distribution is, and keep the top-K. Target = the
+    '{DSIR_TARGET_LANG}' slice of the corpus; raw = the whole corpus.
+    Word bigrams are hashed into {DSIR_BUCKETS} buckets (the paper's
+    hashed n-gram feature space); each bucket gets a Laplace-smoothed
+    target rate and raw rate, and a document's score sums the
+    per-bucket rate differences over its bigram occurrences.
+
+    Engine-exactness: the paper's log-ratio sum is replaced by the
+    exact-rational rate DIFFERENCE in integer parts-per-million —
+    (ct+1)*1e6 DIV (total_t+B) minus (cr+1)*1e6 DIV (total_r+B) —
+    pure bigint arithmetic, bit-identical in both engines (top-K
+    selection needs only a deterministic ranking, not the calibrated
+    likelihood; ln() is libm-dependent and would risk 1-ulp rank
+    flips). Precondition: corpus bigram count < 2^63/1e6 ~ 9.2e12
+    (~60 TB of text); beyond that, shift to a power-of-two scale with
+    the high/low-word split sql_dot_dec documents.
+
+    Scale shape: the bucket table is {DSIR_BUCKETS} rows REGARDLESS of
+    corpus size — two explode+groupBy passes build it (partial agg
+    map-side), an unpartitioned window over those 64 rows derives the
+    totals, and scoring is a broadcast hash probe of the 64-row weight
+    table against the exploded corpus followed by one doc_id-keyed
+    aggregation. No token-keyed corpus shuffle, no driver collect;
+    TakeOrdered keeps the top {DSIR_TOP_K}."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    inst = docs.select(
+        "doc_id", "lang", F.explode(shingles_col("text", 2)).alias("bg")
+    ).select(
+        "doc_id", "lang", (md5_hash60(F.col("bg")) % DSIR_BUCKETS).alias("b")
+    )
+    buckets = (
+        inst.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("cr"),
+            F.sum(
+                F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+            ).alias("ct"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    weights = (
+        buckets.withColumn("total_r", F.sum("cr").over(w_all))
+        .withColumn("total_t", F.sum("ct").over(w_all))
+        .select(
+            "b",
+            F.expr(
+                f"(ct + 1) * 1000000L div (total_t + {DSIR_BUCKETS}) "
+                f"- (cr + 1) * 1000000L div (total_r + {DSIR_BUCKETS})"
+            ).alias("w_ppm"),
+        )
+    )
+    return (
+        inst.join(F.broadcast(weights), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("w_ppm").cast("bigint").alias("dsir_ppm"),
+        )
+        .orderBy(F.desc("dsir_ppm"), F.asc("doc_id"))
+        .limit(DSIR_TOP_K)
+    )
+
+
+TXT_DSIR_ORACLE = f"""
+WITH inst AS (
+  SELECT doc_id, lang,
+    {sql_md5_hash60('bg')} % {DSIR_BUCKETS} AS b
+  FROM (
+    SELECT doc_id, lang,
+      unnest({sql_shingles(sql_tokens('text'), 2)}) AS bg
+    FROM documents
+  )
+), buckets AS (
+  SELECT b, COUNT(*) AS cr,
+    SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS ct
+  FROM inst GROUP BY b
+), weights AS (
+  SELECT b,
+    (ct + 1) * 1000000 // (SUM(ct) OVER () + {DSIR_BUCKETS})
+    - (cr + 1) * 1000000 // (SUM(cr) OVER () + {DSIR_BUCKETS}) AS w_ppm
+  FROM buckets
+)
+SELECT i.doc_id, i.lang, COUNT(*) AS n_bigrams,
+  CAST(SUM(w.w_ppm) AS BIGINT) AS dsir_ppm
+FROM inst i JOIN weights w ON i.b = w.b
+GROUP BY i.doc_id, i.lang
+ORDER BY dsir_ppm DESC, doc_id ASC LIMIT {DSIR_TOP_K}
+"""
+
+
 TAIL_QUERIES = {
     "dedup_minhash_ml": dedup_minhash_ml,
     "txt_dataset_card": txt_dataset_card,
@@ -2494,6 +2682,8 @@ TAIL_QUERIES = {
     "txt_rare_token_ratio": txt_rare_token_ratio,
     "txt_bloom_contamination": txt_bloom_contamination,
     "txt_triangle_count": txt_triangle_count,
+    "dedup_ngram_spans": dedup_ngram_spans,
+    "txt_dsir_weights": txt_dsir_weights,
 }
 
 TAIL_ORACLES = {
@@ -2514,4 +2704,6 @@ TAIL_ORACLES = {
     "txt_rare_token_ratio": TXT_RARE_TOKEN_ORACLE,
     "txt_bloom_contamination": TXT_BLOOM_CONTAMINATION_ORACLE,
     "txt_triangle_count": TXT_TRIANGLES_ORACLE,
+    "dedup_ngram_spans": DEDUP_NGRAM_SPANS_ORACLE,
+    "txt_dsir_weights": TXT_DSIR_ORACLE,
 }

@@ -45,6 +45,8 @@ REPRESENTATIVE = [
     "sim_kmeans_lloyd",
     "txt_triangle_count",
     "ev_overlap_incident_sessions",
+    "dedup_ngram_spans",
+    "txt_dsir_weights",
 ]
 
 

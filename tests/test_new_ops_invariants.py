@@ -185,3 +185,87 @@ def test_kmeans_inertia_non_increasing(spark, sf_dir):
     assert all(r.n_vectors == rows[0].n_vectors for r in rows)
     for a, b in zip(rows, rows[1:]):
         assert b.inertia <= a.inertia + 1e-6, (a, b)
+
+
+# --- duplicated-span profile ----------------------------------------------
+def test_ngram_spans_injected_exact_dups_fully_covered(spark, sf_dir):
+    """An injected verbatim copy (doc_id >= 1M) shares every 5-gram with
+    its original, so both ends must score dup_ppm == 1e6; and the span
+    counts obey the algebra (0 <= dup <= total, ppm in [0, 1e6])."""
+    from simple_etl_pipeline_spark.plans.text import dedup_ngram_spans
+
+    rows = dedup_ngram_spans(spark, sf_dir).collect()
+    by_id = {r.doc_id: r for r in rows}
+    for r in rows:
+        assert 0 <= r.dup_spans <= r.n_spans
+        assert 0 <= r.dup_ppm <= 1_000_000
+        assert r.is_dup == (r.dup_ppm >= 500_000)
+    copies = [r for r in rows if 1_000_000 <= r.doc_id < 2_000_000]
+    assert copies, "corpus view must inject exact duplicates"
+    for c in copies:
+        orig = by_id[c.doc_id - 1_000_000]
+        assert c.dup_ppm == 1_000_000, c
+        assert orig.dup_ppm == 1_000_000, orig
+        # the copy is verbatim: identical span counts on both ends
+        assert (c.n_spans, c.dup_spans) == (orig.n_spans, orig.dup_spans)
+
+
+def test_ngram_spans_near_dups_mostly_covered(spark, sf_dir):
+    """A near-duplicate (appended 4-token tail) keeps every original
+    5-gram; only the spans crossing into the tail can be unique — so
+    its dup fraction stays above the 50% classification bar."""
+    from simple_etl_pipeline_spark.plans.text import dedup_ngram_spans
+
+    rows = dedup_ngram_spans(spark, sf_dir).collect()
+    nears = [r for r in rows if r.doc_id >= 2_000_000]
+    assert nears, "corpus view must inject near duplicates"
+    for r in nears:
+        assert r.is_dup, r
+
+
+# --- DSIR importance weights ----------------------------------------------
+def test_dsir_topk_prefers_target_language(spark, sf_dir):
+    """Top-K by hashed-bigram importance must be dominated by the
+    target domain (lang='en') — the whole point of the estimator —
+    and every score obeys the per-bigram ppm bound."""
+    from simple_etl_pipeline_spark.plans.text import (
+        DSIR_TARGET_LANG,
+        DSIR_TOP_K,
+        txt_dsir_weights,
+    )
+
+    rows = txt_dsir_weights(spark, sf_dir).collect()
+    assert len(rows) == DSIR_TOP_K
+    for r in rows:
+        assert abs(r.dsir_ppm) <= r.n_bigrams * 1_000_000
+    n_target = sum(1 for r in rows if r.lang == DSIR_TARGET_LANG)
+    assert n_target > DSIR_TOP_K // 2, f"{n_target}/{DSIR_TOP_K} target-lang"
+
+
+def test_dsir_bucket_weights_sum_to_near_zero_mass(spark, sf_dir):
+    """Laplace-smoothed rate differences: summing (ct+1)/(Tt+B) over all
+    buckets gives exactly 1 (same for raw), so the ppm weight table
+    must sum to ~0 modulo floor-division loss (at most B ppm low per
+    side, never positive)."""
+    from simple_etl_pipeline_spark.functions.text import md5_hash60
+    from simple_etl_pipeline_spark.plans.text import DSIR_BUCKETS
+    from simple_etl_pipeline_spark.functions.text import shingles_col
+    from simple_etl_pipeline_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    inst = docs.select(
+        "lang", F.explode(shingles_col("text", 2)).alias("bg")
+    ).select("lang", (md5_hash60(F.col("bg")) % DSIR_BUCKETS).alias("b"))
+    agg = inst.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
+    ).collect()
+    total_r = sum(r.cr for r in agg)
+    total_t = sum(r.ct for r in agg)
+    b = DSIR_BUCKETS
+    t_mass = sum((r.ct + 1) * 1_000_000 // (total_t + b) for r in agg)
+    r_mass = sum((r.cr + 1) * 1_000_000 // (total_r + b) for r in agg)
+    # each floor loses < 1 ppm per bucket; missing-bucket smoothing mass
+    # also stays below B ppm total
+    assert 1_000_000 - 2 * b <= t_mass <= 1_000_000
+    assert 1_000_000 - 2 * b <= r_mass <= 1_000_000

@@ -194,3 +194,30 @@ def test_range_join_is_bucketed_equi_join(spark, sf_dir):
         k in plan
         for k in ["SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"]
     )
+
+
+def test_ngram_spans_shuffles_only_on_gram_and_doc(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_ngram_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the dup-gram mark must be a gram-keyed equi-join (the dup set is
+    # data-sized — broadcasting it would not survive 100 TB), plus the
+    # gram count-distinct and the per-doc aggregation; nothing else may
+    # shuffle
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
+def test_dsir_weight_table_is_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "txt_dsir_weights")
+    assert "CartesianProduct" not in plan
+    # the 64-bucket weight table comes back as a broadcast hash probe;
+    # a bucket-keyed corpus shuffle (64 reducers) would be the scale
+    # bug this lock prevents
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # top-K without a global sort
+    assert "TakeOrderedAndProject" in plan
