@@ -87,6 +87,11 @@ HEADLINE = [
     "txt_triangle_count",
     # range-vs-range interval-overlap join (sessions x incidents).
     "ev_overlap_incident_sessions",
+    # substring-level duplicated-span profile (positional 5-gram table —
+    # the heaviest explode in the repo: one row per corpus token).
+    "dedup_ngram_spans",
+    # DSIR importance weights (two corpus passes + broadcast probe).
+    "txt_dsir_weights",
 ]
 
 

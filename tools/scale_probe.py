@@ -62,6 +62,12 @@ PROBE_QUERIES = [
     # fixed-iteration pagerank over the dup-pair graph: edges ∝ pairs,
     # 3 unrolled iterations -> wall should track the edge count.
     "txt_pagerank",
+    # positional 5-gram table + gram-keyed dup marking: rows ∝ corpus
+    # tokens, so wall should be ~linear; super-linearity here would
+    # mean a hot-gram reducer (the skew this probe exists to catch).
+    "dedup_ngram_spans",
+    # DSIR: two linear corpus passes + a 64-row broadcast probe.
+    "txt_dsir_weights",
 ]
 # Embedding-side probe (SPARK_GRAFT_PROBE=sim): vectors are perturbed
 # per copy (direction-dependent per-dim scaling), so LSH/sign buckets
@@ -214,6 +220,10 @@ _MODES = {
 def main() -> None:
     mode = os.environ.get("SPARK_GRAFT_PROBE", "text")
     probe = _MODES[mode][0]
+    only = os.environ.get("SPARK_GRAFT_PROBE_ONLY")
+    if only:
+        wanted = {s.strip() for s in only.split(",") if s.strip()}
+        probe = [q for q in probe if q in wanted]
     writer = {
         "text": write_scaled,
         "sim": write_scaled_embeddings,
