@@ -2570,11 +2570,11 @@ def txt_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data Selection with Importance Resampling (Xie et al. 2023,
     NeurIPS): score every document by how target-like its hashed
     bigram distribution is, and keep the top-K. Target = the
-    '{DSIR_TARGET_LANG}' slice of the corpus; raw = the whole corpus.
-    Word bigrams are hashed into {DSIR_BUCKETS} buckets (the paper's
-    hashed n-gram feature space); each bucket gets a Laplace-smoothed
-    target rate and raw rate, and a document's score sums the
-    per-bucket rate differences over its bigram occurrences.
+    DSIR_TARGET_LANG ('en') slice of the corpus; raw = the whole
+    corpus. Word bigrams are hashed into DSIR_BUCKETS=64 buckets (the
+    paper's hashed n-gram feature space); each bucket gets a
+    Laplace-smoothed target rate and raw rate, and a document's score
+    sums the per-bucket rate differences over its bigram occurrences.
 
     Engine-exactness: the paper's log-ratio sum is replaced by the
     exact-rational rate DIFFERENCE in integer parts-per-million —
@@ -2586,13 +2586,13 @@ def txt_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     (~60 TB of text); beyond that, shift to a power-of-two scale with
     the high/low-word split sql_dot_dec documents.
 
-    Scale shape: the bucket table is {DSIR_BUCKETS} rows REGARDLESS of
+    Scale shape: the bucket table is DSIR_BUCKETS rows REGARDLESS of
     corpus size — two explode+groupBy passes build it (partial agg
     map-side), an unpartitioned window over those 64 rows derives the
     totals, and scoring is a broadcast hash probe of the 64-row weight
     table against the exploded corpus followed by one doc_id-keyed
     aggregation. No token-keyed corpus shuffle, no driver collect;
-    TakeOrdered keeps the top {DSIR_TOP_K}."""
+    TakeOrdered keeps the top DSIR_TOP_K."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text"
     )

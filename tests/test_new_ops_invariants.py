@@ -247,9 +247,11 @@ def test_dsir_bucket_weights_sum_to_near_zero_mass(spark, sf_dir):
     buckets gives exactly 1 (same for raw), so the ppm weight table
     must sum to ~0 modulo floor-division loss (at most B ppm low per
     side, never positive)."""
-    from simple_etl_pipeline_spark.functions.text import md5_hash60
+    from simple_etl_pipeline_spark.functions.text import (
+        md5_hash60,
+        shingles_col,
+    )
     from simple_etl_pipeline_spark.plans.text import DSIR_BUCKETS
-    from simple_etl_pipeline_spark.functions.text import shingles_col
     from simple_etl_pipeline_spark.schemas import load_table
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")

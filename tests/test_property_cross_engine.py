@@ -229,3 +229,44 @@ def test_cosine_dec_bit_identical(spark, tmp_path_factory, pairs):
         if g is not None:
             # bit-for-bit, not approximate
             assert _struct.pack("d", g) == _struct.pack("d", x), (va, vb, g, x)
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2**62), st.integers(1, 2**31)
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_integer_div_identical(spark, tmp_path_factory, pairs):
+    """Spark's `div` and DuckDB's `//` must agree on every positive
+    bigint pair — the ppm disciplines (dedup_ngram_spans dup_ppm,
+    txt_dsir_weights bucket rates) rest on this instead of on double
+    division + rounding, so it gets the same property lock as the
+    tokenizer and the fixed-point cosine."""
+    d = tmp_path_factory.mktemp("xdiv")
+    path = os.path.join(str(d), "pairs.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "n": pa.array([p[0] for p in pairs], pa.int64()),
+                "m": pa.array([p[1] for p in pairs], pa.int64()),
+            }
+        ),
+        path,
+    )
+    got = [
+        r[0]
+        for r in spark.read.parquet(path).select(F.expr("n div m")).collect()
+    ]
+    exp = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT n // m FROM read_parquet('{path}')"
+        ).fetchall()
+    ]
+    assert got == exp
+    assert got == [p[0] // p[1] for p in pairs]
