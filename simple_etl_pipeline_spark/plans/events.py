@@ -100,13 +100,17 @@ def ev_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # event landing exactly at prev_ts + gap opens a new session).
 EV_SESSION_ORACLE = f"""
 WITH marked AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
            OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 30 MINUTE
          THEN 1 ELSE 0 END AS is_new
   FROM events
 ), numbered AS (
-  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+  -- the running sum MUST carry the same (ts, event_id) tie-break as the
+  -- lag above: with ORDER BY ts alone, same-timestamp peers of a
+  -- session-opening event could sort before it and be numbered into the
+  -- previous session nondeterministically
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
   FROM marked
 )
@@ -821,7 +825,10 @@ WITH marked AS (
          THEN 1 ELSE 0 END AS is_new
   FROM events
 ), numbered AS (
-  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+  -- same (ts, event_id) tie-break as the lag: ORDER BY ts alone would
+  -- let a same-timestamp peer of a session-opening event be numbered
+  -- into the previous session nondeterministically
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
   FROM marked
 ), sessions AS (

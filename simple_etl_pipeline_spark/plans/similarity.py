@@ -859,8 +859,6 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see functions/vectors.py:dot_dec), so the 6-dp round before the
     argmax/threshold can never flip between engines.
     """
-    from simple_etl_pipeline_spark.functions.vectors import cosine_dec
-
     emb = _emb(spark, sf_dir).select("vec_id", "v", "label")
     dups = emb.filter(F.col("vec_id") % 7 == 0).select(
         (F.col("vec_id") + 200000).alias("vec_id"),
@@ -907,9 +905,14 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bparam = (
         n_corpus.crossJoin(n_cells)
         .select(
+            # greatest(n_cells, 1): an empty corpus has zero centroid
+            # cells, and under ANSI mode the div would raise
+            # DIVIDE_BY_ZERO (empty-relation pruning only masks it when
+            # AQE wins the race) — with the guard q=0 -> nbits=0 and
+            # the query returns empty rows, not an error
             F.expr(
-                f"(n_corpus + n_cells * {SEMDEDUP_TARGET_CELL} - 1)"
-                f" div (n_cells * {SEMDEDUP_TARGET_CELL})"
+                f"(n_corpus + greatest(n_cells, 1) * {SEMDEDUP_TARGET_CELL}"
+                f" - 1) div (greatest(n_cells, 1) * {SEMDEDUP_TARGET_CELL})"
             ).alias("q")
         )
         .select(
@@ -1016,8 +1019,8 @@ WITH base AS (
   SELECT CASE WHEN q <= 1 THEN 0
               ELSE least(length(bin(q - 1)), {SEMDEDUP_MAX_BITS}) END AS nbits
   FROM (
-    SELECT (n_corpus + n_cells * {SEMDEDUP_TARGET_CELL} - 1)
-           // (n_cells * {SEMDEDUP_TARGET_CELL}) AS q
+    SELECT (n_corpus + greatest(n_cells, 1) * {SEMDEDUP_TARGET_CELL} - 1)
+           // (greatest(n_cells, 1) * {SEMDEDUP_TARGET_CELL}) AS q
     FROM (SELECT COUNT(*) AS n_corpus FROM corpus),
          (SELECT COUNT(*) AS n_cells FROM cent_arr)
   )

@@ -1270,23 +1270,28 @@ def txt_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", F.explode(F.array_distinct(shingles_col("text"))).alias("sh")
     )
-    n_sh = ev.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
-    )
-    hits = (
-        ev.join(F.broadcast(bench_tbl), "sh")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+    # ONE corpus pass: a LEFT broadcast probe marks each distinct
+    # shingle, and a single doc_id aggregation derives both the total
+    # and the hit count — the earlier n_sh/hits twin-consumer shape
+    # replayed tokenize+shingle+explode twice and needed a third
+    # doc_id-keyed join to recombine.
+    marked = ev.join(
+        F.broadcast(bench_tbl.withColumn("m", F.lit(1))), "sh", "left"
     )
     return (
-        n_sh.join(hits, "doc_id", "left")
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("m"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_contaminated"),
+        )
         .select(
             "doc_id",
             "n_shingles",
-            F.coalesce("hits", F.lit(0)).cast("bigint").alias("n_contaminated"),
+            "n_contaminated",
             F.round(
-                F.coalesce("hits", F.lit(0)).cast("double")
-                / F.col("n_shingles"),
+                F.col("n_contaminated").cast("double") / F.col("n_shingles"),
                 6,
             ).alias("contamination"),
         )
@@ -2251,7 +2256,7 @@ def txt_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one explode+groupBy builds the unigram table (partial
     aggregation absorbs the Zipf head map-side), TakeOrdered keeps the
-    top V=1000 (freq desc, token asc — deterministic at ties), and the
+    top VOCAB_TOP_V (freq desc, token asc — deterministic at ties), and the
     pruned table is broadcast back against the exploded corpus: the
     scoring join is a map-stage hash probe, never a shuffle keyed by
     token. At 100 TB the vocabulary table is a few MB regardless of
@@ -2388,29 +2393,35 @@ def txt_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             cond = cond & _bit_set(s, i)
         return cond
 
-    per_shingle = ev.crossJoin(F.broadcast(bloom)).select(
-        "doc_id",
-        "sh",
-        _in_bloom(F.col("sh")).cast("int").alias("in_bloom"),
-    )
-    counted = per_shingle.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
-        F.sum("in_bloom").cast("bigint").alias("bloom_hits"),
-    )
-    exact = (
-        ev.join(
-            F.broadcast(bench_sh.withColumnRenamed("s", "sh")), "sh"
+    # ONE corpus pass: the Bloom probe (1-row broadcast) and the exact
+    # audit (LEFT broadcast probe of the true shingle set) mark the
+    # same exploded frame, and a single doc_id aggregation derives all
+    # three counts — the earlier counted/exact twin-consumer shape
+    # replayed tokenize+shingle+explode twice and recombined with a
+    # third doc_id-keyed join.
+    per_shingle = (
+        ev.crossJoin(F.broadcast(bloom))
+        .join(
+            F.broadcast(
+                bench_sh.withColumnRenamed("s", "sh").withColumn(
+                    "m", F.lit(1)
+                )
+            ),
+            "sh",
+            "left",
         )
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_raw"))
-    )
-    return (
-        counted.join(exact, "doc_id", "left")
         .select(
             "doc_id",
-            "n_shingles",
-            "bloom_hits",
-            F.coalesce("exact_raw", F.lit(0)).cast("bigint").alias("exact_hits"),
+            _in_bloom(F.col("sh")).cast("int").alias("in_bloom"),
+            F.coalesce(F.col("m"), F.lit(0)).alias("in_bench"),
+        )
+    )
+    return (
+        per_shingle.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum("in_bloom").cast("bigint").alias("bloom_hits"),
+            F.sum("in_bench").cast("bigint").alias("exact_hits"),
         )
         .select(
             "doc_id",

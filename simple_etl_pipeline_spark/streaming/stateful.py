@@ -122,10 +122,19 @@ def scd2_stateful(stream: DataFrame) -> DataFrame:
 
     Emission is deterministic because only CLOSED intervals are ever
     output (exactly once, when the change arrives); the open run lives
-    in state and is never emitted, so micro-batch boundaries cannot
+    in state and is never emitted, so micro-batch BOUNDARIES cannot
     change the result — the query equals the batch build minus its
-    is_current rows. State per key is ~40 bytes: at 100 TB/day the
-    store holds |users| entries, independent of stream length."""
+    is_current rows. That equivalence additionally requires micro-batch
+    ORDER to respect event time across batches (within a batch the
+    operator sorts by ts, event_id itself): the state machine applies
+    changes as they arrive and, like every SCD2 CDC consumer, cannot
+    retroactively reopen a closed interval for a late event. The
+    single-file replay here and a production date-partitioned backfill
+    both satisfy that; an unordered multi-file directory replayed
+    file-at-a-time does NOT, and needs a per-file event-time sort (or
+    ingestion-time CDC semantics) first. State per key is ~40 bytes: at
+    100 TB/day the store holds |users| entries, independent of stream
+    length."""
 
     def _update_scd2(
         key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState

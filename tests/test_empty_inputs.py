@@ -94,3 +94,32 @@ def test_zscore_degenerate_groups(spark):
     assert out["const"]["n_outliers"] == 0
     assert out["const"]["max_abs_z"] is None
     assert out["normal"]["max_abs_z"] is not None
+
+
+def test_semdedup_empty_corpus_survives_without_aqe(spark, tmp_path):
+    """The in-plan sub-bucket sizing divides by the centroid-cell count;
+    an empty corpus has ZERO cells, and only AQE's empty-relation
+    pruning used to mask the ANSI DIVIDE_BY_ZERO (a race a real cluster
+    can lose). The greatest(n_cells, 1) guard must hold with AQE off."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "empty_sf")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+                "label": pa.array([], pa.string()),
+            }
+        ),
+        os.path.join(d, "embeddings.parquet"),
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        assert QUERIES["dedup_semdedup"](spark, d).count() == 0
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

@@ -271,3 +271,67 @@ def test_dsir_bucket_weights_sum_to_near_zero_mass(spark, sf_dir):
     # also stays below B ppm total
     assert 1_000_000 - 2 * b <= t_mass <= 1_000_000
     assert 1_000_000 - 2 * b <= r_mass <= 1_000_000
+
+
+# --- session-oracle tie-break ---------------------------------------------
+def test_session_oracle_ties_match_spark(spark, tmp_path):
+    """Same-timestamp peers of a session-opening event: Spark's
+    session_window assigns sessions from timestamps alone, but the
+    DuckDB oracle's running SUM(is_new) depends on row order — with
+    ORDER BY ts alone a same-ts peer could sort before the opener and
+    be numbered into the PREVIOUS session nondeterministically. The
+    (ts, event_id) tie-break in the cumsum pins it; this fixture is the
+    exact adversarial layout."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entrymod
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    t1 = dt.datetime(2024, 1, 1, 10, 40, 0)  # 40 min gap -> new session
+    rows = {
+        "event_id": [1, 2, 3],
+        "ts": [t0, t1, t1],  # events 2 and 3 tie on ts
+        "user_id": [7, 7, 7],
+        "event_type": ["view", "view", "view"],
+        "value": [1.0, 1.0, 1.0],
+        "props": ["{}", "{}", "{}"],
+    }
+    d = str(tmp_path / "tie_sf")
+    os.makedirs(d, exist_ok=True)
+    # the oracle harness registers EVERY testdata table as a view, so
+    # link the untouched ones from the real sf dir
+    from simple_etl_pipeline_spark.schemas import TESTDATA_TABLES
+    from tests.conftest import SF_DIR
+
+    for t in TESTDATA_TABLES:
+        if t != "events":
+            os.symlink(
+                os.path.join(SF_DIR, f"{t}.parquet"),
+                os.path.join(d, f"{t}.parquet"),
+            )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(rows["event_id"], pa.int64()),
+                "ts": pa.array(rows["ts"], pa.timestamp("us")),
+                "user_id": pa.array(rows["user_id"], pa.int64()),
+                "event_type": pa.array(rows["event_type"], pa.string()),
+                "value": pa.array(rows["value"], pa.float64()),
+                "props": pa.array(rows["props"], pa.string()),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    df = qs["ev_session_windows"](spark, d)
+    compare_with_oracle(df, oracles["ev_session_windows"], d)
+    out = sorted(
+        (r.session_start, r.n_events) for r in df.collect()
+    )
+    # session 1: the lone opener; session 2: BOTH tied events
+    assert [n for _, n in out] == [1, 2], out

@@ -159,7 +159,16 @@ def write_scaled_embeddings(spark, sf_dir: str, k: int, out_dir: str) -> None:
                     + ((F.col("copy") * 31 + i) % 7 - F.lit(3)).cast("double")
                     * 0.15
                 )
-                * F.when((F.col("copy") * 37 + i * 13) % 2 == 0, F.lit(1.0))
+                # NOT a linear-mod-2 mixer: (copy*a + i*b) % 2 collapses
+                # to (copy + i) % 2 for odd a,b — only two sign patterns
+                # across all copies, which stacks same-parity copies
+                # into identical sign buckets. hash() gives every copy
+                # its own pattern (probe-only, so engine-specific
+                # hashing is fine here).
+                * F.when(
+                    F.pmod(F.hash(F.col("copy") * 64 + i), 2) == 0,
+                    F.lit(1.0),
+                )
                 .otherwise(F.lit(-1.0))
             ).cast("float"),
         ).alias("embedding"),
