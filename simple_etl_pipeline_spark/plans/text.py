@@ -2509,8 +2509,14 @@ def dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus token count — linear), one gram-keyed count-distinct finds
     grams seen in >1 document (partial aggregation absorbs repeats
     map-side), and one gram-keyed left join marks each start position.
-    Both shuffles key on the gram hash — never all-pairs, never a
-    driver-side structure, so the plan is the same at 100 TB. The
+    Both shuffles key on the 60-bit md5 of the gram, NOT the gram
+    string: at 100 TB the positional table is ~10^13 rows, and an
+    8-byte key shuffles ~2.5x less than the ~45-byte 5-gram text
+    (Lee et al. likewise dedup on 64-bit hashes; a collision marks a
+    unique gram as duplicated with probability ~n^2/2^61 — and because
+    the oracle computes the IDENTICAL hash, cross-engine parity is
+    unaffected either way). Never all-pairs, never a driver-side
+    structure, so the plan is the same at 100 TB. The
     duplicated-fraction is reported in exact integer parts-per-million
     (floor DIV — no double division, so the 6-dp rounding boundary
     risk the cosine operators document cannot arise at all). Documents
@@ -2522,15 +2528,15 @@ def dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = corpus_with_dups(spark, sf_dir)
     occ = corpus.select(
         "doc_id", F.explode(shingles_col("text", SPAN_N)).alias("g")
-    )
+    ).select("doc_id", md5_hash60(F.col("g")).alias("gh"))
     dup_grams = (
-        occ.groupBy("g")
+        occ.groupBy("gh")
         .agg(F.count_distinct("doc_id").alias("nd"))
         .filter(F.col("nd") > 1)
-        .select("g", F.lit(1).alias("dup"))
+        .select("gh", F.lit(1).alias("dup"))
     )
     return (
-        occ.join(dup_grams, "g", "left")
+        occ.join(dup_grams, "gh", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
@@ -2554,14 +2560,17 @@ def dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_NGRAM_SPANS_ORACLE = f"""
 WITH corpus AS ({CORPUS_SQL}),
 occ AS (
-  SELECT doc_id, unnest({sql_shingles(sql_tokens('text'), SPAN_N)}) AS g
-  FROM corpus
+  SELECT doc_id, {sql_md5_hash60('g')} AS gh
+  FROM (
+    SELECT doc_id, unnest({sql_shingles(sql_tokens('text'), SPAN_N)}) AS g
+    FROM corpus
+  )
 ), dup_grams AS (
-  SELECT g FROM occ GROUP BY g HAVING COUNT(DISTINCT doc_id) > 1
+  SELECT gh FROM occ GROUP BY gh HAVING COUNT(DISTINCT doc_id) > 1
 ), per_doc AS (
   SELECT o.doc_id, COUNT(*) AS n_spans,
-    CAST(SUM(CASE WHEN d.g IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS dup_spans
-  FROM occ o LEFT JOIN dup_grams d ON o.g = d.g
+    CAST(SUM(CASE WHEN d.gh IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS dup_spans
+  FROM occ o LEFT JOIN dup_grams d ON o.gh = d.gh
   GROUP BY o.doc_id
 )
 SELECT doc_id, n_spans, dup_spans,

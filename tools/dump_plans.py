@@ -22,7 +22,7 @@ PICKS = {
     "txt_bloom_contamination": "128-word Bloom filter + audit list as 1-row broadcasts; corpus probe stays a narrow scan",
     "ev_scd2_users": "lag/run-sum windows, per-run agg and valid_to stitch share ONE user_id exchange",
     "ev_zorder_layout": "user-rank dictionary broadcast onto the fact scan; only the file_id agg shuffles",
-    "dedup_ngram_spans": "positional 5-gram table shuffles only on the gram key (count-distinct + dup-mark join) and then doc_id; no broadcast of the data-sized dup set",
+    "dedup_ngram_spans": "positional 5-gram table shuffles only on the 60-bit gram HASH (8-byte keys, not gram strings: count-distinct + dup-mark join) and then doc_id; no broadcast of the data-sized dup set",
     "txt_dsir_weights": "64-bucket weight table derived in-plan (window over 64 rows) and broadcast back; scoring is a map-side hash probe + one doc_id agg + TakeOrdered",
 }
 
