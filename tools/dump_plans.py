@@ -24,6 +24,9 @@ PICKS = {
     "ev_zorder_layout": "user-rank dictionary broadcast onto the fact scan; only the file_id agg shuffles",
     "dedup_ngram_spans": "positional 5-gram table shuffles only on the 60-bit gram HASH (8-byte keys, not gram strings: count-distinct + dup-mark join) and then doc_id; no broadcast of the data-sized dup set",
     "txt_dsir_weights": "64-bucket weight table derived in-plan (window over 64 rows) and broadcast back; scoring is a map-side hash probe + one doc_id agg + TakeOrdered",
+    "sim_kmeans_lloyd": "unrolled Lloyd rounds: per-iteration centroid tables stay K-row broadcasts; assignment is a map-side argmin over the broadcast array, never a per-dim join",
+    "txt_triangle_count": "degree-ordered wedge join over the persisted dup-pair edges; closure probe is an equi-join on the (lo, hi) pair key — no triangle enumeration cross join",
+    "ev_overlap_incident_sessions": "both interval sides exploded onto the time-bucket grid and equi-joined on the bucket key; true overlap is a residual predicate, distinct de-dupes multi-bucket hits",
 }
 
 def main():

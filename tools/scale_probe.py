@@ -102,6 +102,15 @@ EV_PROBE_QUERIES = [
     "ev_scd2_users",
     # z-order stats: dim-sized dictionary + one agg shuffle -> linear.
     "ev_zorder_layout",
+    # bucketed point-in-range join: candidates ∝ events x avg windows
+    # per bucket — linear as long as the bucket grain tracks the data.
+    "ev_range_join_incidents",
+    # range-vs-range overlap: both sides bucket-exploded; quadratic
+    # only within a bucket, so wall should track total bucket rows.
+    "ev_overlap_incident_sessions",
+    # count-min: d x w counter table is constant-size; one groupBy over
+    # d copies of the stream -> linear in events.
+    "ev_countmin_users",
 ]
 # Relational probe (SPARK_GRAFT_PROBE=rel): the banded fuzzy self-join.
 # Each copy gets its own brand namespace (brand#copy), so cross-copy
