@@ -2683,6 +2683,215 @@ ORDER BY dsir_ppm DESC, doc_id ASC LIMIT {DSIR_TOP_K}
 """
 
 
+# --- lexical retrieval (component-level: pytest-oracle, not registered) ---
+# These two are verified by tests/test_retrieval.py against in-test
+# DuckDB oracles (the same compare_with_oracle discipline the driver
+# uses) but are NOT in queries(): the 50-slot driver window is fully
+# allocated this round, and the rotation invariant requires every
+# REGISTERED oracle-backed query to hold a scheduled slot. They are
+# registerable next round when slots rotate free.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 5
+BM25_QUERY_DOCS = (0, 17, 34, 51, 68)  # panel: first 3 tokens of each
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-K retrieval (Robertson & Walker 1994; the SPARSE
+    complement of the dense sim_* family): a 5-query panel (the first 3
+    distinct tokens of 5 fixed documents) scores every document by
+    sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
+
+    Engine-exactness: every input to the score is either an integer
+    (tf, dl, df, N) or an exact 1-row aggregate double (avgdl), and
+    products/quotients of identical doubles are correctly-rounded IEEE
+    ops — bit-identical across engines, the cosine_dec argument. The
+    ONE transcendental is ln((N - df + 0.5)/(df + 0.5) + 1); it is
+    rounded to 6 dp BEFORE entering any arithmetic, and the paired
+    test asserts the rounded idf values match across engines outright,
+    isolating the only libm-dependent value (same probabilistic 1-ulp
+    boundary caveat the cosine operators document — on the frozen
+    testdata the comparison is deterministic).
+
+    Scale shape: df is computed ONLY for the <=15 panel terms (the
+    exploded corpus is broadcast-semi-filtered by the panel before any
+    aggregation), doc lengths are a doc_id-keyed count, avgdl and N
+    are 1-row broadcasts, and the per-(query, doc) tf aggregation
+    shuffles only panel-matching rows — at 100 TB the shuffle volume
+    is the posting lists of 15 terms, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+    # first 3 RAW tokens, set-deduped AFTER the explode: array_distinct
+    # preserves first-occurrence order in Spark while DuckDB's
+    # list_distinct does not, so any slice-of-distinct would pick
+    # different terms per engine — the row-level DISTINCT makes the
+    # panel an order-free SET in both
+    panel = (
+        docs.filter(F.col("doc_id").isin(*BM25_QUERY_DOCS))
+        .select(
+            F.col("doc_id").alias("q_id"),
+            F.explode(F.slice(tokens_col("text"), 1, 3)).alias("term"),
+        )
+        .distinct()
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # exact bigint sum / count, one correctly-rounded division — NOT
+    # avg(): the engines' internal avg accumulation orders can differ
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    hits = toks.join(F.broadcast(panel), "term")
+    tf = hits.groupBy("q_id", "term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_ = (
+        tf.select("term", "doc_id")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf6",
+            F.round(
+                F.log(
+                    (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    + 1.0
+                ),
+                6,
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.round(
+                F.col("idf6")
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                ),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    per_doc = scored.groupBy("q_id", "doc_id").agg(
+        F.round(F.sum("contrib"), 6).alias("score")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select("q_id", "rank", "doc_id", "score")
+        .orderBy("q_id", "rank")
+    )
+
+
+BM25_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({sql_tokens('text')}) AS term FROM documents
+), panel AS (
+  SELECT DISTINCT doc_id AS q_id, unnest(({sql_tokens('text')})[1:3]) AS term
+  FROM documents WHERE doc_id IN {BM25_QUERY_DOCS}
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+         CAST(COUNT(*) AS DOUBLE) AS n FROM dl
+), tf AS (
+  SELECT p.q_id, t.term, t.doc_id, COUNT(*) AS tf
+  FROM toks t JOIN panel p ON t.term = p.term
+  GROUP BY p.q_id, t.term, t.doc_id
+), df AS (
+  SELECT term, COUNT(*) AS df
+  FROM (SELECT DISTINCT term, doc_id FROM tf) GROUP BY term
+), scored AS (
+  SELECT tf.q_id, tf.doc_id,
+    round(
+      round(ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0), 6)
+      * (tf.tf * ({BM25_K1} + 1))
+      / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl)),
+      6) AS contrib
+  FROM tf JOIN df ON tf.term = df.term
+          JOIN dl ON tf.doc_id = dl.doc_id, stats s
+), per_doc AS (
+  SELECT q_id, doc_id, round(SUM(contrib), 6) AS score
+  FROM scored GROUP BY q_id, doc_id
+)
+SELECT q_id, rank, doc_id, score FROM (
+  SELECT q_id, doc_id, score,
+    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC)
+      AS rank
+  FROM per_doc
+) WHERE rank <= {BM25_TOP_K} ORDER BY q_id, rank
+"""
+
+
+INVIDX_TOP_TERMS = 50
+
+
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build — the batch layout a lexical search engine
+    (or the BM25 scorer above) reads: per term, document frequency,
+    collection frequency and the md5 of the ordered (doc_id, tf)
+    posting list (emitting the hash keeps the row narrow and
+    hash-comparable; production would write the list itself). Top
+    INVIDX_TOP_TERMS terms by df (term asc at ties).
+
+    Pure exact integer/string arithmetic — no floats anywhere. Two
+    keyed shuffles: (term, doc) tf counts, then per-term assembly with
+    an order-independent sort_array before the hash (the same
+    collect_list discipline as dedup_paragraphs). At 100 TB, posting
+    assembly is the classic index-build shuffle: keyed by term, sized
+    by the corpus token count, no skew beyond the Zipf head that the
+    partial tf aggregation already collapsed map-side."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+    tf = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.sum("tf").cast("bigint").alias("cf"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct("doc_id", "tf"))
+                        ),
+                        lambda s: F.concat_ws(
+                            ":",
+                            s.doc_id.cast("string"),
+                            s.tf.cast("string"),
+                        ),
+                    ),
+                    ",",
+                )
+            ).alias("postings_md5"),
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(INVIDX_TOP_TERMS)
+    )
+
+
+INVIDX_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({sql_tokens('text')}) AS term FROM documents
+), tf AS (
+  SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY term, doc_id
+)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+  md5(string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id)) AS postings_md5
+FROM tf GROUP BY term ORDER BY df DESC, term ASC LIMIT {INVIDX_TOP_TERMS}
+"""
+
+
 TAIL_QUERIES = {
     "dedup_minhash_ml": dedup_minhash_ml,
     "txt_dataset_card": txt_dataset_card,
