@@ -1,0 +1,134 @@
+"""File-level Bloom-filter data skipping — the point-lookup pruning
+layer table formats (Iceberg puffin blobs, Delta bloom indexes, Parquet
+column bloom filters) maintain beside min/max stats.
+
+Min/max pruning (operators/partitioning.py, ev_zorder_layout) answers
+range predicates; it is useless for a point lookup on a high-cardinality
+column whose values are spread across every file (user_id in an
+event log: every file's [min, max] spans the whole id space). A per-file
+Bloom filter answers `col = value` probes: a file whose filter misses
+the value PROVABLY does not contain it and is never opened.
+
+Scale contract:
+- The index is METADATA-sized: BLOOM_WORDS 32-bit words per file
+  (~0.5 KB), regardless of row count — 100 TB at 256 MB files is
+  ~400k files => ~200 MB of index, a driver/catalog-sized table (the
+  same class as the partition listing; collecting it is the documented
+  metadata exception, like operators/cdc.py's pruned rewrite).
+- Index build is ONE scan: rows explode to BLOOM_K (file, bit)
+  positions, one groupBy per file bit_or-folds the words map-side.
+- False positives only ever cost an extra file read; false negatives
+  are impossible (the Bloom contract, asserted by the tests on every
+  sampled value).
+- Selectivity COMPOSES WITH LAYOUT: on hash-scattered files a frequent
+  key appears in most files and the index prunes little for it (it
+  still prunes absent/rare keys hard — the contamination-check shape).
+  Clustering the write by the probe column (ev_zorder_layout /
+  sortWithinPartitions) concentrates each key into few files, which is
+  what makes per-file filters selective in production table formats.
+
+The reference has nothing like it (SURVEY.md §2f); the bit layout
+mirrors plans/text.txt_bloom_contamination (32-bit words keep every
+mask positive in BIGINT arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simple_etl_pipeline_spark.functions.text import md5_hash60
+
+BLOOM_BITS = 4096
+BLOOM_WORD_BITS = 32
+BLOOM_WORDS = BLOOM_BITS // BLOOM_WORD_BITS
+BLOOM_K = 3
+
+
+def build_bloom_index(
+    spark: SparkSession, table_path: str, column: str
+) -> DataFrame:
+    """One-scan per-file Bloom index over `column`.
+
+    Returns (file, n_rows, words) where words is a map<word_idx, mask>
+    holding only the non-zero 32-bit words of each file's 4096-bit
+    filter. Hashes are the engine-portable salted md5_hash60 — the same
+    primitive every oracle-checked Bloom in the repo uses."""
+    rows = spark.read.parquet(table_path).select(
+        F.input_file_name().alias("file"),
+        F.col(column).cast("string").alias("val"),
+    )
+    idxs = F.array(
+        *[
+            (md5_hash60(F.col("val"), F.lit(i)) % BLOOM_BITS).alias(f"h{i}")
+            for i in range(BLOOM_K)
+        ]
+    )
+    return (
+        rows.select("file", F.explode(idxs).alias("idx"))
+        .groupBy("file", F.expr(f"idx div {BLOOM_WORD_BITS}").alias("word"))
+        .agg(
+            F.bit_or(
+                F.expr(f"shiftleft(1L, CAST(idx % {BLOOM_WORD_BITS} AS INT))")
+            ).alias("mask"),
+            # per-(file, word) probe count; summed below via a second
+            # tiny agg over file
+            F.count(F.lit(1)).alias("n_probes"),
+        )
+        .groupBy("file")
+        .agg(
+            (F.sum("n_probes") / BLOOM_K).cast("bigint").alias("n_rows"),
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("word", "mask")))
+            ).alias("words"),
+        )
+    )
+
+
+def _py_positions(value: str, k: int = BLOOM_K) -> list[int]:
+    """Driver-side twin of the salted md5_hash60 bit positions."""
+    import hashlib
+
+    out = []
+    for i in range(k):
+        h = hashlib.md5(f"{i}|{value}".encode()).hexdigest()[:15]
+        out.append(int(h, 16) % BLOOM_BITS)
+    return out
+
+
+def prune_files(index_rows, value) -> list[str]:
+    """Files whose filter MAY contain value (collected index rows —
+    metadata-sized, see module docstring). Deterministic order."""
+    positions = _py_positions(str(value))
+    keep = []
+    for r in index_rows:
+        words = r["words"] or {}
+        hit = all(
+            (words.get(p // BLOOM_WORD_BITS, 0) >> (p % BLOOM_WORD_BITS)) & 1
+            for p in positions
+        )
+        if hit:
+            keep.append(r["file"])
+    return sorted(keep)
+
+
+def read_with_bloom(
+    spark: SparkSession,
+    table_path: str,
+    column: str,
+    value,
+    index_rows,
+) -> DataFrame:
+    """Point lookup through the index: open only the may-contain files,
+    then apply the exact predicate (Bloom hits can be false positives —
+    the residual filter is mandatory, same as any skipping index).
+    No candidate files -> empty frame with the table's schema."""
+    files = prune_files(index_rows, value)
+    schema = spark.read.parquet(table_path).schema
+    if not files:
+        return spark.createDataFrame([], schema)
+    return (
+        spark.read.schema(schema)
+        .parquet(*files)
+        .filter(F.col(column) == F.lit(value))
+    )

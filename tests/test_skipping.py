@@ -1,0 +1,119 @@
+"""File-level Bloom skipping: no false negatives on every probed value,
+real pruning on a multi-file table, and result parity with a full scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from simple_etl_pipeline_spark.operators.skipping import (
+    BLOOM_K,
+    build_bloom_index,
+    prune_files,
+    read_with_bloom,
+)
+from simple_etl_pipeline_spark.schemas import load_table
+
+
+def _write_many_files(spark, sf_dir, tmp_path, n_files=16):
+    path = str(tmp_path / "events_files")
+    (
+        load_table(spark, sf_dir, "events")
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+def test_bloom_skipping_parity_and_pruning(spark, sf_dir, tmp_path):
+    path = _write_many_files(spark, sf_dir, tmp_path)
+    index = build_bloom_index(spark, path, "user_id").collect()
+    n_files = len(index)
+    assert n_files >= 8  # repartition produced a real multi-file table
+
+    users = [
+        r.user_id
+        for r in load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .orderBy("user_id")
+        .limit(5)
+        .collect()
+    ]
+    assert users
+    pruned_counts = []
+    for uid in users:
+        expected = sorted(
+            (r.event_id, r.user_id)
+            for r in spark.read.parquet(path)
+            .filter(F.col("user_id") == uid)
+            .select("event_id", "user_id")
+            .collect()
+        )
+        got = sorted(
+            (r.event_id, r.user_id)
+            for r in read_with_bloom(spark, path, "user_id", uid, index)
+            .select("event_id", "user_id")
+            .collect()
+        )
+        # Bloom contract: NO false negatives — parity with the full scan
+        assert got == expected, uid
+        pruned_counts.append(len(prune_files(index, uid)))
+    # every candidate list is a subset of the table's files
+    assert all(0 < c <= n_files for c in pruned_counts)
+
+
+def test_bloom_prunes_absent_value_to_nothing_or_fp_only(spark, sf_dir, tmp_path):
+    path = _write_many_files(spark, sf_dir, tmp_path)
+    index = build_bloom_index(spark, path, "user_id").collect()
+    # a value that is not in the table: candidates are pure false
+    # positives, and the residual filter must yield zero rows
+    missing = -987654321
+    df = read_with_bloom(spark, path, "user_id", missing, index)
+    assert df.count() == 0
+    # with 4096 bits per file and one absent probe, expect heavy
+    # pruning (probabilistic but wildly below the file count for this
+    # data size; deterministic for the frozen testdata)
+    assert len(prune_files(index, missing)) < len(index)
+
+
+def test_bloom_index_is_metadata_sized(spark, sf_dir, tmp_path):
+    path = _write_many_files(spark, sf_dir, tmp_path)
+    index = build_bloom_index(spark, path, "user_id")
+    rows = index.collect()
+    # one row per file; each filter at most BLOOM_WORDS words
+    assert len(rows) == len(
+        set(r.file for r in rows)
+    )
+    from simple_etl_pipeline_spark.operators.skipping import BLOOM_WORDS
+
+    for r in rows:
+        assert r.n_rows > 0
+        assert 0 < len(r.words) <= BLOOM_WORDS
+        assert all(m != 0 for m in r.words.values())
+
+
+def test_bloom_positions_match_engine(spark):
+    """The driver-side probe hashes must equal the engine-side salted
+    md5_hash60 positions — the cross-layer contract prune_files rests
+    on (same discipline as the text Bloom's python-vs-DuckDB lock)."""
+    from simple_etl_pipeline_spark.functions.text import md5_hash60
+    from simple_etl_pipeline_spark.operators.skipping import (
+        BLOOM_BITS,
+        _py_positions,
+    )
+
+    vals = ["0", "42", "-7", "user_9999", ""]
+    df = spark.createDataFrame([(v,) for v in vals], ["val"])
+    got = df.select(
+        "val",
+        F.array(
+            *[
+                (md5_hash60(F.col("val"), F.lit(i)) % BLOOM_BITS)
+                for i in range(BLOOM_K)
+            ]
+        ).alias("pos"),
+    ).collect()
+    for r in got:
+        assert list(r.pos) == _py_positions(r.val), r.val
