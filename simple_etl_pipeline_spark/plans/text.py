@@ -2833,6 +2833,71 @@ SELECT q_id, rank, doc_id, score FROM (
 """
 
 
+WSAMPLE_K = 40
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sampling without replacement (Efraimidis &
+    Spirakis 2006, A-ES): keep the top-K documents by key u^(1/w) —
+    here ranked by the equivalent ln(u)/w (monotone transform; larger
+    is better as ln(u) < 0) — with weight w = token count, so sampling
+    probability is proportional to document SIZE. The weighted
+    complement of txt_sample_stratified's uniform hash buckets: token
+    budgets, not doc counts, are what a training mixture actually
+    allocates.
+
+    Determinism: u = (md5_hash60(doc_id) + 1) / 2^60 — an exact
+    rational in (0, 1], identical in any engine, replacing A-ES's
+    rand() so the sample is auditable and replayable (the same reason
+    txt_sample_stratified shuns rand()). The single transcendental
+    ln(u) is rounded to 6 dp before the division (the BM25 discipline:
+    everything else is correctly-rounded IEEE on identical inputs;
+    frozen testdata makes the comparison deterministic, and a 1-ulp
+    boundary flip could only reorder two keys within 1e-6 of each
+    other).
+
+    Scale shape: a narrow map computes the key, TakeOrderedAndProject
+    keeps K rows — no shuffle of the corpus at all, the same plan at
+    any size. Docs with zero tokens carry no weight and are excluded
+    (w = 0 has no u^(1/w))."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    w = F.size(tokens_col("text"))
+    u = (md5_hash60(F.col("doc_id").cast("string")) + 1) / F.lit(
+        float(2**60)
+    )
+    return (
+        docs.withColumn("n_tokens", w.cast("bigint"))
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.round(F.round(F.log(u), 6) / F.col("n_tokens"), 9).alias(
+                "es_key"
+            ),
+        )
+        .orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(WSAMPLE_K)
+    )
+
+
+WSAMPLE_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+    CAST(len({sql_tokens('text')}) AS BIGINT) AS n_tokens,
+    round(round(ln(({sql_md5_hash60("CAST(doc_id AS VARCHAR)")} + 1)
+                   / {float(2**60)!r}), 6)
+          / len({sql_tokens('text')}), 9) AS es_key
+  FROM documents
+  WHERE len({sql_tokens('text')}) > 0
+)
+SELECT doc_id, lang, n_tokens, es_key FROM scored
+ORDER BY es_key DESC, doc_id ASC LIMIT {WSAMPLE_K}
+"""
+
+
 INVIDX_TOP_TERMS = 50
 
 

@@ -1,8 +1,9 @@
-"""Lexical-retrieval components (BM25 top-K, inverted index) — verified
-with the SAME compare_with_oracle discipline the driver gate uses, but
-at the component level: they are not in queries() this round (the
-50-slot window is fully allocated; see the note in plans/text.py), so
-their correctness lock lives here instead of in CORRECTNESS_r{N}.json.
+"""Component-level operators (BM25 top-K, inverted index, weighted
+reservoir sampling) — verified with the SAME compare_with_oracle
+discipline the driver gate uses, but at the component level: they are
+not in queries() this round (the 50-slot window is fully allocated;
+see the note in plans/text.py), so their correctness lock lives here
+instead of in CORRECTNESS_r{N}.json.
 """
 
 from __future__ import annotations
@@ -153,3 +154,38 @@ def test_bm25_plan_panel_is_broadcast(spark, sf_dir):
     assert bnlj and all("Cross" in l for l in bnlj), bnlj
     # per-query top-k pushed into the window sort
     assert "WindowGroupLimit" in plan
+
+
+def test_weighted_sample_matches_oracle(spark, sf_dir):
+    from simple_etl_pipeline_spark.plans.text import (
+        WSAMPLE_ORACLE,
+        weighted_sample,
+    )
+
+    compare_with_oracle(weighted_sample(spark, sf_dir), WSAMPLE_ORACLE, sf_dir)
+
+
+def test_weighted_sample_favors_long_docs(spark, sf_dir):
+    """Inclusion probability must rise with weight: the sampled docs'
+    mean token count should exceed the corpus mean (the point of A-ES
+    over uniform hashing), the keys must be valid (negative, ordered),
+    and the sample is exactly K strong."""
+    from pyspark.sql import functions as F
+
+    from simple_etl_pipeline_spark.functions.text import tokens_col
+    from simple_etl_pipeline_spark.plans.text import WSAMPLE_K, weighted_sample
+    from simple_etl_pipeline_spark.schemas import load_table
+
+    rows = weighted_sample(spark, sf_dir).collect()
+    assert len(rows) == WSAMPLE_K
+    keys = [r.es_key for r in rows]
+    assert all(k < 0 for k in keys)
+    assert keys == sorted(keys, reverse=True)
+    corpus_mean = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.avg(F.size(tokens_col("text"))).alias("m"))
+        .collect()[0]
+        .m
+    )
+    sample_mean = sum(r.n_tokens for r in rows) / len(rows)
+    assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
