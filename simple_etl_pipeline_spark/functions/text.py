@@ -129,3 +129,35 @@ def sql_shingles(toks_expr: str, n: int = 3) -> str:
         f"list_transform(generate_series(1, greatest(len({toks_expr}) - {n - 1}, 0)), "
         f"i -> array_to_string(({toks_expr})[i:i+{n - 1}], ' '))"
     )
+
+
+# --- shared Bloom-filter bit contract -------------------------------------
+# One definition of the salted-md5 bit layout, shared by the broadcast
+# contamination filter (plans/text.py), the per-file data-skipping
+# index (operators/skipping.py) and their python/DuckDB twins — the
+# salt format and word width are a cross-layer contract: a drift in
+# any copy silently breaks the membership locks the others assert.
+BLOOM_BITS = 4096
+BLOOM_WORD_BITS = 32
+BLOOM_WORDS = BLOOM_BITS // BLOOM_WORD_BITS
+BLOOM_K = 3
+
+
+def bloom_positions_col(c: Column | str, k: int = BLOOM_K) -> Column:
+    """Array of the k salted-md5 bit positions of a string Column."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.array(
+        *[(md5_hash60(c, F.lit(i)) % BLOOM_BITS) for i in range(k)]
+    )
+
+
+def py_bloom_positions(value: str, k: int = BLOOM_K) -> list[int]:
+    """Driver-side twin of :func:`bloom_positions_col` (same salt
+    format as md5_hash60 with an integer salt)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{i}|{value}".encode()).hexdigest()[:15], 16)
+        % BLOOM_BITS
+        for i in range(k)
+    ]

@@ -37,12 +37,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from simple_etl_pipeline_spark.functions.text import md5_hash60
-
-BLOOM_BITS = 4096
-BLOOM_WORD_BITS = 32
-BLOOM_WORDS = BLOOM_BITS // BLOOM_WORD_BITS
-BLOOM_K = 3
+from simple_etl_pipeline_spark.functions.text import (
+    BLOOM_BITS,
+    BLOOM_K,
+    BLOOM_WORD_BITS,
+    BLOOM_WORDS,
+    bloom_positions_col,
+    py_bloom_positions,
+)
 
 
 def build_bloom_index(
@@ -54,18 +56,20 @@ def build_bloom_index(
     holding only the non-zero 32-bit words of each file's 4096-bit
     filter. Hashes are the engine-portable salted md5_hash60 — the same
     primitive every oracle-checked Bloom in the repo uses."""
-    rows = spark.read.parquet(table_path).select(
-        F.input_file_name().alias("file"),
-        F.col(column).cast("string").alias("val"),
-    )
-    idxs = F.array(
-        *[
-            (md5_hash60(F.col("val"), F.lit(i)) % BLOOM_BITS).alias(f"h{i}")
-            for i in range(BLOOM_K)
-        ]
+    # NULLs can never match a `col = value` probe and a NULL hash would
+    # poison the words map (NULL_MAP_KEY) — drop them before hashing
+    rows = (
+        spark.read.parquet(table_path)
+        .filter(F.col(column).isNotNull())
+        .select(
+            F.input_file_name().alias("file"),
+            F.col(column).cast("string").alias("val"),
+        )
     )
     return (
-        rows.select("file", F.explode(idxs).alias("idx"))
+        rows.select(
+            "file", F.explode(bloom_positions_col("val")).alias("idx")
+        )
         .groupBy("file", F.expr(f"idx div {BLOOM_WORD_BITS}").alias("word"))
         .agg(
             F.bit_or(
@@ -85,21 +89,10 @@ def build_bloom_index(
     )
 
 
-def _py_positions(value: str, k: int = BLOOM_K) -> list[int]:
-    """Driver-side twin of the salted md5_hash60 bit positions."""
-    import hashlib
-
-    out = []
-    for i in range(k):
-        h = hashlib.md5(f"{i}|{value}".encode()).hexdigest()[:15]
-        out.append(int(h, 16) % BLOOM_BITS)
-    return out
-
-
 def prune_files(index_rows, value) -> list[str]:
     """Files whose filter MAY contain value (collected index rows —
     metadata-sized, see module docstring). Deterministic order."""
-    positions = _py_positions(str(value))
+    positions = py_bloom_positions(str(value))
     keep = []
     for r in index_rows:
         words = r["words"] or {}
@@ -124,11 +117,11 @@ def read_with_bloom(
     the residual filter is mandatory, same as any skipping index).
     No candidate files -> empty frame with the table's schema."""
     files = prune_files(index_rows, value)
-    schema = spark.read.parquet(table_path).schema
     if not files:
-        return spark.createDataFrame([], schema)
-    return (
-        spark.read.schema(schema)
-        .parquet(*files)
-        .filter(F.col(column) == F.lit(value))
-    )
+        # only the empty branch needs the table schema — reading it on
+        # the pruned path would re-list the whole table the index
+        # exists to avoid touching
+        return spark.createDataFrame(
+            [], spark.read.parquet(table_path).schema
+        )
+    return spark.read.parquet(*files).filter(F.col(column) == F.lit(value))

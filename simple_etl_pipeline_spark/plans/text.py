@@ -2315,10 +2315,14 @@ GROUP BY i.doc_id ORDER BY i.doc_id
 # --- broadcast Bloom-filter contamination ---------------------------------
 # 4096 bits as 128 x 32-bit words (32-bit words keep every mask and
 # shift strictly positive — BIGINT sign-bit semantics never enter the
-# cross-engine comparison), 3 salted md5 hashes per shingle.
-BLOOM_BITS = 4096
-BLOOM_WORD_BITS = 32
-BLOOM_K = 3
+# cross-engine comparison), 3 salted md5 hashes per shingle. The bit
+# layout is the SHARED contract in functions/text.py, also used by the
+# per-file data-skipping index (operators/skipping.py).
+from simple_etl_pipeline_spark.functions.text import (  # noqa: E402
+    BLOOM_BITS,
+    BLOOM_K,
+    BLOOM_WORD_BITS,
+)
 
 
 def txt_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2812,11 +2816,16 @@ WITH toks AS (
   SELECT term, COUNT(*) AS df
   FROM (SELECT DISTINCT term, doc_id FROM tf) GROUP BY term
 ), scored AS (
+  -- k1 casts to DOUBLE before any arithmetic: DuckDB would otherwise
+  -- evaluate (1.2 + 1) in exact DECIMAL, a verified ~1-ulp deviation
+  -- from Spark's all-double path (b = 0.75 and the 0.5 smoothers are
+  -- powers of two, exact in both representations, so only k1 needs it)
   SELECT tf.q_id, tf.doc_id,
     round(
       round(ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0), 6)
-      * (tf.tf * ({BM25_K1} + 1))
-      / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl)),
+      * (tf.tf * (CAST({BM25_K1} AS DOUBLE) + 1))
+      / (tf.tf + CAST({BM25_K1} AS DOUBLE)
+                 * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl)),
       6) AS contrib
   FROM tf JOIN df ON tf.term = df.term
           JOIN dl ON tf.doc_id = dl.doc_id, stats s

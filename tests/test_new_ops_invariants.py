@@ -109,6 +109,12 @@ def test_bloom_bit_positions_match_python(s):
         ).fetchone()
     )
     assert got == _py_bloom_positions(s, BLOOM_K, BLOOM_BITS)
+    # and the SHARED helper every consumer (contamination filter,
+    # data-skipping index) imports must agree with this independent
+    # from-scratch reference — one lock ties all layers together
+    from simple_etl_pipeline_spark.functions.text import py_bloom_positions
+
+    assert got == py_bloom_positions(s)
 
 
 def test_bloom_never_underreports(spark, sf_dir):

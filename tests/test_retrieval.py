@@ -9,7 +9,6 @@ instead of in CORRECTNESS_r{N}.json.
 from __future__ import annotations
 
 import duckdb
-import pytest
 
 from simple_etl_pipeline_spark.testing import compare_with_oracle
 
@@ -59,7 +58,10 @@ def test_bm25_idf_is_the_only_libm_value_and_matches(spark, sf_dir):
     panel = docs.filter(F.col("doc_id").isin(*BM25_QUERY_DOCS)).select(
         F.explode(F.slice(tokens_col("text"), 1, 3)).alias("term")
     ).distinct()
-    n = docs.count()
+    # the scorer's N is the count of docs with >=1 token (its stats
+    # aggregate runs over the dl table), NOT the raw table count — a
+    # blank doc would silently desynchronize the two
+    n = docs.filter(F.size(tokens_col("text")) > 0).count()
     got = {
         r.term: r.idf6
         for r in toks.join(F.broadcast(panel), "term")

@@ -98,22 +98,15 @@ def test_bloom_positions_match_engine(spark):
     """The driver-side probe hashes must equal the engine-side salted
     md5_hash60 positions — the cross-layer contract prune_files rests
     on (same discipline as the text Bloom's python-vs-DuckDB lock)."""
-    from simple_etl_pipeline_spark.functions.text import md5_hash60
-    from simple_etl_pipeline_spark.operators.skipping import (
-        BLOOM_BITS,
-        _py_positions,
+    from simple_etl_pipeline_spark.functions.text import (
+        bloom_positions_col,
+        py_bloom_positions,
     )
 
     vals = ["0", "42", "-7", "user_9999", ""]
     df = spark.createDataFrame([(v,) for v in vals], ["val"])
     got = df.select(
-        "val",
-        F.array(
-            *[
-                (md5_hash60(F.col("val"), F.lit(i)) % BLOOM_BITS)
-                for i in range(BLOOM_K)
-            ]
-        ).alias("pos"),
+        "val", bloom_positions_col("val").alias("pos")
     ).collect()
     for r in got:
-        assert list(r.pos) == _py_positions(r.val), r.val
+        assert list(r.pos) == py_bloom_positions(r.val), r.val
