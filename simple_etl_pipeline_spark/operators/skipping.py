@@ -38,7 +38,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from simple_etl_pipeline_spark.functions.text import (
-    BLOOM_BITS,
     BLOOM_K,
     BLOOM_WORD_BITS,
     BLOOM_WORDS,

@@ -7,7 +7,6 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from simple_etl_pipeline_spark.operators.skipping import (
-    BLOOM_K,
     build_bloom_index,
     prune_files,
     read_with_bloom,
