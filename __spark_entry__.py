@@ -163,6 +163,23 @@ _WINDOW = [
     # columns every pytest run.)
 ]
 
+# ROUND-5 ROTATION LEDGER (computed at end of round 4; the rotation
+# test will enforce it once CORRECTNESS_r04.json lands): 38 queries'
+# last driver row is round 2, so under the two-round invariant they
+# must take r5 window slots — the whole r2-green residue: the 7 ref_*
+# cleaners, the mm_* multimodal family, the simhash pair, the original
+# txt analysis set (token_stats/doc_features/langid/fingerprint/
+# ngram_freq/tfidf/bpe/winnow/training_corpus), the base sim family
+# (knn_brute/ann_lsh/centroids/ivf_topk), the ev batch-window family
+# (tumbling/sliding/funnel/json_extract/daily/multires/range_nearby),
+# st_{tumbling,sliding,dedup_events,stream_stream_join},
+# agg_approx_distinct and q12. That fills 38 of 50; the remaining 12
+# go to round-5 additions — first in line are the three already-built
+# pytest-oracle components awaiting registration (bm25_topk,
+# inverted_index, weighted_sample in plans/text.py; oracles written)
+# — plus fresh canaries for whatever code round 5 touches.
+
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -63,7 +63,15 @@ def _stream_events(
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # File-stream sources take a directory; pathGlobFilter selects the
-    # events file out of the shared testdata dir.
+    # events file out of the shared testdata dir. A Spark-WRITTEN table
+    # is a directory named events.parquet instead (the scale probe, any
+    # real deployment) — stream its part files directly: the leaf-name
+    # glob does not recurse into it and would silently read nothing.
+    import os
+
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src):
+        return _stream_events(spark, src, sf_dir, "*.parquet", maxFilesPerTrigger=1)
     return _stream_events(
         spark, sf_dir, sf_dir, "events.parquet", maxFilesPerTrigger=1
     )
@@ -200,10 +208,19 @@ def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     staging = tempfile.mkdtemp(prefix="st_session_sentinel_")
     try:
-        shutil.copy2(
-            os.path.join(sf_dir, "events.parquet"),
-            os.path.join(staging, "events.parquet"),
-        )
+        src = os.path.join(sf_dir, "events.parquet")
+        if os.path.isdir(src):
+            # Spark-written table: a DIRECTORY of part files (the probe
+            # and any real deployment); stage every data file flat so
+            # the one *.parquet glob below reads them with the sentinel
+            for i, name in enumerate(sorted(os.listdir(src))):
+                if name.endswith(".parquet"):
+                    shutil.copy2(
+                        os.path.join(src, name),
+                        os.path.join(staging, f"events_{i:05d}.parquet"),
+                    )
+        else:
+            shutil.copy2(src, os.path.join(staging, "events.parquet"))
         from simple_etl_pipeline_spark.schemas import _events_ts_is_nanos
 
         # The sentinel file's ts unit must match the copied real file so

@@ -124,6 +124,20 @@ REL_PROBE_QUERIES = [
     "join_fuzzy_part_names",
     "join_fuzzy_recall",
 ]
+# Streaming probe (SPARK_GRAFT_PROBE=st): availableNow replay of the
+# scaled events — wall includes the full micro-batch drain, so the
+# exponent measures state-store + watermark cost growth, the number a
+# 100 TB/day deployment actually plans around. (st_dedup_index reads
+# the documents table; probe it by adding it to the TEXT list via
+# SPARK_GRAFT_PROBE_ONLY instead.)
+ST_PROBE_QUERIES = [
+    # windowed aggregation state: keys ∝ (hour, type) — sub-data-sized
+    "st_tumbling_hourly",
+    # session-window state: merges ∝ per-user activity
+    "st_session_windows",
+    # applyInPandasWithState: per-user open-interval state (~40 B/key)
+    "st_scd2_users",
+]
 
 
 def write_scaled(spark, sf_dir: str, k: int, out_dir: str) -> None:
@@ -232,6 +246,7 @@ _MODES = {
     "sim": (SIM_PROBE_QUERIES, "embeddings"),
     "ev": (EV_PROBE_QUERIES, "events"),
     "rel": (REL_PROBE_QUERIES, "part"),
+    "st": (ST_PROBE_QUERIES, "events"),
 }
 
 
@@ -247,6 +262,7 @@ def main() -> None:
         "sim": write_scaled_embeddings,
         "ev": write_scaled_events,
         "rel": write_scaled_part,
+        "st": write_scaled_events,
     }[mode]
     ks = [int(a) for a in sys.argv[1:]] or [1, 16, 64]
     spark = get_spark(app_name="scale_probe")
