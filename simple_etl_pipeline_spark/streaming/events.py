@@ -61,20 +61,28 @@ def _stream_events(
     return reader.schema(EVENTS_RAW_SCHEMA).parquet(directory)
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, one_batch: bool = False
+) -> DataFrame:
     # File-stream sources take a directory; pathGlobFilter selects the
     # events file out of the shared testdata dir. A Spark-WRITTEN table
     # is a directory named events.parquet instead (the scale probe, any
     # real deployment) — stream its part files directly: the leaf-name
     # glob does not recurse into it and would silently read nothing.
+    #
+    # one_batch drops the 1-file trigger so an availableNow replay
+    # drains in a single micro-batch — for operators whose contract
+    # needs event-time order ACROSS files (SCD2), where per-file
+    # batches on a hash-scattered directory would feed the state
+    # machine out of order; file-at-a-time remains the default so the
+    # other stateful operators genuinely exercise multi-batch state.
     import os
 
+    opts = {} if one_batch else {"maxFilesPerTrigger": 1}
     src = os.path.join(sf_dir, "events.parquet")
     if os.path.isdir(src):
-        return _stream_events(spark, src, sf_dir, "*.parquet", maxFilesPerTrigger=1)
-    return _stream_events(
-        spark, sf_dir, sf_dir, "events.parquet", maxFilesPerTrigger=1
-    )
+        return _stream_events(spark, src, sf_dir, "*.parquet", **opts)
+    return _stream_events(spark, sf_dir, sf_dir, "events.parquet", **opts)
 
 
 def tumbling_hourly_stream(stream: DataFrame) -> DataFrame:
