@@ -61,28 +61,34 @@ def _stream_events(
     return reader.schema(EVENTS_RAW_SCHEMA).parquet(directory)
 
 
+def _table_stream_source(sf_dir: str, table: str) -> tuple[str, str]:
+    """(directory, pathGlobFilter) for file-streaming one testdata
+    table. The testdata layout is a single FILE `{table}.parquet`
+    inside the shared sf dir (glob selects it); a Spark-WRITTEN table
+    is a DIRECTORY of part files under that name instead (the scale
+    probe, any real deployment) — stream that directory directly: the
+    leaf-name glob does not recurse into it and would silently read
+    nothing."""
+    import os
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(src):
+        return src, "*.parquet"
+    return sf_dir, f"{table}.parquet"
+
+
 def read_events_stream(
     spark: SparkSession, sf_dir: str, one_batch: bool = False
 ) -> DataFrame:
-    # File-stream sources take a directory; pathGlobFilter selects the
-    # events file out of the shared testdata dir. A Spark-WRITTEN table
-    # is a directory named events.parquet instead (the scale probe, any
-    # real deployment) — stream its part files directly: the leaf-name
-    # glob does not recurse into it and would silently read nothing.
-    #
     # one_batch drops the 1-file trigger so an availableNow replay
     # drains in a single micro-batch — for operators whose contract
     # needs event-time order ACROSS files (SCD2), where per-file
     # batches on a hash-scattered directory would feed the state
     # machine out of order; file-at-a-time remains the default so the
     # other stateful operators genuinely exercise multi-batch state.
-    import os
-
     opts = {} if one_batch else {"maxFilesPerTrigger": 1}
-    src = os.path.join(sf_dir, "events.parquet")
-    if os.path.isdir(src):
-        return _stream_events(spark, src, sf_dir, "*.parquet", **opts)
-    return _stream_events(spark, sf_dir, sf_dir, "events.parquet", **opts)
+    directory, glob = _table_stream_source(sf_dir, "events")
+    return _stream_events(spark, directory, sf_dir, glob, **opts)
 
 
 def tumbling_hourly_stream(stream: DataFrame) -> DataFrame:
@@ -353,10 +359,11 @@ def st_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simple_etl_pipeline_spark.plans.text import NEAR_DUP_TAIL
     from simple_etl_pipeline_spark.schemas import TABLE_SCHEMAS
 
+    stream_dir, glob = _table_stream_source(sf_dir, "documents")
     docs = (
-        spark.readStream.option("pathGlobFilter", "documents.parquet")
+        spark.readStream.option("pathGlobFilter", glob)
         .schema(TABLE_SCHEMAS["documents"])
-        .parquet(sf_dir)
+        .parquet(stream_dir)
         .select("doc_id", "text")
     )
     exact = docs.filter(F.col("doc_id") % 17 == 0).select(

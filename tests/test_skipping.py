@@ -81,10 +81,9 @@ def test_bloom_index_is_metadata_sized(spark, sf_dir, tmp_path):
     path = _write_many_files(spark, sf_dir, tmp_path)
     index = build_bloom_index(spark, path, "user_id")
     rows = index.collect()
-    # one row per file; each filter at most BLOOM_WORDS words
-    assert len(rows) == len(
-        set(r.file for r in rows)
-    )
+    # exactly one row per data file of the table
+    assert len(rows) == len(spark.read.parquet(path).inputFiles())
+    assert len(rows) == len(set(r.file for r in rows))
     from simple_etl_pipeline_spark.operators.skipping import BLOOM_WORDS
 
     for r in rows:

@@ -62,6 +62,10 @@ PROBE_QUERIES = [
     # fixed-iteration pagerank over the dup-pair graph: edges ∝ pairs,
     # 3 unrolled iterations -> wall should track the edge count.
     "txt_pagerank",
+    # streaming fingerprint index over the scaled documents (complete-
+    # mode state ∝ distinct fingerprints): the documents-fed streaming
+    # member lives in the TEXT probe because its table scales here.
+    "st_dedup_index",
     # positional 5-gram table + gram-keyed dup marking: rows ∝ corpus
     # tokens, so wall should be ~linear; super-linearity here would
     # mean a hot-gram reducer (the skew this probe exists to catch).
@@ -128,8 +132,7 @@ REL_PROBE_QUERIES = [
 # scaled events — wall includes the full micro-batch drain, so the
 # exponent measures state-store + watermark cost growth, the number a
 # 100 TB/day deployment actually plans around. (st_dedup_index reads
-# the documents table; probe it by adding it to the TEXT list via
-# SPARK_GRAFT_PROBE_ONLY instead.)
+# the documents table, so it lives in the TEXT probe list above.)
 ST_PROBE_QUERIES = [
     # windowed aggregation state: keys ∝ (hour, type) — sub-data-sized
     "st_tumbling_hourly",
