@@ -46,138 +46,82 @@ def _all_modules():
 
 
 # Registration order matters: the driver's correctness gate checks a
-# prefix window of queries() in registration order (rounds 1-3 each
+# prefix window of queries() in registration order (rounds 1-4 each
 # covered exactly the first 50). _WINDOW pins those 50 slots explicitly.
 #
-# Round-4 composition, governed by the rotation invariant that
-# tests/test_driver_window.py now ENFORCES (every oracle-backed query
-# must appear in the union of the last two recorded CORRECTNESS
-# windows plus this list — i.e. no query goes more than two rounds
-# without a fresh driver row):
-#   1. The 34 queries whose last driver row was round 1 (the whole
-#      classic relational surface: TPC-H shapes incl. the correlated-
-#      subquery forms q2/q4/q13/q15/q18/q22, agg/window/setops/join
-#      families) — mandatory under the invariant, and among them
-#      agg_mode_source_by_lang, the one query that has NEVER had a
-#      driver row (added after the r3 window froze).
-#   2. 2 changed-code canaries for the bit-exact fixed-point cosine
-#      fold (and its round-4 HUGEINT->DOUBLE oracle-conversion fix):
-#      dedup_semdedup (which also gained scale-adaptive sub-bucketed
-#      cells), plus st_static_zscore for the z-score degenerate-group
-#      guards (ev_zscore_outliers ceded its slot — see inline note).
-#      The other cosine-family queries
-#      (sim_knn_brute, sim_ann_lsh, sim_ivf_topk, sim_ivf_recall,
-#      dedup_embedding_cosine — all r2- or r3-green — and
-#      dedup_minhash_lsh, green r2+r3 with only a no-op persist
-#      removed) ceded their slots to the 6 operators added later this
-#      round; the shared dot_dec/cosine_dec core they exercise stays
-#      driver-covered through the kept canaries, and all were
-#      re-verified hash-green locally after the fold fix.
-#   3. st_user_totals_stateful, rotated back (last row r2, swapped out
-#      late r3).
-#   4. The 13 queries ADDED this round: ev_range_join_incidents
-#      (bucketed point-in-range join), ev_countmin_users (count-min
-#      sketch), window_percent_rank_suppliers, txt_rare_token_ratio
-#      (broadcast top-V OOV profile), txt_bloom_contamination
-#      (broadcast Bloom membership), ev_scd2_users (SCD2 interval
-#      build), ev_zorder_layout (Morton-code layout stats),
-#      st_scd2_users (streaming SCD2 via applyInPandasWithState),
-#      sim_kmeans_lloyd (the iterative quantizer-training loop),
-#      txt_triangle_count (degree-ordered triangle counting),
-#      ev_overlap_incident_sessions (range-vs-range interval join),
-#      dedup_ngram_spans (substring-level duplicated-span profile),
-#      txt_dsir_weights (DSIR hashed-bigram importance resampling).
-# Everything else is double-green r2+r3 with unchanged code and stays
-# under the local parity suite; dedup_minhash_ml stays TAIL (rows-only
-# by design, Spark-internal hash seeds).
+# Round-5 composition, governed by the rotation invariant
+# tests/test_driver_window.py enforces (every oracle-backed query must
+# appear in the union of the last two recorded CORRECTNESS windows plus
+# this list — no query goes more than two rounds without a driver row):
+#   1. The 38 queries whose last driver row was round 2 (the full
+#      r2-green residue named by the round-4 ledger): the 6 ref_*
+#      cleaner queries, the mm_* multimodal family, the simhash pair,
+#      the original txt analysis set, the base sim family, the ev
+#      batch-window family, the four r2 st_* streaming queries,
+#      agg_approx_distinct and q12 — mandatory under the invariant.
+#   2. The 3 components built in round 4 with pytest oracles, now
+#      registered: bm25_topk, inverted_index, weighted_sample.
+#   3. 2 changed-code canaries for the round-5 connected-components
+#      rewrite: dedup_components, dedup_components_lsh (both r3-green;
+#      their code is the large-star/small-star work this round).
+#   4. Round-5 additions + r3-green rotation picks filling the rest
+#      (each r3-green pick also reduces the round-6 mandatory set).
 _WINDOW = [
-    # -- last driver row in round 1 (34) -----------------------------------
-    "agg_mode_source_by_lang",
-    "q2_top_supplier_per_nation",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_region_revenue",
-    "q6_revenue_filter",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q18_large_volume_customers",
-    "q19_disjunctive_filter",
-    "q22_idle_customers",
-    "scalar_functions",
-    "join_semi_discounted",
-    "join_anti_customers_without_orders",
-    "join_broadcast_brand_revenue",
-    "join_full_outer_nation_presence",
-    "orderby_limit_top_orders",
-    "agg_distinct_counts",
-    "agg_rollup_orders",
-    "agg_cube_lineitem",
-    "agg_grouping_sets",
-    "agg_conditional_pivot",
-    "agg_percentiles",
-    "agg_histogram",
-    "agg_salted_sum",
-    "setops_nations",
-    "window_above_customer_avg",
-    "window_topk_orders_per_customer",
-    "window_running_total",
-    "window_lag_events",
-    "window_rolling_7d",
-    # -- changed-code canaries (2) -----------------------------------------
-    # (ev_zscore_outliers ceded its slot to ev_overlap_incident_sessions;
-    # st_static_zscore imports the same guarded z-score moments, so the
-    # changed code keeps a driver row through the streaming twin.
-    # sim_mrl_recall ceded its slot to txt_dsir_weights: the r4-changed
-    # fixed-point cosine fold it exercises is identically exercised by
-    # dedup_semdedup below — both route every cross-engine comparison
-    # through dot_dec/sql_dot_dec — and sim_mrl_recall is hash-green r3
-    # plus locally re-verified after the fold fix.)
-    "dedup_semdedup",
-    "st_static_zscore",
-    # -- rotated back (1) --------------------------------------------------
-    "st_user_totals_stateful",
-    # -- added in round 4 (13) ---------------------------------------------
-    "ev_range_join_incidents",
-    "ev_countmin_users",
-    "window_percent_rank_suppliers",
-    "txt_rare_token_ratio",
-    "txt_bloom_contamination",
-    "ev_scd2_users",
-    "ev_zorder_layout",
-    "st_scd2_users",
-    "sim_kmeans_lloyd",
-    "txt_triangle_count",
-    "ev_overlap_incident_sessions",
-    "dedup_ngram_spans",
-    "txt_dsir_weights",
-    # (q1_pricing_summary ceded its standing slot to txt_triangle_count:
-    # it is hash-green r2+r3, exercised every round by the driver's
-    # entry() smoke, and covered by the local parity suite.
-    # ref_transform_full ceded its slot to dedup_ngram_spans: it is
-    # hash-green r1+r2+r3 with its code path unchanged this round, and
-    # the reference-surface cleaners stay pinned by the differential
-    # suite that runs the actual reference transform against the Spark
-    # columns every pytest run.)
+    # -- last driver row in round 2 (38) -----------------------------------
+    "ref_dirty_view",
+    "ref_remove_dirty",
+    "ref_clean_price",
+    "ref_clean_rating",
+    "ref_clean_colors",
+    "ref_clean_size_gender",
+    "q12_shipmode_priority",
+    "agg_approx_distinct",
+    "txt_token_stats",
+    "txt_doc_features",
+    "txt_langid",
+    "txt_ngram_freq",
+    "txt_tfidf_top_term",
+    "txt_fingerprint",
+    "txt_training_corpus",
+    "txt_bpe_tokens",
+    "txt_winnow_fingerprint",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "sim_knn_brute",
+    "sim_ann_lsh",
+    "sim_centroids_by_label",
+    "sim_ivf_topk",
+    "mm_binary_meta",
+    "mm_blob_features",
+    "mm_frame_sample",
+    "mm_resize",
+    "ev_tumbling_hourly",
+    "ev_sliding_windows",
+    "ev_user_daily_activity",
+    "ev_rollup_multires",
+    "ev_funnel",
+    "ev_json_extract",
+    "ev_range_join_nearby",
+    "st_tumbling_hourly",
+    "st_sliding_windows",
+    "st_dedup_events",
+    "st_stream_stream_join",
+    # -- round-4 components, registered this round (3) ---------------------
+    "bm25_topk",
+    "inverted_index",
+    "weighted_sample",
+    # -- changed-code canaries: connected-components rewrite (2) -----------
+    "dedup_components",
+    "dedup_components_lsh",
+    # -- round-5 additions + r3-green rotation picks (7) -------------------
+    "skip_bloom_stats",
+    "txt_mixture_manifest",
+    "txt_gopher_repetition",
+    "ev_asof_purchase_click",
+    "q1_pricing_summary",
+    "ref_transform_full",
+    "txt_mixture_weights",
 ]
-
-# ROUND-5 ROTATION LEDGER (computed at end of round 4; the rotation
-# test will enforce it once CORRECTNESS_r04.json lands): 38 queries'
-# last driver row is round 2, so under the two-round invariant they
-# must take r5 window slots — the whole r2-green residue: the 7 ref_*
-# cleaners, the mm_* multimodal family, the simhash pair, the original
-# txt analysis set (token_stats/doc_features/langid/fingerprint/
-# ngram_freq/tfidf/bpe/winnow/training_corpus), the base sim family
-# (knn_brute/ann_lsh/centroids/ivf_topk), the ev batch-window family
-# (tumbling/sliding/funnel/json_extract/daily/multires/range_nearby),
-# st_{tumbling,sliding,dedup_events,stream_stream_join},
-# agg_approx_distinct and q12. That fills 38 of 50; the remaining 12
-# go to round-5 additions — first in line are the three already-built
-# pytest-oracle components awaiting registration (bm25_topk,
-# inverted_index, weighted_sample in plans/text.py; oracles written)
-# — plus fresh canaries for whatever code round 5 touches.
 
 
 

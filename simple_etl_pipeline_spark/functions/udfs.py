@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from functools import cache
 
+import pandas as pd  # module-level: get_type_hints resolves "pd.Series"
+
 
 @cache
 def quality_score_udf():
@@ -44,13 +46,13 @@ def trimmed_mean_udaf():
     per-key statistic), but an unbounded 100 TB group must use the
     built-in two-phase aggregates instead; tests assert equality with
     the Column-expression formulation ((sum-min-max)/(n-2))."""
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
-    # functionType passed explicitly: with `from __future__ import
-    # annotations` the Series -> float type hints pandas_udf would
-    # otherwise infer from are unresolvable strings.
-    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
-    def _trimmed_mean(v):
+    # Series -> scalar type hints mark this GROUPED_AGG (the stringified
+    # annotations from `from __future__ import annotations` resolve via
+    # the module-level `pd` import).
+    @pandas_udf("double")
+    def _trimmed_mean(v: pd.Series) -> float:
         if len(v) <= 2:
             return float(v.mean())
         return float((v.sum() - v.min() - v.max()) / (len(v) - 2))

@@ -34,6 +34,9 @@ mask positive in BIGINT arithmetic).
 
 from __future__ import annotations
 
+import re
+from urllib.parse import unquote
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -44,6 +47,35 @@ from simple_etl_pipeline_spark.functions.text import (
     bloom_positions_col,
     py_bloom_positions,
 )
+
+
+def bloom_word_fold(rows: DataFrame, file_col: str = "file") -> DataFrame:
+    """The one-scan word fold shared by the physical per-file index
+    (build_bloom_index) and the oracle-checked stats query
+    (plans/events.skip_bloom_stats): (file, val) rows -> one row per
+    file with n_rows and the non-zero 32-bit words of its 4096-bit
+    filter as a sorted map<word_idx, mask>."""
+    return (
+        rows.select(
+            file_col, F.explode(bloom_positions_col("val")).alias("idx")
+        )
+        .groupBy(file_col, F.expr(f"idx div {BLOOM_WORD_BITS}").alias("word"))
+        .agg(
+            F.bit_or(
+                F.expr(f"shiftleft(1L, CAST(idx % {BLOOM_WORD_BITS} AS INT))")
+            ).alias("mask"),
+            # per-(file, word) probe count; summed below via a second
+            # tiny agg over file
+            F.count(F.lit(1)).alias("n_probes"),
+        )
+        .groupBy(file_col)
+        .agg(
+            (F.sum("n_probes") / BLOOM_K).cast("bigint").alias("n_rows"),
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("word", "mask")))
+            ).alias("words"),
+        )
+    )
 
 
 def build_bloom_index(
@@ -65,32 +97,33 @@ def build_bloom_index(
             F.col(column).cast("string").alias("val"),
         )
     )
-    return (
-        rows.select(
-            "file", F.explode(bloom_positions_col("val")).alias("idx")
-        )
-        .groupBy("file", F.expr(f"idx div {BLOOM_WORD_BITS}").alias("word"))
-        .agg(
-            F.bit_or(
-                F.expr(f"shiftleft(1L, CAST(idx % {BLOOM_WORD_BITS} AS INT))")
-            ).alias("mask"),
-            # per-(file, word) probe count; summed below via a second
-            # tiny agg over file
-            F.count(F.lit(1)).alias("n_probes"),
-        )
-        .groupBy("file")
-        .agg(
-            (F.sum("n_probes") / BLOOM_K).cast("bigint").alias("n_rows"),
-            F.map_from_entries(
-                F.sort_array(F.collect_list(F.struct("word", "mask")))
-            ).alias("words"),
-        )
+    return bloom_word_fold(rows)
+
+
+def engine_rendering(spark: SparkSession, value, dtype) -> str:
+    """Render `value` exactly as the index build did: Spark's own
+    cast(column AS string) after casting to the column's type. Python's
+    str() agrees with it only for int/string columns (booleans render
+    'True' vs 'true', floats/decimals/timestamps have their own
+    formats) — a mismatch would be a silent FALSE NEGATIVE, so probes
+    for any other type must go through this 1-row jvm round-trip."""
+    row = (
+        spark.range(1)
+        .select(F.lit(value).cast(dtype).cast("string").alias("v"))
+        .first()
     )
+    return row["v"]
 
 
 def prune_files(index_rows, value) -> list[str]:
     """Files whose filter MAY contain value (collected index rows —
-    metadata-sized, see module docstring). Deterministic order."""
+    metadata-sized, see module docstring). Deterministic order.
+
+    `value` must already be rendered the way the index build rendered
+    it — Spark's cast-to-string. Plain int/str values render
+    identically under Python's str() (the only types the direct call
+    supports); for anything else pass engine_rendering(...) output, as
+    read_with_bloom does."""
     positions = py_bloom_positions(str(value))
     keep = []
     for r in index_rows:
@@ -104,6 +137,15 @@ def prune_files(index_rows, value) -> list[str]:
     return sorted(keep)
 
 
+def _decode_file_uri(file: str) -> str:
+    """input_file_name() emits URI-encoded paths (space -> %20) that
+    spark.read.parquet would then glob-interpret: unquote the escapes
+    and bracket-escape glob metacharacters so the path round-trips
+    byte-exact back into the reader."""
+    decoded = unquote(file)
+    return re.sub(r"([*?{}\[\]])", r"[\1]", decoded)
+
+
 def read_with_bloom(
     spark: SparkSession,
     table_path: str,
@@ -114,13 +156,17 @@ def read_with_bloom(
     """Point lookup through the index: open only the may-contain files,
     then apply the exact predicate (Bloom hits can be false positives —
     the residual filter is mandatory, same as any skipping index).
-    No candidate files -> empty frame with the table's schema."""
-    files = prune_files(index_rows, value)
+    No candidate files -> empty frame with the table's schema.
+
+    The schema probe is a directory listing + ONE footer read — needed
+    to render the probe value with Spark's own cast-to-string (see
+    engine_rendering); a production catalog would serve the schema
+    without the listing."""
+    schema = spark.read.parquet(table_path).schema
+    dtype = schema[column].dataType
+    files = prune_files(index_rows, engine_rendering(spark, value, dtype))
     if not files:
-        # only the empty branch needs the table schema — reading it on
-        # the pruned path would re-list the whole table the index
-        # exists to avoid touching
-        return spark.createDataFrame(
-            [], spark.read.parquet(table_path).schema
-        )
-    return spark.read.parquet(*files).filter(F.col(column) == F.lit(value))
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(*[_decode_file_uri(f) for f in files]).filter(
+        F.col(column) == F.lit(value).cast(dtype)
+    )

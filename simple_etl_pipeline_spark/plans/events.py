@@ -1145,7 +1145,127 @@ FROM coded GROUP BY file_id ORDER BY file_id
 """
 
 
+# --- Bloom data-skipping index stats --------------------------------------
+# The oracle surface for operators/skipping.py (VERDICT r4 gap #3): the
+# per-file Bloom fold is deterministic salted-md5, so its stats are
+# DuckDB-reproducible. Files here are SYNTHETIC (doc_id div N) so the
+# oracle never depends on physical paths; the physical index
+# (build_bloom_index, input_file_name-keyed) shares the exact same
+# bloom_word_fold and is pinned by tests/test_skipping.py.
+SKIP_BLOOM_FILE_ROWS = 125
+
+
+def skip_bloom_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file Bloom-index statistics: rows, non-zero 32-bit words,
+    set-bit population and the implied point-lookup false-positive rate
+    (integer ppm: fpp = (bits_set/4096)^BLOOM_K — exact bigint
+    arithmetic, no float pow), plus an md5 over the ordered
+    (word, mask) pairs locking the full filter content.
+
+    Scale shape: identical to the physical index build — one scan,
+    rows explode to BLOOM_K (file, bit) positions, bit_or folds words
+    map-side, one tiny per-file agg; the output is metadata-sized
+    (one row per file) regardless of corpus size."""
+    from simple_etl_pipeline_spark.functions.text import BLOOM_BITS, BLOOM_K
+    from simple_etl_pipeline_spark.operators.skipping import bloom_word_fold
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = docs.select(
+        F.expr(f"doc_id div {SKIP_BLOOM_FILE_ROWS}").alias("file_id"),
+        F.col("doc_id").cast("string").alias("val"),
+    )
+    folded = bloom_word_fold(rows, "file_id")
+    entries = F.map_entries("words")
+    n_set = F.aggregate(
+        F.map_values("words"),
+        F.lit(0).cast("bigint"),
+        lambda acc, m: acc + F.bit_count(m),
+    )
+    denom = BLOOM_BITS**BLOOM_K
+    return (
+        folded.select(
+            "file_id",
+            "n_rows",
+            F.size("words").cast("bigint").alias("n_words"),
+            n_set.alias("n_set_bits"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        entries,
+                        lambda e: F.concat_ws(
+                            ":",
+                            e.key.cast("string"),
+                            e.value.cast("string"),
+                        ),
+                    ),
+                    ",",
+                )
+            ).alias("words_md5"),
+        )
+        .withColumn(
+            "est_fpp_ppm",
+            F.expr(
+                f"(1000000 * n_set_bits * n_set_bits * n_set_bits)"
+                f" div CAST({denom} AS BIGINT)"
+            ),
+        )
+        .select(
+            "file_id",
+            "n_rows",
+            "n_words",
+            "n_set_bits",
+            "est_fpp_ppm",
+            "words_md5",
+        )
+        .orderBy("file_id")
+    )
+
+
+def _skip_bloom_oracle() -> str:
+    from simple_etl_pipeline_spark.functions.text import (
+        BLOOM_BITS,
+        BLOOM_K,
+        BLOOM_WORD_BITS,
+        sql_md5_hash60,
+    )
+
+    pos = ", ".join(
+        f"{sql_md5_hash60('val', str(i))} % {BLOOM_BITS}"
+        for i in range(BLOOM_K)
+    )
+    return f"""
+WITH vals AS (
+  SELECT doc_id // {SKIP_BLOOM_FILE_ROWS} AS file_id,
+         CAST(doc_id AS VARCHAR) AS val
+  FROM documents
+), pos AS (
+  SELECT file_id, unnest([{pos}]) AS idx FROM vals
+), words AS (
+  SELECT file_id, idx // {BLOOM_WORD_BITS} AS word,
+    bit_or(CAST(1 AS BIGINT) << CAST(idx % {BLOOM_WORD_BITS} AS INT)) AS mask,
+    COUNT(*) AS n_probes
+  FROM pos GROUP BY 1, 2
+), perfile AS (
+  SELECT file_id,
+    CAST(SUM(n_probes) // {BLOOM_K} AS BIGINT) AS n_rows,
+    CAST(COUNT(*) AS BIGINT) AS n_words,
+    CAST(SUM(bit_count(mask)) AS BIGINT) AS n_set_bits,
+    md5(string_agg(word || ':' || mask, ',' ORDER BY word)) AS words_md5
+  FROM words GROUP BY file_id
+)
+SELECT file_id, n_rows, n_words, n_set_bits,
+  (1000000 * n_set_bits * n_set_bits * n_set_bits)
+    // CAST({BLOOM_BITS**BLOOM_K} AS BIGINT) AS est_fpp_ppm,
+  words_md5
+FROM perfile ORDER BY file_id
+"""
+
+
+SKIP_BLOOM_STATS_ORACLE = _skip_bloom_oracle()
+
+
 TAIL_QUERIES = {
+    "skip_bloom_stats": skip_bloom_stats,
     "ev_heavy_hitters": ev_heavy_hitters,
     "ev_json_variant": ev_json_variant,
     "ev_retention_cohorts": ev_retention_cohorts,
@@ -1158,6 +1278,7 @@ TAIL_QUERIES = {
     "ev_overlap_incident_sessions": ev_overlap_incident_sessions,
 }
 TAIL_ORACLES = {
+    "skip_bloom_stats": SKIP_BLOOM_STATS_ORACLE,
     "ev_heavy_hitters": EV_HEAVY_HITTERS_ORACLE,
     "ev_json_variant": EV_JSON_VARIANT_ORACLE,
     "ev_retention_cohorts": EV_RETENTION_ORACLE,

@@ -1096,8 +1096,8 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
-    # dedup_minhash_ml: rows-only by design (Spark-internal hash seeds) —
-    # registered in TAIL_QUERIES so it never occupies a hard-check slot.
+    # dedup_minhash_ml: pytest-only (Spark-internal hash seeds can never
+    # hash-match DuckDB) — see tests/test_retrieval.py.
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_components": dedup_components,
@@ -1644,6 +1644,142 @@ FROM per, tot ORDER BY lang
 """
 
 
+# --- sampling manifest: scoring -> an executable training mixture ---------
+MANIFEST_BUDGET_PCT = 25  # total token budget as % of the corpus
+MANIFEST_BUCKETS = 1_000_000  # md5 buckets => thresholds are exact ppm
+
+
+def txt_mixture_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-domain resampling MANIFEST — the missing step
+    between scoring (txt_mixture_weights / txt_dsir_weights) and
+    actually drawing a training mixture (DoReMi/DSIR practice: the
+    mixture is shipped as per-domain acceptance thresholds, not as a
+    materialized sample). Policy here: a uniform-over-strata token
+    budget of MANIFEST_BUDGET_PCT% of the corpus; each stratum's
+    acceptance threshold is min(1, target/actual) expressed as an exact
+    ppm cut on md5-bucketed doc_ids. The output carries BOTH the policy
+    (target_tokens, threshold_ppm — what a trainer replays on any
+    engine) and the realized draw at this corpus (n_sampled,
+    sampled_tokens, realized_ppm) so drift between policy and draw is
+    visible in one row.
+
+    Everything is exact integer arithmetic (div, no floats), so the
+    manifest replays bit-identically anywhere; the bigint ppm products
+    cap a stratum at ~9.2e12 tokens (bigint/1e6) — beyond that the same
+    expressions move to decimal(38,0).
+
+    Scale shape: one narrow scan -> per-stratum agg, a 1-row total and
+    a strata-count-sized broadcast back onto the scan for the realized
+    draw — no document-sized shuffle; the threshold predicate is a
+    scan-side filter at 100 TB, exactly like txt_sample_stratified."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang", F.size(tokens_col("text")).cast("bigint").alias("n")
+    )
+    per = t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").cast("bigint").alias("sum_tokens"),
+    )
+    tot = per.agg(
+        F.sum("sum_tokens").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+    )
+    manifest = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "target_tokens",
+            F.expr(
+                f"(total_tokens * {MANIFEST_BUDGET_PCT}) div (100 * n_strata)"
+            ),
+        )
+        .withColumn(
+            "threshold_ppm",
+            F.least(
+                F.lit(MANIFEST_BUCKETS).cast("bigint"),
+                F.expr(f"(target_tokens * {MANIFEST_BUCKETS}) div sum_tokens"),
+            ),
+        )
+        .select(
+            "lang", "n_docs", "sum_tokens", "target_tokens", "threshold_ppm"
+        )
+    )
+    bucket = md5_hash60(
+        F.col("doc_id").cast("string"), salt=F.lit("mix")
+    ) % MANIFEST_BUCKETS
+    drawn = (
+        t.withColumn("bucket", bucket)
+        .join(
+            F.broadcast(manifest.select("lang", "threshold_ppm")), "lang"
+        )
+        .filter(F.col("bucket") < F.col("threshold_ppm"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+            F.sum("n").cast("bigint").alias("sampled_tokens"),
+        )
+    )
+    return (
+        manifest.join(drawn, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "sum_tokens",
+            "target_tokens",
+            "threshold_ppm",
+            F.coalesce("n_sampled", F.lit(0).cast("bigint")).alias(
+                "n_sampled"
+            ),
+            F.coalesce("sampled_tokens", F.lit(0).cast("bigint")).alias(
+                "sampled_tokens"
+            ),
+        )
+        .withColumn(
+            "realized_ppm",
+            F.expr(f"(sampled_tokens * {MANIFEST_BUCKETS}) div sum_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+TXT_MIXTURE_MANIFEST_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+    CAST(len({sql_tokens('text')}) AS BIGINT) AS n
+  FROM documents
+), per AS (
+  SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS sum_tokens
+  FROM t GROUP BY lang
+), tot AS (
+  SELECT CAST(SUM(sum_tokens) AS BIGINT) AS total_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_strata
+  FROM per
+), manifest AS (
+  SELECT lang, n_docs, sum_tokens,
+    (total_tokens * {MANIFEST_BUDGET_PCT}) // (100 * n_strata)
+      AS target_tokens,
+    least(CAST({MANIFEST_BUCKETS} AS BIGINT),
+          ((total_tokens * {MANIFEST_BUDGET_PCT}) // (100 * n_strata))
+            * {MANIFEST_BUCKETS} // sum_tokens) AS threshold_ppm
+  FROM per, tot
+), drawn AS (
+  SELECT t.lang,
+    CAST(COUNT(*) AS BIGINT) AS n_sampled,
+    CAST(SUM(t.n) AS BIGINT) AS sampled_tokens
+  FROM t JOIN manifest m ON t.lang = m.lang
+  WHERE {sql_md5_hash60("CAST(doc_id AS VARCHAR)", "'mix'")}
+          % {MANIFEST_BUCKETS} < m.threshold_ppm
+  GROUP BY t.lang
+)
+SELECT m.lang, m.n_docs, m.sum_tokens, m.target_tokens, m.threshold_ppm,
+  COALESCE(d.n_sampled, 0) AS n_sampled,
+  COALESCE(d.sampled_tokens, 0) AS sampled_tokens,
+  COALESCE(d.sampled_tokens, 0) * {MANIFEST_BUCKETS} // m.sum_tokens
+    AS realized_ppm
+FROM manifest m LEFT JOIN drawn d ON m.lang = d.lang
+ORDER BY m.lang
+"""
+
+
 # --- repetition quality rule (TAIL: no driver-window slot) ----------------
 REP_NGRAM = 2
 REP_MAX_RATIO = 0.2
@@ -2135,6 +2271,164 @@ SELECT doc_id, n_words, round(mean_len, 6) AS mean_word_len, stop_hits,
    AND stop_hits >= {GOPHER_MIN_STOP_HITS}) AS keep
 FROM sig ORDER BY doc_id
 """
+
+
+# --- Gopher repetition rules (the other half of Table A1) -----------------
+# Rae et al. 2021 thresholds: top-2-gram char fraction <= 0.20,
+# top-3-gram <= 0.18, duplicate-5-gram <= 0.15. The corpus has no line
+# structure (single-space word streams), so the duplicate-LINE rules of
+# Table A1 have no substrate here; the n-gram family is the content-
+# repetition signal. All fractions are exact integer ppm.
+GOPHER_REP_TOP2_MAX_PPM = 200_000
+GOPHER_REP_TOP3_MAX_PPM = 180_000
+GOPHER_REP_DUP5_MAX_PPM = 150_000
+
+
+def txt_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document intra-document repetition profile, completing
+    txt_gopher_quality: characters covered by the most frequent 2-gram
+    and 3-gram, and by all duplicated 5-grams, as exact-ppm fractions
+    of the normalized text length (sum of token lengths + single
+    separators — overlap-unaware coverage, the standard implementation
+    of the rule).
+
+    Engine determinism: "most frequent n-gram" ties are broken by max
+    char cover, so the reported cover is unique even when several grams
+    share the top count; everything else is integer arithmetic.
+
+    Scale shape: ONE explode emits (n, gram) tagged rows for all three
+    n in a single pass, one (doc, n, gram) count aggregation (map-side
+    partials collapse the Zipf head), a per-(doc, n) max window on the
+    already-aggregated gram counts, then doc-keyed joins of three
+    doc-sized profiles — linear in corpus tokens, never gram x gram."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    n_words = F.size(toks).cast("bigint")
+    sum_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    base = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        (sum_chars + n_words - 1).alias("total_chars"),
+    ).filter(F.col("n_words") > 0)
+
+    def _tag(n: int):
+        # single-arg lambda: a two-arg lambda would make F.transform
+        # pass (element, index) and the tag would become the position
+        return F.transform(
+            shingles_col("text", n),
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")),
+        )
+
+    tagged = F.concat(_tag(2), _tag(3), _tag(5))
+    pc = (
+        docs.select("doc_id", F.explode(tagged).alias("t"))
+        .select("doc_id", F.col("t.n").alias("n"), F.col("t.g").alias("g"))
+        .groupBy("doc_id", "n", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("cover", F.col("c") * F.length("g").cast("bigint"))
+    )
+    w = Window.partitionBy("doc_id", "n")
+    tops = (
+        pc.filter(F.col("n") != 5)
+        .withColumn("cmax", F.max("c").over(w))
+        .filter(F.col("c") == F.col("cmax"))
+        .groupBy("doc_id", "n")
+        .agg(F.max("cover").alias("top_cover"))
+    )
+    top2 = tops.filter(F.col("n") == 2).select(
+        "doc_id", F.col("top_cover").alias("top2_cover")
+    )
+    top3 = tops.filter(F.col("n") == 3).select(
+        "doc_id", F.col("top_cover").alias("top3_cover")
+    )
+    dup5 = (
+        pc.filter((F.col("n") == 5) & (F.col("c") >= 2))
+        .groupBy("doc_id")
+        .agg(F.sum("cover").cast("bigint").alias("dup5_cover"))
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        base.join(top2, "doc_id", "left")
+        .join(top3, "doc_id", "left")
+        .join(dup5, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            "total_chars",
+            F.expr("(coalesce(top2_cover, 0) * 1000000) div total_chars")
+            .cast("bigint")
+            .alias("top2_ppm"),
+            F.expr("(coalesce(top3_cover, 0) * 1000000) div total_chars")
+            .cast("bigint")
+            .alias("top3_ppm"),
+            F.expr("(coalesce(dup5_cover, 0) * 1000000) div total_chars")
+            .cast("bigint")
+            .alias("dup5_ppm"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("top2_ppm") <= GOPHER_REP_TOP2_MAX_PPM)
+            & (F.col("top3_ppm") <= GOPHER_REP_TOP3_MAX_PPM)
+            & (F.col("dup5_ppm") <= GOPHER_REP_DUP5_MAX_PPM),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _gopher_rep_oracle() -> str:
+    grams = "\n    UNION ALL ".join(
+        f"SELECT doc_id, {n} AS n, unnest({sql_shingles('t', n)}) AS g FROM toks"
+        for n in (2, 3, 5)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {sql_tokens('text')} AS t FROM documents
+), base AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words,
+    CAST(list_sum(list_transform(t, x -> CAST(length(x) AS BIGINT)))
+         AS BIGINT) + len(t) - 1 AS total_chars
+  FROM toks WHERE len(t) > 0
+), pc AS (
+  SELECT doc_id, n, g, COUNT(*) AS c,
+         COUNT(*) * CAST(length(g) AS BIGINT) AS cover
+  FROM ({grams})
+  GROUP BY doc_id, n, g
+), tops AS (
+  SELECT doc_id, n, CAST(MAX(cover) AS BIGINT) AS top_cover FROM (
+    SELECT doc_id, n, c, cover,
+           MAX(c) OVER (PARTITION BY doc_id, n) AS cmax
+    FROM pc WHERE n != 5
+  ) WHERE c = cmax GROUP BY doc_id, n
+), dup5 AS (
+  SELECT doc_id, CAST(SUM(cover) AS BIGINT) AS dup5_cover
+  FROM pc WHERE n = 5 AND c >= 2 GROUP BY doc_id
+), ppm AS (
+  SELECT b.doc_id, b.n_words, b.total_chars,
+    COALESCE(t2.top_cover, 0) * 1000000 // b.total_chars AS top2_ppm,
+    COALESCE(t3.top_cover, 0) * 1000000 // b.total_chars AS top3_ppm,
+    COALESCE(d5.dup5_cover, 0) * 1000000 // b.total_chars AS dup5_ppm
+  FROM base b
+  LEFT JOIN (SELECT doc_id, top_cover FROM tops WHERE n = 2) t2
+    ON b.doc_id = t2.doc_id
+  LEFT JOIN (SELECT doc_id, top_cover FROM tops WHERE n = 3) t3
+    ON b.doc_id = t3.doc_id
+  LEFT JOIN dup5 d5 ON b.doc_id = d5.doc_id
+)
+SELECT doc_id, n_words, total_chars, top2_ppm, top3_ppm, dup5_ppm,
+  (top2_ppm <= {GOPHER_REP_TOP2_MAX_PPM}
+   AND top3_ppm <= {GOPHER_REP_TOP3_MAX_PPM}
+   AND dup5_ppm <= {GOPHER_REP_DUP5_MAX_PPM}) AS keep
+FROM ppm ORDER BY doc_id
+"""
+
+
+TXT_GOPHER_REPETITION_ORACLE = _gopher_rep_oracle()
 
 
 # --- paragraph-level dedup (RefinedWeb/Dolma-style) -----------------------
@@ -2687,13 +2981,10 @@ ORDER BY dsir_ppm DESC, doc_id ASC LIMIT {DSIR_TOP_K}
 """
 
 
-# --- lexical retrieval (component-level: pytest-oracle, not registered) ---
-# These two are verified by tests/test_retrieval.py against in-test
-# DuckDB oracles (the same compare_with_oracle discipline the driver
-# uses) but are NOT in queries(): the 50-slot driver window is fully
-# allocated this round, and the rotation invariant requires every
-# REGISTERED oracle-backed query to hold a scheduled slot. They are
-# registerable next round when slots rotate free.
+# --- lexical retrieval --------------------------------------------------
+# Built round 4 with pytest oracles (tests/test_retrieval.py); registered
+# in queries()/oracle_sql() round 5 with window slots, per the round-4
+# rotation ledger.
 BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOP_K = 5
@@ -2966,8 +3257,12 @@ FROM tf GROUP BY term ORDER BY df DESC, term ASC LIMIT {INVIDX_TOP_TERMS}
 """
 
 
+# dedup_minhash_ml is pytest-only (tests/test_retrieval.py): its
+# Spark-internal MinHashLSH seeds can never hash-match a DuckDB oracle,
+# so it would be a permanently oracle-dark registry entry. The
+# hash-checked dedup_minhash_lsh twin covers the semantics in the
+# driver gate; the library comparison lives in the test suite.
 TAIL_QUERIES = {
-    "dedup_minhash_ml": dedup_minhash_ml,
     "txt_dataset_card": txt_dataset_card,
     "txt_repetition_filter": txt_repetition_filter,
     "txt_chunk_windows": txt_chunk_windows,
@@ -2987,6 +3282,11 @@ TAIL_QUERIES = {
     "txt_triangle_count": txt_triangle_count,
     "dedup_ngram_spans": dedup_ngram_spans,
     "txt_dsir_weights": txt_dsir_weights,
+    "bm25_topk": bm25_topk,
+    "inverted_index": inverted_index,
+    "weighted_sample": weighted_sample,
+    "txt_mixture_manifest": txt_mixture_manifest,
+    "txt_gopher_repetition": txt_gopher_repetition,
 }
 
 TAIL_ORACLES = {
@@ -3009,4 +3309,9 @@ TAIL_ORACLES = {
     "txt_triangle_count": TXT_TRIANGLES_ORACLE,
     "dedup_ngram_spans": DEDUP_NGRAM_SPANS_ORACLE,
     "txt_dsir_weights": TXT_DSIR_ORACLE,
+    "bm25_topk": BM25_ORACLE,
+    "inverted_index": INVIDX_ORACLE,
+    "weighted_sample": WSAMPLE_ORACLE,
+    "txt_mixture_manifest": TXT_MIXTURE_MANIFEST_ORACLE,
+    "txt_gopher_repetition": TXT_GOPHER_REPETITION_ORACLE,
 }

@@ -1,9 +1,13 @@
 """Component-level operators (BM25 top-K, inverted index, weighted
 reservoir sampling) — verified with the SAME compare_with_oracle
-discipline the driver gate uses, but at the component level: they are
-not in queries() this round (the 50-slot window is fully allocated;
-see the note in plans/text.py), so their correctness lock lives here
-instead of in CORRECTNESS_r{N}.json.
+discipline the driver gate uses. Since round 5 they are ALSO
+registered in queries() with driver-window slots; these tests remain
+as the faster, always-on lock.
+
+Also home of the pytest-only dedup_minhash_ml comparison (demoted from
+the registry in round 5: pyspark.ml MinHashLSH seeds are internal, so
+it can never be oracle-hashed — its semantics are pinned against the
+oracle-checked dedup_minhash_lsh twin here instead).
 """
 
 from __future__ import annotations
@@ -191,3 +195,32 @@ def test_weighted_sample_favors_long_docs(spark, sf_dir):
     )
     sample_mean = sum(r.n_tokens for r in rows) / len(rows)
     assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
+
+
+def test_minhash_ml_agrees_with_oracle_checked_twin(spark, sf_dir):
+    """dedup_minhash_ml (pyspark.ml MinHashLSH; internal seeds, so
+    permanently oracle-dark — pytest-only since round 5) pinned against
+    the oracle-hashed dedup_minhash_lsh twin: every reported pair is
+    within the distance threshold, and every exact duplicate the twin
+    proves (shingle-set Jaccard 1.0 — byte-identical injected copies,
+    hence identical HashingTF vectors) is recalled at distance 0."""
+    from simple_etl_pipeline_spark.plans.text import (
+        dedup_minhash_lsh,
+        dedup_minhash_ml,
+    )
+
+    ml = {
+        (r.doc_a, r.doc_b): r.jaccard_dist
+        for r in dedup_minhash_ml(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    assert ml, "ml variant found no pairs"
+    assert all(d <= 0.3 for d in ml.values())
+    exact = {p for p, j in lsh.items() if j == 1.0}
+    assert exact, "twin found no exact-duplicate pairs"
+    assert exact <= set(ml)
+    for p in exact:
+        assert ml[p] == 0.0
