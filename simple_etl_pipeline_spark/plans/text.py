@@ -1275,6 +1275,12 @@ def txt_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the hit count — the earlier n_sh/hits twin-consumer shape
     # replayed tokenize+shingle+explode twice and needed a third
     # doc_id-keyed join to recombine.
+    # PRECONDITION: both sides must stay set-valued — bench_tbl via its
+    # .distinct(), ev via array_distinct — because n_shingles is counted
+    # AFTER this join: a duplicate bench shingle would fan out matching
+    # rows and silently inflate both the denominator and the hit count
+    # (tests/test_adversarial_text.py pins n_shingles == the pre-join
+    # distinct count).
     marked = ev.join(
         F.broadcast(bench_tbl.withColumn("m", F.lit(1))), "sh", "left"
     )

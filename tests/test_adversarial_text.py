@@ -78,3 +78,41 @@ def edge_sf_dir(spark, sf_dir, tmp_path_factory) -> str:
 def test_edge_corpus_oracle_parity(spark, edge_sf_dir, name):
     df = QUERIES[name](spark, edge_sf_dir)
     compare_with_oracle(df, ORACLES[name], edge_sf_dir)
+
+
+def test_contamination_denominator_is_prejoin_distinct_count(spark, sf_dir):
+    """txt_contamination counts n_shingles AFTER the bench-probe join,
+    which is only correct while both join sides are set-valued (see the
+    precondition comment at the join). This pins the invariant: per-doc
+    n_shingles == the pre-join distinct shingle count, so any dropped
+    .distinct()/array_distinct fans the denominator out and fails here."""
+    from pyspark.sql import functions as F
+
+    from simple_etl_pipeline_spark.functions.text import (
+        shingles_col,
+        tokens_col,
+    )
+    from simple_etl_pipeline_spark.plans.text import (
+        CONTAM_BENCH_MOD,
+        txt_contamination,
+    )
+    from simple_etl_pipeline_spark.schemas import load_table
+
+    got = {
+        r.doc_id: r.n_shingles
+        for r in txt_contamination(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    exp = {
+        r.doc_id: r.n
+        for r in docs.filter(
+            (F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+            & (F.size(tokens_col("text")) >= 3)
+        )
+        .select(
+            "doc_id",
+            F.size(F.array_distinct(shingles_col("text"))).alias("n"),
+        )
+        .collect()
+    }
+    assert got == exp

@@ -197,18 +197,22 @@ def test_range_join_is_bucketed_equi_join(spark, sf_dir):
 
 
 def test_ngram_spans_shuffles_only_on_gram_and_doc(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "dedup_ngram_spans")
+    # The dup-gram set is data-sized, so a FORCED broadcast of it (an
+    # F.broadcast hint) is the scale regression this lock catches. At
+    # sf0.001 Catalyst auto-broadcasts the tiny aggregate (legitimate —
+    # the estimate is size-based and flips to shuffle at scale), so the
+    # hint check needs the auto threshold off: with it disabled, only a
+    # hard hint could still produce a BroadcastHashJoin.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(spark, sf_dir, "dedup_ngram_spans")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # the dup-gram mark must be a gram-keyed equi-join (the dup set is
-    # data-sized — broadcasting it would not survive 100 TB), plus the
-    # gram count-distinct and the per-doc aggregation; nothing else may
-    # shuffle
-    assert (
-        "SortMergeJoin" in plan
-        or "ShuffledHashJoin" in plan
-        or "BroadcastHashJoin" in plan
-    )
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
 
 
 def test_dsir_weight_table_is_broadcast(spark, sf_dir):
