@@ -114,13 +114,23 @@ _WINDOW = [
     "dedup_components",
     "dedup_components_lsh",
     # -- round-5 additions + r3-green rotation picks (7) -------------------
+    # (q1_pricing_summary and ref_transform_full ceded their filler
+    # slots to sim_rp_recall and txt_char_entropy: q1 is exercised
+    # every round by the driver's entry() smoke, ref_transform_full is
+    # pinned by the differential suite that runs the actual reference
+    # transform against the Spark columns every pytest run, and both
+    # are hash-green r1-r3 with unchanged code.)
     "skip_bloom_stats",
     "txt_mixture_manifest",
     "txt_gopher_repetition",
+    "sim_rp_recall",
+    "txt_char_entropy",
+    "txt_kl_drift",
+    # (txt_mixture_weights ceded its filler slot to txt_kl_drift; it is
+    # hash-green r2+r3 with unchanged code under the local parity
+    # suite, and the new manifest query exercises the same per-stratum
+    # aggregation shape.)
     "ev_asof_purchase_click",
-    "q1_pricing_summary",
-    "ref_transform_full",
-    "txt_mixture_weights",
 ]
 
 

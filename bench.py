@@ -92,6 +92,21 @@ HEADLINE = [
     "dedup_ngram_spans",
     # DSIR importance weights (two corpus passes + broadcast probe).
     "txt_dsir_weights",
+    # round 5: lexical retrieval trio (panel-filtered BM25, index build,
+    # shuffle-free weighted reservoir), Bloom index stats, the mixture
+    # manifest, and the Gopher repetition rules (tagged triple explode).
+    "bm25_topk",
+    "inverted_index",
+    "weighted_sample",
+    "skip_bloom_stats",
+    "txt_mixture_manifest",
+    "txt_gopher_repetition",
+    # JL random-projection recall (data-independent twin of MRL) and
+    # the char-entropy quality signal (corpus-chars explode).
+    "sim_rp_recall",
+    "txt_char_entropy",
+    # per-stratum KL drift vs the corpus token distribution.
+    "txt_kl_drift",
 ]
 
 

@@ -23,6 +23,7 @@ from simple_etl_pipeline_spark.functions.vectors import (
     as_double_array,
     cosine_dec,
     sql_cosine_dec,
+    sql_dot_dec,
 )
 from simple_etl_pipeline_spark.schemas import load_table
 
@@ -1139,6 +1140,147 @@ GROUP BY b.q_id ORDER BY b.q_id
 """
 
 
+# --- Johnson-Lindenstrauss random-projection recall -----------------------
+# The data-INDEPENDENT counterpart of sim_mrl_recall's learned
+# truncation: project 64 -> RP_DIMS dims with a fixed ±1 sign matrix
+# (Achlioptas 2003's database-friendly JL variant) and measure
+# recall@3 against the full-dimension exact top-3. Signs are
+# md5-derived constants, identical literals in both engines.
+RP_DIMS = 16
+_EMB_DIM = 64
+
+
+def _rp_signs() -> list[list[float]]:
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"rp|{j}|{i}".encode()).hexdigest()[:15], 16)
+            % 2
+            == 0
+            else -1.0
+            for i in range(_EMB_DIM)
+        ]
+        for j in range(RP_DIMS)
+    ]
+
+
+_RP_SIGNS = _rp_signs()
+
+
+def _rp_project(v) -> "F.Column":
+    from simple_etl_pipeline_spark.functions.vectors import dot_dec
+
+    return F.array(
+        *[
+            dot_dec(v, F.array(*[F.lit(s) for s in row]))
+            for row in _RP_SIGNS
+        ]
+    )
+
+
+def sim_rp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection retrieval quality: search in the RP_DIMS-dim
+    sign-projected space and measure recall@3 against the exact
+    full-dimension top-3 (same harness as sim_mrl_recall, so the two
+    compression strategies — learned prefix truncation vs oblivious
+    ±1 projection — are directly comparable rows in the registry).
+
+    Engine-exactness: each projected coordinate is a dot_dec fixed-
+    point fold against a constant ±1 array (bit-identical in both
+    engines); projected-space cosines then reuse cosine_dec. The
+    projection matrix never materializes anywhere — it is 16 constant
+    arrays folded map-side.
+
+    Scale shape: identical to sim_knn_brute — broadcast query panel ×
+    linear corpus scan, per-query top-k via window; the projection is
+    a narrow map. At 100 TB the projected table is what an ANN index
+    would ingest at 4x less bandwidth; this query measures what that
+    4x costs in recall."""
+    brute3 = (
+        sim_knn_brute(spark, sf_dir)
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "vec_id")
+    )
+    embp = _emb(spark, sf_dir).select(
+        "vec_id", _rp_project(F.col("v")).alias("vp")
+    )
+    qp = embp.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("vp").alias("qvp")
+    )
+    simsp = (
+        embp.crossJoin(F.broadcast(qp))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(cosine_dec(F.col("qvp"), F.col("vp")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    rp3 = (
+        simsp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", F.col("vec_id").alias("rp_vec_id"))
+    )
+    top_sim = simsp.groupBy("q_id").agg(F.max("sim").alias("rp_top1_sim"))
+    return (
+        brute3.join(
+            rp3,
+            (brute3.q_id == rp3.q_id) & (brute3.vec_id == rp3.rp_vec_id),
+            "left",
+        )
+        .groupBy(brute3.q_id.alias("q_id"))
+        .agg(
+            F.count("rp_vec_id").alias("rp_hits"),
+            (F.count("rp_vec_id").cast("double") / 3.0).alias(
+                "rp_recall_at_3"
+            ),
+        )
+        .join(top_sim, "q_id")
+        .select("q_id", "rp_hits", "rp_recall_at_3", "rp_top1_sim")
+        .orderBy("q_id")
+    )
+
+
+def _rp_oracle() -> str:
+    projs = ",\n    ".join(
+        sql_dot_dec(
+            "v", "[" + ", ".join(repr(s) for s in row) + "]"
+        )
+        for row in _RP_SIGNS
+    )
+    return f"""
+WITH brute AS ({SIM_KNN_ORACLE}),
+ev AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), rp AS (
+  SELECT vec_id, [{projs}] AS vp FROM ev
+), qp AS (
+  SELECT vec_id AS q_id, vp AS qvp FROM rp WHERE vec_id < {N_QUERIES}
+), simsp AS (
+  SELECT q_id, vec_id, round({sql_cosine_dec('qvp', 'vp')}, 6) AS sim
+  FROM qp CROSS JOIN rp WHERE vec_id != q_id
+), rp3 AS (
+  SELECT q_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rn
+    FROM simsp
+  ) WHERE rn <= 3
+)
+SELECT b.q_id,
+  COUNT(m.vec_id) AS rp_hits,
+  CAST(COUNT(m.vec_id) AS DOUBLE) / 3.0 AS rp_recall_at_3,
+  (SELECT MAX(sim) FROM simsp s WHERE s.q_id = b.q_id) AS rp_top1_sim
+FROM (SELECT q_id, vec_id FROM brute WHERE rn <= 3) b
+LEFT JOIN rp3 m ON b.q_id = m.q_id AND b.vec_id = m.vec_id
+GROUP BY b.q_id ORDER BY b.q_id
+"""
+
+
+SIM_RP_RECALL_ORACLE = _rp_oracle()
+
+
 # --- Lloyd's k-means: the iterative training loop itself ------------------
 KMEANS_ITERS = 2
 
@@ -1278,6 +1420,7 @@ TAIL_QUERIES = {
     "dedup_semdedup": dedup_semdedup,
     "sim_mrl_recall": sim_mrl_recall,
     "sim_kmeans_lloyd": sim_kmeans_lloyd,
+    "sim_rp_recall": sim_rp_recall,
 }
 TAIL_ORACLES = {
     "sim_ivf_recall": SIM_IVF_RECALL_ORACLE,
@@ -1287,4 +1430,5 @@ TAIL_ORACLES = {
     "dedup_semdedup": DEDUP_SEMDEDUP_ORACLE,
     "sim_mrl_recall": SIM_MRL_RECALL_ORACLE,
     "sim_kmeans_lloyd": SIM_KMEANS_ORACLE,
+    "sim_rp_recall": SIM_RP_RECALL_ORACLE,
 }

@@ -862,82 +862,109 @@ FROM wins WHERE len(fps) > 0 ORDER BY doc_id
 
 
 # --- near-dup clustering: connected components ----------------------------
-# With the pointer-doubling shortcut the label-to-min distance roughly
-# doubles per round, so 16 rounds cover components of diameter ~2^15 --
-# far past anything a near-dup graph produces (test_components_long_chain
-# drives a 300-link chain through in <=10 rounds).
+# Large-star/small-star alternation halves path distances per round, so
+# 16 rounds cover components of diameter ~2^15 -- far past anything a
+# near-dup graph produces (test_long_chain drives a 300-link chain
+# through in <=10 rounds; dup cliques collapse in 1).
 CC_MAX_ITERS = 16
 
 
 def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:
-    """Connected components by hash-min label propagation with a
-    pointer-doubling shortcut: (doc_id, component=min doc_id reachable).
+    """Connected components by large-star/small-star edge contraction
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond" — the 100 TB algorithm SCALING.md earmarked to replace
+    hash-min label propagation): (doc_id, component = min doc_id in its
+    component).
 
-    Each round does (1) propagate -- every vertex takes the min label
-    among its neighbors, one keyed shuffle -- then (2) shortcut -- every
-    vertex jumps to its *label's* label (labels self-join), the
-    large-star contraction step. Propagation alone needs rounds equal to
-    the component diameter (a pathological chain at 100 TB means that
-    many full shuffles); the shortcut roughly doubles the distance a
-    label has travelled each round, bounding rounds at O(log diameter).
+    Edges are kept ORIENTED (src > dst) and each round rewrites the
+    edge set itself rather than carrying labels beside it:
+      large-star: every node connects its LARGER neighbors to the
+        minimum of its closed neighborhood;
+      small-star: every node connects its smaller neighbors (and
+        itself) to its minimum neighbor.
+    Both are one keyed aggregation + one keyed join; each operation is
+    a contraction, so the edge set shrinks toward one star per
+    component (a near-dup CLIQUE collapses in a single large-star,
+    where label propagation still pays rounds x full-edge shuffles) and
+    path distances at least halve per round — O(log diameter) rounds
+    with a monotonically shrinking shuffle, vs the old hash-min whose
+    every round shuffled the full original edge list.
 
-    Lineage is truncated per round with localCheckpoint so round N does
-    not replay rounds 1..N-1. The per-round convergence count is the
-    iterative algorithm's stopping rule (driver control flow), not a
-    data-path collect. Raises instead of returning silently-unconverged
-    labels if max_iters is hit.
+    Convergence is structural, not label-diffing: the edge set is a
+    star forest iff no src carries two edges and no node is both a src
+    and a dst. Both checks are metadata-sized counts on the
+    checkpointed frame (driver control flow). Lineage is truncated per
+    round with localCheckpoint so round N does not replay rounds
+    1..N-1. Raises instead of returning silently-unconverged labels if
+    max_iters is hit.
 
     `edges` must be symmetric (both (a,b) and (b,a) present) with
     columns (src, dst).
     """
-    edges = edges.toDF("src", "dst").localCheckpoint()
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
+    e0 = edges.toDF("src", "dst").filter(F.col("src") != F.col("dst"))
+    cur = (
+        e0.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
         .distinct()
-        .withColumn("component", F.col("doc_id"))
+        .localCheckpoint()
     )
     for _ in range(max_iters):
-        neigh_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("component").alias("neigh_min"))
-            .withColumnRenamed("src", "doc_id")
+        sym = cur.unionByName(
+            cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        prop = labels.join(neigh_min, "doc_id", "left").select(
-            "doc_id",
-            F.col("component").alias("old_component"),
-            F.least(
-                F.col("component"), F.coalesce("neigh_min", "component")
-            ).alias("component"),
+        # large-star: m = min(closed neighborhood); larger neighbors
+        # re-point to m. Output (v, m) keeps v > u >= m, so orientation
+        # src > dst is preserved without re-sorting.
+        mins_l = sym.groupBy("src").agg(
+            F.least(F.min("dst"), F.col("src")).alias("m")
         )
-        # Shortcut: component <- label(component). Labels always point at
-        # an existing vertex id (mins over doc_ids), so the join hits.
-        ptr = prop.select(
-            F.col("doc_id").alias("c_id"), F.col("component").alias("c_comp")
+        large = (
+            sym.filter(F.col("dst") > F.col("src"))
+            .join(mins_l, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
         )
-        updated = (
-            prop.join(ptr, prop.component == ptr.c_id, "left")
-            .select(
-                "doc_id",
-                "old_component",
-                F.least(
-                    F.col("component"), F.coalesce("c_comp", "component")
-                ).alias("component"),
+        # small-star on the oriented edges: m = min neighbor; the other
+        # smaller neighbors and the node itself re-point to m.
+        mins_s = large.groupBy("src").agg(F.min("dst").alias("m"))
+        nxt = (
+            large.join(mins_s, "src")
+            .select(F.col("dst").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .unionByName(
+                mins_s.select(F.col("src").alias("a"), F.col("m").alias("b"))
             )
-            .select(
-                "doc_id",
-                "component",
-                (F.col("component") < F.col("old_component")).alias("_changed"),
-            )
+            .distinct()
+            .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .localCheckpoint()
         )
-        updated = updated.localCheckpoint()
-        n_changed = updated.filter(F.col("_changed")).count()
-        labels = updated.drop("_changed")
-        if n_changed == 0:
-            return labels
+        cur = nxt
+        # star forest iff every src has exactly one edge AND no node is
+        # on both sides; two tiny counts over the checkpointed edges
+        multi = cur.groupBy("src").count().filter(F.col("count") > 1).count()
+        if multi == 0:
+            overlap = cur.join(
+                cur.select(F.col("dst").alias("src")).distinct(),
+                "src",
+                "left_semi",
+            ).count()
+            if overlap == 0:
+                leaves = cur.select(
+                    F.col("src").alias("doc_id"),
+                    F.col("dst").alias("component"),
+                )
+                roots = (
+                    cur.select(F.col("dst").alias("doc_id"))
+                    .distinct()
+                    .withColumn("component", F.col("doc_id"))
+                )
+                return leaves.unionByName(roots)
     raise RuntimeError(
         f"connected_components: no convergence in {max_iters} rounds -- "
-        "component diameter exceeds the doubling bound; raise max_iters"
+        "component diameter exceeds the halving bound; raise max_iters"
     )
 
 
@@ -2437,6 +2464,195 @@ FROM ppm ORDER BY doc_id
 TXT_GOPHER_REPETITION_ORACLE = _gopher_rep_oracle()
 
 
+# --- character-entropy quality signal -------------------------------------
+# Shannon entropy of the non-whitespace character distribution, in
+# exact integer MICROBITS per char: the gibberish/boilerplate detector
+# (binary junk, base64 blobs and aaaa... runs sit far from natural
+# text's ~4 bits/char). Threshold: keep >= 2.5 bits/char.
+ENTROPY_MIN_MICROBITS = 2_500_000
+
+
+def txt_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution entropy.
+
+    Engine-exactness: the only transcendental, log2(c), is snapped to
+    an integer micro-log (round(log2(c)*1e6)) BEFORE any arithmetic —
+    after that everything is exact bigint: H_microbits =
+    mlog2(n) - floor(sum_ch c*mlog2(c) / n). The floor-div replaces
+    the float division so the sum order can never matter (the same
+    discipline as the ppm operators; the 6-dp snap carries the usual
+    1-ulp libm caveat, deterministic on frozen data).
+
+    Scale shape: one explode to character positions (rows = corpus
+    chars — the same linear family as token explodes), one
+    (doc, char) count whose partial aggregation collapses each doc's
+    alphabet map-side to <=|alphabet| rows, then a doc-keyed rollup.
+    Nothing is ever alphabet x alphabet or doc x doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    txt = F.array_join(tokens_col("text"), "")
+    base = docs.select("doc_id", txt.alias("txt")).filter(
+        F.length("txt") > 0
+    )
+    # explode positions: sequence(1, length) keeps both engines on the
+    # identical substring(txt, i, 1) extraction
+    chars = (
+        base.select(
+            "doc_id",
+            "txt",
+            F.explode(F.sequence(F.lit(1), F.length("txt"))).alias("i"),
+        )
+        .select("doc_id", F.expr("substring(txt, CAST(i AS INT), 1)").alias("ch"))
+    )
+    mlog2 = lambda c: F.round(F.log2(c) * 1e6, 0).cast("bigint")  # noqa: E731
+    per_char = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per_char.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_chars"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_chars"),
+            F.sum(F.col("c") * mlog2(F.col("c"))).cast("bigint").alias("sc"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "n_distinct_chars",
+            (
+                mlog2(F.col("n_chars"))
+                - F.expr("sc div n_chars")
+            ).alias("entropy_microbits"),
+        )
+        .withColumn(
+            "keep", F.col("entropy_microbits") >= ENTROPY_MIN_MICROBITS
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- distribution drift: per-stratum KL vs the corpus ---------------------
+def txt_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-distribution drift: KL(P_lang || P_corpus) in
+    exact integer microbits — the mixture-monitoring statistic a
+    training pipeline tracks per ingest batch (a stratum whose KL
+    jumps has changed character, not just size). Every token in a
+    stratum is also in the corpus, so Q is never zero and no smoothing
+    is needed.
+
+    Exactness: log2(p/q) = log2(c_l * N_all) - log2(c_all * N_l);
+    both micro-log2-snapped (round(log2(x)*1e6) — bigint), weighted by
+    the exact count c_l, then ONE floor-div by N_l: order-free integer
+    arithmetic end to end, the txt_char_entropy discipline. Products
+    c*N stay < 2^53 up to ~9e7 tokens per side at this snap; at 100 TB
+    the same identity runs on log2 of the two factors summed
+    (log2(c)+log2(N)), trading one snap for two.
+
+    Scale shape: one (lang, token) count — partial agg collapses the
+    Zipf head map-side — a token-keyed join of stratum counts against
+    corpus counts (both already aggregated, far below corpus size), a
+    lang-sized rollup, and two 1-row/L-row broadcasts. Nothing is ever
+    token x token."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(tokens_col("text")).alias("t")
+    )
+    per_lang = toks.groupBy("lang", "t").agg(
+        F.count(F.lit(1)).alias("c_l")
+    )
+    per_all = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c_all"))
+    n_l = toks.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    n_all = toks.agg(F.count(F.lit(1)).alias("n_all"))
+    mlog2 = lambda c: F.round(F.log2(c) * 1e6, 0).cast("bigint")  # noqa: E731
+    contrib = (
+        per_lang.join(per_all, "t")
+        .join(F.broadcast(n_l), "lang")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "lang",
+            "n_l",
+            (
+                F.col("c_l")
+                * (
+                    mlog2(F.col("c_l") * F.col("n_all"))
+                    - mlog2(F.col("c_all") * F.col("n_l"))
+                )
+            ).alias("w"),
+        )
+    )
+    # greatest(sw, 0): true KL >= 0, but the micro-log snap can leave a
+    # few negative microbits; clamping keeps the floor-div on the
+    # non-negative range where Spark's `div` (truncate) and DuckDB's
+    # `//` (floor) agree.
+    return (
+        contrib.groupBy("lang")
+        .agg(
+            F.max("n_l").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("vocab"),
+            F.sum("w").cast("bigint").alias("sw"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "vocab",
+            F.expr("greatest(sw, 0L) div n_tokens").alias("kl_microbits"),
+        )
+        .orderBy("lang")
+    )
+
+
+TXT_KL_DRIFT_ORACLE = f"""
+WITH toks AS (
+  SELECT lang, unnest({sql_tokens('text')}) AS t FROM documents
+), per_lang AS (
+  SELECT lang, t, COUNT(*) AS c_l FROM toks GROUP BY lang, t
+), per_all AS (
+  SELECT t, COUNT(*) AS c_all FROM toks GROUP BY t
+), n_l AS (
+  SELECT lang, COUNT(*) AS n_l FROM toks GROUP BY lang
+), n_all AS (
+  SELECT COUNT(*) AS n_all FROM toks
+), contrib AS (
+  SELECT pl.lang, nl.n_l,
+    pl.c_l * (CAST(round(log2(pl.c_l * na.n_all) * 1000000, 0) AS BIGINT)
+              - CAST(round(log2(pa.c_all * nl.n_l) * 1000000, 0) AS BIGINT))
+      AS w
+  FROM per_lang pl
+  JOIN per_all pa ON pl.t = pa.t
+  JOIN n_l nl ON pl.lang = nl.lang, n_all na
+)
+SELECT lang, MAX(n_l) AS n_tokens,
+  CAST(COUNT(*) AS BIGINT) AS vocab,
+  greatest(CAST(SUM(w) AS BIGINT), 0) // MAX(n_l) AS kl_microbits
+FROM contrib GROUP BY lang ORDER BY lang
+"""
+
+
+TXT_CHAR_ENTROPY_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, array_to_string({sql_tokens('text')}, '') AS txt
+  FROM documents
+), chars AS (
+  SELECT doc_id, substr(txt, CAST(i AS INT), 1) AS ch
+  FROM base, unnest(generate_series(1, length(txt))) AS t(i)
+  WHERE length(txt) > 0
+), per_char AS (
+  SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
+), rolled AS (
+  SELECT doc_id,
+    CAST(SUM(c) AS BIGINT) AS n_chars,
+    CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+    CAST(SUM(c * CAST(round(log2(c) * 1000000, 0) AS BIGINT)) AS BIGINT) AS sc
+  FROM per_char GROUP BY doc_id
+)
+SELECT doc_id, n_chars, n_distinct_chars,
+  CAST(round(log2(n_chars) * 1000000, 0) AS BIGINT) - sc // n_chars
+    AS entropy_microbits,
+  (CAST(round(log2(n_chars) * 1000000, 0) AS BIGINT) - sc // n_chars)
+    >= {ENTROPY_MIN_MICROBITS} AS keep
+FROM rolled ORDER BY doc_id
+"""
+
+
 # --- paragraph-level dedup (RefinedWeb/Dolma-style) -----------------------
 PAR_TOKENS = 20
 
@@ -3293,6 +3509,8 @@ TAIL_QUERIES = {
     "weighted_sample": weighted_sample,
     "txt_mixture_manifest": txt_mixture_manifest,
     "txt_gopher_repetition": txt_gopher_repetition,
+    "txt_char_entropy": txt_char_entropy,
+    "txt_kl_drift": txt_kl_drift,
 }
 
 TAIL_ORACLES = {
@@ -3320,4 +3538,6 @@ TAIL_ORACLES = {
     "weighted_sample": WSAMPLE_ORACLE,
     "txt_mixture_manifest": TXT_MIXTURE_MANIFEST_ORACLE,
     "txt_gopher_repetition": TXT_GOPHER_REPETITION_ORACLE,
+    "txt_char_entropy": TXT_CHAR_ENTROPY_ORACLE,
+    "txt_kl_drift": TXT_KL_DRIFT_ORACLE,
 }

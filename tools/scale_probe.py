@@ -72,6 +72,29 @@ PROBE_QUERIES = [
     "dedup_ngram_spans",
     # DSIR: two linear corpus passes + a 64-row broadcast probe.
     "txt_dsir_weights",
+    # BM25: shuffle volume is the posting lists of <=15 panel terms, so
+    # wall should track the corpus SCAN, staying near-flat per token.
+    "bm25_topk",
+    # index build: the classic (term, doc) shuffle — linear in tokens,
+    # with the Zipf head collapsed map-side by partial aggregation.
+    "inverted_index",
+    # A-ES reservoir: narrow map + TakeOrdered — the flattest possible
+    # shape; super-linearity here means the sort stopped being top-K.
+    "weighted_sample",
+    # per-file Bloom fold: explode to K positions + two keyed aggs —
+    # linear in rows, output metadata-sized.
+    "skip_bloom_stats",
+    # mixture manifest: per-stratum agg + broadcast-back draw — linear.
+    "txt_mixture_manifest",
+    # tagged 2/3/5-gram explode + per-(doc,n,gram) count: rows ∝ 3x
+    # corpus tokens; the per-(doc,n) max window rides the same key.
+    "txt_gopher_repetition",
+    # char-position explode + (doc, char) count: rows ∝ corpus CHARS,
+    # alphabet collapses map-side — linear, scan-dominated.
+    "txt_char_entropy",
+    # (lang, token) count + token-keyed join of two aggregates — both
+    # sides Zipf-collapsed map-side before any shuffle.
+    "txt_kl_drift",
 ]
 # Embedding-side probe (SPARK_GRAFT_PROBE=sim): vectors are perturbed
 # per copy (direction-dependent per-dim scaling), so LSH/sign buckets
@@ -90,6 +113,9 @@ SIM_PROBE_QUERIES = [
     # as the corpus grows. The probe logs max (cell, bucket) width per
     # K to evidence exactly that.
     "dedup_semdedup",
+    # JL ±1 projection: narrow map-side folds against 16 constant
+    # arrays + the brute-force panel scan — sim_knn_brute's shape.
+    "sim_rp_recall",
 ]
 # Events-side probe (SPARK_GRAFT_PROBE=ev): each copy shifts user_id and
 # event_id, so the per-user event structure (cohorts, funnels, as-of
