@@ -225,3 +225,38 @@ def test_dsir_weight_table_is_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     # top-K without a global sort
     assert "TakeOrderedAndProject" in plan
+
+
+def test_rp_projection_is_mapside_with_broadcast_panel(spark, sf_dir):
+    # the JL projection must be a narrow map (16 constant-array folds)
+    # and the query panel a broadcast — a shuffle of projected vectors
+    # keyed by anything would mean the projection materialized
+    plan = _plan(spark, sf_dir, "sim_rp_recall")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_kl_drift_joins_aggregates_not_tokens(spark, sf_dir):
+    # the token-keyed join runs over two PRE-AGGREGATED count tables;
+    # totals arrive as broadcasts. A cartesian anywhere (beyond the
+    # audited 1-row total) is the regression.
+    plan = _plan(spark, sf_dir, "txt_kl_drift")
+    assert "CartesianProduct" not in plan
+    # the 1-row n_all total joins as a broadcast nested loop (cross)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_char_entropy_prunes_to_text_column(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "txt_char_entropy")
+    assert "CartesianProduct" not in plan
+    for read in plan.split("ReadSchema: ")[1:]:
+        cols = read.splitlines()[0]
+        assert cols.count(":") == 2, cols  # doc_id, text only
+
+
+def test_mixture_manifest_draw_side_is_broadcast(spark, sf_dir):
+    # the per-stratum thresholds broadcast back onto the scan; the
+    # corpus must never shuffle on lang for the draw
+    plan = _plan(spark, sf_dir, "txt_mixture_manifest")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
