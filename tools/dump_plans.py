@@ -27,6 +27,16 @@ PICKS = {
     "sim_kmeans_lloyd": "unrolled Lloyd rounds: per-iteration centroid tables stay K-row broadcasts; assignment is a map-side argmin over the broadcast array, never a per-dim join",
     "txt_triangle_count": "degree-ordered wedge join over the persisted dup-pair edges; closure probe is an equi-join on the (lo, hi) pair key — no triangle enumeration cross join",
     "ev_overlap_incident_sessions": "both interval sides exploded onto the time-bucket grid and equi-joined on the bucket key; true overlap is a residual predicate, distinct de-dupes multi-bucket hits",
+    "bm25_topk": "corpus probe of the <=15-term panel is a broadcast hash join; dl/avgdl/N arrive as 1-row broadcasts; per-query top-k pushes into WindowGroupLimit",
+    "inverted_index": "(term, doc) tf counts with map-side partial agg, per-term posting assembly, top-terms via TakeOrderedAndProject",
+    "weighted_sample": "A-ES keys are a narrow map over the scan; the reservoir is TakeOrderedAndProject — no corpus shuffle at all",
+    "skip_bloom_stats": "explode to 3 bit positions + two keyed aggs; output is one metadata row per file",
+    "txt_mixture_manifest": "per-stratum agg + 1-row total broadcast; the realized draw broadcasts thresholds back onto the scan (no lang-keyed corpus shuffle)",
+    "txt_gopher_repetition": "ONE tagged explode for all three gram sizes; (doc,n,gram) count collapses map-side; per-(doc,n) max rides the same key",
+    "sim_rp_recall": "JL projection as 16 constant-array folds in the scan stage; query panel broadcast; per-query top-k windowed",
+    "txt_char_entropy": "char-position explode pruned to doc_id+text; (doc,char) count collapses each alphabet map-side",
+    "txt_kl_drift": "token-keyed join of two pre-aggregated count tables; totals broadcast; lang rollup is L-row",
+    "dedup_components": "large-star/small-star contraction: per-round keyed aggs + joins over a SHRINKING checkpointed edge set; convergence is two metadata-sized counts",
 }
 
 def main():
