@@ -133,6 +133,28 @@ _WINDOW = [
     "ev_asof_purchase_click",
 ]
 
+# ROUND-6 ROTATION LEDGER (computed at end of round 5): 45 queries'
+# last driver row is round 3, so under the two-round invariant they
+# must take r6 window slots — the whole r3-green residue:
+#   relational: q1, q8, q9, q11, q16, q17, q20, q21,
+#     agg_approx_percentile, unpivot_lineitem_measures,
+#     window_ntile_customer_deciles, join_fuzzy_part_names,
+#     join_fuzzy_recall, ref_transform_full
+#   text: dedup_exact, dedup_ngram_jaccard, dedup_minhash_lsh,
+#     dedup_embedding_cosine, dedup_incremental, dedup_paragraphs,
+#     dedup_survivors_quality, txt_chunk_windows, txt_contamination,
+#     txt_dataset_card, txt_gopher_quality, txt_mixture_weights,
+#     txt_pack_sequences, txt_pagerank, txt_pii_redact,
+#     txt_repetition_filter, txt_sample_stratified
+#   sim: sim_ivf_recall, sim_ivfpq_topk, sim_mrl_recall, sim_pq_adc,
+#     sim_quantize_int8
+#   events/streaming/mm: ev_heavy_hitters, ev_hll_user_rollup,
+#     ev_json_variant, ev_retention_cohorts, ev_session_windows,
+#     ev_zscore_outliers, mm_dedup_blobs, st_dedup_index,
+#     st_session_windows
+# That fills 45 of 50; the remaining 5 slots go to round-6 additions
+# and changed-code canaries.
+
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
