@@ -108,3 +108,32 @@ def test_bloom_positions_match_engine(spark):
     ).collect()
     for r in got:
         assert list(r.pos) == py_bloom_positions(r.val), r.val
+
+
+def test_bloom_non_string_rendering_has_no_false_negatives(spark, tmp_path):
+    """The index hashes Spark's cast(col AS string); a Python-str()
+    probe diverges for booleans ('true' vs 'True') and floats —
+    read_with_bloom must render engine-side so such columns never
+    produce the silent false negative the round-4 advice flagged."""
+    from simple_etl_pipeline_spark.operators.skipping import (
+        engine_rendering,
+    )
+
+    path = str(tmp_path / "typed")
+    rows = [(i, i % 2 == 0, float(i) + 0.5) for i in range(100)]
+    (
+        spark.createDataFrame(rows, "id long, flag boolean, score double")
+        .repartition(4)
+        .write.parquet(path)
+    )
+    for column, value in [("flag", True), ("score", 7.5)]:
+        index = build_bloom_index(spark, path, column).collect()
+        got = read_with_bloom(spark, path, column, value, index)
+        expected = spark.read.parquet(path).filter(
+            F.col(column) == F.lit(value)
+        )
+        assert got.count() == expected.count() > 0, (column, value)
+    # the renderings str() would get wrong
+    schema = spark.read.parquet(path).schema
+    assert engine_rendering(spark, True, schema["flag"].dataType) == "true"
+    assert str(True) != "true"
