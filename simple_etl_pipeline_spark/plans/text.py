@@ -2352,19 +2352,34 @@ def txt_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _tag(n: int):
         # single-arg lambda: a two-arg lambda would make F.transform
-        # pass (element, index) and the tag would become the position
+        # pass (element, index) and the tag would become the position.
+        # The gram is hashed BEFORE the shuffle (60-bit md5 + its
+        # length): the count aggregation then shuffles ~20-byte rows
+        # instead of gram strings — the dedup_ngram_spans discipline;
+        # a collision merges two grams' counts with probability
+        # ~n²/2^61, and the oracle computes the IDENTICAL hash so
+        # cross-engine parity is unaffected either way.
         return F.transform(
             shingles_col("text", n),
-            lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")),
+            lambda g: F.struct(
+                F.lit(n).alias("n"),
+                md5_hash60(g).alias("gh"),
+                F.length(g).cast("bigint").alias("glen"),
+            ),
         )
 
     tagged = F.concat(_tag(2), _tag(3), _tag(5))
     pc = (
         docs.select("doc_id", F.explode(tagged).alias("t"))
-        .select("doc_id", F.col("t.n").alias("n"), F.col("t.g").alias("g"))
-        .groupBy("doc_id", "n", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .withColumn("cover", F.col("c") * F.length("g").cast("bigint"))
+        .select(
+            "doc_id",
+            F.col("t.n").alias("n"),
+            F.col("t.gh").alias("gh"),
+            F.col("t.glen").alias("glen"),
+        )
+        .groupBy("doc_id", "n", "gh")
+        .agg(F.count(F.lit(1)).alias("c"), F.max("glen").alias("glen"))
+        .withColumn("cover", F.col("c") * F.col("glen"))
     )
     w = Window.partitionBy("doc_id", "n")
     tops = (
@@ -2428,10 +2443,10 @@ WITH toks AS (
          AS BIGINT) + len(t) - 1 AS total_chars
   FROM toks WHERE len(t) > 0
 ), pc AS (
-  SELECT doc_id, n, g, COUNT(*) AS c,
-         COUNT(*) * CAST(length(g) AS BIGINT) AS cover
+  SELECT doc_id, n, {sql_md5_hash60('g')} AS gh, COUNT(*) AS c,
+         COUNT(*) * CAST(MAX(length(g)) AS BIGINT) AS cover
   FROM ({grams})
-  GROUP BY doc_id, n, g
+  GROUP BY doc_id, n, {sql_md5_hash60('g')}
 ), tops AS (
   SELECT doc_id, n, CAST(MAX(cover) AS BIGINT) AS top_cover FROM (
     SELECT doc_id, n, c, cover,
