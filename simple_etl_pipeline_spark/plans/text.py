@@ -2331,11 +2331,10 @@ def txt_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE explode emits (n, gram) tagged rows for all three
     n in a single pass, one (doc, n, gram) count aggregation (map-side
-    partials collapse the Zipf head), a per-(doc, n) max window on the
-    already-aggregated gram counts, then doc-keyed joins of three
-    doc-sized profiles — linear in corpus tokens, never gram x gram."""
-    from pyspark.sql import Window
-
+    partials collapse the Zipf head), a per-(doc, n) argmax folded
+    into the same aggregation (struct max — no second shuffle), then
+    doc-keyed joins of three doc-sized profiles — linear in corpus
+    tokens, never gram x gram."""
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens_col("text")
     n_words = F.size(toks).cast("bigint")
@@ -2381,13 +2380,16 @@ def txt_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"), F.max("glen").alias("glen"))
         .withColumn("cover", F.col("c") * F.col("glen"))
     )
-    w = Window.partitionBy("doc_id", "n")
+    # argmax-by-(count, cover) as ONE lexicographic struct max — no
+    # second shuffle: a per-(doc, n) max window over the gram-count
+    # table would re-partition it; the struct max folds into the same
+    # aggregation pass (and both engines order structs field-by-field,
+    # so the count-then-cover tie-break is engine-identical)
     tops = (
         pc.filter(F.col("n") != 5)
-        .withColumn("cmax", F.max("c").over(w))
-        .filter(F.col("c") == F.col("cmax"))
         .groupBy("doc_id", "n")
-        .agg(F.max("cover").alias("top_cover"))
+        .agg(F.max(F.struct("c", "cover")).alias("m"))
+        .select("doc_id", "n", F.col("m.cover").alias("top_cover"))
     )
     top2 = tops.filter(F.col("n") == 2).select(
         "doc_id", F.col("top_cover").alias("top2_cover")
@@ -2448,11 +2450,10 @@ WITH toks AS (
   FROM ({grams})
   GROUP BY doc_id, n, {sql_md5_hash60('g')}
 ), tops AS (
-  SELECT doc_id, n, CAST(MAX(cover) AS BIGINT) AS top_cover FROM (
-    SELECT doc_id, n, c, cover,
-           MAX(c) OVER (PARTITION BY doc_id, n) AS cmax
-    FROM pc WHERE n != 5
-  ) WHERE c = cmax GROUP BY doc_id, n
+  SELECT doc_id, n,
+    CAST((MAX(struct_pack(c := c, cover := cover))).cover AS BIGINT)
+      AS top_cover
+  FROM pc WHERE n != 5 GROUP BY doc_id, n
 ), dup5 AS (
   SELECT doc_id, CAST(SUM(cover) AS BIGINT) AS dup5_cover
   FROM pc WHERE n = 5 AND c >= 2 GROUP BY doc_id
