@@ -1,10 +1,11 @@
-"""connected_components: pointer-doubling round bound + correctness.
+"""connected_components: contraction round bound + correctness.
 
 The adversarial case is a long chain: plain hash-min propagation needs
-rounds equal to the chain length (diameter), so a 300-link chain under a
-10-round cap MUST fail without the shortcut. With pointer doubling the
-label-to-min distance roughly doubles per round, so ~log2(300)+1 rounds
-suffice — the max_iters=10 run below is the proof the doubling works.
+rounds equal to the chain length (diameter), so a 300-link chain under
+a 10-round cap MUST fail without distance halving. Large-star/
+small-star alternation at least halves path distances per round, so
+~log2(300) rounds suffice — the max_iters=10 run below (converges in
+9) is the proof the contraction works.
 """
 
 from __future__ import annotations
