@@ -1727,9 +1727,18 @@ def txt_mixture_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "threshold_ppm",
-            F.least(
+            # zero-token stratum: accepting everything costs no budget,
+            # and the guard keeps ANSI mode from raising on div-by-zero
+            F.when(
+                F.col("sum_tokens") == 0,
                 F.lit(MANIFEST_BUCKETS).cast("bigint"),
-                F.expr(f"(target_tokens * {MANIFEST_BUCKETS}) div sum_tokens"),
+            ).otherwise(
+                F.least(
+                    F.lit(MANIFEST_BUCKETS).cast("bigint"),
+                    F.expr(
+                        f"(target_tokens * {MANIFEST_BUCKETS}) div sum_tokens"
+                    ),
+                )
             ),
         )
         .select(
@@ -1768,7 +1777,9 @@ def txt_mixture_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "realized_ppm",
-            F.expr(f"(sampled_tokens * {MANIFEST_BUCKETS}) div sum_tokens"),
+            F.when(F.col("sum_tokens") == 0, F.lit(0).cast("bigint")).otherwise(
+                F.expr(f"(sampled_tokens * {MANIFEST_BUCKETS}) div sum_tokens")
+            ),
         )
         .orderBy("lang")
     )
@@ -1790,9 +1801,10 @@ WITH t AS (
   SELECT lang, n_docs, sum_tokens,
     (total_tokens * {MANIFEST_BUDGET_PCT}) // (100 * n_strata)
       AS target_tokens,
-    least(CAST({MANIFEST_BUCKETS} AS BIGINT),
+    CASE WHEN sum_tokens = 0 THEN CAST({MANIFEST_BUCKETS} AS BIGINT)
+    ELSE least(CAST({MANIFEST_BUCKETS} AS BIGINT),
           ((total_tokens * {MANIFEST_BUDGET_PCT}) // (100 * n_strata))
-            * {MANIFEST_BUCKETS} // sum_tokens) AS threshold_ppm
+            * {MANIFEST_BUCKETS} // sum_tokens) END AS threshold_ppm
   FROM per, tot
 ), drawn AS (
   SELECT t.lang,
@@ -1806,8 +1818,9 @@ WITH t AS (
 SELECT m.lang, m.n_docs, m.sum_tokens, m.target_tokens, m.threshold_ppm,
   COALESCE(d.n_sampled, 0) AS n_sampled,
   COALESCE(d.sampled_tokens, 0) AS sampled_tokens,
-  COALESCE(d.sampled_tokens, 0) * {MANIFEST_BUCKETS} // m.sum_tokens
-    AS realized_ppm
+  CASE WHEN m.sum_tokens = 0 THEN CAST(0 AS BIGINT)
+  ELSE COALESCE(d.sampled_tokens, 0) * {MANIFEST_BUCKETS} // m.sum_tokens
+  END AS realized_ppm
 FROM manifest m LEFT JOIN drawn d ON m.lang = d.lang
 ORDER BY m.lang
 """

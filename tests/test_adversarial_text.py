@@ -41,6 +41,15 @@ ADVERSARIAL_QUERIES = [
     "txt_fingerprint",
     "txt_gopher_quality",
     "dedup_paragraphs",
+    # round 5: the repetition/entropy/drift profiles and the retrieval
+    # trio through the empty/null/CJK/accent/repetition edge corpus
+    "txt_gopher_repetition",
+    "txt_char_entropy",
+    "txt_kl_drift",
+    "txt_mixture_manifest",
+    "weighted_sample",
+    "inverted_index",
+    "bm25_topk",
 ]
 
 

@@ -47,6 +47,16 @@ REPRESENTATIVE = [
     "ev_overlap_incident_sessions",
     "dedup_ngram_spans",
     "txt_dsir_weights",
+    # round-5 operators
+    "bm25_topk",
+    "inverted_index",
+    "weighted_sample",
+    "skip_bloom_stats",
+    "txt_mixture_manifest",
+    "txt_gopher_repetition",
+    "txt_char_entropy",
+    "txt_kl_drift",
+    "sim_rp_recall",
 ]
 
 
