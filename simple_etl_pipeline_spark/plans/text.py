@@ -2362,25 +2362,59 @@ def txt_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sum_chars + n_words - 1).alias("total_chars"),
     ).filter(F.col("n_words") > 0)
 
-    def _tag(n: int):
-        # single-arg lambda: a two-arg lambda would make F.transform
-        # pass (element, index) and the tag would become the position.
-        # The gram is hashed BEFORE the shuffle (60-bit md5 + its
-        # length): the count aggregation then shuffles ~20-byte rows
-        # instead of gram strings — the dedup_ngram_spans discipline;
-        # a collision merges two grams' counts with probability
-        # ~n²/2^61, and the oracle computes the IDENTICAL hash so
-        # cross-engine parity is unaffected either way.
-        return F.transform(
-            shingles_col("text", n),
-            lambda g: F.struct(
-                F.lit(n).alias("n"),
-                md5_hash60(g).alias("gh"),
-                F.length(g).cast("bigint").alias("glen"),
-            ),
+    # Gram identity WITHOUT building gram strings: hash each TOKEN once
+    # (one md5 per token, not 3 per gram), then compose each gram's
+    # 60-bit key as an XOR of position-rotated token hashes and its
+    # char length as a sum of token lengths. Rotations (7 bits per
+    # position) keep the combine order-sensitive; a collision merges
+    # two grams' counts with probability ~n²/2^60 and the oracle
+    # computes the IDENTICAL composition, so cross-engine parity is
+    # unaffected either way. Both hash/length arrays are bound as
+    # lambda VARIABLES (bind_once) — captured expressions re-evaluate
+    # per element (the round-4 HOF finding), which here would re-hash
+    # the whole document per gram.
+    def _rot(h, s: int):
+        if s == 0:
+            return h
+        low = (1 << (60 - s)) - 1
+        return F.shiftleft(h.bitwiseAND(F.lit(low)), s).bitwiseOR(
+            F.shiftright(h, 60 - s)
         )
 
-    tagged = F.concat(_tag(2), _tag(3), _tag(5))
+    _GRAM_STRUCT = "array<struct<n:int,gh:bigint,glen:bigint>>"
+
+    def _grams(TH, TL, n: int):
+        def _one(i):
+            gh = _rot(F.element_at(TH, i), 0)
+            glen = F.element_at(TL, i)
+            for j in range(1, n):
+                gh = gh.bitwiseXOR(_rot(F.element_at(TH, i + j), (7 * j) % 60))
+                glen = glen + F.element_at(TL, i + j)
+            return F.struct(
+                F.lit(n).alias("n"),
+                gh.alias("gh"),
+                (glen + (n - 1)).alias("glen"),
+            )
+
+        return F.when(
+            F.size(TH) < n, F.array().cast(_GRAM_STRUCT)
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(TH) - (n - 1)),
+                lambda i: _one(i),
+            )
+        )
+
+    arrs = F.struct(
+        F.transform(toks, lambda t: md5_hash60(t)).alias("th"),
+        F.transform(toks, lambda t: F.length(t).cast("bigint")).alias("tl"),
+    )
+    tagged = bind_once(
+        arrs,
+        lambda b: F.concat(
+            *[_grams(b.getField("th"), b.getField("tl"), n) for n in (2, 3, 5)]
+        ),
+    )
     pc = (
         docs.select("doc_id", F.explode(tagged).alias("t"))
         .select(
@@ -2445,10 +2479,25 @@ def txt_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _gopher_rep_oracle() -> str:
-    grams = "\n    UNION ALL ".join(
-        f"SELECT doc_id, {n} AS n, unnest({sql_shingles('t', n)}) AS g FROM toks"
-        for n in (2, 3, 5)
-    )
+    def rot(e: str, s: int) -> str:
+        if s == 0:
+            return f"({e})"
+        low = (1 << (60 - s)) - 1
+        return f"(((({e}) & {low}) << {s}) | (({e}) >> {60 - s}))"
+
+    def gram_select(n: int) -> str:
+        gh = rot("th[i]", 0)
+        for j in range(1, n):
+            gh = f"xor({gh}, {rot(f'th[i+{j}]', (7 * j) % 60)})"
+        glen = " + ".join(f"tl[i+{j}]" for j in range(n))
+        return (
+            f"SELECT doc_id, {n} AS n, {gh} AS gh,"
+            f" {glen} + {n - 1} AS glen\n"
+            f"  FROM arrs, unnest(generate_series(1,"
+            f" greatest(len(th) - {n - 1}, 0))) AS u(i)"
+        )
+
+    grams = "\n    UNION ALL ".join(gram_select(n) for n in (2, 3, 5))
     return f"""
 WITH toks AS (
   SELECT doc_id, {sql_tokens('text')} AS t FROM documents
@@ -2457,11 +2506,16 @@ WITH toks AS (
     CAST(list_sum(list_transform(t, x -> CAST(length(x) AS BIGINT)))
          AS BIGINT) + len(t) - 1 AS total_chars
   FROM toks WHERE len(t) > 0
+), arrs AS (
+  SELECT doc_id,
+    list_transform(t, x -> {sql_md5_hash60('x')}) AS th,
+    list_transform(t, x -> CAST(length(x) AS BIGINT)) AS tl
+  FROM toks
 ), pc AS (
-  SELECT doc_id, n, {sql_md5_hash60('g')} AS gh, COUNT(*) AS c,
-         COUNT(*) * CAST(MAX(length(g)) AS BIGINT) AS cover
+  SELECT doc_id, n, gh, COUNT(*) AS c,
+         COUNT(*) * CAST(MAX(glen) AS BIGINT) AS cover
   FROM ({grams})
-  GROUP BY doc_id, n, {sql_md5_hash60('g')}
+  GROUP BY doc_id, n, gh
 ), tops AS (
   SELECT doc_id, n,
     CAST((MAX(struct_pack(c := c, cover := cover))).cover AS BIGINT)
