@@ -129,8 +129,11 @@ _WINDOW = [
     # (txt_mixture_weights ceded its filler slot to txt_kl_drift; it is
     # hash-green r2+r3 with unchanged code under the local parity
     # suite, and the new manifest query exercises the same per-stratum
-    # aggregation shape.)
-    "ev_asof_purchase_click",
+    # aggregation shape. ev_asof_purchase_click ceded the last filler
+    # slot to dedup_ngram_spans as a changed-code canary: its gram keys
+    # now compose from per-token hashes (rot60), and changed code takes
+    # a driver row over a rotation pick.)
+    "dedup_ngram_spans",
 ]
 
 # ROUND-6 ROTATION LEDGER (computed at end of round 5): 45 queries'

@@ -100,6 +100,36 @@ def sql_md5_hash60(expr: str, salt_expr: str | None = None) -> str:
     return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+# --- position-rotated gram-key composition --------------------------------
+# Word-n-gram identity WITHOUT materializing gram strings: hash each
+# token once (md5_hash60), then compose a gram's 60-bit key as the XOR
+# of its token hashes rotated GRAM_ROT_STEP bits per position. One md5
+# per token instead of one per gram; collisions merge gram counts with
+# probability ~n²/2^60 and both engines compose the IDENTICAL key, so
+# cross-engine parity is unaffected either way. Shared by
+# dedup_ngram_spans and txt_gopher_repetition.
+GRAM_ROT_STEP = 7
+
+
+def rot60(h: Column, s: int) -> Column:
+    """Rotate a 60-bit value left by s bits (s < 60), staying positive
+    in BIGINT: mask-then-shift so no bit ever crosses 2^63."""
+    if s == 0:
+        return h
+    low = (1 << (60 - s)) - 1
+    return F.shiftleft(h.bitwiseAND(F.lit(low)), s).bitwiseOR(
+        F.shiftright(h, 60 - s)
+    )
+
+
+def sql_rot60(e: str, s: int) -> str:
+    """DuckDB twin of :func:`rot60`."""
+    if s == 0:
+        return f"({e})"
+    low = (1 << (60 - s)) - 1
+    return f"(((({e}) & {low}) << {s}) | (({e}) >> {60 - s}))"
+
+
 def fingerprint_col(c: Column | str) -> Column:
     """Document fingerprint: md5 of the whitespace-normalized, lowercased
     text (the reference has no fingerprinting; this is the standard

@@ -26,11 +26,14 @@ from pyspark.sql import functions as F
 
 from simple_etl_pipeline_spark.functions.agg import davg, sql_davg
 from simple_etl_pipeline_spark.functions.text import (
+    GRAM_ROT_STEP,
     bind_once,
     fingerprint_col,
     md5_hash60,
+    rot60,
     shingles_col,
     sql_md5_hash60,
+    sql_rot60,
     sql_shingles,
     sql_tokens,
     tokens_col,
@@ -2362,33 +2365,22 @@ def txt_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sum_chars + n_words - 1).alias("total_chars"),
     ).filter(F.col("n_words") > 0)
 
-    # Gram identity WITHOUT building gram strings: hash each TOKEN once
-    # (one md5 per token, not 3 per gram), then compose each gram's
-    # 60-bit key as an XOR of position-rotated token hashes and its
-    # char length as a sum of token lengths. Rotations (7 bits per
-    # position) keep the combine order-sensitive; a collision merges
-    # two grams' counts with probability ~n²/2^60 and the oracle
-    # computes the IDENTICAL composition, so cross-engine parity is
-    # unaffected either way. Both hash/length arrays are bound as
+    # Gram identity WITHOUT building gram strings (rot60 composition,
+    # see functions/text.py): one md5 per token, gram char length as a
+    # sum of token lengths. Both hash/length arrays are bound as
     # lambda VARIABLES (bind_once) — captured expressions re-evaluate
     # per element (the round-4 HOF finding), which here would re-hash
     # the whole document per gram.
-    def _rot(h, s: int):
-        if s == 0:
-            return h
-        low = (1 << (60 - s)) - 1
-        return F.shiftleft(h.bitwiseAND(F.lit(low)), s).bitwiseOR(
-            F.shiftright(h, 60 - s)
-        )
-
     _GRAM_STRUCT = "array<struct<n:int,gh:bigint,glen:bigint>>"
 
     def _grams(TH, TL, n: int):
         def _one(i):
-            gh = _rot(F.element_at(TH, i), 0)
+            gh = F.element_at(TH, i)
             glen = F.element_at(TL, i)
             for j in range(1, n):
-                gh = gh.bitwiseXOR(_rot(F.element_at(TH, i + j), (7 * j) % 60))
+                gh = gh.bitwiseXOR(
+                    rot60(F.element_at(TH, i + j), (GRAM_ROT_STEP * j) % 60)
+                )
                 glen = glen + F.element_at(TL, i + j)
             return F.struct(
                 F.lit(n).alias("n"),
@@ -2479,16 +2471,10 @@ def txt_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _gopher_rep_oracle() -> str:
-    def rot(e: str, s: int) -> str:
-        if s == 0:
-            return f"({e})"
-        low = (1 << (60 - s)) - 1
-        return f"(((({e}) & {low}) << {s}) | (({e}) >> {60 - s}))"
-
     def gram_select(n: int) -> str:
-        gh = rot("th[i]", 0)
+        gh = "(th[i])"
         for j in range(1, n):
-            gh = f"xor({gh}, {rot(f'th[i+{j}]', (7 * j) % 60)})"
+            gh = f"xor({gh}, {sql_rot60(f'th[i+{j}]', (GRAM_ROT_STEP * j) % 60)})"
         glen = " + ".join(f"tl[i+{j}]" for j in range(n))
         return (
             f"SELECT doc_id, {n} AS n, {gh} AS gh,"
@@ -3097,6 +3083,24 @@ SPAN_N = 5
 SPAN_DUP_PPM = 500000  # >= half the spans duplicated -> substring-dup doc
 
 
+def _span_gram_key(TH, i):
+    """rot60-composed 60-bit key of the SPAN_N-gram starting at i
+    (1-based) over the bound token-hash array TH."""
+    gh = F.element_at(TH, i)
+    for j in range(1, SPAN_N):
+        gh = gh.bitwiseXOR(
+            rot60(F.element_at(TH, i + j), (GRAM_ROT_STEP * j) % 60)
+        )
+    return gh
+
+
+def _sql_span_gram_key() -> str:
+    gh = "(th[i])"
+    for j in range(1, SPAN_N):
+        gh = f"xor({gh}, {sql_rot60(f'th[i+{j}]', (GRAM_ROT_STEP * j) % 60)})"
+    return gh
+
+
 def dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level exact-duplication profile (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): for
@@ -3112,13 +3116,16 @@ def dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus token count — linear), one gram-keyed count-distinct finds
     grams seen in >1 document (partial aggregation absorbs repeats
     map-side), and one gram-keyed left join marks each start position.
-    Both shuffles key on the 60-bit md5 of the gram, NOT the gram
-    string: at 100 TB the positional table is ~10^13 rows, and an
-    8-byte key shuffles ~2.5x less than the ~45-byte 5-gram text
-    (Lee et al. likewise dedup on 64-bit hashes; a collision marks a
-    unique gram as duplicated with probability ~n^2/2^61 — and because
-    the oracle computes the IDENTICAL hash, cross-engine parity is
-    unaffected either way). Never all-pairs, never a driver-side
+    Both shuffles key on a 60-bit gram hash, NOT the gram string: at
+    100 TB the positional table is ~10^13 rows, and an 8-byte key
+    shuffles ~2.5x less than the ~45-byte 5-gram text. The key is
+    composed from per-TOKEN md5 hashes via position rotation (rot60,
+    functions/text.py) — one digest per token instead of one per gram,
+    and no gram strings are ever built (Lee et al. likewise dedup on
+    64-bit hashes; a collision marks a unique gram as duplicated with
+    probability ~n^2/2^60 — and because the oracle computes the
+    IDENTICAL composition, cross-engine parity is unaffected either
+    way). Never all-pairs, never a driver-side
     structure, so the plan is the same at 100 TB. The
     duplicated-fraction is reported in exact integer parts-per-million
     (floor DIV — no double division, so the 6-dp rounding boundary
@@ -3129,9 +3136,22 @@ def dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     injects exact (+1M doc_id) and near (+2M) duplicates so the
     profile is non-trivial at every SF."""
     corpus = corpus_with_dups(spark, sf_dir)
-    occ = corpus.select(
-        "doc_id", F.explode(shingles_col("text", SPAN_N)).alias("g")
-    ).select("doc_id", md5_hash60(F.col("g")).alias("gh"))
+    # gram keys via rot60 composition (functions/text.py): one md5 per
+    # TOKEN, no gram strings materialized — the token-hash array is
+    # bound as a lambda variable so HOFs don't re-hash the document
+    # per gram (round-4 finding)
+    gram_keys = bind_once(
+        F.transform(tokens_col("text"), lambda t: md5_hash60(t)),
+        lambda TH: F.when(
+            F.size(TH) < SPAN_N, F.array().cast("array<bigint>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(TH) - (SPAN_N - 1)),
+                lambda i: _span_gram_key(TH, i),
+            )
+        ),
+    )
+    occ = corpus.select("doc_id", F.explode(gram_keys).alias("gh"))
     dup_grams = (
         occ.groupBy("gh")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -3162,12 +3182,14 @@ def dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_NGRAM_SPANS_ORACLE = f"""
 WITH corpus AS ({CORPUS_SQL}),
-occ AS (
-  SELECT doc_id, {sql_md5_hash60('g')} AS gh
-  FROM (
-    SELECT doc_id, unnest({sql_shingles(sql_tokens('text'), SPAN_N)}) AS g
-    FROM corpus
-  )
+arrs AS (
+  SELECT doc_id,
+    list_transform({sql_tokens('text')}, x -> {sql_md5_hash60('x')}) AS th
+  FROM corpus
+), occ AS (
+  SELECT doc_id, {_sql_span_gram_key()} AS gh
+  FROM arrs, unnest(generate_series(1, greatest(len(th) - {SPAN_N - 1}, 0)))
+       AS u(i)
 ), dup_grams AS (
   SELECT gh FROM occ GROUP BY gh HAVING COUNT(DISTINCT doc_id) > 1
 ), per_doc AS (
