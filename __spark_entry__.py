@@ -136,9 +136,11 @@ _WINDOW = [
     "dedup_ngram_spans",
 ]
 
-# ROUND-6 ROTATION LEDGER (computed at end of round 5): 45 queries'
+# ROUND-6 ROTATION LEDGER (computed at end of round 5): 46 queries'
 # last driver row is round 3, so under the two-round invariant they
-# must take r6 window slots — the whole r3-green residue:
+# must take r6 window slots — the whole r3-green residue plus
+# ev_asof_purchase_click (which ceded its r5 filler slot to the
+# dedup_ngram_spans canary):
 #   relational: q1, q8, q9, q11, q16, q17, q20, q21,
 #     agg_approx_percentile, unpivot_lineitem_measures,
 #     window_ntile_customer_deciles, join_fuzzy_part_names,
@@ -151,11 +153,11 @@ _WINDOW = [
 #     txt_repetition_filter, txt_sample_stratified
 #   sim: sim_ivf_recall, sim_ivfpq_topk, sim_mrl_recall, sim_pq_adc,
 #     sim_quantize_int8
-#   events/streaming/mm: ev_heavy_hitters, ev_hll_user_rollup,
-#     ev_json_variant, ev_retention_cohorts, ev_session_windows,
-#     ev_zscore_outliers, mm_dedup_blobs, st_dedup_index,
-#     st_session_windows
-# That fills 45 of 50; the remaining 5 slots go to round-6 additions
+#   events/streaming/mm: ev_asof_purchase_click, ev_heavy_hitters,
+#     ev_hll_user_rollup, ev_json_variant, ev_retention_cohorts,
+#     ev_session_windows, ev_zscore_outliers, mm_dedup_blobs,
+#     st_dedup_index, st_session_windows
+# That fills 46 of 50; the remaining 4 slots go to round-6 additions
 # and changed-code canaries.
 
 
