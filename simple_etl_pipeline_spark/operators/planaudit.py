@@ -1,0 +1,128 @@
+"""Plan auditing as a library API — the scale rules this repo enforces
+in its test suite (tests/test_plan_shapes.py, tools/plan_dump.py),
+packaged so a PIPELINE can assert them in CI before a query ever runs
+at 100 TB:
+
+- no CartesianProduct (quadratic execution);
+- no non-Cross BroadcastNestedLoopJoin (a join that found no equi keys);
+- no row-at-a-time Python UDF on the data path (BatchEvalPython —
+  Arrow-batched pandas UDFs show as ArrowEvalPython and are allowed);
+- optionally: a filter actually pushed to the scan, a bounded number
+  of shuffles, a scan pruned to an expected column count.
+
+The audit reads the FORMATTED physical plan string — the same evidence
+PLANS.md records — so a finding cites the offending node verbatim.
+This runs at plan time (no job is executed) and costs milliseconds:
+the cheap pre-flight a scheduled 100 TB job wants, because the
+alternative is discovering the cartesian product three hours in.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """The formatted physical plan (what ``df.explain('formatted')``
+    prints) as a string."""
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+@dataclass
+class PlanAudit:
+    """Result of :func:`audit_plan`: findings is empty iff the plan
+    passed every enabled rule."""
+
+    findings: list[str] = field(default_factory=list)
+    plan: str = ""
+
+    @property
+    def ok(self) -> bool:
+        return not self.findings
+
+
+def _scan_read_schemas(plan: str) -> list[str]:
+    return [seg.splitlines()[0] for seg in plan.split("ReadSchema: ")[1:]]
+
+
+def audit_plan(
+    df: DataFrame,
+    *,
+    forbid_cartesian: bool = True,
+    forbid_python_row_udf: bool = True,
+    max_shuffles: int | None = None,
+    require_pushed_filter: bool = False,
+    max_scan_columns: int | None = None,
+) -> PlanAudit:
+    """Audit a DataFrame's physical plan against the scale rules.
+
+    Raises nothing — returns a :class:`PlanAudit`; callers gate with
+    ``assert audit.ok, audit.findings`` (tests) or log the findings
+    (scheduled jobs). ``max_shuffles`` counts Exchange nodes in the
+    attributed plan tree; AQE may later coalesce them, so treat it as
+    an upper bound on planned shuffles, not runtime ones."""
+    plan = formatted_plan(df)
+    out = PlanAudit(plan=plan)
+
+    if forbid_cartesian:
+        if "CartesianProduct" in plan:
+            out.findings.append("CartesianProduct in plan")
+        # a BroadcastNestedLoopJoin that is not an audited Cross join
+        # means a join condition failed to produce equi keys
+        bnlj = [
+            line
+            for line in plan.splitlines()
+            if "BroadcastNestedLoopJoin" in line and "Build" in line
+        ]
+        bad = [line for line in bnlj if "Cross" not in line]
+        if bad:
+            out.findings.append(
+                f"non-Cross BroadcastNestedLoopJoin: {bad[0].strip()}"
+            )
+
+    if forbid_python_row_udf and "BatchEvalPython" in plan:
+        out.findings.append(
+            "row-at-a-time Python UDF on the data path (BatchEvalPython); "
+            "use a pandas_udf (ArrowEvalPython) or a Column expression"
+        )
+
+    if max_shuffles is not None:
+        n = sum(
+            1
+            for line in plan.splitlines()
+            if line.lstrip().startswith("Exchange")
+            or " Exchange " in f" {line.strip()} "
+        )
+        # the formatted tree lists each Exchange once in the summary
+        # tree and once in the detail section; count detail headers
+        n_detail = sum(
+            1
+            for line in plan.splitlines()
+            if line.startswith("(") and ") Exchange" in line
+        )
+        n = n_detail or n
+        if n > max_shuffles:
+            out.findings.append(f"{n} shuffles > allowed {max_shuffles}")
+
+    if require_pushed_filter and "PushedFilters: [" in plan:
+        pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+        if not pushed.strip():
+            out.findings.append("no filter pushed to any scan")
+    elif require_pushed_filter:
+        out.findings.append("no PushedFilters section in any scan")
+
+    if max_scan_columns is not None:
+        for schema in _scan_read_schemas(plan):
+            ncols = schema.count(":")
+            if ncols > max_scan_columns:
+                out.findings.append(
+                    f"scan reads {ncols} columns > allowed "
+                    f"{max_scan_columns}: {schema[:120]}"
+                )
+
+    return out

@@ -1,0 +1,74 @@
+"""operators/planaudit: the plan-audit API must flag exactly the
+anti-patterns the repo's own plan-shape suite forbids, and pass the
+plans that suite blesses."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from simple_etl_pipeline_spark.operators.planaudit import audit_plan
+from simple_etl_pipeline_spark.schemas import load_table
+
+
+def test_clean_star_join_passes(spark, sf_dir):
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    df = nation.join(
+        F.broadcast(region),
+        nation.n_regionkey == region.r_regionkey,
+    ).select("n_name", "r_name")
+    audit = audit_plan(df)
+    assert audit.ok, audit.findings
+
+
+def test_cartesian_is_flagged(spark, sf_dir):
+    # with a broadcastable side Spark plans a Cross BNLJ — the audited
+    # 1-row-broadcast pattern the audit deliberately allows; disabling
+    # auto-broadcast yields the CartesianProduct the audit must flag
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        nation = load_table(spark, sf_dir, "nation")
+        region = load_table(spark, sf_dir, "region")
+        audit = audit_plan(nation.crossJoin(region))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert not audit.ok
+    assert any("Cartesian" in f for f in audit.findings)
+
+
+def test_row_python_udf_is_flagged_and_pandas_udf_passes(spark, sf_dir):
+    from pyspark.sql.functions import pandas_udf, udf
+
+    nation = load_table(spark, sf_dir, "nation")
+    row_udf = udf(lambda s: (s or "").upper(), "string")
+    flagged = audit_plan(nation.select(row_udf("n_name").alias("u")))
+    assert any("BatchEvalPython" in f for f in flagged.findings)
+
+    @pandas_udf("string")
+    def vec_upper(s):
+        return s.str.upper()
+
+    ok = audit_plan(nation.select(vec_upper("n_name").alias("u")))
+    assert ok.ok, ok.findings
+
+
+def test_shuffle_budget_and_scan_pruning(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = (
+        li.filter(F.col("l_quantity") < 10)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    audit = audit_plan(
+        agg,
+        max_shuffles=1,
+        require_pushed_filter=True,
+        max_scan_columns=2,  # l_quantity + l_returnflag
+    )
+    assert audit.ok, audit.findings
+    # the same query under a 0-shuffle budget must fail
+    assert not audit_plan(agg, max_shuffles=0).ok
+    # a select * scan breaks the column budget
+    wide = audit_plan(li.limit(5), max_scan_columns=2)
+    assert not wide.ok
