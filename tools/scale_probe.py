@@ -166,6 +166,15 @@ ST_PROBE_QUERIES = [
     "st_session_windows",
     # applyInPandasWithState: per-user open-interval state (~40 B/key)
     "st_scd2_users",
+    # watermarked dropDuplicates: state ∝ distinct keys in the
+    # watermark horizon, not the stream
+    "st_dedup_events",
+    # stream-stream interval join: both state stores watermark-bounded
+    "st_stream_stream_join",
+    # stream-static: the batch moments side is a broadcast, state-free
+    "st_static_zscore",
+    # applyInPandasWithState running totals: per-user counter state
+    "st_user_totals_stateful",
 ]
 
 
