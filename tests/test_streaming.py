@@ -220,3 +220,27 @@ def test_tws_matches_oracle(spark, sf_dir):
     compare_with_oracle(
         st_user_totals_tws(spark, sf_dir), ST_USER_TOTALS_ORACLE, sf_dir
     )
+
+
+def test_bucketed_state_equals_per_key_and_oracle(spark, sf_dir):
+    """user_totals_bucketed (one Python call per 64-user bucket per
+    batch) must produce exactly the per-key operator's totals and
+    match the DuckDB oracle — proving the amortization is a pure
+    cost-model change, not a semantics change."""
+    from simple_etl_pipeline_spark.streaming.stateful import (
+        ST_USER_TOTALS_ORACLE,
+        st_user_totals_bucketed,
+        st_user_totals_stateful,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    bucketed = st_user_totals_bucketed(spark, sf_dir)
+    compare_with_oracle(bucketed, ST_USER_TOTALS_ORACLE, sf_dir)
+    per_key = {
+        r.user_id: (r.n_events, r.sum_value)
+        for r in st_user_totals_stateful(spark, sf_dir).collect()
+    }
+    got = {
+        r.user_id: (r.n_events, r.sum_value) for r in bucketed.collect()
+    }
+    assert got == per_key
