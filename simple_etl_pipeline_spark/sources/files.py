@@ -92,3 +92,31 @@ def write_orc(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Raw-blob ingest via Spark's built-in binaryFile source: one row
+    per file with (path, modificationTime, length, content binary) —
+    the front door of the multimodal pipeline (multimodal/features.py
+    consumes exactly this shape after the blobs land in parquet).
+
+    Scale notes: the source parallelizes over files (one task per
+    file-split), so millions of small blobs want the directory
+    pre-compacted or the read followed by a repartition before heavy
+    decode UDFs; `max_bytes` maps to the source's pathGlobFilter-
+    independent guard `spark.sql.sources.binaryFile.maxLength` —
+    oversized files fail fast instead of OOMing an executor mid-decode.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if max_bytes is not None:
+        spark.conf.set(
+            "spark.sql.sources.binaryFile.maxLength", str(max_bytes)
+        )
+    return reader.load(path)

@@ -125,3 +125,16 @@ def test_schema_evolution_recursive_layout(spark, tmp_path):
     assert read_parquet_evolved(spark, path, sch).count() == 0
     back = read_parquet_evolved(spark, path, sch, recursiveFileLookup=True)
     assert back.count() == 4
+
+
+def test_read_binary_files(spark, tmp_path):
+    from simple_etl_pipeline_spark.sources.files import read_binary_files
+
+    blobs = {"a.bin": b"\x00\x01\x02", "b.bin": b"hello", "c.txt": b"x"}
+    for name, payload in blobs.items():
+        (tmp_path / name).write_bytes(payload)
+    df = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = {r.path.rsplit("/", 1)[-1]: bytes(r.content) for r in df.collect()}
+    assert rows == {"a.bin": b"\x00\x01\x02", "b.bin": b"hello"}
+    cols = set(df.columns)
+    assert {"path", "modificationTime", "length", "content"} <= cols
