@@ -140,3 +140,69 @@ def test_gopher_repetition_matches_python_reference(spark, tmp_path):
     assert set(got) == set(range(len(texts)))
     for i, t in enumerate(texts):
         assert got[i] == _py_repetition(t), (i, t, got[i], _py_repetition(t))
+
+
+# --- rot60 gram-key composition: python reference vs both engines ---------
+def _py_md5_hash60(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_rot60(h: int, s: int) -> int:
+    if s == 0:
+        return h
+    return ((h & ((1 << (60 - s)) - 1)) << s) | (h >> (60 - s))
+
+
+def test_rot60_composition_matches_python_and_duckdb(spark):
+    """The span-dedup/repetition gram key — XOR of position-rotated
+    60-bit token hashes — recomputed three ways (python reference,
+    Spark Columns, DuckDB SQL) over a fixed token list: all equal, and
+    every value stays in [0, 2^60) (no sign flip in either BIGINT)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from simple_etl_pipeline_spark.functions.text import (
+        GRAM_ROT_STEP,
+        md5_hash60,
+        rot60,
+        sql_md5_hash60,
+        sql_rot60,
+    )
+
+    toks = ["alpha", "beta", "gamma", "delta", "epsilon", "beta", "alpha"]
+    n = 5
+    th = [_py_md5_hash60(t) for t in toks]
+    expected = []
+    for i in range(len(toks) - n + 1):
+        gh = th[i]
+        for j in range(1, n):
+            gh ^= _py_rot60(th[i + j], (GRAM_ROT_STEP * j) % 60)
+        assert 0 <= gh < (1 << 60)
+        expected.append(gh)
+
+    # Spark: same composition over literal columns
+    cols = []
+    for i in range(len(toks) - n + 1):
+        gh = md5_hash60(F.lit(toks[i]))
+        for j in range(1, n):
+            gh = gh.bitwiseXOR(
+                rot60(md5_hash60(F.lit(toks[i + j])), (GRAM_ROT_STEP * j) % 60)
+            )
+        cols.append(gh.alias(f"g{i}"))
+    got_spark = list(spark.range(1).select(*cols).first())
+    assert got_spark == expected
+
+    # DuckDB: the sql twins
+    exprs = []
+    for i in range(len(toks) - n + 1):
+        gh = f"({sql_md5_hash60(repr(toks[i]))})"
+        for j in range(1, n):
+            gh = (
+                f"xor({gh}, "
+                f"{sql_rot60(sql_md5_hash60(repr(toks[i + j])), (GRAM_ROT_STEP * j) % 60)})"
+            )
+        exprs.append(gh)
+    got_duck = list(duckdb.sql("SELECT " + ", ".join(exprs)).fetchone())
+    assert got_duck == expected
