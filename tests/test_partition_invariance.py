@@ -29,6 +29,17 @@ INVARIANT_QUERIES = [
     "txt_winnow_fingerprint",
     "agg_salted_sum",
     "sim_quantize_int8",
+    # round 5: exact-integer ppm/microbit arithmetic, md5-bucket draws,
+    # rot60 gram keys, fixed-point projection folds and the 6-dp BM25
+    # ln — each would diverge under partition-order-dependent floats
+    "txt_mixture_manifest",
+    "txt_gopher_repetition",
+    "txt_char_entropy",
+    "txt_kl_drift",
+    "weighted_sample",
+    "bm25_topk",
+    "sim_rp_recall",
+    "skip_bloom_stats",
 ]
 
 
