@@ -148,8 +148,13 @@ def txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[F.lit(m) for _, m in _LANG_MARKERS]),
         (F.col("doc_id") % 5 + 1).cast("int"),
     )
+    # coalesce: Spark's concat is null-propagating while DuckDB's
+    # concat skips NULLs — a null text would null the whole augmented
+    # string here but not in the oracle (edge-corpus finding, round 5)
     aug = F.concat(
-        "text", F.lit(" "), F.repeat(F.concat(marker, F.lit(" ")), (F.col("doc_id") % 4 + 20).cast("int"))
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" "),
+        F.repeat(F.concat(marker, F.lit(" ")), (F.col("doc_id") % 4 + 20).cast("int")),
     )
     padded = F.concat(F.lit(" "), aug, F.lit(" "))
     occs = {

@@ -50,6 +50,27 @@ ADVERSARIAL_QUERIES = [
     "weighted_sample",
     "inverted_index",
     "bm25_topk",
+    # round 5 widening: every other documents-only oracle query must
+    # hash-match DuckDB on the edge corpus too
+    "txt_langid",
+    "txt_ngram_freq",
+    "txt_tfidf_top_term",
+    "txt_training_corpus",
+    "txt_bpe_tokens",
+    "txt_winnow_fingerprint",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_components",
+    "txt_pii_redact",
+    "txt_contamination",
+    "txt_sample_stratified",
+    "txt_pack_sequences",
+    "txt_rare_token_ratio",
+    "txt_bloom_contamination",
+    "txt_dsir_weights",
+    "dedup_ngram_spans",
 ]
 
 
