@@ -96,13 +96,17 @@ def ev_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Sessionization in ANSI SQL: a new session starts when the gap from the
-# previous event is >= 30 min (Spark sessions are [start, last+gap), so an
-# event landing exactly at prev_ts + gap opens a new session).
+# previous event EXCEEDS 30 min — Spark's session window is
+# [start, last+gap] INCLUSIVE at the close boundary: an event landing
+# exactly at prev_ts + gap MERGES into the session (verified against
+# F.session_window on a boundary-aligned adversarial corpus, round 5;
+# the earlier ">=" rule agreed on all real testdata only because
+# microsecond-random timestamps never hit the boundary exactly).
 EV_SESSION_ORACLE = f"""
 WITH marked AS (
   SELECT user_id, ts, event_id, value,
     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 30 MINUTE
+           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
          THEN 1 ELSE 0 END AS is_new
   FROM events
 ), numbered AS (
@@ -140,8 +144,8 @@ def ev_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EV_JSON_ORACLE = f"""
 SELECT event_type,
-  {sql_dsum("TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)")} AS sum_k,
-  COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+  {sql_dsum("TRY_CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT)")} AS sum_k,
+  COUNT(TRY_CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT)) AS n_with_k,
   COUNT(*) AS n_events
 FROM events GROUP BY event_type ORDER BY event_type
 """
@@ -407,9 +411,14 @@ def ev_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     each field access is a cheap binary probe — the right shape when a
     100 TB event table carries many-keyed props read by several fields
     per query. Same oracle family as the string-JSON twin, so the two
-    paths are proven value-identical."""
+    paths are proven value-identical.
+
+    try_parse_json, not parse_json: the plain form FAILFASTs the whole
+    job on one malformed record (verified) — at 100 TB a crawled props
+    column WILL contain junk, and null-on-malformed is the contract
+    the string-JSON twin (get_json_object) already has."""
     ev = load_table(spark, sf_dir, "events")
-    v = F.parse_json("props")
+    v = F.try_parse_json("props")
     k = F.try_variant_get(v, "$.k", "long")
     return (
         ev.select("event_type", k.alias("k"))
@@ -428,7 +437,7 @@ def ev_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 EV_JSON_VARIANT_ORACLE = """
 WITH t AS (
   SELECT event_type,
-    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    TRY_CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT) AS k
   FROM events
 )
 SELECT event_type, COUNT(*) AS n_events, COUNT(k) AS n_with_k,
@@ -819,9 +828,11 @@ def ev_overlap_incident_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 EV_OVERLAP_ORACLE = f"""
 WITH marked AS (
   SELECT user_id, ts, event_id,
+    -- strict >: Spark's session close boundary is inclusive (an event
+    -- at exactly prev_ts + gap merges) — see EV_SESSION_ORACLE's note
     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
            OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-              >= INTERVAL 30 MINUTE
+              > INTERVAL 30 MINUTE
          THEN 1 ELSE 0 END AS is_new
   FROM events
 ), numbered AS (
