@@ -80,8 +80,17 @@ def cosine_dec(a: Column | str, b: Column | str) -> Column:
     correctly-rounded IEEE ops on identical inputs — so the cosine is
     bit-identical too, and a 6-dp round can never flip between
     engines. Use for argmax cell assignment and threshold comparisons
-    where a 1-ulp boundary flip would change the result set."""
-    return dot_dec(a, b) / (F.sqrt(dot_dec(a, a)) * F.sqrt(dot_dec(b, b)))
+    where a 1-ulp boundary flip would change the result set.
+
+    Zero-norm guard (nullif): a zero vector (failed encoder output —
+    real at 100 TB) would otherwise give NaN/Inf in Spark but NULL in
+    DuckDB (which nulls on division by zero), and Spark ORDERS NaN
+    ABOVE every double while NULL sorts last — so a dead vector would
+    silently win every top-k on one engine only. NULL on both sides
+    ranks it last everywhere (adversarial-embeddings finding, r5)."""
+    return dot_dec(a, b) / F.nullif(
+        F.sqrt(dot_dec(a, a)) * F.sqrt(dot_dec(b, b)), F.lit(0.0)
+    )
 
 
 def sql_dot_dec(a: str, b: str) -> str:

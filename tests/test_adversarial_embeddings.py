@@ -1,0 +1,93 @@
+"""Adversarial EMBEDDINGS corpus through the driver's exact oracle
+compare — zero vectors (failed encoder output), exact duplicates,
+antipodal pairs, single-hot axes, near-underflow magnitudes and a
+skewed label. Every embeddings-only oracle query must hash-match
+DuckDB on it. (Magnitudes stay inside dot_dec's documented
+sum|x*y| < 8.4e6 precondition — violating a documented contract is a
+different test's job.)
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import __spark_entry__ as entrymod
+from simple_etl_pipeline_spark.schemas import TESTDATA_TABLES
+from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+DIM = 64
+
+
+def _vec(fn) -> list[float]:
+    return [float(fn(i)) for i in range(DIM)]
+
+
+EDGE_VECS = [
+    # (vec_id, embedding, label) — vec_id < 10 are the query panel
+    (0, _vec(lambda i: 0.0), 0),  # zero QUERY vector (NaN/NULL hazard)
+    (1, _vec(lambda i: 1.0 if i == 0 else 0.0), 0),  # single-hot
+    (2, _vec(lambda i: -1.0 if i == 0 else 0.0), 1),  # its antipode
+    (3, _vec(lambda i: ((i * 7) % 13 - 6) / 3.0), 1),
+    (4, _vec(lambda i: ((i * 7) % 13 - 6) / 3.0), 2),  # exact dup of 3
+    (5, _vec(lambda i: 1e-18), 2),  # underflows the 2^-40 fixed point
+    (6, _vec(lambda i: 100.0 if i < 8 else 0.0), 3),  # large but in-contract
+    (7, _vec(lambda i: (i - 32) / 10.0), 3),
+    (8, _vec(lambda i: (32 - i) / 10.0), 4),  # antipode of 7
+    (9, _vec(lambda i: 0.25), 4),
+    # corpus side: a zero candidate too, plus structured fillers
+    (10, _vec(lambda i: 0.0), 0),
+    (11, _vec(lambda i: ((i * 11) % 17 - 8) / 4.0), 0),
+    *[
+        (12 + k, _vec(lambda i, k=k: ((i * (3 + k)) % 19 - 9) / 5.0), k % 6)
+        for k in range(30)
+    ],
+]
+
+ADVERSARIAL_SIM_QUERIES = [
+    "sim_knn_brute",
+    "sim_ann_lsh",
+    "sim_centroids_by_label",
+    "sim_ivf_topk",
+    "sim_ivf_recall",
+    "sim_quantize_int8",
+    "sim_pq_adc",
+    "sim_ivfpq_topk",
+    "sim_mrl_recall",
+    "sim_rp_recall",
+    "sim_kmeans_lloyd",
+    "dedup_embedding_cosine",
+    "dedup_semdedup",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_emb_dir(spark, sf_dir, tmp_path_factory) -> str:
+    d = tmp_path_factory.mktemp("edge_emb")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in EDGE_VECS], pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in EDGE_VECS], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[2] for r in EDGE_VECS], pa.int32()),
+        }
+    )
+    pq.write_table(table, str(d / "embeddings.parquet"))
+    for t in TESTDATA_TABLES:
+        if t != "embeddings":
+            os.symlink(f"{sf_dir}/{t}.parquet", str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", ADVERSARIAL_SIM_QUERIES)
+def test_edge_embeddings_oracle_parity(spark, edge_emb_dir, name):
+    df = QUERIES[name](spark, edge_emb_dir)
+    compare_with_oracle(df, ORACLES[name], edge_emb_dir)
