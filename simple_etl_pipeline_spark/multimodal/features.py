@@ -40,7 +40,11 @@ def with_blob_column(docs: DataFrame) -> DataFrame:
     mime = F.element_at(
         F.array(*[F.lit(m) for m in _MIMES]), (F.col("doc_id") % 3 + 1).cast("int")
     )
-    return docs.select(
+    # NULL payloads (a failed fetch/transcode at 100 TB) carry nothing
+    # to process and would crash len() inside the Arrow-batched
+    # extractors — dropped at the source, mirrored by the oracles'
+    # text IS NOT NULL (adversarial-corpus finding, round 5)
+    return docs.filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.col("text").cast("binary").alias("blob"),
         mime.alias("mime"),
@@ -125,9 +129,17 @@ def sample_frames(df: DataFrame, frame_bytes: int = 64, every: int = 4) -> DataF
                 for i in range(0, n_frames, every):
                     out["doc_id"].append(doc_id)
                     out["frame_idx"].append(i)
+                    # md5 over the UPPERCASE HEX of the frame bytes —
+                    # not the raw bytes — because the DuckDB oracle's
+                    # md5() accepts only VARCHAR and a byte window may
+                    # split a multi-byte char (not valid utf-8); the
+                    # hex form is an equally exact content key
                     out["frame_md5"].append(
                         hashlib.md5(
                             blob[i * frame_bytes : (i + 1) * frame_bytes]
+                            .hex()
+                            .upper()
+                            .encode()
                         ).hexdigest()
                     )
             yield pd.DataFrame(out).astype(
@@ -168,7 +180,10 @@ def resize_blob(df: DataFrame, target: int = 32) -> DataFrame:
                     blob[(i * len(blob)) // target] for i in range(target)
                 )
                 out["doc_id"].append(doc_id)
-                out["resized_md5"].append(hashlib.md5(sampled).hexdigest())
+                # md5 of the uppercase hex (see sample_frames note)
+                out["resized_md5"].append(
+                    hashlib.md5(sampled.hex().upper().encode()).hexdigest()
+                )
                 out["resized_sum"].append(sum(sampled))
                 out["resized_mean"].append(sum(sampled) / float(target))
             yield pd.DataFrame(out).astype(

@@ -34,7 +34,7 @@ SELECT doc_id,
   (['image/png', 'audio/wav', 'video/mp4'])[(doc_id % 3) + 1] AS mime,
   octet_length(encode(text)) AS size_bytes,
   md5(text) AS content_md5
-FROM documents ORDER BY doc_id
+FROM documents WHERE text IS NOT NULL ORDER BY doc_id
 """
 
 
@@ -43,15 +43,27 @@ def mm_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_blob_features(with_blob_column(docs)).orderBy("doc_id")
 
 
+# Byte iteration via hex(encode(text)) — ord(substr(text, i, 1)) walks
+# CODE POINTS, which coincides with bytes only on ASCII; a CJK payload
+# diverged (adversarial-corpus finding, round 5). Each byte is the
+# hex pair at (2i-1, 2).
 MM_BLOB_FEATURES_ORACLE = """
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS sz
+  FROM documents WHERE text IS NOT NULL
+)
 SELECT doc_id,
   (['image/png', 'audio/wav', 'video/mp4'])[(doc_id % 3) + 1] AS mime,
-  octet_length(encode(text)) AS size_bytes,
-  CAST(list_sum(list_transform(generate_series(1, length(text)),
-       i -> ord(substr(text, i, 1)))) AS DOUBLE) / octet_length(encode(text)) AS mean_byte,
-  CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
-  CAST(octet_length(encode(text)) % 480 AS INTEGER) AS height
-FROM documents ORDER BY doc_id
+  sz AS size_bytes,
+  CASE WHEN sz = 0 THEN 0.0
+  ELSE CAST(list_sum(list_transform(generate_series(1, sz),
+       i -> CAST(concat('0x', substr(hx, 2*i - 1, 2)) AS INT))) AS DOUBLE)
+       / sz
+  END AS mean_byte,
+  CAST(sz % 640 AS INTEGER) AS width,
+  CAST(sz % 480 AS INTEGER) AS height
+FROM b ORDER BY doc_id
 """
 
 
@@ -68,12 +80,16 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# frames are BYTE windows: slice the hex string (2 chars/byte) and
+# md5 the unhexed bytes — char-based substr diverges on multi-byte text
 MM_FRAME_SAMPLE_ORACLE = """
 WITH v AS (
-  SELECT doc_id, text, octet_length(encode(text)) AS sz
-  FROM documents WHERE doc_id % 3 = 2
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS sz
+  FROM documents WHERE doc_id % 3 = 2 AND text IS NOT NULL
 )
-SELECT doc_id, i AS frame_idx, md5(substr(text, i * 64 + 1, 64)) AS frame_md5
+SELECT doc_id, i AS frame_idx,
+  md5(substr(hx, i * 128 + 1, 128)) AS frame_md5
 FROM v, UNNEST(generate_series(0, sz // 64 - 1)) AS t(i)
 WHERE i % 4 = 0
 ORDER BY doc_id, frame_idx
@@ -91,21 +107,28 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_blob(images, target=32).orderBy("doc_id")
 
 
+# sampled BYTES via hex pairs: byte (i*sz)//32 is the pair at
+# 2*((i*sz)//32)+1; md5 runs over the unhexed reconstructed bytes
 MM_RESIZE_ORACLE = """
 WITH im AS (
-  SELECT doc_id, text, octet_length(encode(text)) AS sz
-  FROM documents WHERE doc_id % 3 = 0 AND octet_length(encode(text)) > 0
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS sz
+  FROM documents
+  WHERE doc_id % 3 = 0 AND text IS NOT NULL
+    AND octet_length(encode(text)) > 0
 ),
 s AS (
   SELECT doc_id,
     list_transform(generate_series(0, 31),
-                   i -> substr(text, (i * sz) // 32 + 1, 1)) AS chars
+                   i -> substr(hx, 2 * ((i * sz) // 32) + 1, 2)) AS pairs
   FROM im
 )
 SELECT doc_id,
-  md5(array_to_string(chars, '')) AS resized_md5,
-  CAST(list_sum(list_transform(chars, c -> ord(c))) AS BIGINT) AS resized_sum,
-  CAST(list_sum(list_transform(chars, c -> ord(c))) AS DOUBLE) / 32.0 AS resized_mean
+  md5(array_to_string(pairs, '')) AS resized_md5,
+  CAST(list_sum(list_transform(pairs, p -> CAST(concat('0x', p) AS INT)))
+       AS BIGINT) AS resized_sum,
+  CAST(list_sum(list_transform(pairs, p -> CAST(concat('0x', p) AS INT)))
+       AS DOUBLE) / 32.0 AS resized_mean
 FROM s ORDER BY doc_id
 """
 
@@ -156,7 +179,7 @@ WITH b AS (
   SELECT doc_id,
     (['image/png', 'audio/wav', 'video/mp4'])[(doc_id % 3) + 1] AS mime,
     md5(text) AS h
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ), per_hash AS (
   SELECT mime, h, COUNT(*) AS copies, MIN(doc_id) AS survivor
   FROM b GROUP BY mime, h

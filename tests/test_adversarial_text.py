@@ -29,6 +29,10 @@ EDGE_DOCS = [
     (8, None, "en", "s4"),                                # null text
     (9, "the the the the the a a a a a", "en", "s5"),     # stopword soup
     (10, "x", "de", "s5"),                                # minimal
+    # long multi-byte payloads: 11 % 3 = 2 -> video (frame windows),
+    # 12 % 3 = 0 -> image (resize) — byte-vs-codepoint oracle hazard
+    (11, "中文 视频 内容 " * 40, "zh", "s6"),
+    (12, "图像 数据 样本 " * 30, "zh", "s6"),
 ]
 
 ADVERSARIAL_QUERIES = [
@@ -71,6 +75,13 @@ ADVERSARIAL_QUERIES = [
     "txt_bloom_contamination",
     "txt_dsir_weights",
     "dedup_ngram_spans",
+    # multimodal: blobs synthesized from documents, so the edge corpus
+    # (empty/null text -> empty/null payloads) exercises them too
+    "mm_binary_meta",
+    "mm_blob_features",
+    "mm_frame_sample",
+    "mm_resize",
+    "mm_dedup_blobs",
 ]
 
 
