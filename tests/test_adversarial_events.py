@@ -79,6 +79,16 @@ ADVERSARIAL_EV_QUERIES = [
     "ev_range_join_nearby",
     "ev_overlap_incident_sessions",
     "ev_range_join_incidents",
+    # streaming twins: availableNow replay over the same edge corpus —
+    # watermark/state paths must reproduce the corrected batch oracles
+    # (incl. the inclusive session-gap boundary) exactly
+    "st_tumbling_hourly",
+    "st_sliding_windows",
+    "st_session_windows",
+    "st_dedup_events",
+    "st_user_totals_stateful",
+    "st_scd2_users",
+    "st_static_zscore",
 ]
 
 
