@@ -82,14 +82,18 @@ def cosine_dec(a: Column | str, b: Column | str) -> Column:
     engines. Use for argmax cell assignment and threshold comparisons
     where a 1-ulp boundary flip would change the result set.
 
-    Zero-norm guard (nullif): a zero vector (failed encoder output —
-    real at 100 TB) would otherwise give NaN/Inf in Spark but NULL in
-    DuckDB (which nulls on division by zero), and Spark ORDERS NaN
+    Zero-norm guard (try_divide): a zero vector (failed encoder output
+    — real at 100 TB) would otherwise give NaN/Inf in Spark but NULL
+    in DuckDB (which nulls on division by zero), and Spark ORDERS NaN
     ABOVE every double while NULL sorts last — so a dead vector would
-    silently win every top-k on one engine only. NULL on both sides
-    ranks it last everywhere (adversarial-embeddings finding, r5)."""
-    return dot_dec(a, b) / F.nullif(
-        F.sqrt(dot_dec(a, a)) * F.sqrt(dot_dec(b, b)), F.lit(0.0)
+    silently win every top-k on one engine only. try_divide yields
+    NULL on both sides, ranking it last everywhere
+    (adversarial-embeddings finding, r5). try_divide, NOT
+    nullif(denominator, 0): nullif expands to a CASE that repeats its
+    first argument, re-running both norm folds per pair — measured 3x
+    on sim_knn_brute."""
+    return F.try_divide(
+        dot_dec(a, b), F.sqrt(dot_dec(a, a)) * F.sqrt(dot_dec(b, b))
     )
 
 
