@@ -130,15 +130,44 @@ def sql_rot60(e: str, s: int) -> str:
     return f"(((({e}) & {low}) << {s}) | (({e}) >> {60 - s}))"
 
 
+# ASCII-only case fold for the fingerprint: a table-driven translate,
+# NOT lower() — engines ship different Unicode versions and their case
+# tables disagree on newer blocks (hypothesis found U+10570, whose
+# lowercase mapping Java applies but DuckDB does not), so a
+# Unicode-aware lower() makes the exact-dup key engine-dependent.
+# ASCII folding is deterministic everywhere; non-ASCII case is kept,
+# which an exact-dup key can afford (aggressive Unicode case-folding
+# is locale-fraught anyway).
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
 def fingerprint_col(c: Column | str) -> Column:
-    """Document fingerprint: md5 of the whitespace-normalized, lowercased
-    text (the reference has no fingerprinting; this is the standard
-    exact-dup key for a 100 TB corpus — cheap, shuffle-friendly, and a
-    stable join key across runs)."""
+    """Document fingerprint: md5 of the whitespace-normalized,
+    ASCII-case-folded text (the reference has no fingerprinting; this
+    is the standard exact-dup key for a 100 TB corpus — cheap,
+    shuffle-friendly, and a stable join key across runs and ENGINES;
+    see the _ASCII_UPPER note)."""
     c = F.col(c) if isinstance(c, str) else c
     # explicit class + strip, not \s/trim (see _WS_CLASS note)
     return F.md5(
-        F.regexp_replace(F.lower(_strip_ws(c)), _WS_CLASS + "+", " ")
+        F.regexp_replace(
+            F.translate(_strip_ws(c), _ASCII_UPPER, _ASCII_LOWER),
+            _WS_CLASS + "+",
+            " ",
+        )
+    )
+
+
+def sql_fingerprint(expr: str) -> str:
+    """DuckDB twin of :func:`fingerprint_col` — the ONE definition the
+    oracles interpolate (five inline copies collapsed here, round 5)."""
+    stripped = (
+        f"regexp_replace({expr}, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g')"
+    )
+    return (
+        f"md5(regexp_replace(translate({stripped}, "
+        f"'{_ASCII_UPPER}', '{_ASCII_LOWER}'), '[\\t\\n\\f\\r ]+', ' ', 'g'))"
     )
 
 

@@ -32,6 +32,7 @@ from simple_etl_pipeline_spark.functions.text import (
     md5_hash60,
     rot60,
     shingles_col,
+    sql_fingerprint,
     sql_md5_hash60,
     sql_rot60,
     sql_shingles,
@@ -297,7 +298,7 @@ def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 TXT_FINGERPRINT_ORACLE = f"""
 WITH corpus AS ({CORPUS_SQL})
 SELECT doc_id,
-  md5(regexp_replace(lower(regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g')), '[\\t\\n\\f\\r ]+', ' ', 'g')) AS fingerprint
+  {sql_fingerprint('text')} AS fingerprint
 FROM corpus ORDER BY doc_id
 """
 
@@ -316,7 +317,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_EXACT_ORACLE = f"""
 WITH corpus AS ({CORPUS_SQL})
-SELECT md5(regexp_replace(lower(regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g')), '[\\t\\n\\f\\r ]+', ' ', 'g')) AS fingerprint,
+SELECT {sql_fingerprint('text')} AS fingerprint,
        MIN(doc_id) AS kept_doc_id, COUNT(*) AS n_copies
 FROM corpus GROUP BY 1 ORDER BY kept_doc_id
 """
@@ -1110,7 +1111,7 @@ quality AS (
 survivors AS (
   SELECT MIN(doc_id) AS doc_id
   FROM quality
-  GROUP BY md5(regexp_replace(lower(regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g')), '[\\t\\n\\f\\r ]+', ' ', 'g'))
+  GROUP BY {sql_fingerprint('text')}
 )
 SELECT lang, COUNT(*) AS n_docs,
   CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
@@ -1520,7 +1521,7 @@ DEDUP_INCREMENTAL_ORACLE = f"""
 WITH corpus AS ({CORPUS_SQL}),
 fp AS (
   SELECT doc_id,
-    md5(regexp_replace(lower(regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g')), '[\\t\\n\\f\\r ]+', ' ', 'g')) AS fingerprint
+    {sql_fingerprint('text')} AS fingerprint
   FROM corpus
 ),
 index_side AS (
@@ -2016,7 +2017,7 @@ TXT_DATASET_CARD_ORACLE = f"""
 WITH base AS (
   SELECT lang, source, n_chars,
     len({sql_tokens('text')}) AS n_toks,
-    md5(regexp_replace(lower(regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g')), '[\\t\\n\\f\\r ]+', ' ', 'g')) AS fp
+    {sql_fingerprint('text')} AS fp
   FROM documents
 )
 SELECT COALESCE(lang, '__all__') AS lang, COUNT(*) AS n_docs,
