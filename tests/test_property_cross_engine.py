@@ -272,3 +272,84 @@ def test_integer_div_identical(spark, tmp_path_factory, pairs):
     ]
     assert got == exp
     assert got == [p[0] // p[1] for p in pairs]
+
+
+@_SETTINGS
+@given(st.lists(text_soup, min_size=1, max_size=20))
+def test_char_extraction_identical(spark, tmp_path_factory, values):
+    """txt_char_entropy's primitive: per-position substring(s, i, 1)
+    over sequence(1, length) must enumerate the SAME characters in
+    both engines for arbitrary unicode (both are code-point-based).
+    The empty-string guard mirrors the operator's length > 0 filter:
+    Spark's sequence(1, 0) is a DESCENDING [1, 0] while DuckDB's
+    generate_series(1, 0) is empty — every sequence-over-length use in
+    the repo must carry such a guard (char entropy filters length > 0;
+    the gram builders gate on size < n)."""
+    got, exp = _both_engines(
+        spark,
+        tmp_path_factory,
+        values,
+        lambda c: F.when(F.length(c) == 0, F.lit("")).otherwise(
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(c)),
+                    lambda i: F.substring(c, i, F.lit(1)),
+                ),
+                "|",
+            )
+        ),
+        lambda c: (
+            f"CASE WHEN length({c}) = 0 THEN '' ELSE "
+            f"array_to_string(list_transform(generate_series(1, length({c})),"
+            f" i -> substr({c}, CAST(i AS INT), 1)), '|') END"
+        ),
+    )
+    for v, g, x in zip(values, got, exp):
+        assert g == x, (repr(v), g, x)
+
+
+@_SETTINGS
+@given(st.lists(text_soup, min_size=1, max_size=20))
+def test_rot60_gram_keys_identical(spark, tmp_path_factory, values):
+    """The span-dedup/repetition gram keys (rot60 XOR composition of
+    per-token hashes) must match across engines for arbitrary unicode
+    tokens, not just the fixed list the three-way unit test pins."""
+    from simple_etl_pipeline_spark.functions.text import (
+        GRAM_ROT_STEP,
+        bind_once,
+        rot60,
+        sql_rot60,
+    )
+
+    n = 2
+
+    def spark_keys(c):
+        toks = tokens_col(c)
+        return bind_once(
+            F.transform(toks, lambda t: md5_hash60(t)),
+            lambda TH: F.when(
+                F.size(TH) < n, F.array().cast("array<bigint>")
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(TH) - (n - 1)),
+                    lambda i: F.element_at(TH, i).bitwiseXOR(
+                        rot60(F.element_at(TH, i + 1), GRAM_ROT_STEP)
+                    ),
+                )
+            ),
+        )
+
+    def duck_keys(c):
+        th = f"list_transform({sql_tokens(c)}, x -> {sql_md5_hash60('x')})"
+        return (
+            f"list_transform(generate_series(1, greatest(len({th}) - 1, 0)),"
+            f" i -> xor(({th})[i], {sql_rot60(f'({th})[i+1]', GRAM_ROT_STEP)}))"
+        )
+
+    got, exp = _both_engines(
+        spark, tmp_path_factory, values, spark_keys, duck_keys
+    )
+    for v, g, x in zip(values, got, exp):
+        assert list(g) == list(x), (repr(v), g, x)
+
+
