@@ -1275,6 +1275,102 @@ FROM perfile ORDER BY file_id
 SKIP_BLOOM_STATS_ORACLE = _skip_bloom_oracle()
 
 
+# --- CUPED variance reduction (round-6 prebuild: pytest-oracle, ------------
+# registration deferred to a round-6 window slot per the rotation ledger)
+CUPED_CUTOFF = "2024-01-16 00:00:00"
+
+
+def ev_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data, Deng et
+    al. 2013 WSDM): the variance-reduction statistic every
+    experimentation platform computes before reading an A/B metric.
+    Each user's PRE-period value sum is the covariate X, the
+    POST-period sum the metric Y; theta = cov(X,Y)/var(X) gives the
+    adjusted metric Y - theta(X - mean X), whose variance shrinks by
+    rho² — emitted here as (n_users, theta, rho2, mean_y).
+
+    Engine-exactness: per-user sums reduce in DECIMAL(38,6) (exact)
+    and convert to integer MICROS (exact ×1e6 of a 6-scale decimal);
+    all second moments (Sx, Sy, Sxx, Sxy, Syy) are then pure integer
+    arithmetic — DECIMAL(38,0) on the Spark side, HUGEINT in the
+    oracle, both exact far beyond these magnitudes. The final
+    theta/rho² divisions run in double on identical exact inputs and
+    round to 6 dp (the >2^53 integer→double conversion carries the
+    documented probabilistic 1-ulp caveat; deterministic on frozen
+    data).
+
+    Scale shape: one user-keyed aggregation with both periods as
+    conditional sums (single scan, no self-join), then a 1-row moment
+    rollup — the same two-level shape as ev_zscore_outliers. At
+    100 TB: a partition-pruned scan of the two periods and a
+    |users|-row intermediate."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(CUPED_CUTOFF).cast("timestamp")
+    pre = F.when(F.col("ts") < cutoff, F.col("value")).otherwise(F.lit(0.0))
+    post = F.when(F.col("ts") >= cutoff, F.col("value")).otherwise(F.lit(0.0))
+    per_user = ev.groupBy("user_id").agg(
+        (F.sum(pre.cast("decimal(38,6)")) * 1000000)
+        .cast("decimal(38,0)")
+        .alias("x"),
+        (F.sum(post.cast("decimal(38,6)")) * 1000000)
+        .cast("decimal(38,0)")
+        .alias("y"),
+    )
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    cov_n = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    varx_n = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vary_n = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.round(cov_n / varx_n, 6).alias("theta"),
+        F.round((cov_n * cov_n) / (varx_n * vary_n), 6).alias("rho2"),
+        F.round(
+            F.col("sy").cast("double") / 1e6 / F.col("n").cast("double"), 6
+        ).alias("mean_y"),
+    )
+
+
+EV_CUPED_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id,
+    CAST(SUM(CAST(CASE WHEN ts < TIMESTAMP '{CUPED_CUTOFF}'
+                       THEN value ELSE 0.0 END AS DECIMAL(38,6)))
+         * 1000000 AS HUGEINT) AS x,
+    CAST(SUM(CAST(CASE WHEN ts >= TIMESTAMP '{CUPED_CUTOFF}'
+                       THEN value ELSE 0.0 END AS DECIMAL(38,6)))
+         * 1000000 AS HUGEINT) AS y
+  FROM events GROUP BY user_id
+), m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+    SUM(x) AS sx, SUM(y) AS sy,
+    SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+  FROM per_user
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS theta,
+  round((CAST(n * sxy - sx * sy AS DOUBLE)
+         * CAST(n * sxy - sx * sy AS DOUBLE))
+        / (CAST(n * sxx - sx * sx AS DOUBLE)
+           * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho2,
+  round(CAST(sy AS DOUBLE) / 1e6 / CAST(n AS DOUBLE), 6) AS mean_y
+FROM m
+"""
+
+
 TAIL_QUERIES = {
     "skip_bloom_stats": skip_bloom_stats,
     "ev_heavy_hitters": ev_heavy_hitters,

@@ -341,3 +341,36 @@ def test_session_oracle_ties_match_spark(spark, tmp_path):
     )
     # session 1: the lone opener; session 2: BOTH tied events
     assert [n for _, n in out] == [1, 2], out
+
+
+# --- CUPED (round-6 prebuild: pytest-oracle until a window slot opens) ----
+def test_cuped_matches_oracle(spark, sf_dir):
+    from simple_etl_pipeline_spark.plans.events import EV_CUPED_ORACLE, ev_cuped
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    compare_with_oracle(ev_cuped(spark, sf_dir), EV_CUPED_ORACLE, sf_dir)
+
+
+def test_cuped_statistics_are_sane(spark, sf_dir):
+    """rho2 is a squared correlation (in [0, 1]); theta shares cov's
+    sign; mean_y is the plain post-period per-user mean."""
+    from pyspark.sql import functions as F
+
+    from simple_etl_pipeline_spark.plans.events import CUPED_CUTOFF, ev_cuped
+    from simple_etl_pipeline_spark.schemas import load_table
+
+    r = ev_cuped(spark, sf_dir).collect()[0]
+    assert r.n_users > 0
+    assert 0.0 <= r.rho2 <= 1.0
+    ev = load_table(spark, sf_dir, "events")
+    post = ev.filter(
+        F.col("ts") >= F.lit(CUPED_CUTOFF).cast("timestamp")
+    )
+    mean_y = (
+        post.groupBy("user_id")
+        .agg(F.sum("value").alias("y"))
+        .join(ev.select("user_id").distinct(), "user_id", "right")
+        .agg(F.avg(F.coalesce("y", F.lit(0.0))))
+        .collect()[0][0]
+    )
+    assert abs(r.mean_y - mean_y) < 1e-3
