@@ -158,9 +158,10 @@ _WINDOW = [
 #     ev_session_windows, ev_zscore_outliers, mm_dedup_blobs,
 #     st_dedup_index, st_session_windows
 # That fills 46 of 50; the remaining 4 slots go to round-6 additions
-# and changed-code canaries — first in line is the already-built
-# pytest-oracle prebuild ev_cuped (plans/events.py; oracle written,
-# tests/test_new_ops_invariants.py), the round-4 bm25-trio pattern.
+# and changed-code canaries — first in line are the already-built
+# pytest-oracle prebuilds ev_cuped and ev_attribution
+# (plans/events.py; oracles written, tests/test_new_ops_invariants.py),
+# the round-4 bm25-trio pattern.
 
 
 

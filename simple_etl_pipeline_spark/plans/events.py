@@ -1371,6 +1371,91 @@ FROM m
 """
 
 
+# --- last-touch attribution (round-6 prebuild: pytest-oracle) -------------
+def ev_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: each purchase credits its value
+    to the user's latest PRIOR (or simultaneous) non-purchase event's
+    type; purchases with no prior touch credit 'direct'. The marketing
+    -analytics composition of the as-of join: operators/asof.py
+    provides the latest-prior lookup (one keyed window shuffle, no
+    range explosion), a type rollup and a 1-row broadcast share
+    computation finish it.
+
+    Deterministic ties: equal-timestamp touches break by highest
+    event_id (right_tiebreak), mirrored by the oracle's
+    (ts DESC, event_id DESC) row_number — so the adversarial corpus's
+    same-timestamp events attribute identically in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    from simple_etl_pipeline_spark.operators.asof import asof_join
+
+    j = asof_join(
+        purchases,
+        touches,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload={"event_type": "attributed_type"},
+        right_tiebreak="event_id",
+    ).select(
+        F.coalesce("attributed_type", F.lit("direct")).alias(
+            "attributed_type"
+        ),
+        "value",
+    )
+    per_type = j.groupBy("attributed_type").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        dsum("value").alias("sum_value"),
+    )
+    total = j.agg(dsum("value").alias("total_value"))
+    return (
+        per_type.crossJoin(F.broadcast(total))
+        .select(
+            "attributed_type",
+            "n_purchases",
+            "sum_value",
+            F.round(F.col("sum_value") / F.col("total_value"), 6).alias(
+                "value_share"
+            ),
+        )
+        .orderBy("attributed_type")
+    )
+
+
+EV_ATTRIBUTION_ORACLE = f"""
+WITH p AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+), np AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE event_type != 'purchase'
+), ranked AS (
+  SELECT p.event_id AS pid, p.value, np.event_type AS at,
+    ROW_NUMBER() OVER (PARTITION BY p.event_id
+                       ORDER BY np.ts DESC, np.event_id DESC) AS rn
+  FROM p LEFT JOIN np
+    ON p.user_id = np.user_id AND np.ts <= p.ts
+), attributed AS (
+  SELECT COALESCE(at, 'direct') AS attributed_type, value
+  FROM ranked WHERE rn = 1
+), per_type AS (
+  SELECT attributed_type, COUNT(*) AS n_purchases,
+    {sql_dsum('value')} AS sum_value
+  FROM attributed GROUP BY attributed_type
+), tot AS (
+  SELECT {sql_dsum('value')} AS total_value FROM attributed
+)
+SELECT attributed_type, n_purchases, sum_value,
+  round(sum_value / total_value, 6) AS value_share
+FROM per_type, tot ORDER BY attributed_type
+"""
+
+
 TAIL_QUERIES = {
     "skip_bloom_stats": skip_bloom_stats,
     "ev_heavy_hitters": ev_heavy_hitters,

@@ -374,3 +374,36 @@ def test_cuped_statistics_are_sane(spark, sf_dir):
         .collect()[0][0]
     )
     assert abs(r.mean_y - mean_y) < 1e-3
+
+
+# --- last-touch attribution (round-6 prebuild) ----------------------------
+def test_attribution_matches_oracle(spark, sf_dir):
+    from simple_etl_pipeline_spark.plans.events import (
+        EV_ATTRIBUTION_ORACLE,
+        ev_attribution,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    compare_with_oracle(
+        ev_attribution(spark, sf_dir), EV_ATTRIBUTION_ORACLE, sf_dir
+    )
+
+
+def test_attribution_conserves_purchase_value(spark, sf_dir):
+    """Attribution is a PARTITION of purchases: counts and value sum to
+    the purchase totals and shares sum to 1."""
+    from pyspark.sql import functions as F
+
+    from simple_etl_pipeline_spark.plans.events import ev_attribution
+    from simple_etl_pipeline_spark.schemas import load_table
+
+    rows = ev_attribution(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    n, total = ev.agg(
+        F.count(F.lit(1)), F.sum(F.col("value").cast("decimal(38,6)"))
+    ).collect()[0]
+    assert sum(r.n_purchases for r in rows) == n
+    assert abs(sum(r.sum_value for r in rows) - float(total)) < 1e-6
+    assert abs(sum(r.value_share for r in rows) - 1.0) < 1e-5
