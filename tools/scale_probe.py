@@ -95,6 +95,11 @@ PROBE_QUERIES = [
     # (lang, token) count + token-keyed join of two aggregates — both
     # sides Zipf-collapsed map-side before any shuffle.
     "txt_kl_drift",
+    # multimodal members (blobs synthesized from documents): the
+    # Arrow-batched mapInPandas feature pass should track corpus BYTES,
+    # and the content-hash dedup is one keyed shuffle of 32-byte rows.
+    "mm_blob_features",
+    "mm_dedup_blobs",
 ]
 # Embedding-side probe (SPARK_GRAFT_PROBE=sim): vectors are perturbed
 # per copy (direction-dependent per-dim scaling), so LSH/sign buckets
