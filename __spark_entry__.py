@@ -159,9 +159,12 @@ _WINDOW = [
 #     st_dedup_index, st_session_windows
 # That fills 46 of 50; the remaining 4 slots go to round-6 additions
 # and changed-code canaries — first in line are the already-built
-# pytest-oracle prebuilds ev_cuped and ev_attribution
-# (plans/events.py; oracles written, tests/test_new_ops_invariants.py),
-# the round-4 bm25-trio pattern.
+# pytest-oracle prebuilds ev_cuped, ev_attribution and
+# ev_conversion_windows (plans/events.py; oracles written,
+# tests/test_new_ops_invariants.py), the round-4 bm25-trio pattern.
+# Note the r5-changed queries outside the r5 window (ev_session_windows,
+# ev_json_variant, dedup_exact's fingerprint fold) are all in the r6
+# MANDATORY set already, so their canary need is satisfied for free.
 
 
 

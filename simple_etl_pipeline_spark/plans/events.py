@@ -1456,6 +1456,103 @@ FROM per_type, tot ORDER BY attributed_type
 """
 
 
+# --- conversion-window funnel (round-6 prebuild: pytest-oracle) -----------
+CONVERSION_WINDOW_H = 24
+
+
+def ev_conversion_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-BOUNDED funnel conversion — the product-analytics form
+    ev_funnel (unbounded ordering) doesn't cover: a user converts iff
+    a purchase lands within CONVERSION_WINDOW_H hours AFTER their
+    first view, reported per first-view cohort day with the exact
+    mean time-to-convert in whole seconds (bigint floor-div — no
+    float averaging).
+
+    Scale shape: two user-keyed aggregations (first view, earliest
+    in-window purchase via a user-keyed join of two already-aggregated
+    per-user frames) and a day-sized rollup — never event × event; the
+    purchase side pre-aggregates per user BEFORE the join, so the join
+    is |users| × |purchasing users|-keyed, not event-fanned."""
+    ev = load_table(spark, sf_dir, "events")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(epoch_seconds("ts")).alias("fv"))
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", epoch_seconds("ts").alias("pt")
+    )
+    w = CONVERSION_WINDOW_H * 3600
+    per_user = (
+        fv.join(pur, "user_id", "left")
+        .withColumn(
+            "ok",
+            (F.col("pt") > F.col("fv")) & (F.col("pt") <= F.col("fv") + w),
+        )
+        .groupBy("user_id", "fv")
+        .agg(
+            F.max(F.col("ok").cast("int")).alias("converted"),
+            F.min(F.when(F.col("ok"), F.col("pt"))).alias("cvt"),
+        )
+    )
+    return (
+        per_user.withColumn(
+            "cohort_day", F.expr("(fv div 86400) * 86400")
+        )
+        .groupBy("cohort_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+            F.sum(F.when(F.col("converted") == 1, F.col("cvt") - F.col("fv")))
+            .cast("bigint")
+            .alias("sum_t2c_s"),
+        )
+        .select(
+            "cohort_day",
+            "n_users",
+            "n_converted",
+            F.round(
+                F.col("n_converted").cast("double") / F.col("n_users"), 6
+            ).alias("cvr"),
+            F.when(
+                F.col("n_converted") > 0,
+                F.expr("sum_t2c_s div n_converted"),
+            ).alias("mean_t2c_s"),
+        )
+        .orderBy("cohort_day")
+    )
+
+
+EV_CONVERSION_ORACLE = f"""
+WITH fv AS (
+  SELECT user_id, MIN({sql_epoch('ts')}) AS fv
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), pur AS (
+  SELECT user_id, {sql_epoch('ts')} AS pt
+  FROM events WHERE event_type = 'purchase'
+), per_user AS (
+  SELECT f.user_id, f.fv,
+    MAX(CASE WHEN p.pt > f.fv AND p.pt <= f.fv + {CONVERSION_WINDOW_H * 3600}
+             THEN 1 ELSE 0 END) AS converted,
+    MIN(CASE WHEN p.pt > f.fv AND p.pt <= f.fv + {CONVERSION_WINDOW_H * 3600}
+             THEN p.pt END) AS cvt
+  FROM fv f LEFT JOIN pur p ON f.user_id = p.user_id
+  GROUP BY f.user_id, f.fv
+), rolled AS (
+  SELECT (fv // 86400) * 86400 AS cohort_day,
+    COUNT(*) AS n_users,
+    CAST(SUM(converted) AS BIGINT) AS n_converted,
+    CAST(SUM(CASE WHEN converted = 1 THEN cvt - fv END) AS BIGINT)
+      AS sum_t2c_s
+  FROM per_user GROUP BY 1
+)
+SELECT cohort_day, n_users, n_converted,
+  round(CAST(n_converted AS DOUBLE) / n_users, 6) AS cvr,
+  CASE WHEN n_converted > 0 THEN sum_t2c_s // n_converted END AS mean_t2c_s
+FROM rolled ORDER BY cohort_day
+"""
+
+
 TAIL_QUERIES = {
     "skip_bloom_stats": skip_bloom_stats,
     "ev_heavy_hitters": ev_heavy_hitters,

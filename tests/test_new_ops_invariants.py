@@ -407,3 +407,33 @@ def test_attribution_conserves_purchase_value(spark, sf_dir):
     assert sum(r.n_purchases for r in rows) == n
     assert abs(sum(r.sum_value for r in rows) - float(total)) < 1e-6
     assert abs(sum(r.value_share for r in rows) - 1.0) < 1e-5
+
+
+# --- conversion-window funnel (round-6 prebuild) --------------------------
+def test_conversion_windows_matches_oracle(spark, sf_dir):
+    from simple_etl_pipeline_spark.plans.events import (
+        EV_CONVERSION_ORACLE,
+        ev_conversion_windows,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    compare_with_oracle(
+        ev_conversion_windows(spark, sf_dir), EV_CONVERSION_ORACLE, sf_dir
+    )
+
+
+def test_conversion_windows_bounds(spark, sf_dir):
+    from simple_etl_pipeline_spark.plans.events import (
+        CONVERSION_WINDOW_H,
+        ev_conversion_windows,
+    )
+
+    rows = ev_conversion_windows(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_converted <= r.n_users
+        assert 0.0 <= r.cvr <= 1.0
+        if r.n_converted > 0:
+            assert 0 <= r.mean_t2c_s <= CONVERSION_WINDOW_H * 3600
+        else:
+            assert r.mean_t2c_s is None
