@@ -109,12 +109,17 @@ def audit_plan(
         if n > max_shuffles:
             out.findings.append(f"{n} shuffles > allowed {max_shuffles}")
 
-    if require_pushed_filter and "PushedFilters: [" in plan:
-        pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
-        if not pushed.strip():
+    if require_pushed_filter:
+        # inspect EVERY scan's PushedFilters section (a multi-scan plan
+        # may push on any of them), mirroring _scan_read_schemas
+        pushed_lists = [
+            seg.split("]", 1)[0]
+            for seg in plan.split("PushedFilters: [")[1:]
+        ]
+        if not pushed_lists:
+            out.findings.append("no PushedFilters section in any scan")
+        elif not any(p.strip() for p in pushed_lists):
             out.findings.append("no filter pushed to any scan")
-    elif require_pushed_filter:
-        out.findings.append("no PushedFilters section in any scan")
 
     if max_scan_columns is not None:
         for schema in _scan_read_schemas(plan):

@@ -1193,6 +1193,10 @@ def skip_bloom_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, m: acc + F.bit_count(m),
     )
     denom = BLOOM_BITS**BLOOM_K
+    # numerator = n_set_bits^BLOOM_K, generated from BLOOM_K so the
+    # statistic tracks the constant (ADVICE r5: a hardcoded cube would
+    # go silently wrong on both engines if K changed)
+    fpp_numer = " * ".join(["n_set_bits"] * BLOOM_K)
     return (
         folded.select(
             "file_id",
@@ -1216,8 +1220,7 @@ def skip_bloom_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "est_fpp_ppm",
             F.expr(
-                f"(1000000 * n_set_bits * n_set_bits * n_set_bits)"
-                f" div CAST({denom} AS BIGINT)"
+                f"(1000000 * {fpp_numer}) div CAST({denom} AS BIGINT)"
             ),
         )
         .select(
@@ -1265,7 +1268,7 @@ WITH vals AS (
   FROM words GROUP BY file_id
 )
 SELECT file_id, n_rows, n_words, n_set_bits,
-  (1000000 * n_set_bits * n_set_bits * n_set_bits)
+  (1000000 * {' * '.join(['n_set_bits'] * BLOOM_K)})
     // CAST({BLOOM_BITS**BLOOM_K} AS BIGINT) AS est_fpp_ppm,
   words_md5
 FROM perfile ORDER BY file_id

@@ -111,6 +111,16 @@ def read_binary_files(
     decode UDFs; `max_bytes` maps to the source's pathGlobFilter-
     independent guard `spark.sql.sources.binaryFile.maxLength` —
     oversized files fail fast instead of OOMing an executor mid-decode.
+
+    SESSION-WIDE CONF: passing `max_bytes` sets
+    `spark.sql.sources.binaryFile.maxLength` on the session, and the
+    setting STAYS for every later binaryFile read until changed. This
+    is deliberate, not an oversight: the returned DataFrame is lazy and
+    the source consults the conf at SCAN EXECUTION time, so a
+    try/finally restore around `.load()` would silently disable the
+    guard before the scan ever runs. Callers that need a different (or
+    no) limit afterwards must set/unset the conf themselves once all
+    reads taken under the old limit have executed.
     """
     reader = spark.read.format("binaryFile")
     if glob:

@@ -40,16 +40,22 @@ def user_totals_stateful(stream: DataFrame) -> DataFrame:
     def _update_user_totals(
         key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
     ) -> Iterator["pd.DataFrame"]:
+        import itertools
         import math
 
         import pandas as pd
 
         (user_id,) = key
         n, s = state.get if state.exists else (0, 0.0)
-        for pdf in pdfs:
-            n += len(pdf)
-            # fsum is exactly rounded — bit-identical to a decimal-sum oracle
-            s += math.fsum(pdf["value"])
+        # Buffer ALL chunks, then ONE fsum + ONE += per batch: fsum is
+        # exactly rounded and order-independent, so the result does not
+        # depend on Arrow chunk boundaries — this is what makes the
+        # bucketed twin bit-equal (ADVICE r5: per-chunk fsum with +=
+        # rounds at every chunk boundary, and boundaries differ between
+        # per-key and per-bucket grouping).
+        chunks = [pdf["value"].to_numpy() for pdf in pdfs]
+        n += sum(len(c) for c in chunks)
+        s += math.fsum(itertools.chain.from_iterable(chunks))
         state.update((n, s))
         yield pd.DataFrame(
             {"user_id": [user_id], "n_events": [n], "sum_value": [s]}
@@ -121,6 +127,7 @@ def user_totals_bucketed(
     def _update_bucket(
         key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
     ) -> Iterator["pd.DataFrame"]:
+        import itertools
         import math
 
         import pandas as pd
@@ -128,22 +135,28 @@ def user_totals_bucketed(
         users, ns, ss = state.get if state.exists else ([], [], [])
         users, ns, ss = list(users), list(ns), list(ss)
         idx = {u: i for i, u in enumerate(users)}
-        touched: dict[int, int] = {}
+        # Buffer each user's values ACROSS chunks, then one fsum + one
+        # += per (user, batch) — identical accumulation to the per-key
+        # operator regardless of how Arrow chunked either grouping, so
+        # the outputs are bit-equal (fsum is exactly rounded and
+        # order-independent; only the += boundaries could differ, and
+        # now both operators have exactly one per batch).
+        buf: dict[int, list] = {}
         for pdf in pdfs:
             for u, g in pdf.groupby("user_id", sort=True):
-                u = int(u)
-                i = idx.get(u)
-                if i is None:
-                    i = len(users)
-                    idx[u] = i
-                    users.append(u)
-                    ns.append(0)
-                    ss.append(0.0)
-                ns[i] += len(g)
-                # fsum per chunk, then + : the same accumulation shape
-                # as the per-key operator, so outputs are bit-equal
-                ss[i] += math.fsum(g["value"])
-                touched[u] = i
+                buf.setdefault(int(u), []).append(g["value"].to_numpy())
+        touched: dict[int, int] = {}
+        for u, chunks in buf.items():
+            i = idx.get(u)
+            if i is None:
+                i = len(users)
+                idx[u] = i
+                users.append(u)
+                ns.append(0)
+                ss.append(0.0)
+            ns[i] += sum(len(c) for c in chunks)
+            ss[i] += math.fsum(itertools.chain.from_iterable(chunks))
+            touched[u] = i
         state.update((users, ns, ss))
         yield pd.DataFrame(
             {
@@ -345,6 +358,7 @@ def user_totals_tws(stream: DataFrame) -> DataFrame:
             self._state = handle.getValueState("totals", STATE_SCHEMA)
 
         def handleInputRows(self, key, rows, timerValues):
+            import itertools
             import math
 
             import pandas as pd
@@ -352,9 +366,11 @@ def user_totals_tws(stream: DataFrame) -> DataFrame:
             (user_id,) = key
             prev = self._state.get() if self._state.exists() else None
             n, s = prev if prev is not None else (0, 0.0)
-            for pdf in rows:
-                n += len(pdf)
-                s += math.fsum(pdf["value"])
+            # one fsum + one += per batch, chunk-boundary-independent
+            # (same accumulation contract as user_totals_stateful)
+            chunks = [pdf["value"].to_numpy() for pdf in rows]
+            n += sum(len(c) for c in chunks)
+            s += math.fsum(itertools.chain.from_iterable(chunks))
             self._state.update((n, s))
             yield pd.DataFrame(
                 {"user_id": [user_id], "n_events": [n], "sum_value": [s]}
