@@ -49,122 +49,95 @@ def _all_modules():
 # prefix window of queries() in registration order (rounds 1-4 each
 # covered exactly the first 50). _WINDOW pins those 50 slots explicitly.
 #
-# Round-5 composition, governed by the rotation invariant
+# Round-6 composition, governed by the rotation invariant
 # tests/test_driver_window.py enforces (every oracle-backed query must
 # appear in the union of the last two recorded CORRECTNESS windows plus
 # this list — no query goes more than two rounds without a driver row):
-#   1. The 38 queries whose last driver row was round 2 (the full
-#      r2-green residue named by the round-4 ledger): the 6 ref_*
-#      cleaner queries, the mm_* multimodal family, the simhash pair,
-#      the original txt analysis set, the base sim family, the ev
-#      batch-window family, the four r2 st_* streaming queries,
-#      agg_approx_distinct and q12 — mandatory under the invariant.
-#   2. The 3 components built in round 4 with pytest oracles, now
-#      registered: bm25_topk, inverted_index, weighted_sample.
-#   3. 2 changed-code canaries for the round-5 connected-components
-#      rewrite: dedup_components, dedup_components_lsh (both r3-green;
-#      their code is the large-star/small-star work this round).
-#   4. Round-5 additions + r3-green rotation picks filling the rest
-#      (each r3-green pick also reduces the round-6 mandatory set).
+#   1. The r6 MANDATORY set: every query whose last driver row was
+#      round 3 (the r3-green residue) plus ev_asof_purchase_click,
+#      which ceded its r5 filler slot to a canary. The end-of-round-5
+#      ledger counted 46; four of them (sim_ivf_recall,
+#      join_fuzzy_recall, txt_mixture_weights, mm_dedup_blobs) were
+#      DEMOTED this round to pytest-only parity — each is a derivative
+#      of registered driver-green siblings (see the demotion comments
+#      at their modules' TAIL_QUERIES and tests/test_oracle_parity.py's
+#      DEMOTED map) — leaving 42 mandatory slots.
+#   2. The 3 round-5 prebuilds, now registered: ev_cuped,
+#      ev_attribution, ev_conversion_windows (the bm25-trio pattern),
+#      plus train_shard_manifest — the new oracle surface of
+#      operators/training.py, the last non-audit operator without a
+#      driver row (VERDICT r5 ask #4). Net registry growth is ZERO:
+#      4 demotions for 4 registrations (ask #2).
+#   3. 4 changed-code canaries: dedup_components + dedup_components_lsh
+#      (round 6 touches the shared pair-generation path, VERDICT ask
+#      #6/#7), st_scd2_users (streaming SCD2 ordering rework, ask #5)
+#      and its batch twin ev_scd2_users (shares the run-compaction
+#      semantics the rework must preserve; last row r4).
 _WINDOW = [
-    # -- last driver row in round 2 (38) -----------------------------------
-    "ref_dirty_view",
-    "ref_remove_dirty",
-    "ref_clean_price",
-    "ref_clean_rating",
-    "ref_clean_colors",
-    "ref_clean_size_gender",
-    "q12_shipmode_priority",
-    "agg_approx_distinct",
-    "txt_token_stats",
-    "txt_doc_features",
-    "txt_langid",
-    "txt_ngram_freq",
-    "txt_tfidf_top_term",
-    "txt_fingerprint",
-    "txt_training_corpus",
-    "txt_bpe_tokens",
-    "txt_winnow_fingerprint",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "sim_knn_brute",
-    "sim_ann_lsh",
-    "sim_centroids_by_label",
-    "sim_ivf_topk",
-    "mm_binary_meta",
-    "mm_blob_features",
-    "mm_frame_sample",
-    "mm_resize",
-    "ev_tumbling_hourly",
-    "ev_sliding_windows",
-    "ev_user_daily_activity",
-    "ev_rollup_multires",
-    "ev_funnel",
-    "ev_json_extract",
-    "ev_range_join_nearby",
-    "st_tumbling_hourly",
-    "st_sliding_windows",
-    "st_dedup_events",
-    "st_stream_stream_join",
-    # -- round-4 components, registered this round (3) ---------------------
-    "bm25_topk",
-    "inverted_index",
-    "weighted_sample",
-    # -- changed-code canaries: connected-components rewrite (2) -----------
+    # -- mandatory: last driver row in round 3 (42) ------------------------
+    "q1_pricing_summary",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q16_supplier_cardinality",
+    "q17_small_qty_revenue",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
+    "agg_approx_percentile",
+    "unpivot_lineitem_measures",
+    "window_ntile_customer_deciles",
+    "join_fuzzy_part_names",
+    "ref_transform_full",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "dedup_incremental",
+    "dedup_paragraphs",
+    "dedup_survivors_quality",
+    "txt_chunk_windows",
+    "txt_contamination",
+    "txt_dataset_card",
+    "txt_gopher_quality",
+    "txt_pack_sequences",
+    "txt_pagerank",
+    "txt_pii_redact",
+    "txt_repetition_filter",
+    "txt_sample_stratified",
+    "sim_ivfpq_topk",
+    "sim_mrl_recall",
+    "sim_pq_adc",
+    "sim_quantize_int8",
+    "ev_asof_purchase_click",
+    "ev_heavy_hitters",
+    "ev_hll_user_rollup",
+    "ev_json_variant",
+    "ev_retention_cohorts",
+    "ev_session_windows",
+    "ev_zscore_outliers",
+    "st_dedup_index",
+    "st_session_windows",
+    # -- round-6 registrations (4) -----------------------------------------
+    "ev_cuped",
+    "ev_attribution",
+    "ev_conversion_windows",
+    "train_shard_manifest",
+    # -- changed-code canaries (4) -----------------------------------------
     "dedup_components",
     "dedup_components_lsh",
-    # -- round-5 additions + r3-green rotation picks (7) -------------------
-    # (q1_pricing_summary and ref_transform_full ceded their filler
-    # slots to sim_rp_recall and txt_char_entropy: q1 is exercised
-    # every round by the driver's entry() smoke, ref_transform_full is
-    # pinned by the differential suite that runs the actual reference
-    # transform against the Spark columns every pytest run, and both
-    # are hash-green r1-r3 with unchanged code.)
-    "skip_bloom_stats",
-    "txt_mixture_manifest",
-    "txt_gopher_repetition",
-    "sim_rp_recall",
-    "txt_char_entropy",
-    "txt_kl_drift",
-    # (txt_mixture_weights ceded its filler slot to txt_kl_drift; it is
-    # hash-green r2+r3 with unchanged code under the local parity
-    # suite, and the new manifest query exercises the same per-stratum
-    # aggregation shape. ev_asof_purchase_click ceded the last filler
-    # slot to dedup_ngram_spans as a changed-code canary: its gram keys
-    # now compose from per-token hashes (rot60), and changed code takes
-    # a driver row over a rotation pick.)
-    "dedup_ngram_spans",
+    "st_scd2_users",
+    "ev_scd2_users",
 ]
 
-# ROUND-6 ROTATION LEDGER (computed at end of round 5): 46 queries'
-# last driver row is round 3, so under the two-round invariant they
-# must take r6 window slots — the whole r3-green residue plus
-# ev_asof_purchase_click (which ceded its r5 filler slot to the
-# dedup_ngram_spans canary):
-#   relational: q1, q8, q9, q11, q16, q17, q20, q21,
-#     agg_approx_percentile, unpivot_lineitem_measures,
-#     window_ntile_customer_deciles, join_fuzzy_part_names,
-#     join_fuzzy_recall, ref_transform_full
-#   text: dedup_exact, dedup_ngram_jaccard, dedup_minhash_lsh,
-#     dedup_embedding_cosine, dedup_incremental, dedup_paragraphs,
-#     dedup_survivors_quality, txt_chunk_windows, txt_contamination,
-#     txt_dataset_card, txt_gopher_quality, txt_mixture_weights,
-#     txt_pack_sequences, txt_pagerank, txt_pii_redact,
-#     txt_repetition_filter, txt_sample_stratified
-#   sim: sim_ivf_recall, sim_ivfpq_topk, sim_mrl_recall, sim_pq_adc,
-#     sim_quantize_int8
-#   events/streaming/mm: ev_asof_purchase_click, ev_heavy_hitters,
-#     ev_hll_user_rollup, ev_json_variant, ev_retention_cohorts,
-#     ev_session_windows, ev_zscore_outliers, mm_dedup_blobs,
-#     st_dedup_index, st_session_windows
-# That fills 46 of 50; the remaining 4 slots go to round-6 additions
-# and changed-code canaries — first in line are the already-built
-# pytest-oracle prebuilds ev_cuped, ev_attribution and
-# ev_conversion_windows (plans/events.py; oracles written,
-# tests/test_new_ops_invariants.py), the round-4 bm25-trio pattern.
-# Note the r5-changed queries outside the r5 window (ev_session_windows,
-# ev_json_variant, dedup_exact's fingerprint fold) are all in the r6
-# MANDATORY set already, so their canary need is satisfied for free.
+# ROUND-7 ROTATION LEDGER (computed during round 6): after this window
+# runs, the r7 MANDATORY set is every query whose last driver row is
+# round 5 — the 50 keys of CORRECTNESS_r05.json minus those re-listed
+# above (dedup_components, dedup_components_lsh) and minus entry-smoke
+# q1 — i.e. ~46 queries, leaving ~4 free r7 slots. Registry arithmetic
+# after this round's 4-demotion/4-registration swap: 145 registered vs
+# 150 three-round slots (5 slack), so the invariant stays satisfiable
+# for two future rounds PROVIDED net growth stays ≤ 0 per round
+# (demote-one-per-add, VERDICT r5 ask #2).
 
 
 

@@ -1568,6 +1568,10 @@ TAIL_QUERIES = {
     "ev_scd2_users": ev_scd2_users,
     "ev_zorder_layout": ev_zorder_layout,
     "ev_overlap_incident_sessions": ev_overlap_incident_sessions,
+    # round-6 registrations (prebuilt + pytest-oracle-green in round 5)
+    "ev_cuped": ev_cuped,
+    "ev_attribution": ev_attribution,
+    "ev_conversion_windows": ev_conversion_windows,
 }
 TAIL_ORACLES = {
     "skip_bloom_stats": SKIP_BLOOM_STATS_ORACLE,
@@ -1581,4 +1585,7 @@ TAIL_ORACLES = {
     "ev_scd2_users": EV_SCD2_ORACLE,
     "ev_zorder_layout": EV_ZORDER_ORACLE,
     "ev_overlap_incident_sessions": EV_OVERLAP_ORACLE,
+    "ev_cuped": EV_CUPED_ORACLE,
+    "ev_attribution": EV_ATTRIBUTION_ORACLE,
+    "ev_conversion_windows": EV_CONVERSION_ORACLE,
 }

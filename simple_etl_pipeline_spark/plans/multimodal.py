@@ -192,5 +192,10 @@ FROM per_hash GROUP BY mime ORDER BY mime
 """
 
 
-TAIL_QUERIES = {"mm_dedup_blobs": mm_dedup_blobs}
-TAIL_ORACLES = {"mm_dedup_blobs": MM_DEDUP_BLOBS_ORACLE}
+# mm_dedup_blobs was DEMOTED to pytest-only parity in round 6
+# (tests/test_oracle_parity.py DEMOTED map): as its docstring says, it
+# is dedup_exact's hash-groupBy shape applied to the blob column — the
+# registered dedup_exact hash pins the dedup semantics and
+# mm_binary_meta (driver-green r5) pins the blob plumbing.
+TAIL_QUERIES: dict = {}
+TAIL_ORACLES: dict = {}

@@ -1825,11 +1825,15 @@ FROM supplier ORDER BY s_suppkey
 """
 
 
+# join_fuzzy_recall was DEMOTED to pytest-only parity in round 6
+# (tests/test_oracle_parity.py DEMOTED map): it recomputes
+# join_fuzzy_part_names' banded pairs against the unbanded ground
+# truth — a metric twin whose semantics the registered sibling's hash
+# already pins. Same rationale as sim_ivf_recall.
 TAIL_QUERIES = {
     "agg_approx_percentile": agg_approx_percentile,
     "window_ntile_customer_deciles": window_ntile_customer_deciles,
     "join_fuzzy_part_names": join_fuzzy_part_names,
-    "join_fuzzy_recall": join_fuzzy_recall,
     "unpivot_lineitem_measures": unpivot_lineitem_measures,
     "agg_mode_source_by_lang": agg_mode_source_by_lang,
     "window_percent_rank_suppliers": window_percent_rank_suppliers,
@@ -1838,7 +1842,6 @@ TAIL_ORACLES = {
     "agg_approx_percentile": AGG_APPROX_PERCENTILE_ORACLE,
     "window_ntile_customer_deciles": WINDOW_NTILE_ORACLE,
     "join_fuzzy_part_names": JOIN_FUZZY_ORACLE,
-    "join_fuzzy_recall": JOIN_FUZZY_RECALL_ORACLE,
     "unpivot_lineitem_measures": UNPIVOT_ORACLE,
     "agg_mode_source_by_lang": AGG_MODE_ORACLE,
     "window_percent_rank_suppliers": WINDOW_PERCENT_RANK_ORACLE,

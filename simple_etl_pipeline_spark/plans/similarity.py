@@ -1412,8 +1412,13 @@ ORDER BY iteration
 """
 
 
+# sim_ivf_recall was DEMOTED to pytest-only parity in round 6
+# (tests/test_oracle_parity.py DEMOTED map): it is a pure composition
+# of three registered, driver-green queries (sim_knn_brute,
+# sim_ivf_topk, sim_ann_lsh), so its semantics are fully pinned by
+# their hashes — a registry slot adds no new driver signal, and the
+# rotation-window capacity goes to operators with independent logic.
 TAIL_QUERIES = {
-    "sim_ivf_recall": sim_ivf_recall,
     "sim_quantize_int8": sim_quantize_int8,
     "sim_pq_adc": sim_pq_adc,
     "sim_ivfpq_topk": sim_ivfpq_topk,
@@ -1423,7 +1428,6 @@ TAIL_QUERIES = {
     "sim_rp_recall": sim_rp_recall,
 }
 TAIL_ORACLES = {
-    "sim_ivf_recall": SIM_IVF_RECALL_ORACLE,
     "sim_quantize_int8": SIM_QUANTIZE_ORACLE,
     "sim_pq_adc": SIM_PQ_ORACLE,
     "sim_ivfpq_topk": SIM_IVFPQ_ORACLE,

@@ -3590,6 +3590,63 @@ FROM tf GROUP BY term ORDER BY df DESC, term ASC LIMIT {INVIDX_TOP_TERMS}
 """
 
 
+# --- epoch-shuffle shard manifest (oracle surface of operators/training) --
+# Fixed (seed, epoch, n_shards) so the permutation — and therefore every
+# column below — is a pure deterministic function of the corpus.
+TRAIN_SEED = 17
+TRAIN_EPOCH = 3
+TRAIN_SHARDS = 8
+
+
+def train_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard manifest of one training epoch's shuffle layout
+    (operators/training.py epoch_order): for each shard, the row count,
+    the XOR of all epoch_ord hash values, and the min/max order keys.
+    Together these pin the full (seed, epoch)-keyed permutation — which
+    rows land in which shard AND the intra-shard order bounds — without
+    materializing it, so a trainer (or this oracle) can audit that a
+    resumed run replays the identical byte layout write_epoch_shards
+    would produce.
+
+    Scale shape: one narrow map over the scan (two md5-derived columns)
+    and one groupBy on the n_shards-sized key — the output is
+    metadata-sized (TRAIN_SHARDS rows) regardless of corpus size, and
+    the shuffle moves only (shard, 3×bigint) partial aggregates."""
+    from simple_etl_pipeline_spark.operators.training import epoch_order
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ordered = epoch_order(
+        docs, "doc_id", seed=TRAIN_SEED, epoch=TRAIN_EPOCH,
+        n_shards=TRAIN_SHARDS,
+    )
+    return (
+        ordered.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(epoch_ord)").alias("xor_ord"),
+            F.min("epoch_ord").alias("min_ord"),
+            F.max("epoch_ord").alias("max_ord"),
+        )
+        .orderBy("shard")
+    )
+
+
+TRAIN_SHARD_ORACLE = f"""
+WITH ordered AS (
+  SELECT {sql_md5_hash60(
+      f"concat('{TRAIN_SEED}|{TRAIN_EPOCH}|', CAST(doc_id AS VARCHAR))"
+  )} AS epoch_ord
+  FROM documents
+)
+SELECT CAST(epoch_ord % {TRAIN_SHARDS} AS INT) AS shard,
+  COUNT(*) AS n_rows,
+  bit_xor(epoch_ord) AS xor_ord,
+  MIN(epoch_ord) AS min_ord,
+  MAX(epoch_ord) AS max_ord
+FROM ordered GROUP BY 1 ORDER BY shard
+"""
+
+
 # dedup_minhash_ml is pytest-only (tests/test_retrieval.py): its
 # Spark-internal MinHashLSH seeds can never hash-match a DuckDB oracle,
 # so it would be a permanently oracle-dark registry entry. The
@@ -3605,7 +3662,11 @@ TAIL_QUERIES = {
     "txt_pack_sequences": txt_pack_sequences,
     "dedup_incremental": dedup_incremental,
     "dedup_survivors_quality": dedup_survivors_quality,
-    "txt_mixture_weights": txt_mixture_weights,
+    # txt_mixture_weights was DEMOTED to pytest-only parity in round 6
+    # (tests/test_oracle_parity.py DEMOTED map): txt_mixture_manifest
+    # (driver-green r5) computes the identical per-stratum
+    # (n_docs, sum_tokens) aggregate as its first stage, so the weights
+    # query's only unpinned content was two ratios of those columns.
     "txt_gopher_quality": txt_gopher_quality,
     "dedup_paragraphs": dedup_paragraphs,
     "txt_pagerank": txt_pagerank,
@@ -3622,6 +3683,7 @@ TAIL_QUERIES = {
     "txt_gopher_repetition": txt_gopher_repetition,
     "txt_char_entropy": txt_char_entropy,
     "txt_kl_drift": txt_kl_drift,
+    "train_shard_manifest": train_shard_manifest,
 }
 
 TAIL_ORACLES = {
@@ -3634,7 +3696,6 @@ TAIL_ORACLES = {
     "txt_pack_sequences": TXT_PACK_SEQUENCES_ORACLE,
     "dedup_incremental": DEDUP_INCREMENTAL_ORACLE,
     "dedup_survivors_quality": DEDUP_SURVIVORS_ORACLE,
-    "txt_mixture_weights": TXT_MIXTURE_WEIGHTS_ORACLE,
     "txt_gopher_quality": TXT_GOPHER_ORACLE,
     "dedup_paragraphs": DEDUP_PARAGRAPHS_ORACLE,
     "txt_pagerank": TXT_PAGERANK_ORACLE,
@@ -3651,4 +3712,5 @@ TAIL_ORACLES = {
     "txt_gopher_repetition": TXT_GOPHER_REPETITION_ORACLE,
     "txt_char_entropy": TXT_CHAR_ENTROPY_ORACLE,
     "txt_kl_drift": TXT_KL_DRIFT_ORACLE,
+    "train_shard_manifest": TRAIN_SHARD_ORACLE,
 }

@@ -17,6 +17,40 @@ from pyspark.sql import DataFrame
 from simple_etl_pipeline_spark.schemas import TESTDATA_TABLES
 
 
+def demoted_queries() -> dict:
+    """Queries DEMOTED from the driver registry (round-6 rotation-window
+    capacity) but still held to full oracle parity by the test suite.
+    Each value is (query_fn, oracle_sql); each entry is a derivative of
+    registered, driver-green siblings whose hashes pin its semantics —
+    see the demotion comments at each module's TAIL_QUERIES."""
+    from simple_etl_pipeline_spark.plans.multimodal import (
+        MM_DEDUP_BLOBS_ORACLE,
+        mm_dedup_blobs,
+    )
+    from simple_etl_pipeline_spark.plans.relational import (
+        JOIN_FUZZY_RECALL_ORACLE,
+        join_fuzzy_recall,
+    )
+    from simple_etl_pipeline_spark.plans.similarity import (
+        SIM_IVF_RECALL_ORACLE,
+        sim_ivf_recall,
+    )
+    from simple_etl_pipeline_spark.plans.text import (
+        TXT_MIXTURE_WEIGHTS_ORACLE,
+        txt_mixture_weights,
+    )
+
+    return {
+        "sim_ivf_recall": (sim_ivf_recall, SIM_IVF_RECALL_ORACLE),
+        "join_fuzzy_recall": (join_fuzzy_recall, JOIN_FUZZY_RECALL_ORACLE),
+        "txt_mixture_weights": (
+            txt_mixture_weights,
+            TXT_MIXTURE_WEIGHTS_ORACLE,
+        ),
+        "mm_dedup_blobs": (mm_dedup_blobs, MM_DEDUP_BLOBS_ORACLE),
+    }
+
+
 def duckdb_connection(sf_dir: str):
     import duckdb
 

@@ -17,7 +17,11 @@ from simple_etl_pipeline_spark.schemas import TESTDATA_TABLES
 from simple_etl_pipeline_spark.testing import compare_with_oracle
 
 QUERIES = entrymod.queries()
+# demoted-from-registry queries stay under the same test discipline
+from simple_etl_pipeline_spark.testing import demoted_queries as _dq  # noqa: E402
+QUERIES.update({k: fn for k, (fn, _) in _dq().items()})
 ORACLES = entrymod.oracle_sql()
+ORACLES.update({k: sql for k, (_, sql) in _dq().items()})
 
 _T0 = dt.datetime(2024, 3, 1, 0, 0, 0)
 

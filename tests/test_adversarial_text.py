@@ -15,7 +15,11 @@ from simple_etl_pipeline_spark.testing import compare_with_oracle
 from simple_etl_pipeline_spark.schemas import TESTDATA_TABLES
 
 QUERIES = entrymod.queries()
+# demoted-from-registry queries stay under the same test discipline
+from simple_etl_pipeline_spark.testing import demoted_queries as _dq  # noqa: E402
+QUERIES.update({k: fn for k, (fn, _) in _dq().items()})
 ORACLES = entrymod.oracle_sql()
+ORACLES.update({k: sql for k, (_, sql) in _dq().items()})
 
 EDGE_DOCS = [
     # (doc_id, text, lang, source)

@@ -11,6 +11,9 @@ import __spark_entry__ as entrymod
 from simple_etl_pipeline_spark.schemas import TABLE_SCHEMAS, TESTDATA_TABLES
 
 QUERIES = entrymod.queries()
+# demoted-from-registry queries stay under the same test discipline
+from simple_etl_pipeline_spark.testing import demoted_queries as _dq  # noqa: E402
+QUERIES.update({k: fn for k, (fn, _) in _dq().items()})
 
 REPRESENTATIVE = [
     "q1_pricing_summary",

@@ -25,6 +25,9 @@ EXCLUDED = {
 }
 
 QUERIES = entrymod.queries()
+# demoted-from-registry queries stay under the same test discipline
+from simple_etl_pipeline_spark.testing import demoted_queries as _dq  # noqa: E402
+QUERIES.update({k: fn for k, (fn, _) in _dq().items()})
 LAZY_QUERIES = sorted(
     n
     for n in QUERIES

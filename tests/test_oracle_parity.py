@@ -13,6 +13,21 @@ QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
 
 
+from simple_etl_pipeline_spark.testing import demoted_queries
+
+DEMOTED = demoted_queries()
+
+
+def test_demoted_queries_left_the_registry():
+    assert set(DEMOTED) & set(QUERIES) == set()
+
+
+@pytest.mark.parametrize("name", sorted(DEMOTED))
+def test_demoted_query_matches_oracle(spark, sf_dir, name):
+    fn, oracle = DEMOTED[name]
+    compare_with_oracle(fn(spark, sf_dir), oracle, sf_dir)
+
+
 def test_every_oracle_has_a_query():
     assert set(ORACLES) <= set(QUERIES)
 

@@ -18,6 +18,9 @@ import pytest
 import __spark_entry__ as entrymod
 
 QUERIES = entrymod.queries()
+# demoted-from-registry queries stay under the same test discipline
+from simple_etl_pipeline_spark.testing import demoted_queries as _dq  # noqa: E402
+QUERIES.update({k: fn for k, (fn, _) in _dq().items()})
 
 # Float-aggregate-heavy and sketch queries — the ones that WOULD diverge
 # under double-sum reordering or rand()-based sampling.

@@ -68,3 +68,40 @@ def test_epoch_shards_balanced_and_sorted(spark, sf_dir, tmp_path):
             .collect()
         ]
         assert ords == sorted(ords) and len(set(ords)) == len(ords)
+
+
+def test_shard_manifest_matches_physical_layout(spark, sf_dir, tmp_path):
+    """train_shard_manifest (the driver-registered oracle surface) must
+    describe EXACTLY the layout write_epoch_shards materializes at the
+    same (seed, epoch, n_shards) — the manifest is the audit a resumed
+    trainer runs against its shard files."""
+    from simple_etl_pipeline_spark.plans.text import (
+        TRAIN_EPOCH,
+        TRAIN_SEED,
+        TRAIN_SHARDS,
+        train_shard_manifest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = str(tmp_path / "epoch_m")
+    write_epoch_shards(
+        docs, "doc_id", seed=TRAIN_SEED, epoch=TRAIN_EPOCH,
+        n_shards=TRAIN_SHARDS, path=out,
+    )
+    physical = {
+        r.shard: (r.n_rows, r.xor_ord, r.min_ord, r.max_ord)
+        for r in spark.read.parquet(out)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(epoch_ord)").alias("xor_ord"),
+            F.min("epoch_ord").alias("min_ord"),
+            F.max("epoch_ord").alias("max_ord"),
+        )
+        .collect()
+    }
+    manifest = {
+        r.shard: (r.n_rows, r.xor_ord, r.min_ord, r.max_ord)
+        for r in train_shard_manifest(spark, sf_dir).collect()
+    }
+    assert manifest == physical
