@@ -69,10 +69,13 @@ def _all_modules():
 #      driver row (VERDICT r5 ask #4). Net registry growth is ZERO:
 #      4 demotions for 4 registrations (ask #2).
 #   3. 4 changed-code canaries: dedup_components + dedup_components_lsh
-#      (round 6 touches the shared pair-generation path, VERDICT ask
-#      #6/#7), st_scd2_users (streaming SCD2 ordering rework, ask #5)
-#      and its batch twin ev_scd2_users (shares the run-compaction
-#      semantics the rework must preserve; last row r4).
+#      + txt_triangle_count (round 6 rewrote the shared exact-pair
+#      generation to a single-shuffle expansion, VERDICT ask #6/#7 —
+#      every consumer of the changed source gets a driver row;
+#      txt_pagerank and dedup_ngram_jaccard itself are already in the
+#      mandatory set above), and st_scd2_users (the watermark-ordered
+#      streaming SCD2 rework, ask #5). The batch twin ev_scd2_users is
+#      UNCHANGED code with an r4 row, so rotation defers it to r7.
 _WINDOW = [
     # -- mandatory: last driver row in round 3 (42) ------------------------
     "q1_pricing_summary",
@@ -125,8 +128,8 @@ _WINDOW = [
     # -- changed-code canaries (4) -----------------------------------------
     "dedup_components",
     "dedup_components_lsh",
+    "txt_triangle_count",
     "st_scd2_users",
-    "ev_scd2_users",
 ]
 
 # ROUND-7 ROTATION LEDGER (computed during round 6): after this window

@@ -107,6 +107,13 @@ HEADLINE = [
     "txt_char_entropy",
     # per-stratum KL drift vs the corpus token distribution.
     "txt_kl_drift",
+    # round 6: experimentation/attribution aggregations (CUPED moment
+    # rollup, as-of last-touch attribution, conversion-window funnel)
+    # and the epoch-shuffle shard manifest.
+    "ev_cuped",
+    "ev_attribution",
+    "ev_conversion_windows",
+    "train_shard_manifest",
 ]
 
 

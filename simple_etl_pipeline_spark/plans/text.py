@@ -388,10 +388,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = raw.join(hot, "sh", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # Candidate-pair generation as ONE shingle-keyed shuffle: collect
+    # each shingle's (sorted, distinct) doc list and expand the
+    # 2-combinations in-partition — identical pairs to the classic
+    # sh-keyed self-join but without shuffling the shingle frame a
+    # second time for the join's other side (the largest frame in the
+    # query; at 100 TB, halving its shuffle volume is the win). List
+    # width — and therefore the d^2 expansion per shingle — is bounded
+    # by SHINGLE_DF_CAP, the same cap that makes the self-join
+    # skew-safe.
+    lists = sh.groupBy("sh").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    )
     inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        lists.select(F.posexplode("ds").alias("i", "doc_a"), "ds")
+        .select(
+            "doc_a",
+            F.explode(
+                F.slice("ds", F.col("i") + 2, F.size("ds"))
+            ).alias("doc_b"),
+        )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))

@@ -77,18 +77,14 @@ def _table_stream_source(sf_dir: str, table: str) -> tuple[str, str]:
     return sf_dir, f"{table}.parquet"
 
 
-def read_events_stream(
-    spark: SparkSession, sf_dir: str, one_batch: bool = False
-) -> DataFrame:
-    # one_batch drops the 1-file trigger so an availableNow replay
-    # drains in a single micro-batch — for operators whose contract
-    # needs event-time order ACROSS files (SCD2), where per-file
-    # batches on a hash-scattered directory would feed the state
-    # machine out of order; file-at-a-time remains the default so the
-    # other stateful operators genuinely exercise multi-batch state.
-    opts = {} if one_batch else {"maxFilesPerTrigger": 1}
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # file-at-a-time trigger so availableNow replays genuinely exercise
+    # multi-batch state (the round-6 watermark-ordered SCD2 removed the
+    # last operator that needed a single-batch drain)
     directory, glob = _table_stream_source(sf_dir, "events")
-    return _stream_events(spark, directory, sf_dir, glob, **opts)
+    return _stream_events(
+        spark, directory, sf_dir, glob, maxFilesPerTrigger=1
+    )
 
 
 def tumbling_hourly_stream(stream: DataFrame) -> DataFrame:
@@ -131,15 +127,16 @@ def dedup_stream(stream: DataFrame) -> DataFrame:
     return stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id", "ts"])
 
 
-def _run_to_memory(result: DataFrame, mode: str) -> DataFrame:
+def _run_to_memory(
+    result: DataFrame, mode: str, checkpoint: str | None = None
+) -> DataFrame:
     name = f"st_{uuid.uuid4().hex[:12]}"
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    w = result.writeStream.format("memory").queryName(name)
+    if checkpoint is not None:
+        # an explicit checkpoint keeps the state store readable after
+        # termination (spark.read.format("statestore")) — scd2_drain
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.outputMode(mode).trigger(availableNow=True).start()
     q.awaitTermination()
     return result.sparkSession.table(name)
 

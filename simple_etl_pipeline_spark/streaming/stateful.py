@@ -209,111 +209,260 @@ SCD2_OUTPUT_SCHEMA = T.StructType(
         T.StructField("valid_to", T.LongType()),
     ]
 )
-SCD2_STATE_SCHEMA = T.StructType(
+
+# Watermark-ordered SCD2 state, keyed by user BUCKET (pmod(user_id, N))
+# rather than user: one Python/Arrow round-trip per bucket per batch
+# instead of per key per batch — the amortization user_totals_bucketed
+# measured (the per-key layout probed at exponent 1.05 under 1-file
+# triggers: |touched keys| x batches invocations). Per bucket the state
+# holds (a) the OPEN dimension row of every seen user (the machine
+# state: ~40 B/user, exactly the per-key layout packed into parallel
+# arrays) and (b) the BUFFER of events the watermark has not yet
+# proven complete (bounded by delay x event rate per bucket, the
+# standard watermark-state bound).
+N_SCD2_BUCKETS = 64
+SCD2_BUCKET_STATE_SCHEMA = T.StructType(
     [
-        T.StructField("cur_type", T.StringType()),
-        T.StructField("version", T.LongType()),
-        T.StructField("run_start", T.LongType()),
-        T.StructField("run_n", T.LongType()),
+        T.StructField("users", T.ArrayType(T.LongType())),
+        T.StructField("cur_types", T.ArrayType(T.StringType())),
+        T.StructField("versions", T.ArrayType(T.LongType())),
+        T.StructField("run_starts", T.ArrayType(T.LongType())),
+        T.StructField("run_ns", T.ArrayType(T.LongType())),
+        T.StructField("buf_users", T.ArrayType(T.LongType())),
+        T.StructField("buf_ts", T.ArrayType(T.LongType())),
+        T.StructField("buf_eids", T.ArrayType(T.LongType())),
+        T.StructField("buf_types", T.ArrayType(T.StringType())),
     ]
 )
 
 
-def scd2_stateful(stream: DataFrame) -> DataFrame:
-    """Streaming SCD Type-2: per-user state holds the OPEN dimension row
-    (current event_type, its version number, start epoch, event count);
-    each attribute change CLOSES the previous interval and emits it.
-    This is the streaming twin of plans/events.ev_scd2_users — a CDC
-    feed maintaining a dimension table incrementally instead of
-    recompacting history per batch.
+def _make_scd2_advance():
+    """The SCD2 run-compaction state machine, built as a dynamic
+    function so cloudpickle ships it BY VALUE inside both the streaming
+    update function and the batch drain (executors need no import of
+    this package). Given one user's machine state tuple and that user's
+    events in (ts_ns, event_id) order, returns the updated state and
+    the intervals CLOSED by those events. Semantics are pinned to
+    plans/events.ev_scd2_users (valid_from/valid_to = floor epoch
+    seconds; a new version starts at each event_type change)."""
 
-    Emission is deterministic because only CLOSED intervals are ever
-    output (exactly once, when the change arrives); the open run lives
-    in state and is never emitted, so micro-batch BOUNDARIES cannot
-    change the result — the query equals the batch build minus its
-    is_current rows. That equivalence additionally requires micro-batch
-    ORDER to respect event time across batches (within a batch the
-    operator sorts by ts, event_id itself): the state machine applies
-    changes as they arrive and, like every SCD2 CDC consumer, cannot
-    retroactively reopen a closed interval for a late event. The
-    single-file replay and a production date-partitioned backfill both
-    satisfy that; an unordered multi-file directory replayed
-    file-at-a-time does NOT — which is why the st_scd2_users adapter
-    drains the replay in ONE availableNow batch (one_batch=True), making
-    the in-batch sort global over any layout. State per key is ~40 bytes: at
-    100 TB/day the store holds |users| entries, independent of stream
-    length."""
+    def advance(m, ts_ns_list, type_list):
+        cur_type, version, run_start, run_n = m
+        closed = []
+        for ts_ns, etype in zip(ts_ns_list, type_list):
+            ep = ts_ns // 1_000_000_000
+            if cur_type is None:
+                cur_type, version, run_start, run_n = etype, 1, ep, 1
+            elif etype != cur_type:
+                closed.append((version, cur_type, run_n, run_start, ep))
+                cur_type, version, run_start, run_n = (
+                    etype, version + 1, ep, 1,
+                )
+            else:
+                run_n += 1
+        return (cur_type, version, run_start, run_n), closed
+
+    return advance
+
+
+def scd2_watermarked(
+    stream: DataFrame,
+    delay: str = "30 minutes",
+    n_buckets: int = N_SCD2_BUCKETS,
+) -> DataFrame:
+    """Streaming SCD Type-2 with WATERMARK-ORDERED emission — the
+    streaming twin of plans/events.ev_scd2_users that is correct under
+    out-of-order arrival ACROSS micro-batches (the hazard the round-5
+    replay probe caught in the arrival-order predecessor: 1,395
+    spurious intervals on a hash-scattered directory).
+
+    Mechanics: incoming events buffer in state; each batch, every event
+    older than the current watermark is RIPE — no earlier event can
+    arrive anymore (Spark drops input older than the watermark), so the
+    buffered ripe set is totally ordered by (ts, event_id) and can be
+    fed to the run-compaction machine, emitting intervals exactly as
+    the batch build closes them. Events inside the watermark horizon
+    stay buffered. Late events beyond `delay` are dropped by the
+    engine — the standard watermark contract, and the one divergence
+    from the batch build (which sees everything); size `delay` to the
+    feed's disorder bound.
+
+    Only CLOSED intervals ever emit, exactly once, when the watermark
+    passes their closing event: output = batch build minus open
+    (is_current) rows, for ANY micro-batch fragmentation of the feed.
+    The open runs and the unripe buffer live in state; a terminating
+    replay recovers them with scd2_drain (the state-source read) to
+    complete the batch answer.
+
+    State cost at 100 TB/day: machine rows are |users| x ~40 B
+    (stream-length-independent); the buffer is delay x event rate —
+    the same bound as any watermarked stream-stream join, amortized
+    over n_buckets Python calls per batch instead of |users|."""
+    advance = _make_scd2_advance()
 
     def _update_scd2(
         key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
     ) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        (user_id,) = key
-        cur_type, version, run_start, run_n = (
-            state.get if state.exists else (None, 0, 0, 0)
-        )
-        batch = pd.concat(list(pdfs), ignore_index=True)
-        # arrival order within a micro-batch is shuffle order; the
-        # operator's contract is event-time order with event_id ties
-        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
-        out = {k: [] for k in ("version", "event_type", "n_events",
-                               "valid_from", "valid_to")}
-        for ts, etype in zip(batch["ts"], batch["event_type"]):
-            ep = ts.value // 1_000_000_000  # floor(epoch), pandas nanos
-            if cur_type is None:
-                cur_type, version, run_start, run_n = etype, 1, ep, 1
-            elif etype != cur_type:
-                out["version"].append(version)
-                out["event_type"].append(cur_type)
-                out["n_events"].append(run_n)
-                out["valid_from"].append(run_start)
-                out["valid_to"].append(ep)
-                cur_type, version, run_start, run_n = (
-                    etype, version + 1, ep, 1,
+        wm_ns = state.getCurrentWatermarkMs() * 1_000_000
+        if state.exists:
+            (users, cur_types, versions, run_starts, run_ns,
+             buf_users, buf_ts, buf_eids, buf_types) = state.get
+            machine = {
+                u: (ct, v, rs, rn)
+                for u, ct, v, rs, rn in zip(
+                    users, cur_types, versions, run_starts, run_ns
                 )
-            else:
-                run_n += 1
-        state.update((cur_type, version, run_start, run_n))
-        yield pd.DataFrame(
-            {
-                "user_id": [user_id] * len(out["version"]),
-                "version": out["version"],
-                "event_type": out["event_type"],
-                "n_events": out["n_events"],
-                "valid_from": out["valid_from"],
-                "valid_to": out["valid_to"],
             }
-        )
+            buf = [list(buf_users), list(buf_ts), list(buf_eids),
+                   list(buf_types)]
+        else:
+            machine = {}
+            buf = [[], [], [], []]
+        for pdf in pdfs:
+            buf[0].extend(int(u) for u in pdf["user_id"])
+            buf[1].extend(int(t.value) for t in pdf["ts"])
+            buf[2].extend(int(e) for e in pdf["event_id"])
+            buf[3].extend(pdf["event_type"])
+        ripe: dict[int, list] = {}
+        keep = [[], [], [], []]
+        for u, ts_ns, eid, etype in zip(*buf):
+            if ts_ns < wm_ns:
+                ripe.setdefault(u, []).append((ts_ns, eid, etype))
+            else:
+                keep[0].append(u)
+                keep[1].append(ts_ns)
+                keep[2].append(eid)
+                keep[3].append(etype)
+        out = {k: [] for k in ("user_id", "version", "event_type",
+                               "n_events", "valid_from", "valid_to")}
+        for u in sorted(ripe):
+            evs = sorted(ripe[u])
+            m, closed = advance(
+                machine.get(u, (None, 0, 0, 0)),
+                [e[0] for e in evs],
+                [e[2] for e in evs],
+            )
+            machine[u] = m
+            for version, etype, n, vf, vt in closed:
+                out["user_id"].append(u)
+                out["version"].append(version)
+                out["event_type"].append(etype)
+                out["n_events"].append(n)
+                out["valid_from"].append(vf)
+                out["valid_to"].append(vt)
+        mkeys = sorted(machine)
+        state.update((
+            mkeys,
+            [machine[u][0] for u in mkeys],
+            [machine[u][1] for u in mkeys],
+            [machine[u][2] for u in mkeys],
+            [machine[u][3] for u in mkeys],
+            keep[0], keep[1], keep[2], keep[3],
+        ))
+        yield pd.DataFrame(out)
 
-    return stream.groupBy("user_id").applyInPandasWithState(
+    keyed = stream.withWatermark("ts", delay).withColumn(
+        "bucket", F.pmod(F.col("user_id"), F.lit(n_buckets))
+    )
+    return keyed.groupBy("bucket").applyInPandasWithState(
         _update_scd2,
         outputStructType=SCD2_OUTPUT_SCHEMA,
-        stateStructType=SCD2_STATE_SCHEMA,
+        stateStructType=SCD2_BUCKET_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 
+def scd2_drain(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+    """Finish a TERMINATED scd2_watermarked replay: read the query's
+    final state through Spark's state data source and run the identical
+    machine over each bucket's still-buffered events — emitting the
+    intervals the watermark had not yet proven final. Open runs stay
+    unemitted (they are the batch build's is_current rows). One
+    distributed batch pass over state-sized data; at 100 TB the state
+    is |users| x 40 B + the last watermark horizon of events, not the
+    stream."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    advance = _make_scd2_advance()
+
+    def _drain(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        out = {k: [] for k in ("user_id", "version", "event_type",
+                               "n_events", "valid_from", "valid_to")}
+        for row in pdf.itertuples(index=False):
+            machine = {
+                u: (ct, v, rs, rn)
+                for u, ct, v, rs, rn in zip(
+                    row.users, row.cur_types, row.versions,
+                    row.run_starts, row.run_ns,
+                )
+            }
+            pend: dict[int, list] = {}
+            for u, ts_ns, eid, etype in zip(
+                row.buf_users, row.buf_ts, row.buf_eids, row.buf_types
+            ):
+                pend.setdefault(int(u), []).append(
+                    (int(ts_ns), int(eid), etype)
+                )
+            for u in sorted(pend):
+                evs = sorted(pend[u])
+                _, closed = advance(
+                    machine.get(u, (None, 0, 0, 0)),
+                    [e[0] for e in evs],
+                    [e[2] for e in evs],
+                )
+                for version, etype, n, vf, vt in closed:
+                    out["user_id"].append(u)
+                    out["version"].append(version)
+                    out["event_type"].append(etype)
+                    out["n_events"].append(n)
+                    out["valid_from"].append(vf)
+                    out["valid_to"].append(vt)
+        return pd.DataFrame(out)
+
+    try:
+        st = spark.read.format("statestore").load(checkpoint_dir)
+    except AnalysisException:
+        # zero-batch replay (empty source): no state was ever written
+        return spark.createDataFrame([], SCD2_OUTPUT_SCHEMA)
+    flat = st.select(
+        F.col("key.bucket").alias("bucket"),
+        F.col("value.groupState.*"),
+    )
+    return flat.groupBy("bucket").applyInPandas(
+        _drain, schema=SCD2_OUTPUT_SCHEMA
+    )
+
+
 def st_scd2_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """queries() adapter: the emitted rows are exactly the batch SCD2
-    build's closed intervals (EV_SCD2_ORACLE filtered to
-    valid_to IS NOT NULL), so the oracle is shared with the batch twin."""
+    """queries() adapter: file-at-a-time replay through the watermarked
+    operator (the delay spans the whole synthetic history, so NOTHING
+    is dropped as late regardless of how the directory fragments the
+    event order), then scd2_drain completes the final horizon from
+    state. streamed + drained = exactly the batch build's closed
+    intervals (EV_SCD2_ORACLE filtered to valid_to IS NOT NULL), so
+    the oracle is shared with the batch twin — on ANY file layout,
+    with no single-batch crutch."""
+    import tempfile
+
     from simple_etl_pipeline_spark.streaming.events import (
         _run_to_memory,
         read_events_stream,
     )
 
-    # one_batch: SCD2's contract needs event-time order ACROSS files
-    # (see scd2_stateful's docstring); a whole-replay batch makes the
-    # in-batch sort global, so the build is correct on ANY file layout
-    # — and it removes the per-key-per-batch Python invocation cost
-    # the streaming scale probe measured under 1-file triggers
-    # (81 s -> ~linear at K=64). A single-file dir (the driver's
-    # testdata) is one batch either way.
-    stream = read_events_stream(spark, sf_dir, one_batch=True)
-    out = _run_to_memory(scd2_stateful(stream), "append")
-    return out.orderBy("user_id", "version")
+    checkpoint = tempfile.mkdtemp(prefix="scd2_ck_")
+    stream = read_events_stream(spark, sf_dir)
+    streamed = _run_to_memory(
+        scd2_watermarked(stream, delay="3650 days"),
+        "append",
+        checkpoint=checkpoint,
+    )
+    drained = scd2_drain(spark, checkpoint)
+    return streamed.unionByName(drained).orderBy("user_id", "version")
 
 
 ST_SCD2_ORACLE = """

@@ -244,3 +244,114 @@ def test_bucketed_state_equals_per_key_and_oracle(spark, sf_dir):
         r.user_id: (r.n_events, r.sum_value) for r in bucketed.collect()
     }
     assert got == per_key
+
+
+# --- watermark-ordered SCD2 (round-6 rework) ------------------------------
+def _scd2_batch_closed(spark, d):
+    from simple_etl_pipeline_spark.plans.events import ev_scd2_users
+
+    return {
+        (r.user_id, r.version, r.event_type, r.n_events,
+         r.valid_from, r.valid_to)
+        for r in ev_scd2_users(spark, d).collect()
+        if not r.is_current
+    }
+
+
+def test_scd2_fragmented_replay_equals_batch(spark, sf_dir, tmp_path):
+    """The round-5 hazard, now a pinned regression test: a HASH-
+    SCATTERED 8-file directory replayed file-at-a-time (every batch
+    spans the whole time range, maximal cross-batch disorder) must
+    still produce exactly the batch build's closed intervals — the
+    watermark buffer reorders, the drain completes the horizon. The
+    arrival-order predecessor emitted spurious rows on exactly this
+    layout."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from simple_etl_pipeline_spark.schemas import load_table
+    from simple_etl_pipeline_spark.streaming.stateful import st_scd2_users
+
+    d = str(tmp_path / "frag")
+    os.makedirs(d)
+    load_table(spark, sf_dir, "events").repartition(8).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "events.parquet"))
+    stream = [
+        (r.user_id, r.version, r.event_type, r.n_events,
+         r.valid_from, r.valid_to)
+        for r in st_scd2_users(spark, d).collect()
+    ]
+    assert len(stream) == len(set(stream))  # exactly-once emission
+    assert set(stream) == _scd2_batch_closed(spark, d)
+
+
+def test_scd2_watermark_emits_incrementally_on_ordered_feed(
+    spark, sf_dir, tmp_path
+):
+    """The live-stream path: a TIME-ORDERED multi-file feed with a
+    moderate watermark delay must emit most closed intervals from the
+    stream itself (watermark advance), with the drain only finishing
+    the final horizon — and the union must still equal the batch
+    build. This is the latency contract the one-batch drain could not
+    provide."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from simple_etl_pipeline_spark.schemas import load_table
+    from simple_etl_pipeline_spark.streaming.events import (
+        _run_to_memory,
+        read_events_stream,
+    )
+    from simple_etl_pipeline_spark.streaming.stateful import (
+        scd2_drain,
+        scd2_watermarked,
+    )
+
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "ordered")
+    evdir = os.path.join(d, "events.parquet")
+    os.makedirs(evdir)
+    # 6 contiguous time-range files (the production backfill layout),
+    # written SEQUENTIALLY so both of the file source's ordering keys
+    # (modification time, then path) replay them in event-time order
+    pdf = (
+        load_table(spark, sf_dir, "events")
+        .orderBy("ts", "event_id")
+        .toPandas()
+    )
+    n = len(pdf)
+    for i in range(6):
+        chunk = pdf.iloc[i * n // 6:(i + 1) * n // 6]
+        pq.write_table(
+            pa.Table.from_pandas(chunk, preserve_index=False),
+            os.path.join(evdir, f"{i:03d}.parquet"),
+            coerce_timestamps="us",  # match the testdata's micros unit
+            allow_truncated_timestamps=True,
+        )
+        time.sleep(0.05)  # distinct mtimes -> deterministic replay order
+    checkpoint = tempfile.mkdtemp(prefix="scd2_ordered_ck_")
+    stream = read_events_stream(spark, d)
+    streamed = _run_to_memory(
+        scd2_watermarked(stream, delay="2 hours"), "append",
+        checkpoint=checkpoint,
+    )
+    n_streamed = streamed.count()
+    drained = scd2_drain(spark, checkpoint)
+    got = {
+        (r.user_id, r.version, r.event_type, r.n_events,
+         r.valid_from, r.valid_to)
+        for r in streamed.unionByName(drained).collect()
+    }
+    batch = _scd2_batch_closed(spark, d)
+    assert got == batch
+    # the stream itself must have emitted the bulk of the history —
+    # emission on watermark advance, not a terminal dump
+    assert n_streamed > len(batch) // 2, (n_streamed, len(batch))

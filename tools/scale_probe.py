@@ -95,6 +95,13 @@ PROBE_QUERIES = [
     # (lang, token) count + token-keyed join of two aggregates — both
     # sides Zipf-collapsed map-side before any shuffle.
     "txt_kl_drift",
+    # round 6: epoch-shuffle manifest — narrow md5 map + one
+    # n_shards-keyed agg; the flattest shape after weighted_sample.
+    "train_shard_manifest",
+    # round 6: the single-shuffle exact-pair expansion (collect_list +
+    # in-partition combinations) feeding the star contraction — the
+    # rewrite's probe row vs the old double-shuffle self-join.
+    "dedup_ngram_jaccard",
     # multimodal members (blobs synthesized from documents): the
     # Arrow-batched mapInPandas feature pass should track corpus BYTES,
     # and the content-hash dedup is one keyed shuffle of 32-byte rows.
@@ -146,6 +153,12 @@ EV_PROBE_QUERIES = [
     # count-min: d x w counter table is constant-size; one groupBy over
     # d copies of the stream -> linear in events.
     "ev_countmin_users",
+    # round 6: CUPED = user-keyed conditional-sum agg + 1-row moment
+    # rollup -> linear; attribution = one as-of window shuffle + type
+    # rollup; conversion funnel = two user-keyed aggs + day rollup.
+    "ev_cuped",
+    "ev_attribution",
+    "ev_conversion_windows",
 ]
 # Relational probe (SPARK_GRAFT_PROBE=rel): the banded fuzzy self-join.
 # Each copy gets its own brand namespace (brand#copy), so cross-copy
