@@ -1556,6 +1556,307 @@ FROM rolled ORDER BY cohort_day
 """
 
 
+# --- mergeable quantile sketch (round-7 prebuild: pytest-oracle) ----------
+# DDSketch-family quantiles (Masson et al. 2019, VLDB: relative-error
+# quantile sketches are the mergeable alternative to exact percentiles
+# at stream scale), with DECIMAL-MANTISSA buckets instead of log-gamma
+# ones so every boundary is exact integer arithmetic on both engines:
+# a value's bucket is (sign, n_digits, leading QSKETCH_HEAD_DIGITS
+# digits) of its integer-micros magnitude — relative bucket width
+# <= 1/10^(QSKETCH_HEAD_DIGITS-1) = 1%, the DDSketch guarantee shape.
+QSKETCH_HEAD_DIGITS = 3
+QSKETCH_P_PPM = (500_000, 950_000, 990_000)  # p50 / p95 / p99
+
+
+def ev_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type quantile estimates (p50/p95/p99) from a MERGEABLE
+    histogram sketch: bucket counts add across partitions, days, or
+    clusters — the property exact percentiles lack and the reason every
+    100 TB metrics pipeline ships sketches, not sorted values. Buckets
+    are exact-integer decimal-mantissa cells (see QSKETCH_HEAD_DIGITS);
+    zero/negative values keep their sign as part of the key, so the
+    sketch is total over doubles with exact 6-dp micros resolution.
+
+    The rank target is ceil(p * n) in exact ppm integer arithmetic; the
+    estimate interpolates linearly inside the selected bucket's
+    [edge_lo, edge_hi) in double over exact integer inputs, rounded to
+    6 dp — deterministic on any engine and any partitioning.
+
+    Scale shape: one narrow map -> one (type, bucket)-keyed count (the
+    sketch build: map-side partial aggregation collapses to the bucket
+    universe, <= types x 19 magnitudes x 900 heads rows), then window
+    cumsum + a 3-row broadcast rank frame over METADATA-sized data.
+    At 100 TB only the first aggregation touches the stream."""
+    ev = load_table(spark, sf_dir, "events")
+    micros = (
+        (F.col("value").cast("decimal(38,6)") * 1_000_000)
+        .cast("bigint")
+        .alias("z")
+    )
+    z = ev.select("event_type", micros)
+    az = F.abs(F.col("z"))
+    m = F.length(az.cast("string"))
+    scale = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.expr(f"CAST(power(10, m - {QSKETCH_HEAD_DIGITS}) AS BIGINT)"),
+    )
+    hist = (
+        z.select(
+            "event_type",
+            F.signum("z").cast("bigint").alias("sign"),
+            az.alias("az"),
+            m.alias("m"),
+        )
+        .withColumn("scale", scale)
+        .withColumn("head", F.expr("az div scale"))
+        .withColumn("lo", F.col("head") * F.col("scale"))
+        .withColumn("hi", (F.col("head") + 1) * F.col("scale"))
+        # signed bucket edges: a negative bucket covers (-hi, -lo]
+        .withColumn(
+            "edge_lo",
+            F.when(F.col("sign") < 0, -F.col("hi")).otherwise(F.col("lo")),
+        )
+        .withColumn(
+            "edge_hi",
+            F.when(F.col("sign") < 0, -F.col("lo")).otherwise(F.col("hi")),
+        )
+        .groupBy("event_type", "edge_lo", "edge_hi")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("edge_lo", "edge_hi")
+    cum = hist.select(
+        "event_type",
+        "edge_lo",
+        "edge_hi",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(
+            Window.partitionBy("event_type")
+        ).alias("n_events"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("event_type")
+        ).alias("n_buckets"),
+    )
+    ps = spark.createDataFrame(
+        [(p,) for p in QSKETCH_P_PPM], "p_ppm bigint"
+    )
+    sel = (
+        cum.crossJoin(F.broadcast(ps))
+        .withColumn(
+            "r", F.expr("(n_events * p_ppm + 999999) div 1000000")
+        )
+        .filter(
+            (F.col("cum") - F.col("cnt") < F.col("r"))
+            & (F.col("r") <= F.col("cum"))
+        )
+    )
+    return (
+        sel.select(
+            "event_type",
+            "p_ppm",
+            "n_events",
+            "n_buckets",
+            F.round(
+                (
+                    F.col("edge_lo")
+                    + (F.col("edge_hi") - F.col("edge_lo")).cast("double")
+                    * (F.col("r") - (F.col("cum") - F.col("cnt"))).cast(
+                        "double"
+                    )
+                    / F.col("cnt").cast("double")
+                )
+                / 1e6,
+                6,
+            ).alias("est_value"),
+        )
+        .orderBy("event_type", "p_ppm")
+    )
+
+
+EV_QSKETCH_ORACLE = f"""
+WITH z AS (
+  SELECT event_type,
+    CAST(CAST(value AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS z
+  FROM events
+), cells AS (
+  SELECT event_type, CASE WHEN z < 0 THEN -1 WHEN z > 0 THEN 1 ELSE 0 END
+      AS sign,
+    abs(z) AS az, length(CAST(abs(z) AS VARCHAR)) AS m
+  FROM z
+), keyed AS (
+  SELECT event_type, sign, az,
+    GREATEST(CAST(1 AS BIGINT),
+             CAST(power(10, m - {QSKETCH_HEAD_DIGITS}) AS BIGINT)) AS scale
+  FROM cells
+), edged AS (
+  SELECT event_type,
+    CASE WHEN sign < 0 THEN -((az // scale) + 1) * scale
+         ELSE (az // scale) * scale END AS edge_lo,
+    CASE WHEN sign < 0 THEN -(az // scale) * scale
+         ELSE ((az // scale) + 1) * scale END AS edge_hi
+  FROM keyed
+), hist AS (
+  SELECT event_type, edge_lo, edge_hi, COUNT(*) AS cnt
+  FROM edged GROUP BY 1, 2, 3
+), cum AS (
+  SELECT *, SUM(cnt) OVER (PARTITION BY event_type
+      ORDER BY edge_lo, edge_hi
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    SUM(cnt) OVER (PARTITION BY event_type) AS n_events,
+    COUNT(*) OVER (PARTITION BY event_type) AS n_buckets
+  FROM hist
+), ps AS (SELECT unnest([{', '.join(str(p) for p in QSKETCH_P_PPM)}]) AS p_ppm)
+SELECT event_type, p_ppm,
+  CAST(n_events AS BIGINT) AS n_events,
+  CAST(n_buckets AS BIGINT) AS n_buckets,
+  round((edge_lo + CAST(edge_hi - edge_lo AS DOUBLE)
+         * CAST((n_events * p_ppm + 999999) // 1000000
+                - (cum - cnt) AS DOUBLE)
+         / CAST(cnt AS DOUBLE)) / 1e6, 6) AS est_value
+FROM cum, ps
+WHERE cum - cnt < (n_events * p_ppm + 999999) // 1000000
+  AND (n_events * p_ppm + 999999) // 1000000 <= cum
+ORDER BY event_type, p_ppm
+"""
+
+
+# --- linear multi-touch attribution (round-7 prebuild: pytest-oracle) -----
+ATTR_LOOKBACK_H = 24
+
+
+def ev_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear MULTI-touch attribution — the standard sibling of
+    last-touch (ev_attribution): every non-purchase touch of the same
+    user within ATTR_LOOKBACK_H hours before (or at) the purchase
+    shares the purchase's value EQUALLY. Credit is split in exact
+    integer micros — each touch gets floor(v/n) and the LATEST touch
+    (ts, then event_id, the last-touch tie-break) absorbs the
+    remainder, so every purchase's credit sums exactly to its value on
+    any engine and any partitioning; no-touch purchases credit
+    'direct' in full.
+
+    Scale shape: one user-keyed equi-join with a time-window filter
+    (per-user fanout bounded by activity x lookback — the same bound
+    as the conversion funnel), one purchase-keyed window for the
+    share count/rank, one type rollup + broadcast total. Never
+    event x event across users."""
+    ev = load_table(spark, sf_dir, "events")
+    micros = (
+        (F.col("value").cast("decimal(38,6)") * 1_000_000)
+        .cast("bigint")
+        .alias("vm")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id",
+        epoch_seconds("ts").alias("pt"), micros,
+    )
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", epoch_seconds("ts").alias("tt"),
+        F.col("event_id").alias("tid"),
+        F.col("event_type").alias("touch_type"),
+    )
+    L = ATTR_LOOKBACK_H * 3600
+    # the window predicate is part of the JOIN condition (not a
+    # post-filter): a purchase whose user has only OUT-of-window
+    # touches must still surface as a null-touch row -> 'direct'
+    j = purchases.join(
+        touches,
+        (purchases["user_id"] == touches["user_id"])
+        & (touches["tt"] <= purchases["pt"])
+        & (touches["tt"] >= purchases["pt"] - L),
+        "left",
+    ).drop(touches["user_id"])
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("pid")
+    wr = Window.partitionBy("pid").orderBy(
+        F.desc("tt"), F.desc("tid")
+    )
+    credited = (
+        j.withColumn(
+            "n_t",
+            F.count("tid").over(wp),
+        )
+        .withColumn("rn", F.row_number().over(wr))
+        .withColumn(
+            "credit",
+            F.when(F.col("n_t") == 0, F.col("vm")).otherwise(
+                F.expr("vm div n_t")
+                + F.when(
+                    F.col("rn") == 1, F.expr("vm % n_t")
+                ).otherwise(F.lit(0).cast("bigint"))
+            ),
+        )
+        .withColumn(
+            "attributed_type",
+            F.coalesce("touch_type", F.lit("direct")),
+        )
+    )
+    per_type = credited.groupBy("attributed_type").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum("credit").cast("bigint").alias("credit_micros"),
+    )
+    total = per_type.agg(
+        F.sum("credit_micros").cast("bigint").alias("total_micros")
+    )
+    return (
+        per_type.crossJoin(F.broadcast(total))
+        .select(
+            "attributed_type",
+            "n_touches",
+            F.round(F.col("credit_micros").cast("double") / 1e6, 6).alias(
+                "credit_value"
+            ),
+            F.round(
+                F.col("credit_micros").cast("double")
+                / F.col("total_micros").cast("double"),
+                6,
+            ).alias("credit_share"),
+        )
+        .orderBy("attributed_type")
+    )
+
+
+EV_ATTRIBUTION_LINEAR_ORACLE = f"""
+WITH p AS (
+  SELECT event_id AS pid, user_id, {sql_epoch('ts')} AS pt,
+    CAST(CAST(value AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS vm
+  FROM events WHERE event_type = 'purchase'
+), t AS (
+  SELECT user_id, {sql_epoch('ts')} AS tt, event_id AS tid,
+    event_type AS touch_type
+  FROM events WHERE event_type != 'purchase'
+), j AS (
+  SELECT p.pid, p.vm, t.tt, t.tid, t.touch_type
+  FROM p LEFT JOIN t ON p.user_id = t.user_id
+    AND t.tt <= p.pt AND t.tt >= p.pt - {ATTR_LOOKBACK_H * 3600}
+), credited AS (
+  SELECT pid, vm, touch_type,
+    COUNT(tid) OVER (PARTITION BY pid) AS n_t,
+    ROW_NUMBER() OVER (PARTITION BY pid ORDER BY tt DESC, tid DESC) AS rn
+  FROM j
+), shares AS (
+  SELECT COALESCE(touch_type, 'direct') AS attributed_type,
+    CASE WHEN n_t = 0 THEN vm
+         ELSE vm // n_t + CASE WHEN rn = 1 THEN vm % n_t ELSE 0 END
+    END AS credit
+  FROM credited
+), per_type AS (
+  SELECT attributed_type, COUNT(*) AS n_touches,
+    CAST(SUM(credit) AS BIGINT) AS credit_micros
+  FROM shares GROUP BY attributed_type
+), tot AS (SELECT CAST(SUM(credit_micros) AS BIGINT) AS total_micros
+           FROM per_type)
+SELECT attributed_type, n_touches,
+  round(CAST(credit_micros AS DOUBLE) / 1e6, 6) AS credit_value,
+  round(CAST(credit_micros AS DOUBLE) / CAST(total_micros AS DOUBLE), 6)
+    AS credit_share
+FROM per_type, tot ORDER BY attributed_type
+"""
+
+
 TAIL_QUERIES = {
     "skip_bloom_stats": skip_bloom_stats,
     "ev_heavy_hitters": ev_heavy_hitters,

@@ -59,6 +59,29 @@ EDGE_EVENTS = [
     # including one exactly at a session edge
     (62, _ts(505), 5, "error", 1.0, "{}"),
     (63, _ts(330), 4, "error", 2.0, "{}"),
+    # round-6 boundary cases ------------------------------------------
+    # CUPED: a PRE-period event for user 1 and an event EXACTLY at the
+    # cutoff (pre is ts < cutoff strictly, so this one is post) — with
+    # every other event post-cutoff most users have x=0, making the
+    # covariate nearly degenerate (varx ~ 0 stress on both engines)
+    (64, dt.datetime(2024, 1, 10, 12, 0, 0), 1, "view", 2.5, "{}"),
+    (65, dt.datetime(2024, 1, 16, 0, 0, 0), 2, "view", 4.0, "{}"),
+    # attribution: a touch at EXACTLY the purchase timestamp (np.ts <=
+    # p.ts is inclusive — simultaneous touch wins over 'direct')...
+    (66, _ts(600), 6, "purchase", 50.0, "{}"),
+    (67, _ts(600), 6, "click", 1.0, "{}"),
+    # ...and a purchase with no prior touch at all -> 'direct'
+    (68, _ts(610), 7, "purchase", 25.0, "{}"),
+    # conversion window: purchase EXACTLY at fv + 24h (pt <= fv+w is
+    # inclusive -> converts) ...
+    (69, _ts(1000), 8, "view", 1.0, "{}"),
+    (70, _ts(1000 + 24 * 60), 8, "purchase", 9.0, "{}"),
+    # ... one a minute past the window (no conversion) ...
+    (71, _ts(2000), 9, "view", 1.0, "{}"),
+    (72, _ts(2000 + 24 * 60 + 1), 9, "purchase", 9.0, "{}"),
+    # ... and a purchase BEFORE the first view (pt > fv is strict)
+    (73, _ts(3000), 10, "purchase", 9.0, "{}"),
+    (74, _ts(3001), 10, "view", 1.0, "{}"),
 ]
 
 # events-only oracle queries (skip ones that join other tables or whose
@@ -93,6 +116,10 @@ ADVERSARIAL_EV_QUERIES = [
     "st_user_totals_stateful",
     "st_scd2_users",
     "st_static_zscore",
+    # round-6 registrations over the boundary cases above
+    "ev_cuped",
+    "ev_attribution",
+    "ev_conversion_windows",
 ]
 
 
@@ -123,3 +150,21 @@ def edge_ev_dir(spark, sf_dir, tmp_path_factory) -> str:
 def test_edge_events_oracle_parity(spark, edge_ev_dir, name):
     df = QUERIES[name](spark, edge_ev_dir)
     compare_with_oracle(df, ORACLES[name], edge_ev_dir)
+
+
+# Round-6 prebuilds are unregistered (no ORACLES entry yet), so their
+# edge-corpus parity rows bind the local oracle constants directly —
+# the same discipline as the registered set above.
+@pytest.mark.parametrize(
+    "qname",
+    ["ev_quantile_sketch", "ev_attribution_linear"],
+)
+def test_edge_events_prebuild_oracle_parity(spark, edge_ev_dir, qname):
+    from simple_etl_pipeline_spark.plans import events as evmod
+
+    fn = getattr(evmod, qname)
+    oracle = {
+        "ev_quantile_sketch": evmod.EV_QSKETCH_ORACLE,
+        "ev_attribution_linear": evmod.EV_ATTRIBUTION_LINEAR_ORACLE,
+    }[qname]
+    compare_with_oracle(fn(spark, edge_ev_dir), oracle, edge_ev_dir)

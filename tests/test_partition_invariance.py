@@ -43,6 +43,14 @@ INVARIANT_QUERIES = [
     "bm25_topk",
     "sim_rp_recall",
     "skip_bloom_stats",
+    # round 6: decimal->micros integer moments (cuped), decimal sums +
+    # 6-dp shares (attribution), bigint floor-div means (conversion),
+    # pure md5/bit_xor arithmetic (shard manifest) — each would drift
+    # under partition-order-dependent float accumulation
+    "ev_cuped",
+    "ev_attribution",
+    "ev_conversion_windows",
+    "train_shard_manifest",
 ]
 
 
