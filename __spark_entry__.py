@@ -132,15 +132,15 @@ _WINDOW = [
     "st_scd2_users",
 ]
 
-# ROUND-7 ROTATION LEDGER (computed during round 6): after this window
-# runs, the r7 MANDATORY set is every query whose last driver row is
-# round 5 — the 50 keys of CORRECTNESS_r05.json minus those re-listed
-# above (dedup_components, dedup_components_lsh) and minus entry-smoke
-# q1 — i.e. ~46 queries, leaving ~4 free r7 slots. Registry arithmetic
-# after this round's 4-demotion/4-registration swap: 145 registered vs
-# 150 three-round slots (5 slack), so the invariant stays satisfiable
-# for two future rounds PROVIDED net growth stays ≤ 0 per round
-# (demote-one-per-add, VERDICT r5 ask #2).
+# ROUND-7 ROTATION LEDGER (tools/rotation_plan.py, run against this
+# window): uncovered_now = [], next_round_mandatory = 47,
+# next_round_free_slots = 3 (the exact list is the tool's
+# next_round_mandatory_list — the r4-green residue: the agg_* family,
+# the r4 join/window fillers, ev_scd2_users + the r4 events/sim tails).
+# Registry arithmetic after this round's 4-demotion/4-registration
+# swap: 145 registered vs 150 three-round slots (5 slack), so the
+# invariant stays satisfiable for two future rounds PROVIDED net
+# growth stays ≤ 0 per round (demote-one-per-add, VERDICT r5 ask #2).
 # First in line for the free r7 slots: the round-6 prebuilds
 # ev_quantile_sketch (mergeable DDSketch-style quantiles) and
 # ev_attribution_linear (multi-touch credit split) — both pytest-

@@ -263,3 +263,71 @@ def test_mixture_manifest_draw_side_is_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "txt_mixture_manifest")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# --- round-6 registrations -------------------------------------------------
+def test_cuped_is_two_aggregations_no_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ev_cuped")
+    # single scan -> user-keyed agg -> 1-row moment rollup: exactly one
+    # hash exchange (the user groupBy; the global agg is a SinglePartition
+    # exchange) and NO join of any kind
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_conversion_windows_joins_preaggregated_frames(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ev_conversion_windows")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the purchase side must NOT fan out through a window/explode —
+    # only keyed equi-join + aggs
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_attribution_total_is_broadcast_back(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ev_attribution")
+    # the 1-row total joins back as a broadcast (scalar share), never a
+    # shuffled join of the per-type frame against a 1-row frame
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_train_shard_manifest_single_keyed_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "train_shard_manifest")
+    # narrow md5 map + one shard-keyed agg (+ presentation range sort):
+    # exactly one hash exchange and no join
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+# --- round-7 prebuilds -----------------------------------------------------
+def _prebuild_plan(spark, sf_dir, qname):
+    from simple_etl_pipeline_spark.plans import events as evmod
+
+    fn = getattr(evmod, qname)
+    return fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_quantile_sketch_histogram_collapses_before_windows(spark, sf_dir):
+    plan = _prebuild_plan(spark, sf_dir, "ev_quantile_sketch")
+    assert "CartesianProduct" not in plan
+    # the 3-row percentile frame must be broadcast, and the only
+    # data-sized shuffle is the (type, bucket) histogram build: the
+    # window cumsum then re-keys METADATA-sized buckets by type
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_attribution_linear_no_cartesian_window_join(spark, sf_dir):
+    plan = _prebuild_plan(spark, sf_dir, "ev_attribution_linear")
+    assert "CartesianProduct" not in plan
+    # the user-keyed window join must be an equi-join on user_id with
+    # the time predicate as join filter — not a nested-loop range join
+    # (the broadcast NLJ allowed here is only the 1-row total share)
+    import re
+
+    nljs = [
+        ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln
+    ]
+    for ln in nljs:
+        # every NLJ must be the scalar cross (1-row total), i.e. Cross
+        assert "Cross" in ln, ln

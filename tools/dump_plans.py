@@ -37,6 +37,12 @@ PICKS = {
     "txt_char_entropy": "char-position explode pruned to doc_id+text; (doc,char) count collapses each alphabet map-side",
     "txt_kl_drift": "token-keyed join of two pre-aggregated count tables; totals broadcast; lang rollup is L-row",
     "dedup_components": "large-star/small-star contraction: per-round keyed aggs + joins over a SHRINKING checkpointed edge set; convergence is two metadata-sized counts",
+    # round 6
+    "dedup_ngram_jaccard": "single-shuffle pair stage: shingle-keyed collect_list + in-partition 2-combination expansion (the r6 rewrite — the shingle frame crosses the wire ONCE); jaccard join over pre-aggregated sizes",
+    "ev_cuped": "one user-keyed conditional-sum agg + 1-row integer moment rollup; no join anywhere",
+    "ev_attribution": "as-of latest-prior-touch via one purchase-keyed window; 1-row total broadcast for shares",
+    "ev_conversion_windows": "two user-keyed aggs joined PRE-aggregated (never event x event); day rollup",
+    "train_shard_manifest": "narrow (seed,epoch,key) md5 map + one 8-key agg; output metadata-sized",
 }
 
 def main():
