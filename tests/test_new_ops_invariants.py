@@ -566,3 +566,66 @@ def test_attribution_linear_conserves_value_exactly(spark, sf_dir):
     got_micros = round(sum(r.credit_value for r in rows) * 1e6)
     assert got_micros == total_micros
     assert abs(sum(r.credit_share for r in rows) - 1.0) < 1e-5
+
+
+# --- quantile-sketch algebra, property-tested (pure-Python replica) -------
+def _sketch_quantile_py(values, p_ppm):
+    """Pure-Python replica of ev_quantile_sketch's bucket algebra (the
+    exact integer arithmetic both engines run), so hypothesis can sweep
+    a much wider value space than the fixtures: micros quantization,
+    sign-aware decimal-mantissa buckets, ceil-rank selection, in-bucket
+    interpolation."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from simple_etl_pipeline_spark.plans.events import QSKETCH_HEAD_DIGITS
+
+    zs = [
+        int(
+            Decimal(v).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+            * 1_000_000
+        )
+        for v in values
+    ]
+    hist: dict[tuple[int, int], int] = {}
+    for z in zs:
+        az = abs(z)
+        m = len(str(az))
+        scale = max(1, 10 ** (m - QSKETCH_HEAD_DIGITS))
+        head = az // scale
+        lo, hi = head * scale, (head + 1) * scale
+        edge = (-hi, -lo) if z < 0 else (lo, hi)
+        hist[edge] = hist.get(edge, 0) + 1
+    n = len(zs)
+    r = (n * p_ppm + 999_999) // 1_000_000
+    cum = 0
+    for (elo, ehi), cnt in sorted(hist.items()):
+        if cum < r <= cum + cnt:
+            return (elo + (ehi - elo) * (r - cum) / cnt) / 1e6, sorted(zs)[
+                r - 1
+            ] / 1e6
+        cum += cnt
+    raise AssertionError("rank not found")
+
+
+@settings(
+    deadline=None, max_examples=300, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e9,
+            max_value=1e9,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.sampled_from([500_000, 950_000, 990_000]),
+)
+def test_quantile_sketch_algebra_error_bound(values, p_ppm):
+    """For ARBITRARY float lists: the sketch estimate stays within the
+    decimal-mantissa guarantee of the exact ceil-rank order statistic —
+    <= 1/10^(HEAD_DIGITS-1) relative + micros quantization slack."""
+    est, true = _sketch_quantile_py(values, p_ppm)
+    assert abs(est - true) <= 0.01 * abs(true) + 2e-6, (values, p_ppm, est, true)
