@@ -1582,6 +1582,12 @@ def ev_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     [edge_lo, edge_hi) in double over exact integer inputs, rounded to
     6 dp — deterministic on any engine and any partitioning.
 
+    Domain bound: |value| < ~9.2e12 (the micros representation is a
+    BIGINT; beyond that the ANSI cast raises rather than silently
+    wrapping — move the same expressions to decimal(38,0) if a metric
+    ever legitimately exceeds it). The adversarial corpus pins the
+    +-1e12 extremes.
+
     Scale shape: one narrow map -> one (type, bucket)-keyed count (the
     sketch build: map-side partial aggregation collapses to the bucket
     universe, <= types x 19 magnitudes x 900 heads rows), then window
