@@ -508,15 +508,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
-    a, b = bands.alias("a"), bands.alias("b")
+    # Bucket-candidate generation as ONE (band, bkey)-keyed shuffle:
+    # collect each bucket's sorted doc list and expand 2-combinations
+    # in-partition — the round-6 device dedup_ngram_jaccard's pair
+    # stage uses, applied to the band buckets (the self-join shuffled
+    # the bands frame twice for identical pairs). Per-bucket width is
+    # bounded by band selectivity exactly as the join was.
+    blists = bands.groupBy("band", "bkey").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        blists.select(F.posexplode("ds").alias("i", "doc_a"), "ds")
+        .select(
+            "doc_a",
+            F.explode(
+                F.slice("ds", F.col("i") + 2, F.size("ds"))
+            ).alias("doc_b"),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
     # Verify candidates with exact Jaccard (semi-joined to candidates only).
