@@ -142,12 +142,14 @@ _WINDOW = [
 # invariant stays satisfiable for two future rounds PROVIDED net
 # growth stays ≤ 0 per round (demote-one-per-add, VERDICT r5 ask #2).
 # First in line for the free r7 slots: the round-6 prebuilds
-# ev_quantile_sketch (mergeable DDSketch-style quantiles) and
-# ev_attribution_linear (multi-touch credit split) — both pytest-
-# oracle-green with probe exponents recorded (SCALING.md), awaiting
-# registration WITH matching demotions (candidate demotions: one of
-# the three interval-join surfaces, ev_json_extract vs ev_json_variant
-# — each pair has a sibling hash pinning most of its semantics).
+# ev_quantile_sketch (mergeable DDSketch-style quantiles),
+# ev_attribution_linear (multi-touch credit split) and
+# ev_path_transitions (per-user Markov transition matrix) — all
+# pytest-oracle-green with probe exponents recorded (SCALING.md),
+# awaiting registration WITH matching demotions (candidate demotions:
+# one of the three interval-join surfaces, ev_json_extract vs
+# ev_json_variant — each pair has a sibling hash pinning most of its
+# semantics).
 
 
 

@@ -1863,6 +1863,72 @@ FROM per_type, tot ORDER BY attributed_type
 """
 
 
+# --- session path transitions (round-7 prebuild: pytest-oracle) -----------
+def ev_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix — the first-order Markov
+    chain over the clickstream (the classic next-action / funnel-
+    discovery analysis). Each user's events, totally ordered by
+    (ts, event_id), yield (prev_type -> next_type) steps; each user's
+    first event transitions from the virtual '(start)' state, so entry
+    distribution and step structure come out of ONE pass. Transition
+    probability is exact integer ppm (floor of n*1e6/prev_total), so
+    engines and partitionings agree bit-for-bit.
+
+    Scale shape: ONE user-keyed shuffle (the lag window — the same
+    user partitioning every other per-user operator shuffles on, so a
+    shared repartition/bucketing amortizes it), then a pair count
+    whose map-side partial aggregation collapses to the
+    (|types|+1) x |types| transition universe before the shuffle, and
+    per-source totals as window math over that METADATA-sized frame.
+    At 100 TB only the lag window touches the stream, and its sort is
+    local to each user partition."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.coalesce(
+            F.lag("event_type").over(w), F.lit("(start)")
+        ).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    )
+    counts = seq.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    ws = Window.partitionBy("prev_type")
+    return (
+        counts.withColumn(
+            "prev_total",
+            F.sum("n_transitions").over(ws).cast("bigint"),
+        )
+        .withColumn(
+            "p_ppm", F.expr("(n_transitions * 1000000) div prev_total")
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+EV_PATH_TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT COALESCE(
+      LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+      '(start)') AS prev_type,
+    event_type AS next_type
+  FROM events
+), counts AS (
+  SELECT prev_type, next_type, COUNT(*) AS n_transitions
+  FROM seq GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n_transitions,
+  CAST(SUM(n_transitions) OVER (PARTITION BY prev_type) AS BIGINT)
+    AS prev_total,
+  (n_transitions * 1000000)
+    // CAST(SUM(n_transitions) OVER (PARTITION BY prev_type) AS BIGINT)
+    AS p_ppm
+FROM counts ORDER BY prev_type, next_type
+"""
+
+
 TAIL_QUERIES = {
     "skip_bloom_stats": skip_bloom_stats,
     "ev_heavy_hitters": ev_heavy_hitters,

@@ -157,7 +157,7 @@ def test_edge_events_oracle_parity(spark, edge_ev_dir, name):
 # the same discipline as the registered set above.
 @pytest.mark.parametrize(
     "qname",
-    ["ev_quantile_sketch", "ev_attribution_linear"],
+    ["ev_quantile_sketch", "ev_attribution_linear", "ev_path_transitions"],
 )
 def test_edge_events_prebuild_oracle_parity(spark, edge_ev_dir, qname):
     from simple_etl_pipeline_spark.plans import events as evmod
@@ -166,5 +166,6 @@ def test_edge_events_prebuild_oracle_parity(spark, edge_ev_dir, qname):
     oracle = {
         "ev_quantile_sketch": evmod.EV_QSKETCH_ORACLE,
         "ev_attribution_linear": evmod.EV_ATTRIBUTION_LINEAR_ORACLE,
+        "ev_path_transitions": evmod.EV_PATH_TRANSITIONS_ORACLE,
     }[qname]
     compare_with_oracle(fn(spark, edge_ev_dir), oracle, edge_ev_dir)

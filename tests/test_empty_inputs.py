@@ -14,6 +14,19 @@ QUERIES = entrymod.queries()
 # demoted-from-registry queries stay under the same test discipline
 from simple_etl_pipeline_spark.testing import demoted_queries as _dq  # noqa: E402
 QUERIES.update({k: fn for k, (fn, _) in _dq().items()})
+# round-7 prebuilds: not yet in the driver registry, same discipline
+from simple_etl_pipeline_spark.plans import events as _ev  # noqa: E402
+
+QUERIES.update(
+    {
+        n: getattr(_ev, n)
+        for n in (
+            "ev_quantile_sketch",
+            "ev_attribution_linear",
+            "ev_path_transitions",
+        )
+    }
+)
 
 REPRESENTATIVE = [
     "q1_pricing_summary",
@@ -65,6 +78,10 @@ REPRESENTATIVE = [
     "ev_attribution",
     "ev_conversion_windows",
     "train_shard_manifest",
+    # round-7 prebuilds
+    "ev_quantile_sketch",
+    "ev_attribution_linear",
+    "ev_path_transitions",
 ]
 
 

@@ -629,3 +629,49 @@ def test_quantile_sketch_algebra_error_bound(values, p_ppm):
     <= 1/10^(HEAD_DIGITS-1) relative + micros quantization slack."""
     est, true = _sketch_quantile_py(values, p_ppm)
     assert abs(est - true) <= 0.01 * abs(true) + 2e-6, (values, p_ppm, est, true)
+
+
+# --- session path transitions (round-7 prebuild) --------------------------
+def test_path_transitions_matches_oracle(spark, sf_dir):
+    from simple_etl_pipeline_spark.plans.events import (
+        EV_PATH_TRANSITIONS_ORACLE,
+        ev_path_transitions,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    compare_with_oracle(
+        ev_path_transitions(spark, sf_dir),
+        EV_PATH_TRANSITIONS_ORACLE,
+        sf_dir,
+    )
+
+
+def test_path_transitions_is_stochastic_and_conserves_events(spark, sf_dir):
+    """The transition matrix must be a proper first-order chain over
+    the stream: per source state the counts sum to prev_total and the
+    floor-ppm probabilities sum to within the floor loss of 1e6;
+    '(start)' rows account for exactly one entry per user; and total
+    transitions equal total events (every event is the TARGET of
+    exactly one step — its predecessor or the virtual start)."""
+    from pyspark.sql import functions as F
+
+    from simple_etl_pipeline_spark.plans.events import ev_path_transitions
+    from simple_etl_pipeline_spark.schemas import load_table
+
+    rows = ev_path_transitions(spark, sf_dir).collect()
+    assert rows
+    by_prev: dict[str, list] = {}
+    for r in rows:
+        by_prev.setdefault(r.prev_type, []).append(r)
+    for prev, rs in by_prev.items():
+        total = rs[0].prev_total
+        assert all(r.prev_total == total for r in rs)
+        assert sum(r.n_transitions for r in rs) == total
+        ppm_sum = sum(r.p_ppm for r in rs)
+        assert 1_000_000 - len(rs) < ppm_sum <= 1_000_000, (prev, ppm_sum)
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    start_total = by_prev["(start)"][0].prev_total
+    assert start_total == n_users
+    assert sum(r.n_transitions for r in rows) == n_events

@@ -21,6 +21,19 @@ QUERIES = entrymod.queries()
 # demoted-from-registry queries stay under the same test discipline
 from simple_etl_pipeline_spark.testing import demoted_queries as _dq  # noqa: E402
 QUERIES.update({k: fn for k, (fn, _) in _dq().items()})
+# round-7 prebuilds: not yet in the driver registry, same discipline
+from simple_etl_pipeline_spark.plans import events as _ev  # noqa: E402
+
+QUERIES.update(
+    {
+        n: getattr(_ev, n)
+        for n in (
+            "ev_quantile_sketch",
+            "ev_attribution_linear",
+            "ev_path_transitions",
+        )
+    }
+)
 
 # Float-aggregate-heavy and sketch queries — the ones that WOULD diverge
 # under double-sum reordering or rand()-based sampling.
@@ -51,6 +64,12 @@ INVARIANT_QUERIES = [
     "ev_attribution",
     "ev_conversion_windows",
     "train_shard_manifest",
+    # round-7 prebuilds: bucket-integer histogram + in-bucket
+    # interpolation (quantile sketch), integer-micros credit split
+    # (linear attribution), pure integer-ppm counts (path transitions)
+    "ev_quantile_sketch",
+    "ev_attribution_linear",
+    "ev_path_transitions",
 ]
 
 

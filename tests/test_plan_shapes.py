@@ -317,6 +317,19 @@ def test_quantile_sketch_histogram_collapses_before_windows(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_path_transitions_single_data_shuffle(spark, sf_dir):
+    plan = _prebuild_plan(spark, sf_dir, "ev_path_transitions")
+    # the ONLY data-sized shuffle is the user-keyed lag window; the
+    # pair count partial-aggregates map-side (collapsing to the
+    # |types|² universe BEFORE its exchange) and everything after is
+    # metadata-sized window math — no join anywhere
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+    assert "partial_count" in plan, plan
+    # column pruning reaches the scan: only the 4 needed columns
+    assert "ReadSchema: struct<event_id:bigint,ts:timestamp" in plan, plan
+
+
 def test_attribution_linear_no_cartesian_window_join(spark, sf_dir):
     plan = _prebuild_plan(spark, sf_dir, "ev_attribution_linear")
     assert "CartesianProduct" not in plan

@@ -159,6 +159,14 @@ EV_PROBE_QUERIES = [
     "ev_cuped",
     "ev_attribution",
     "ev_conversion_windows",
+    # round-7 prebuilds (unregistered; resolved from plans.events):
+    # quantile sketch = one (type, bucket) count collapsing map-side
+    # to the bucket universe; linear attribution = one user-keyed
+    # window join; path transitions = one user-keyed lag window + a
+    # pair count collapsing to the |types|² universe.
+    "ev_quantile_sketch",
+    "ev_attribution_linear",
+    "ev_path_transitions",
 ]
 # Relational probe (SPARK_GRAFT_PROBE=rel): the banded fuzzy self-join.
 # Each copy gets its own brand namespace (brand#copy), so cross-copy
@@ -324,6 +332,15 @@ def main() -> None:
     spark = get_spark(app_name="scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
+    # unregistered prebuilds keep the same probe discipline
+    from simple_etl_pipeline_spark.plans import events as _evmod
+
+    for _n in (
+        "ev_quantile_sketch",
+        "ev_attribution_linear",
+        "ev_path_transitions",
+    ):
+        queries.setdefault(_n, getattr(_evmod, _n))
     results: dict[str, dict[int, float]] = {q: {} for q in probe}
     base = tempfile.mkdtemp(prefix="spark_graft_scale_")
     try:
