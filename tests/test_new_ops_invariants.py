@@ -675,3 +675,66 @@ def test_path_transitions_is_stochastic_and_conserves_events(spark, sf_dir):
     start_total = by_prev["(start)"][0].prev_total
     assert start_total == n_users
     assert sum(r.n_transitions for r in rows) == n_events
+
+
+# hypothesis fuzz: the cross-engine risks in the transition matrix are
+# the LAG total order under equal timestamps, the NULL-type coalesce,
+# and floor-ppm at tiny prev_totals — force all three with colliding
+# users, a 3-value timestamp domain, and None event types.
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),  # user_id: forced collisions
+            st.integers(0, 2),  # ts bucket: forced equal-ts ties
+            st.sampled_from(["a", "b", "c", None]),  # event_type
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@_SETTINGS
+def test_path_transitions_fuzzed_cross_engine(
+    spark, tmp_path_factory, rows
+):
+    import datetime
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_etl_pipeline_spark.plans.events import (
+        EV_PATH_TRANSITIONS_ORACLE,
+        ev_path_transitions,
+    )
+    from simple_etl_pipeline_spark.schemas import TESTDATA_TABLES
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    d = tmp_path_factory.mktemp("pt_fuzz")
+    base = datetime.datetime(2024, 1, 1)
+    table = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(
+                [base + datetime.timedelta(hours=t) for _, t, _ in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([u for u, _, _ in rows], pa.int64()),
+            "event_type": pa.array(
+                [e for _, _, e in rows], pa.string()
+            ),
+            "value": pa.array([0.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(table, str(d / "events.parquet"))
+    for t in TESTDATA_TABLES:
+        if t != "events":
+            os.symlink(
+                f"/root/testdata/sf0.001/{t}.parquet",
+                str(d / f"{t}.parquet"),
+            )
+    compare_with_oracle(
+        ev_path_transitions(spark, str(d)),
+        EV_PATH_TRANSITIONS_ORACLE,
+        str(d),
+    )
