@@ -1582,11 +1582,17 @@ def ev_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     [edge_lo, edge_hi) in double over exact integer inputs, rounded to
     6 dp — deterministic on any engine and any partitioning.
 
-    Domain bound: |value| < ~9.2e12 (the micros representation is a
-    BIGINT; beyond that the ANSI cast raises rather than silently
-    wrapping — move the same expressions to decimal(38,0) if a metric
-    ever legitimately exceeds it). The adversarial corpus pins the
-    +-1e12 extremes.
+    NULL values are excluded (a sketch over doubles has no bucket for
+    NULL, and leaving them in would hang parity on engine null-order
+    defaults: Spark windows sort NULLS FIRST, DuckDB NULLS LAST).
+
+    Domain bound: the full BIGINT micros range, |value| <= ~9.223e12
+    (beyond that the ANSI cast raises rather than silently wrapping —
+    move the micros cast to decimal(38,0) if a metric ever
+    legitimately exceeds it). Bucket EDGES are computed in exact
+    decimal/hugeint so the top bucket's upper edge — up to
+    1000 * 10^16, past Long.MAX — cannot overflow. The adversarial
+    corpus pins the +-1e12 extremes.
 
     Scale shape: one narrow map -> one (type, bucket)-keyed count (the
     sketch build: map-side partial aggregation collapses to the bucket
@@ -1599,7 +1605,7 @@ def ev_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("z")
     )
-    z = ev.select("event_type", micros)
+    z = ev.filter(F.col("value").isNotNull()).select("event_type", micros)
     az = F.abs(F.col("z"))
     m = F.length(az.cast("string"))
     scale = F.greatest(
@@ -1615,8 +1621,25 @@ def ev_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("scale", scale)
         .withColumn("head", F.expr("az div scale"))
-        .withColumn("lo", F.col("head") * F.col("scale"))
-        .withColumn("hi", (F.col("head") + 1) * F.col("scale"))
+        # lo = floor(az / scale) * scale <= az always fits a BIGINT;
+        # hi = lo + scale can exceed Long.MAX for the top magnitude
+        # (head up to 999 at scale 1e16), so the edges are exact
+        # decimals — ordering and the double interpolation are
+        # unchanged, overflow is impossible.
+        .withColumn(
+            "lo",
+            (
+                F.col("head").cast("decimal(20,0)")
+                * F.col("scale").cast("decimal(20,0)")
+            ).cast("decimal(38,0)"),
+        )
+        .withColumn(
+            "hi",
+            (
+                (F.col("head") + 1).cast("decimal(20,0)")
+                * F.col("scale").cast("decimal(20,0)")
+            ).cast("decimal(38,0)"),
+        )
         # signed bucket edges: a negative bucket covers (-hi, -lo]
         .withColumn(
             "edge_lo",
@@ -1685,7 +1708,7 @@ EV_QSKETCH_ORACLE = f"""
 WITH z AS (
   SELECT event_type,
     CAST(CAST(value AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS z
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ), cells AS (
   SELECT event_type, CASE WHEN z < 0 THEN -1 WHEN z > 0 THEN 1 ELSE 0 END
       AS sign,
@@ -1697,11 +1720,15 @@ WITH z AS (
              CAST(power(10, m - {QSKETCH_HEAD_DIGITS}) AS BIGINT)) AS scale
   FROM cells
 ), edged AS (
+  -- edges in HUGEINT: the top bucket's upper edge (up to 1000 * 1e16)
+  -- exceeds BIGINT, exactly as the engine computes them in decimal
   SELECT event_type,
-    CASE WHEN sign < 0 THEN -((az // scale) + 1) * scale
-         ELSE (az // scale) * scale END AS edge_lo,
-    CASE WHEN sign < 0 THEN -(az // scale) * scale
-         ELSE ((az // scale) + 1) * scale END AS edge_hi
+    CASE WHEN sign < 0
+         THEN -(CAST(az // scale AS HUGEINT) + 1) * scale
+         ELSE CAST(az // scale AS HUGEINT) * scale END AS edge_lo,
+    CASE WHEN sign < 0
+         THEN -CAST(az // scale AS HUGEINT) * scale
+         ELSE (CAST(az // scale AS HUGEINT) + 1) * scale END AS edge_hi
   FROM keyed
 ), hist AS (
   SELECT event_type, edge_lo, edge_hi, COUNT(*) AS cnt
@@ -1800,12 +1827,18 @@ def ev_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("touch_type", F.lit("direct")),
         )
     )
+    # Per-row credit fits a BIGINT (same micros domain bound as the
+    # sketch), but the type rollup and grand total are SUMS over
+    # arbitrarily many rows — at 100 TB they overflow INT64 on real
+    # data, so they accumulate in exact decimal (HUGEINT on the
+    # oracle side). Output columns are doubles, so engine parity is
+    # unaffected.
     per_type = credited.groupBy("attributed_type").agg(
         F.count(F.lit(1)).alias("n_touches"),
-        F.sum("credit").cast("bigint").alias("credit_micros"),
+        F.sum(F.col("credit").cast("decimal(38,0)")).alias("credit_micros"),
     )
     total = per_type.agg(
-        F.sum("credit_micros").cast("bigint").alias("total_micros")
+        F.sum("credit_micros").cast("decimal(38,0)").alias("total_micros")
     )
     return (
         per_type.crossJoin(F.broadcast(total))
@@ -1850,10 +1883,12 @@ WITH p AS (
     END AS credit
   FROM credited
 ), per_type AS (
+  -- rollup sums stay HUGEINT: per-row credit is BIGINT-bounded but a
+  -- sum over the table is not (the engine side sums in decimal(38,0))
   SELECT attributed_type, COUNT(*) AS n_touches,
-    CAST(SUM(credit) AS BIGINT) AS credit_micros
+    SUM(credit) AS credit_micros
   FROM shares GROUP BY attributed_type
-), tot AS (SELECT CAST(SUM(credit_micros) AS BIGINT) AS total_micros
+), tot AS (SELECT SUM(credit_micros) AS total_micros
            FROM per_type)
 SELECT attributed_type, n_touches,
   round(CAST(credit_micros AS DOUBLE) / 1e6, 6) AS credit_value,
@@ -1870,7 +1905,11 @@ def ev_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     discovery analysis). Each user's events, totally ordered by
     (ts, event_id), yield (prev_type -> next_type) steps; each user's
     first event transitions from the virtual '(start)' state, so entry
-    distribution and step structure come out of ONE pass. Transition
+    distribution and step structure come out of ONE pass. A NULL
+    event_type is its own real state, '(null)' — mapped BEFORE the
+    lag, so it can never be mistaken for the virtual start (a bare
+    COALESCE over LAG would count a NULL-typed predecessor as a user
+    entry and break start_total == n_users). Transition
     probability is exact integer ppm (floor of n*1e6/prev_total), so
     engines and partitionings agree bit-for-bit.
 
@@ -1886,11 +1925,17 @@ def ev_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(
+    typed = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.coalesce(F.col("event_type"), F.lit("(null)")).alias("nt"),
+    )
+    seq = typed.select(
         F.coalesce(
-            F.lag("event_type").over(w), F.lit("(start)")
+            F.lag("nt").over(w), F.lit("(start)")
         ).alias("prev_type"),
-        F.col("event_type").alias("next_type"),
+        F.col("nt").alias("next_type"),
     )
     counts = seq.groupBy("prev_type", "next_type").agg(
         F.count(F.lit(1)).alias("n_transitions")
@@ -1909,12 +1954,16 @@ def ev_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EV_PATH_TRANSITIONS_ORACLE = """
-WITH seq AS (
-  SELECT COALESCE(
-      LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-      '(start)') AS prev_type,
-    event_type AS next_type
+WITH typed AS (
+  SELECT user_id, ts, event_id,
+    COALESCE(event_type, '(null)') AS nt
   FROM events
+), seq AS (
+  SELECT COALESCE(
+      LAG(nt) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+      '(start)') AS prev_type,
+    nt AS next_type
+  FROM typed
 ), counts AS (
   SELECT prev_type, next_type, COUNT(*) AS n_transitions
   FROM seq GROUP BY 1, 2

@@ -373,6 +373,31 @@ SELECT doc_id, {sql_md5_hash60('sh0')} AS sh FROM (
 """
 
 
+def _pairs_from_sorted_list(lists: DataFrame) -> DataFrame:
+    """Expand each row's sorted `ds` id array into its ordered
+    2-combinations — (doc_a, doc_b) with doc_a before doc_b in the
+    list, multiplicity identical to the classic keyed self-join
+    `a.key = b.key AND a.doc_id < b.doc_id` it replaces (one shuffle
+    of the list frame instead of two of the exploded one). posexplode
+    fixes doc_a at 0-based position i; slice(i+2, ...) (1-based)
+    yields the strictly-later elements. Equal ids inside one group
+    (possible only when two distinct shingles of a doc collide under
+    the 60-bit md5) would form (A, A) self-pairs the `<` join never
+    emits, so they are filtered; the duplicates still contribute full
+    cross-multiplicity to later elements, keeping pair counts equal
+    to the join's."""
+    return (
+        lists.select(F.posexplode("ds").alias("i", "doc_a"), "ds")
+        .select(
+            "doc_a",
+            F.explode(
+                F.slice("ds", F.col("i") + 2, F.size("ds"))
+            ).alias("doc_b"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+    )
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard near-dup pairs via shared-shingle candidate join,
     over the df-capped shingle universe (see SHINGLE_DF_CAP): dropping
@@ -389,7 +414,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = raw.join(hot, "sh", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     # Candidate-pair generation as ONE shingle-keyed shuffle: collect
-    # each shingle's (sorted, distinct) doc list and expand the
+    # each shingle's sorted doc list and expand the
     # 2-combinations in-partition — identical pairs to the classic
     # sh-keyed self-join but without shuffling the shingle frame a
     # second time for the join's other side (the largest frame in the
@@ -401,13 +426,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_list("doc_id")).alias("ds")
     )
     inter = (
-        lists.select(F.posexplode("ds").alias("i", "doc_a"), "ds")
-        .select(
-            "doc_a",
-            F.explode(
-                F.slice("ds", F.col("i") + 2, F.size("ds"))
-            ).alias("doc_b"),
-        )
+        _pairs_from_sorted_list(lists)
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -517,16 +536,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     blists = bands.groupBy("band", "bkey").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ds")
     )
-    cand = (
-        blists.select(F.posexplode("ds").alias("i", "doc_a"), "ds")
-        .select(
-            "doc_a",
-            F.explode(
-                F.slice("ds", F.col("i") + 2, F.size("ds"))
-            ).alias("doc_b"),
-        )
-        .distinct()
-    )
+    cand = _pairs_from_sorted_list(blists).distinct()
     # Verify candidates with exact Jaccard (semi-joined to candidates only).
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_val"))
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_val"))

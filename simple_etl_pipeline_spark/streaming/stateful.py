@@ -454,6 +454,8 @@ def st_scd2_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_events_stream,
     )
 
+    import shutil
+
     checkpoint = tempfile.mkdtemp(prefix="scd2_ck_")
     stream = read_events_stream(spark, sf_dir)
     streamed = _run_to_memory(
@@ -461,7 +463,13 @@ def st_scd2_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append",
         checkpoint=checkpoint,
     )
-    drained = scd2_drain(spark, checkpoint)
+    # The drain lazily re-reads the state store, and the whole-history
+    # delay means the state holds a full copy of the events table — so
+    # materialize the (output-sized) drained rows now and delete the
+    # checkpoint, instead of leaking an events-sized directory per
+    # invocation.
+    drained = scd2_drain(spark, checkpoint).localCheckpoint(eager=True)
+    shutil.rmtree(checkpoint, ignore_errors=True)
     return streamed.unionByName(drained).orderBy("user_id", "version")
 
 

@@ -169,3 +169,103 @@ def test_edge_events_prebuild_oracle_parity(spark, edge_ev_dir, qname):
         "ev_path_transitions": evmod.EV_PATH_TRANSITIONS_ORACLE,
     }[qname]
     compare_with_oracle(fn(spark, edge_ev_dir), oracle, edge_ev_dir)
+
+
+# Round-6 review corpus: NULL event types, NULL values, and micros
+# magnitudes in the top decimal band where the bucket's UPPER edge
+# (head+1)*scale exceeds Long.MAX. Pins the three review-caught
+# hazards: '(null)' is a real chain state (never '(start)'), the
+# quantile sketch excludes NULL values on both engines (instead of
+# hanging parity on NULLS FIRST/LAST defaults), and bucket edges are
+# exact decimal/hugeint so the top band cannot overflow.
+NULLISH_EVENTS = EDGE_EVENTS + [
+    (200, _ts(4000), 11, None, 1.0, "{}"),          # NULL type leads
+    (201, _ts(4001), 11, "view", None, "{}"),       # NULL value mid-run
+    (202, _ts(4002), 11, None, None, "{}"),         # both NULL
+    (203, _ts(4010), 12, None, 2.0, "{}"),          # user STARTS null
+    (204, _ts(4020), 13, "purchase", 9.2233e12, "{}"),   # top band +
+    (205, _ts(4021), 13, "view", -9.2233e12, "{}"),      # top band -
+]
+
+
+@pytest.fixture(scope="module")
+def nullish_ev_dir(spark, sf_dir, tmp_path_factory) -> str:
+    d = tmp_path_factory.mktemp("nullish_ev")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in NULLISH_EVENTS], pa.int64()),
+            "ts": pa.array([r[1] for r in NULLISH_EVENTS], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in NULLISH_EVENTS], pa.int64()),
+            "event_type": pa.array(
+                [r[3] for r in NULLISH_EVENTS], pa.string()
+            ),
+            "value": pa.array([r[4] for r in NULLISH_EVENTS], pa.float64()),
+            "props": pa.array([r[5] for r in NULLISH_EVENTS], pa.string()),
+        }
+    )
+    pq.write_table(table, str(d / "events.parquet"))
+    for t in TESTDATA_TABLES:
+        if t != "events":
+            os.symlink(f"{sf_dir}/{t}.parquet", str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["ev_quantile_sketch", "ev_attribution_linear", "ev_path_transitions"],
+)
+def test_nullish_events_prebuild_oracle_parity(spark, nullish_ev_dir, qname):
+    from simple_etl_pipeline_spark.plans import events as evmod
+
+    fn = getattr(evmod, qname)
+    oracle = {
+        "ev_quantile_sketch": evmod.EV_QSKETCH_ORACLE,
+        "ev_attribution_linear": evmod.EV_ATTRIBUTION_LINEAR_ORACLE,
+        "ev_path_transitions": evmod.EV_PATH_TRANSITIONS_ORACLE,
+    }[qname]
+    compare_with_oracle(fn(spark, nullish_ev_dir), oracle, nullish_ev_dir)
+
+
+def test_nullish_path_transitions_start_conservation(spark, nullish_ev_dir):
+    """'(start)' rows equal distinct users even when streams begin (or
+    continue) with NULL event types — the invariant a bare COALESCE
+    over LAG silently broke."""
+    from simple_etl_pipeline_spark.plans.events import ev_path_transitions
+
+    rows = ev_path_transitions(spark, nullish_ev_dir).collect()
+    start_total = sum(
+        r.n_transitions for r in rows if r.prev_type == "(start)"
+    )
+    n_users = len({r[2] for r in NULLISH_EVENTS})
+    assert start_total == n_users
+    assert sum(r.n_transitions for r in rows) == len(NULLISH_EVENTS)
+    assert any(r.prev_type == "(null)" for r in rows)
+
+
+def test_nullish_quantile_sketch_excludes_nulls_and_tops_out(
+    spark, nullish_ev_dir
+):
+    """n_events counts only non-NULL values; the top-band magnitudes
+    survive (no ANSI overflow) and the negative one estimates below
+    any in-band value."""
+    from simple_etl_pipeline_spark.plans.events import ev_quantile_sketch
+
+    rows = ev_quantile_sketch(spark, nullish_ev_dir).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, r.n_events)
+    # user 11's 'view' NULL value must not count toward view's n_events
+    n_view_values = sum(
+        1 for r in NULLISH_EVENTS if r[3] == "view" and r[4] is not None
+    )
+    assert by_type["view"] == n_view_values
+    # NULL event_type rows with non-NULL values are their own group
+    assert None in by_type and by_type[None] == 2
+    # the 9.2233e12 purchase is the purchase p99 (top band, no crash)
+    p99 = {
+        (r.event_type, r.p_ppm): r.est_value for r in rows
+    }[("purchase", 990_000)]
+    assert p99 >= 9.2e12

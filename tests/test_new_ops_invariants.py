@@ -727,10 +727,12 @@ def test_path_transitions_fuzzed_cross_engine(
         }
     )
     pq.write_table(table, str(d / "events.parquet"))
+    from tests.conftest import SF_DIR
+
     for t in TESTDATA_TABLES:
         if t != "events":
             os.symlink(
-                f"/root/testdata/sf0.001/{t}.parquet",
+                os.path.join(SF_DIR, f"{t}.parquet"),
                 str(d / f"{t}.parquet"),
             )
     compare_with_oracle(
@@ -738,3 +740,12 @@ def test_path_transitions_fuzzed_cross_engine(
         EV_PATH_TRANSITIONS_ORACLE,
         str(d),
     )
+    # NULL-typed events are the '(null)' state, never '(start)': the
+    # entry distribution must account for exactly one entry per user
+    # even when a user's stream begins or continues through NULL types.
+    out = ev_path_transitions(spark, str(d)).collect()
+    start_total = sum(
+        r.n_transitions for r in out if r.prev_type == "(start)"
+    )
+    assert start_total == len({u for u, _, _ in rows})
+    assert sum(r.n_transitions for r in out) == len(rows)

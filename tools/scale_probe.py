@@ -341,6 +341,13 @@ def main() -> None:
         "ev_path_transitions",
     ):
         queries.setdefault(_n, getattr(_evmod, _n))
+    # ... and so do demoted queries (pytest-only parity twins): probe
+    # lists name them by their original keys, which leave the registry
+    # on demotion.
+    from simple_etl_pipeline_spark import testing as _testing
+
+    for _n, (_fn, _sql) in _testing.demoted_queries().items():
+        queries.setdefault(_n, _fn)
     results: dict[str, dict[int, float]] = {q: {} for q in probe}
     base = tempfile.mkdtemp(prefix="spark_graft_scale_")
     try:
