@@ -276,16 +276,22 @@ def scd2_watermarked(
     replay probe caught in the arrival-order predecessor: 1,395
     spurious intervals on a hash-scattered directory).
 
-    Mechanics: incoming events buffer in state; each batch, every event
-    older than the current watermark is RIPE — no earlier event can
-    arrive anymore (Spark drops input older than the watermark), so the
-    buffered ripe set is totally ordered by (ts, event_id) and can be
-    fed to the run-compaction machine, emitting intervals exactly as
-    the batch build closes them. Events inside the watermark horizon
-    stay buffered. Late events beyond `delay` are dropped by the
-    engine — the standard watermark contract, and the one divergence
-    from the batch build (which sees everything); size `delay` to the
-    feed's disorder bound.
+    Mechanics: incoming events buffer in state; each batch, every
+    BUFFERED event older than the current watermark is RIPE — no
+    earlier event can arrive anymore once late input is dropped, so
+    the buffered ripe set is totally ordered by (ts, event_id) and can
+    be fed to the run-compaction machine, emitting intervals exactly
+    as the batch build closes them. Events inside the watermark
+    horizon stay buffered. Late events beyond `delay` are dropped AT
+    INGEST BY THIS OPERATOR: applyInPandasWithState does NOT filter
+    input below the watermark (verified empirically on PySpark 4.1.2 —
+    a row 40 min under the watermark was still delivered; see
+    tests/test_streaming.py::test_scd2_drops_late_input), so without
+    the explicit drop a straggler older than already-compacted history
+    would be applied out of order and emit overlapping intervals.
+    Dropping it is the standard watermark contract, and the one
+    divergence from the batch build (which sees everything); size
+    `delay` to the feed's disorder bound.
 
     Only CLOSED intervals ever emit, exactly once, when the watermark
     passes their closing event: output = batch build minus open
@@ -321,10 +327,23 @@ def scd2_watermarked(
             machine = {}
             buf = [[], [], [], []]
         for pdf in pdfs:
-            buf[0].extend(int(u) for u in pdf["user_id"])
-            buf[1].extend(int(t.value) for t in pdf["ts"])
-            buf[2].extend(int(e) for e in pdf["event_id"])
-            buf[3].extend(pdf["event_type"])
+            # LATE-INPUT DROP (the watermark contract): rows arriving
+            # below the current watermark are discarded here because
+            # the engine delivers them anyway (see docstring). Only
+            # rows already ACCEPTED into the buffer may ripen — a new
+            # arrival under the watermark is by definition late, and
+            # merging it would replay compacted history out of order.
+            for u, t, e, ty in zip(
+                pdf["user_id"], pdf["ts"], pdf["event_id"],
+                pdf["event_type"],
+            ):
+                ts_ns = int(t.value)
+                if ts_ns < wm_ns:
+                    continue
+                buf[0].append(int(u))
+                buf[1].append(ts_ns)
+                buf[2].append(int(e))
+                buf[3].append(ty)
         ripe: dict[int, list] = {}
         keep = [[], [], [], []]
         for u, ts_ns, eid, etype in zip(*buf):
@@ -438,15 +457,75 @@ def scd2_drain(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
     )
 
 
-def st_scd2_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """queries() adapter: file-at-a-time replay through the watermarked
-    operator (the delay spans the whole synthetic history, so NOTHING
-    is dropped as late regardless of how the directory fragments the
-    event order), then scd2_drain completes the final horizon from
-    state. streamed + drained = exactly the batch build's closed
-    intervals (EV_SCD2_ORACLE filtered to valid_to IS NOT NULL), so
-    the oracle is shared with the batch twin — on ANY file layout,
-    with no single-batch crutch."""
+def stage_time_ordered_events(
+    spark: SparkSession, sf_dir: str, staging_dir: str, n_files: int = 8
+) -> str:
+    """Batch re-sort of an events directory into `n_files` contiguous
+    time-range parquet files with strictly increasing mtimes — the
+    production backfill layout under which a bounded-delay watermarked
+    replay stays ~linear (SCALING.md round-6 fourth points: the
+    time-ordered bounded-delay cost model probes at exponent 0.12
+    with throughput rising, vs 1.38 superlinear for the arbitrary-
+    order history-spanning-delay replay it replaces).
+
+    Distributed: one range shuffle (`repartitionByRange` on
+    (ts, event_id)) + a parallel parquet write; the only driver-side
+    work is touching `n_files` mtimes so the file stream source's
+    oldest-first ordering (mod time, then path — part file names are
+    already in range order) replays the files in event-time order.
+    At 100 TB this is the standard pre-backfill sort: linear in the
+    input, and it buys a state buffer bounded by one file span plus
+    the watermark delay instead of the whole history."""
+    import os
+
+    from simple_etl_pipeline_spark.schemas import load_table
+
+    out = os.path.join(staging_dir, "events.parquet")
+    (
+        load_table(spark, sf_dir, "events")
+        .repartitionByRange(n_files, "ts", "event_id")
+        .sortWithinPartitions("ts", "event_id")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    parts = sorted(p for p in os.listdir(out) if p.endswith(".parquet"))
+    import time
+
+    base = time.time() - 2.0 * (len(parts) + 1)
+    for i, p in enumerate(parts):
+        t = base + 2.0 * i  # 2 s apart: beats any fs mtime granularity
+        os.utime(os.path.join(out, p), (t, t))
+    return staging_dir
+
+
+def scd2_backfill(
+    spark: SparkSession,
+    sf_dir: str,
+    delay: str = "2 hours",
+    n_files: int = 8,
+) -> DataFrame:
+    """Replay a STATIC events directory through the watermarked SCD2
+    operator the way a production backfill does: stage time-ordered
+    (stage_time_ordered_events), replay with a BOUNDED delay, drain
+    the final horizon from state. streamed + drained = exactly the
+    batch build's closed intervals for ANY input file layout, because
+    the staging sort normalizes the arrival order before the stream
+    ever sees it — no event is late under the bounded delay, so the
+    late-input drop in scd2_watermarked never fires here.
+
+    This entrypoint ENCODES the round-6 probe verdict in code
+    (VERDICT r6 ask #3): the one input shape where the buffered-state
+    rewrite goes superlinear — a finite arbitrary-order replay with a
+    history-spanning delay, where nothing ever ripens and every
+    micro-batch rewrites each bucket's whole buffer (64→256 exponent
+    1.38) — is structurally unreachable through it. Any layout is
+    first range-sorted, so the buffer never exceeds one file span
+    plus the delay horizon and the per-batch state rewrite stays
+    bounded (probed exponent 0.12, throughput rising). Callers that
+    genuinely need an unordered full-history contract should use the
+    batch operator (plans/events.ev_scd2_users), which sees everything
+    by construction."""
+    import shutil
     import tempfile
 
     from simple_etl_pipeline_spark.streaming.events import (
@@ -454,23 +533,35 @@ def st_scd2_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_events_stream,
     )
 
-    import shutil
-
+    staging = tempfile.mkdtemp(prefix="scd2_stage_")
     checkpoint = tempfile.mkdtemp(prefix="scd2_ck_")
-    stream = read_events_stream(spark, sf_dir)
-    streamed = _run_to_memory(
-        scd2_watermarked(stream, delay="3650 days"),
-        "append",
-        checkpoint=checkpoint,
-    )
-    # The drain lazily re-reads the state store, and the whole-history
-    # delay means the state holds a full copy of the events table — so
-    # materialize the (output-sized) drained rows now and delete the
-    # checkpoint, instead of leaking an events-sized directory per
-    # invocation.
-    drained = scd2_drain(spark, checkpoint).localCheckpoint(eager=True)
-    shutil.rmtree(checkpoint, ignore_errors=True)
+    try:
+        stage_time_ordered_events(spark, sf_dir, staging, n_files)
+        stream = read_events_stream(spark, staging)
+        streamed = _run_to_memory(
+            scd2_watermarked(stream, delay=delay),
+            "append",
+            checkpoint=checkpoint,
+        )
+        # The drain lazily re-reads the state store — materialize the
+        # (horizon-sized) drained rows before deleting checkpoint and
+        # staging, instead of leaking two directories per invocation.
+        drained = scd2_drain(spark, checkpoint).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(checkpoint, ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)
     return streamed.unionByName(drained).orderBy("user_id", "version")
+
+
+def st_scd2_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() adapter: the staged bounded-delay backfill replay
+    (scd2_backfill). The watermark path emits closed intervals
+    incrementally as files ripen; scd2_drain completes the final
+    horizon. streamed + drained = exactly the batch build's closed
+    intervals (EV_SCD2_ORACLE filtered to valid_to IS NOT NULL), so
+    the oracle is shared with the batch twin — on ANY file layout,
+    with no single-batch crutch and no history-spanning delay."""
+    return scd2_backfill(spark, sf_dir, delay="2 hours", n_files=8)
 
 
 ST_SCD2_ORACLE = """

@@ -355,3 +355,104 @@ def test_scd2_watermark_emits_incrementally_on_ordered_feed(
     # the stream itself must have emitted the bulk of the history —
     # emission on watermark advance, not a terminal dump
     assert n_streamed > len(batch) // 2, (n_streamed, len(batch))
+
+
+def _write_event_file(path, rows):
+    """rows: list of (event_id, ts_epoch_s, user_id, event_type)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tss = [
+        datetime.datetime.fromtimestamp(t, tz=datetime.timezone.utc)
+        for _, t, _, _ in rows
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(tss, pa.timestamp("us", tz="UTC")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(table, path)
+
+
+def test_scd2_drops_late_input(spark, tmp_path):
+    """ADVICE r6 (high): applyInPandasWithState does NOT drop input
+    below the watermark — the operator must. Replays a feed whose
+    second file contains an event 2h25m OLDER than the watermark
+    established by the first file (delay is 30 minutes): a straggler
+    landing inside an already-compacted click run. If it were merged
+    (the pre-fix behavior), the run would split into
+    click/purchase/click — three spurious intervals; the watermark
+    contract says it is late and must be dropped, so the output must
+    equal the batch build over the feed WITHOUT the late event."""
+    import os
+    import tempfile
+    import time
+
+    from simple_etl_pipeline_spark.streaming.events import (
+        _run_to_memory,
+        read_events_stream,
+    )
+    from simple_etl_pipeline_spark.streaming.stateful import (
+        scd2_drain,
+        scd2_watermarked,
+    )
+
+    t0 = 1_700_000_000  # any fixed epoch second
+    H, M = 3600, 60
+    file1 = [
+        (1, t0, 7, "click"),
+        (2, t0 + 10 * M, 7, "click"),
+        (3, t0 + 1 * H, 7, "view"),
+        (4, t0 + 3 * H, 7, "click"),  # max ts -> wm = t0 + 2.5h
+    ]
+    late = (5, t0 + 5 * M, 7, "purchase")  # 2h25m below the watermark
+    file2 = [late, (6, t0 + 4 * H, 7, "view")]
+
+    d = str(tmp_path / "latefeed")
+    evdir = os.path.join(d, "events.parquet")
+    os.makedirs(evdir)
+    _write_event_file(os.path.join(evdir, "000.parquet"), file1)
+    time.sleep(0.05)  # distinct mtimes -> deterministic replay order
+    _write_event_file(os.path.join(evdir, "001.parquet"), file2)
+
+    checkpoint = tempfile.mkdtemp(prefix="scd2_late_ck_")
+    stream = read_events_stream(spark, d)
+    streamed = _run_to_memory(
+        scd2_watermarked(stream, delay="30 minutes"), "append",
+        checkpoint=checkpoint,
+    )
+    drained = scd2_drain(spark, checkpoint)
+    got = {
+        (r.user_id, r.version, r.event_type, r.n_events,
+         r.valid_from, r.valid_to)
+        for r in streamed.unionByName(drained).collect()
+    }
+    # batch build over the feed WITHOUT the late straggler
+    expected = {
+        (7, 1, "click", 2, t0, t0 + 1 * H),
+        (7, 2, "view", 1, t0 + 1 * H, t0 + 3 * H),
+        (7, 3, "click", 1, t0 + 3 * H, t0 + 4 * H),
+        # version 4 (view from t0+4h) is open -> never emitted
+    }
+    assert got == expected
+
+
+def test_scd2_backfill_empty_events(spark, tmp_path):
+    """Zero-row events: the staging sort writes no (or empty) part
+    files, the replay sees zero batches, scd2_drain's missing-state
+    branch returns the empty frame — no error, no rows."""
+    from simple_etl_pipeline_spark.schemas import TABLE_SCHEMAS
+    from simple_etl_pipeline_spark.streaming.stateful import st_scd2_users
+
+    d = str(tmp_path / "empty_sf")
+    spark.createDataFrame([], TABLE_SCHEMAS["events"]).write.mode(
+        "overwrite"
+    ).parquet(d + "/events.parquet")
+    assert st_scd2_users(spark, d).collect() == []
