@@ -1673,8 +1673,20 @@ def ev_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sel = (
         cum.crossJoin(F.broadcast(ps))
+        # rank = ceil(p * n) in exact ppm arithmetic, computed in
+        # decimal(38,0): a BIGINT product n_events * p_ppm overflows
+        # (ANSI cast error) once a type exceeds ~9.3e12 events — inside
+        # the 100 TB domain — while the decimal product fits 38 digits
+        # (9.2e18 * 990000 ~ 9.1e24); the quotient is back under
+        # Long.MAX by construction (r <= n_events). Mirrors the
+        # exact-decimal treatment of the bucket edges above, and the
+        # oracle's HUGEINT arithmetic (ADVICE r6).
         .withColumn(
-            "r", F.expr("(n_events * p_ppm + 999999) div 1000000")
+            "r",
+            F.expr(
+                "(CAST(n_events AS DECIMAL(38,0)) * p_ppm + 999999)"
+                " div 1000000"
+            ),
         )
         .filter(
             (F.col("cum") - F.col("cnt") < F.col("r"))

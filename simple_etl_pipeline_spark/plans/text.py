@@ -385,7 +385,19 @@ def _pairs_from_sorted_list(lists: DataFrame) -> DataFrame:
     the 60-bit md5) would form (A, A) self-pairs the `<` join never
     emits, so they are filtered; the duplicates still contribute full
     cross-multiplicity to later elements, keeping pair counts equal
-    to the join's."""
+    to the join's.
+
+    PRECONDITION (ADVICE r6): the upstream groupBy key must be
+    NON-NULL. groupBy retains a NULL-key group whose members would be
+    paired with each other here, whereas the equi-join's equality
+    predicate drops NULL keys entirely — so the join-equivalence claim
+    above holds only for non-null keys. Every current call site
+    satisfies this by construction: the keys are md5-derived
+    (md5_hash60 of a non-null shingle / band signature is never NULL),
+    pinned by tests/test_adversarial_text.py::
+    test_pair_keys_are_nonnull_at_every_call_site. A future call site
+    with a nullable key must `.filter(key.isNotNull())` before its
+    groupBy/collect_list."""
     return (
         lists.select(F.posexplode("ds").alias("i", "doc_a"), "ds")
         .select(

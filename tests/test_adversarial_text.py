@@ -165,3 +165,47 @@ def test_contamination_denominator_is_prejoin_distinct_count(spark, sf_dir):
         .collect()
     }
     assert got == exp
+
+
+def test_pair_keys_are_nonnull_at_every_call_site(spark, sf_dir):
+    """ADVICE r6: _pairs_from_sorted_list pairs the members of a
+    NULL-key group with each other, whereas the equi-join it replaces
+    drops NULL keys — its join-equivalence claim therefore REQUIRES
+    non-null grouping keys. Pin the precondition at both call sites:
+    the shingle hash (dedup_ngram_jaccard / the Jaccard family) and
+    the MinHash band key (dedup_minhash_lsh) are md5-derived and must
+    never be NULL."""
+    from pyspark.sql import functions as F
+
+    from simple_etl_pipeline_spark.plans.text import (
+        _PERM,
+        _ROWS_PER_BAND,
+        MINHASH_BANDS,
+        MINHASH_P,
+        _shingle_sets,
+    )
+
+    sh = _shingle_sets(spark, sf_dir)
+    assert sh.filter(F.col("sh").isNull()).count() == 0
+
+    h31 = (F.col("sh") % MINHASH_P).alias("h31")
+    mh_cols = [
+        F.min((F.lit(a) * F.col("h31") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_PERM)
+    ]
+    sig = sh.select("doc_id", h31).groupBy("doc_id").agg(*mh_cols)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"mh{b * _ROWS_PER_BAND + j}").cast("string")
+                    for j in range(_ROWS_PER_BAND)
+                ],
+            ).alias("bkey"),
+        )
+        for b in range(MINHASH_BANDS)
+    ]
+    bands = sig.select(F.explode(F.array(*band_structs)).alias("bb"))
+    assert bands.filter(F.col("bb.bkey").isNull()).count() == 0

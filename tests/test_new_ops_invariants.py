@@ -452,6 +452,25 @@ def test_quantile_sketch_matches_oracle(spark, sf_dir):
     )
 
 
+def test_quantile_sketch_rank_survives_1e13_events(spark):
+    """ADVICE r6: the rank ceil(p*n) must be computed in decimal(38,0)
+    — a BIGINT product n_events * p_ppm raises ARITHMETIC_OVERFLOW
+    under ANSI once a type exceeds ~9.3e12 events. Pin the expression
+    itself at n = 1e13 (we cannot materialize the rows, but the rank
+    arithmetic only sees the aggregated count)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(10_000_000_000_000, 990_000)], "n_events bigint, p_ppm bigint"
+    ).select(
+        F.expr(
+            "(CAST(n_events AS DECIMAL(38,0)) * p_ppm + 999999)"
+            " div 1000000"
+        ).alias("r")
+    )
+    assert df.collect()[0].r == 9_900_000_000_000
+
+
 def test_quantile_sketch_relative_error_and_order(spark, sf_dir):
     """The decimal-mantissa buckets guarantee <= 1% relative error vs
     the EXACT percentile (for positive values well inside a bucket
