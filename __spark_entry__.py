@@ -49,108 +49,112 @@ def _all_modules():
 # prefix window of queries() in registration order (rounds 1-4 each
 # covered exactly the first 50). _WINDOW pins those 50 slots explicitly.
 #
-# Round-6 composition, governed by the rotation invariant
+# Round-7 composition, governed by the rotation invariant
 # tests/test_driver_window.py enforces (every oracle-backed query must
 # appear in the union of the last two recorded CORRECTNESS windows plus
 # this list — no query goes more than two rounds without a driver row):
-#   1. The r6 MANDATORY set: every query whose last driver row was
-#      round 3 (the r3-green residue) plus ev_asof_purchase_click,
-#      which ceded its r5 filler slot to a canary. The end-of-round-5
-#      ledger counted 46; four of them (sim_ivf_recall,
-#      join_fuzzy_recall, txt_mixture_weights, mm_dedup_blobs) were
-#      DEMOTED this round to pytest-only parity — each is a derivative
-#      of registered driver-green siblings (see the demotion comments
-#      at their modules' TAIL_QUERIES and tests/test_oracle_parity.py's
-#      DEMOTED map) — leaving 42 mandatory slots.
-#   2. The 3 round-5 prebuilds, now registered: ev_cuped,
-#      ev_attribution, ev_conversion_windows (the bm25-trio pattern),
-#      plus train_shard_manifest — the new oracle surface of
-#      operators/training.py, the last non-audit operator without a
-#      driver row (VERDICT r5 ask #4). Net registry growth is ZERO:
-#      4 demotions for 4 registrations (ask #2).
-#   3. 4 changed-code canaries: dedup_components + dedup_components_lsh
-#      + txt_triangle_count (round 6 rewrote the shared exact-pair
-#      generation to a single-shuffle expansion, VERDICT ask #6/#7 —
-#      every consumer of the changed source gets a driver row;
-#      txt_pagerank and dedup_ngram_jaccard itself are already in the
-#      mandatory set above), and st_scd2_users (the watermark-ordered
-#      streaming SCD2 rework, ask #5). The batch twin ev_scd2_users is
-#      UNCHANGED code with an r4 row, so rotation defers it to r7.
+#   1. The r7 MANDATORY set: the 47-query r4-green residue the round-6
+#      ledger predicted (tools/rotation_plan.py, now timing-robust,
+#      prints the same list), MINUS two of its members demoted this
+#      round (ev_overlap_incident_sessions, window_lag_events) =
+#      45 slots.
+#   2. The 3 round-6 prebuilds, now registered: ev_quantile_sketch,
+#      ev_attribution_linear, ev_path_transitions. Net registry growth
+#      ZERO: 3 demotions for 3 registrations (ev_json_extract +
+#      the two in-window demotions above; rationale at
+#      plans/events.py TAIL_QUERIES and testing.demoted_queries()).
+#   3. 1 changed-code canary: st_scd2_users — round 7 fixed the
+#      late-input drop in scd2_watermarked (ADVICE r6 high) and moved
+#      the adapter to the staged bounded-delay scd2_backfill (VERDICT
+#      ask #3), so the operator re-earns a driver row. The in-window
+#      demotions are what opened this slot (VERDICT ask #2 option b).
+#   4. 1 drift-watch slot: bm25_topk — the one r6 bench regression
+#      marginally above spread (VERDICT ask #6); an r7 driver row plus
+#      the isolated re-run recorded in SCALING.md close it with
+#      evidence. Its last driver row is r5, so this also rotates it a
+#      round early (r8 mandatory set shrinks by one).
 _WINDOW = [
-    # -- mandatory: last driver row in round 3 (42) ------------------------
-    "q1_pricing_summary",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q16_supplier_cardinality",
-    "q17_small_qty_revenue",
-    "q20_excess_shippers",
-    "q21_waiting_suppliers",
-    "agg_approx_percentile",
-    "unpivot_lineitem_measures",
-    "window_ntile_customer_deciles",
-    "join_fuzzy_part_names",
-    "ref_transform_full",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    "dedup_incremental",
-    "dedup_paragraphs",
-    "dedup_survivors_quality",
-    "txt_chunk_windows",
-    "txt_contamination",
-    "txt_dataset_card",
-    "txt_gopher_quality",
-    "txt_pack_sequences",
-    "txt_pagerank",
-    "txt_pii_redact",
-    "txt_repetition_filter",
-    "txt_sample_stratified",
-    "sim_ivfpq_topk",
-    "sim_mrl_recall",
-    "sim_pq_adc",
-    "sim_quantize_int8",
-    "ev_asof_purchase_click",
-    "ev_heavy_hitters",
-    "ev_hll_user_rollup",
-    "ev_json_variant",
-    "ev_retention_cohorts",
-    "ev_session_windows",
-    "ev_zscore_outliers",
-    "st_dedup_index",
-    "st_session_windows",
-    # -- round-6 registrations (4) -----------------------------------------
-    "ev_cuped",
-    "ev_attribution",
-    "ev_conversion_windows",
-    "train_shard_manifest",
-    # -- changed-code canaries (4) -----------------------------------------
-    "dedup_components",
-    "dedup_components_lsh",
-    "txt_triangle_count",
+    # -- mandatory: last driver row in round 4 (45 after demotions) ---------
+    "agg_conditional_pivot",
+    "agg_cube_lineitem",
+    "agg_distinct_counts",
+    "agg_grouping_sets",
+    "agg_histogram",
+    "agg_mode_source_by_lang",
+    "agg_percentiles",
+    "agg_rollup_orders",
+    "agg_salted_sum",
+    "dedup_semdedup",
+    "ev_countmin_users",
+    "ev_range_join_incidents",
+    "ev_scd2_users",
+    "ev_zorder_layout",
+    "join_anti_customers_without_orders",
+    "join_broadcast_brand_revenue",
+    "join_full_outer_nation_presence",
+    "join_semi_discounted",
+    "orderby_limit_top_orders",
+    "q10_returned_items",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q18_large_volume_customers",
+    "q19_disjunctive_filter",
+    "q22_idle_customers",
+    "q2_top_supplier_per_nation",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_region_revenue",
+    "q6_revenue_filter",
+    "q7_nation_volume",
+    "scalar_functions",
+    "setops_nations",
+    "sim_kmeans_lloyd",
+    "st_static_zscore",
+    "st_user_totals_stateful",
+    "txt_bloom_contamination",
+    "txt_dsir_weights",
+    "txt_rare_token_ratio",
+    "window_above_customer_avg",
+    "window_percent_rank_suppliers",
+    "window_rolling_7d",
+    "window_running_total",
+    "window_topk_orders_per_customer",
+    # -- round-7 registrations (3) -----------------------------------------
+    "ev_quantile_sketch",
+    "ev_attribution_linear",
+    "ev_path_transitions",
+    # -- changed-code canary (1) --------------------------------------------
     "st_scd2_users",
+    # -- drift watch / early rotation (1) ------------------------------------
+    "bm25_topk",
 ]
 
-# ROUND-7 ROTATION LEDGER (tools/rotation_plan.py, run against this
-# window): uncovered_now = [], next_round_mandatory = 47,
-# next_round_free_slots = 3 (the exact list is the tool's
-# next_round_mandatory_list — the r4-green residue: the agg_* family,
-# the r4 join/window fillers, ev_scd2_users + the r4 events/sim tails).
-# Registry arithmetic after this round's 4-demotion/4-registration
-# swap: 145 registered vs 150 three-round slots (5 slack), so the
-# invariant stays satisfiable for two future rounds PROVIDED net
-# growth stays ≤ 0 per round (demote-one-per-add, VERDICT r5 ask #2).
-# First in line for the free r7 slots: the round-6 prebuilds
-# ev_quantile_sketch (mergeable DDSketch-style quantiles),
-# ev_attribution_linear (multi-touch credit split) and
-# ev_path_transitions (per-user Markov transition matrix) — all
-# pytest-oracle-green with probe exponents recorded (SCALING.md),
-# awaiting registration WITH matching demotions (candidate demotions:
-# one of the three interval-join surfaces, ev_json_extract vs
-# ev_json_variant — each pair has a sibling hash pinning most of its
-# semantics).
-
+# ROUND-8 ROTATION LEDGER (tools/rotation_plan.py run AFTER this
+# rebalance prints state=post_rebalance with exactly this arithmetic):
+# at the r8 gate the last two recorded windows will be CORRECTNESS_r06
+# + this window, so next_round_mandatory = 46 queries — the r5-green
+# residue (bm25_topk excluded: slot 50 above rotates it early) — and
+# next_round_free_slots = 4. The exact 46 is the tool's
+# next_round_mandatory_list: agg_approx_distinct, the r5 dedup/text
+# tails (dedup_ngram_spans, dedup_simhash, dedup_simhash_pairs,
+# inverted_index, weighted_sample, skip_bloom_stats, txt_char_entropy,
+# txt_gopher_repetition, txt_kl_drift, txt_mixture_manifest), the r5
+# events/streaming block (ev_funnel, ev_range_join_nearby,
+# ev_rollup_multires, ev_sliding_windows, ev_tumbling_hourly,
+# ev_user_daily_activity, st_dedup_events, st_sliding_windows,
+# st_stream_stream_join, st_tumbling_hourly), the mm_* quartet,
+# q12_shipmode_priority, the ref_clean_* sextet, the r5 sim block
+# (sim_ann_lsh, sim_centroids_by_label, sim_ivf_topk, sim_knn_brute,
+# sim_rp_recall), and the r5 text surfaces (txt_bpe_tokens,
+# txt_doc_features, txt_fingerprint, txt_langid, txt_ngram_freq,
+# txt_tfidf_top_term, txt_token_stats, txt_training_corpus,
+# txt_winnow_fingerprint). First in line for the 4 free slots: the
+# round-7 prebuilds (built+oracled this round, registered next with
+# matching demotions), plus canary slots for any r8 shared-code
+# rewrites. Registry arithmetic: 145 registered / 150 three-round
+# slots (5 slack) — the invariant stays satisfiable PROVIDED net
+# growth stays <= 0 per round (demote-one-per-add).
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

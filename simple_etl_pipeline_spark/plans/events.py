@@ -344,7 +344,6 @@ QUERIES = {
     "ev_tumbling_hourly": ev_tumbling_hourly,
     "ev_sliding_windows": ev_sliding_windows,
     "ev_session_windows": ev_session_windows,
-    "ev_json_extract": ev_json_extract,
     "ev_user_daily_activity": ev_user_daily_activity,
 }
 
@@ -356,7 +355,6 @@ ORACLES = {
     "ev_tumbling_hourly": EV_TUMBLING_ORACLE,
     "ev_sliding_windows": EV_SLIDING_ORACLE,
     "ev_session_windows": EV_SESSION_ORACLE,
-    "ev_json_extract": EV_JSON_ORACLE,
     "ev_user_daily_activity": EV_DAILY_ORACLE,
 }
 
@@ -2001,11 +1999,26 @@ TAIL_QUERIES = {
     "ev_countmin_users": ev_countmin_users,
     "ev_scd2_users": ev_scd2_users,
     "ev_zorder_layout": ev_zorder_layout,
-    "ev_overlap_incident_sessions": ev_overlap_incident_sessions,
     # round-6 registrations (prebuilt + pytest-oracle-green in round 5)
     "ev_cuped": ev_cuped,
     "ev_attribution": ev_attribution,
     "ev_conversion_windows": ev_conversion_windows,
+    # round-7 registrations (prebuilt + pytest-oracle-green in round 6).
+    # Matching demotions keep net registry growth at ZERO (capacity
+    # rule, VERDICT r5 ask #2 / r6 ask #1) — each demoted query keeps
+    # full pytest oracle parity via testing.demoted_queries():
+    #   - ev_json_extract: sibling ev_json_variant (r6 driver-green)
+    #     pins the same props JSON-path extraction semantics.
+    #   - ev_overlap_incident_sessions: one of THREE interval-join
+    #     surfaces; ev_range_join_incidents (point-in-range) and
+    #     ev_range_join_nearby stay registered.
+    #   - window_lag_events (plans/relational.py): a derivative of the
+    #     registering ev_path_transitions — the same user-keyed LAG
+    #     window over events, without the downstream transition
+    #     aggregation.
+    "ev_quantile_sketch": ev_quantile_sketch,
+    "ev_attribution_linear": ev_attribution_linear,
+    "ev_path_transitions": ev_path_transitions,
 }
 TAIL_ORACLES = {
     "skip_bloom_stats": SKIP_BLOOM_STATS_ORACLE,
@@ -2018,8 +2031,10 @@ TAIL_ORACLES = {
     "ev_countmin_users": EV_COUNTMIN_ORACLE,
     "ev_scd2_users": EV_SCD2_ORACLE,
     "ev_zorder_layout": EV_ZORDER_ORACLE,
-    "ev_overlap_incident_sessions": EV_OVERLAP_ORACLE,
     "ev_cuped": EV_CUPED_ORACLE,
     "ev_attribution": EV_ATTRIBUTION_ORACLE,
     "ev_conversion_windows": EV_CONVERSION_ORACLE,
+    "ev_quantile_sketch": EV_QSKETCH_ORACLE,
+    "ev_attribution_linear": EV_ATTRIBUTION_LINEAR_ORACLE,
+    "ev_path_transitions": EV_PATH_TRANSITIONS_ORACLE,
 }

@@ -1466,7 +1466,6 @@ QUERIES = {
     "window_above_customer_avg": window_above_customer_avg,
     "window_topk_orders_per_customer": window_topk_orders_per_customer,
     "window_running_total": window_running_total,
-    "window_lag_events": window_lag_events,
     "setops_nations": setops_nations,
     "q8_market_share": q8_market_share,
     "q9_product_profit": q9_product_profit,
@@ -1511,7 +1510,6 @@ ORACLES = {
     "window_above_customer_avg": WINDOW_ABOVE_AVG_ORACLE,
     "window_topk_orders_per_customer": WINDOW_TOPK_ORACLE,
     "window_running_total": WINDOW_RUNNING_ORACLE,
-    "window_lag_events": WINDOW_LAG_ORACLE,
     "setops_nations": SETOPS_ORACLE,
     "orderby_limit_top_orders": ORDERBY_LIMIT_ORACLE,
     "q8_market_share": Q8_ORACLE,

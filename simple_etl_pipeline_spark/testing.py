@@ -18,11 +18,17 @@ from simple_etl_pipeline_spark.schemas import TESTDATA_TABLES
 
 
 def demoted_queries() -> dict:
-    """Queries DEMOTED from the driver registry (round-6 rotation-window
+    """Queries DEMOTED from the driver registry (rounds 6-7 rotation-window
     capacity) but still held to full oracle parity by the test suite.
     Each value is (query_fn, oracle_sql); each entry is a derivative of
     registered, driver-green siblings whose hashes pin its semantics —
     see the demotion comments at each module's TAIL_QUERIES."""
+    from simple_etl_pipeline_spark.plans.events import (
+        EV_JSON_ORACLE,
+        EV_OVERLAP_ORACLE,
+        ev_json_extract,
+        ev_overlap_incident_sessions,
+    )
     from simple_etl_pipeline_spark.plans.multimodal import (
         MM_DEDUP_BLOBS_ORACLE,
         mm_dedup_blobs,
@@ -34,6 +40,10 @@ def demoted_queries() -> dict:
     from simple_etl_pipeline_spark.plans.similarity import (
         SIM_IVF_RECALL_ORACLE,
         sim_ivf_recall,
+    )
+    from simple_etl_pipeline_spark.plans.relational import (
+        WINDOW_LAG_ORACLE,
+        window_lag_events,
     )
     from simple_etl_pipeline_spark.plans.text import (
         TXT_MIXTURE_WEIGHTS_ORACLE,
@@ -48,6 +58,14 @@ def demoted_queries() -> dict:
             TXT_MIXTURE_WEIGHTS_ORACLE,
         ),
         "mm_dedup_blobs": (mm_dedup_blobs, MM_DEDUP_BLOBS_ORACLE),
+        # round-7 demotions (one per round-7 registration; rationale at
+        # plans/events.py TAIL_QUERIES)
+        "ev_json_extract": (ev_json_extract, EV_JSON_ORACLE),
+        "ev_overlap_incident_sessions": (
+            ev_overlap_incident_sessions,
+            EV_OVERLAP_ORACLE,
+        ),
+        "window_lag_events": (window_lag_events, WINDOW_LAG_ORACLE),
     }
 
 
