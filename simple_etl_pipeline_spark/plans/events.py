@@ -1988,6 +1988,164 @@ FROM counts ORDER BY prev_type, next_type
 """
 
 
+def ev_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification: per-event-type hourly totals on a
+    GAPLESS hourly grid, missing hours filled by linear interpolation
+    between the nearest observed neighbors — the resample/gap-fill
+    step every monitoring, forecasting, and feature-engineering
+    pipeline runs before a model sees the series (reference has no
+    temporal operators at all; this is the §2f time-series gap).
+
+    Semantics: hours are floor(epoch/3600)*3600 buckets; a NULL
+    event_type has no series and is excluded; an observed hour keeps
+    its exact decimal-micros sum (value NULLs sum to 0 like SQL SUM);
+    a gap hour gets n_events = 0, is_gap = true, and sum_value
+    linearly interpolated between the previous and next OBSERVED
+    hours in double over the exact integer micros, rounded to 6 dp
+    (the ev_quantile_sketch determinism pattern). The grid spans each
+    type's own [min, max] observed hour, so both interpolation
+    anchors always exist. Value domain bound: |value| <= ~9.2e12
+    (the BIGINT-micros bound shared with ev_quantile_sketch); the
+    hourly SUM accumulates in decimal(38,0), so no event count
+    overflows it.
+
+    Scale shape: ONE data-sized aggregation (the (type, hour) count/
+    sum — map-side partial aggregation collapses to the hour-universe
+    before the shuffle), then sequence()/explode over the per-type
+    span and two windows over the GRID frame — |types| x span_hours
+    rows, metadata-sized at any corpus scale (a year is 8,760 rows
+    per type). At 100 TB only the first aggregation touches the
+    stream; nothing downstream grows with event count."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    micros = (F.col("value").cast("decimal(38,6)") * 1_000_000).cast(
+        "bigint"
+    )
+    hourly = (
+        ev.filter(F.col("event_type").isNotNull())
+        .select(
+            "event_type",
+            (F.floor(epoch_seconds(F.col("ts")) / 3600) * 3600)
+            .cast("bigint")
+            .alias("hour_ts"),
+            micros.alias("v_micros"),
+        )
+        .groupBy("event_type", "hour_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.coalesce(
+                F.sum(F.col("v_micros").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("sv"),
+        )
+    )
+    span = hourly.groupBy("event_type").agg(
+        F.min("hour_ts").alias("h0"), F.max("hour_ts").alias("h1")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.lit(3600))
+        ).alias("hour_ts"),
+    )
+    g = grid.join(hourly, ["event_type", "hour_ts"], "left")
+    obs = F.col("n_obs").isNotNull()
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    filled = g.select(
+        "event_type",
+        "hour_ts",
+        (~obs).alias("is_gap"),
+        F.coalesce("n_obs", F.lit(0)).cast("bigint").alias("n_events"),
+        F.col("sv"),
+        F.last(F.when(obs, F.col("hour_ts")), ignorenulls=True)
+        .over(wb)
+        .alias("ph"),
+        F.last(F.when(obs, F.col("sv")), ignorenulls=True)
+        .over(wb)
+        .alias("pv"),
+        F.first(F.when(obs, F.col("hour_ts")), ignorenulls=True)
+        .over(wf)
+        .alias("nh"),
+        F.first(F.when(obs, F.col("sv")), ignorenulls=True)
+        .over(wf)
+        .alias("nv"),
+    )
+    return filled.select(
+        "event_type",
+        "hour_ts",
+        "is_gap",
+        "n_events",
+        F.round(
+            F.when(~F.col("is_gap"), F.col("sv").cast("double")).otherwise(
+                F.col("pv").cast("double")
+                + (F.col("nv").cast("double") - F.col("pv").cast("double"))
+                * (F.col("hour_ts") - F.col("ph")).cast("double")
+                / (F.col("nh") - F.col("ph")).cast("double")
+            )
+            / 1e6,
+            6,
+        ).alias("sum_value"),
+    ).orderBy("event_type", "hour_ts")
+
+
+EV_GAP_FILL_ORACLE = """
+WITH hourly AS (
+  SELECT event_type,
+    CAST(floor(epoch(ts)) AS BIGINT) // 3600 * 3600 AS hour_ts,
+    COUNT(*) AS n_obs,
+    COALESCE(SUM(CAST(CAST(CAST(value AS DECIMAL(38,6)) * 1000000
+                           AS BIGINT) AS DECIMAL(38,0))),
+             CAST(0 AS DECIMAL(38,0))) AS sv
+  FROM events WHERE event_type IS NOT NULL
+  GROUP BY 1, 2
+), span AS (
+  SELECT event_type, MIN(hour_ts) AS h0, MAX(hour_ts) AS h1
+  FROM hourly GROUP BY 1
+), grid AS (
+  SELECT event_type,
+         unnest(generate_series(h0, h1, 3600)) AS hour_ts
+  FROM span
+), g AS (
+  SELECT grid.event_type, grid.hour_ts, hourly.n_obs, hourly.sv
+  FROM grid LEFT JOIN hourly USING (event_type, hour_ts)
+), filled AS (
+  SELECT *,
+    last_value(CASE WHEN n_obs IS NOT NULL THEN hour_ts END
+               IGNORE NULLS) OVER wb AS ph,
+    last_value(CASE WHEN n_obs IS NOT NULL THEN sv END
+               IGNORE NULLS) OVER wb AS pv,
+    first_value(CASE WHEN n_obs IS NOT NULL THEN hour_ts END
+                IGNORE NULLS) OVER wf AS nh,
+    first_value(CASE WHEN n_obs IS NOT NULL THEN sv END
+                IGNORE NULLS) OVER wf AS nv
+  FROM g
+  WINDOW wb AS (PARTITION BY event_type ORDER BY hour_ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY event_type ORDER BY hour_ts
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, hour_ts, (n_obs IS NULL) AS is_gap,
+  CAST(COALESCE(n_obs, 0) AS BIGINT) AS n_events,
+  round(CASE WHEN n_obs IS NOT NULL THEN CAST(sv AS DOUBLE)
+        ELSE CAST(pv AS DOUBLE)
+             + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+               * CAST(hour_ts - ph AS DOUBLE)
+               / CAST(nh - ph AS DOUBLE)
+        END / 1e6, 6) AS sum_value
+FROM filled ORDER BY event_type, hour_ts
+"""
+
+
 TAIL_QUERIES = {
     "skip_bloom_stats": skip_bloom_stats,
     "ev_heavy_hitters": ev_heavy_hitters,

@@ -1823,6 +1823,98 @@ FROM supplier ORDER BY s_suppkey
 """
 
 
+def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-customer Recency (days since
+    last order, against the dataset's as-of date), Frequency (order
+    count) and Monetary (exact decimal-micros spend), each cut into
+    quintiles, then per-(R,F,M)-cell rollups — the classic marketing/
+    LTV segmentation grid (<= 125 cells). Quintile assignment is
+    NTILE(5) with fully deterministic ordering (metric, then custkey),
+    so the bucket of every customer — and the oracle hash — is
+    engine-identical; R orders ascending (bucket 1 = most recent),
+    F and M descending (bucket 1 = most frequent / highest spend).
+
+    Scale shape: the data-sized work is ONE o_custkey-keyed
+    aggregation of orders (map-side combined); the as-of date is a
+    1-row scalar broadcast (the adjudicated BroadcastNestedLoop
+    pattern); the three NTILEs are global orderings of the
+    already-aggregated CUSTOMER frame — the window_ntile_customer_
+    deciles precedent: at 100 TB you'd range-partition that sort; the
+    cell rollup after it is <= 125 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    micros = (
+        F.col("o_totalprice").cast("decimal(38,6)") * 1_000_000
+    ).cast("bigint")
+    per_cust = orders.select(
+        "o_custkey",
+        epoch_seconds(F.col("o_orderdate")).alias("od_ep"),
+        micros.alias("v_micros"),
+    ).groupBy("o_custkey").agg(
+        F.max("od_ep").alias("last_ep"),
+        F.count(F.lit(1)).alias("f"),
+        F.sum(F.col("v_micros").cast("decimal(38,0)")).alias("m_micros"),
+    )
+    asof = orders.agg(
+        F.max(epoch_seconds(F.col("o_orderdate"))).alias("asof_ep")
+    )
+    rfm = per_cust.crossJoin(F.broadcast(asof)).select(
+        "o_custkey",
+        F.expr("(asof_ep - last_ep) div 86400").alias("r_days"),
+        "f",
+        "m_micros",
+    )
+    wr = Window.orderBy(F.asc("r_days"), F.asc("o_custkey"))
+    wf = Window.orderBy(F.desc("f"), F.asc("o_custkey"))
+    wm = Window.orderBy(F.desc("m_micros"), F.asc("o_custkey"))
+    scored = rfm.select(
+        "o_custkey",
+        "f",
+        "m_micros",
+        F.ntile(5).over(wr).alias("r_bucket"),
+        F.ntile(5).over(wf).alias("f_bucket"),
+        F.ntile(5).over(wm).alias("m_bucket"),
+    )
+    return (
+        scored.groupBy("r_bucket", "f_bucket", "m_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("f").cast("bigint").alias("n_orders"),
+            F.round(
+                F.sum(F.col("m_micros")).cast("double") / 1e6, 2
+            ).alias("segment_value"),
+        )
+        .orderBy("r_bucket", "f_bucket", "m_bucket")
+    )
+
+
+AGG_RFM_ORACLE = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+    MAX({sql_epoch('o_orderdate')}) AS last_ep,
+    COUNT(*) AS f,
+    SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(38,6)) * 1000000
+             AS BIGINT) AS DECIMAL(38,0))) AS m_micros
+  FROM orders GROUP BY o_custkey
+), asof_d AS (
+  SELECT MAX({sql_epoch('o_orderdate')}) AS asof_ep FROM orders
+), rfm AS (
+  SELECT o_custkey, (asof_ep - last_ep) // 86400 AS r_days, f, m_micros
+  FROM per_cust CROSS JOIN asof_d
+), scored AS (
+  SELECT o_custkey, f, m_micros,
+    NTILE(5) OVER (ORDER BY r_days ASC, o_custkey ASC) AS r_bucket,
+    NTILE(5) OVER (ORDER BY f DESC, o_custkey ASC) AS f_bucket,
+    NTILE(5) OVER (ORDER BY m_micros DESC, o_custkey ASC) AS m_bucket
+  FROM rfm
+)
+SELECT r_bucket, f_bucket, m_bucket,
+  COUNT(*) AS n_customers,
+  CAST(SUM(f) AS BIGINT) AS n_orders,
+  round(CAST(SUM(m_micros) AS DOUBLE) / 1e6, 2) AS segment_value
+FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
 # join_fuzzy_recall was DEMOTED to pytest-only parity in round 6
 # (tests/test_oracle_parity.py DEMOTED map): it recomputes
 # join_fuzzy_part_names' banded pairs against the unbanded ground

@@ -3694,6 +3694,85 @@ FROM ordered GROUP BY 1 ORDER BY shard
 """
 
 
+def txt_domain_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split manifest: the split unit is
+    the SOURCE (domain), not the document — every document of a
+    source lands in the same split by construction, so near-duplicate
+    and template-shared text within a domain can never straddle the
+    train/eval boundary (the leakage every dedup-aware pipeline
+    guards against; splitting i.i.d. by document would leak). The
+    assignment is a salted 60-bit md5 of the source mapped into ppm
+    space: < 800000 train, < 900000 val, else test (80/10/10 in
+    expectation) — deterministic, engine-identical, and stable under
+    ANY growth of the corpus (a new document of a known source joins
+    its existing split; only genuinely new sources draw new
+    assignments). NULL source is its own real group '(null)', mapped
+    BEFORE hashing so it draws one stable split.
+
+    Output: per-split group/document/token counts plus the exact
+    integer-ppm document share. The no-straddle invariant (each
+    source appears in exactly one split) is pinned by
+    tests/test_new_ops_invariants.py::test_domain_split_no_leakage.
+
+    Scale shape: one narrow map (hash + token count — no shuffle),
+    one split-keyed aggregation whose map-side partials collapse to
+    <= 3 x sources rows (the distinct-source count shuffles source
+    keys, bounded by |domains|, not documents), and a window over the
+    <= 3-row result for the ppm share. At 100 TB nothing after the
+    scan exceeds the domain universe."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = F.coalesce(F.col("source"), F.lit("(null)"))
+    h = md5_hash60(F.concat(F.lit("split|"), src)) % 1_000_000
+    split = (
+        F.when(h < 800_000, F.lit("train"))
+        .when(h < 900_000, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    tagged = docs.select(
+        split.alias("split"),
+        src.alias("grp"),
+        F.size(tokens_col("text")).cast("bigint").alias("n_toks"),
+    )
+    agg = tagged.groupBy("split").agg(
+        F.countDistinct("grp").alias("n_groups"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+    )
+    return (
+        agg.withColumn(
+            "docs_ppm",
+            F.expr(
+                "CAST(n_docs AS BIGINT) * 1000000"
+                " div CAST(SUM(n_docs) OVER () AS BIGINT)"
+            ),
+        )
+        .orderBy("split")
+    )
+
+
+TXT_DOMAIN_SPLIT_ORACLE = f"""
+WITH tagged AS (
+  SELECT CASE
+      WHEN {sql_md5_hash60("concat('split|', COALESCE(source, '(null)'))")}
+           % 1000000 < 800000 THEN 'train'
+      WHEN {sql_md5_hash60("concat('split|', COALESCE(source, '(null)'))")}
+           % 1000000 < 900000 THEN 'val'
+      ELSE 'test' END AS split,
+    COALESCE(source, '(null)') AS grp,
+    CAST(len({sql_tokens('text')}) AS BIGINT) AS n_toks
+  FROM documents
+), agg AS (
+  SELECT split, COUNT(DISTINCT grp) AS n_groups, COUNT(*) AS n_docs,
+    CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+  FROM tagged GROUP BY split
+)
+SELECT split, n_groups, n_docs, n_tokens,
+  CAST(n_docs AS BIGINT) * 1000000
+    // CAST(SUM(n_docs) OVER () AS BIGINT) AS docs_ppm
+FROM agg ORDER BY split
+"""
+
+
 # dedup_minhash_ml is pytest-only (tests/test_retrieval.py): its
 # Spark-internal MinHashLSH seeds can never hash-match a DuckDB oracle,
 # so it would be a permanently oracle-dark registry entry. The

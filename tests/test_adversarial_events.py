@@ -157,7 +157,12 @@ def test_edge_events_oracle_parity(spark, edge_ev_dir, name):
 # the same discipline as the registered set above.
 @pytest.mark.parametrize(
     "qname",
-    ["ev_quantile_sketch", "ev_attribution_linear", "ev_path_transitions"],
+    [
+        "ev_quantile_sketch",
+        "ev_attribution_linear",
+        "ev_path_transitions",
+        "ev_gap_fill",
+    ],
 )
 def test_edge_events_prebuild_oracle_parity(spark, edge_ev_dir, qname):
     from simple_etl_pipeline_spark.plans import events as evmod
@@ -167,6 +172,7 @@ def test_edge_events_prebuild_oracle_parity(spark, edge_ev_dir, qname):
         "ev_quantile_sketch": evmod.EV_QSKETCH_ORACLE,
         "ev_attribution_linear": evmod.EV_ATTRIBUTION_LINEAR_ORACLE,
         "ev_path_transitions": evmod.EV_PATH_TRANSITIONS_ORACLE,
+        "ev_gap_fill": evmod.EV_GAP_FILL_ORACLE,
     }[qname]
     compare_with_oracle(fn(spark, edge_ev_dir), oracle, edge_ev_dir)
 
@@ -215,7 +221,12 @@ def nullish_ev_dir(spark, sf_dir, tmp_path_factory) -> str:
 
 @pytest.mark.parametrize(
     "qname",
-    ["ev_quantile_sketch", "ev_attribution_linear", "ev_path_transitions"],
+    [
+        "ev_quantile_sketch",
+        "ev_attribution_linear",
+        "ev_path_transitions",
+        "ev_gap_fill",
+    ],
 )
 def test_nullish_events_prebuild_oracle_parity(spark, nullish_ev_dir, qname):
     from simple_etl_pipeline_spark.plans import events as evmod
@@ -225,6 +236,7 @@ def test_nullish_events_prebuild_oracle_parity(spark, nullish_ev_dir, qname):
         "ev_quantile_sketch": evmod.EV_QSKETCH_ORACLE,
         "ev_attribution_linear": evmod.EV_ATTRIBUTION_LINEAR_ORACLE,
         "ev_path_transitions": evmod.EV_PATH_TRANSITIONS_ORACLE,
+        "ev_gap_fill": evmod.EV_GAP_FILL_ORACLE,
     }[qname]
     compare_with_oracle(fn(spark, nullish_ev_dir), oracle, nullish_ev_dir)
 
@@ -269,3 +281,19 @@ def test_nullish_quantile_sketch_excludes_nulls_and_tops_out(
         (r.event_type, r.p_ppm): r.est_value for r in rows
     }[("purchase", 990_000)]
     assert p99 >= 9.2e12
+
+
+def test_nullish_gap_fill_null_type_excluded_and_null_value_zero(
+    spark, nullish_ev_dir
+):
+    """Gap-fill edge semantics on the nullish corpus: NULL event_type
+    has no series; an observed hour whose only values are NULL keeps
+    n_events > 0 with sum_value 0 (SUM-over-NULLs coalesced, not NULL
+    — which would poison every interpolation that anchors on it)."""
+    from simple_etl_pipeline_spark.plans.events import ev_gap_fill
+
+    rows = ev_gap_fill(spark, nullish_ev_dir).collect()
+    assert all(r.event_type is not None for r in rows)
+    assert all(r.sum_value is not None for r in rows)
+    # top-band magnitudes survive the micros cast (no ANSI overflow)
+    assert any(abs(r.sum_value) > 9e12 for r in rows)

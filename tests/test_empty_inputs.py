@@ -14,8 +14,11 @@ QUERIES = entrymod.queries()
 # demoted-from-registry queries stay under the same test discipline
 from simple_etl_pipeline_spark.testing import demoted_queries as _dq  # noqa: E402
 QUERIES.update({k: fn for k, (fn, _) in _dq().items()})
-# round-7 prebuilds: not yet in the driver registry, same discipline
+# unregistered prebuilds (r7 trio now registered; r8 trio pending):
+# same discipline either way
 from simple_etl_pipeline_spark.plans import events as _ev  # noqa: E402
+from simple_etl_pipeline_spark.plans import relational as _rel  # noqa: E402
+from simple_etl_pipeline_spark.plans import text as _txt  # noqa: E402
 
 QUERIES.update(
     {
@@ -24,9 +27,12 @@ QUERIES.update(
             "ev_quantile_sketch",
             "ev_attribution_linear",
             "ev_path_transitions",
+            "ev_gap_fill",
         )
     }
 )
+QUERIES["agg_rfm_segments"] = _rel.agg_rfm_segments
+QUERIES["txt_domain_split"] = _txt.txt_domain_split
 
 REPRESENTATIVE = [
     "q1_pricing_summary",
@@ -78,10 +84,14 @@ REPRESENTATIVE = [
     "ev_attribution",
     "ev_conversion_windows",
     "train_shard_manifest",
-    # round-7 prebuilds
+    # round-7 prebuilds (registered in round 7)
     "ev_quantile_sketch",
     "ev_attribution_linear",
     "ev_path_transitions",
+    # round-8 prebuilds
+    "ev_gap_fill",
+    "agg_rfm_segments",
+    "txt_domain_split",
 ]
 
 

@@ -768,3 +768,183 @@ def test_path_transitions_fuzzed_cross_engine(
     )
     assert start_total == len({u for u, _, _ in rows})
     assert sum(r.n_transitions for r in out) == len(rows)
+
+
+# --- round-8 prebuilds ------------------------------------------------------
+def test_gap_fill_matches_oracle(spark, sf_dir):
+    from simple_etl_pipeline_spark.plans.events import (
+        EV_GAP_FILL_ORACLE,
+        ev_gap_fill,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    compare_with_oracle(ev_gap_fill(spark, sf_dir), EV_GAP_FILL_ORACLE, sf_dir)
+
+
+def test_gap_fill_grid_complete_and_anchored(spark, sf_dir):
+    """Per type: the grid is gapless hourly from min to max observed
+    hour, both endpoints are observed (anchors always exist), gap rows
+    have n_events = 0, and every interpolated value lies within the
+    [min, max] of its type's observed values (linear interpolation
+    cannot overshoot its anchors)."""
+    from simple_etl_pipeline_spark.plans.events import ev_gap_fill
+
+    rows = ev_gap_fill(spark, sf_dir).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    assert by_type
+    for t, rs in by_type.items():
+        hours = [r.hour_ts for r in rs]
+        assert hours == list(range(min(hours), max(hours) + 3600, 3600)), t
+        assert not rs[0].is_gap and not rs[-1].is_gap, t
+        obs_vals = [r.sum_value for r in rs if not r.is_gap]
+        lo, hi = min(obs_vals), max(obs_vals)
+        for r in rs:
+            if r.is_gap:
+                assert r.n_events == 0, t
+                assert lo - 1e-6 <= r.sum_value <= hi + 1e-6, (t, r)
+
+
+def test_rfm_matches_oracle(spark, sf_dir):
+    from simple_etl_pipeline_spark.plans.relational import (
+        AGG_RFM_ORACLE,
+        agg_rfm_segments,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    compare_with_oracle(
+        agg_rfm_segments(spark, sf_dir), AGG_RFM_ORACLE, sf_dir
+    )
+
+
+def test_rfm_conservation_and_balance(spark, sf_dir):
+    """Customers and orders are conserved across segments, and each
+    dimension's buckets are balanced to within one customer (NTILE's
+    defining property)."""
+    from pyspark.sql import functions as F
+
+    from simple_etl_pipeline_spark.plans.relational import agg_rfm_segments
+    from simple_etl_pipeline_spark.schemas import load_table
+
+    rows = agg_rfm_segments(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders")
+    n_cust = orders.select("o_custkey").distinct().count()
+    n_orders = orders.count()
+    assert sum(r.n_customers for r in rows) == n_cust
+    assert sum(r.n_orders for r in rows) == n_orders
+    for dim in ("r_bucket", "f_bucket", "m_bucket"):
+        per = {}
+        for r in rows:
+            per[r[dim]] = per.get(r[dim], 0) + r.n_customers
+        assert set(per) == {1, 2, 3, 4, 5}
+        assert max(per.values()) - min(per.values()) <= 1, (dim, per)
+
+
+def test_rfm_null_price_and_ties_deterministic(spark, sf_dir, tmp_path):
+    """Adversarial orders: every price NULL for one customer (spend
+    coalesces to 0, never NULL — no engine null-order divergence),
+    exact R/F/M ties across customers broken by custkey, a single
+    global as-of. Pinned against the oracle on the same corpus."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_etl_pipeline_spark.plans.relational import (
+        AGG_RFM_ORACLE,
+        agg_rfm_segments,
+    )
+    from simple_etl_pipeline_spark.schemas import TESTDATA_TABLES
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    def d(day):
+        return datetime.datetime(2024, 1, day)
+
+    # (orderkey, custkey, price, day): customers 1/2 tie on every
+    # dimension; customer 3 has all-NULL prices; customer 4 one order
+    rows = [
+        (1, 1, 100.0, 1), (2, 1, 200.0, 5),
+        (3, 2, 100.0, 1), (4, 2, 200.0, 5),
+        (5, 3, None, 3), (6, 3, None, 4),
+        (7, 4, 50.5, 2),
+    ]
+    dirp = str(tmp_path / "rfm_edge")
+    import os
+
+    os.makedirs(dirp)
+    table = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+            "o_orderstatus": pa.array(["F"] * len(rows), pa.string()),
+            "o_totalprice": pa.array([r[2] for r in rows], pa.float64()),
+            "o_orderdate": pa.array(
+                [d(r[3]) for r in rows], pa.timestamp("us")
+            ),
+            "o_orderpriority": pa.array(["1-URGENT"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(dirp, "orders.parquet"))
+    for t in TESTDATA_TABLES:
+        if t != "orders":
+            os.symlink(f"{sf_dir}/{t}.parquet", os.path.join(dirp, f"{t}.parquet"))
+    out = agg_rfm_segments(spark, dirp).collect()
+    assert sum(r.n_customers for r in out) == 4
+    compare_with_oracle(agg_rfm_segments(spark, dirp), AGG_RFM_ORACLE, dirp)
+
+
+def test_domain_split_matches_oracle(spark, sf_dir):
+    from simple_etl_pipeline_spark.plans.text import (
+        TXT_DOMAIN_SPLIT_ORACLE,
+        txt_domain_split,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    compare_with_oracle(
+        txt_domain_split(spark, sf_dir), TXT_DOMAIN_SPLIT_ORACLE, sf_dir
+    )
+
+
+def test_domain_split_no_leakage(spark, sf_dir):
+    """THE invariant: no source straddles two splits, documents are
+    conserved, and the assignment is stable under corpus growth (the
+    same source hashes to the same split when the corpus doubles)."""
+    from pyspark.sql import functions as F
+
+    from simple_etl_pipeline_spark.functions.text import md5_hash60
+    from simple_etl_pipeline_spark.plans.text import txt_domain_split
+    from simple_etl_pipeline_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = F.coalesce(F.col("source"), F.lit("(null)"))
+    h = md5_hash60(F.concat(F.lit("split|"), src)) % 1_000_000
+    split = (
+        F.when(h < 800_000, F.lit("train"))
+        .when(h < 900_000, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    per_group = (
+        docs.select(src.alias("grp"), split.alias("split"))
+        .groupBy("grp")
+        .agg(F.countDistinct("split").alias("n_splits"))
+    )
+    assert per_group.filter(F.col("n_splits") > 1).count() == 0
+    out = txt_domain_split(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in out) == docs.count()
+    # growth stability: doubling every source's documents changes
+    # counts, never membership — per-split group sets are identical
+    doubled = docs.unionByName(docs)
+    d2 = (
+        doubled.select(src.alias("grp"), split.alias("split"))
+        .select("grp", "split")
+        .distinct()
+        .collect()
+    )
+    d1 = (
+        docs.select(src.alias("grp"), split.alias("split"))
+        .select("grp", "split")
+        .distinct()
+        .collect()
+    )
+    assert sorted(map(tuple, d1)) == sorted(map(tuple, d2))

@@ -21,8 +21,10 @@ QUERIES = entrymod.queries()
 # demoted-from-registry queries stay under the same test discipline
 from simple_etl_pipeline_spark.testing import demoted_queries as _dq  # noqa: E402
 QUERIES.update({k: fn for k, (fn, _) in _dq().items()})
-# round-7 prebuilds: not yet in the driver registry, same discipline
+# unregistered prebuilds keep the same discipline
 from simple_etl_pipeline_spark.plans import events as _ev  # noqa: E402
+from simple_etl_pipeline_spark.plans import relational as _rel  # noqa: E402
+from simple_etl_pipeline_spark.plans import text as _txt  # noqa: E402
 
 QUERIES.update(
     {
@@ -31,9 +33,12 @@ QUERIES.update(
             "ev_quantile_sketch",
             "ev_attribution_linear",
             "ev_path_transitions",
+            "ev_gap_fill",
         )
     }
 )
+QUERIES["agg_rfm_segments"] = _rel.agg_rfm_segments
+QUERIES["txt_domain_split"] = _txt.txt_domain_split
 
 # Float-aggregate-heavy and sketch queries — the ones that WOULD diverge
 # under double-sum reordering or rand()-based sampling.
@@ -70,6 +75,14 @@ INVARIANT_QUERIES = [
     "ev_quantile_sketch",
     "ev_attribution_linear",
     "ev_path_transitions",
+    # round-8 prebuilds: decimal-micros hourly sums + double-over-
+    # exact-integer interpolation (gap fill), decimal spend sums +
+    # deterministic NTILE tie-breaks (rfm), md5-ppm assignment
+    # (domain split) — each would drift under partition-order floats
+    # or engine-local hashing
+    "ev_gap_fill",
+    "agg_rfm_segments",
+    "txt_domain_split",
 ]
 
 

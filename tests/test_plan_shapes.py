@@ -344,3 +344,63 @@ def test_attribution_linear_no_cartesian_window_join(spark, sf_dir):
     for ln in nljs:
         # every NLJ must be the scalar cross (1-row total), i.e. Cross
         assert "Cross" in ln, ln
+
+
+# --- round-8 prebuilds ------------------------------------------------------
+def test_gap_fill_single_data_shuffle_pruned_scan(spark, sf_dir):
+    from simple_etl_pipeline_spark.plans import events as evmod
+
+    plan = (
+        evmod.ev_gap_fill(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    # the hourly histogram partial-aggregates map-side BEFORE its
+    # exchange (the only data-sized shuffle); the grid join and both
+    # interpolation windows run over the (type, hour)-universe frame
+    assert "partial_count" in plan, plan
+    # column pruning reaches the scan: only event_type, ts, value
+    assert "ReadSchema: struct<ts:timestamp" in plan, plan
+    assert "props" not in plan.split("ReadSchema")[1][:200], plan
+
+
+def test_rfm_single_custkey_shuffle_scalar_broadcast(spark, sf_dir):
+    from simple_etl_pipeline_spark.plans import relational as relmod
+
+    plan = (
+        relmod.agg_rfm_segments(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    # ONE data-sized shuffle: the o_custkey aggregation of orders
+    assert plan.count("Exchange hashpartitioning(o_custkey") == 1, plan
+    # the as-of date is the adjudicated 1-row scalar broadcast cross
+    nljs = [ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
+    assert nljs and all("Cross" in ln for ln in nljs), plan
+    # NTILEs run over the aggregated CUSTOMER frame (documented
+    # single-partition sort, the window_ntile precedent) — never over
+    # the orders stream: the scan reads only the 3 needed columns
+    assert "o_orderstatus" not in plan.split("ReadSchema")[1][:300], plan
+
+
+def test_domain_split_no_join_pruned_scan(spark, sf_dir):
+    from simple_etl_pipeline_spark.plans import text as txtmod
+
+    plan = (
+        txtmod.txt_domain_split(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan, plan
+    # map-side partials collapse to the domain universe before the
+    # split-keyed exchange
+    assert "partial_count" in plan, plan
+    # pruned scan: only source + text reach the reader
+    rs = plan.split("ReadSchema")[1][:200]
+    assert "doc_id" not in rs and "lang" not in rs, plan

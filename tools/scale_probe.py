@@ -107,6 +107,9 @@ PROBE_QUERIES = [
     # and the content-hash dedup is one keyed shuffle of 32-byte rows.
     "mm_blob_features",
     "mm_dedup_blobs",
+    # round-8 prebuild: narrow hash+token map, split-keyed agg bounded
+    # by the domain universe -> flat.
+    "txt_domain_split",
 ]
 # Embedding-side probe (SPARK_GRAFT_PROBE=sim): vectors are perturbed
 # per copy (direction-dependent per-dim scaling), so LSH/sign buckets
@@ -167,6 +170,10 @@ EV_PROBE_QUERIES = [
     "ev_quantile_sketch",
     "ev_attribution_linear",
     "ev_path_transitions",
+    # round-8 prebuild: hourly agg collapses map-side to the (type,
+    # hour) universe; the grid/interpolation windows run over
+    # metadata-sized frames -> wall should track the scan, near-flat.
+    "ev_gap_fill",
 ]
 # Relational probe (SPARK_GRAFT_PROBE=rel): the banded fuzzy self-join.
 # Each copy gets its own brand namespace (brand#copy), so cross-copy
@@ -179,6 +186,14 @@ EV_PROBE_QUERIES = [
 REL_PROBE_QUERIES = [
     "join_fuzzy_part_names",
     "join_fuzzy_recall",
+]
+# Orders probe (SPARK_GRAFT_PROBE=ord): each copy shifts custkey and
+# orderkey, so per-customer order structure (recency, frequency,
+# spend) is preserved while the customer universe grows K× — the
+# global NTILE sort over the aggregated customer frame is exactly
+# what grows, which is the cost RFM plans around at scale.
+ORD_PROBE_QUERIES = [
+    "agg_rfm_segments",
 ]
 # Streaming probe (SPARK_GRAFT_PROBE=st): availableNow replay of the
 # scaled events — wall includes the full micro-batch drain, so the
@@ -305,12 +320,31 @@ def write_scaled_part(spark, sf_dir: str, k: int, out_dir: str) -> None:
     )
 
 
+def write_scaled_orders(spark, sf_dir: str, k: int, out_dir: str) -> None:
+    orders = load_table(spark, sf_dir, "orders")
+    copies = spark.range(k).withColumnRenamed("id", "copy")
+    scaled = orders.crossJoin(copies).select(
+        (F.col("o_orderkey") + F.col("copy") * 1_000_000_000).alias(
+            "o_orderkey"
+        ),
+        (F.col("o_custkey") + F.col("copy") * 10_000_000).alias("o_custkey"),
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    scaled.repartition(max(1, k // 8)).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "orders.parquet")
+    )
+
+
 _MODES = {
     "text": (PROBE_QUERIES, "documents"),
     "sim": (SIM_PROBE_QUERIES, "embeddings"),
     "ev": (EV_PROBE_QUERIES, "events"),
     "rel": (REL_PROBE_QUERIES, "part"),
     "st": (ST_PROBE_QUERIES, "events"),
+    "ord": (ORD_PROBE_QUERIES, "orders"),
 }
 
 
@@ -327,6 +361,7 @@ def main() -> None:
         "ev": write_scaled_events,
         "rel": write_scaled_part,
         "st": write_scaled_events,
+        "ord": write_scaled_orders,
     }[mode]
     ks = [int(a) for a in sys.argv[1:]] or [1, 16, 64]
     spark = get_spark(app_name="scale_probe")
@@ -339,8 +374,14 @@ def main() -> None:
         "ev_quantile_sketch",
         "ev_attribution_linear",
         "ev_path_transitions",
+        "ev_gap_fill",
     ):
         queries.setdefault(_n, getattr(_evmod, _n))
+    from simple_etl_pipeline_spark.plans import relational as _relmod
+    from simple_etl_pipeline_spark.plans import text as _txtmod
+
+    queries.setdefault("agg_rfm_segments", _relmod.agg_rfm_segments)
+    queries.setdefault("txt_domain_split", _txtmod.txt_domain_split)
     # ... and so do demoted queries (pytest-only parity twins): probe
     # lists name them by their original keys, which leave the registry
     # on demotion.
