@@ -771,6 +771,82 @@ def test_path_transitions_fuzzed_cross_engine(
 
 
 # --- round-8 prebuilds ------------------------------------------------------
+# hypothesis fuzz: the cross-engine risks in gap fill are the hour
+# bucketing at boundaries, the observed/gap split, NULL-value hours
+# anchoring interpolation at 0, NULL types excluded, and the double
+# interpolation itself — forced with a tiny type domain, an hour
+# domain sparse enough to guarantee gaps, and micros-exact values
+# (integers/1e6) so the decimal cast is exact on both engines and the
+# fuzz exercises the interpolation arithmetic, not rounding ties.
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", None]),      # event_type
+            st.integers(0, 40),                      # hour offset
+            st.one_of(
+                st.none(),
+                st.integers(-10**9, 10**9),          # micros-exact / 1e6
+            ),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@_SETTINGS
+def test_gap_fill_fuzzed_cross_engine(spark, tmp_path_factory, rows):
+    import datetime
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_etl_pipeline_spark.plans.events import (
+        EV_GAP_FILL_ORACLE,
+        ev_gap_fill,
+    )
+    from simple_etl_pipeline_spark.schemas import TESTDATA_TABLES
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    d = tmp_path_factory.mktemp("gf_fuzz")
+    base = datetime.datetime(2024, 1, 1)
+    table = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(
+                [
+                    base + datetime.timedelta(hours=h, minutes=i % 60)
+                    for i, (_, h, _) in enumerate(rows)
+                ],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array([t for t, _, _ in rows], pa.string()),
+            "value": pa.array(
+                [None if v is None else v / 1e6 for _, _, v in rows],
+                pa.float64(),
+            ),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(table, str(d / "events.parquet"))
+    from tests.conftest import SF_DIR
+
+    for t in TESTDATA_TABLES:
+        if t != "events":
+            os.symlink(
+                os.path.join(SF_DIR, f"{t}.parquet"),
+                str(d / f"{t}.parquet"),
+            )
+    compare_with_oracle(
+        ev_gap_fill(spark, str(d)), EV_GAP_FILL_ORACLE, str(d)
+    )
+    out = ev_gap_fill(spark, str(d)).collect()
+    # events conserved per type (NULL types excluded by contract)
+    typed = [r for r in rows if r[0] is not None]
+    assert sum(r.n_events for r in out) == len(typed)
+    assert {r.event_type for r in out} == {t for t, _, _ in typed}
+
+
 def test_gap_fill_matches_oracle(spark, sf_dir):
     from simple_etl_pipeline_spark.plans.events import (
         EV_GAP_FILL_ORACLE,
