@@ -28,6 +28,7 @@ QUERIES.update(
             "ev_attribution_linear",
             "ev_path_transitions",
             "ev_gap_fill",
+            "ev_hll_overlap",
         )
     }
 )
@@ -92,6 +93,7 @@ REPRESENTATIVE = [
     "ev_gap_fill",
     "agg_rfm_segments",
     "txt_domain_split",
+    "ev_hll_overlap",
 ]
 
 

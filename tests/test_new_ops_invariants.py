@@ -1024,3 +1024,84 @@ def test_domain_split_no_leakage(spark, sf_dir):
         .collect()
     )
     assert sorted(map(tuple, d1)) == sorted(map(tuple, d2))
+
+
+def test_hll_overlap_matches_oracle(spark, sf_dir):
+    from simple_etl_pipeline_spark.plans.events import (
+        EV_HLL_OVERLAP_ORACLE,
+        ev_hll_overlap,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    compare_with_oracle(
+        ev_hll_overlap(spark, sf_dir), EV_HLL_OVERLAP_ORACLE, sf_dir
+    )
+
+
+def test_hll_overlap_partial_and_disjoint_segments(spark, sf_dir, tmp_path):
+    """Synthetic segments with KNOWN overlap structure: half overlap,
+    full containment, and full disjointness — the shapes the uniform
+    testdata (every user does every type) never produces. Exact
+    columns must be exactly right; the sketch inclusion-exclusion
+    estimate must stay within 10% of each union; pairs with empty
+    intersections must still appear (jaccard 0)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_etl_pipeline_spark.plans.events import (
+        EV_HLL_OVERLAP_ORACLE,
+        ev_hll_overlap,
+    )
+    from simple_etl_pipeline_spark.schemas import TESTDATA_TABLES
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    # users 0-99 do 'a'; 50-149 do 'b' (half overlap with a);
+    # 0-9 do 'c' (contained in a, disjoint from nothing... 0-9 ⊂ a,
+    # and 0-9 ∩ b = ∅ since b starts at 50); 'd' is 200-209, disjoint
+    # from everything.
+    rows = []
+    eid = 0
+
+    def add(t, users):
+        nonlocal eid
+        for u in users:
+            rows.append((eid, u, t))
+            eid += 1
+
+    add("a", range(0, 100))
+    add("b", range(50, 150))
+    add("c", range(0, 10))
+    add("d", range(200, 210))
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    d = str(tmp_path / "hll_edge")
+    os.makedirs(d)
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [base + datetime.timedelta(minutes=i) for i in range(len(rows))],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(d, "events.parquet"))
+    for t in TESTDATA_TABLES:
+        if t != "events":
+            os.symlink(f"{sf_dir}/{t}.parquet", os.path.join(d, f"{t}.parquet"))
+    out = {(r.type_a, r.type_b): r for r in ev_hll_overlap(spark, d).collect()}
+    assert out[("a", "b")].n_inter == 50
+    assert out[("a", "c")].n_inter == 10      # containment
+    assert out[("b", "c")].n_inter == 0       # disjoint pair present
+    assert out[("a", "d")].n_inter == 0
+    assert out[("b", "c")].jaccard_ppm == 0
+    assert all(r.inter_est_within_10pct_of_union for r in out.values())
+    assert len(out) == 6  # full 4-choose-2 pair matrix
+    compare_with_oracle(ev_hll_overlap(spark, d), EV_HLL_OVERLAP_ORACLE, d)

@@ -34,6 +34,7 @@ QUERIES.update(
             "ev_attribution_linear",
             "ev_path_transitions",
             "ev_gap_fill",
+            "ev_hll_overlap",
         )
     }
 )
@@ -83,6 +84,9 @@ INVARIANT_QUERIES = [
     "ev_gap_fill",
     "agg_rfm_segments",
     "txt_domain_split",
+    # DataSketches HLL registers are input-set-deterministic, so the
+    # estimate boolean must not flip across partitionings
+    "ev_hll_overlap",
 ]
 
 

@@ -404,3 +404,21 @@ def test_domain_split_no_join_pruned_scan(spark, sf_dir):
     # pruned scan: only source + text reach the reader
     rs = plan.split("ReadSchema")[1][:200]
     assert "doc_id" not in rs and "lang" not in rs, plan
+
+
+def test_hll_overlap_bounded_universe_cross_only(spark, sf_dir):
+    from simple_etl_pipeline_spark.plans import events as evmod
+
+    plan = (
+        evmod.ev_hll_overlap(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    # the exact-intersection self-join must be a user_id EQUI-join
+    assert "hashpartitioning(user_id" in plan or "BroadcastHashJoin" in plan, plan
+    # the only NLJ is the documented bounded-universe type-pair cross
+    # (build side = the broadcast |types|-row sketch frame)
+    nljs = [ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
+    assert len(nljs) <= 1 and all("Inner" in ln or "Cross" in ln for ln in nljs), plan

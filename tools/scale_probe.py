@@ -174,6 +174,9 @@ EV_PROBE_QUERIES = [
     # hour) universe; the grid/interpolation windows run over
     # metadata-sized frames -> wall should track the scan, near-flat.
     "ev_gap_fill",
+    # round-8 prebuild: per-type sketch + distinct-frame build are the
+    # only data passes; the pair matrix is |types|^2 register blobs.
+    "ev_hll_overlap",
 ]
 # Relational probe (SPARK_GRAFT_PROBE=rel): the banded fuzzy self-join.
 # Each copy gets its own brand namespace (brand#copy), so cross-copy
@@ -375,6 +378,7 @@ def main() -> None:
         "ev_attribution_linear",
         "ev_path_transitions",
         "ev_gap_fill",
+        "ev_hll_overlap",
     ):
         queries.setdefault(_n, getattr(_evmod, _n))
     from simple_etl_pipeline_spark.plans import relational as _relmod
