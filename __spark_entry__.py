@@ -150,11 +150,20 @@ _WINDOW = [
 # txt_doc_features, txt_fingerprint, txt_langid, txt_ngram_freq,
 # txt_tfidf_top_term, txt_token_stats, txt_training_corpus,
 # txt_winnow_fingerprint). First in line for the 4 free slots: the
-# round-7 prebuilds (built+oracled this round, registered next with
-# matching demotions), plus canary slots for any r8 shared-code
-# rewrites. Registry arithmetic: 145 registered / 150 three-round
-# slots (5 slack) — the invariant stays satisfiable PROVIDED net
-# growth stays <= 0 per round (demote-one-per-add).
+# FOUR round-7 prebuilds (built + pytest-oracled this round, each
+# with probe exponents in SCALING.md: ev_gap_fill 0.00,
+# agg_rfm_segments 0.17, txt_domain_split -0.06, ev_hll_overlap
+# -0.07), registered with matching demotions, minus however many
+# slots r8 shared-code rewrites need as canaries (register 3 + 1
+# canary, or all 4 if no shared code changes). Demotion candidates
+# for r8: dedup_simhash_pairs (derivative of dedup_simhash),
+# sim_ivf_topk (its cell-probe stage is a component of the
+# registered sim_ivfpq_topk), ev_range_join_nearby vs
+# ev_range_join_incidents (two remaining interval surfaces), and the
+# ref_clean_* singles whose semantics ref_transform_full's full-
+# pipeline hash already pins. Registry arithmetic: 145 registered /
+# 150 three-round slots (5 slack) — the invariant stays satisfiable
+# PROVIDED net growth stays <= 0 per round (demote-one-per-add).
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
