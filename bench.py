@@ -123,19 +123,12 @@ HEADLINE = [
 
 
 def _plan_fingerprint(df) -> str:
-    """Stable 12-hex fingerprint of the physical plan: expression ids
-    and plan ids are session counters, so they are normalized out. A
-    changed fingerprint between rounds means the PLAN changed — timing
-    regressions become attributable to plan vs box noise."""
-    s = df._jdf.queryExecution().explainString(
-        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"
-        )
-    )
-    s = re.sub(r"#\d+", "#", s)
-    s = re.sub(r"plan_id=\d+", "plan_id=", s)
-    s = re.sub(r"Statistics\([^)]*\)", "Statistics()", s)
-    return hashlib.md5(s.encode()).hexdigest()[:12]
+    """Delegates to operators.planaudit.plan_fingerprint — ONE
+    normalization shared with tools/plan_dump.py, so bench and the
+    plan inventory can never disagree about whether a plan moved."""
+    from simple_etl_pipeline_spark.operators.planaudit import plan_fingerprint
+
+    return plan_fingerprint(df)
 
 
 def main() -> None:

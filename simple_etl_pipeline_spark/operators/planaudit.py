@@ -33,6 +33,28 @@ def formatted_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().explainString(mode)
 
 
+def plan_fingerprint(df: DataFrame) -> str:
+    """Stable 12-hex fingerprint of the physical plan: expression ids,
+    plan ids and statistics are session counters, normalized out. The
+    FORMATTED explain is used because ``executedPlan().toString()``
+    truncates DataFilters/PushedFilters at
+    spark.sql.maxMetadataStringLength — and since expression-id DIGIT
+    COUNT shifts the truncation point, the truncated text differs even
+    between two identical invocations in one session (round-7 finding:
+    43 "moved" PLANS_ALL fingerprints on unchanged code were exactly
+    this artifact). Shared by bench.py and tools/plan_dump.py so
+    round-over-round fingerprint diffs mean PLAN changes, nothing
+    else."""
+    import hashlib
+    import re
+
+    s = formatted_plan(df)
+    s = re.sub(r"#\d+", "#", s)
+    s = re.sub(r"plan_id=\d+", "plan_id=", s)
+    s = re.sub(r"Statistics\([^)]*\)", "Statistics()", s)
+    return hashlib.md5(s.encode()).hexdigest()[:12]
+
+
 @dataclass
 class PlanAudit:
     """Result of :func:`audit_plan`: findings is empty iff the plan

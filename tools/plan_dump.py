@@ -20,6 +20,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod
+from simple_etl_pipeline_spark.operators.planaudit import plan_fingerprint
 from simple_etl_pipeline_spark.session import get_spark
 
 NODES = [
@@ -42,14 +43,13 @@ NODES = [
 ]
 
 
-def fingerprint(plan: str) -> str:
-    normalized = re.sub(r"#\d+L?|plan_id=\d+|file:[^\],\s]+", "", plan)
-    names = "\n".join(
-        re.sub(r"\(\d+\)", "", ln).strip().lstrip("+-:* ")
-        for ln in normalized.splitlines()
-        if ln.strip()
-    )
-    return hashlib.md5(names.encode()).hexdigest()[:12]
+# fingerprint: the SHARED normalization (operators.planaudit.
+# plan_fingerprint over the formatted explain). The previous local
+# fingerprint hashed executedPlan().toString(), whose DataFilters/
+# PushedFilters truncation point depends on expression-id digit count
+# — 43 fingerprints "moved" on unchanged round-7 code from that
+# artifact alone. Node COUNTS still come from the executed-plan text
+# (richer node names).
 
 
 def main() -> None:
@@ -59,9 +59,10 @@ def main() -> None:
     out: dict[str, dict] = {}
     for name, fn in entrymod.queries().items():
         try:
-            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
             out[name] = {
-                "fp": fingerprint(plan),
+                "fp": plan_fingerprint(df),
                 "nodes": {n: plan.count(n) for n in NODES if plan.count(n)},
             }
         except Exception as ex:  # streaming entries have no batch plan
