@@ -1915,6 +1915,169 @@ FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite (the Deequ/Great-Expectations
+    gate every scheduled 100 TB pipeline fronts with): declarative
+    constraints evaluated in one pass per table, emitting one row per
+    constraint — (constraint, table, n_checked, n_violations, passed)
+    — so a scheduler can fail the run BEFORE a broken batch propagates
+    downstream. Constraint classes covered: completeness (NULL keys),
+    uniqueness (primary-key duplicates), referential integrity
+    (orphaned foreign keys), and domain ranges (non-positive prices,
+    discounts outside [0, 1]).
+
+    Scale shape: the completeness/range checks for a table fuse into
+    ONE conditional-sum aggregate over ONE scan (no shuffle beyond
+    the 1-row agg); uniqueness is n_rows - exact COUNT(DISTINCT pk)
+    (one pk-keyed shuffle, map-side partial); each referential check
+    is a LEFT ANTI join — customer broadcasts under the dimension
+    threshold, lineitem->orders resolves to a shuffled join on the
+    key Catalyst picks. Every output is an exact integer count, so
+    the gate is engine- and partitioning-deterministic (no sampled
+    approximations that flap between runs)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    def row(constraint, table, checked_col, violations_col):
+        return F.struct(
+            F.lit(constraint).alias("constraint_name"),
+            F.lit(table).alias("table_name"),
+            checked_col.cast("bigint").alias("n_checked"),
+            violations_col.cast("bigint").alias("n_violations"),
+            (violations_col == 0).alias("passed"),
+        )
+
+    cnt = F.count(F.lit(1))
+    o = orders.agg(
+        F.array(
+            row(
+                "custkey_not_null", "orders", cnt,
+                F.coalesce(
+                    F.sum(F.when(F.col("o_custkey").isNull(), 1)), F.lit(0)
+                ),
+            ),
+            row(
+                "orderkey_unique", "orders", cnt,
+                cnt - F.countDistinct("o_orderkey"),
+            ),
+            row(
+                "totalprice_positive", "orders", cnt,
+                F.coalesce(
+                    F.sum(F.when(F.col("o_totalprice") <= 0, 1)), F.lit(0)
+                ),
+            ),
+        ).alias("rows")
+    )
+    li = lineitem.agg(
+        F.array(
+            row(
+                "discount_in_unit_range", "lineitem", cnt,
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            (F.col("l_discount") < 0)
+                            | (F.col("l_discount") > 1),
+                            1,
+                        )
+                    ),
+                    F.lit(0),
+                ),
+            ),
+            row(
+                "quantity_positive", "lineitem", cnt,
+                F.coalesce(
+                    F.sum(F.when(F.col("l_quantity") <= 0, 1)), F.lit(0)
+                ),
+            ),
+        ).alias("rows")
+    )
+    orphan_orders = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey")),
+            orders["o_custkey"] == customer["c_custkey"],
+            "left_anti",
+        )
+        .agg(cnt.alias("v"))
+        .crossJoin(orders.agg(cnt.alias("n")))
+        .select(
+            F.array(
+                row(
+                    "custkey_references_customer", "orders",
+                    F.col("n"), F.col("v"),
+                )
+            ).alias("rows")
+        )
+    )
+    orphan_lines = (
+        lineitem.join(
+            orders.select("o_orderkey"),
+            lineitem["l_orderkey"] == orders["o_orderkey"],
+            "left_anti",
+        )
+        .agg(cnt.alias("v"))
+        .crossJoin(lineitem.agg(cnt.alias("n")))
+        .select(
+            F.array(
+                row(
+                    "orderkey_references_orders", "lineitem",
+                    F.col("n"), F.col("v"),
+                )
+            ).alias("rows")
+        )
+    )
+    return (
+        o.unionByName(li)
+        .unionByName(orphan_orders)
+        .unionByName(orphan_lines)
+        .select(F.explode("rows").alias("r"))
+        .select("r.*")
+        .orderBy("table_name", "constraint_name")
+    )
+
+
+DQ_EXPECTATIONS_ORACLE = """
+WITH o AS (SELECT COUNT(*) AS n FROM orders),
+     li AS (SELECT COUNT(*) AS n FROM lineitem),
+checks AS (
+  SELECT 'custkey_not_null' AS constraint_name, 'orders' AS table_name,
+    (SELECT n FROM o) AS n_checked,
+    (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+      AS n_violations
+  UNION ALL
+  SELECT 'orderkey_unique', 'orders', (SELECT n FROM o),
+    (SELECT n FROM o) - (SELECT COUNT(DISTINCT o_orderkey) FROM orders)
+  UNION ALL
+  SELECT 'totalprice_positive', 'orders', (SELECT n FROM o),
+    (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+  UNION ALL
+  SELECT 'custkey_references_customer', 'orders', (SELECT n FROM o),
+    (SELECT COUNT(*) FROM orders
+     WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                             WHERE c_custkey IS NOT NULL)
+       OR o_custkey IS NULL)
+  UNION ALL
+  SELECT 'discount_in_unit_range', 'lineitem', (SELECT n FROM li),
+    (SELECT COUNT(*) FROM lineitem
+     WHERE l_discount < 0 OR l_discount > 1)
+  UNION ALL
+  SELECT 'quantity_positive', 'lineitem', (SELECT n FROM li),
+    (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+  UNION ALL
+  SELECT 'orderkey_references_orders', 'lineitem', (SELECT n FROM li),
+    (SELECT COUNT(*) FROM lineitem
+     WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                              WHERE o_orderkey IS NOT NULL)
+       OR l_orderkey IS NULL)
+)
+SELECT constraint_name, table_name,
+  CAST(n_checked AS BIGINT) AS n_checked,
+  CAST(n_violations AS BIGINT) AS n_violations,
+  n_violations = 0 AS passed
+FROM checks ORDER BY table_name, constraint_name
+"""
+
+
 # join_fuzzy_recall was DEMOTED to pytest-only parity in round 6
 # (tests/test_oracle_parity.py DEMOTED map): it recomputes
 # join_fuzzy_part_names' banded pairs against the unbanded ground

@@ -33,6 +33,7 @@ QUERIES.update(
     }
 )
 QUERIES["agg_rfm_segments"] = _rel.agg_rfm_segments
+QUERIES["dq_expectations"] = _rel.dq_expectations
 QUERIES["txt_domain_split"] = _txt.txt_domain_split
 
 REPRESENTATIVE = [
@@ -94,6 +95,7 @@ REPRESENTATIVE = [
     "agg_rfm_segments",
     "txt_domain_split",
     "ev_hll_overlap",
+    "dq_expectations",
 ]
 
 
@@ -112,6 +114,12 @@ def empty_sf_dir(spark, tmp_path_factory) -> str:
 def test_query_survives_empty_tables(spark, empty_sf_dir, name):
     df = QUERIES[name](spark, empty_sf_dir)
     rows = df.collect()  # must execute without error
+    if name == "dq_expectations":
+        # a constraint suite emits one row PER CONSTRAINT by design;
+        # on empty tables every gate passes over zero checked rows
+        assert len(rows) == 7
+        assert all(r.passed and r.n_checked == 0 for r in rows)
+        return
     assert len(rows) <= 1  # empty, or one global-aggregate row
 
 

@@ -1105,3 +1105,182 @@ def test_hll_overlap_partial_and_disjoint_segments(spark, sf_dir, tmp_path):
     assert all(r.inter_est_within_10pct_of_union for r in out.values())
     assert len(out) == 6  # full 4-choose-2 pair matrix
     compare_with_oracle(ev_hll_overlap(spark, d), EV_HLL_OVERLAP_ORACLE, d)
+
+
+# hypothesis fuzz: RFM's cross-engine risk is NTILE determinism under
+# metric ties (both engines must agree on every bucket boundary) and
+# the decimal-micros spend sums — forced with tiny domains so nearly
+# every draw collides on r_days, f, and m simultaneously.
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 8),     # custkey: forced collisions
+            st.integers(0, 3),     # order day offset
+            st.sampled_from([None, 100.0, 100.5, 2500.25]),  # price ties
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_SETTINGS
+def test_rfm_fuzzed_cross_engine(spark, tmp_path_factory, rows):
+    import datetime
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_etl_pipeline_spark.plans.relational import (
+        AGG_RFM_ORACLE,
+        agg_rfm_segments,
+    )
+    from simple_etl_pipeline_spark.schemas import TESTDATA_TABLES
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    d = tmp_path_factory.mktemp("rfm_fuzz")
+    base = datetime.datetime(2024, 3, 1)
+    table = pa.table(
+        {
+            "o_orderkey": pa.array(range(len(rows)), pa.int64()),
+            "o_custkey": pa.array([c for c, _, _ in rows], pa.int64()),
+            "o_orderstatus": pa.array(["F"] * len(rows), pa.string()),
+            "o_totalprice": pa.array([p for _, _, p in rows], pa.float64()),
+            "o_orderdate": pa.array(
+                [base + datetime.timedelta(days=t) for _, t, _ in rows],
+                pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(
+                ["1-URGENT"] * len(rows), pa.string()
+            ),
+        }
+    )
+    pq.write_table(table, str(d / "orders.parquet"))
+    from tests.conftest import SF_DIR
+
+    for t in TESTDATA_TABLES:
+        if t != "orders":
+            os.symlink(
+                os.path.join(SF_DIR, f"{t}.parquet"),
+                str(d / f"{t}.parquet"),
+            )
+    compare_with_oracle(
+        agg_rfm_segments(spark, str(d)), AGG_RFM_ORACLE, str(d)
+    )
+    out = agg_rfm_segments(spark, str(d)).collect()
+    assert sum(r.n_customers for r in out) == len({c for c, _, _ in rows})
+    assert sum(r.n_orders for r in out) == len(rows)
+
+
+def test_dq_expectations_matches_oracle(spark, sf_dir):
+    from simple_etl_pipeline_spark.plans.relational import (
+        DQ_EXPECTATIONS_ORACLE,
+        dq_expectations,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    compare_with_oracle(
+        dq_expectations(spark, sf_dir), DQ_EXPECTATIONS_ORACLE, sf_dir
+    )
+    # the generated testdata is clean: every constraint passes
+    assert all(r.passed for r in dq_expectations(spark, sf_dir).collect())
+
+
+def test_dq_expectations_every_constraint_fires(spark, sf_dir, tmp_path):
+    """Corrupt tables where every constraint class has KNOWN
+    violations: duplicate pk, NULL fk (counted as both incomplete AND
+    orphaned — the anti-join keeps a NULL probe key, and the oracle's
+    NOT IN mirrors it with an explicit IS NULL arm), dangling fks,
+    non-positive prices/quantities, discounts outside [0, 1]. Exact
+    counts pinned, then both engines compared on the same corpus."""
+    import datetime
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_etl_pipeline_spark.plans.relational import (
+        DQ_EXPECTATIONS_ORACLE,
+        dq_expectations,
+    )
+    from simple_etl_pipeline_spark.schemas import TESTDATA_TABLES
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    d = str(tmp_path / "dq_edge")
+    os.makedirs(d)
+    ts = datetime.datetime(2024, 1, 1)
+    orders = [  # (orderkey, custkey, price)
+        (1, 10, 100.0),
+        (1, 11, 50.0),    # duplicate orderkey
+        (2, None, 30.0),  # NULL custkey -> incomplete AND orphaned
+        (3, 999, -5.0),   # dangling custkey + non-positive price
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in orders], pa.int64()),
+                "o_custkey": pa.array([r[1] for r in orders], pa.int64()),
+                "o_orderstatus": pa.array(["F"] * 4, pa.string()),
+                "o_totalprice": pa.array([r[2] for r in orders], pa.float64()),
+                "o_orderdate": pa.array([ts] * 4, pa.timestamp("us")),
+                "o_orderpriority": pa.array(["1-URGENT"] * 4, pa.string()),
+            }
+        ),
+        os.path.join(d, "orders.parquet"),
+    )
+    customer = [10, 11]
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(customer, pa.int64()),
+                "c_name": pa.array(["a", "b"], pa.string()),
+                "c_nationkey": pa.array([0, 0], pa.int64()),
+                "c_acctbal": pa.array([0.0, 0.0], pa.float64()),
+                "c_mktsegment": pa.array(["X", "X"], pa.string()),
+            }
+        ),
+        os.path.join(d, "customer.parquet"),
+    )
+    lineitem = [  # (orderkey, quantity, discount)
+        (1, 5.0, 0.05),
+        (7, 2.0, 0.05),   # dangling orderkey
+        (2, 0.0, 1.5),    # qty <= 0 AND discount > 1
+        (3, -1.0, -0.2),  # qty <= 0 AND discount < 0
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in lineitem], pa.int64()),
+                "l_partkey": pa.array([1] * 4, pa.int64()),
+                "l_suppkey": pa.array([1] * 4, pa.int64()),
+                "l_linenumber": pa.array([1, 2, 3, 4], pa.int64()),
+                "l_quantity": pa.array([r[1] for r in lineitem], pa.float64()),
+                "l_extendedprice": pa.array([1.0] * 4, pa.float64()),
+                "l_discount": pa.array([r[2] for r in lineitem], pa.float64()),
+                "l_tax": pa.array([0.0] * 4, pa.float64()),
+                "l_returnflag": pa.array(["N"] * 4, pa.string()),
+                "l_linestatus": pa.array(["O"] * 4, pa.string()),
+                "l_shipdate": pa.array([ts] * 4, pa.timestamp("us")),
+            }
+        ),
+        os.path.join(d, "lineitem.parquet"),
+    )
+    for t in TESTDATA_TABLES:
+        if t not in ("orders", "customer", "lineitem"):
+            os.symlink(f"{sf_dir}/{t}.parquet", os.path.join(d, f"{t}.parquet"))
+    got = {
+        (r.constraint_name, r.table_name): r
+        for r in dq_expectations(spark, d).collect()
+    }
+    expect = {
+        ("custkey_not_null", "orders"): 1,
+        ("orderkey_unique", "orders"): 1,
+        ("totalprice_positive", "orders"): 1,
+        ("custkey_references_customer", "orders"): 2,  # NULL + 999
+        ("discount_in_unit_range", "lineitem"): 2,
+        ("quantity_positive", "lineitem"): 2,
+        ("orderkey_references_orders", "lineitem"): 1,
+    }
+    for k, v in expect.items():
+        assert got[k].n_violations == v, (k, got[k])
+        assert got[k].passed is False
+    compare_with_oracle(dq_expectations(spark, d), DQ_EXPECTATIONS_ORACLE, d)

@@ -39,6 +39,7 @@ QUERIES.update(
     }
 )
 QUERIES["agg_rfm_segments"] = _rel.agg_rfm_segments
+QUERIES["dq_expectations"] = _rel.dq_expectations
 QUERIES["txt_domain_split"] = _txt.txt_domain_split
 
 # Float-aggregate-heavy and sketch queries — the ones that WOULD diverge
@@ -87,6 +88,8 @@ INVARIANT_QUERIES = [
     # DataSketches HLL registers are input-set-deterministic, so the
     # estimate boolean must not flip across partitionings
     "ev_hll_overlap",
+    # exact integer counts only — the gate must never flap
+    "dq_expectations",
 ]
 
 

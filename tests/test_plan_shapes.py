@@ -422,3 +422,23 @@ def test_hll_overlap_bounded_universe_cross_only(spark, sf_dir):
     # (build side = the broadcast |types|-row sketch frame)
     nljs = [ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
     assert len(nljs) <= 1 and all("Inner" in ln or "Cross" in ln for ln in nljs), plan
+
+
+def test_dq_expectations_fused_scans_and_anti_joins(spark, sf_dir):
+    from simple_etl_pipeline_spark.plans import relational as relmod
+
+    plan = (
+        relmod.dq_expectations(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    # completeness/range checks fuse into conditional aggs — 8 scans
+    # for 7 constraints over 3 tables (orders: agg + anti-probe +
+    # count, lineitem likewise, customer + orders as join build
+    # sides), vs one scan PER CONSTRAINT unfused
+    assert plan.count("FileScan parquet") <= 8, plan
+    # referential checks are anti-joins (broadcast at this SF; the
+    # strategy is Catalyst's choice at scale), never cartesians
+    assert plan.count("LeftAnti") == 2, plan

@@ -197,6 +197,10 @@ REL_PROBE_QUERIES = [
 # what grows, which is the cost RFM plans around at scale.
 ORD_PROBE_QUERIES = [
     "agg_rfm_segments",
+    # data-quality gate: one conditional-agg scan per table + two
+    # anti-joins; FK structure is preserved per copy, so violation
+    # counts stay 0 while the checked volume grows K×.
+    "dq_expectations",
 ]
 # Streaming probe (SPARK_GRAFT_PROBE=st): availableNow replay of the
 # scaled events — wall includes the full micro-batch drain, so the
@@ -324,20 +328,69 @@ def write_scaled_part(spark, sf_dir: str, k: int, out_dir: str) -> None:
 
 
 def write_scaled_orders(spark, sf_dir: str, k: int, out_dir: str) -> None:
-    orders = load_table(spark, sf_dir, "orders")
+    """Scales the orders/customer/lineitem trio COHERENTLY: each copy
+    shifts custkey and orderkey by the same offsets on every table,
+    so per-customer order structure AND referential integrity are
+    preserved while the volume grows K× (a dangling-FK explosion
+    would make the dq anti-joins' output grow, which no real growth
+    does)."""
     copies = spark.range(k).withColumnRenamed("id", "copy")
-    scaled = orders.crossJoin(copies).select(
-        (F.col("o_orderkey") + F.col("copy") * 1_000_000_000).alias(
-            "o_orderkey"
-        ),
-        (F.col("o_custkey") + F.col("copy") * 10_000_000).alias("o_custkey"),
-        "o_orderstatus",
-        "o_totalprice",
-        "o_orderdate",
-        "o_orderpriority",
+    orders = load_table(spark, sf_dir, "orders")
+    (
+        orders.crossJoin(copies)
+        .select(
+            (F.col("o_orderkey") + F.col("copy") * 1_000_000_000).alias(
+                "o_orderkey"
+            ),
+            (F.col("o_custkey") + F.col("copy") * 10_000_000).alias(
+                "o_custkey"
+            ),
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .repartition(max(1, k // 8))
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "orders.parquet"))
     )
-    scaled.repartition(max(1, k // 8)).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "orders.parquet")
+    customer = load_table(spark, sf_dir, "customer")
+    (
+        customer.crossJoin(copies)
+        .select(
+            (F.col("c_custkey") + F.col("copy") * 10_000_000).alias(
+                "c_custkey"
+            ),
+            "c_name",
+            "c_nationkey",
+            "c_acctbal",
+            "c_mktsegment",
+        )
+        .repartition(max(1, k // 8))
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "customer.parquet"))
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    (
+        lineitem.crossJoin(copies)
+        .select(
+            (F.col("l_orderkey") + F.col("copy") * 1_000_000_000).alias(
+                "l_orderkey"
+            ),
+            "l_partkey",
+            "l_suppkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_returnflag",
+            "l_linestatus",
+            "l_shipdate",
+        )
+        .repartition(max(1, k // 8))
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "lineitem.parquet"))
     )
 
 
@@ -385,6 +438,7 @@ def main() -> None:
     from simple_etl_pipeline_spark.plans import text as _txtmod
 
     queries.setdefault("agg_rfm_segments", _relmod.agg_rfm_segments)
+    queries.setdefault("dq_expectations", _relmod.dq_expectations)
     queries.setdefault("txt_domain_split", _txtmod.txt_domain_split)
     # ... and so do demoted queries (pytest-only parity twins): probe
     # lists name them by their original keys, which leave the registry
