@@ -150,12 +150,14 @@ _WINDOW = [
 # txt_doc_features, txt_fingerprint, txt_langid, txt_ngram_freq,
 # txt_tfidf_top_term, txt_token_stats, txt_training_corpus,
 # txt_winnow_fingerprint). First in line for the 4 free slots: the
-# FOUR round-7 prebuilds (built + pytest-oracled this round, each
-# with probe exponents in SCALING.md: ev_gap_fill 0.00,
-# agg_rfm_segments 0.17, txt_domain_split -0.06, ev_hll_overlap
-# -0.07), registered with matching demotions, minus however many
-# slots r8 shared-code rewrites need as canaries (register 3 + 1
-# canary, or all 4 if no shared code changes). Demotion candidates
+# FIVE round-7 prebuilds (built + pytest-oracled this round, each
+# with probe exponents in SCALING.md: ev_gap_fill 0.00/-0.01@256,
+# agg_rfm_segments 0.17/0.34@256, txt_domain_split -0.06,
+# ev_hll_overlap -0.07, dq_expectations 0.18), registered with
+# matching demotions into the 4 free slots minus however many r8
+# shared-code rewrites need as canaries (register 4 + 0 canaries, or
+# 3 + 1; the unregistered remainder banks for r9 exactly as the
+# bm25/cuped trios did). Demotion candidates
 # for r8: dedup_simhash_pairs (derivative of dedup_simhash),
 # sim_ivf_topk (its cell-probe stage is a component of the
 # registered sim_ivfpq_topk), ev_range_join_nearby vs
