@@ -20,10 +20,8 @@ small results is fine — none of the headline results exceed ~100k rows).
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
-import re
 import statistics
 import sys
 import time

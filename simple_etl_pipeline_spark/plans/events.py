@@ -2181,8 +2181,14 @@ def ev_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the adjudicated 1-row scalar broadcasts, never a data-sized
     NLJ."""
     ev = load_table(spark, sf_dir, "events")
+    # NULL user_id rows are invisible to hll_sketch_agg and to the
+    # user_id equi-join; keeping them in the exact counts would skew
+    # the estimate-vs-exact honesty check (ADVICE r7) — drop them so
+    # n_exact/n_union measure the same population the sketch sees.
     tu = (
-        ev.filter(F.col("event_type").isNotNull())
+        ev.filter(
+            F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+        )
         .select("event_type", "user_id")
         .distinct()
     )
@@ -2255,7 +2261,7 @@ def ev_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 EV_HLL_OVERLAP_ORACLE = """
 WITH tu AS (
   SELECT DISTINCT event_type, user_id FROM events
-  WHERE event_type IS NOT NULL
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
 ), per_type AS (
   SELECT event_type, COUNT(*) AS n_exact FROM tu GROUP BY 1
 ), inter AS (

@@ -226,6 +226,7 @@ def nullish_ev_dir(spark, sf_dir, tmp_path_factory) -> str:
         "ev_attribution_linear",
         "ev_path_transitions",
         "ev_gap_fill",
+        "ev_hll_overlap",
     ],
 )
 def test_nullish_events_prebuild_oracle_parity(spark, nullish_ev_dir, qname):
@@ -237,6 +238,7 @@ def test_nullish_events_prebuild_oracle_parity(spark, nullish_ev_dir, qname):
         "ev_attribution_linear": evmod.EV_ATTRIBUTION_LINEAR_ORACLE,
         "ev_path_transitions": evmod.EV_PATH_TRANSITIONS_ORACLE,
         "ev_gap_fill": evmod.EV_GAP_FILL_ORACLE,
+        "ev_hll_overlap": evmod.EV_HLL_OVERLAP_ORACLE,
     }[qname]
     compare_with_oracle(fn(spark, nullish_ev_dir), oracle, nullish_ev_dir)
 

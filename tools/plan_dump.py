@@ -11,10 +11,8 @@ Usage: python tools/plan_dump.py [sf_dir]
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
