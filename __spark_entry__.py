@@ -49,123 +49,113 @@ def _all_modules():
 # prefix window of queries() in registration order (rounds 1-4 each
 # covered exactly the first 50). _WINDOW pins those 50 slots explicitly.
 #
-# Round-7 composition, governed by the rotation invariant
+# Round-8 composition, governed by the rotation invariant
 # tests/test_driver_window.py enforces (every oracle-backed query must
 # appear in the union of the last two recorded CORRECTNESS windows plus
 # this list — no query goes more than two rounds without a driver row):
-#   1. The r7 MANDATORY set: the 47-query r4-green residue the round-6
-#      ledger predicted (tools/rotation_plan.py, now timing-robust,
-#      prints the same list), MINUS two of its members demoted this
-#      round (ev_overlap_incident_sessions, window_lag_events) =
-#      45 slots.
-#   2. The 3 round-6 prebuilds, now registered: ev_quantile_sketch,
-#      ev_attribution_linear, ev_path_transitions. Net registry growth
-#      ZERO: 3 demotions for 3 registrations (ev_json_extract +
-#      the two in-window demotions above; rationale at
-#      plans/events.py TAIL_QUERIES and testing.demoted_queries()).
-#   3. 1 changed-code canary: st_scd2_users — round 7 fixed the
-#      late-input drop in scd2_watermarked (ADVICE r6 high) and moved
-#      the adapter to the staged bounded-delay scd2_backfill (VERDICT
-#      ask #3), so the operator re-earns a driver row. The in-window
-#      demotions are what opened this slot (VERDICT ask #2 option b).
-#   4. 1 drift-watch slot: bm25_topk — the one r6 bench regression
-#      marginally above spread (VERDICT ask #6); an r7 driver row plus
-#      the isolated re-run recorded in SCALING.md close it with
-#      evidence. Its last driver row is r5, so this also rotates it a
-#      round early (r8 mandatory set shrinks by one).
+#   1. The r8 MANDATORY set: the 46-query r5-green residue the round-7
+#      ledger predicted (tools/rotation_plan.py prints the same list),
+#      MINUS four of its members demoted this round
+#      (dedup_simhash_pairs, sim_ivf_topk, ev_range_join_nearby,
+#      ref_clean_price — the exact candidates the r7 ledger named) =
+#      42 slots.
+#   2. The 4 round-7 prebuilds, now registered: ev_gap_fill,
+#      agg_rfm_segments (its single-partition NTILE triplet rewritten
+#      to the global_row_number range-shuffle pattern BEFORE
+#      registration — VERDICT r7 #3; fresh probe exponent 0.04 at
+#      K=1..64 vs 0.17 for the old shape), txt_domain_split,
+#      ev_hll_overlap (ADVICE r7 NULL-user fix applied + nullish
+#      parity row). Net registry growth ZERO: 4 demotions for 4
+#      registrations (all four demotions are in-window, which is what
+#      opens the extra slots below). dq_expectations stays banked for
+#      r9, per the one-banks-by-design pattern.
+#   3. 1 changed-code canary: st_scd2_users — round 8 rebuilt the
+#      streaming failure contract (compact root-cause StreamRunError +
+#      one-shot fresh-dir retry in scd2_backfill, VERDICT r7 #1) and
+#      pinned the staging write's TIMESTAMP_MICROS (ADVICE r7), so the
+#      operator re-earns the driver row it erred on in r7.
+#   4. 3 early-rotation slots (r6-residue members, shrinking the r9
+#      mandatory set 49 -> 46): sim_ivfpq_topk (two consecutive
+#      above-spread bench drifts — this doubles as the drift-drill
+#      driver anchor, VERDICT r7 #4), dedup_components (the top-cost
+#      query; keeps the oracle-of-record freshly anchored), and
+#      ref_transform_full (the reference-surface full-pipeline hash —
+#      kept fresh since ref_clean_price's row now rotates out).
 _WINDOW = [
-    # -- mandatory: last driver row in round 4 (45 after demotions) ---------
-    "agg_conditional_pivot",
-    "agg_cube_lineitem",
-    "agg_distinct_counts",
-    "agg_grouping_sets",
-    "agg_histogram",
-    "agg_mode_source_by_lang",
-    "agg_percentiles",
-    "agg_rollup_orders",
-    "agg_salted_sum",
-    "dedup_semdedup",
-    "ev_countmin_users",
-    "ev_range_join_incidents",
-    "ev_scd2_users",
-    "ev_zorder_layout",
-    "join_anti_customers_without_orders",
-    "join_broadcast_brand_revenue",
-    "join_full_outer_nation_presence",
-    "join_semi_discounted",
-    "orderby_limit_top_orders",
-    "q10_returned_items",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q18_large_volume_customers",
-    "q19_disjunctive_filter",
-    "q22_idle_customers",
-    "q2_top_supplier_per_nation",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_region_revenue",
-    "q6_revenue_filter",
-    "q7_nation_volume",
-    "scalar_functions",
-    "setops_nations",
-    "sim_kmeans_lloyd",
-    "st_static_zscore",
-    "st_user_totals_stateful",
-    "txt_bloom_contamination",
-    "txt_dsir_weights",
-    "txt_rare_token_ratio",
-    "window_above_customer_avg",
-    "window_percent_rank_suppliers",
-    "window_rolling_7d",
-    "window_running_total",
-    "window_topk_orders_per_customer",
-    # -- round-7 registrations (3) -----------------------------------------
-    "ev_quantile_sketch",
-    "ev_attribution_linear",
-    "ev_path_transitions",
+    # -- mandatory: last driver row in round 5 (42 after demotions) ---------
+    "agg_approx_distinct",
+    "dedup_ngram_spans",
+    "dedup_simhash",
+    "ev_funnel",
+    "ev_rollup_multires",
+    "ev_sliding_windows",
+    "ev_tumbling_hourly",
+    "ev_user_daily_activity",
+    "inverted_index",
+    "mm_binary_meta",
+    "mm_blob_features",
+    "mm_frame_sample",
+    "mm_resize",
+    "q12_shipmode_priority",
+    "ref_clean_colors",
+    "ref_clean_rating",
+    "ref_clean_size_gender",
+    "ref_dirty_view",
+    "ref_remove_dirty",
+    "sim_ann_lsh",
+    "sim_centroids_by_label",
+    "sim_knn_brute",
+    "sim_rp_recall",
+    "skip_bloom_stats",
+    "st_dedup_events",
+    "st_sliding_windows",
+    "st_stream_stream_join",
+    "st_tumbling_hourly",
+    "txt_bpe_tokens",
+    "txt_char_entropy",
+    "txt_doc_features",
+    "txt_fingerprint",
+    "txt_gopher_repetition",
+    "txt_kl_drift",
+    "txt_langid",
+    "txt_mixture_manifest",
+    "txt_ngram_freq",
+    "txt_tfidf_top_term",
+    "txt_token_stats",
+    "txt_training_corpus",
+    "txt_winnow_fingerprint",
+    "weighted_sample",
+    # -- round-8 registrations (4) ------------------------------------------
+    "ev_gap_fill",
+    "agg_rfm_segments",
+    "txt_domain_split",
+    "ev_hll_overlap",
     # -- changed-code canary (1) --------------------------------------------
     "st_scd2_users",
-    # -- drift watch / early rotation (1) ------------------------------------
-    "bm25_topk",
+    # -- early rotation / drift anchors (3) ---------------------------------
+    "sim_ivfpq_topk",
+    "dedup_components",
+    "ref_transform_full",
 ]
 
-# ROUND-8 ROTATION LEDGER (tools/rotation_plan.py run AFTER this
+# ROUND-9 ROTATION LEDGER (tools/rotation_plan.py run AFTER this
 # rebalance prints state=post_rebalance with exactly this arithmetic):
-# at the r8 gate the last two recorded windows will be CORRECTNESS_r06
-# + this window, so next_round_mandatory = 46 queries — the r5-green
-# residue (bm25_topk excluded: slot 50 above rotates it early) — and
-# next_round_free_slots = 4. The exact 46 is the tool's
-# next_round_mandatory_list: agg_approx_distinct, the r5 dedup/text
-# tails (dedup_ngram_spans, dedup_simhash, dedup_simhash_pairs,
-# inverted_index, weighted_sample, skip_bloom_stats, txt_char_entropy,
-# txt_gopher_repetition, txt_kl_drift, txt_mixture_manifest), the r5
-# events/streaming block (ev_funnel, ev_range_join_nearby,
-# ev_rollup_multires, ev_sliding_windows, ev_tumbling_hourly,
-# ev_user_daily_activity, st_dedup_events, st_sliding_windows,
-# st_stream_stream_join, st_tumbling_hourly), the mm_* quartet,
-# q12_shipmode_priority, the ref_clean_* sextet, the r5 sim block
-# (sim_ann_lsh, sim_centroids_by_label, sim_ivf_topk, sim_knn_brute,
-# sim_rp_recall), and the r5 text surfaces (txt_bpe_tokens,
-# txt_doc_features, txt_fingerprint, txt_langid, txt_ngram_freq,
-# txt_tfidf_top_term, txt_token_stats, txt_training_corpus,
-# txt_winnow_fingerprint). First in line for the 4 free slots: the
-# FIVE round-7 prebuilds (built + pytest-oracled this round, each
-# with probe exponents in SCALING.md: ev_gap_fill 0.00/-0.01@256,
-# agg_rfm_segments 0.17/0.34@256, txt_domain_split -0.06,
-# ev_hll_overlap -0.07, dq_expectations 0.18), registered with
-# matching demotions into the 4 free slots minus however many r8
-# shared-code rewrites need as canaries (register 4 + 0 canaries, or
-# 3 + 1; the unregistered remainder banks for r9 exactly as the
-# bm25/cuped trios did). Demotion candidates
-# for r8: dedup_simhash_pairs (derivative of dedup_simhash),
-# sim_ivf_topk (its cell-probe stage is a component of the
-# registered sim_ivfpq_topk), ev_range_join_nearby vs
-# ev_range_join_incidents (two remaining interval surfaces), and the
-# ref_clean_* singles whose semantics ref_transform_full's full-
-# pipeline hash already pins. Registry arithmetic: 145 registered /
-# 150 three-round slots (5 slack) — the invariant stays satisfiable
-# PROVIDED net growth stays <= 0 per round (demote-one-per-add).
+# at the r9 gate the last two recorded windows will be CORRECTNESS_r07
+# + this window, so next_round_mandatory = 46 queries — the r6-green
+# residue (49 queries) minus the three early-rotated above
+# (sim_ivfpq_topk, dedup_components, ref_transform_full) — and
+# next_round_free_slots = 4. First in line for the free slots: the
+# banked dq_expectations prebuild (pytest-oracle green, corrupt-corpus
+# row firing all 7 constraint classes, probe exponent 0.18), plus any
+# r8-built prebuilds, registered with matching demotions. Demotion
+# candidates for r9: ref_clean_rating / ref_clean_colors (same
+# ref_transform_full-pinned class as ref_clean_price), ev_tumbling_hourly
+# OR its streaming twin st_tumbling_hourly (identical oracle, keep one
+# registered per surface), and txt_char_entropy (a component of the
+# registered txt_doc_features feature set). Registry arithmetic: 145
+# registered / 150 three-round slots (5 slack) — the invariant stays
+# satisfiable PROVIDED net growth stays <= 0 per round
+# (demote-one-per-add).
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -117,6 +117,13 @@ HEADLINE = [
     "ev_quantile_sketch",
     "ev_attribution_linear",
     "ev_path_transitions",
+    # round 8: the registered prebuild quartet (grid gap-fill, RFM via
+    # the distributed global-row-number pattern, leakage-safe domain
+    # split, HLL audience overlap).
+    "ev_gap_fill",
+    "agg_rfm_segments",
+    "txt_domain_split",
+    "ev_hll_overlap",
 ]
 
 

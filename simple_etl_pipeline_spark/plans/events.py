@@ -340,7 +340,10 @@ QUERIES = {
     "ev_asof_purchase_click": ev_asof_purchase_click,
     "ev_funnel": ev_funnel,
     "ev_rollup_multires": ev_rollup_multires,
-    "ev_range_join_nearby": ev_range_join_nearby,
+    # ev_range_join_nearby DEMOTED round 8 (capacity rule, one per
+    # r8 registration): ev_range_join_incidents (r7 driver-green)
+    # keeps an interval-join surface registered; the nearby variant
+    # retains full pytest parity via testing.demoted_queries().
     "ev_tumbling_hourly": ev_tumbling_hourly,
     "ev_sliding_windows": ev_sliding_windows,
     "ev_session_windows": ev_session_windows,
@@ -351,7 +354,6 @@ ORACLES = {
     "ev_asof_purchase_click": EV_ASOF_ORACLE,
     "ev_funnel": EV_FUNNEL_ORACLE,
     "ev_rollup_multires": EV_ROLLUP_MULTIRES_ORACLE,
-    "ev_range_join_nearby": EV_RANGE_JOIN_ORACLE,
     "ev_tumbling_hourly": EV_TUMBLING_ORACLE,
     "ev_sliding_windows": EV_SLIDING_ORACLE,
     "ev_session_windows": EV_SESSION_ORACLE,
@@ -2318,6 +2320,12 @@ TAIL_QUERIES = {
     "ev_quantile_sketch": ev_quantile_sketch,
     "ev_attribution_linear": ev_attribution_linear,
     "ev_path_transitions": ev_path_transitions,
+    # round-8 registrations (prebuilt + pytest-oracle-green in round
+    # 7). Matching demotions (capacity rule): ev_range_join_nearby
+    # (above), dedup_simhash_pairs, sim_ivf_topk, ref_clean_price —
+    # rationale at each module's QUERIES and testing.demoted_queries().
+    "ev_gap_fill": ev_gap_fill,
+    "ev_hll_overlap": ev_hll_overlap,
 }
 TAIL_ORACLES = {
     "skip_bloom_stats": SKIP_BLOOM_STATS_ORACLE,
@@ -2336,4 +2344,6 @@ TAIL_ORACLES = {
     "ev_quantile_sketch": EV_QSKETCH_ORACLE,
     "ev_attribution_linear": EV_ATTRIBUTION_LINEAR_ORACLE,
     "ev_path_transitions": EV_PATH_TRANSITIONS_ORACLE,
+    "ev_gap_fill": EV_GAP_FILL_ORACLE,
+    "ev_hll_overlap": EV_HLL_OVERLAP_ORACLE,
 }

@@ -259,11 +259,16 @@ def _with_view(body: str) -> str:
     return f"WITH dirty AS ({DIRTY_VIEW_SQL}) {body}"
 
 
+# ref_clean_price DEMOTED round 8 (capacity rule, one per r8
+# registration): P1's semantics stay pinned by the registered
+# ref_transform_full full-pipeline hash and the clean_price
+# differential suite; full pytest parity via testing.demoted_queries().
+REF_CLEAN_PRICE_ORACLE = _with_view(
+    f"SELECT p_partkey, price, {SQL_CLEAN_PRICE} AS price_idr FROM dirty ORDER BY p_partkey"
+)
+
 ORACLES = {
     "ref_dirty_view": _with_view("SELECT * FROM dirty ORDER BY p_partkey"),
-    "ref_clean_price": _with_view(
-        f"SELECT p_partkey, price, {SQL_CLEAN_PRICE} AS price_idr FROM dirty ORDER BY p_partkey"
-    ),
     "ref_clean_rating": _with_view(
         f"SELECT p_partkey, rating, {SQL_CLEAN_RATING} AS rating_clean FROM dirty ORDER BY p_partkey"
     ),
@@ -296,7 +301,6 @@ ORACLES = {
 
 QUERIES = {
     "ref_dirty_view": ref_dirty_view,
-    "ref_clean_price": ref_clean_price,
     "ref_clean_rating": ref_clean_rating,
     "ref_clean_colors": ref_clean_colors,
     "ref_clean_size_gender": ref_clean_size_gender,

@@ -458,7 +458,10 @@ QUERIES = {
     "sim_knn_brute": sim_knn_brute,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_centroids_by_label": sim_centroids_by_label,
-    "sim_ivf_topk": sim_ivf_topk,
+    # sim_ivf_topk DEMOTED round 8 (capacity rule, one per r8
+    # registration): its cell-probe stage is a component of the
+    # registered sim_ivfpq_topk; full pytest parity retained via
+    # testing.demoted_queries().
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
@@ -466,7 +469,6 @@ ORACLES = {
     "sim_knn_brute": SIM_KNN_ORACLE,
     "sim_ann_lsh": SIM_ANN_ORACLE,
     "sim_centroids_by_label": SIM_CENTROIDS_ORACLE,
-    "sim_ivf_topk": SIM_IVF_ORACLE,
     "dedup_embedding_cosine": DEDUP_EMB_COSINE_ORACLE,
 }
 

@@ -1182,7 +1182,10 @@ QUERIES = {
     # dedup_minhash_ml: pytest-only (Spark-internal hash seeds can never
     # hash-match DuckDB) — see tests/test_retrieval.py.
     "dedup_simhash": dedup_simhash,
-    "dedup_simhash_pairs": dedup_simhash_pairs,
+    # dedup_simhash_pairs DEMOTED round 8 (capacity rule, one per r8
+    # registration): dedup_simhash (registered, same Hamming-band
+    # signature pipeline) pins the shared semantics; the pair
+    # expansion keeps full pytest parity via testing.demoted_queries().
     "dedup_components": dedup_components,
     "txt_training_corpus": txt_training_corpus,
     "txt_bpe_tokens": txt_bpe_tokens,
@@ -1201,7 +1204,6 @@ ORACLES = {
     "dedup_minhash_lsh": DEDUP_MINHASH_ORACLE,
     # dedup_minhash_ml: Spark-internal hash seeds — rows-only by design
     "dedup_simhash": DEDUP_SIMHASH_ORACLE,
-    "dedup_simhash_pairs": _simhash_pairs_oracle(),
     "dedup_components": DEDUP_COMPONENTS_ORACLE,
     "txt_training_corpus": TXT_TRAINING_CORPUS_ORACLE,
     "txt_bpe_tokens": TXT_BPE_TOKENS_ORACLE,
@@ -3694,6 +3696,72 @@ FROM ordered GROUP BY 1 ORDER BY shard
 """
 
 
+CURRICULUM_SHARD = 50
+
+
+def train_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-ordered training manifest (round-9 prebuild):
+    documents sequenced easy-first by (token count, doc_id) — the
+    classic length-curriculum — with each document's exact global
+    position assigned by the distributed `global_row_number` pattern
+    (plans/relational.py: range shuffle + per-partition offsets, no
+    single-partition sort ANYWHERE — the same primitive the RFM
+    rewrite introduced, exercised here on a second surface). The
+    manifest rolls the sequence into CURRICULUM_SHARD-sized shards:
+    (shard, n_docs, first_seq, last_seq, min_tokens, max_tokens,
+    xor_ids) — xor_ids pins the exact membership of every shard, and
+    the seq bounds pin the order, without materializing the
+    permutation (the train_shard_manifest device, applied to a SORTED
+    curriculum instead of a hash shuffle).
+
+    Scale shape: one narrow map (token count), one range shuffle +
+    keyed window for the global sequence, one shard-keyed rollup
+    (map-side combined, output N/CURRICULUM_SHARD rows). Oracle:
+    ROW_NUMBER() over the same total order."""
+    from simple_etl_pipeline_spark.plans.relational import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", F.size(tokens_col("text")).alias("n_tokens")
+    )
+    seqd = global_row_number(scored, ["n_tokens", "doc_id"], out="seq")
+    return (
+        seqd.withColumn(
+            "shard",
+            F.expr(f"(seq - 1) div {CURRICULUM_SHARD}").cast("int"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("seq").alias("first_seq"),
+            F.max("seq").alias("last_seq"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.expr("bit_xor(doc_id)").alias("xor_ids"),
+        )
+        .orderBy("shard")
+    )
+
+
+TRAIN_CURRICULUM_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, len({sql_tokens('text')}) AS n_tokens FROM documents
+), seqd AS (
+  SELECT doc_id, n_tokens,
+    ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) AS seq
+  FROM scored
+)
+SELECT CAST((seq - 1) // {CURRICULUM_SHARD} AS INT) AS shard,
+  COUNT(*) AS n_docs,
+  MIN(seq) AS first_seq,
+  MAX(seq) AS last_seq,
+  MIN(n_tokens) AS min_tokens,
+  MAX(n_tokens) AS max_tokens,
+  bit_xor(doc_id) AS xor_ids
+FROM seqd GROUP BY 1 ORDER BY shard
+"""
+
+
 def txt_domain_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split manifest: the split unit is
     the SOURCE (domain), not the document — every document of a
@@ -3810,6 +3878,9 @@ TAIL_QUERIES = {
     "txt_char_entropy": txt_char_entropy,
     "txt_kl_drift": txt_kl_drift,
     "train_shard_manifest": train_shard_manifest,
+    # round-8 registration (prebuilt + pytest-oracle-green in round 7;
+    # matching demotion: dedup_simhash_pairs, see QUERIES above)
+    "txt_domain_split": txt_domain_split,
 }
 
 TAIL_ORACLES = {
@@ -3839,4 +3910,5 @@ TAIL_ORACLES = {
     "txt_char_entropy": TXT_CHAR_ENTROPY_ORACLE,
     "txt_kl_drift": TXT_KL_DRIFT_ORACLE,
     "train_shard_manifest": TRAIN_SHARD_ORACLE,
+    "txt_domain_split": TXT_DOMAIN_SPLIT_ORACLE,
 }

@@ -49,6 +49,22 @@ def demoted_queries() -> dict:
         TXT_MIXTURE_WEIGHTS_ORACLE,
         txt_mixture_weights,
     )
+    from simple_etl_pipeline_spark.plans.events import (
+        EV_RANGE_JOIN_ORACLE,
+        ev_range_join_nearby,
+    )
+    from simple_etl_pipeline_spark.plans.reference_parity import (
+        REF_CLEAN_PRICE_ORACLE,
+        ref_clean_price,
+    )
+    from simple_etl_pipeline_spark.plans.similarity import (
+        SIM_IVF_ORACLE,
+        sim_ivf_topk,
+    )
+    from simple_etl_pipeline_spark.plans.text import (
+        _simhash_pairs_oracle,
+        dedup_simhash_pairs,
+    )
 
     return {
         "sim_ivf_recall": (sim_ivf_recall, SIM_IVF_RECALL_ORACLE),
@@ -66,6 +82,23 @@ def demoted_queries() -> dict:
             EV_OVERLAP_ORACLE,
         ),
         "window_lag_events": (window_lag_events, WINDOW_LAG_ORACLE),
+        # round-8 demotions (one per round-8 registration; rationale at
+        # each module's QUERIES comment):
+        #   - dedup_simhash_pairs: dedup_simhash pins the shared
+        #     Hamming-band signature pipeline.
+        #   - sim_ivf_topk: its cell-probe stage is a component of the
+        #     registered sim_ivfpq_topk.
+        #   - ev_range_join_nearby: ev_range_join_incidents keeps the
+        #     interval-join surface registered.
+        #   - ref_clean_price: pinned by ref_transform_full's pipeline
+        #     hash + the clean_price differential suite.
+        "dedup_simhash_pairs": (
+            dedup_simhash_pairs,
+            _simhash_pairs_oracle(),
+        ),
+        "sim_ivf_topk": (sim_ivf_topk, SIM_IVF_ORACLE),
+        "ev_range_join_nearby": (ev_range_join_nearby, EV_RANGE_JOIN_ORACLE),
+        "ref_clean_price": (ref_clean_price, REF_CLEAN_PRICE_ORACLE),
     }
 
 

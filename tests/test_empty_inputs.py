@@ -35,6 +35,8 @@ QUERIES.update(
 QUERIES["agg_rfm_segments"] = _rel.agg_rfm_segments
 QUERIES["dq_expectations"] = _rel.dq_expectations
 QUERIES["txt_domain_split"] = _txt.txt_domain_split
+QUERIES["agg_basket_lift"] = _rel.agg_basket_lift
+QUERIES["train_curriculum_order"] = _txt.train_curriculum_order
 
 REPRESENTATIVE = [
     "q1_pricing_summary",
@@ -96,6 +98,9 @@ REPRESENTATIVE = [
     "txt_domain_split",
     "ev_hll_overlap",
     "dq_expectations",
+    # round-9 prebuilds
+    "agg_basket_lift",
+    "train_curriculum_order",
 ]
 
 

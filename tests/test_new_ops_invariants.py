@@ -1284,3 +1284,160 @@ def test_dq_expectations_every_constraint_fires(spark, sf_dir, tmp_path):
         assert got[k].n_violations == v, (k, got[k])
         assert got[k].passed is False
     compare_with_oracle(dq_expectations(spark, d), DQ_EXPECTATIONS_ORACLE, d)
+
+
+# --- round-9 prebuilds: basket lift + curriculum order --------------------
+def test_basket_lift_matches_oracle(spark, sf_dir):
+    from simple_etl_pipeline_spark.plans.relational import (
+        AGG_BASKET_LIFT_ORACLE,
+        agg_basket_lift,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    compare_with_oracle(
+        agg_basket_lift(spark, sf_dir), AGG_BASKET_LIFT_ORACLE, sf_dir
+    )
+
+
+def test_basket_lift_edge_corpus(spark, sf_dir, tmp_path):
+    """Adversarial baskets: duplicated (order, part) lines collapse to
+    one co-occurrence (distinct-first), a single-item order emits no
+    pairs, a repeated-part-only order emits no self-pair, and exact
+    tie groups at the cutoff resolve by (part_a, part_b). Counts
+    pinned by hand AND against the oracle on the same corpus."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_etl_pipeline_spark.plans.relational import (
+        AGG_BASKET_LIFT_ORACLE,
+        agg_basket_lift,
+    )
+    from simple_etl_pipeline_spark.schemas import TESTDATA_TABLES
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    # (orderkey, partkey): order 1 = {10, 11} twice over (duplicated
+    # lines); order 2 = {10} alone; order 3 = {12, 12} repeated part;
+    # order 4 = {10, 11, 12} -> three pairs
+    rows = [
+        (1, 10), (1, 11), (1, 10), (1, 11),
+        (2, 10),
+        (3, 12), (3, 12),
+        (4, 10), (4, 11), (4, 12),
+    ]
+    d = str(tmp_path / "basket_edge")
+    os.makedirs(d)
+    n = len(rows)
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1)
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+                "l_suppkey": pa.array([1] * n, pa.int64()),
+                "l_quantity": pa.array([1.0] * n, pa.float64()),
+                "l_extendedprice": pa.array([1.0] * n, pa.float64()),
+                "l_discount": pa.array([0.0] * n, pa.float64()),
+                "l_tax": pa.array([0.0] * n, pa.float64()),
+                "l_returnflag": pa.array(["N"] * n, pa.string()),
+                "l_linestatus": pa.array(["O"] * n, pa.string()),
+                "l_shipdate": pa.array([ts] * n, pa.timestamp("us")),
+            }
+        ),
+        os.path.join(d, "lineitem.parquet"),
+    )
+    for t in TESTDATA_TABLES:
+        if t != "lineitem":
+            os.symlink(f"{sf_dir}/{t}.parquet", os.path.join(d, f"{t}.parquet"))
+    got = {
+        (r.part_a, r.part_b): r for r in agg_basket_lift(spark, d).collect()
+    }
+    assert set(got) == {(10, 11), (10, 12), (11, 12)}
+    assert got[(10, 11)].n_ab == 2          # orders 1 and 4, dup-collapsed
+    assert got[(10, 12)].n_ab == 1          # order 4 only
+    assert got[(11, 12)].n_ab == 1
+    assert got[(10, 11)].n_orders == 4
+    assert got[(10, 11)].n_a == 3           # part 10 in orders 1, 2, 4
+    # lift(10,11) = 2*4/(3*2)
+    assert abs(got[(10, 11)].lift - round(8 / 6, 6)) < 1e-9
+    compare_with_oracle(agg_basket_lift(spark, d), AGG_BASKET_LIFT_ORACLE, d)
+
+
+def test_curriculum_matches_oracle_and_conserves(spark, sf_dir):
+    from simple_etl_pipeline_spark.plans.text import (
+        CURRICULUM_SHARD,
+        TRAIN_CURRICULUM_ORACLE,
+        train_curriculum_order,
+    )
+    from simple_etl_pipeline_spark.schemas import load_table
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    rows = train_curriculum_order(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    # shards are contiguous, dense, and exactly CURRICULUM_SHARD-sized
+    # except the last; seq ranges tile [1, n_docs] without gaps
+    assert [r.shard for r in rows] == list(range(len(rows)))
+    for r in rows[:-1]:
+        assert r.n_docs == CURRICULUM_SHARD
+    for r in rows:
+        assert r.last_seq - r.first_seq + 1 == r.n_docs
+        assert r.min_tokens <= r.max_tokens
+    # easy-first: shard token ceilings are monotonically non-decreasing
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_tokens <= b.min_tokens or a.max_tokens <= b.max_tokens
+    compare_with_oracle(
+        train_curriculum_order(spark, sf_dir), TRAIN_CURRICULUM_ORACLE, sf_dir
+    )
+
+
+def test_curriculum_all_ties_resolve_by_doc_id(spark, sf_dir, tmp_path):
+    """Every document identical (same token count): the curriculum
+    order degenerates to doc_id order, so each shard's xor/seq bounds
+    are a pure function of doc_id ranges — pinned against the oracle
+    (the NTILE-tie class of hazard, on the row-number primitive)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_etl_pipeline_spark.plans.text import (
+        TRAIN_CURRICULUM_ORACLE,
+        train_curriculum_order,
+    )
+    from simple_etl_pipeline_spark.schemas import TESTDATA_TABLES
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    d = str(tmp_path / "curr_ties")
+    os.makedirs(d)
+    ids = list(range(1, 132))  # 131 docs: 2 full shards + remainder
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(["three token text"] * len(ids), pa.string()),
+                "lang": pa.array(["en"] * len(ids), pa.string()),
+                "source": pa.array(["s"] * len(ids), pa.string()),
+                "n_chars": pa.array([16] * len(ids), pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    for t in TESTDATA_TABLES:
+        if t != "documents":
+            os.symlink(f"{sf_dir}/{t}.parquet", os.path.join(d, f"{t}.parquet"))
+    rows = train_curriculum_order(spark, d).collect()
+    assert [r.shard for r in rows] == [0, 1, 2]
+    assert [r.n_docs for r in rows] == [50, 50, 31]
+    # doc_id order: shard 0 holds ids 1..50 exactly
+    import functools
+
+    assert rows[0].xor_ids == functools.reduce(
+        lambda a, b: a ^ b, range(1, 51)
+    )
+    compare_with_oracle(
+        train_curriculum_order(spark, d), TRAIN_CURRICULUM_ORACLE, d
+    )

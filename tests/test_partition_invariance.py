@@ -41,6 +41,8 @@ QUERIES.update(
 QUERIES["agg_rfm_segments"] = _rel.agg_rfm_segments
 QUERIES["dq_expectations"] = _rel.dq_expectations
 QUERIES["txt_domain_split"] = _txt.txt_domain_split
+QUERIES["agg_basket_lift"] = _rel.agg_basket_lift
+QUERIES["train_curriculum_order"] = _txt.train_curriculum_order
 
 # Float-aggregate-heavy and sketch queries — the ones that WOULD diverge
 # under double-sum reordering or rand()-based sampling.
@@ -90,6 +92,11 @@ INVARIANT_QUERIES = [
     "ev_hll_overlap",
     # exact integer counts only — the gate must never flap
     "dq_expectations",
+    # round-9 prebuilds: exact-integer pair counts + 6-dp lift over
+    # exact ints (basket), global-row-number sequence + bit_xor
+    # membership (curriculum) — both must be layout-independent
+    "agg_basket_lift",
+    "train_curriculum_order",
 ]
 
 

@@ -366,7 +366,11 @@ def test_gap_fill_single_data_shuffle_pruned_scan(spark, sf_dir):
     assert "props" not in plan.split("ReadSchema")[1][:200], plan
 
 
-def test_rfm_single_custkey_shuffle_scalar_broadcast(spark, sf_dir):
+def test_rfm_no_global_window_keyed_shuffles_only(spark, sf_dir):
+    """The VERDICT r7 #3 'Done' criterion: no single-partition window
+    over an unbounded frame. Every Window in the plan is either keyed
+    by a data column (_gpid / o_custkey) or runs over the
+    |partitions|-row offsets frame — the bounded metadata class."""
     from simple_etl_pipeline_spark.plans import relational as relmod
 
     plan = (
@@ -376,14 +380,24 @@ def test_rfm_single_custkey_shuffle_scalar_broadcast(spark, sf_dir):
         .toString()
     )
     assert "CartesianProduct" not in plan
-    # ONE data-sized shuffle: the o_custkey aggregation of orders
-    assert plan.count("Exchange hashpartitioning(o_custkey") == 1, plan
-    # the as-of date is the adjudicated 1-row scalar broadcast cross
+    # the quintile ranks come from a RANGE shuffle of the melted
+    # customer frame (behind the persisted barrier), not a global
+    # sort into one partition — and no window NTILE survives
+    assert "Exchange rangepartitioning(mc" in plan, plan
+    assert "InMemoryTableScan" in plan, plan  # the determinism barrier
+    assert "ntile" not in plan, plan
+    # every row_number window is keyed by _gpid (data-parallel); the
+    # only un-keyed windows are the running-sums over the
+    # |partitions|-row offsets frame (metadata class)
+    for ln in plan.splitlines():
+        if "row_number() windowspecdefinition" in ln:
+            assert "_gpid" in ln.split("windowspecdefinition")[1][:30], ln
+        elif "windowspecdefinition" in ln:
+            assert "sum(_cnt" in ln, ln
+    # the as-of date + N are the adjudicated 1-row scalar broadcasts
     nljs = [ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
     assert nljs and all("Cross" in ln for ln in nljs), plan
-    # NTILEs run over the aggregated CUSTOMER frame (documented
-    # single-partition sort, the window_ntile precedent) — never over
-    # the orders stream: the scan reads only the 3 needed columns
+    # column pruning still reaches the orders scan
     assert "o_orderstatus" not in plan.split("ReadSchema")[1][:300], plan
 
 
@@ -442,3 +456,60 @@ def test_dq_expectations_fused_scans_and_anti_joins(spark, sf_dir):
     # referential checks are anti-joins (broadcast at this SF; the
     # strategy is Catalyst's choice at scale), never cartesians
     assert plan.count("LeftAnti") == 2, plan
+
+
+def test_basket_lift_single_shuffle_pairs_takeordered(spark, sf_dir):
+    """Basket pairs come from the collect_list + in-partition
+    combination expansion (one orderkey shuffle), never a self-join of
+    the exploded frame; the head is a TakeOrdered, not a global sort."""
+    from simple_etl_pipeline_spark.plans import relational as relmod
+
+    plan = (
+        relmod.agg_basket_lift(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan, plan
+    # pair expansion is generator-based (posexplode/slice), not a
+    # lineitem-x-lineitem equi-join on orderkey
+    assert "Generate" in plan, plan
+    joins = [
+        ln
+        for ln in plan.splitlines()
+        if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln
+    ]
+    # the only shuffled joins are pair-counts x part-counts (keyed)
+    assert all("part_a" in ln or "part_b" in ln for ln in joins), joins
+    # basket total is the adjudicated 1-row scalar broadcast
+    nljs = [ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
+    assert all("Cross" in ln for ln in nljs), plan
+    # column pruning: only orderkey+partkey leave the lineitem scan
+    rs = plan.split("ReadSchema")[1][:200]
+    assert "l_orderkey" in rs and "l_extendedprice" not in rs, rs
+
+
+def test_curriculum_range_shuffle_keyed_windows_only(spark, sf_dir):
+    """The curriculum sequence reuses global_row_number: range
+    exchange + _gpid-keyed row_number + persisted barrier; the shard
+    rollup is keyed. No single-partition data window, no ntile."""
+    from simple_etl_pipeline_spark.plans import text as txtmod
+
+    plan = (
+        txtmod.train_curriculum_order(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning(n_tokens" in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    assert "ntile" not in plan, plan
+    for ln in plan.splitlines():
+        if "row_number() windowspecdefinition" in ln:
+            assert "_gpid" in ln.split("windowspecdefinition")[1][:30], ln
+        elif "windowspecdefinition" in ln:
+            assert "sum(_cnt" in ln, ln
+    rs = plan.split("ReadSchema")[1][:200]
+    assert "doc_id" in rs and "lang" not in rs, rs

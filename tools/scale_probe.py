@@ -110,6 +110,8 @@ PROBE_QUERIES = [
     # round-8 prebuild: narrow hash+token map, split-keyed agg bounded
     # by the domain universe -> flat.
     "txt_domain_split",
+    # round-9 prebuild: range-shuffle global sequence + shard rollup.
+    "train_curriculum_order",
 ]
 # Embedding-side probe (SPARK_GRAFT_PROBE=sim): vectors are perturbed
 # per copy (direction-dependent per-dim scaling), so LSH/sign buckets
@@ -201,6 +203,10 @@ ORD_PROBE_QUERIES = [
     # anti-joins; FK structure is preserved per copy, so violation
     # counts stay 0 while the checked volume grows K×.
     "dq_expectations",
+    # round-9 prebuild: basket pair expansion is bounded per order, so
+    # the pair stream grows K× while the co-occurring pair universe
+    # (and the top-100 head) stays fixed — map-side collapse territory.
+    "agg_basket_lift",
 ]
 # Streaming probe (SPARK_GRAFT_PROBE=st): availableNow replay of the
 # scaled events — wall includes the full micro-batch drain, so the
@@ -440,6 +446,10 @@ def main() -> None:
     queries.setdefault("agg_rfm_segments", _relmod.agg_rfm_segments)
     queries.setdefault("dq_expectations", _relmod.dq_expectations)
     queries.setdefault("txt_domain_split", _txtmod.txt_domain_split)
+    queries.setdefault("agg_basket_lift", _relmod.agg_basket_lift)
+    queries.setdefault(
+        "train_curriculum_order", _txtmod.train_curriculum_order
+    )
     # ... and so do demoted queries (pytest-only parity twins): probe
     # lists name them by their original keys, which leave the registry
     # on demotion.
