@@ -144,10 +144,15 @@ _WINDOW = [
 # + this window, so next_round_mandatory = 46 queries — the r6-green
 # residue (49 queries) minus the three early-rotated above
 # (sim_ivfpq_topk, dedup_components, ref_transform_full) — and
-# next_round_free_slots = 4. First in line for the free slots: the
-# banked dq_expectations prebuild (pytest-oracle green, corrupt-corpus
-# row firing all 7 constraint classes, probe exponent 0.18), plus any
-# r8-built prebuilds, registered with matching demotions. Demotion
+# next_round_free_slots = 4. First in line for the free slots: FOUR
+# banked prebuilds — dq_expectations (r7-built: corrupt-corpus row
+# firing all 7 constraint classes, probe 0.18), and the three r8
+# builds agg_basket_lift (probe 0.33/0.28@256), train_curriculum_order
+# (0.15/0.27@256, second surface of the global_row_number primitive)
+# and search_hybrid_rrf (RRF fusion of the shared BM25 pipeline with
+# the broadcast-query dense ranking; oracle-green at two SFs) — all
+# pytest-oracle green with empty/partition-invariance/plan-shape rows,
+# registered with matching demotions. Demotion
 # candidates for r9: ref_clean_rating / ref_clean_colors (same
 # ref_transform_full-pinned class as ref_clean_price), ev_tumbling_hourly
 # OR its streaming twin st_tumbling_hourly (identical oracle, keep one

@@ -3373,7 +3373,16 @@ BM25_TOP_K = 5
 BM25_QUERY_DOCS = (0, 17, 34, 51, 68)  # panel: first 3 tokens of each
 
 
-def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bm25_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared BM25 scoring pipeline: per-(query, doc) summed
+    contributions for the 5-query panel — the body of bm25_topk,
+    extracted so search_hybrid_rrf can rank the same scores without
+    duplicating the pipeline (plans are built identically; bm25_topk's
+    fingerprint is unchanged by the extraction)."""
+    return _bm25_per_doc_impl(spark, sf_dir)
+
+
+def _bm25_per_doc_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-K retrieval (Robertson & Walker 1994; the SPARSE
     complement of the dense sim_* family): a 5-query panel (the first 3
     distinct tokens of 5 fixed documents) scores every document by
@@ -3458,9 +3467,17 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    per_doc = scored.groupBy("q_id", "doc_id").agg(
+    return scored.groupBy("q_id", "doc_id").agg(
         F.round(F.sum("contrib"), 6).alias("score")
     )
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-K head over the shared _bm25_per_doc scores (see
+    its docstring for the engine-exactness and 100 TB shape notes)."""
+    from pyspark.sql import Window
+
+    per_doc = _bm25_per_doc(spark, sf_dir)
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         per_doc.withColumn("rank", F.row_number().over(w))
@@ -3470,7 +3487,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BM25_ORACLE = f"""
+_BM25_CTE = f"""
 WITH toks AS (
   SELECT doc_id, unnest({sql_tokens('text')}) AS term FROM documents
 ), panel AS (
@@ -3505,13 +3522,148 @@ WITH toks AS (
 ), per_doc AS (
   SELECT q_id, doc_id, round(SUM(contrib), 6) AS score
   FROM scored GROUP BY q_id, doc_id
-)
+)"""
+
+# BM25_ORACLE is composed from the shared CTE prefix so the fusion
+# oracle below scores with BYTE-IDENTICAL SQL (one source of truth
+# for the BM25 arithmetic on the DuckDB side too).
+BM25_ORACLE = _BM25_CTE + f"""
 SELECT q_id, rank, doc_id, score FROM (
   SELECT q_id, doc_id, score,
     row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC)
       AS rank
   FROM per_doc
 ) WHERE rank <= {BM25_TOP_K} ORDER BY q_id, rank
+"""
+
+
+RRF_K = 60
+FUSION_POOL = 10
+FUSION_TOP = 5
+
+
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (round-9 prebuild;
+    Cormack/Clarke/Buettcher 2009): for each of the 5 BM25 panel
+    queries, fuse the SPARSE BM25 ranking (shared _bm25_per_doc
+    pipeline — zero duplicated scoring code) with the DENSE cosine
+    ranking of the same document's embedding (vec_id and doc_id share
+    the 0..N universe in the testdata: embeddings are document
+    embeddings, so BM25_QUERY_DOCS anchor both sides). Each retriever
+    contributes its top-FUSION_POOL; fused score is the exact-integer
+    sum of 1000000 div (RRF_K + rank) over the lists a doc appears in
+    (ppm space — no float accumulation, engine-identical), and the
+    top-FUSION_TOP per query is emitted with both source ranks (NULL
+    where a retriever missed the doc) — the modern hybrid-search head
+    every RAG pipeline fronts retrieval with.
+
+    Scale shape: the BM25 side shuffles only the 15-term posting lists
+    (see _bm25_per_doc); the dense side is the broadcast-queries x
+    corpus scan pattern (5 query vectors broadcast — never a corpus
+    cross); both heads are bounded per-query windows over
+    candidate-sized frames; the fusion groupBy is over <= 2x5xPOOL
+    rows of metadata. At 100 TB the dense side would swap in the IVF
+    candidate join (sim_ivf*) — the fusion algebra is unchanged."""
+    from pyspark.sql import Window
+
+    from simple_etl_pipeline_spark.functions.vectors import cosine_dec
+    from simple_etl_pipeline_spark.plans.similarity import _emb
+
+    sparse_w = Window.partitionBy("q_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    sparse = (
+        _bm25_per_doc(spark, sf_dir)
+        .withColumn("rank", F.row_number().over(sparse_w))
+        .filter(F.col("rank") <= FUSION_POOL)
+        .select("q_id", "doc_id", "rank", F.lit("bm25").alias("src"))
+    )
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id").isin(*BM25_QUERY_DOCS)).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    dense_w = Window.partitionBy("q_id").orderBy(
+        F.desc("sim"), F.asc("doc_id")
+    )
+    dense = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine_dec(F.col("qv"), F.col("v")), 6).alias("sim"),
+        )
+        .withColumn("rank", F.row_number().over(dense_w))
+        .filter(F.col("rank") <= FUSION_POOL)
+        .select("q_id", "doc_id", "rank", F.lit("dense").alias("src"))
+    )
+    fused_w = Window.partitionBy("q_id").orderBy(
+        F.desc("rrf_ppm"), F.asc("doc_id")
+    )
+    return (
+        sparse.unionByName(dense)
+        .groupBy("q_id", "doc_id")
+        .agg(
+            F.sum(
+                F.expr(f"1000000 div ({RRF_K} + rank)")
+            ).cast("bigint").alias("rrf_ppm"),
+            F.max(
+                F.when(F.col("src") == "bm25", F.col("rank"))
+            ).cast("int").alias("bm25_rank"),
+            F.max(
+                F.when(F.col("src") == "dense", F.col("rank"))
+            ).cast("int").alias("dense_rank"),
+        )
+        .withColumn("fused_rank", F.row_number().over(fused_w))
+        .filter(F.col("fused_rank") <= FUSION_TOP)
+        .select(
+            "q_id", "fused_rank", "doc_id", "rrf_ppm",
+            "bm25_rank", "dense_rank",
+        )
+        .orderBy("q_id", "fused_rank")
+    )
+
+
+from simple_etl_pipeline_spark.functions.vectors import sql_cosine_dec as _sql_cos
+
+SEARCH_HYBRID_RRF_ORACLE = _BM25_CTE + f""", sparse AS (
+  SELECT q_id, doc_id, rank FROM (
+    SELECT q_id, doc_id,
+      row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC)
+        AS rank
+    FROM per_doc
+  ) WHERE rank <= {FUSION_POOL}
+), qv AS (
+  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id IN {BM25_QUERY_DOCS}
+), cv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+), dsims AS (
+  SELECT q_id, vec_id AS doc_id, round({_sql_cos('qv', 'cv')}, 6) AS sim
+  FROM qv CROSS JOIN cv WHERE vec_id != q_id
+), dense AS (
+  SELECT q_id, doc_id, rank FROM (
+    SELECT q_id, doc_id,
+      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, doc_id ASC)
+        AS rank
+    FROM dsims
+  ) WHERE rank <= {FUSION_POOL}
+), unioned AS (
+  SELECT q_id, doc_id, rank, 'bm25' AS src FROM sparse
+  UNION ALL
+  SELECT q_id, doc_id, rank, 'dense' AS src FROM dense
+), fused AS (
+  SELECT q_id, doc_id,
+    CAST(SUM(1000000 // ({RRF_K} + rank)) AS BIGINT) AS rrf_ppm,
+    CAST(MAX(CASE WHEN src = 'bm25' THEN rank END) AS INT) AS bm25_rank,
+    CAST(MAX(CASE WHEN src = 'dense' THEN rank END) AS INT) AS dense_rank
+  FROM unioned GROUP BY q_id, doc_id
+)
+SELECT q_id, fused_rank, doc_id, rrf_ppm, bm25_rank, dense_rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY q_id ORDER BY rrf_ppm DESC, doc_id ASC) AS fused_rank
+  FROM fused
+) WHERE fused_rank <= {FUSION_TOP} ORDER BY q_id, fused_rank
 """
 
 

@@ -37,6 +37,7 @@ QUERIES["dq_expectations"] = _rel.dq_expectations
 QUERIES["txt_domain_split"] = _txt.txt_domain_split
 QUERIES["agg_basket_lift"] = _rel.agg_basket_lift
 QUERIES["train_curriculum_order"] = _txt.train_curriculum_order
+QUERIES["search_hybrid_rrf"] = _txt.search_hybrid_rrf
 
 REPRESENTATIVE = [
     "q1_pricing_summary",
@@ -101,6 +102,7 @@ REPRESENTATIVE = [
     # round-9 prebuilds
     "agg_basket_lift",
     "train_curriculum_order",
+    "search_hybrid_rrf",
 ]
 
 

@@ -1441,3 +1441,119 @@ def test_curriculum_all_ties_resolve_by_doc_id(spark, sf_dir, tmp_path):
     compare_with_oracle(
         train_curriculum_order(spark, d), TRAIN_CURRICULUM_ORACLE, d
     )
+
+
+# --- round-9 prebuild: hybrid retrieval (RRF fusion) ----------------------
+def test_hybrid_rrf_matches_oracle(spark, sf_dir):
+    from simple_etl_pipeline_spark.plans.text import (
+        SEARCH_HYBRID_RRF_ORACLE,
+        search_hybrid_rrf,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    compare_with_oracle(
+        search_hybrid_rrf(spark, sf_dir), SEARCH_HYBRID_RRF_ORACLE, sf_dir
+    )
+
+
+def test_hybrid_rrf_fusion_algebra(spark, sf_dir):
+    """Structural invariants of the fused head: 5 queries x top-5,
+    dense ranks 1..POOL, every rrf_ppm is a sum of 1 or 2 terms of
+    the form 1000000 div (60 + r), both-retriever docs dominate
+    single-retriever docs of equal best rank, and a doc's fused score
+    is recomputable from its reported source ranks."""
+    from simple_etl_pipeline_spark.plans.text import (
+        FUSION_POOL,
+        FUSION_TOP,
+        RRF_K,
+        search_hybrid_rrf,
+    )
+
+    rows = search_hybrid_rrf(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert len(by_q) == 5
+    for q, rs in by_q.items():
+        assert [r.fused_rank for r in rs] == list(range(1, FUSION_TOP + 1))
+        # fused order is (rrf_ppm desc, doc_id asc)
+        key = [(-r.rrf_ppm, r.doc_id) for r in rs]
+        assert key == sorted(key)
+    for r in rows:
+        expected = 0
+        if r.bm25_rank is not None:
+            assert 1 <= r.bm25_rank <= FUSION_POOL
+            expected += 1_000_000 // (RRF_K + r.bm25_rank)
+        if r.dense_rank is not None:
+            assert 1 <= r.dense_rank <= FUSION_POOL
+            expected += 1_000_000 // (RRF_K + r.dense_rank)
+        assert r.bm25_rank is not None or r.dense_rank is not None
+        assert r.rrf_ppm == expected, (r, expected)
+
+
+# --- hypothesis cross-engine fuzz: basket lift ----------------------------
+import hypothesis.strategies as _st
+from hypothesis import HealthCheck as _HC
+from hypothesis import given as _given
+from hypothesis import settings as _settings
+
+
+@_settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[_HC.function_scoped_fixture],
+)
+@_given(
+    rows=_st.lists(
+        _st.tuples(
+            _st.integers(min_value=1, max_value=6),   # orderkey
+            _st.integers(min_value=10, max_value=16), # partkey
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_basket_lift_fuzzed_cross_engine(spark, sf_dir, tmp_path_factory, rows):
+    """Random small basket corpora (duplicate lines, singleton and
+    repeated-part orders, arbitrary tie structure at the top-100
+    cutoff) must hash-match the DuckDB oracle — the full driver-gate
+    comparison, swept over adversarial shapes."""
+    import datetime
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_etl_pipeline_spark.plans.relational import (
+        AGG_BASKET_LIFT_ORACLE,
+        agg_basket_lift,
+    )
+    from simple_etl_pipeline_spark.schemas import TESTDATA_TABLES
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    d = tmp_path_factory.mktemp("basket_fuzz")
+    n = len(rows)
+    ts = datetime.datetime(2024, 1, 1)
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+                "l_suppkey": pa.array([1] * n, pa.int64()),
+                "l_quantity": pa.array([1.0] * n, pa.float64()),
+                "l_extendedprice": pa.array([1.0] * n, pa.float64()),
+                "l_discount": pa.array([0.0] * n, pa.float64()),
+                "l_tax": pa.array([0.0] * n, pa.float64()),
+                "l_returnflag": pa.array(["N"] * n, pa.string()),
+                "l_linestatus": pa.array(["O"] * n, pa.string()),
+                "l_shipdate": pa.array([ts] * n, pa.timestamp("us")),
+            }
+        ),
+        os.path.join(str(d), "lineitem.parquet"),
+    )
+    for t in TESTDATA_TABLES:
+        if t != "lineitem":
+            os.symlink(f"{sf_dir}/{t}.parquet", os.path.join(str(d), f"{t}.parquet"))
+    compare_with_oracle(
+        agg_basket_lift(spark, str(d)), AGG_BASKET_LIFT_ORACLE, str(d)
+    )

@@ -43,6 +43,7 @@ QUERIES["dq_expectations"] = _rel.dq_expectations
 QUERIES["txt_domain_split"] = _txt.txt_domain_split
 QUERIES["agg_basket_lift"] = _rel.agg_basket_lift
 QUERIES["train_curriculum_order"] = _txt.train_curriculum_order
+QUERIES["search_hybrid_rrf"] = _txt.search_hybrid_rrf
 
 # Float-aggregate-heavy and sketch queries — the ones that WOULD diverge
 # under double-sum reordering or rand()-based sampling.
@@ -97,6 +98,8 @@ INVARIANT_QUERIES = [
     # membership (curriculum) — both must be layout-independent
     "agg_basket_lift",
     "train_curriculum_order",
+    # fused ppm ranks: integer algebra over two rounded-6dp rankings
+    "search_hybrid_rrf",
 ]
 
 

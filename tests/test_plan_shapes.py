@@ -513,3 +513,27 @@ def test_curriculum_range_shuffle_keyed_windows_only(spark, sf_dir):
             assert "sum(_cnt" in ln, ln
     rs = plan.split("ReadSchema")[1][:200]
     assert "doc_id" in rs and "lang" not in rs, rs
+
+
+def test_hybrid_rrf_broadcast_queries_no_corpus_cross(spark, sf_dir):
+    """Both retrieval sides keep their scale shapes inside the fusion:
+    the dense side is a broadcast of the 5 query vectors (BuildRight
+    Cross of a 5-row frame — the bounded class, never corpus x corpus)
+    and the sparse side's posting shuffle stays panel-filtered via the
+    broadcast panel join; the fused head is a keyed window."""
+    from simple_etl_pipeline_spark.plans import text as txtmod
+
+    plan = (
+        txtmod.search_hybrid_rrf(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    nljs = [ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
+    assert nljs and all("Cross" in ln for ln in nljs), nljs
+    assert "BroadcastHashJoin" in plan  # the panel-term posting filter
+    # every window is keyed by q_id (per-query ranks + fused head)
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln:
+            assert "q_id" in ln.split("windowspecdefinition")[1][:30], ln

@@ -112,6 +112,9 @@ PROBE_QUERIES = [
     "txt_domain_split",
     # round-9 prebuild: range-shuffle global sequence + shard rollup.
     "train_curriculum_order",
+    # round-9 prebuild: panel-bounded BM25 postings + broadcast-query
+    # dense scan fused in ppm space.
+    "search_hybrid_rrf",
 ]
 # Embedding-side probe (SPARK_GRAFT_PROBE=sim): vectors are perturbed
 # per copy (direction-dependent per-dim scaling), so LSH/sign buckets
@@ -400,6 +403,12 @@ def write_scaled_orders(spark, sf_dir: str, k: int, out_dir: str) -> None:
     )
 
 
+# Text-mode queries that ALSO scan embeddings (hybrid retrieval): the
+# text writer is wrapped to co-write the scaled embeddings corpus so
+# the dense side grows in step with the documents side (vec_id and
+# doc_id share the copy*10M universe shift).
+_TEXT_NEEDS_EMBEDDINGS = {"search_hybrid_rrf"}
+
 _MODES = {
     "text": (PROBE_QUERIES, "documents"),
     "sim": (SIM_PROBE_QUERIES, "embeddings"),
@@ -425,6 +434,12 @@ def main() -> None:
         "st": write_scaled_events,
         "ord": write_scaled_orders,
     }[mode]
+    if mode == "text" and any(q in _TEXT_NEEDS_EMBEDDINGS for q in probe):
+        _docs_writer = writer
+
+        def writer(spark, sf_dir, k, out_dir, _w=_docs_writer):
+            _w(spark, sf_dir, k, out_dir)
+            write_scaled_embeddings(spark, sf_dir, k, out_dir)
     ks = [int(a) for a in sys.argv[1:]] or [1, 16, 64]
     spark = get_spark(app_name="scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -450,6 +465,7 @@ def main() -> None:
     queries.setdefault(
         "train_curriculum_order", _txtmod.train_curriculum_order
     )
+    queries.setdefault("search_hybrid_rrf", _txtmod.search_hybrid_rrf)
     # ... and so do demoted queries (pytest-only parity twins): probe
     # lists name them by their original keys, which leave the registry
     # on demotion.
