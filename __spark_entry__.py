@@ -152,7 +152,13 @@ _WINDOW = [
 # and search_hybrid_rrf (RRF fusion of the shared BM25 pipeline with
 # the broadcast-query dense ranking; oracle-green at two SFs) — all
 # pytest-oracle green with empty/partition-invariance/plan-shape rows,
-# registered with matching demotions. Demotion
+# registered with matching demotions. Two MORE r8 prebuilds bank past
+# r9's four slots (the r10 reserve, same staging as every round):
+# txt_lm_perplexity (CCNet-style bigram-LM cross-entropy, micro-log2
+# exact, hand-computed-corpus pinned; probe 0.44/0.55@256 — per-doc
+# output, linear-work family) and train_hard_negatives (near-dup +
+# same-source-excluded cosine top-K, 2D exclusion corpus pinned).
+# Demotion
 # candidates for r9: ref_clean_rating / ref_clean_colors (same
 # ref_transform_full-pinned class as ref_clean_price), ev_tumbling_hourly
 # OR its streaming twin st_tumbling_hourly (identical oracle, keep one

@@ -1414,6 +1414,101 @@ ORDER BY iteration
 """
 
 
+# --- hard-negative mining for contrastive training ------------------------
+# The negatives that teach an embedding model the most are the ones it
+# already scores HIGH — but mining them naively poisons training with
+# false negatives: near-duplicates of the anchor (actually positives)
+# and same-source documents (template/boilerplate twins). Standard
+# practice (DPR, Izacard et al. Contriever): take the top of the
+# similarity ranking AFTER excluding both classes.
+HN_ANCHORS = (2, 19, 36, 53, 70)
+HN_K = 10
+HN_NEAR_DUP_SIM = 0.95  # rounded-6dp cosine at/above this = near-dup
+
+
+def train_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining manifest: for each anchor document, the
+    top-HN_K most-similar candidates by exact cosine, EXCLUDING
+    (a) near-duplicates (sim >= HN_NEAR_DUP_SIM — they are unlabeled
+    positives, the classic false-negative poison) and (b) candidates
+    from the anchor's own source domain (template twins; NULL source
+    is its own real group '(null)' on both sides, so two source-less
+    docs also count as same-source). Emits (anchor_id, hn_rank,
+    doc_id, sim, src) — ties broken by doc_id, the repo-wide rule.
+
+    Engine-exactness: cosine_dec is bit-identical across engines
+    (decimal dot folds, IEEE sqrt/divide), so both the 6-dp sim and
+    the HN_NEAR_DUP_SIM boundary comparison can never flip between
+    Spark and the DuckDB oracle.
+
+    Scale shape: one keyed embeddings-documents join (vec_id = doc_id,
+    hash-partitioned — the source lookup), then the broadcast-anchors
+    x corpus scan pattern (|HN_ANCHORS| rows broadcast — the bounded
+    cross class, never corpus x corpus) and a per-anchor keyed window.
+    At 100 TB the candidate scan swaps for the IVF bucket join
+    (sim_ivf_topk) exactly as in search_hybrid_rrf — the exclusion
+    algebra is unchanged."""
+    emb = _emb(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("source", F.lit("(null)")).alias("doc_src")
+    )
+    cand = emb.join(docs, emb.vec_id == docs.doc_id, "left").select(
+        "vec_id",
+        "v",
+        F.coalesce("doc_src", F.lit("(null)")).alias("src"),
+    )
+    anchors = cand.filter(F.col("vec_id").isin(*HN_ANCHORS)).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("v").alias("av"),
+        F.col("src").alias("a_src"),
+    )
+    sims = (
+        cand.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("doc_id"),
+            "src",
+            "a_src",
+            F.round(cosine_dec(F.col("av"), F.col("v")), 6).alias("sim"),
+        )
+        .filter(
+            (F.col("sim") < HN_NEAR_DUP_SIM)
+            & (F.col("src") != F.col("a_src"))
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("sim"), F.asc("doc_id")
+    )
+    return (
+        sims.withColumn("hn_rank", F.row_number().over(w))
+        .filter(F.col("hn_rank") <= HN_K)
+        .select("anchor_id", "hn_rank", "doc_id", "sim", "src")
+        .orderBy("anchor_id", "hn_rank")
+    )
+
+
+TRAIN_HARD_NEGATIVES_ORACLE = f"""
+WITH cand AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+    COALESCE(d.source, '(null)') AS src
+  FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id
+), a AS (
+  SELECT vec_id AS anchor_id, v AS av, src AS a_src FROM cand
+  WHERE vec_id IN {HN_ANCHORS}
+), sims AS (
+  SELECT anchor_id, c.vec_id AS doc_id, c.src, a.a_src,
+    round({sql_cosine_dec('av', 'v')}, 6) AS sim
+  FROM cand c CROSS JOIN a WHERE c.vec_id != a.anchor_id
+)
+SELECT anchor_id, hn_rank, doc_id, sim, src FROM (
+  SELECT anchor_id, doc_id, sim, src, row_number() OVER (
+    PARTITION BY anchor_id ORDER BY sim DESC, doc_id ASC) AS hn_rank
+  FROM sims WHERE sim < {HN_NEAR_DUP_SIM} AND src != a_src
+) WHERE hn_rank <= {HN_K} ORDER BY anchor_id, hn_rank
+"""
+
+
 # sim_ivf_recall was DEMOTED to pytest-only parity in round 6
 # (tests/test_oracle_parity.py DEMOTED map): it is a pure composition
 # of three registered, driver-green queries (sim_knn_brute,

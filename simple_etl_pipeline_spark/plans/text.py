@@ -3993,6 +3993,123 @@ FROM agg ORDER BY split
 """
 
 
+# --- bigram-LM cross-entropy quality filter (CCNet-style) -----------------
+# CCNet (Wenzek et al. 2020) ranks web documents by the perplexity of a
+# language model trained on a trusted corpus and keeps the low-perplexity
+# head. Here the LM is an add-one-smoothed bigram model trained on the
+# corpus itself (self-scoring, the same shape as the DSIR/KL operators);
+# the score is cross-entropy in integer micro-bits per bigram
+# (perplexity = 2^(xent/1e6)).
+# keep docs under ~30-perplexity (2^4.9): the CCNet "head" cut analog —
+# splits the synthetic corpus ~70/30 rather than degenerately keeping all
+LM_XENT_KEEP_MICROBITS = 4_900_000
+
+
+def txt_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM cross-entropy (CCNet-style quality
+    score): train add-one-smoothed bigram counts over the whole
+    corpus, then score every document (>= 2 tokens) by the mean
+    negative log2 probability of its bigrams:
+
+        p(w2 | w1) = (c12 + 1) / (c1 + V)
+        xent_microbits = floor( sum_bg c * (mlog2(c1 + V)
+                                          - mlog2(c12 + 1)) / n_bigrams )
+
+    where c12/c1 are corpus bigram/context counts, V = |distinct
+    successor tokens| (the model's outcome space), and mlog2 is the
+    repo's micro-log snap (round(log2(x) * 1e6) -> bigint) — the same
+    engine-exactness discipline as txt_char_entropy/txt_kl_drift: the
+    ONE transcendental is snapped to an integer before any
+    accumulation, so summation order can never matter, and the final
+    mean is an exact integer floor-div.
+
+    Scale shape: ONE corpus pass explodes the bigram stream (linear in
+    corpus tokens, same family as the token explodes); everything else
+    derives from its (doc, w1, w2) -> c collapse — corpus bigram counts
+    are a re-aggregation of that table (map-side partials collapse to
+    the bigram-type universe), context counts and V re-aggregate the
+    bigram-type table in turn (Spark's ReuseExchange dedups the
+    identical subtrees, pinned by the plan-shape row). The scoring
+    join is keyed by (w1, w2) / (w1) — hash-partitioned, AQE-skew
+    eligible — and V is a 1-row broadcast (the adjudicated scalar
+    class). Nothing is ever doc x doc or vocab x vocab."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokens_col("text").alias("toks")
+    ).filter(F.size("toks") >= 2)
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    per_doc = big.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    bg_counts = per_doc.groupBy("w1", "w2").agg(F.sum("c").alias("c12"))
+    ctx_counts = bg_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = bg_counts.select("w2").distinct().agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    mlog2 = lambda c: F.round(F.log2(c) * 1e6, 0).cast("bigint")  # noqa: E731
+    term = mlog2(F.col("c1") + F.col("v")) - mlog2(F.col("c12") + 1)
+    return (
+        per_doc.join(bg_counts, ["w1", "w2"])
+        .join(ctx_counts, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("c") * term).cast("bigint").alias("sw"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr("sw div n_bigrams").alias("xent_microbits"),
+        )
+        .withColumn(
+            "keep", F.col("xent_microbits") <= LM_XENT_KEEP_MICROBITS
+        )
+        .orderBy("doc_id")
+    )
+
+
+TXT_LM_PERPLEXITY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+), big AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+  WHERE len(toks) >= 2
+), per_doc AS (
+  SELECT doc_id, w1, w2, COUNT(*) AS c FROM big GROUP BY doc_id, w1, w2
+), bg_counts AS (
+  SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS c12 FROM per_doc GROUP BY w1, w2
+), ctx_counts AS (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bg_counts GROUP BY w1
+), vocab AS (
+  SELECT COUNT(DISTINCT w2) AS v FROM bg_counts
+), rolled AS (
+  SELECT d.doc_id,
+    CAST(SUM(d.c) AS BIGINT) AS n_bigrams,
+    CAST(SUM(d.c * (
+      CAST(round(log2(cc.c1 + vv.v) * 1000000, 0) AS BIGINT)
+      - CAST(round(log2(bc.c12 + 1) * 1000000, 0) AS BIGINT)
+    )) AS BIGINT) AS sw
+  FROM per_doc d
+  JOIN bg_counts bc ON d.w1 = bc.w1 AND d.w2 = bc.w2
+  JOIN ctx_counts cc ON d.w1 = cc.w1, vocab vv
+  GROUP BY d.doc_id
+)
+SELECT doc_id, n_bigrams, sw // n_bigrams AS xent_microbits,
+  sw // n_bigrams <= {LM_XENT_KEEP_MICROBITS} AS keep
+FROM rolled ORDER BY doc_id
+"""
+
+
 # dedup_minhash_ml is pytest-only (tests/test_retrieval.py): its
 # Spark-internal MinHashLSH seeds can never hash-match a DuckDB oracle,
 # so it would be a permanently oracle-dark registry entry. The

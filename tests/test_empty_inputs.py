@@ -18,6 +18,7 @@ QUERIES.update({k: fn for k, (fn, _) in _dq().items()})
 # same discipline either way
 from simple_etl_pipeline_spark.plans import events as _ev  # noqa: E402
 from simple_etl_pipeline_spark.plans import relational as _rel  # noqa: E402
+from simple_etl_pipeline_spark.plans import similarity as _sim  # noqa: E402
 from simple_etl_pipeline_spark.plans import text as _txt  # noqa: E402
 
 QUERIES.update(
@@ -38,6 +39,8 @@ QUERIES["txt_domain_split"] = _txt.txt_domain_split
 QUERIES["agg_basket_lift"] = _rel.agg_basket_lift
 QUERIES["train_curriculum_order"] = _txt.train_curriculum_order
 QUERIES["search_hybrid_rrf"] = _txt.search_hybrid_rrf
+QUERIES["txt_lm_perplexity"] = _txt.txt_lm_perplexity
+QUERIES["train_hard_negatives"] = _sim.train_hard_negatives
 
 REPRESENTATIVE = [
     "q1_pricing_summary",
@@ -103,6 +106,8 @@ REPRESENTATIVE = [
     "agg_basket_lift",
     "train_curriculum_order",
     "search_hybrid_rrf",
+    "txt_lm_perplexity",
+    "train_hard_negatives",
 ]
 
 

@@ -1557,3 +1557,180 @@ def test_basket_lift_fuzzed_cross_engine(spark, sf_dir, tmp_path_factory, rows):
     compare_with_oracle(
         agg_basket_lift(spark, str(d)), AGG_BASKET_LIFT_ORACLE, str(d)
     )
+
+
+# --- round-9 prebuild: bigram-LM cross-entropy (CCNet-style) ---------------
+def test_lm_perplexity_matches_oracle(spark, sf_dir):
+    from simple_etl_pipeline_spark.plans.text import (
+        TXT_LM_PERPLEXITY_ORACLE,
+        txt_lm_perplexity,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    compare_with_oracle(
+        txt_lm_perplexity(spark, sf_dir), TXT_LM_PERPLEXITY_ORACLE, sf_dir
+    )
+
+
+def test_lm_perplexity_hand_computed_micro_corpus(spark, sf_dir, tmp_path):
+    """Hand-computable LM on a 6-doc corpus: corpus counts c(a,b)=3,
+    c(b,a)=1, c(b,b)=2, contexts c(a)=3, c(b)=3, V=|{a,b}|=2; docs with
+    <2 tokens, empty text and NULL text are excluded on BOTH engines.
+    Every xent is recomputed here with the same HALF_UP micro-log snap
+    the engines use — pinning the add-one smoothing arithmetic, the
+    exclusion rule, and the floor-div mean."""
+    import math
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_etl_pipeline_spark.plans.text import (
+        TXT_LM_PERPLEXITY_ORACLE,
+        txt_lm_perplexity,
+    )
+    from simple_etl_pipeline_spark.schemas import TESTDATA_TABLES
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    d = str(tmp_path / "lm_micro")
+    os.makedirs(d)
+    texts = ["a b a b", "a b", "x", None, "b b b", ""]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(1, 7)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 6, pa.string()),
+                "source": pa.array(["s"] * 6, pa.string()),
+                "n_chars": pa.array([7, 3, 1, 0, 5, 0], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    for t in TESTDATA_TABLES:
+        if t != "documents":
+            os.symlink(f"{sf_dir}/{t}.parquet", os.path.join(d, f"{t}.parquet"))
+
+    def mlog2(x: int) -> int:  # the engines' HALF_UP 6-dp snap
+        return int(math.floor(math.log2(x) * 1e6 + 0.5))
+
+    V = 2
+    term = {
+        ("a", "b"): mlog2(3 + V) - mlog2(3 + 1),
+        ("b", "a"): mlog2(3 + V) - mlog2(1 + 1),
+        ("b", "b"): mlog2(3 + V) - mlog2(2 + 1),
+    }
+    expected = {
+        1: (3, (2 * term[("a", "b")] + term[("b", "a")]) // 3),
+        2: (1, term[("a", "b")]),
+        5: (2, term[("b", "b")]),
+    }
+    rows = {r.doc_id: r for r in txt_lm_perplexity(spark, d).collect()}
+    assert set(rows) == set(expected)  # 1-token/NULL/empty docs excluded
+    for doc_id, (n_bg, xent) in expected.items():
+        assert rows[doc_id].n_bigrams == n_bg
+        assert rows[doc_id].xent_microbits == xent, (doc_id, xent)
+        assert rows[doc_id].keep  # all three are tiny-vocab fluent
+    compare_with_oracle(
+        txt_lm_perplexity(spark, d), TXT_LM_PERPLEXITY_ORACLE, d
+    )
+
+
+# --- round-9 prebuild: hard-negative mining --------------------------------
+def test_hard_negatives_matches_oracle(spark, sf_dir):
+    from simple_etl_pipeline_spark.plans.similarity import (
+        TRAIN_HARD_NEGATIVES_ORACLE,
+        train_hard_negatives,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    compare_with_oracle(
+        train_hard_negatives(spark, sf_dir),
+        TRAIN_HARD_NEGATIVES_ORACLE,
+        sf_dir,
+    )
+
+
+def test_hard_negatives_excludes_near_dups_and_same_source(
+    spark, sf_dir, tmp_path
+):
+    """Hand-built 2D unit-vector corpus where every exclusion class is
+    present and every cosine is exact in float: anchor 2 (src A,
+    v=(1,0)) must exclude its exact duplicate (sim 1.0), a 0.96
+    near-dup, and a same-source 0.8 candidate — while keeping the 0.6
+    candidate as rank 1; anchor 19 (src NULL) must treat a NULL-source
+    candidate as same-source. Anchors rank as candidates for OTHER
+    anchors. Oracle parity on the same corpus pins it cross-engine."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_etl_pipeline_spark.plans.similarity import (
+        TRAIN_HARD_NEGATIVES_ORACLE,
+        train_hard_negatives,
+    )
+    from simple_etl_pipeline_spark.schemas import TESTDATA_TABLES
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    d = str(tmp_path / "hn_micro")
+    os.makedirs(d)
+    vecs = {
+        2: ([1.0, 0.0], "A"),      # anchor
+        19: ([0.0, 1.0], None),    # anchor, NULL source
+        10: ([1.0, 0.0], "B"),     # exact dup of anchor 2 -> excluded
+        11: ([0.96, 0.28], "B"),   # sim 0.96 to anchor 2 -> excluded
+        12: ([0.8, 0.6], "A"),     # same source as anchor 2 -> excluded
+        13: ([0.6, 0.8], "B"),     # anchor 2's rank-1 HN
+        14: ([0.28, 0.96], "C"),
+        15: ([0.0, 1.0], "B"),     # exact dup of anchor 19
+        20: ([0.0, 1.0], None),    # NULL-source: same-source as 19
+    }
+    ids = sorted(vecs)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [vecs[i][0] for i in ids], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0] * len(ids), pa.int32()),
+            }
+        ),
+        os.path.join(d, "embeddings.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(["t"] * len(ids), pa.string()),
+                "lang": pa.array(["en"] * len(ids), pa.string()),
+                "source": pa.array(
+                    [vecs[i][1] for i in ids], pa.string()
+                ),
+                "n_chars": pa.array([1] * len(ids), pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    for t in TESTDATA_TABLES:
+        if t not in ("embeddings", "documents"):
+            os.symlink(f"{sf_dir}/{t}.parquet", os.path.join(d, f"{t}.parquet"))
+    by_anchor = {}
+    for r in train_hard_negatives(spark, d).collect():
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+    assert set(by_anchor) == {2, 19}  # anchors 36/53/70 absent -> no rows
+    # anchor 2: 13 (0.6) then 14 (0.28), then the 0.0 ties by doc_id
+    a2 = by_anchor[2]
+    assert [r.doc_id for r in a2] == [13, 14, 15, 19, 20]
+    assert [r.hn_rank for r in a2] == [1, 2, 3, 4, 5]
+    assert a2[0].sim == 0.6 and a2[1].sim == 0.28
+    assert {10, 11, 12} & {r.doc_id for r in a2} == set()
+    # anchor 19 (NULL source): 13 (0.8), 12 (0.6), 11 (0.28), ties 2, 10;
+    # exact dups 15/20 excluded (20 also same-'(null)'-source)
+    a19 = by_anchor[19]
+    assert [r.doc_id for r in a19] == [13, 12, 11, 2, 10]
+    assert {15, 20} & {r.doc_id for r in a19} == set()
+    compare_with_oracle(
+        train_hard_negatives(spark, d), TRAIN_HARD_NEGATIVES_ORACLE, d
+    )

@@ -24,6 +24,7 @@ QUERIES.update({k: fn for k, (fn, _) in _dq().items()})
 # unregistered prebuilds keep the same discipline
 from simple_etl_pipeline_spark.plans import events as _ev  # noqa: E402
 from simple_etl_pipeline_spark.plans import relational as _rel  # noqa: E402
+from simple_etl_pipeline_spark.plans import similarity as _sim  # noqa: E402
 from simple_etl_pipeline_spark.plans import text as _txt  # noqa: E402
 
 QUERIES.update(
@@ -44,6 +45,8 @@ QUERIES["txt_domain_split"] = _txt.txt_domain_split
 QUERIES["agg_basket_lift"] = _rel.agg_basket_lift
 QUERIES["train_curriculum_order"] = _txt.train_curriculum_order
 QUERIES["search_hybrid_rrf"] = _txt.search_hybrid_rrf
+QUERIES["txt_lm_perplexity"] = _txt.txt_lm_perplexity
+QUERIES["train_hard_negatives"] = _sim.train_hard_negatives
 
 # Float-aggregate-heavy and sketch queries — the ones that WOULD diverge
 # under double-sum reordering or rand()-based sampling.
@@ -100,6 +103,10 @@ INVARIANT_QUERIES = [
     "train_curriculum_order",
     # fused ppm ranks: integer algebra over two rounded-6dp rankings
     "search_hybrid_rrf",
+    # micro-log-snapped bigint sums: layout-independent by construction
+    "txt_lm_perplexity",
+    # bit-identical cosine + doc_id tie-break: layout-independent ranks
+    "train_hard_negatives",
 ]
 
 

@@ -537,3 +537,65 @@ def test_hybrid_rrf_broadcast_queries_no_corpus_cross(spark, sf_dir):
     for ln in plan.splitlines():
         if "windowspecdefinition" in ln:
             assert "q_id" in ln.split("windowspecdefinition")[1][:30], ln
+
+
+def test_lm_perplexity_single_corpus_pass_keyed_joins(spark, sf_dir):
+    """The LM's derived count tables must come from ONE corpus explode:
+    the per-doc bigram collapse is the root aggregation and every
+    re-aggregation of it reuses the exchange (ReusedExchange present).
+    Joins are keyed (no CartesianProduct); the only nested-loop
+    broadcast is the 1-row vocab-size scalar cross; no scan reads
+    beyond doc_id + text. Exchange reuse is a static planner rule that
+    AQE defers to runtime (isFinalPlan=false hides it), so the reuse
+    pin is checked with AQE off."""
+    from simple_etl_pipeline_spark.plans import text as txtmod
+
+    plan = (
+        txtmod.txt_lm_perplexity(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    nljs = [ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
+    assert len(nljs) == 1 and "Cross" in nljs[0], nljs
+    for rs in plan.split("ReadSchema")[1:]:
+        head = rs[:200]
+        assert "text" in head and "lang" not in head and "source" not in head, head
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        static = (
+            txtmod.txt_lm_perplexity(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert "ReusedExchange" in static  # one corpus pass feeds all counts
+
+
+def test_hard_negatives_keyed_lookup_bounded_cross(spark, sf_dir):
+    """The source lookup is a keyed join (vec_id = doc_id), the anchor
+    side is the bounded |HN_ANCHORS|-row broadcast cross (never corpus
+    x corpus), and the HN head is an anchor-keyed window."""
+    from simple_etl_pipeline_spark.plans import similarity as simmod
+
+    plan = (
+        simmod.train_hard_negatives(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    nljs = [ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
+    assert nljs and all("Cross" in ln for ln in nljs), nljs
+    assert any(  # the vec_id = doc_id source lookup stays an equi-join
+        "Join" in ln and "vec_id" in ln and "doc_id" in ln
+        for ln in plan.splitlines()
+        if "BroadcastNestedLoopJoin" not in ln
+    ), plan
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln:
+            assert "anchor_id" in ln.split("windowspecdefinition")[1][:40], ln

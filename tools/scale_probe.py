@@ -115,6 +115,9 @@ PROBE_QUERIES = [
     # round-9 prebuild: panel-bounded BM25 postings + broadcast-query
     # dense scan fused in ppm space.
     "search_hybrid_rrf",
+    # round-9 prebuild: one bigram explode, reused-exchange count
+    # tables, (w1,w2)-keyed scoring join.
+    "txt_lm_perplexity",
 ]
 # Embedding-side probe (SPARK_GRAFT_PROBE=sim): vectors are perturbed
 # per copy (direction-dependent per-dim scaling), so LSH/sign buckets
@@ -136,6 +139,9 @@ SIM_PROBE_QUERIES = [
     # JL ±1 projection: narrow map-side folds against 16 constant
     # arrays + the brute-force panel scan — sim_knn_brute's shape.
     "sim_rp_recall",
+    # round-9 prebuild: keyed source-lookup join + 5-anchor broadcast
+    # scan with near-dup/same-source exclusion (documents co-written).
+    "train_hard_negatives",
 ]
 # Events-side probe (SPARK_GRAFT_PROBE=ev): each copy shifts user_id and
 # event_id, so the per-user event structure (cohorts, funnels, as-of
@@ -409,6 +415,11 @@ def write_scaled_orders(spark, sf_dir: str, k: int, out_dir: str) -> None:
 # doc_id share the copy*10M universe shift).
 _TEXT_NEEDS_EMBEDDINGS = {"search_hybrid_rrf"}
 
+# Sim-mode queries that ALSO scan documents (the hard-negative miner's
+# same-source exclusion): co-write the scaled documents corpus so every
+# scaled vec_id keeps its source row (same copy*10M shift).
+_SIM_NEEDS_DOCUMENTS = {"train_hard_negatives"}
+
 _MODES = {
     "text": (PROBE_QUERIES, "documents"),
     "sim": (SIM_PROBE_QUERIES, "embeddings"),
@@ -440,6 +451,12 @@ def main() -> None:
         def writer(spark, sf_dir, k, out_dir, _w=_docs_writer):
             _w(spark, sf_dir, k, out_dir)
             write_scaled_embeddings(spark, sf_dir, k, out_dir)
+    if mode == "sim" and any(q in _SIM_NEEDS_DOCUMENTS for q in probe):
+        _emb_writer = writer
+
+        def writer(spark, sf_dir, k, out_dir, _w=_emb_writer):
+            _w(spark, sf_dir, k, out_dir)
+            write_scaled(spark, sf_dir, k, out_dir)
     ks = [int(a) for a in sys.argv[1:]] or [1, 16, 64]
     spark = get_spark(app_name="scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -466,6 +483,12 @@ def main() -> None:
         "train_curriculum_order", _txtmod.train_curriculum_order
     )
     queries.setdefault("search_hybrid_rrf", _txtmod.search_hybrid_rrf)
+    queries.setdefault("txt_lm_perplexity", _txtmod.txt_lm_perplexity)
+    from simple_etl_pipeline_spark.plans import similarity as _simmod
+
+    queries.setdefault(
+        "train_hard_negatives", _simmod.train_hard_negatives
+    )
     # ... and so do demoted queries (pytest-only parity twins): probe
     # lists name them by their original keys, which leave the registry
     # on demotion.
