@@ -156,8 +156,10 @@ _WINDOW = [
 # r9's four slots (the r10 reserve, same staging as every round):
 # txt_lm_perplexity (CCNet-style bigram-LM cross-entropy, micro-log2
 # exact, hand-computed-corpus pinned; probe 0.44/0.55@256 — per-doc
-# output, linear-work family) and train_hard_negatives (near-dup +
-# same-source-excluded cosine top-K, 2D exclusion corpus pinned).
+# output, linear-work family), train_hard_negatives (near-dup +
+# same-source-excluded cosine top-K, 2D exclusion corpus pinned) and
+# ev_srm_check (sample-ratio-mismatch chi-square guardrail,
+# engineered-imbalance corpus fires the alarm, nullish parity row).
 # Demotion
 # candidates for r9: ref_clean_rating / ref_clean_colors (same
 # ref_transform_full-pinned class as ref_clean_price), ev_tumbling_hourly

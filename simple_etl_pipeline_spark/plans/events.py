@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from simple_etl_pipeline_spark.functions.agg import dsum, epoch_seconds, sql_dsum, sql_epoch
+from simple_etl_pipeline_spark.functions.text import sql_md5_hash60
 from simple_etl_pipeline_spark.schemas import load_table
 
 
@@ -2286,6 +2287,98 @@ FROM per_type pa JOIN per_type pb ON pa.event_type < pb.event_type
 LEFT JOIN inter i
   ON i.type_a = pa.event_type AND i.type_b = pb.event_type
 ORDER BY type_a, type_b
+"""
+
+
+# --- experiment guardrail: sample-ratio mismatch ---------------------------
+# The FIRST check every experimentation platform runs before reading an
+# A/B metric (Fabijan et al. 2019 "Diagnosing Sample Ratio Mismatch"):
+# if the observed variant split deviates from the designed 50/50 beyond
+# chance, the experiment's data is biased (bot filtering, logging loss,
+# redirect asymmetry) and every downstream metric — including ev_cuped's
+# — is invalid. Chi-square with 1 dof at p = 0.001: crit 10.828.
+SRM_CHI2_CRIT_MICRO = 10_828_000
+
+
+def ev_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail: users are deterministically
+    bucketed 50/50 by a salted 60-bit md5 (the industry-standard hash
+    assignment — identical on both engines, stable under corpus
+    growth: a returning user keeps their variant), and the observed
+    per-variant distinct-user counts are tested against the designed
+    equal split with an exact-integer chi-square:
+
+        chi2_micro = (n_a - n_b)^2 * 1e6 div (n_a + n_b)
+
+    (for a 2-cell 50/50 design, sum (obs-exp)^2/exp collapses to
+    exactly that). Emits one row per variant with n_users, n_events
+    and the exact value sum in integer micros, plus the shared
+    chi2_micro and the srm flag (chi2 above the p=0.001 critical
+    value — the alarm threshold the SRM literature recommends).
+    NULL user_id rows are excluded: they cannot be assigned.
+
+    Scale shape: one scan, one variant-keyed aggregation (distinct
+    users two-phase under the 2-value variant key — partials collapse
+    map-side per user), then window math over the <= 2-row result
+    (the bounded-universe class, like txt_domain_split's share
+    window). At 100 TB nothing after the scan exceeds 2 rows x
+    |users| partials."""
+    from simple_etl_pipeline_spark.functions.text import md5_hash60
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    h = md5_hash60(F.col("user_id").cast("string"), salt=F.lit("srm"))
+    variant = F.when(
+        h % 1_000_000 < 500_000, F.lit("control")
+    ).otherwise(F.lit("treatment"))
+    agg = ev.select(variant.alias("variant"), "user_id", "value").groupBy(
+        "variant"
+    ).agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.sum(F.col("value").cast("decimal(38,6)")) * 1_000_000)
+        .cast("decimal(38,0)")
+        .cast("bigint")
+        .alias("value_micros"),
+    )
+    return (
+        agg.withColumn(
+            "chi2_micro",
+            F.expr(
+                "(2 * n_users - SUM(n_users) OVER ())"
+                " * (2 * n_users - SUM(n_users) OVER ())"
+                " * 1000000 div SUM(n_users) OVER ()"
+            ).cast("bigint"),
+        )
+        .withColumn("srm", F.col("chi2_micro") > SRM_CHI2_CRIT_MICRO)
+        .orderBy("variant")
+    )
+
+
+EV_SRM_CHECK_ORACLE = f"""
+WITH assigned AS (
+  SELECT CASE WHEN {sql_md5_hash60("CAST(user_id AS VARCHAR)", "'srm'")}
+           % 1000000 < 500000 THEN 'control' ELSE 'treatment' END AS variant,
+    user_id, value
+  FROM events WHERE user_id IS NOT NULL
+), agg AS (
+  SELECT variant,
+    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) * 1000000 AS HUGEINT)
+         AS BIGINT) AS value_micros
+  FROM assigned GROUP BY variant
+)
+SELECT variant, n_users, n_events, value_micros,
+  CAST((2 * n_users - SUM(n_users) OVER ())
+       * (2 * n_users - SUM(n_users) OVER ())
+       * 1000000 // SUM(n_users) OVER () AS BIGINT) AS chi2_micro,
+  CAST((2 * n_users - SUM(n_users) OVER ())
+       * (2 * n_users - SUM(n_users) OVER ())
+       * 1000000 // SUM(n_users) OVER () AS BIGINT)
+    > {SRM_CHI2_CRIT_MICRO} AS srm
+FROM agg ORDER BY variant
 """
 
 

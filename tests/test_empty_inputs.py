@@ -41,6 +41,7 @@ QUERIES["train_curriculum_order"] = _txt.train_curriculum_order
 QUERIES["search_hybrid_rrf"] = _txt.search_hybrid_rrf
 QUERIES["txt_lm_perplexity"] = _txt.txt_lm_perplexity
 QUERIES["train_hard_negatives"] = _sim.train_hard_negatives
+QUERIES["ev_srm_check"] = _ev.ev_srm_check
 
 REPRESENTATIVE = [
     "q1_pricing_summary",
@@ -108,6 +109,7 @@ REPRESENTATIVE = [
     "search_hybrid_rrf",
     "txt_lm_perplexity",
     "train_hard_negatives",
+    "ev_srm_check",
 ]
 
 

@@ -1734,3 +1734,83 @@ def test_hard_negatives_excludes_near_dups_and_same_source(
     compare_with_oracle(
         train_hard_negatives(spark, d), TRAIN_HARD_NEGATIVES_ORACLE, d
     )
+
+
+# --- round-9 prebuild: sample-ratio-mismatch guardrail ---------------------
+def test_srm_check_matches_oracle(spark, sf_dir):
+    from simple_etl_pipeline_spark.plans.events import (
+        EV_SRM_CHECK_ORACLE,
+        ev_srm_check,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    compare_with_oracle(
+        ev_srm_check(spark, sf_dir), EV_SRM_CHECK_ORACLE, sf_dir
+    )
+
+
+def test_srm_check_fires_on_engineered_imbalance(spark, sf_dir, tmp_path):
+    """A corpus built to violate the 50/50 design: user ids are
+    pre-screened with the SAME salted-md5 assignment the operator uses
+    (python hashlib twin) until one variant holds 40 users and the
+    other 2 — chi2 = 38^2*1e6 div 42 = 34.38M, far above the 10.828M
+    p=0.001 critical value, so srm must be TRUE on both rows; the
+    chi2 is recomputed here by hand; NULL-user events are present and
+    must not count anywhere."""
+    import datetime
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_etl_pipeline_spark.plans.events import (
+        EV_SRM_CHECK_ORACLE,
+        SRM_CHI2_CRIT_MICRO,
+        ev_srm_check,
+    )
+    from simple_etl_pipeline_spark.schemas import TESTDATA_TABLES
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    def variant(uid: int) -> str:
+        h = int(hashlib.md5(f"srm|{uid}".encode()).hexdigest()[:15], 16)
+        return "control" if h % 1_000_000 < 500_000 else "treatment"
+
+    ctl, trt, uid = [], [], 0
+    while len(ctl) < 40 or len(trt) < 2:
+        uid += 1
+        (ctl if variant(uid) == "control" else trt).append(uid)
+    users = ctl[:40] + trt[:2]
+    n_a, n_b = 40, 2
+    expected_chi2 = (n_a - n_b) ** 2 * 1_000_000 // (n_a + n_b)
+    assert expected_chi2 > SRM_CHI2_CRIT_MICRO
+
+    ts = datetime.datetime(2024, 3, 1)
+    rows = [(i, ts, u, "view", 1.5, "{}") for i, u in enumerate(users)]
+    rows.append((990, ts, None, "view", 99.0, "{}"))  # unassignable
+    d = str(tmp_path / "srm_skew")
+    os.makedirs(d)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    for t in TESTDATA_TABLES:
+        if t != "events":
+            os.symlink(f"{sf_dir}/{t}.parquet", os.path.join(d, f"{t}.parquet"))
+    got = {r.variant: r for r in ev_srm_check(spark, d).collect()}
+    assert got["control"].n_users == n_a
+    assert got["treatment"].n_users == n_b
+    assert got["control"].n_events == n_a  # NULL-user row counted nowhere
+    for r in got.values():
+        assert r.chi2_micro == expected_chi2
+        assert r.srm is True
+    compare_with_oracle(ev_srm_check(spark, d), EV_SRM_CHECK_ORACLE, d)

@@ -47,6 +47,7 @@ QUERIES["train_curriculum_order"] = _txt.train_curriculum_order
 QUERIES["search_hybrid_rrf"] = _txt.search_hybrid_rrf
 QUERIES["txt_lm_perplexity"] = _txt.txt_lm_perplexity
 QUERIES["train_hard_negatives"] = _sim.train_hard_negatives
+QUERIES["ev_srm_check"] = _ev.ev_srm_check
 
 # Float-aggregate-heavy and sketch queries — the ones that WOULD diverge
 # under double-sum reordering or rand()-based sampling.
@@ -107,6 +108,8 @@ INVARIANT_QUERIES = [
     "txt_lm_perplexity",
     # bit-identical cosine + doc_id tie-break: layout-independent ranks
     "train_hard_negatives",
+    # md5 assignment + decimal micros + integer chi2: layout-independent
+    "ev_srm_check",
 ]
 
 

@@ -599,3 +599,26 @@ def test_hard_negatives_keyed_lookup_bounded_cross(spark, sf_dir):
     for ln in plan.splitlines():
         if "windowspecdefinition" in ln:
             assert "anchor_id" in ln.split("windowspecdefinition")[1][:40], ln
+
+
+def test_srm_check_single_scan_bounded_window(spark, sf_dir):
+    """One events scan, one variant-keyed aggregation; the chi-square
+    window runs over the <= 2-row aggregated frame (bounded universe —
+    the txt_domain_split share-window class), so the un-partitioned
+    window is safe at any corpus size; scan reads only user_id/value
+    (+ts-free: no other column)."""
+    from simple_etl_pipeline_spark.plans import events as evmod
+
+    plan = (
+        evmod.ev_srm_check(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("FileScan parquet") == 1, plan.count("FileScan parquet")
+    rs = plan.split("ReadSchema")[1][:200]
+    assert "user_id" in rs and "value" in rs and "event_type" not in rs, rs
+    # NULL-user exclusion reaches the scan
+    assert "PushedFilters: [IsNotNull(user_id)]" in plan

@@ -148,6 +148,8 @@ SIM_PROBE_QUERIES = [
 # pairs) is preserved while user count grows K× — outputs grow in
 # GROUPS, wall should track rows, not groups².
 EV_PROBE_QUERIES = [
+    # round-9 prebuild: single scan + 2-variant agg + bounded window.
+    "ev_srm_check",
     "ev_retention_cohorts",
     "ev_user_daily_activity",
     "ev_heavy_hitters",
@@ -470,6 +472,7 @@ def main() -> None:
         "ev_path_transitions",
         "ev_gap_fill",
         "ev_hll_overlap",
+        "ev_srm_check",
     ):
         queries.setdefault(_n, getattr(_evmod, _n))
     from simple_etl_pipeline_spark.plans import relational as _relmod
