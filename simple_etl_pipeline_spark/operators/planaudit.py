@@ -44,12 +44,41 @@ def plan_fingerprint(df: DataFrame) -> str:
     43 "moved" PLANS_ALL fingerprints on unchanged code were exactly
     this artifact). Shared by bench.py and tools/plan_dump.py so
     round-over-round fingerprint diffs mean PLAN changes, nothing
-    else."""
+    else.
+
+    Round-8 finding: two generated-name families carry the session's
+    expression counter in the NAME, which ``#\\d+`` misses — lambda
+    variables of higher-order functions (``lambda x_17#``) and
+    common-subexpression aliases (``_common_expr_4#``) — so those
+    plans' fingerprints depended on how many plans the session had
+    built BEFORE them, and a driver-window reorder spuriously "moved"
+    39 fingerprints on unchanged code. Both normalized here, as are
+    run-scoped checkpoint RDD ids (one-time reset of those values;
+    order-invariance is pinned by
+    tests/test_plan_shapes.py::test_plan_fingerprint_is_build_order_invariant).
+
+    Known residual (documented, not normalizable by text rules):
+    multi-distinct aggregates (agg_approx_distinct,
+    agg_distinct_counts) can flip between TWO equivalent Expand
+    orderings depending on expression-id parity — Spark's
+    RewriteDistinctAggregates orders distinct groups by an
+    id-keyed structure — and a streaming backfill's staged scan
+    embeds its per-run temp dir (st_scd2_users). Treat either
+    fingerprint value as stable for those; node counts are
+    unaffected. Separately, REBUILDING a persist()/checkpoint-bearing
+    query while a previous build's cache is alive legitimately
+    substitutes InMemoryTableScan subtrees (graph/dedup family) —
+    that is a real plan change by Spark's cache manager, so
+    fingerprints are specified for FRESH builds (bench and plan_dump
+    both fingerprint the first build, in fixed order)."""
     import hashlib
     import re
 
     s = formatted_plan(df)
     s = re.sub(r"#\d+", "#", s)
+    s = re.sub(r"(?<=lambda )([A-Za-z]+)_\d+", r"\1_", s)
+    s = re.sub(r"_common_expr_\d+", "_common_expr_", s)
+    s = re.sub(r"RDD\[\d+\]", "RDD[]", s)  # checkpoint RDD ids are run-scoped
     s = re.sub(r"plan_id=\d+", "plan_id=", s)
     s = re.sub(r"Statistics\([^)]*\)", "Statistics()", s)
     return hashlib.md5(s.encode()).hexdigest()[:12]

@@ -622,3 +622,38 @@ def test_srm_check_single_scan_bounded_window(spark, sf_dir):
     assert "user_id" in rs and "value" in rs and "event_type" not in rs, rs
     # NULL-user exclusion reaches the scan
     assert "PushedFilters: [IsNotNull(user_id)]" in plan
+
+
+def test_plan_fingerprint_is_build_order_invariant(spark, sf_dir):
+    """A query's fingerprint must not depend on how many plans the
+    session built before it (the round-8 finding: two generated-name
+    families carry the session counter in the NAME — higher-order
+    lambda variables 'lambda x_17#' and CSE aliases '_common_expr_4#'
+    — which the '#<digits>' normalization missed, so a driver-window
+    reorder spuriously moved 39 PLANS_ALL fingerprints). Exercised on
+    both offender classes: lambda-heavy vector plans and the
+    CSE-heavy doc-features plan."""
+    from simple_etl_pipeline_spark.operators.planaudit import (
+        formatted_plan,
+        plan_fingerprint,
+    )
+    from simple_etl_pipeline_spark.plans.similarity import (
+        sim_knn_brute,
+        sim_pq_adc,
+    )
+    from simple_etl_pipeline_spark.plans.text import (
+        dedup_minhash_lsh,
+        txt_doc_features,
+    )
+
+    targets = [sim_knn_brute, txt_doc_features, dedup_minhash_lsh, sim_pq_adc]
+    before = [plan_fingerprint(f(spark, sf_dir)) for f in targets]
+    # advance the session's expression/lambda/CSE counters, out of order
+    for _ in range(3):
+        for f in reversed(targets):
+            f(spark, sf_dir)._jdf.queryExecution().executedPlan()
+    after = [plan_fingerprint(f(spark, sf_dir)) for f in targets]
+    assert after == before, list(zip([f.__name__ for f in targets], before, after))
+    # both offender classes are actually present in the exercised plans
+    assert "lambda" in formatted_plan(sim_knn_brute(spark, sf_dir))
+    assert "_common_expr_" in formatted_plan(txt_doc_features(spark, sf_dir))
