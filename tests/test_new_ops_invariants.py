@@ -1814,3 +1814,134 @@ def test_srm_check_fires_on_engineered_imbalance(spark, sf_dir, tmp_path):
         assert r.chi2_micro == expected_chi2
         assert r.srm is True
     compare_with_oracle(ev_srm_check(spark, d), EV_SRM_CHECK_ORACLE, d)
+
+
+# --- hypothesis cross-engine fuzz: LM perplexity ---------------------------
+@_settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[_HC.function_scoped_fixture],
+)
+@_given(
+    docs=_st.lists(
+        _st.lists(
+            _st.sampled_from(["a", "b", "c", "aa", "b!"]),  # tiny vocab: heavy count ties
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_lm_perplexity_fuzzed_cross_engine(spark, sf_dir, tmp_path_factory, docs):
+    """Random tiny-vocab corpora (repeated bigrams, 0/1-token docs,
+    identical docs, punctuation tokens) must hash-match the DuckDB
+    oracle — sweeps the add-one smoothing, the shared-count join and
+    the floor-div mean over adversarial count-tie structures."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_etl_pipeline_spark.plans.text import (
+        TXT_LM_PERPLEXITY_ORACLE,
+        txt_lm_perplexity,
+    )
+    from simple_etl_pipeline_spark.schemas import TESTDATA_TABLES
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    d = tmp_path_factory.mktemp("lm_fuzz")
+    texts = [" ".join(toks) for toks in docs]
+    n = len(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(1, n + 1)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "source": pa.array(["s"] * n, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(str(d), "documents.parquet"),
+    )
+    for t in TESTDATA_TABLES:
+        if t != "documents":
+            os.symlink(f"{sf_dir}/{t}.parquet", os.path.join(str(d), f"{t}.parquet"))
+    compare_with_oracle(
+        txt_lm_perplexity(spark, str(d)), TXT_LM_PERPLEXITY_ORACLE, str(d)
+    )
+
+
+# --- hypothesis cross-engine fuzz: hard negatives --------------------------
+@_settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[_HC.function_scoped_fixture],
+)
+@_given(
+    vecs=_st.lists(
+        _st.tuples(
+            _st.integers(min_value=-3, max_value=3),   # x (small ints: exact doubles,
+            _st.integers(min_value=-3, max_value=3),   #  many exact cosine TIES)
+            _st.sampled_from(["A", "B", None]),        # source incl. NULL group
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+def test_hard_negatives_fuzzed_cross_engine(spark, sf_dir, tmp_path_factory, vecs):
+    """Random small-integer 2D embeddings with random sources: exact
+    cosine ties everywhere (collinear vectors), zero vectors (the
+    try_divide NULL-sim path), NULL sources, and anchors that may or
+    may not exist — the full driver-gate comparison per example sweeps
+    the near-dup boundary, the same-source exclusion and the doc_id
+    tie-break."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_etl_pipeline_spark.plans.similarity import (
+        HN_ANCHORS,
+        TRAIN_HARD_NEGATIVES_ORACLE,
+        train_hard_negatives,
+    )
+    from simple_etl_pipeline_spark.schemas import TESTDATA_TABLES
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    d = tmp_path_factory.mktemp("hn_fuzz")
+    n = len(vecs)
+    # spread ids so some land on the anchor panel and some don't
+    ids = [HN_ANCHORS[i % len(HN_ANCHORS)] + 100 * (i // len(HN_ANCHORS)) for i in range(n)]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [[float(v[0]), float(v[1])] for v in vecs],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([0] * n, pa.int32()),
+            }
+        ),
+        os.path.join(str(d), "embeddings.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(["t"] * n, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "source": pa.array([v[2] for v in vecs], pa.string()),
+                "n_chars": pa.array([1] * n, pa.int64()),
+            }
+        ),
+        os.path.join(str(d), "documents.parquet"),
+    )
+    for t in TESTDATA_TABLES:
+        if t not in ("embeddings", "documents"):
+            os.symlink(f"{sf_dir}/{t}.parquet", os.path.join(str(d), f"{t}.parquet"))
+    compare_with_oracle(
+        train_hard_negatives(spark, str(d)), TRAIN_HARD_NEGATIVES_ORACLE, str(d)
+    )
