@@ -159,7 +159,9 @@ _WINDOW = [
 # output, linear-work family), train_hard_negatives (near-dup +
 # same-source-excluded cosine top-K, 2D exclusion corpus pinned) and
 # ev_srm_check (sample-ratio-mismatch chi-square guardrail,
-# engineered-imbalance corpus fires the alarm, nullish parity row).
+# engineered-imbalance corpus fires the alarm, nullish parity row),
+# plus ev_trimmed_mean (robust per-variant trimmed mean on the same
+# assignment; global_row_number third surface, whale-drop corpus).
 # Demotion
 # candidates for r9: ref_clean_rating / ref_clean_colors (same
 # ref_transform_full-pinned class as ref_clean_price), ev_tumbling_hourly

@@ -2300,6 +2300,25 @@ ORDER BY type_a, type_b
 SRM_CHI2_CRIT_MICRO = 10_828_000
 
 
+def _variant_col() -> "F.Column":
+    """The experiment's deterministic 50/50 assignment (salted 60-bit
+    md5 of user_id) — ONE definition shared by ev_srm_check and
+    ev_trimmed_mean so the guardrail and the metric read the same
+    experiment."""
+    from simple_etl_pipeline_spark.functions.text import md5_hash60
+
+    h = md5_hash60(F.col("user_id").cast("string"), salt=F.lit("srm"))
+    return F.when(h % 1_000_000 < 500_000, F.lit("control")).otherwise(
+        F.lit("treatment")
+    )
+
+
+_SQL_VARIANT = (
+    f"CASE WHEN {sql_md5_hash60('CAST(user_id AS VARCHAR)', chr(39) + 'srm' + chr(39))}"
+    " % 1000000 < 500000 THEN 'control' ELSE 'treatment' END"
+)
+
+
 def ev_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample-ratio-mismatch guardrail: users are deterministically
     bucketed 50/50 by a salted 60-bit md5 (the industry-standard hash
@@ -2323,16 +2342,12 @@ def ev_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the bounded-universe class, like txt_domain_split's share
     window). At 100 TB nothing after the scan exceeds 2 rows x
     |users| partials."""
-    from simple_etl_pipeline_spark.functions.text import md5_hash60
-
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull()
     )
-    h = md5_hash60(F.col("user_id").cast("string"), salt=F.lit("srm"))
-    variant = F.when(
-        h % 1_000_000 < 500_000, F.lit("control")
-    ).otherwise(F.lit("treatment"))
-    agg = ev.select(variant.alias("variant"), "user_id", "value").groupBy(
+    agg = ev.select(
+        _variant_col().alias("variant"), "user_id", "value"
+    ).groupBy(
         "variant"
     ).agg(
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
@@ -2358,8 +2373,7 @@ def ev_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EV_SRM_CHECK_ORACLE = f"""
 WITH assigned AS (
-  SELECT CASE WHEN {sql_md5_hash60("CAST(user_id AS VARCHAR)", "'srm'")}
-           % 1000000 < 500000 THEN 'control' ELSE 'treatment' END AS variant,
+  SELECT {_SQL_VARIANT} AS variant,
     user_id, value
   FROM events WHERE user_id IS NOT NULL
 ), agg AS (
@@ -2379,6 +2393,118 @@ SELECT variant, n_users, n_events, value_micros,
        * 1000000 // SUM(n_users) OVER () AS BIGINT)
     > {SRM_CHI2_CRIT_MICRO} AS srm
 FROM agg ORDER BY variant
+"""
+
+
+# --- robust experiment readout: per-variant trimmed mean -------------------
+# Outlier users (whales, bots) dominate raw A/B means; every
+# experimentation platform ships a trimmed/winsorized readout next to
+# the raw one. 5% symmetric trim, exact: per-variant rank under the
+# (value, user_id) total order, drop floor(n * 0.05) from each tail.
+TRIM_PPM = 50_000
+
+
+def ev_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-variant 5%-trimmed mean of the per-user value sum — the
+    robust twin of the raw mean, sharing ev_srm_check's assignment
+    (one experiment, guardrail + metric). Per-user sums reduce in
+    decimal and convert to exact integer micros (users whose values
+    are all NULL count at 0 — an assigned user with no numeric signal
+    is a zero, not a missing row); the per-variant rank that defines
+    the trim is EXACT at any scale: `global_row_number` (the RFM
+    primitive, third surface) ranks under the (variant, value,
+    user_id) total order with variant leading, so per-variant local
+    rank = global rn - min(rn in variant) + 1 — no per-variant window
+    over an unbounded frame ever exists. Kept set per variant:
+    local rank in (floor(n*5%), n - floor(n*5%)]; ties at the trim
+    boundary are pinned by the user_id tiebreaker.
+
+    Output per variant: n_users, n_kept, mean_micros (raw),
+    trimmed_mean_micros — all exact integer floor-div means.
+
+    Scale shape: one user-keyed aggregation (|users| rows), the
+    primitive's range shuffle + pid-keyed window + metadata offsets,
+    then two 2-row aggregations joined on variant (bounded universe).
+    At 100 TB nothing after the user rollup exceeds |users| rows, and
+    no window is wider than one range partition."""
+    from simple_etl_pipeline_spark.plans.relational import global_row_number
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    per_user = (
+        ev.select(_variant_col().alias("variant"), "user_id", "value")
+        .groupBy("variant", "user_id")
+        .agg(
+            F.coalesce(
+                (F.sum(F.col("value").cast("decimal(38,6)")) * 1_000_000)
+                .cast("decimal(38,0)")
+                .cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ).alias("v")
+        )
+    )
+    ranked = global_row_number(per_user, ["variant", "v", "user_id"])
+    per_var = ranked.groupBy("variant").agg(
+        F.min("_rn").alias("_min_rn"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("v").cast("bigint").alias("_sum_all"),
+    )
+    kept = (
+        ranked.join(F.broadcast(per_var), ["variant"])
+        .withColumn("_r", F.col("_rn") - F.col("_min_rn") + 1)
+        .withColumn("_cut", F.expr(f"n_users * {TRIM_PPM} div 1000000"))
+        .filter(
+            (F.col("_r") > F.col("_cut"))
+            & (F.col("_r") <= F.col("n_users") - F.col("_cut"))
+        )
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("v").cast("bigint").alias("_sum_kept"),
+        )
+    )
+    return (
+        per_var.join(kept, ["variant"])
+        .select(
+            "variant",
+            "n_users",
+            "n_kept",
+            F.expr("_sum_all div n_users").alias("mean_micros"),
+            F.expr("_sum_kept div n_kept").alias("trimmed_mean_micros"),
+        )
+        .orderBy("variant")
+    )
+
+
+EV_TRIMMED_MEAN_ORACLE = f"""
+WITH per_user AS (
+  SELECT {_SQL_VARIANT} AS variant, user_id,
+    COALESCE(CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) * 1000000
+                       AS HUGEINT) AS BIGINT), 0) AS v
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+), ranked AS (
+  SELECT variant, v,
+    row_number() OVER (PARTITION BY variant ORDER BY v, user_id) AS r,
+    COUNT(*) OVER (PARTITION BY variant) AS n
+  FROM per_user
+), per_var AS (
+  SELECT variant, CAST(MAX(n) AS BIGINT) AS n_users,
+    CAST(SUM(v) AS BIGINT) AS sum_all
+  FROM ranked GROUP BY variant
+), kept AS (
+  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_kept,
+    CAST(SUM(v) AS BIGINT) AS sum_kept
+  FROM ranked
+  WHERE r > n * {TRIM_PPM} // 1000000
+    AND r <= n - n * {TRIM_PPM} // 1000000
+  GROUP BY variant
+)
+SELECT p.variant, p.n_users, k.n_kept,
+  p.sum_all // p.n_users AS mean_micros,
+  k.sum_kept // k.n_kept AS trimmed_mean_micros
+FROM per_var p JOIN kept k ON p.variant = k.variant
+ORDER BY p.variant
 """
 
 

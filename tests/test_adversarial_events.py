@@ -228,6 +228,7 @@ def nullish_ev_dir(spark, sf_dir, tmp_path_factory) -> str:
         "ev_gap_fill",
         "ev_hll_overlap",
         "ev_srm_check",
+        "ev_trimmed_mean",
     ],
 )
 def test_nullish_events_prebuild_oracle_parity(spark, nullish_ev_dir, qname):
@@ -241,6 +242,7 @@ def test_nullish_events_prebuild_oracle_parity(spark, nullish_ev_dir, qname):
         "ev_gap_fill": evmod.EV_GAP_FILL_ORACLE,
         "ev_hll_overlap": evmod.EV_HLL_OVERLAP_ORACLE,
         "ev_srm_check": evmod.EV_SRM_CHECK_ORACLE,
+        "ev_trimmed_mean": evmod.EV_TRIMMED_MEAN_ORACLE,
     }[qname]
     compare_with_oracle(fn(spark, nullish_ev_dir), oracle, nullish_ev_dir)
 

@@ -42,6 +42,7 @@ QUERIES["search_hybrid_rrf"] = _txt.search_hybrid_rrf
 QUERIES["txt_lm_perplexity"] = _txt.txt_lm_perplexity
 QUERIES["train_hard_negatives"] = _sim.train_hard_negatives
 QUERIES["ev_srm_check"] = _ev.ev_srm_check
+QUERIES["ev_trimmed_mean"] = _ev.ev_trimmed_mean
 
 REPRESENTATIVE = [
     "q1_pricing_summary",
@@ -110,6 +111,7 @@ REPRESENTATIVE = [
     "txt_lm_perplexity",
     "train_hard_negatives",
     "ev_srm_check",
+    "ev_trimmed_mean",
 ]
 
 

@@ -1945,3 +1945,80 @@ def test_hard_negatives_fuzzed_cross_engine(spark, sf_dir, tmp_path_factory, vec
     compare_with_oracle(
         train_hard_negatives(spark, str(d)), TRAIN_HARD_NEGATIVES_ORACLE, str(d)
     )
+
+
+# --- round-9 prebuild: per-variant trimmed mean -----------------------------
+def test_trimmed_mean_matches_oracle(spark, sf_dir):
+    from simple_etl_pipeline_spark.plans.events import (
+        EV_TRIMMED_MEAN_ORACLE,
+        ev_trimmed_mean,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    compare_with_oracle(
+        ev_trimmed_mean(spark, sf_dir), EV_TRIMMED_MEAN_ORACLE, sf_dir
+    )
+
+
+def test_trimmed_mean_drops_whale_by_hand(spark, sf_dir, tmp_path):
+    """Engineered corpus: one variant holds 21 users — twenty at value
+    1.0 and one whale at 1000.0 — so floor(21 * 5%) = 1 drops exactly
+    the whale from the top and one 1.0-user from the bottom (doc_id
+    tiebreak), moving the mean from (20 + 1000)/21 to exactly 1.0; the
+    other variant has n < 20, floor = 0, and must be untrimmed. Users
+    are pre-screened into variants with the hashlib md5 twin; all
+    arithmetic recomputed by hand in exact micros."""
+    import datetime
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_etl_pipeline_spark.plans.events import (
+        EV_TRIMMED_MEAN_ORACLE,
+        ev_trimmed_mean,
+    )
+    from simple_etl_pipeline_spark.schemas import TESTDATA_TABLES
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    def variant(uid: int) -> str:
+        h = int(hashlib.md5(f"srm|{uid}".encode()).hexdigest()[:15], 16)
+        return "control" if h % 1_000_000 < 500_000 else "treatment"
+
+    ctl, trt, uid = [], [], 0
+    while len(ctl) < 21 or len(trt) < 5:
+        uid += 1
+        (ctl if variant(uid) == "control" else trt).append(uid)
+    ctl, trt = ctl[:21], trt[:5]
+    ts = datetime.datetime(2024, 3, 1)
+    rows = [(i, ts, u, "view", 1.0, "{}") for i, u in enumerate(ctl[:-1])]
+    rows.append((500, ts, ctl[-1], "view", 1000.0, "{}"))  # the whale
+    rows += [(600 + i, ts, u, "view", 2.0, "{}") for i, u in enumerate(trt)]
+    d = str(tmp_path / "trim_whale")
+    os.makedirs(d)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    for t in TESTDATA_TABLES:
+        if t != "events":
+            os.symlink(f"{sf_dir}/{t}.parquet", os.path.join(d, f"{t}.parquet"))
+    got = {r.variant: r for r in ev_trimmed_mean(spark, d).collect()}
+    c = got["control"]
+    assert (c.n_users, c.n_kept) == (21, 19)
+    assert c.mean_micros == (20 * 1_000_000 + 1000 * 1_000_000) // 21
+    assert c.trimmed_mean_micros == 1_000_000  # whale + one 1.0 dropped
+    t_ = got["treatment"]
+    assert (t_.n_users, t_.n_kept) == (5, 5)  # floor(5*5%) = 0: untrimmed
+    assert t_.mean_micros == t_.trimmed_mean_micros == 2_000_000
+    compare_with_oracle(ev_trimmed_mean(spark, d), EV_TRIMMED_MEAN_ORACLE, d)

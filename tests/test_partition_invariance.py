@@ -48,6 +48,7 @@ QUERIES["search_hybrid_rrf"] = _txt.search_hybrid_rrf
 QUERIES["txt_lm_perplexity"] = _txt.txt_lm_perplexity
 QUERIES["train_hard_negatives"] = _sim.train_hard_negatives
 QUERIES["ev_srm_check"] = _ev.ev_srm_check
+QUERIES["ev_trimmed_mean"] = _ev.ev_trimmed_mean
 
 # Float-aggregate-heavy and sketch queries — the ones that WOULD diverge
 # under double-sum reordering or rand()-based sampling.
@@ -110,6 +111,8 @@ INVARIANT_QUERIES = [
     "train_hard_negatives",
     # md5 assignment + decimal micros + integer chi2: layout-independent
     "ev_srm_check",
+    # total-order rank + integer trim cut: layout-independent kept set
+    "ev_trimmed_mean",
 ]
 
 

@@ -657,3 +657,30 @@ def test_plan_fingerprint_is_build_order_invariant(spark, sf_dir):
     # both offender classes are actually present in the exercised plans
     assert "lambda" in formatted_plan(sim_knn_brute(spark, sf_dir))
     assert "_common_expr_" in formatted_plan(txt_doc_features(spark, sf_dir))
+
+
+def test_trimmed_mean_range_shuffle_no_variant_window(spark, sf_dir):
+    """The trim rank comes from global_row_number (range exchange +
+    _gpid-keyed row_number + persisted barrier) with variant LEADING
+    the total order — there must be NO window partitioned by variant
+    (2 partitions = 2 reducers at any scale) and no ntile; the final
+    variant joins are 2-row broadcasts."""
+    from simple_etl_pipeline_spark.plans import events as evmod
+
+    plan = (
+        evmod.ev_trimmed_mean(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning(variant" in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    assert "ntile" not in plan, plan
+    for ln in plan.splitlines():
+        if "row_number() windowspecdefinition" in ln:
+            assert "_gpid" in ln.split("windowspecdefinition")[1][:30], ln
+        elif "windowspecdefinition" in ln:
+            assert "sum(_cnt" in ln, ln  # the metadata offsets window
+    rs = plan.split("ReadSchema")[1][:200]
+    assert "user_id" in rs and "event_type" not in rs, rs

@@ -150,6 +150,8 @@ SIM_PROBE_QUERIES = [
 EV_PROBE_QUERIES = [
     # round-9 prebuild: single scan + 2-variant agg + bounded window.
     "ev_srm_check",
+    # round-9 prebuild: user rollup + global_row_number trim rank.
+    "ev_trimmed_mean",
     "ev_retention_cohorts",
     "ev_user_daily_activity",
     "ev_heavy_hitters",
@@ -473,6 +475,7 @@ def main() -> None:
         "ev_gap_fill",
         "ev_hll_overlap",
         "ev_srm_check",
+        "ev_trimmed_mean",
     ):
         queries.setdefault(_n, getattr(_evmod, _n))
     from simple_etl_pipeline_spark.plans import relational as _relmod
