@@ -59,7 +59,7 @@ def plan_fingerprint(df: DataFrame) -> str:
 
     Known residual (documented, not normalizable by text rules):
     multi-distinct aggregates (agg_approx_distinct,
-    agg_distinct_counts) can flip between TWO equivalent Expand
+    agg_distinct_counts, txt_dataset_card) can flip between TWO equivalent Expand
     orderings depending on expression-id parity — Spark's
     RewriteDistinctAggregates orders distinct groups by an
     id-keyed structure — and a streaming backfill's staged scan

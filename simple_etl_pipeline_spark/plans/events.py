@@ -2004,13 +2004,25 @@ def ev_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     its exact decimal-micros sum (value NULLs sum to 0 like SQL SUM);
     a gap hour gets n_events = 0, is_gap = true, and sum_value
     linearly interpolated between the previous and next OBSERVED
-    hours in double over the exact integer micros, rounded to 6 dp
-    (the ev_quantile_sketch determinism pattern). The grid spans each
-    type's own [min, max] observed hour, so both interpolation
-    anchors always exist. Value domain bound: |value| <= ~9.2e12
-    (the BIGINT-micros bound shared with ev_quantile_sketch); the
-    hourly SUM accumulates in decimal(38,0), so no event count
-    overflows it.
+    hours — in EXACT INTEGER MICROS, not floats: a round-8 hypothesis
+    sweep caught the double path flipping the 6th decimal between
+    engines whenever the interpolated value landed on a half-micro
+    (Spark's round() sees the decimal string of the double, DuckDB's
+    multiplies back through float — they disagree at exact .5 ties,
+    which integer-micros anchors hit constantly at power-of-2 gap
+    fractions). The exact form: with i = gap offset and W = anchor
+    span (hours), q = (nv-pv) div W and r the truncation remainder,
+    interp = pv + q*i + half_away(r*i / W), where half_away is the
+    remainder-based (2*rr + W) div (2*W) with an explicit sign case —
+    `div` truncates toward zero in BOTH engines (verified), so every
+    term is bit-identical, and the final /1e6 + round(6) of an exact
+    integer micros value is engine-stable (the pattern every micros
+    operator here uses). The grid spans each type's own [min, max]
+    observed hour, so both anchors always exist. Value domain bound:
+    |value| <= ~9.2e12 per event; the hourly SUM accumulates in
+    decimal(38,0), and the two interpolation ANCHORS additionally
+    cast to bigint micros (|hourly sum| < 9.2e18 micros — ANSI mode
+    throws loudly, never truncates, if a series exceeds it).
 
     Scale shape: ONE data-sized aggregation (the (type, hour) count/
     sum — map-side partial aggregation collapses to the hour-universe
@@ -2083,17 +2095,35 @@ def ev_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(wf)
         .alias("nv"),
     )
-    return filled.select(
+    interp = (
+        filled.withColumn("_pvb", F.col("pv").cast("bigint"))
+        .withColumn("_dv", F.col("nv").cast("bigint") - F.col("_pvb"))
+        # _W = 1 on observed rows (ph = nh there; the interp branch is
+        # unused but ANSI `div` must never see a zero divisor)
+        .withColumn(
+            "_W",
+            F.expr("CASE WHEN nh > ph THEN (nh - ph) div 3600 ELSE 1 END"),
+        )
+        .withColumn("_i", F.expr("(hour_ts - ph) div 3600"))
+        .withColumn("_q", F.expr("_dv div _W"))
+        .withColumn("_rr", F.expr("(_dv - _q * _W) * _i"))
+        .withColumn(
+            "_interp",
+            F.expr(
+                "_pvb + _q * _i + CASE WHEN _rr >= 0"
+                " THEN (2 * _rr + _W) div (2 * _W)"
+                " ELSE -((-2 * _rr + _W) div (2 * _W)) END"
+            ),
+        )
+    )
+    return interp.select(
         "event_type",
         "hour_ts",
         "is_gap",
         "n_events",
         F.round(
             F.when(~F.col("is_gap"), F.col("sv").cast("double")).otherwise(
-                F.col("pv").cast("double")
-                + (F.col("nv").cast("double") - F.col("pv").cast("double"))
-                * (F.col("hour_ts") - F.col("ph")).cast("double")
-                / (F.col("nh") - F.col("ph")).cast("double")
+                F.col("_interp").cast("double")
             )
             / 1e6,
             6,
@@ -2136,16 +2166,25 @@ WITH hourly AS (
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
          wf AS (PARTITION BY event_type ORDER BY hour_ts
                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+), interp AS (
+  SELECT *,
+    CAST(pv AS BIGINT) AS pvb,
+    CAST(nv AS BIGINT) - CAST(pv AS BIGINT) AS dv,
+    CASE WHEN nh > ph THEN (nh - ph) // 3600 ELSE 1 END AS W,
+    (hour_ts - ph) // 3600 AS i
+  FROM filled
+), interp2 AS (
+  SELECT *, dv // W AS q, (dv - (dv // W) * W) * i AS rr FROM interp
 )
 SELECT event_type, hour_ts, (n_obs IS NULL) AS is_gap,
   CAST(COALESCE(n_obs, 0) AS BIGINT) AS n_events,
   round(CASE WHEN n_obs IS NOT NULL THEN CAST(sv AS DOUBLE)
-        ELSE CAST(pv AS DOUBLE)
-             + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
-               * CAST(hour_ts - ph AS DOUBLE)
-               / CAST(nh - ph AS DOUBLE)
+        ELSE CAST(pvb + q * i
+                  + CASE WHEN rr >= 0 THEN (2 * rr + W) // (2 * W)
+                         ELSE -((-2 * rr + W) // (2 * W)) END
+                  AS DOUBLE)
         END / 1e6, 6) AS sum_value
-FROM filled ORDER BY event_type, hour_ts
+FROM interp2 ORDER BY event_type, hour_ts
 """
 
 
