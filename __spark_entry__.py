@@ -162,6 +162,11 @@ _WINDOW = [
 # engineered-imbalance corpus fires the alarm, nullish parity row),
 # plus ev_trimmed_mean (robust per-variant trimmed mean on the same
 # assignment; global_row_number third surface, whale-drop corpus).
+# r9 follow-up from the gap-fill tie find (SCALING.md): extend the
+# hypothesis cross-engine fuzz to the remaining rounded-float heads
+# (bm25/hybrid sims' round(sum,6) boundaries) — the round()-at-.5
+# divergence class may have more instances; fuzz EARLY in the round
+# so a find can be fixed before the gate.
 # Demotion
 # candidates for r9: ref_clean_rating / ref_clean_colors (same
 # ref_transform_full-pinned class as ref_clean_price), ev_tumbling_hourly
