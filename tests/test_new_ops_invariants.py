@@ -2022,3 +2022,64 @@ def test_trimmed_mean_drops_whale_by_hand(spark, sf_dir, tmp_path):
     assert (t_.n_users, t_.n_kept) == (5, 5)  # floor(5*5%) = 0: untrimmed
     assert t_.mean_micros == t_.trimmed_mean_micros == 2_000_000
     compare_with_oracle(ev_trimmed_mean(spark, d), EV_TRIMMED_MEAN_ORACLE, d)
+
+
+# --- hypothesis cross-engine fuzz: BM25 (r9 ledger item, done early) -------
+@_settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[_HC.function_scoped_fixture],
+)
+@_given(
+    docs=_st.lists(
+        _st.lists(
+            _st.sampled_from(["a", "b", "c", "dd"]),
+            min_size=0,
+            max_size=10,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_bm25_fuzzed_cross_engine(spark, sf_dir, tmp_path_factory, docs):
+    """Random tiny-vocab corpora with the query-panel doc ids present:
+    sweeps idf/tf tie structures, empty panel docs, and the
+    rounded-contribution sum against the DuckDB oracle (the tie-class
+    triage in SCALING.md says this cannot falsify structurally — this
+    is the cheap insurance that the analysis stays true as the code
+    evolves)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_etl_pipeline_spark.plans.text import (
+        BM25_ORACLE,
+        BM25_QUERY_DOCS,
+        bm25_topk,
+    )
+    from simple_etl_pipeline_spark.schemas import TESTDATA_TABLES
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    d = tmp_path_factory.mktemp("bm25_fuzz")
+    texts = [" ".join(toks) for toks in docs]
+    n = len(texts)
+    # land the first docs ON the panel ids so the query side is live
+    ids = [BM25_QUERY_DOCS[i] if i < len(BM25_QUERY_DOCS) else 100 + i
+           for i in range(n)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "source": pa.array(["s"] * n, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(str(d), "documents.parquet"),
+    )
+    for t in TESTDATA_TABLES:
+        if t != "documents":
+            os.symlink(f"{sf_dir}/{t}.parquet", os.path.join(str(d), f"{t}.parquet"))
+    compare_with_oracle(bm25_topk(spark, str(d)), BM25_ORACLE, str(d))
