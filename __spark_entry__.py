@@ -81,6 +81,27 @@ def _all_modules():
 #      query; keeps the oracle-of-record freshly anchored), and
 #      ref_transform_full (the reference-surface full-pipeline hash —
 #      kept fresh since ref_clean_price's row now rotates out).
+# Declared bank of prebuilt-but-unregistered operators (pytest-oracle
+# green, no queries()/oracle_sql() entry yet). Machine-readable so the
+# rotation test can tell a legitimate banked prebuild from the
+# never-scheduled-registration crack (ADVICE r8 / test_driver_window):
+# in the rotation-pending state, a registry member absent from every
+# recorded window AND the current one must appear HERE, or the test
+# fails. Names move OUT of this list in the same commit that registers
+# them into the rebalanced window.
+_BANKED_PREBUILDS = [
+    # r9 registration slate (4 free slots)
+    "dq_expectations",
+    "agg_basket_lift",
+    "train_curriculum_order",
+    "search_hybrid_rrf",
+    # r10 reserve
+    "txt_lm_perplexity",
+    "train_hard_negatives",
+    "ev_srm_check",
+    "ev_trimmed_mean",
+]
+
 _WINDOW = [
     # -- mandatory: last driver row in round 5 (42 after demotions) ---------
     "agg_approx_distinct",

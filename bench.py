@@ -185,6 +185,17 @@ def main() -> None:
             df = fn(spark, SF_DIR)
             n = df.count()
             runs.append(time.perf_counter() - t0)
+        # Free any global_row_number range-shuffle barriers the runs
+        # persisted (ADVICE r8: otherwise each rank-bearing query leaks
+        # 4 cached frames per bench pass — warmup + 3 timed builds —
+        # and accumulated entries distort later queries' memory).
+        # Released AFTER the timed runs so within-query cache
+        # substitution behavior (and hence timings) match prior rounds.
+        from simple_etl_pipeline_spark.plans.relational import (
+            release_row_number_barriers,
+        )
+
+        release_row_number_barriers()
         med = statistics.median(runs)
         timings[name] = round(med, 3)
         spreads[name] = round(max(runs) - min(runs), 3)

@@ -2375,6 +2375,15 @@ def ev_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     value — the alarm threshold the SRM literature recommends).
     NULL user_id rows are excluded: they cannot be assigned.
 
+    Overflow headroom (ADVICE r8): (n_a-n_b)^2 * 1e6 exceeds BIGINT
+    once the imbalance passes ~3.03M users — exactly the severe-SRM
+    regime the guardrail exists to flag — and asymmetrically so
+    (Spark ANSI throws, DuckDB's window SUM promotes to HUGEINT and
+    answers). The squaring therefore runs in decimal(38,0) on the
+    Spark side and explicit HUGEINT in the oracle: both sides now
+    carry ~1e38 of intermediate headroom, good to an imbalance of
+    ~5.7e15 users — beyond any corpus this engine will see.
+
     Scale shape: one scan, one variant-keyed aggregation (distinct
     users two-phase under the 2-value variant key — partials collapse
     map-side per user), then window math over the <= 2-row result
@@ -2400,8 +2409,8 @@ def ev_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.withColumn(
             "chi2_micro",
             F.expr(
-                "(2 * n_users - SUM(n_users) OVER ())"
-                " * (2 * n_users - SUM(n_users) OVER ())"
+                "CAST(2 * n_users - SUM(n_users) OVER () AS DECIMAL(38,0))"
+                " * CAST(2 * n_users - SUM(n_users) OVER () AS DECIMAL(38,0))"
                 " * 1000000 div SUM(n_users) OVER ()"
             ).cast("bigint"),
         )
@@ -2424,11 +2433,11 @@ WITH assigned AS (
   FROM assigned GROUP BY variant
 )
 SELECT variant, n_users, n_events, value_micros,
-  CAST((2 * n_users - SUM(n_users) OVER ())
-       * (2 * n_users - SUM(n_users) OVER ())
+  CAST(CAST(2 * n_users - SUM(n_users) OVER () AS HUGEINT)
+       * CAST(2 * n_users - SUM(n_users) OVER () AS HUGEINT)
        * 1000000 // SUM(n_users) OVER () AS BIGINT) AS chi2_micro,
-  CAST((2 * n_users - SUM(n_users) OVER ())
-       * (2 * n_users - SUM(n_users) OVER ())
+  CAST(CAST(2 * n_users - SUM(n_users) OVER () AS HUGEINT)
+       * CAST(2 * n_users - SUM(n_users) OVER () AS HUGEINT)
        * 1000000 // SUM(n_users) OVER () AS BIGINT)
     > {SRM_CHI2_CRIT_MICRO} AS srm
 FROM agg ORDER BY variant

@@ -1823,6 +1823,37 @@ FROM supplier ORDER BY s_suppkey
 """
 
 
+# Every global_row_number barrier persisted this session, so harnesses
+# can unpersist after materialization (ADVICE r8: bench loops otherwise
+# accumulate one cached range-shuffle per invocation for the session's
+# lifetime, and the stale entries are themselves a source of
+# InMemoryTableScan fingerprint drift). The builders stay lazy — they
+# cannot unpersist themselves without triggering a job — so release is
+# the consumer's move, AFTER the result is materialized:
+# bench.py releases after each query's timed runs,
+# testing.compare_with_oracle after its toPandas(). A driver that runs
+# each query once leaks at most one bounded barrier per rank-bearing
+# query per run.
+_ROW_NUMBER_BARRIERS: list[DataFrame] = []
+
+
+def release_row_number_barriers() -> int:
+    """Unpersist every global_row_number barrier created since the
+    last release; returns how many were released. Safe to call any
+    time — a consumer that re-materializes later just repopulates (the
+    range boundaries are fixed once the shuffle map stage has run, so
+    determinism is unaffected)."""
+    n = 0
+    while _ROW_NUMBER_BARRIERS:
+        df = _ROW_NUMBER_BARRIERS.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to free
+    return n
+
+
 def global_row_number(
     df: DataFrame,
     sort_cols: list,
@@ -1875,6 +1906,7 @@ def global_row_number(
         .withColumn("_gpid", F.spark_partition_id())
         .persist()
     )
+    _ROW_NUMBER_BARRIERS.append(ranged)
     w = Window.partitionBy("_gpid").orderBy(*sort_cols)
     local = ranged.withColumn("_lrn", F.row_number().over(w))
     counts = ranged.groupBy("_gpid").agg(F.count(F.lit(1)).alias("_cnt"))

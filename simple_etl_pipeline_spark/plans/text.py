@@ -3869,12 +3869,25 @@ def train_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one narrow map (token count), one range shuffle +
     keyed window for the global sequence, one shard-keyed rollup
     (map-side combined, output N/CURRICULUM_SHARD rows). Oracle:
-    ROW_NUMBER() over the same total order."""
+    ROW_NUMBER() over the same total order.
+
+    NULL text: tokenizing NULL yields NULL in both engines, but their
+    default sort placement differs (Spark ascending = NULLS FIRST,
+    DuckDB ROW_NUMBER = NULLS LAST) — global_row_number's documented
+    precondition is that null placement be encoded explicitly. NULL
+    text is coalesced to n_tokens = -1 on BOTH sides: NULL-text
+    documents deterministically lead the curriculum (they carry zero
+    trainable content; ahead even of empty-string docs at 0), and
+    every document keeps a manifest row (count parity with the
+    documents table)."""
     from simple_etl_pipeline_spark.plans.relational import global_row_number
 
     docs = load_table(spark, sf_dir, "documents")
     scored = docs.select(
-        "doc_id", F.size(tokens_col("text")).alias("n_tokens")
+        "doc_id",
+        F.coalesce(
+            F.size(tokens_col("text")), F.lit(-1)
+        ).alias("n_tokens"),
     )
     seqd = global_row_number(scored, ["n_tokens", "doc_id"], out="seq")
     return (
@@ -3897,7 +3910,9 @@ def train_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TRAIN_CURRICULUM_ORACLE = f"""
 WITH scored AS (
-  SELECT doc_id, len({sql_tokens('text')}) AS n_tokens FROM documents
+  SELECT doc_id,
+    COALESCE(len({sql_tokens('text')}), -1) AS n_tokens
+  FROM documents
 ), seqd AS (
   SELECT doc_id, n_tokens,
     ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) AS seq

@@ -157,7 +157,14 @@ def _run_to_memory(
     checkpoint is involved, retries ONCE on a failed attempt: the
     memory sink name and implicit checkpoint are fresh per attempt,
     so the retry is correctness-neutral; callers that pass a
-    checkpoint own the retry (fresh dirs per attempt — scd2_backfill)."""
+    checkpoint own the retry (fresh dirs per attempt — scd2_backfill).
+
+    start() sits INSIDE the try (ADVICE r8): start-time failures (bad
+    checkpoint path, analysis errors) get the same compact
+    StreamRunError + retry as run-time ones instead of escaping raw.
+    A failed attempt also drops its partially-filled memory-sink temp
+    view before the next attempt — otherwise every failure leaves a
+    dead st_* table registered for the session's lifetime."""
     attempts = 1 if checkpoint is not None else 2
     last: StreamRunError | None = None
     for _ in range(attempts):
@@ -167,17 +174,23 @@ def _run_to_memory(
             # an explicit checkpoint keeps the state store readable after
             # termination (spark.read.format("statestore")) — scd2_drain
             w = w.option("checkpointLocation", checkpoint)
-        q = w.outputMode(mode).trigger(availableNow=True).start()
+        q = None
         try:
+            q = w.outputMode(mode).trigger(availableNow=True).start()
             q.awaitTermination()
             return result.sparkSession.table(name)
         except Exception as exc:  # noqa: BLE001 — re-raised compacted
             cause = None
-            try:
-                cause = q.exception()
-            except Exception:  # pragma: no cover — defensive
-                pass
+            if q is not None:
+                try:
+                    cause = q.exception()
+                except Exception:  # pragma: no cover — defensive
+                    pass
             last = StreamRunError(_compact_stream_error(cause or exc))
+            try:
+                result.sparkSession.catalog.dropTempView(name)
+            except Exception:  # pragma: no cover — nothing registered
+                pass
     assert last is not None
     raise last
 

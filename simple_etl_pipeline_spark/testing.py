@@ -143,6 +143,15 @@ def compare_with_oracle(
     con = duckdb_connection(sf_dir)
     exp = con.execute(oracle_sql).fetchdf()
     got = spark_df.toPandas()
+    # The Spark side is fully materialized — release any
+    # global_row_number persist() barriers it created (ADVICE r8:
+    # they otherwise live for the session, and the pytest session
+    # builds thousands of frames).
+    from simple_etl_pipeline_spark.plans.relational import (
+        release_row_number_barriers,
+    )
+
+    release_row_number_barriers()
 
     exp_cols = sorted(exp.columns.tolist())
     got_cols = sorted(got.columns.tolist())

@@ -93,6 +93,20 @@ def test_rotation_invariant_no_query_waits_three_rounds():
             f"rotation-pending state, but the recorded gate itself "
             f"violated the invariant: {uncovered}"
         )
+        # ADVICE r8 (low): the restriction to recorded_ever would let a
+        # query that was registered but NEVER scheduled — the exact
+        # agg_mode_source_by_lang crack — pass silently while the
+        # window equals the latest recording. Close it: never-recorded
+        # registry members are legitimate ONLY if they are declared
+        # banked prebuilds (registered in the same commit as the next
+        # rebalance, by the documented staging pattern). Anything else
+        # predates the gate without ever having had a slot.
+        allowed_new = set(getattr(entrymod, "_BANKED_PREBUILDS", ()))
+        orphans = sorted(oracle - recorded_ever - window - allowed_new)
+        assert orphans == [], (
+            f"registered queries never scheduled in ANY window and not "
+            f"declared as banked prebuilds: {orphans}"
+        )
         return
     covered = set(window)
     for path in rounds[-2:]:

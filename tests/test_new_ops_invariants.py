@@ -894,6 +894,30 @@ def test_rfm_matches_oracle(spark, sf_dir):
     )
 
 
+def test_row_number_barrier_registry_drains(spark, sf_dir):
+    """ADVICE r8 (low): global_row_number persists its range-shuffle
+    barrier and the builder (lazy by contract) cannot unpersist it —
+    the registry + release_row_number_barriers() is the fix. Pin the
+    contract: a rank-bearing build registers >= 1 barrier, release
+    unpersists them all and drains the registry, and a repeat release
+    is a 0-count no-op. (compare_with_oracle and bench.py both call
+    release after materialization, so the pytest/bench sessions no
+    longer accumulate cached frames.)"""
+    from simple_etl_pipeline_spark.plans.relational import (
+        _ROW_NUMBER_BARRIERS,
+        agg_rfm_segments,
+        release_row_number_barriers,
+    )
+
+    release_row_number_barriers()  # clean slate from earlier tests
+    df = agg_rfm_segments(spark, sf_dir)
+    assert len(_ROW_NUMBER_BARRIERS) >= 1
+    df.count()  # materialize: barrier caches populate
+    assert release_row_number_barriers() >= 1
+    assert _ROW_NUMBER_BARRIERS == []
+    assert release_row_number_barriers() == 0
+
+
 def test_rfm_conservation_and_balance(spark, sf_dir):
     """Customers and orders are conserved across segments, and each
     dimension's buckets are balanced to within one customer (NTILE's
@@ -1443,6 +1467,66 @@ def test_curriculum_all_ties_resolve_by_doc_id(spark, sf_dir, tmp_path):
     )
 
 
+def test_curriculum_null_text_leads_deterministically(spark, sf_dir, tmp_path):
+    """NULL-text documents (ADVICE r8 medium): tokenizing NULL yields
+    NULL n_tokens in both engines, but Spark's ascending sort is NULLS
+    FIRST while DuckDB ROW_NUMBER defaults NULLS LAST — a cross-engine
+    sequence divergence unless null placement is encoded explicitly.
+    The fix coalesces to n_tokens = -1 on both sides: NULL-text docs
+    deterministically lead the curriculum (ahead of empty-string docs
+    at 0), and the manifest conserves every document."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_etl_pipeline_spark.plans.text import (
+        TRAIN_CURRICULUM_ORACLE,
+        train_curriculum_order,
+    )
+    from simple_etl_pipeline_spark.schemas import TESTDATA_TABLES
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    d = str(tmp_path / "curr_nulls")
+    os.makedirs(d)
+    # 3 NULL-text docs, 2 empty-string docs, 55 real docs of growing length
+    ids = list(range(1, 61))
+    texts = (
+        [None, None, None, "", "  "]
+        + ["tok " * n for n in range(1, 56)]
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(ids), pa.string()),
+                "source": pa.array(["s"] * len(ids), pa.string()),
+                "n_chars": pa.array(
+                    [len(t) if t else 0 for t in texts], pa.int64()
+                ),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    for t in TESTDATA_TABLES:
+        if t != "documents":
+            os.symlink(f"{sf_dir}/{t}.parquet", os.path.join(d, f"{t}.parquet"))
+    rows = train_curriculum_order(spark, d).collect()
+    assert sum(r.n_docs for r in rows) == len(ids)
+    # the first shard starts at the NULL sentinel: min_tokens == -1,
+    # and the NULL trio occupies seq 1..3 (doc_id tie-break 1,2,3),
+    # followed by the two blank docs at 0 tokens
+    assert rows[0].min_tokens == -1
+    import functools
+
+    xor_expected = functools.reduce(lambda a, b: a ^ b, range(1, 51))
+    assert rows[0].xor_ids == xor_expected  # ids 1..50 in shard 0
+    compare_with_oracle(
+        train_curriculum_order(spark, d), TRAIN_CURRICULUM_ORACLE, d
+    )
+
+
 # --- round-9 prebuild: hybrid retrieval (RRF fusion) ----------------------
 def test_hybrid_rrf_matches_oracle(spark, sf_dir):
     from simple_etl_pipeline_spark.plans.text import (
@@ -1814,6 +1898,52 @@ def test_srm_check_fires_on_engineered_imbalance(spark, sf_dir, tmp_path):
         assert r.chi2_micro == expected_chi2
         assert r.srm is True
     compare_with_oracle(ev_srm_check(spark, d), EV_SRM_CHECK_ORACLE, d)
+
+
+def test_srm_chi2_survives_multi_million_user_imbalance(spark):
+    """ADVICE r8 (low): (n_a-n_b)^2 * 1e6 overflows BIGINT past a
+    ~3.03M-user imbalance — the severe-SRM regime the guardrail
+    exists for — and the engines diverged asymmetrically (Spark ANSI
+    throws, DuckDB promotes to HUGEINT). The chi-square now squares
+    in decimal(38,0) / explicit HUGEINT. This pins the arithmetic at
+    counts far past the old overflow point on BOTH engines: 100M
+    users at a 60/40 split (imbalance 2e7 users, chi2 = 4e12)."""
+    import duckdb
+
+    n_a, n_b = 60_000_000, 40_000_000
+    diff = 2 * n_a - (n_a + n_b)
+    expected = diff * diff * 1_000_000 // (n_a + n_b)
+    assert diff * diff * 1_000_000 > 2**63  # genuinely past BIGINT squaring
+
+    agg = spark.createDataFrame(
+        [("control", n_a), ("treatment", n_b)], "variant string, n_users long"
+    )
+    got = (
+        agg.withColumn(
+            "chi2_micro",
+            F.expr(
+                "CAST(2 * n_users - SUM(n_users) OVER () AS DECIMAL(38,0))"
+                " * CAST(2 * n_users - SUM(n_users) OVER () AS DECIMAL(38,0))"
+                " * 1000000 div SUM(n_users) OVER ()"
+            ).cast("bigint"),
+        )
+        .select("chi2_micro")
+        .distinct()
+        .collect()
+    )
+    assert [r.chi2_micro for r in got] == [expected]
+    (oracle,) = duckdb.sql(
+        f"""
+        WITH agg(variant, n_users) AS (
+          VALUES ('control', {n_a}::BIGINT), ('treatment', {n_b}::BIGINT))
+        SELECT DISTINCT
+          CAST(CAST(2 * n_users - SUM(n_users) OVER () AS HUGEINT)
+               * CAST(2 * n_users - SUM(n_users) OVER () AS HUGEINT)
+               * 1000000 // SUM(n_users) OVER () AS BIGINT)
+        FROM agg
+        """
+    ).fetchall()
+    assert oracle[0] == expected
 
 
 # --- hypothesis cross-engine fuzz: LM perplexity ---------------------------

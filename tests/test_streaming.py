@@ -516,6 +516,59 @@ def test_run_to_memory_raises_compact_root_cause(spark, sf_dir, tmp_path):
     assert len(msg) < 1000
 
 
+def test_run_to_memory_wraps_start_time_failures_and_drops_sinks(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r8 (low): start() used to sit outside the try, so
+    start-time failures — analysis errors, an unusable checkpoint
+    path — escaped as raw exceptions with no compaction; and every
+    failed attempt left its partially-registered st_* memory-sink
+    temp view alive for the session. Both halves pinned here: an
+    unwritable checkpoint location raises StreamRunError (not a raw
+    JVM error), and the failure path leaves no new st_* temp views
+    behind."""
+    import os
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from simple_etl_pipeline_spark.streaming.events import (
+        StreamRunError,
+        _run_to_memory,
+        read_events_stream,
+    )
+
+    d = str(tmp_path / "startfail_sf")
+    os.makedirs(d)
+    os.symlink(f"{sf_dir}/events.parquet", d + "/events.parquet")
+
+    def st_views():
+        return {
+            t.name
+            for t in spark.catalog.listTables()
+            if t.isTemporary and t.name.startswith("st_")
+        }
+
+    before = st_views()
+    # a checkpoint path under a FILE (not a dir) cannot be created ->
+    # start()/first-batch setup fails, historically outside the try
+    blocker = str(tmp_path / "blocker")
+    with open(blocker, "w") as f:
+        f.write("x")
+    bad_ckpt = os.path.join(blocker, "nested", "ckpt")
+    stream = read_events_stream(spark, d).select("event_id")
+    with pytest.raises(StreamRunError):
+        _run_to_memory(stream, "append", checkpoint=bad_ckpt)
+    # run-time failure path (2 attempts) must also clean up its sinks
+    boom = read_events_stream(spark, d).select(
+        F.assert_true(F.lit(False), F.lit("boom")).alias("x")
+    )
+    with pytest.raises(StreamRunError):
+        _run_to_memory(boom, "append")
+    assert st_views() == before
+
+
 def test_scd2_backfill_retries_once_on_transient_failure(
     spark, sf_dir, tmp_path, monkeypatch
 ):
