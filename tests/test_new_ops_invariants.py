@@ -2077,6 +2077,182 @@ def test_hard_negatives_fuzzed_cross_engine(spark, sf_dir, tmp_path_factory, vec
     )
 
 
+# --- hypothesis cross-engine fuzz: hard-negative 0.95 boundary (r9 item) ---
+@_settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[_HC.function_scoped_fixture],
+)
+@_given(
+    cands=_st.lists(
+        _st.tuples(
+            # cosine target offset from the 0.95 exclusion boundary, in
+            # 1e-7 steps: sweeps both sides of HN_NEAR_DUP_SIM AND the
+            # exact 6-dp rounding midpoints (x.xxxxxx5) where the
+            # gap-fill class proved engines can disagree on round()
+            _st.integers(min_value=-30, max_value=30),
+            _st.sampled_from(["A", "B", None]),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_hard_negatives_near_dup_boundary_fuzzed(
+    spark, sf_dir, tmp_path_factory, cands
+):
+    """The r9 ledger's rounded-float fuzz extension (VERDICT r8 #2):
+    candidates engineered to land within ±3e-6 of the
+    HN_NEAR_DUP_SIM = 0.95 exclusion boundary — anchor (1,0),
+    candidate (c, sqrt(1-c^2)) with c stepped in 1e-7 around 0.95 —
+    so round(cosine_dec, 6) snaps values at and across the boundary,
+    including exact rounding midpoints, on every example. cosine_dec
+    is bit-identical cross-engine by construction (decimal dot folds
+    + IEEE sqrt/divide), so the full driver-gate comparison must hold
+    however each value snaps. Fixed extras per example: a zero vector
+    (try_divide NULL-sim path) and an exact anchor copy (sim 1.0,
+    excluded)."""
+    import math
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_etl_pipeline_spark.plans.similarity import (
+        HN_ANCHORS,
+        TRAIN_HARD_NEGATIVES_ORACLE,
+        train_hard_negatives,
+    )
+    from simple_etl_pipeline_spark.schemas import TESTDATA_TABLES
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    d = tmp_path_factory.mktemp("hn_boundary_fuzz")
+    anchor_id = HN_ANCHORS[0]
+    vecs: list[tuple[int, list[float], object]] = [
+        (anchor_id, [1.0, 0.0], "A"),          # the anchor itself
+        (anchor_id + 1, [1.0, 0.0], "B"),      # exact copy, sim 1.0
+        (anchor_id + 2, [0.0, 0.0], "B"),      # zero vector -> NULL sim
+    ]
+    for i, (off, src) in enumerate(cands):
+        c = 0.95 + off * 1e-7
+        s = math.sqrt(max(0.0, 1.0 - c * c))
+        vecs.append((anchor_id + 10 + i, [c, s], src))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+                "embedding": pa.array(
+                    [np.asarray(v[1], dtype=np.float32).tolist() for v in vecs],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([0] * len(vecs), pa.int32()),
+            }
+        ),
+        os.path.join(str(d), "embeddings.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([v[0] for v in vecs], pa.int64()),
+                "text": pa.array(["t"] * len(vecs), pa.string()),
+                "lang": pa.array(["en"] * len(vecs), pa.string()),
+                "source": pa.array([v[2] for v in vecs], pa.string()),
+                "n_chars": pa.array([1] * len(vecs), pa.int64()),
+            }
+        ),
+        os.path.join(str(d), "documents.parquet"),
+    )
+    for t in TESTDATA_TABLES:
+        if t not in ("embeddings", "documents"):
+            os.symlink(f"{sf_dir}/{t}.parquet", os.path.join(str(d), f"{t}.parquet"))
+    compare_with_oracle(
+        train_hard_negatives(spark, str(d)), TRAIN_HARD_NEGATIVES_ORACLE, str(d)
+    )
+
+
+# --- hypothesis cross-engine fuzz: hybrid RRF fusion (r9 item) -------------
+@_settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[_HC.function_scoped_fixture],
+)
+@_given(
+    rows=_st.lists(
+        _st.tuples(
+            _st.lists(  # document text from a tiny vocab: BM25 tf/idf ties
+                _st.sampled_from(["a", "b", "c", "dd"]),
+                min_size=0,
+                max_size=8,
+            ),
+            _st.integers(min_value=-2, max_value=2),  # embedding x
+            _st.integers(min_value=-2, max_value=2),  # embedding y
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_hybrid_rrf_fuzzed_cross_engine(spark, sf_dir, tmp_path_factory, rows):
+    """The r9 ledger's rounded-float fuzz extension (VERDICT r8 #2)
+    for the fused ranking: random corpora where BOTH retriever heads
+    carry heavy tie structure — tiny-vocab texts (BM25 score ties) and
+    small-integer 2D embeddings (collinear exact-cosine ties, zero
+    vectors on the try_divide NULL path) — so the per-head rank
+    windows, the integer-ppm RRF sum and the fused tie-break all
+    resolve identically or not at all. Panel doc ids are live on both
+    the sparse and dense sides (vec_id = doc_id by construction)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_etl_pipeline_spark.plans.text import (
+        BM25_QUERY_DOCS,
+        SEARCH_HYBRID_RRF_ORACLE,
+        search_hybrid_rrf,
+    )
+    from simple_etl_pipeline_spark.schemas import TESTDATA_TABLES
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    d = tmp_path_factory.mktemp("rrf_fuzz")
+    n = len(rows)
+    ids = [
+        BM25_QUERY_DOCS[i] if i < len(BM25_QUERY_DOCS) else 100 + i
+        for i in range(n)
+    ]
+    texts = [" ".join(toks) for toks, _x, _y in rows]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "source": pa.array(["s"] * n, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(str(d), "documents.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [[float(x), float(y)] for _t, x, y in rows],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([0] * n, pa.int32()),
+            }
+        ),
+        os.path.join(str(d), "embeddings.parquet"),
+    )
+    for t in TESTDATA_TABLES:
+        if t not in ("embeddings", "documents"):
+            os.symlink(f"{sf_dir}/{t}.parquet", os.path.join(str(d), f"{t}.parquet"))
+    compare_with_oracle(
+        search_hybrid_rrf(spark, str(d)), SEARCH_HYBRID_RRF_ORACLE, str(d)
+    )
+
+
 # --- round-9 prebuild: per-variant trimmed mean -----------------------------
 def test_trimmed_mean_matches_oracle(spark, sf_dir):
     from simple_etl_pipeline_spark.plans.events import (
