@@ -49,38 +49,11 @@ def _all_modules():
 # prefix window of queries() in registration order (rounds 1-4 each
 # covered exactly the first 50). _WINDOW pins those 50 slots explicitly.
 #
-# Round-8 composition, governed by the rotation invariant
-# tests/test_driver_window.py enforces (every oracle-backed query must
-# appear in the union of the last two recorded CORRECTNESS windows plus
-# this list — no query goes more than two rounds without a driver row):
-#   1. The r8 MANDATORY set: the 46-query r5-green residue the round-7
-#      ledger predicted (tools/rotation_plan.py prints the same list),
-#      MINUS four of its members demoted this round
-#      (dedup_simhash_pairs, sim_ivf_topk, ev_range_join_nearby,
-#      ref_clean_price — the exact candidates the r7 ledger named) =
-#      42 slots.
-#   2. The 4 round-7 prebuilds, now registered: ev_gap_fill,
-#      agg_rfm_segments (its single-partition NTILE triplet rewritten
-#      to the global_row_number range-shuffle pattern BEFORE
-#      registration — VERDICT r7 #3; fresh probe exponent 0.04 at
-#      K=1..64 vs 0.17 for the old shape), txt_domain_split,
-#      ev_hll_overlap (ADVICE r7 NULL-user fix applied + nullish
-#      parity row). Net registry growth ZERO: 4 demotions for 4
-#      registrations (all four demotions are in-window, which is what
-#      opens the extra slots below). dq_expectations stays banked for
-#      r9, per the one-banks-by-design pattern.
-#   3. 1 changed-code canary: st_scd2_users — round 8 rebuilt the
-#      streaming failure contract (compact root-cause StreamRunError +
-#      one-shot fresh-dir retry in scd2_backfill, VERDICT r7 #1) and
-#      pinned the staging write's TIMESTAMP_MICROS (ADVICE r7), so the
-#      operator re-earns the driver row it erred on in r7.
-#   4. 3 early-rotation slots (r6-residue members, shrinking the r9
-#      mandatory set 49 -> 46): sim_ivfpq_topk (two consecutive
-#      above-spread bench drifts — this doubles as the drift-drill
-#      driver anchor, VERDICT r7 #4), dedup_components (the top-cost
-#      query; keeps the oracle-of-record freshly anchored), and
-#      ref_transform_full (the reference-surface full-pipeline hash —
-#      kept fresh since ref_clean_price's row now rotates out).
+# The rotation invariant tests/test_driver_window.py enforces: every
+# oracle-backed query must appear in the union of the last two recorded
+# CORRECTNESS windows plus this list — no query goes more than two
+# rounds without a driver row. (The round-8 composition this window
+# replaced is recorded in CORRECTNESS_r08.json and the git history.)
 # Declared bank of prebuilt-but-unregistered operators (pytest-oracle
 # green, no queries()/oracle_sql() entry yet). Machine-readable so the
 # rotation test can tell a legitimate banked prebuild from the
@@ -90,12 +63,9 @@ def _all_modules():
 # fails. Names move OUT of this list in the same commit that registers
 # them into the rebalanced window.
 _BANKED_PREBUILDS = [
-    # r9 registration slate (4 free slots)
-    "dq_expectations",
-    "agg_basket_lift",
-    "train_curriculum_order",
-    "search_hybrid_rrf",
-    # r10 reserve
+    # r10 reserve (the r9 slate — dq_expectations, agg_basket_lift,
+    # train_curriculum_order, search_hybrid_rrf — registered into the
+    # r9 window below and left this list in the same commit)
     "txt_lm_perplexity",
     "train_hard_negatives",
     "ev_srm_check",
@@ -103,100 +73,108 @@ _BANKED_PREBUILDS = [
 ]
 
 _WINDOW = [
-    # -- mandatory: last driver row in round 5 (42 after demotions) ---------
-    "agg_approx_distinct",
-    "dedup_ngram_spans",
-    "dedup_simhash",
-    "ev_funnel",
-    "ev_rollup_multires",
-    "ev_sliding_windows",
-    "ev_tumbling_hourly",
-    "ev_user_daily_activity",
-    "inverted_index",
-    "mm_binary_meta",
-    "mm_blob_features",
-    "mm_frame_sample",
-    "mm_resize",
-    "q12_shipmode_priority",
-    "ref_clean_colors",
-    "ref_clean_rating",
-    "ref_clean_size_gender",
-    "ref_dirty_view",
-    "ref_remove_dirty",
-    "sim_ann_lsh",
-    "sim_centroids_by_label",
-    "sim_knn_brute",
-    "sim_rp_recall",
-    "skip_bloom_stats",
-    "st_dedup_events",
-    "st_sliding_windows",
-    "st_stream_stream_join",
-    "st_tumbling_hourly",
-    "txt_bpe_tokens",
-    "txt_char_entropy",
-    "txt_doc_features",
-    "txt_fingerprint",
-    "txt_gopher_repetition",
-    "txt_kl_drift",
-    "txt_langid",
-    "txt_mixture_manifest",
-    "txt_ngram_freq",
-    "txt_tfidf_top_term",
-    "txt_token_stats",
-    "txt_training_corpus",
-    "txt_winnow_fingerprint",
-    "weighted_sample",
-    # -- round-8 registrations (4) ------------------------------------------
-    "ev_gap_fill",
-    "agg_rfm_segments",
-    "txt_domain_split",
-    "ev_hll_overlap",
-    # -- changed-code canary (1) --------------------------------------------
-    "st_scd2_users",
-    # -- early rotation / drift anchors (3) ---------------------------------
-    "sim_ivfpq_topk",
-    "dedup_components",
-    "ref_transform_full",
+    # ROUND-9 COMPOSITION (rotation_plan.py pre-rebalance output,
+    # verified by the r8 judge: 46 mandatory / 4 free):
+    #   1. The 46-query r9 MANDATORY set — the r6-green residue whose
+    #      last driver row was round 6 (minus the three r8
+    #      early-rotations), exactly the list rotation_plan.py printed.
+    #   2. The 4 round-8 prebuilds, now registered (the banked-then-
+    #      register staging, fifth consecutive round): dq_expectations
+    #      (oldest debt — banked since r7), agg_basket_lift,
+    #      train_curriculum_order (NULL-text ordering fixed per ADVICE
+    #      r8 BEFORE registration, commit b4dbc7a),
+    #      search_hybrid_rrf (rounded-float fuzz swept pre-gate,
+    #      commit 0fd7c88; _bm25_per_doc untouched, so bm25_topk's
+    #      r8 fp-bit-identical evidence stands — no canary needed).
+    #   Net registry growth ZERO: 4 demotions for 4 registrations
+    #   (ref_clean_rating, ref_clean_colors, ev_tumbling_hourly,
+    #   txt_char_entropy — the exact candidates the r8 ledger named;
+    #   none is in the r9 mandatory set, so no extra slots open).
+    # -- mandatory (46): last driver row in round 6 -------------------------
+    "agg_approx_percentile",
+    "dedup_components_lsh",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_paragraphs",
+    "dedup_survivors_quality",
+    "ev_asof_purchase_click",
+    "ev_attribution",
+    "ev_conversion_windows",
+    "ev_cuped",
+    "ev_heavy_hitters",
+    "ev_hll_user_rollup",
+    "ev_json_variant",
+    "ev_retention_cohorts",
+    "ev_session_windows",
+    "ev_zscore_outliers",
+    "join_fuzzy_part_names",
+    "q11_important_parts",
+    "q16_supplier_cardinality",
+    "q17_small_qty_revenue",
+    "q1_pricing_summary",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
+    "q8_market_share",
+    "q9_product_profit",
+    "sim_mrl_recall",
+    "sim_pq_adc",
+    "sim_quantize_int8",
+    "st_dedup_index",
+    "st_session_windows",
+    "train_shard_manifest",
+    "txt_chunk_windows",
+    "txt_contamination",
+    "txt_dataset_card",
+    "txt_gopher_quality",
+    "txt_pack_sequences",
+    "txt_pagerank",
+    "txt_pii_redact",
+    "txt_repetition_filter",
+    "txt_sample_stratified",
+    "txt_triangle_count",
+    "unpivot_lineitem_measures",
+    "window_ntile_customer_deciles",
+    # -- round-9 registrations (4) ------------------------------------------
+    "dq_expectations",
+    "agg_basket_lift",
+    "train_curriculum_order",
+    "search_hybrid_rrf",
 ]
 
-# ROUND-9 ROTATION LEDGER (tools/rotation_plan.py run AFTER this
+# ROUND-10 ROTATION LEDGER (tools/rotation_plan.py run AFTER the r9
 # rebalance prints state=post_rebalance with exactly this arithmetic):
-# at the r9 gate the last two recorded windows will be CORRECTNESS_r07
-# + this window, so next_round_mandatory = 46 queries — the r6-green
-# residue (49 queries) minus the three early-rotated above
-# (sim_ivfpq_topk, dedup_components, ref_transform_full) — and
-# next_round_free_slots = 4. First in line for the free slots: FOUR
-# banked prebuilds — dq_expectations (r7-built: corrupt-corpus row
-# firing all 7 constraint classes, probe 0.18), and the three r8
-# builds agg_basket_lift (probe 0.33/0.28@256), train_curriculum_order
-# (0.15/0.27@256, second surface of the global_row_number primitive)
-# and search_hybrid_rrf (RRF fusion of the shared BM25 pipeline with
-# the broadcast-query dense ranking; oracle-green at two SFs) — all
-# pytest-oracle green with empty/partition-invariance/plan-shape rows,
-# registered with matching demotions. Two MORE r8 prebuilds bank past
-# r9's four slots (the r10 reserve, same staging as every round):
-# txt_lm_perplexity (CCNet-style bigram-LM cross-entropy, micro-log2
-# exact, hand-computed-corpus pinned; probe 0.44/0.55@256 — per-doc
-# output, linear-work family), train_hard_negatives (near-dup +
-# same-source-excluded cosine top-K, 2D exclusion corpus pinned) and
-# ev_srm_check (sample-ratio-mismatch chi-square guardrail,
-# engineered-imbalance corpus fires the alarm, nullish parity row),
-# plus ev_trimmed_mean (robust per-variant trimmed mean on the same
-# assignment; global_row_number third surface, whale-drop corpus).
-# r9 follow-up from the gap-fill tie find (SCALING.md): extend the
-# hypothesis cross-engine fuzz to the remaining rounded-float heads
-# (bm25/hybrid sims' round(sum,6) boundaries) — the round()-at-.5
-# divergence class may have more instances; fuzz EARLY in the round
-# so a find can be fixed before the gate.
-# Demotion
-# candidates for r9: ref_clean_rating / ref_clean_colors (same
-# ref_transform_full-pinned class as ref_clean_price), ev_tumbling_hourly
-# OR its streaming twin st_tumbling_hourly (identical oracle, keep one
-# registered per surface), and txt_char_entropy (a component of the
-# registered txt_doc_features feature set). Registry arithmetic: 145
-# registered / 150 three-round slots (5 slack) — the invariant stays
-# satisfiable PROVIDED net growth stays <= 0 per round
-# (demote-one-per-add).
+# at the r10 gate the last two recorded windows will be
+# CORRECTNESS_r08 + this window, so next_round_mandatory = 49 queries
+# (the r7-green residue: the 42 q*/agg_*/join_*/window_*/setops/
+# scalar/orderby relational rows plus bm25_topk, dedup_semdedup,
+# sim_kmeans_lloyd, the ev_* r7 trio + range-join/scd2/zorder/
+# countmin, st_static_zscore, st_user_totals_stateful,
+# txt_bloom_contamination, txt_dsir_weights, txt_rare_token_ratio)
+# and next_round_free_slots = 1. The r10 reserve is FOUR banked
+# prebuilds (pytest-oracle green with probe + edge-corpus rows since
+# r8): txt_lm_perplexity (CCNet-style bigram-LM cross-entropy,
+# micro-log2 exact; probe 0.44/0.55@256), train_hard_negatives
+# (near-dup + same-source-excluded cosine top-K; 0.95-boundary fuzz
+# swept r9), ev_srm_check (chi-square guardrail, decimal(38,0)
+# headroom per ADVICE r8), ev_trimmed_mean (global_row_number third
+# surface, whale-drop corpus). Registering all four needs the 1 free
+# slot + 3 IN-MANDATORY demotions (the r7 device: demoting a
+# mandatory-set member frees its window slot). Demotion candidates
+# inside the r10 mandatory set, each a derivative surface:
+#   - agg_rollup_orders (grouping-sets family: the registered
+#     agg_cube_lineitem + agg_grouping_sets pin the Expand operator;
+#     rollup is a strict subset of both),
+#   - agg_salted_sum (its RESULT equals the plain sum the registered
+#     aggregation rows already hash; its unique content — the salting
+#     plan shape — is pinned by test_plan_shapes),
+#   - orderby_limit_top_orders (TakeOrderedAndProject surface shared
+#     with the registered q10/q15/q18 order+limit heads).
+# Registry arithmetic: 145 registered / 150 three-round slots
+# (5 slack) — the invariant stays satisfiable PROVIDED net growth
+# stays <= 0 per round (demote-one-per-add).
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -124,6 +124,13 @@ HEADLINE = [
     "agg_rfm_segments",
     "txt_domain_split",
     "ev_hll_overlap",
+    # round 9: the registered prebuild quartet (Deequ-style expectation
+    # gate, market-basket lift, curriculum manifest via the third
+    # global-row-number surface, hybrid BM25+dense RRF fusion).
+    "dq_expectations",
+    "agg_basket_lift",
+    "train_curriculum_order",
+    "search_hybrid_rrf",
 ]
 
 
@@ -207,6 +214,46 @@ def main() -> None:
         )
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Drift tripwire (VERDICT r8 #8): compare each median against the
+    # PREVIOUS committed BENCH_DETAIL.json — flag any query whose
+    # median grew by more than 2x its previously recorded spread (with
+    # a 0.25 s absolute floor so near-zero spreads on cheap queries
+    # don't fire on ordinary box noise). Empty on a quiet box; a
+    # non-empty list starts the drift drill THE ROUND IT HAPPENS
+    # (fresh sweep + plan-fp diff — fp_changed distinguishes a plan
+    # regression from co-tenant load) instead of at judge time.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    drift_flags = []
+    try:
+        with open(detail_path) as f:
+            prev = json.load(f)
+        if prev.get("sf") == sf_val:
+            for name, med in timings.items():
+                base = prev.get("queries", {}).get(name)
+                if base is None:
+                    continue
+                allow = max(2 * prev.get("spread", {}).get(name, 0.0), 0.25)
+                if med - base > allow:
+                    drift_flags.append(
+                        {
+                            "name": name,
+                            "median": med,
+                            "baseline": base,
+                            "baseline_spread": prev.get("spread", {}).get(name),
+                            "fp_changed": plan_fps.get(name)
+                            != prev.get("plan_fp", {}).get(name),
+                        }
+                    )
+                    print(
+                        f"# DRIFT {name}: {base:.3f} -> {med:.3f}s "
+                        f"(allowance {allow:.3f}s, plan_fp "
+                        f"{'CHANGED' if drift_flags[-1]['fp_changed'] else 'same'})",
+                        file=sys.stderr,
+                    )
+    except (OSError, ValueError):
+        pass  # first run / no comparable baseline
     detail = {
         "metric": "headline_queries_total_wall",
         "value": round(total, 3),
@@ -214,26 +261,25 @@ def main() -> None:
         "queries": timings,
         "spread": spreads,
         "plan_fp": plan_fps,
+        "drift_flags": drift_flags,
         "sf": sf_val,
     }
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
     print(json.dumps(detail))
-    # LAST line = the one the driver parses: keep it short.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": {k: round(v, 2) for k, v in timings.items()},
-                "sf": sf_val,
-            }
-        )
-    )
+    # LAST line = the one the driver parses: keep it short. drift
+    # names ride along only when non-empty so the judge sees them in
+    # BENCH_r{N}.json without growing the quiet-box line.
+    short = {
+        "metric": "headline_queries_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": sf_val,
+    }
+    if drift_flags:
+        short["drift"] = [d["name"] for d in drift_flags]
+    print(json.dumps(short))
     spark.stop()
 
 

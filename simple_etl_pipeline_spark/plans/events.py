@@ -345,7 +345,13 @@ QUERIES = {
     # r8 registration): ev_range_join_incidents (r7 driver-green)
     # keeps an interval-join surface registered; the nearby variant
     # retains full pytest parity via testing.demoted_queries().
-    "ev_tumbling_hourly": ev_tumbling_hourly,
+    # ev_tumbling_hourly DEMOTED round 9 (capacity rule, matching the
+    # search_hybrid_rrf registration): its streaming twin
+    # st_tumbling_hourly shares the IDENTICAL oracle and stays
+    # registered — one tumbling-hourly surface per the ledger's
+    # keep-one-per-surface rule, and the streaming side is the one
+    # whose adapter code (_run_to_memory) carries unique machinery.
+    # Full pytest parity via testing.demoted_queries(); bench row kept.
     "ev_sliding_windows": ev_sliding_windows,
     "ev_session_windows": ev_session_windows,
     "ev_user_daily_activity": ev_user_daily_activity,
@@ -355,7 +361,6 @@ ORACLES = {
     "ev_asof_purchase_click": EV_ASOF_ORACLE,
     "ev_funnel": EV_FUNNEL_ORACLE,
     "ev_rollup_multires": EV_ROLLUP_MULTIRES_ORACLE,
-    "ev_tumbling_hourly": EV_TUMBLING_ORACLE,
     "ev_sliding_windows": EV_SLIDING_ORACLE,
     "ev_session_windows": EV_SESSION_ORACLE,
     "ev_user_daily_activity": EV_DAILY_ORACLE,

@@ -267,14 +267,22 @@ REF_CLEAN_PRICE_ORACLE = _with_view(
     f"SELECT p_partkey, price, {SQL_CLEAN_PRICE} AS price_idr FROM dirty ORDER BY p_partkey"
 )
 
+# ref_clean_rating / ref_clean_colors DEMOTED round 9 (capacity rule,
+# matching the dq_expectations / agg_basket_lift registrations): the
+# exact class ref_clean_price established in r8 — P2/P3 semantics stay
+# pinned by the registered ref_transform_full full-pipeline hash plus
+# the per-cleaner differential suites; full pytest parity continues
+# via testing.demoted_queries(), and their bench exposure was always
+# through ref_transform_full.
+REF_CLEAN_RATING_ORACLE = _with_view(
+    f"SELECT p_partkey, rating, {SQL_CLEAN_RATING} AS rating_clean FROM dirty ORDER BY p_partkey"
+)
+REF_CLEAN_COLORS_ORACLE = _with_view(
+    f"SELECT p_partkey, colors, {SQL_CLEAN_COLORS} AS colors_clean FROM dirty ORDER BY p_partkey"
+)
+
 ORACLES = {
     "ref_dirty_view": _with_view("SELECT * FROM dirty ORDER BY p_partkey"),
-    "ref_clean_rating": _with_view(
-        f"SELECT p_partkey, rating, {SQL_CLEAN_RATING} AS rating_clean FROM dirty ORDER BY p_partkey"
-    ),
-    "ref_clean_colors": _with_view(
-        f"SELECT p_partkey, colors, {SQL_CLEAN_COLORS} AS colors_clean FROM dirty ORDER BY p_partkey"
-    ),
     "ref_clean_size_gender": _with_view(
         f"SELECT p_partkey, size, gender, {SQL_CLEAN_SIZE} AS size_clean, "
         f"{SQL_CLEAN_GENDER} AS gender_clean FROM dirty ORDER BY p_partkey"
@@ -301,8 +309,6 @@ ORACLES = {
 
 QUERIES = {
     "ref_dirty_view": ref_dirty_view,
-    "ref_clean_rating": ref_clean_rating,
-    "ref_clean_colors": ref_clean_colors,
     "ref_clean_size_gender": ref_clean_size_gender,
     "ref_remove_dirty": ref_remove_dirty,
     "ref_transform_full": ref_transform_full,

@@ -2382,6 +2382,12 @@ TAIL_QUERIES = {
     # rewritten to the global_row_number range-shuffle pattern before
     # registering — VERDICT r7 #3. Matching demotion: ref_clean_price.)
     "agg_rfm_segments": agg_rfm_segments,
+    # round-9 registrations (prebuilt r7/r8, pytest-oracle green with
+    # probe + edge-corpus rows before earning a slot. Matching
+    # demotions: ref_clean_rating (dq_expectations), ref_clean_colors
+    # (agg_basket_lift) — rationale at plans/reference_parity.py.)
+    "dq_expectations": dq_expectations,
+    "agg_basket_lift": agg_basket_lift,
 }
 TAIL_ORACLES = {
     "agg_approx_percentile": AGG_APPROX_PERCENTILE_ORACLE,
@@ -2391,4 +2397,6 @@ TAIL_ORACLES = {
     "agg_mode_source_by_lang": AGG_MODE_ORACLE,
     "window_percent_rank_suppliers": WINDOW_PERCENT_RANK_ORACLE,
     "agg_rfm_segments": AGG_RFM_ORACLE,
+    "dq_expectations": DQ_EXPECTATIONS_ORACLE,
+    "agg_basket_lift": AGG_BASKET_LIFT_ORACLE,
 }

@@ -4159,12 +4159,25 @@ TAIL_QUERIES = {
     "weighted_sample": weighted_sample,
     "txt_mixture_manifest": txt_mixture_manifest,
     "txt_gopher_repetition": txt_gopher_repetition,
-    "txt_char_entropy": txt_char_entropy,
+    # txt_char_entropy DEMOTED round 9 (capacity rule, one per r9
+    # registration — matching train_curriculum_order): it is a
+    # component of the registered txt_doc_features feature set, whose
+    # driver hash pins the shared char-distribution explode; full
+    # pytest parity continues via testing.demoted_queries(), and its
+    # bench row survives (bench resolves demoted queries).
     "txt_kl_drift": txt_kl_drift,
     "train_shard_manifest": train_shard_manifest,
     # round-8 registration (prebuilt + pytest-oracle-green in round 7;
     # matching demotion: dedup_simhash_pairs, see QUERIES above)
     "txt_domain_split": txt_domain_split,
+    # round-9 registrations (prebuilt r8; matching demotions:
+    # txt_char_entropy above and ev_tumbling_hourly at
+    # plans/events.py — search_hybrid_rrf reuses the registered
+    # bm25_topk's _bm25_per_doc pipeline UNCHANGED, so the bm25_topk
+    # fp-bit-identical evidence from r8 still stands; the shared-code
+    # canary rule fires only if the fusion work edits that pipeline)
+    "train_curriculum_order": train_curriculum_order,
+    "search_hybrid_rrf": search_hybrid_rrf,
 }
 
 TAIL_ORACLES = {
@@ -4191,8 +4204,9 @@ TAIL_ORACLES = {
     "weighted_sample": WSAMPLE_ORACLE,
     "txt_mixture_manifest": TXT_MIXTURE_MANIFEST_ORACLE,
     "txt_gopher_repetition": TXT_GOPHER_REPETITION_ORACLE,
-    "txt_char_entropy": TXT_CHAR_ENTROPY_ORACLE,
     "txt_kl_drift": TXT_KL_DRIFT_ORACLE,
     "train_shard_manifest": TRAIN_SHARD_ORACLE,
     "txt_domain_split": TXT_DOMAIN_SPLIT_ORACLE,
+    "train_curriculum_order": TRAIN_CURRICULUM_ORACLE,
+    "search_hybrid_rrf": SEARCH_HYBRID_RRF_ORACLE,
 }

@@ -54,8 +54,20 @@ def demoted_queries() -> dict:
         ev_range_join_nearby,
     )
     from simple_etl_pipeline_spark.plans.reference_parity import (
+        REF_CLEAN_COLORS_ORACLE,
         REF_CLEAN_PRICE_ORACLE,
+        REF_CLEAN_RATING_ORACLE,
+        ref_clean_colors,
         ref_clean_price,
+        ref_clean_rating,
+    )
+    from simple_etl_pipeline_spark.plans.events import (
+        EV_TUMBLING_ORACLE,
+        ev_tumbling_hourly,
+    )
+    from simple_etl_pipeline_spark.plans.text import (
+        TXT_CHAR_ENTROPY_ORACLE,
+        txt_char_entropy,
     )
     from simple_etl_pipeline_spark.plans.similarity import (
         SIM_IVF_ORACLE,
@@ -99,6 +111,19 @@ def demoted_queries() -> dict:
         "sim_ivf_topk": (sim_ivf_topk, SIM_IVF_ORACLE),
         "ev_range_join_nearby": (ev_range_join_nearby, EV_RANGE_JOIN_ORACLE),
         "ref_clean_price": (ref_clean_price, REF_CLEAN_PRICE_ORACLE),
+        # round-9 demotions (one per round-9 registration; rationale at
+        # each module's QUERIES/TAIL_QUERIES comment):
+        #   - ref_clean_rating / ref_clean_colors: the ref_clean_price
+        #     class — pinned by ref_transform_full's pipeline hash +
+        #     the per-cleaner differential suites.
+        #   - ev_tumbling_hourly: its streaming twin st_tumbling_hourly
+        #     keeps the identical oracle registered.
+        #   - txt_char_entropy: a component of the registered
+        #     txt_doc_features feature set.
+        "ref_clean_rating": (ref_clean_rating, REF_CLEAN_RATING_ORACLE),
+        "ref_clean_colors": (ref_clean_colors, REF_CLEAN_COLORS_ORACLE),
+        "ev_tumbling_hourly": (ev_tumbling_hourly, EV_TUMBLING_ORACLE),
+        "txt_char_entropy": (txt_char_entropy, TXT_CHAR_ENTROPY_ORACLE),
     }
 
 
