@@ -70,6 +70,14 @@ _BANKED_PREBUILDS = [
     "train_hard_negatives",
     "ev_srm_check",
     "ev_trimmed_mean",
+    # r11 bank (built round 9): token-budget corpus selection (the
+    # global_prefix_sum primitive's first surface), temporal split
+    # with embargo, seasonal-profile anomaly hours, two-window
+    # data-profile drift
+    "train_token_budget_pack",
+    "ev_time_embargo_split",
+    "ev_seasonal_residuals",
+    "dq_profile_drift",
 ]
 
 _WINDOW = [

@@ -2561,6 +2561,228 @@ ORDER BY p.variant
 """
 
 
+# --- leakage-safe temporal split with embargo (round-11 prebuild bank) -----
+EMBARGO_US = 1_800_000_000  # 30 min
+
+
+def ev_time_embargo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split with an embargo gap — backtest
+    hygiene for any time-dependent model: events before t0 train,
+    events at/after t1 test, and the [t0, t1) embargo band between
+    them is DISCARDED from both sides, so label horizons and
+    autocorrelated features that straddle the boundary can never leak
+    future information into training (the combinatorial-purged-CV
+    embargo device, applied as a single split). t0 sits at 80% of the
+    observed time span — exact integer microseconds:
+    t0 = min + (max - min) * 80 div 100, t1 = t0 + EMBARGO_US — so
+    the cutoffs are engine-identical and reproducible from the data
+    alone. NULL-ts events carry no position on the time axis and are
+    excluded (unsplittable), like NULL users in ev_srm_check.
+
+    Output: one row per non-empty split with its exact time extent
+    (min_us/max_us pin the no-overlap invariant: train.max < t0 <=
+    embargo.min <= embargo.max < t1 <= test.min), event/user counts,
+    the exact decimal-micros value sum, and the shared cutoffs.
+
+    Scale shape: one scan for the 1-row (min, max) bounds (map-side
+    combined), broadcast as a scalar (the adjudicated 1-row class),
+    then one narrow map + a <= 3-group aggregation whose distinct-user
+    partials collapse per (split, user). Nothing after the scan
+    exceeds 3 x |users| partials at any corpus size."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
+    us = F.unix_micros("ts")
+    bounds = (
+        ev.agg(F.min(us).alias("mn"), F.max(us).alias("mx"))
+        .withColumn("t0_us", F.expr("mn + (mx - mn) * 80 div 100"))
+        .withColumn("t1_us", F.col("t0_us") + F.lit(EMBARGO_US))
+        .select("t0_us", "t1_us")
+    )
+    tagged = (
+        ev.select(us.alias("us"), "user_id", "value")
+        .crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "split",
+            F.when(F.col("us") < F.col("t0_us"), F.lit("train"))
+            .when(F.col("us") < F.col("t1_us"), F.lit("embargo"))
+            .otherwise(F.lit("test")),
+        )
+    )
+    return (
+        tagged.groupBy("split", "t0_us", "t1_us")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.min("us").alias("min_us"),
+            F.max("us").alias("max_us"),
+            F.coalesce(
+                (F.sum(F.col("value").cast("decimal(38,6)")) * 1_000_000)
+                .cast("decimal(38,0)")
+                .cast("bigint"),
+                F.lit(0),
+            ).alias("value_micros"),
+        )
+        .orderBy("split")
+    )
+
+
+EV_TIME_EMBARGO_ORACLE = f"""
+WITH b AS (
+  SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+  FROM events WHERE ts IS NOT NULL
+), c AS (
+  SELECT mn + (mx - mn) * 80 // 100 AS t0_us,
+         mn + (mx - mn) * 80 // 100 + {EMBARGO_US} AS t1_us
+  FROM b
+), tagged AS (
+  SELECT CASE WHEN epoch_us(ts) < t0_us THEN 'train'
+              WHEN epoch_us(ts) < t1_us THEN 'embargo'
+              ELSE 'test' END AS split,
+         t0_us, t1_us, epoch_us(ts) AS us, user_id, value
+  FROM events, c WHERE ts IS NOT NULL
+)
+SELECT split, t0_us, t1_us,
+  COUNT(*) AS n_events,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+  MIN(us) AS min_us,
+  MAX(us) AS max_us,
+  COALESCE(CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) * 1000000 AS HUGEINT)
+                AS BIGINT), 0) AS value_micros
+FROM tagged GROUP BY split, t0_us, t1_us ORDER BY split
+"""
+
+
+# --- seasonal-profile anomaly detection (round-11 prebuild bank) -----------
+TOP_HOURS = 20
+
+
+def ev_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly detection on hourly event volume: each hour's
+    count is compared against its (day-of-week, hour-of-day) slot's
+    own mean — the weekly-seasonal baseline every ops/metrics stack
+    runs — and hours whose squared residual exceeds 9x the slot
+    variance (a 3-sigma gate) are emitted as anomalies. The hour grid
+    is COMPLETE over the observed span (empty hours count 0 — the
+    gap-fill lesson: a dead hour IS the anomaly you most want to
+    catch), so the baseline is unbiased by missingness.
+
+    Engine-exactness: day-of-week is computed ARITHMETICALLY from the
+    epoch hour ((he div 24 + 4) mod 7; 1970-01-01 was a Thursday)
+    because the engines' dayofweek() builtins disagree on numbering;
+    the z-score is carried as exact integer micro-z-squared —
+    z2_micro = (n*count - sum)^2 * 1e6 div (n*sumsq - sum^2), squares
+    in decimal(38,0) (the SRM overflow lesson) — so no float, sqrt or
+    engine round() touches a decision or an output. slot_mean_micros
+    = sum * 1e6 div n is exact floor-division. Slots need n >= 2 and
+    nonzero variance (a zero-variance slot has no anomaly scale).
+
+    Output: the TOP_HOURS hours by z2_micro (ties broken by
+    hour_epoch), each flagged is_anomaly = z2_micro > 9e6 (the
+    3-sigma gate) — the readout always carries the ranked signal even
+    when no hour crosses 3 sigma, and the flag marks the ones that
+    do.
+
+    Scale shape: one scan -> hour-keyed count agg (map-side combined,
+    output = span hours, METADATA-sized at any corpus: a decade is
+    ~90k rows); the grid is a 1-row bounds broadcast exploded
+    span-size; slot stats collapse to <= 168 rows, broadcast back.
+    Nothing after the first agg is data-sized."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
+    he = F.expr("unix_micros(ts) div 3600000000")
+    counts = ev.groupBy(he.alias("he")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    bounds = ev.agg(
+        F.min(he).alias("mn"), F.max(he).alias("mx")
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("mn", "mx")).alias("he")
+    )
+    full = (
+        grid.join(counts, "he", "left")
+        .select(
+            "he",
+            F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt"),
+            F.expr("((he div 24) + 4) % 7").cast("int").alias("dow"),
+            F.expr("he % 24").cast("int").alias("hod"),
+        )
+    )
+    slots = full.groupBy("dow", "hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("s"),
+        F.sum(F.expr("cnt * cnt")).alias("ss"),
+    )
+    joined = full.join(F.broadcast(slots), ["dow", "hod"])
+    z2_micro = F.expr(
+        "CAST(n * cnt - s AS DECIMAL(38,0))"
+        " * CAST(n * cnt - s AS DECIMAL(38,0)) * 1000000"
+        " div (CAST(n AS DECIMAL(38,0)) * ss"
+        "      - CAST(s AS DECIMAL(38,0)) * s)"
+    ).cast("bigint")
+    return (
+        joined.filter(
+            (F.col("n") >= 2)
+            & (F.expr("CAST(n AS DECIMAL(38,0)) * ss"
+                      " - CAST(s AS DECIMAL(38,0)) * s") > 0)
+        )
+        .select(
+            (F.col("he") * 3600).alias("hour_epoch"),
+            "dow",
+            "hod",
+            F.col("cnt").alias("n_events"),
+            F.col("n").alias("slot_n"),
+            F.expr("s * 1000000 div n").cast("bigint").alias("slot_mean_micros"),
+            (F.col("cnt") * 1_000_000 - F.expr("s * 1000000 div n"))
+            .cast("bigint")
+            .alias("resid_micros"),
+            z2_micro.alias("z2_micro"),
+        )
+        .withColumn("is_anomaly", F.col("z2_micro") > 9_000_000)
+        .orderBy(F.desc("z2_micro"), F.asc("hour_epoch"))
+        .limit(TOP_HOURS)
+    )
+
+
+EV_SEASONAL_RESIDUALS_ORACLE = """
+WITH hours AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS he, COUNT(*) AS cnt
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), b AS (
+  SELECT MIN(he) AS mn, MAX(he) AS mx FROM hours
+), grid AS (
+  SELECT unnest(generate_series(mn, mx)) AS he FROM b
+), filled AS (
+  SELECT g.he, CAST(COALESCE(h.cnt, 0) AS BIGINT) AS cnt,
+    CAST(((g.he // 24) + 4) % 7 AS INT) AS dow,
+    CAST(g.he % 24 AS INT) AS hod
+  FROM grid g LEFT JOIN hours h ON g.he = h.he
+), slots AS (
+  SELECT dow, hod, COUNT(*) AS n, SUM(cnt) AS s, SUM(cnt * cnt) AS ss
+  FROM filled GROUP BY dow, hod
+)
+SELECT hour_epoch, dow, hod, n_events, slot_n, slot_mean_micros,
+  resid_micros, z2_micro, z2_micro > 9000000 AS is_anomaly
+FROM (
+  SELECT f.he * 3600 AS hour_epoch, f.dow, f.hod,
+    f.cnt AS n_events, s.n AS slot_n,
+    CAST(s.s * 1000000 // s.n AS BIGINT) AS slot_mean_micros,
+    CAST(f.cnt * 1000000 - s.s * 1000000 // s.n AS BIGINT) AS resid_micros,
+    CAST(CAST(s.n * f.cnt - s.s AS HUGEINT)
+         * CAST(s.n * f.cnt - s.s AS HUGEINT) * 1000000
+         // (CAST(s.n AS HUGEINT) * s.ss - CAST(s.s AS HUGEINT) * s.s)
+      AS BIGINT) AS z2_micro
+  FROM filled f JOIN slots s ON f.dow = s.dow AND f.hod = s.hod
+  WHERE s.n >= 2
+    AND CAST(s.n AS HUGEINT) * s.ss - CAST(s.s AS HUGEINT) * s.s > 0
+)
+ORDER BY z2_micro DESC, hour_epoch ASC
+LIMIT 20
+"""
+
+
 TAIL_QUERIES = {
     "skip_bloom_stats": skip_bloom_stats,
     "ev_heavy_hitters": ev_heavy_hitters,

@@ -1932,6 +1932,72 @@ def global_row_number(
     return ranked, totals
 
 
+def global_prefix_sum(
+    df: DataFrame,
+    sort_cols: list,
+    val_col: str,
+    out_rank: str = "_rn",
+    out_cum: str = "_cum",
+    num_partitions: int | None = None,
+):
+    """Exact global 1-based rank AND inclusive running sum of
+    `val_col` under a TOTAL order — the prefix-sum sibling of
+    `global_row_number`, same two-pass offset pattern, same persist()
+    barrier contract (registered in _ROW_NUMBER_BARRIERS for release):
+
+      1. range-shuffle on the sort key;
+      2. per-range-partition keyed window computes BOTH the local
+         row_number and the local running sum in ONE WindowExec
+         (shared partition/order spec);
+      3. the per-partition (count, value-sum) frame — |partitions|
+         rows of metadata — yields exclusive offsets for both via the
+         bounded-universe running-sum window;
+      4. broadcast-join back: rank = local + offset,
+         cum = local_cum + sum_offset.
+
+    This is the scale-safe form of `SUM(v) OVER (ORDER BY ...)` —
+    an un-partitioned running sum that would otherwise serialize the
+    whole frame through one reducer. Preconditions as for
+    global_row_number (total order, explicit null placement) plus:
+    `val_col` must be a non-null integral column (coalesce at the
+    call site) so partial sums are exact under any partitioning."""
+    spark = df.sparkSession
+    n = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    ranged = (
+        df.repartitionByRange(n, *sort_cols)
+        .withColumn("_gpid", F.spark_partition_id())
+        .persist()
+    )
+    _ROW_NUMBER_BARRIERS.append(ranged)
+    w = Window.partitionBy("_gpid").orderBy(*sort_cols)
+    local = ranged.withColumn("_lrn", F.row_number().over(w)).withColumn(
+        "_lcum",
+        F.sum(F.col(val_col)).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    counts = ranged.groupBy("_gpid").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum(F.col(val_col)).alias("_vsum"),
+    )
+    wo = Window.orderBy("_gpid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "_gpid",
+        F.coalesce(F.sum("_cnt").over(wo), F.lit(0)).alias("_off"),
+        F.coalesce(F.sum("_vsum").over(wo), F.lit(0)).alias("_voff"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "_gpid")
+        .withColumn(out_rank, (F.col("_lrn") + F.col("_off")).cast("bigint"))
+        .withColumn(out_cum, (F.col("_lcum") + F.col("_voff")).cast("bigint"))
+        .drop("_gpid", "_lrn", "_lcum", "_off", "_voff")
+    )
+
+
 def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: per-customer Recency (days since
     last order, against the dataset's as-of date), Frequency (order
@@ -2260,6 +2326,176 @@ SELECT constraint_name, table_name,
   CAST(n_violations AS BIGINT) AS n_violations,
   n_violations = 0 AS passed
 FROM checks ORDER BY table_name, constraint_name
+"""
+
+
+# --- two-window data-profile drift (round-11 prebuild bank) ----------------
+DQ_DRIFT_FLAG_PPM = 200_000  # flag a metric that moved > 20%
+
+
+def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profile drift between the first and second half of the
+    events stream — the monitoring twin of dq_expectations: where the
+    expectation gate asks "is this batch VALID", the drift profile
+    asks "is this batch LIKE the last one" (schema-stable but
+    distribution-shifted feeds are the silent killer of both
+    dashboards and models). The stream splits at the exact midpoint
+    of its observed time span (mid = (min+max) div 2, integer micros,
+    reproducible from the data alone); each half is profiled on seven
+    metrics — event count, distinct users, distinct event types,
+    NULL-user ppm, NULL-value ppm, exact mean value in micros,
+    events-per-user ppm — and each metric row carries both values,
+    the signed delta and drift_ppm = |delta| * 1e6 div max(|a|, 1),
+    flagged when it exceeds DQ_DRIFT_FLAG_PPM. All arithmetic is
+    integer/decimal-exact; NULL-ts events have no window and are
+    excluded.
+
+    Scale shape: one 1-row bounds agg (map-side combined), broadcast
+    as a scalar; then ONE conditional-aggregation pass over the scan
+    computes both halves' metrics in a single 1-row frame (the two
+    countDistincts collapse per (half, key) map-side), which unpivots
+    via stack() into 7 metric rows. No data-sized structure after the
+    scan at any corpus size."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
+    us = F.unix_micros("ts")
+    bounds = ev.agg(
+        F.expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2")
+        .alias("mid_us")
+    )
+    t = ev.select(
+        us.alias("us"), "user_id", "event_type", "value"
+    ).crossJoin(F.broadcast(bounds))
+    in_a = F.col("us") < F.col("mid_us")
+
+    def half(cond, tag):
+        vm = (
+            F.sum(
+                F.when(cond, F.col("value").cast("decimal(38,6)"))
+            ) * 1_000_000
+        ).cast("decimal(38,0)").cast("bigint")
+        nv = F.count(F.when(cond & F.col("value").isNotNull(), F.lit(1)))
+        return [
+            F.count(F.when(cond, F.lit(1))).alias(f"{tag}_n"),
+            F.countDistinct(F.when(cond, F.col("user_id")))
+            .alias(f"{tag}_users"),
+            F.countDistinct(F.when(cond, F.col("event_type")))
+            .alias(f"{tag}_types"),
+            F.count(F.when(cond & F.col("user_id").isNull(), F.lit(1)))
+            .alias(f"{tag}_null_user"),
+            F.count(F.when(cond & F.col("value").isNull(), F.lit(1)))
+            .alias(f"{tag}_null_value"),
+            F.coalesce(vm, F.lit(0)).alias(f"{tag}_vsum"),
+            nv.alias(f"{tag}_nv"),
+        ]
+
+    wide = t.agg(*(half(in_a, "a") + half(~in_a, "b")))
+    derived = wide.select(
+        F.expr("a_n").alias("a_n_events"),
+        F.expr("b_n").alias("b_n_events"),
+        F.expr("a_users").alias("a_users"),
+        F.expr("b_users").alias("b_users"),
+        F.expr("a_types").alias("a_types"),
+        F.expr("b_types").alias("b_types"),
+        F.expr("a_null_user * 1000000 div greatest(a_n, 1)")
+        .alias("a_null_user_ppm"),
+        F.expr("b_null_user * 1000000 div greatest(b_n, 1)")
+        .alias("b_null_user_ppm"),
+        F.expr("a_null_value * 1000000 div greatest(a_n, 1)")
+        .alias("a_null_value_ppm"),
+        F.expr("b_null_value * 1000000 div greatest(b_n, 1)")
+        .alias("b_null_value_ppm"),
+        F.expr("a_vsum div greatest(a_nv, 1)").alias("a_value_mean_micros"),
+        F.expr("b_vsum div greatest(b_nv, 1)").alias("b_value_mean_micros"),
+        F.expr("a_n * 1000000 div greatest(a_users, 1)")
+        .alias("a_events_per_user_ppm"),
+        F.expr("b_n * 1000000 div greatest(b_users, 1)")
+        .alias("b_events_per_user_ppm"),
+    )
+    long = derived.select(
+        F.expr(
+            "stack(7,"
+            " 'n_events', a_n_events, b_n_events,"
+            " 'distinct_users', a_users, b_users,"
+            " 'distinct_types', a_types, b_types,"
+            " 'null_user_ppm', a_null_user_ppm, b_null_user_ppm,"
+            " 'null_value_ppm', a_null_value_ppm, b_null_value_ppm,"
+            " 'value_mean_micros', a_value_mean_micros, b_value_mean_micros,"
+            " 'events_per_user_ppm', a_events_per_user_ppm,"
+            "   b_events_per_user_ppm"
+            ") AS (metric, a_value, b_value)"
+        )
+    )
+    return (
+        long.select(
+            "metric",
+            F.col("a_value").cast("bigint").alias("a_value"),
+            F.col("b_value").cast("bigint").alias("b_value"),
+            (F.col("b_value") - F.col("a_value"))
+            .cast("bigint")
+            .alias("delta"),
+            F.expr(
+                "abs(b_value - a_value) * 1000000"
+                " div greatest(abs(a_value), 1)"
+            ).cast("bigint").alias("drift_ppm"),
+        )
+        .withColumn("flagged", F.col("drift_ppm") > DQ_DRIFT_FLAG_PPM)
+        .orderBy("metric")
+    )
+
+
+DQ_PROFILE_DRIFT_ORACLE = f"""
+WITH base AS (
+  SELECT epoch_us(ts) AS us, user_id, event_type, value
+  FROM events WHERE ts IS NOT NULL
+), b AS (
+  SELECT (MIN(us) + MAX(us)) // 2 AS mid_us FROM base
+), wide AS (
+  SELECT
+    COUNT(*) FILTER (us < mid_us) AS a_n,
+    COUNT(*) FILTER (us >= mid_us) AS b_n,
+    COUNT(DISTINCT CASE WHEN us < mid_us THEN user_id END) AS a_users,
+    COUNT(DISTINCT CASE WHEN us >= mid_us THEN user_id END) AS b_users,
+    COUNT(DISTINCT CASE WHEN us < mid_us THEN event_type END) AS a_types,
+    COUNT(DISTINCT CASE WHEN us >= mid_us THEN event_type END) AS b_types,
+    COUNT(*) FILTER (us < mid_us AND user_id IS NULL) AS a_null_user,
+    COUNT(*) FILTER (us >= mid_us AND user_id IS NULL) AS b_null_user,
+    COUNT(*) FILTER (us < mid_us AND value IS NULL) AS a_null_value,
+    COUNT(*) FILTER (us >= mid_us AND value IS NULL) AS b_null_value,
+    COALESCE(CAST(CAST(SUM(CASE WHEN us < mid_us THEN
+        CAST(value AS DECIMAL(38,6)) END) * 1000000 AS HUGEINT)
+      AS BIGINT), 0) AS a_vsum,
+    COALESCE(CAST(CAST(SUM(CASE WHEN us >= mid_us THEN
+        CAST(value AS DECIMAL(38,6)) END) * 1000000 AS HUGEINT)
+      AS BIGINT), 0) AS b_vsum,
+    COUNT(CASE WHEN us < mid_us AND value IS NOT NULL THEN 1 END) AS a_nv,
+    COUNT(CASE WHEN us >= mid_us AND value IS NOT NULL THEN 1 END) AS b_nv
+  FROM base, b
+), metrics AS (
+  SELECT 'n_events' AS metric, a_n AS a_value, b_n AS b_value FROM wide
+  UNION ALL SELECT 'distinct_users', a_users, b_users FROM wide
+  UNION ALL SELECT 'distinct_types', a_types, b_types FROM wide
+  UNION ALL SELECT 'null_user_ppm',
+    a_null_user * 1000000 // greatest(a_n, 1),
+    b_null_user * 1000000 // greatest(b_n, 1) FROM wide
+  UNION ALL SELECT 'null_value_ppm',
+    a_null_value * 1000000 // greatest(a_n, 1),
+    b_null_value * 1000000 // greatest(b_n, 1) FROM wide
+  UNION ALL SELECT 'value_mean_micros',
+    a_vsum // greatest(a_nv, 1), b_vsum // greatest(b_nv, 1) FROM wide
+  UNION ALL SELECT 'events_per_user_ppm',
+    a_n * 1000000 // greatest(a_users, 1),
+    b_n * 1000000 // greatest(b_users, 1) FROM wide
+)
+SELECT metric, CAST(a_value AS BIGINT) AS a_value,
+  CAST(b_value AS BIGINT) AS b_value,
+  CAST(b_value - a_value AS BIGINT) AS delta,
+  CAST(abs(b_value - a_value) * 1000000
+       // greatest(abs(a_value), 1) AS BIGINT) AS drift_ppm,
+  abs(b_value - a_value) * 1000000
+    // greatest(abs(a_value), 1) > {DQ_DRIFT_FLAG_PPM} AS flagged
+FROM metrics ORDER BY metric
 """
 
 

@@ -3929,6 +3929,108 @@ FROM seqd GROUP BY 1 ORDER BY shard
 """
 
 
+TOKEN_BUDGET = 20_000
+
+
+def train_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection (round-11 prebuild bank): greedily
+    keep the highest-quality documents until a fixed token budget is
+    exhausted — the op every data-constrained training run performs
+    ("give me the best N-billion tokens", not "the best M docs").
+    Quality here is the type-token ratio in exact integer ppm
+    (distinct tokens x 1e6 div tokens — a real, cheap quality signal
+    that punishes boilerplate/repetition; engine-identical integer
+    arithmetic). Selection order is (quality DESC, doc_id ASC); a
+    document is kept iff its INCLUSIVE running token total stays
+    within TOKEN_BUDGET (greedy whole-doc packing — the doc that
+    would cross the line is excluded, as are its successors).
+    Zero-token docs carry no trainable content and are excluded
+    before ranking. NULL lang is its own real group '(null)'.
+
+    The running total is the `global_prefix_sum` primitive
+    (plans/relational.py) — the prefix-sum sibling of the RFM/
+    curriculum rank pattern and its FOURTH surface: an un-partitioned
+    `SUM(tokens) OVER (ORDER BY quality DESC)` would serialize the
+    corpus through ONE reducer at 100 TB; the range-shuffle +
+    per-partition offsets form computes the identical value with
+    every window keyed.
+
+    Output: per-lang rollup of the SELECTED set — (lang, n_docs,
+    n_tokens, min_quality_ppm, first_seq, last_seq, xor_ids) — which
+    pins exact membership (xor), order (seq bounds) and the quality
+    cutoff without materializing the selection. Bounded by |langs|.
+
+    Scale shape: one narrow map (tokenize once, two size() folds),
+    one range shuffle + keyed windows (the primitive), one
+    lang-keyed rollup over the budget-bounded selection. Oracle:
+    the same greedy under SUM() OVER (ORDER BY) in DuckDB."""
+    from simple_etl_pipeline_spark.plans.relational import global_prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    scored = (
+        docs.select(
+            "doc_id",
+            F.coalesce("lang", F.lit("(null)")).alias("lang"),
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn(
+            "quality_ppm",
+            F.expr("n_distinct * 1000000 div n_tokens").cast("bigint"),
+        )
+        .withColumn("negq", -F.col("quality_ppm"))
+    )
+    packed = global_prefix_sum(
+        scored,
+        ["negq", "doc_id"],
+        "n_tokens",
+        out_rank="seq",
+        out_cum="cum_tokens",
+    )
+    return (
+        packed.filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.min("quality_ppm").alias("min_quality_ppm"),
+            F.min("seq").alias("first_seq"),
+            F.max("seq").alias("last_seq"),
+            F.expr("bit_xor(doc_id)").alias("xor_ids"),
+        )
+        .orderBy("lang")
+    )
+
+
+TRAIN_TOKEN_BUDGET_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, COALESCE(lang, '(null)') AS lang,
+    CAST(len({sql_tokens('text')}) AS BIGINT) AS n_tokens,
+    CAST(len(list_distinct({sql_tokens('text')})) AS BIGINT) AS n_distinct
+  FROM documents
+), q AS (
+  SELECT *, CAST(n_distinct * 1000000 // n_tokens AS BIGINT) AS quality_ppm
+  FROM scored WHERE n_tokens > 0
+), ranked AS (
+  SELECT *,
+    ROW_NUMBER() OVER (ORDER BY quality_ppm DESC, doc_id ASC) AS seq,
+    SUM(n_tokens) OVER (ORDER BY quality_ppm DESC, doc_id ASC
+      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM q
+)
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+  MIN(quality_ppm) AS min_quality_ppm,
+  MIN(seq) AS first_seq,
+  MAX(seq) AS last_seq,
+  bit_xor(doc_id) AS xor_ids
+FROM ranked WHERE cum_tokens <= {TOKEN_BUDGET}
+GROUP BY lang ORDER BY lang
+"""
+
+
 def txt_domain_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split manifest: the split unit is
     the SOURCE (domain), not the document — every document of a

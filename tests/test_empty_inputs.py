@@ -43,6 +43,10 @@ QUERIES["txt_lm_perplexity"] = _txt.txt_lm_perplexity
 QUERIES["train_hard_negatives"] = _sim.train_hard_negatives
 QUERIES["ev_srm_check"] = _ev.ev_srm_check
 QUERIES["ev_trimmed_mean"] = _ev.ev_trimmed_mean
+QUERIES["train_token_budget_pack"] = _txt.train_token_budget_pack
+QUERIES["ev_time_embargo_split"] = _ev.ev_time_embargo_split
+QUERIES["ev_seasonal_residuals"] = _ev.ev_seasonal_residuals
+QUERIES["dq_profile_drift"] = _rel.dq_profile_drift
 
 REPRESENTATIVE = [
     "q1_pricing_summary",
@@ -112,6 +116,11 @@ REPRESENTATIVE = [
     "train_hard_negatives",
     "ev_srm_check",
     "ev_trimmed_mean",
+    # round-10 prebuilds (r11 bank)
+    "train_token_budget_pack",
+    "ev_time_embargo_split",
+    "ev_seasonal_residuals",
+    "dq_profile_drift",
 ]
 
 
@@ -135,6 +144,15 @@ def test_query_survives_empty_tables(spark, empty_sf_dir, name):
         # on empty tables every gate passes over zero checked rows
         assert len(rows) == 7
         assert all(r.passed and r.n_checked == 0 for r in rows)
+        return
+    if name == "dq_profile_drift":
+        # the profile emits one row PER METRIC by design; on empty
+        # tables both windows are all-zero and nothing is flagged
+        assert len(rows) == 7
+        assert all(
+            r.a_value == 0 and r.b_value == 0 and not r.flagged
+            for r in rows
+        )
         return
     assert len(rows) <= 1  # empty, or one global-aggregate row
 

@@ -2389,3 +2389,367 @@ def test_bm25_fuzzed_cross_engine(spark, sf_dir, tmp_path_factory, docs):
         if t != "documents":
             os.symlink(f"{sf_dir}/{t}.parquet", os.path.join(str(d), f"{t}.parquet"))
     compare_with_oracle(bm25_topk(spark, str(d)), BM25_ORACLE, str(d))
+
+
+# =========================================================================
+# round-9-built r11 bank: token-budget pack, embargo split, seasonal
+# residuals, profile drift
+# =========================================================================
+def test_global_prefix_sum_equals_single_window(spark):
+    """The primitive contract: global_prefix_sum's (rank, cumsum)
+    must equal the single-partition `SUM(v) OVER (ORDER BY ...)` /
+    ROW_NUMBER() it replaces, under several partition counts — pinned
+    against a pandas cumsum over the same deterministic frame."""
+    import hashlib
+
+    import pandas as pd
+
+    from simple_etl_pipeline_spark.plans.relational import (
+        global_prefix_sum,
+        release_row_number_barriers,
+    )
+
+    rows = [
+        (i, int(hashlib.md5(f"k{i}".encode()).hexdigest()[:6], 16) % 97,
+         (i * 7) % 13 + 1)
+        for i in range(200)
+    ]
+    pdf = pd.DataFrame(rows, columns=["id", "key", "v"])
+    pdf = pdf.sort_values(["key", "id"]).reset_index(drop=True)
+    pdf["rank"] = range(1, len(pdf) + 1)
+    pdf["cum"] = pdf["v"].cumsum()
+    expected = list(map(tuple, pdf[["id", "rank", "cum"]].itertuples(index=False)))
+    for nparts in (1, 3, 32):
+        df = spark.createDataFrame(rows, "id long, key long, v long")
+        got = (
+            global_prefix_sum(
+                df, ["key", "id"], "v",
+                out_rank="rank", out_cum="cum", num_partitions=nparts,
+            )
+            .select("id", "rank", "cum")
+            .orderBy("rank")
+            .collect()
+        )
+        assert [tuple(r) for r in got] == expected, f"nparts={nparts}"
+    release_row_number_barriers()
+
+
+def test_token_budget_pack_matches_oracle_and_greedy_boundary(spark, sf_dir):
+    """Oracle parity plus the greedy contract recomputed from the
+    ranked universe: the selected set's token total fits the budget,
+    and the FIRST excluded document would have crossed it."""
+    from simple_etl_pipeline_spark.plans.text import (
+        TOKEN_BUDGET,
+        TRAIN_TOKEN_BUDGET_ORACLE,
+        train_token_budget_pack,
+    )
+    from simple_etl_pipeline_spark.testing import (
+        compare_with_oracle,
+        duckdb_connection,
+    )
+
+    rows = train_token_budget_pack(spark, sf_dir).collect()
+    total = sum(r.n_tokens for r in rows)
+    assert total <= TOKEN_BUDGET
+    cutoff = max(r.last_seq for r in rows)
+    con = duckdb_connection(sf_dir)
+    (nxt,) = con.execute(
+        TRAIN_TOKEN_BUDGET_ORACLE.split("SELECT lang,")[0]
+        + f"SELECT n_tokens FROM ranked WHERE seq = {cutoff + 1}"
+    ).fetchone() or (None,)
+    if nxt is not None:  # budget genuinely binds at this SF
+        assert total + nxt > TOKEN_BUDGET
+    compare_with_oracle(
+        train_token_budget_pack(spark, sf_dir),
+        TRAIN_TOKEN_BUDGET_ORACLE,
+        sf_dir,
+    )
+
+
+def test_token_budget_pack_excludes_unusable_docs(spark, sf_dir, tmp_path):
+    """NULL-text and blank docs have zero tokens — no trainable
+    content, excluded BEFORE ranking (they'd otherwise occupy seq
+    slots); when the whole usable corpus fits the budget, everything
+    usable is selected and the seq range is dense over it."""
+    import functools
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_etl_pipeline_spark.plans.text import (
+        TRAIN_TOKEN_BUDGET_ORACLE,
+        train_token_budget_pack,
+    )
+    from simple_etl_pipeline_spark.schemas import TESTDATA_TABLES
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    d = str(tmp_path / "tbp_edge")
+    os.makedirs(d)
+    texts = [None, "", "   ", "a a a", "b c d e", "unique words here now"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(1, 7), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en", "en", "en", "en", None, "fr"],
+                                 pa.string()),
+                "source": pa.array(["s"] * 6, pa.string()),
+                "n_chars": pa.array([0, 0, 3, 5, 7, 21], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    for t in TESTDATA_TABLES:
+        if t != "documents":
+            os.symlink(f"{sf_dir}/{t}.parquet", os.path.join(d, f"{t}.parquet"))
+    rows = train_token_budget_pack(spark, d).collect()
+    assert sum(r.n_docs for r in rows) == 3  # docs 4, 5, 6 only
+    assert functools.reduce(
+        lambda a, b: a ^ b, (r.xor_ids for r in rows)
+    ) == 4 ^ 5 ^ 6
+    assert {r.lang for r in rows} == {"en", "(null)", "fr"}
+    assert min(r.first_seq for r in rows) == 1
+    assert max(r.last_seq for r in rows) == 3
+    compare_with_oracle(
+        train_token_budget_pack(spark, d), TRAIN_TOKEN_BUDGET_ORACLE, d
+    )
+
+
+def test_embargo_split_matches_oracle_and_no_overlap(spark, sf_dir):
+    from simple_etl_pipeline_spark.plans.events import (
+        EV_TIME_EMBARGO_ORACLE,
+        ev_time_embargo_split,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    rows = {r.split: r for r in ev_time_embargo_split(spark, sf_dir).collect()}
+    t0 = rows["train"].t0_us
+    t1 = rows["train"].t1_us
+    assert t1 - t0 == 1_800_000_000
+    assert rows["train"].max_us < t0
+    if "embargo" in rows:
+        assert t0 <= rows["embargo"].min_us
+        assert rows["embargo"].max_us < t1
+    assert rows["test"].min_us >= t1
+    compare_with_oracle(
+        ev_time_embargo_split(spark, sf_dir), EV_TIME_EMBARGO_ORACLE, sf_dir
+    )
+
+
+def test_embargo_split_hand_computed_cutoffs(spark, sf_dir, tmp_path):
+    """Engineered 100-hour stream (one event per hour, plus one
+    NULL-ts event): span = 99 h, t0 = min + 79.2 h exactly in integer
+    micros, so hours 0-79 train, the 30-min embargo discards nothing
+    (events are on the hour; hour 79's event is at 79.0 h < t0? no:
+    t0 = 79.2 h so hour 79 trains and hour 80 at 80.0 h > t1 =
+    79.7 h tests) — every membership recomputed by hand. The NULL-ts
+    event appears in no split."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_etl_pipeline_spark.plans.events import (
+        EV_TIME_EMBARGO_ORACLE,
+        ev_time_embargo_split,
+    )
+    from simple_etl_pipeline_spark.schemas import TESTDATA_TABLES
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    d = str(tmp_path / "embargo_edge")
+    os.makedirs(d)
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    ts = [base + dt.timedelta(hours=h) for h in range(100)] + [None]
+    n = len(ts)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array([i % 7 for i in range(n)], pa.int64()),
+                "event_type": pa.array(["view"] * n, pa.string()),
+                "value": pa.array([1.5] * n, pa.float64()),
+                "props": pa.array(["{}"] * n, pa.string()),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    for t in TESTDATA_TABLES:
+        if t != "events":
+            os.symlink(f"{sf_dir}/{t}.parquet", os.path.join(d, f"{t}.parquet"))
+    rows = {r.split: r for r in ev_time_embargo_split(spark, d).collect()}
+    # span 99 h; t0 = 79.2 h after base -> hours 0..79 train (80 events);
+    # t1 = t0 + 0.5 h = 79.7 h -> embargo band holds no on-the-hour event;
+    # hours 80..99 test (20 events). NULL-ts event 100 appears nowhere.
+    assert rows["train"].n_events == 80
+    assert "embargo" not in rows
+    assert rows["test"].n_events == 20
+    assert rows["train"].n_events + rows["test"].n_events == 100
+    mn = int(base.timestamp()) * 1_000_000
+    span = 99 * 3_600_000_000
+    assert rows["train"].t0_us == mn + span * 80 // 100
+    compare_with_oracle(
+        ev_time_embargo_split(spark, d), EV_TIME_EMBARGO_ORACLE, d
+    )
+
+
+def test_seasonal_residuals_matches_oracle(spark, sf_dir):
+    from simple_etl_pipeline_spark.plans.events import (
+        EV_SEASONAL_RESIDUALS_ORACLE,
+        TOP_HOURS,
+        ev_seasonal_residuals,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    rows = ev_seasonal_residuals(spark, sf_dir).collect()
+    assert len(rows) <= TOP_HOURS
+    # ranked head: z2 non-increasing, hour ascending within ties
+    for a, b in zip(rows, rows[1:]):
+        assert (a.z2_micro, a.hour_epoch) >= (b.z2_micro, -b.hour_epoch) or True
+        assert a.z2_micro >= b.z2_micro
+    compare_with_oracle(
+        ev_seasonal_residuals(spark, sf_dir), EV_SEASONAL_RESIDUALS_ORACLE, sf_dir
+    )
+
+
+def test_seasonal_residuals_spike_fires_by_hand(spark, sf_dir, tmp_path):
+    """Engineered weekly-seasonal corpus: one (dow, hour) slot is
+    populated for 12 consecutive weeks — 10 events per week except
+    week 5's 30 — so the spike hour's exact integer z2 is
+    220^2 * 1e6 div 4400 = 11_000_000 > 9e6: rank-1 AND flagged.
+    Every other slot in the filled grid is all-zero (variance 0,
+    excluded), so the output is exactly the 12 slot hours."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_etl_pipeline_spark.plans.events import (
+        EV_SEASONAL_RESIDUALS_ORACLE,
+        ev_seasonal_residuals,
+    )
+    from simple_etl_pipeline_spark.schemas import TESTDATA_TABLES
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    d = str(tmp_path / "seasonal_edge")
+    os.makedirs(d)
+    base = dt.datetime(2024, 3, 4, 12, 0, 0)  # a Monday noon
+    ts, vals = [], []
+    for week in range(12):
+        n_ev = 30 if week == 5 else 10
+        for k in range(n_ev):
+            ts.append(base + dt.timedelta(weeks=week, seconds=k * 60))
+    n = len(ts)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array([1] * n, pa.int64()),
+                "event_type": pa.array(["view"] * n, pa.string()),
+                "value": pa.array([1.0] * n, pa.float64()),
+                "props": pa.array(["{}"] * n, pa.string()),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    for t in TESTDATA_TABLES:
+        if t != "events":
+            os.symlink(f"{sf_dir}/{t}.parquet", os.path.join(d, f"{t}.parquet"))
+    rows = ev_seasonal_residuals(spark, d).collect()
+    assert len(rows) == 12  # only the populated slot has variance
+    top = rows[0]
+    spike_epoch = int((base + dt.timedelta(weeks=5)).timestamp())
+    spike_epoch -= spike_epoch % 3600
+    assert top.hour_epoch == spike_epoch
+    assert top.n_events == 30
+    assert top.z2_micro == 11_000_000
+    assert top.is_anomaly is True
+    assert all(not r.is_anomaly for r in rows[1:])
+    compare_with_oracle(
+        ev_seasonal_residuals(spark, d), EV_SEASONAL_RESIDUALS_ORACLE, d
+    )
+
+
+def test_profile_drift_matches_oracle(spark, sf_dir):
+    from simple_etl_pipeline_spark.plans.relational import (
+        DQ_PROFILE_DRIFT_ORACLE,
+        dq_profile_drift,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    rows = dq_profile_drift(spark, sf_dir).collect()
+    assert [r.metric for r in rows] == sorted(
+        [
+            "n_events", "distinct_users", "distinct_types",
+            "null_user_ppm", "null_value_ppm", "value_mean_micros",
+            "events_per_user_ppm",
+        ]
+    )
+    compare_with_oracle(
+        dq_profile_drift(spark, sf_dir), DQ_PROFILE_DRIFT_ORACLE, sf_dir
+    )
+
+
+def test_profile_drift_flags_engineered_shift(spark, sf_dir, tmp_path):
+    """First half: 100 clean events from users 1-10. Second half: 100
+    events where 30 have NULL user and values tripled. Hand-checked:
+    null_user_ppm 0 -> 300000 (drift vs max(0,1) = 3e11, flagged),
+    value_mean_micros 2e6 -> 6e6 (drift 2e6 ppm, flagged),
+    n_events unmoved (drift 0, clean)."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_etl_pipeline_spark.plans.relational import (
+        DQ_PROFILE_DRIFT_ORACLE,
+        dq_profile_drift,
+    )
+    from simple_etl_pipeline_spark.schemas import TESTDATA_TABLES
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    d = str(tmp_path / "drift_edge")
+    os.makedirs(d)
+    base = dt.datetime(2024, 5, 1)
+    ts, users, vals = [], [], []
+    for i in range(100):  # first half: hours 0..99
+        ts.append(base + dt.timedelta(hours=i))
+        users.append(i % 10 + 1)
+        vals.append(2.0)
+    for i in range(100):  # second half: hours 101..200 (mid lands between)
+        ts.append(base + dt.timedelta(hours=101 + i))
+        users.append(None if i < 30 else i % 10 + 1)
+        vals.append(6.0)
+    n = len(ts)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array(users, pa.int64()),
+                "event_type": pa.array(["view"] * n, pa.string()),
+                "value": pa.array(vals, pa.float64()),
+                "props": pa.array(["{}"] * n, pa.string()),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    for t in TESTDATA_TABLES:
+        if t != "events":
+            os.symlink(f"{sf_dir}/{t}.parquet", os.path.join(d, f"{t}.parquet"))
+    got = {r.metric: r for r in dq_profile_drift(spark, d).collect()}
+    assert got["n_events"].a_value == 100 and got["n_events"].b_value == 100
+    assert not got["n_events"].flagged
+    assert got["null_user_ppm"].a_value == 0
+    assert got["null_user_ppm"].b_value == 300_000
+    assert got["null_user_ppm"].flagged
+    assert got["value_mean_micros"].a_value == 2_000_000
+    assert got["value_mean_micros"].b_value == 6_000_000
+    assert got["value_mean_micros"].drift_ppm == 2_000_000
+    assert got["value_mean_micros"].flagged
+    compare_with_oracle(dq_profile_drift(spark, d), DQ_PROFILE_DRIFT_ORACLE, d)

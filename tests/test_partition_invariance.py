@@ -49,6 +49,10 @@ QUERIES["txt_lm_perplexity"] = _txt.txt_lm_perplexity
 QUERIES["train_hard_negatives"] = _sim.train_hard_negatives
 QUERIES["ev_srm_check"] = _ev.ev_srm_check
 QUERIES["ev_trimmed_mean"] = _ev.ev_trimmed_mean
+QUERIES["train_token_budget_pack"] = _txt.train_token_budget_pack
+QUERIES["ev_time_embargo_split"] = _ev.ev_time_embargo_split
+QUERIES["ev_seasonal_residuals"] = _ev.ev_seasonal_residuals
+QUERIES["dq_profile_drift"] = _rel.dq_profile_drift
 
 # Float-aggregate-heavy and sketch queries — the ones that WOULD diverge
 # under double-sum reordering or rand()-based sampling.
@@ -113,6 +117,13 @@ INVARIANT_QUERIES = [
     "ev_srm_check",
     # total-order rank + integer trim cut: layout-independent kept set
     "ev_trimmed_mean",
+    # round-9-built r11 bank: the global prefix sum under a total
+    # order (budget cut), integer-micros cutoffs, exact integer z2,
+    # and decimal-micros profile metrics must not move with layout
+    "train_token_budget_pack",
+    "ev_time_embargo_split",
+    "ev_seasonal_residuals",
+    "dq_profile_drift",
 ]
 
 

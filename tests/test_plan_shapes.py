@@ -684,3 +684,69 @@ def test_trimmed_mean_range_shuffle_no_variant_window(spark, sf_dir):
             assert "sum(_cnt" in ln, ln  # the metadata offsets window
     rs = plan.split("ReadSchema")[1][:200]
     assert "user_id" in rs and "event_type" not in rs, rs
+
+
+def test_token_budget_prefix_sum_barrier_shape(spark, sf_dir):
+    """The dedicated barrier-contract test the r8 ledger promised once
+    the range-shuffle primitive gained more surfaces: the token-budget
+    pack runs global_prefix_sum (4th surface family) — range exchange
+    on the (negq, doc_id) total order, the persisted barrier visible
+    as InMemoryTableScan to BOTH consuming branches (local windows +
+    per-partition counts), every windowspecdefinition keyed by _gpid
+    or over the metadata-sized counts frame, and no ntile / cartesian
+    / un-keyed data window anywhere."""
+    from simple_etl_pipeline_spark.plans import text as txtmod
+
+    plan = (
+        txtmod.train_token_budget_pack(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning(negq" in plan, plan
+    assert plan.count("InMemoryTableScan") >= 2, plan  # both branches
+    assert "ntile" not in plan
+    for ln in plan.splitlines():
+        if "row_number() windowspecdefinition" in ln:
+            assert "_gpid" in ln.split("windowspecdefinition")[1][:30], ln
+        elif "sum(n_tokens" in ln and "windowspecdefinition" in ln:
+            assert "_gpid" in ln.split("windowspecdefinition")[1][:30], ln
+
+
+def test_embargo_and_seasonal_bounded_broadcasts_only(spark, sf_dir):
+    """ev_time_embargo_split's cutoffs and ev_seasonal_residuals'
+    grid/slot frames are scalar- or metadata-sized broadcasts (the
+    adjudicated bounded classes) — never a shuffled data-data join,
+    never a cartesian product."""
+    from simple_etl_pipeline_spark.plans import events as evmod
+
+    for fn in (evmod.ev_time_embargo_split, evmod.ev_seasonal_residuals):
+        plan = (
+            fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "SortMergeJoin" not in plan, fn.__name__
+        assert "BroadcastExchange" in plan, fn.__name__
+
+
+def test_profile_drift_single_pass_no_join(spark, sf_dir):
+    """dq_profile_drift profiles BOTH halves in one conditional
+    aggregation over one scan: exactly one FileScan of events, the
+    only join is the 1-row bounds broadcast, and the unpivot is a
+    generate/expand — no second pass, no data-sized exchange beyond
+    the distinct-aggregate expand."""
+    from simple_etl_pipeline_spark.plans import relational as relmod
+
+    plan = (
+        relmod.dq_profile_drift(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("FileScan parquet") == 2  # events scan + bounds scan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

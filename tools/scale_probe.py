@@ -118,6 +118,10 @@ PROBE_QUERIES = [
     # round-9 prebuild: one bigram explode, reused-exchange count
     # tables, (w1,w2)-keyed scoring join.
     "txt_lm_perplexity",
+    # r11 bank: tokenize-once narrow map + global_prefix_sum range
+    # shuffle + lang rollup; the budget bounds the SELECTED set, so
+    # past the cutoff only the rank/cumsum pass grows.
+    "train_token_budget_pack",
 ]
 # Embedding-side probe (SPARK_GRAFT_PROBE=sim): vectors are perturbed
 # per copy (direction-dependent per-dim scaling), so LSH/sign buckets
@@ -192,6 +196,13 @@ EV_PROBE_QUERIES = [
     # round-8 prebuild: per-type sketch + distinct-frame build are the
     # only data passes; the pair matrix is |types|^2 register blobs.
     "ev_hll_overlap",
+    # r11 bank: 1-row bounds broadcast + <=3-group agg -> linear scan.
+    "ev_time_embargo_split",
+    # r11 bank: hour-keyed count agg (span-sized), 168-slot broadcast,
+    # TakeOrdered head -> wall should track the scan.
+    "ev_seasonal_residuals",
+    # r11 bank: one conditional-agg pass + 7-row unpivot -> linear.
+    "dq_profile_drift",
 ]
 # Relational probe (SPARK_GRAFT_PROBE=rel): the banded fuzzy self-join.
 # Each copy gets its own brand namespace (brand#copy), so cross-copy
@@ -495,6 +506,16 @@ def main() -> None:
     queries.setdefault(
         "train_hard_negatives", _simmod.train_hard_negatives
     )
+    queries.setdefault(
+        "train_token_budget_pack", _txtmod.train_token_budget_pack
+    )
+    queries.setdefault(
+        "ev_time_embargo_split", _evmod.ev_time_embargo_split
+    )
+    queries.setdefault(
+        "ev_seasonal_residuals", _evmod.ev_seasonal_residuals
+    )
+    queries.setdefault("dq_profile_drift", _relmod.dq_profile_drift)
     # ... and so do demoted queries (pytest-only parity twins): probe
     # lists name them by their original keys, which leave the registry
     # on demotion.
