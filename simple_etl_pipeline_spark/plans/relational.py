@@ -2331,6 +2331,7 @@ FROM checks ORDER BY table_name, constraint_name
 
 # --- two-window data-profile drift (round-11 prebuild bank) ----------------
 DQ_DRIFT_FLAG_PPM = 200_000  # flag a metric that moved > 20%
+DQ_DRIFT_PPM_CAP = 10**15  # saturation: keeps drift_ppm inside BIGINT
 
 
 def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2349,6 +2350,15 @@ def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged when it exceeds DQ_DRIFT_FLAG_PPM. All arithmetic is
     integer/decimal-exact; NULL-ts events have no window and are
     excluded.
+
+    Overflow (found by the round-9 hypothesis fuzz — the SRM chi2
+    class again, caught at the bank stage this time): micros-scale
+    metrics make |delta| * 1e6 exceed BIGINT (a 1e9-valued stream
+    gives value_mean_micros ~1e15), so the multiply runs in
+    decimal(38,0) / HUGEINT on the two sides, and drift_ppm is capped
+    at DQ_DRIFT_PPM_CAP (1e15 ppm = a billion-fold move — any real
+    drift saturates the 20% flag long before the cap matters) so the
+    final BIGINT cast can never overflow either engine.
 
     Scale shape: one 1-row bounds agg (map-side combined), broadcast
     as a scalar; then ONE conditional-aggregation pass over the scan
@@ -2436,8 +2446,9 @@ def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("delta"),
             F.expr(
-                "abs(b_value - a_value) * 1000000"
-                " div greatest(abs(a_value), 1)"
+                f"least(CAST(abs(b_value - a_value) AS DECIMAL(38,0))"
+                f" * 1000000 div greatest(abs(a_value), 1),"
+                f" {DQ_DRIFT_PPM_CAP})"
             ).cast("bigint").alias("drift_ppm"),
         )
         .withColumn("flagged", F.col("drift_ppm") > DQ_DRIFT_FLAG_PPM)
@@ -2491,10 +2502,12 @@ WITH base AS (
 SELECT metric, CAST(a_value AS BIGINT) AS a_value,
   CAST(b_value AS BIGINT) AS b_value,
   CAST(b_value - a_value AS BIGINT) AS delta,
-  CAST(abs(b_value - a_value) * 1000000
-       // greatest(abs(a_value), 1) AS BIGINT) AS drift_ppm,
-  abs(b_value - a_value) * 1000000
-    // greatest(abs(a_value), 1) > {DQ_DRIFT_FLAG_PPM} AS flagged
+  CAST(least(CAST(abs(b_value - a_value) AS HUGEINT) * 1000000
+             // greatest(abs(a_value), 1),
+             {DQ_DRIFT_PPM_CAP}) AS BIGINT) AS drift_ppm,
+  least(CAST(abs(b_value - a_value) AS HUGEINT) * 1000000
+        // greatest(abs(a_value), 1),
+        {DQ_DRIFT_PPM_CAP}) > {DQ_DRIFT_FLAG_PPM} AS flagged
 FROM metrics ORDER BY metric
 """
 

@@ -2753,3 +2753,189 @@ def test_profile_drift_flags_engineered_shift(spark, sf_dir, tmp_path):
     assert got["value_mean_micros"].drift_ppm == 2_000_000
     assert got["value_mean_micros"].flagged
     compare_with_oracle(dq_profile_drift(spark, d), DQ_PROFILE_DRIFT_ORACLE, d)
+
+
+# --- hypothesis cross-engine fuzz: r11 bank --------------------------------
+@_settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[_HC.function_scoped_fixture],
+)
+@_given(
+    docs=_st.lists(
+        _st.lists(  # tiny vocab -> massive quality_ppm tie structure
+            _st.sampled_from(["a", "b", "c"]),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+def test_token_budget_fuzzed_cross_engine(spark, sf_dir, tmp_path_factory, docs):
+    """Random tiny-vocab corpora: floor-div quality_ppm collides
+    heavily (many docs share exact ratios), so the (quality DESC,
+    doc_id) tie-break and the greedy cumsum boundary are exercised on
+    every example; empty docs ride along to pin the usable-doc filter.
+    Full driver-gate comparison per example."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_etl_pipeline_spark.plans.text import (
+        TRAIN_TOKEN_BUDGET_ORACLE,
+        train_token_budget_pack,
+    )
+    from simple_etl_pipeline_spark.schemas import TESTDATA_TABLES
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    d = tmp_path_factory.mktemp("tbp_fuzz")
+    texts = [" ".join(t) for t in docs]
+    n = len(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(1, n + 1), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(
+                    [["en", "fr", None][i % 3] for i in range(n)], pa.string()
+                ),
+                "source": pa.array(["s"] * n, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(str(d), "documents.parquet"),
+    )
+    for t in TESTDATA_TABLES:
+        if t != "documents":
+            os.symlink(f"{sf_dir}/{t}.parquet", os.path.join(str(d), f"{t}.parquet"))
+    compare_with_oracle(
+        train_token_budget_pack(spark, str(d)), TRAIN_TOKEN_BUDGET_ORACLE, str(d)
+    )
+
+
+@_settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[_HC.function_scoped_fixture],
+)
+@_given(
+    events=_st.lists(
+        _st.tuples(
+            _st.integers(min_value=0, max_value=400),  # hour offset (~2.4 wk)
+            _st.integers(min_value=0, max_value=3599),  # second in hour
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_seasonal_residuals_fuzzed_cross_engine(
+    spark, sf_dir, tmp_path_factory, events
+):
+    """Random sparse event times over a ~2.4-week span: tiny slot
+    populations (n = 1-3 hours per (dow,hod) slot), rampant zero
+    counts from the filled grid, z2 ties at identical count patterns,
+    and single-hour spans (n = 1 everywhere -> empty output) — the
+    degenerate structures where grid/slot logic diverges if it ever
+    will. Full driver-gate comparison per example."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_etl_pipeline_spark.plans.events import (
+        EV_SEASONAL_RESIDUALS_ORACLE,
+        ev_seasonal_residuals,
+    )
+    from simple_etl_pipeline_spark.schemas import TESTDATA_TABLES
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    d = tmp_path_factory.mktemp("seasonal_fuzz")
+    base = dt.datetime(2024, 6, 3)
+    ts = [base + dt.timedelta(hours=h, seconds=s) for h, s in events]
+    n = len(ts)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array([1] * n, pa.int64()),
+                "event_type": pa.array(["view"] * n, pa.string()),
+                "value": pa.array([1.0] * n, pa.float64()),
+                "props": pa.array(["{}"] * n, pa.string()),
+            }
+        ),
+        os.path.join(str(d), "events.parquet"),
+    )
+    for t in TESTDATA_TABLES:
+        if t != "events":
+            os.symlink(f"{sf_dir}/{t}.parquet", os.path.join(str(d), f"{t}.parquet"))
+    compare_with_oracle(
+        ev_seasonal_residuals(spark, str(d)), EV_SEASONAL_RESIDUALS_ORACLE, str(d)
+    )
+
+
+@_settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[_HC.function_scoped_fixture],
+)
+@_given(
+    events=_st.lists(
+        _st.tuples(
+            _st.integers(min_value=0, max_value=1000),   # minute offset
+            _st.sampled_from([1, 2, 3, None]),           # user incl NULL
+            _st.sampled_from([0.5, -2.25, 1e9, None]),   # value incl NULL/big
+        ),
+        min_size=2,
+        max_size=24,
+    )
+)
+def test_profile_drift_fuzzed_cross_engine(
+    spark, sf_dir, tmp_path_factory, events
+):
+    """Random streams with NULL users/values, negative and 1e9-scale
+    values, and arbitrary midpoint placement (events clustering on one
+    side leaves the other half empty -> the greatest(x,1) guards):
+    the FILTER/CASE conditional-aggregation parity and the decimal
+    micros sums must agree on every example."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_etl_pipeline_spark.plans.relational import (
+        DQ_PROFILE_DRIFT_ORACLE,
+        dq_profile_drift,
+    )
+    from simple_etl_pipeline_spark.schemas import TESTDATA_TABLES
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    d = tmp_path_factory.mktemp("drift_fuzz")
+    base = dt.datetime(2024, 7, 1)
+    n = len(events)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(
+                    [base + dt.timedelta(minutes=m) for m, _u, _v in events],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([u for _m, u, _v in events], pa.int64()),
+                "event_type": pa.array(["view"] * n, pa.string()),
+                "value": pa.array([v for _m, _u, v in events], pa.float64()),
+                "props": pa.array(["{}"] * n, pa.string()),
+            }
+        ),
+        os.path.join(str(d), "events.parquet"),
+    )
+    for t in TESTDATA_TABLES:
+        if t != "events":
+            os.symlink(f"{sf_dir}/{t}.parquet", os.path.join(str(d), f"{t}.parquet"))
+    compare_with_oracle(
+        dq_profile_drift(spark, str(d)), DQ_PROFILE_DRIFT_ORACLE, str(d)
+    )
