@@ -28,6 +28,25 @@ QUERIES = entrymod.queries()
 # demoted-from-registry queries stay under the same test discipline
 from simple_etl_pipeline_spark.testing import demoted_queries as _dq  # noqa: E402
 QUERIES.update({k: fn for k, (fn, _) in _dq().items()})
+# banked prebuilds must already satisfy the zero-job build contract
+# BEFORE they earn a registry slot
+from simple_etl_pipeline_spark.plans import events as _lev  # noqa: E402
+from simple_etl_pipeline_spark.plans import relational as _lrel  # noqa: E402
+from simple_etl_pipeline_spark.plans import similarity as _lsim  # noqa: E402
+from simple_etl_pipeline_spark.plans import text as _ltxt  # noqa: E402
+
+QUERIES.update(
+    {
+        "txt_lm_perplexity": _ltxt.txt_lm_perplexity,
+        "train_hard_negatives": _lsim.train_hard_negatives,
+        "ev_srm_check": _lev.ev_srm_check,
+        "ev_trimmed_mean": _lev.ev_trimmed_mean,
+        "train_token_budget_pack": _ltxt.train_token_budget_pack,
+        "ev_time_embargo_split": _lev.ev_time_embargo_split,
+        "ev_seasonal_residuals": _lev.ev_seasonal_residuals,
+        "dq_profile_drift": _lrel.dq_profile_drift,
+    }
+)
 LAZY_QUERIES = sorted(
     n
     for n in QUERIES
