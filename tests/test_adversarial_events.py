@@ -229,6 +229,11 @@ def nullish_ev_dir(spark, sf_dir, tmp_path_factory) -> str:
         "ev_hll_overlap",
         "ev_srm_check",
         "ev_trimmed_mean",
+        # r11 bank: NULL user/value rows and +/-9.2233e12 magnitudes
+        # hit the embargo value sums, the drift null-ppm/mean metrics
+        # and the seasonal grid the same way they hit the r8 trio
+        "ev_time_embargo_split",
+        "ev_seasonal_residuals",
     ],
 )
 def test_nullish_events_prebuild_oracle_parity(spark, nullish_ev_dir, qname):
@@ -243,6 +248,8 @@ def test_nullish_events_prebuild_oracle_parity(spark, nullish_ev_dir, qname):
         "ev_hll_overlap": evmod.EV_HLL_OVERLAP_ORACLE,
         "ev_srm_check": evmod.EV_SRM_CHECK_ORACLE,
         "ev_trimmed_mean": evmod.EV_TRIMMED_MEAN_ORACLE,
+        "ev_time_embargo_split": evmod.EV_TIME_EMBARGO_ORACLE,
+        "ev_seasonal_residuals": evmod.EV_SEASONAL_RESIDUALS_ORACLE,
     }[qname]
     compare_with_oracle(fn(spark, nullish_ev_dir), oracle, nullish_ev_dir)
 
@@ -303,3 +310,17 @@ def test_nullish_gap_fill_null_type_excluded_and_null_value_zero(
     assert all(r.sum_value is not None for r in rows)
     # top-band magnitudes survive the micros cast (no ANSI overflow)
     assert any(abs(r.sum_value) > 9e12 for r in rows)
+
+
+def test_nullish_profile_drift_oracle_parity(spark, nullish_ev_dir):
+    """dq_profile_drift (relational module) over the nullish corpus:
+    NULL users/values feed the null-ppm metrics directly, and the
+    ±9.2233e12 value magnitudes stress the decimal micros sums and
+    the capped drift_ppm arithmetic."""
+    from simple_etl_pipeline_spark.plans import relational as relmod
+
+    compare_with_oracle(
+        relmod.dq_profile_drift(spark, nullish_ev_dir),
+        relmod.DQ_PROFILE_DRIFT_ORACLE,
+        nullish_ev_dir,
+    )
