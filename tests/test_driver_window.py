@@ -38,6 +38,34 @@ def test_registry_totals():
     assert set(q) - set(o) == set()
 
 
+def test_banked_prebuilds_list_is_consistent():
+    """_BANKED_PREBUILDS feeds the rotation test's pending-state
+    allowlist, so it must stay honest: a banked name must NOT be
+    registered (a registered name left in the list could skip
+    scheduling forever — the exact crack the allowlist closes), and
+    every entry must resolve to a real operator in the plans modules
+    (a typo would silently fail to allowlist the real prebuild)."""
+    from simple_etl_pipeline_spark.plans import (
+        events as _ev,
+        relational as _rel,
+        similarity as _sim,
+        text as _txt,
+    )
+
+    banked = list(entrymod._BANKED_PREBUILDS)
+    assert len(banked) == len(set(banked))
+    registered = set(entrymod.queries())
+    assert set(banked) & registered == set(), (
+        "banked names are unregistered by definition; registering one "
+        "must remove it from _BANKED_PREBUILDS in the same commit"
+    )
+    for name in banked:
+        assert any(
+            callable(getattr(mod, name, None))
+            for mod in (_ev, _rel, _sim, _txt)
+        ), f"banked prebuild {name} resolves to no operator"
+
+
 def test_rotation_invariant_no_query_waits_three_rounds():
     """Every oracle-backed query must appear in the union of the LAST
     TWO recorded driver windows (CORRECTNESS_r{N}.json keys) plus the
