@@ -43,6 +43,16 @@ PICKS = {
     "ev_attribution": "as-of latest-prior-touch via one purchase-keyed window; 1-row total broadcast for shares",
     "ev_conversion_windows": "two user-keyed aggs joined PRE-aggregated (never event x event); day rollup",
     "train_shard_manifest": "narrow (seed,epoch,key) md5 map + one 8-key agg; output metadata-sized",
+    # round 8 registrations
+    "ev_gap_fill": "ONE (type, hour) data agg with map-side collapse; grid + interpolation windows run over span-sized frames",
+    "agg_rfm_segments": "3N melt -> repartitionByRange -> pid-keyed row_number + broadcast offsets (global_row_number); NTILE as pure (rank, N) arithmetic; no un-partitioned window",
+    "txt_domain_split": "narrow md5-ppm map + split-keyed agg bounded by the domain universe; ppm share window over <= 3 rows",
+    "ev_hll_overlap": "one pass to per-type sketches; pair algebra over |types|^2 register blobs (the bounded broadcast class)",
+    # round 9 registrations
+    "dq_expectations": "7 constraints fused into one conditional-agg scan per table + two anti-joins; every output exact-integer",
+    "agg_basket_lift": "distinct-first dedup, single-shuffle bounded basket pair expansion, keyed support joins, TakeOrdered head",
+    "train_curriculum_order": "global_row_number range shuffle (2nd surface) + persisted barrier read by both branches; shard rollup keyed",
+    "search_hybrid_rrf": "shared _bm25_per_doc posting shuffle + 5-query-vector broadcast dense scan; integer-ppm fusion over candidate-sized frames",
 }
 
 def main():
