@@ -59,6 +59,13 @@ def main():
     spark = get_spark(shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     qs = e.queries()
+    # demoted queries keep their evidence sections (their plans are
+    # still the SCALING.md claims' backing, same reason bench keeps
+    # their timing rows)
+    from simple_etl_pipeline_spark.testing import demoted_queries
+
+    for _n, (_fn, _sql) in demoted_queries().items():
+        qs.setdefault(_n, _fn)
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     out = ["# PLANS — captured physical plans (sf0.1, AQE on)", "",
