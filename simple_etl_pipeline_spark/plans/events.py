@@ -2655,6 +2655,7 @@ FROM tagged GROUP BY split, t0_us, t1_us ORDER BY split
 
 # --- seasonal-profile anomaly detection (round-11 prebuild bank) -----------
 TOP_HOURS = 20
+SEASONAL_Z2_GATE_MICRO = 9_000_000  # z^2 > 9 <=> |z| > 3 sigma
 
 
 def ev_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2667,9 +2668,15 @@ def ev_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap-fill lesson: a dead hour IS the anomaly you most want to
     catch), so the baseline is unbiased by missingness.
 
-    Engine-exactness: day-of-week is computed ARITHMETICALLY from the
+    Engine-exactness: the hour bucket is unix-micros integer division
+    on BOTH sides (Spark div / DuckDB // both truncate toward zero —
+    a floor(epoch)-then-divide oracle would shift pre-1970
+    fractional-second timestamps by one bucket, the review-caught
+    convention mix); day-of-week is computed ARITHMETICALLY from the
     epoch hour ((he div 24 + 4) mod 7; 1970-01-01 was a Thursday)
     because the engines' dayofweek() builtins disagree on numbering;
+    slot sums-of-squares and micros products run in decimal(38,0)/
+    HUGEINT so a 3e9-events hour cannot overflow either engine;
     the z-score is carried as exact integer micro-z-squared —
     z2_micro = (n*count - sum)^2 * 1e6 div (n*sumsq - sum^2), squares
     in decimal(38,0) (the SRM overflow lesson) — so no float, sqrt or
@@ -2713,7 +2720,7 @@ def ev_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     slots = full.groupBy("dow", "hod").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("cnt").alias("s"),
-        F.sum(F.expr("cnt * cnt")).alias("ss"),
+        F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * cnt")).alias("ss"),
     )
     joined = full.join(F.broadcast(slots), ["dow", "hod"])
     z2_micro = F.expr(
@@ -2734,21 +2741,24 @@ def ev_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hod",
             F.col("cnt").alias("n_events"),
             F.col("n").alias("slot_n"),
-            F.expr("s * 1000000 div n").cast("bigint").alias("slot_mean_micros"),
-            (F.col("cnt") * 1_000_000 - F.expr("s * 1000000 div n"))
+            F.expr("CAST(s AS DECIMAL(38,0)) * 1000000 div n")
             .cast("bigint")
-            .alias("resid_micros"),
+            .alias("slot_mean_micros"),
+            F.expr(
+                "CAST(cnt AS DECIMAL(38,0)) * 1000000"
+                " - CAST(s AS DECIMAL(38,0)) * 1000000 div n"
+            ).cast("bigint").alias("resid_micros"),
             z2_micro.alias("z2_micro"),
         )
-        .withColumn("is_anomaly", F.col("z2_micro") > 9_000_000)
+        .withColumn("is_anomaly", F.col("z2_micro") > SEASONAL_Z2_GATE_MICRO)
         .orderBy(F.desc("z2_micro"), F.asc("hour_epoch"))
         .limit(TOP_HOURS)
     )
 
 
-EV_SEASONAL_RESIDUALS_ORACLE = """
+EV_SEASONAL_RESIDUALS_ORACLE = f"""
 WITH hours AS (
-  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS he, COUNT(*) AS cnt
+  SELECT epoch_us(ts) // 3600000000 AS he, COUNT(*) AS cnt
   FROM events WHERE ts IS NOT NULL GROUP BY 1
 ), b AS (
   SELECT MIN(he) AS mn, MAX(he) AS mx FROM hours
@@ -2760,16 +2770,18 @@ WITH hours AS (
     CAST(g.he % 24 AS INT) AS hod
   FROM grid g LEFT JOIN hours h ON g.he = h.he
 ), slots AS (
-  SELECT dow, hod, COUNT(*) AS n, SUM(cnt) AS s, SUM(cnt * cnt) AS ss
+  SELECT dow, hod, COUNT(*) AS n, SUM(cnt) AS s,
+    SUM(CAST(cnt AS HUGEINT) * cnt) AS ss
   FROM filled GROUP BY dow, hod
 )
 SELECT hour_epoch, dow, hod, n_events, slot_n, slot_mean_micros,
-  resid_micros, z2_micro, z2_micro > 9000000 AS is_anomaly
+  resid_micros, z2_micro, z2_micro > {SEASONAL_Z2_GATE_MICRO} AS is_anomaly
 FROM (
   SELECT f.he * 3600 AS hour_epoch, f.dow, f.hod,
     f.cnt AS n_events, s.n AS slot_n,
-    CAST(s.s * 1000000 // s.n AS BIGINT) AS slot_mean_micros,
-    CAST(f.cnt * 1000000 - s.s * 1000000 // s.n AS BIGINT) AS resid_micros,
+    CAST(CAST(s.s AS HUGEINT) * 1000000 // s.n AS BIGINT) AS slot_mean_micros,
+    CAST(CAST(f.cnt AS HUGEINT) * 1000000
+         - CAST(s.s AS HUGEINT) * 1000000 // s.n AS BIGINT) AS resid_micros,
     CAST(CAST(s.n * f.cnt - s.s AS HUGEINT)
          * CAST(s.n * f.cnt - s.s AS HUGEINT) * 1000000
          // (CAST(s.n AS HUGEINT) * s.ss - CAST(s.s AS HUGEINT) * s.s)
@@ -2779,7 +2791,7 @@ FROM (
     AND CAST(s.n AS HUGEINT) * s.ss - CAST(s.s AS HUGEINT) * s.s > 0
 )
 ORDER BY z2_micro DESC, hour_epoch ASC
-LIMIT 20
+LIMIT {TOP_HOURS}
 """
 
 

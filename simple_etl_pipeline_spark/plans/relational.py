@@ -2332,6 +2332,11 @@ FROM checks ORDER BY table_name, constraint_name
 # --- two-window data-profile drift (round-11 prebuild bank) ----------------
 DQ_DRIFT_FLAG_PPM = 200_000  # flag a metric that moved > 20%
 DQ_DRIFT_PPM_CAP = 10**15  # saturation: keeps drift_ppm inside BIGINT
+DQ_DELTA_CAP = 2**63 - 1  # symmetric delta clamp: the subtraction of two
+# near-extreme opposite-signed micros means can reach ~1.8e19, which NO
+# BIGINT holds (review-caught: DuckDB throws on the subtraction, Spark
+# wraps or throws) — so delta is computed in decimal(38,0)/HUGEINT and
+# saturates symmetrically at +/-(2^63-1)
 
 
 def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2442,11 +2447,13 @@ def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "metric",
             F.col("a_value").cast("bigint").alias("a_value"),
             F.col("b_value").cast("bigint").alias("b_value"),
-            (F.col("b_value") - F.col("a_value"))
-            .cast("bigint")
-            .alias("delta"),
             F.expr(
-                f"least(CAST(abs(b_value - a_value) AS DECIMAL(38,0))"
+                f"CAST(least(greatest("
+                f"CAST(b_value AS DECIMAL(38,0)) - a_value,"
+                f" {-DQ_DELTA_CAP}), {DQ_DELTA_CAP}) AS BIGINT)"
+            ).alias("delta"),
+            F.expr(
+                f"least(abs(CAST(b_value AS DECIMAL(38,0)) - a_value)"
                 f" * 1000000 div greatest(abs(a_value), 1),"
                 f" {DQ_DRIFT_PPM_CAP})"
             ).cast("bigint").alias("drift_ppm"),
@@ -2501,11 +2508,12 @@ WITH base AS (
 )
 SELECT metric, CAST(a_value AS BIGINT) AS a_value,
   CAST(b_value AS BIGINT) AS b_value,
-  CAST(b_value - a_value AS BIGINT) AS delta,
-  CAST(least(CAST(abs(b_value - a_value) AS HUGEINT) * 1000000
+  CAST(least(greatest(CAST(b_value AS HUGEINT) - a_value,
+                      {-DQ_DELTA_CAP}), {DQ_DELTA_CAP}) AS BIGINT) AS delta,
+  CAST(least(abs(CAST(b_value AS HUGEINT) - a_value) * 1000000
              // greatest(abs(a_value), 1),
              {DQ_DRIFT_PPM_CAP}) AS BIGINT) AS drift_ppm,
-  least(CAST(abs(b_value - a_value) AS HUGEINT) * 1000000
+  least(abs(CAST(b_value AS HUGEINT) - a_value) * 1000000
         // greatest(abs(a_value), 1),
         {DQ_DRIFT_PPM_CAP}) > {DQ_DRIFT_FLAG_PPM} AS flagged
 FROM metrics ORDER BY metric

@@ -2939,3 +2939,109 @@ def test_profile_drift_fuzzed_cross_engine(
     compare_with_oracle(
         dq_profile_drift(spark, str(d)), DQ_PROFILE_DRIFT_ORACLE, str(d)
     )
+
+
+def test_profile_drift_opposite_extreme_means_saturate(spark, sf_dir, tmp_path):
+    """Review-caught (r9): half A all near -9.2233e12, half B all near
+    +9.2233e12 — each half's mean micros is representable but their
+    difference (~1.8e19) exceeds BIGINT, so the raw subtraction threw
+    on DuckDB and wrapped-or-threw on Spark. The delta now computes in
+    decimal/HUGEINT and saturates symmetrically at +/-(2^63-1);
+    drift_ppm caps; both engines must agree on every cell."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_etl_pipeline_spark.plans.relational import (
+        DQ_DELTA_CAP,
+        DQ_PROFILE_DRIFT_ORACLE,
+        dq_profile_drift,
+    )
+    from simple_etl_pipeline_spark.schemas import TESTDATA_TABLES
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    d = str(tmp_path / "drift_extreme")
+    os.makedirs(d)
+    base = dt.datetime(2024, 8, 1)
+    # ONE event per half: each half's value_micros sum (+/-9.2233e18)
+    # sits just inside BIGINT — the documented per-metric envelope —
+    # while their difference (~1.84e19) does not. More events per half
+    # would overflow the half's own sum, which is out-of-envelope by
+    # the same contract ev_srm_check documents.
+    n_half = 1
+    ts = [base] + [base + dt.timedelta(hours=100)]
+    vals = [-9.2233e12] * n_half + [9.2233e12] * n_half
+    n = len(ts)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array([1] * n, pa.int64()),
+                "event_type": pa.array(["view"] * n, pa.string()),
+                "value": pa.array(vals, pa.float64()),
+                "props": pa.array(["{}"] * n, pa.string()),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    for t in TESTDATA_TABLES:
+        if t != "events":
+            os.symlink(f"{sf_dir}/{t}.parquet", os.path.join(d, f"{t}.parquet"))
+    got = {r.metric: r for r in dq_profile_drift(spark, d).collect()}
+    vm = got["value_mean_micros"]
+    assert vm.a_value < 0 < vm.b_value
+    assert vm.delta == DQ_DELTA_CAP  # saturated, not overflowed
+    assert vm.flagged
+    compare_with_oracle(dq_profile_drift(spark, d), DQ_PROFILE_DRIFT_ORACLE, d)
+
+
+def test_seasonal_residuals_pre1970_bucket_parity(spark, sf_dir, tmp_path):
+    """Review-caught (r9): the oracle bucketed hours via
+    floor(epoch(ts)) // 3600 while Spark truncated in micros — for a
+    pre-1970 fractional-second timestamp (epoch -3599.5 s) the two
+    conventions land in DIFFERENT hour buckets. Both sides now
+    truncate unix-micros toward zero identically; this corpus places
+    events either side of the epoch, on and off the hour, with
+    fractional seconds."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_etl_pipeline_spark.plans.events import (
+        EV_SEASONAL_RESIDUALS_ORACLE,
+        ev_seasonal_residuals,
+    )
+    from simple_etl_pipeline_spark.schemas import TESTDATA_TABLES
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    d = str(tmp_path / "seasonal_pre1970")
+    os.makedirs(d)
+    epoch = dt.datetime(1970, 1, 1)
+    offsets_s = [-3599.5, -3600.0, -1.0, -0.5, 0.0, 0.5, 3599.5, 3600.0,
+                 7199.5, 7200.0, -7199.5, -7200.0]
+    ts = [epoch + dt.timedelta(seconds=o) for o in offsets_s]
+    n = len(ts)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array([1] * n, pa.int64()),
+                "event_type": pa.array(["view"] * n, pa.string()),
+                "value": pa.array([1.0] * n, pa.float64()),
+                "props": pa.array(["{}"] * n, pa.string()),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    for t in TESTDATA_TABLES:
+        if t != "events":
+            os.symlink(f"{sf_dir}/{t}.parquet", os.path.join(d, f"{t}.parquet"))
+    compare_with_oracle(
+        ev_seasonal_residuals(spark, d), EV_SEASONAL_RESIDUALS_ORACLE, d
+    )
