@@ -3045,3 +3045,59 @@ def test_seasonal_residuals_pre1970_bucket_parity(spark, sf_dir, tmp_path):
     compare_with_oracle(
         ev_seasonal_residuals(spark, d), EV_SEASONAL_RESIDUALS_ORACLE, d
     )
+
+
+# --- hypothesis cross-engine fuzz: weighted reservoir (rounded-ln head) ----
+@_settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[_HC.function_scoped_fixture],
+)
+@_given(
+    docs=_st.lists(
+        _st.integers(min_value=0, max_value=6),  # token counts: heavy w ties
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_weighted_sample_fuzzed_cross_engine(spark, sf_dir, tmp_path_factory, docs):
+    """weighted_sample is the last registered rounded-float head
+    without a fuzz row: its A-ES key divides a 6-dp-rounded ln(u) by
+    the token-count weight. Random corpora with heavily tied weights
+    (including zero-token docs, which must be excluded on both
+    engines) sweep the tie-break and the rounded-log boundary; the
+    md5-derived u is an exact rational, so the single ln is the only
+    transcendental and both engines round the same double."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_etl_pipeline_spark.plans.text import (
+        WSAMPLE_ORACLE,
+        weighted_sample,
+    )
+    from simple_etl_pipeline_spark.schemas import TESTDATA_TABLES
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    d = tmp_path_factory.mktemp("wsample_fuzz")
+    texts = [" ".join(["tok"] * n) for n in docs]
+    n = len(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(1, n + 1), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(
+                    [["en", "fr"][i % 2] for i in range(n)], pa.string()
+                ),
+                "source": pa.array(["s"] * n, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(str(d), "documents.parquet"),
+    )
+    for t in TESTDATA_TABLES:
+        if t != "documents":
+            os.symlink(f"{sf_dir}/{t}.parquet", os.path.join(str(d), f"{t}.parquet"))
+    compare_with_oracle(weighted_sample(spark, str(d)), WSAMPLE_ORACLE, str(d))
