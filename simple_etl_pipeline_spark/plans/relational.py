@@ -2520,6 +2520,17 @@ FROM metrics ORDER BY metric
 """
 
 
+MAX_BASKET = 100  # whale-basket guard: pair work per order is
+# C(|basket|, 2) — a single bulk order of 100k distinct parts would
+# put 5e9 pairs on ONE task. Baskets above the cap are dropped
+# entirely (the classic Apriori practicality guard: bulk orders are
+# procurement noise, not co-purchase signal), and supports/N compute
+# over the SAME capped universe so lift denominators stay consistent
+# with the pair universe. TPC-H baskets are <= 7 items, so the cap is
+# invisible at every test SF; the capped-basket edge corpus pins the
+# boundary on both engines.
+
+
 def agg_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket pair co-occurrence (round-9 prebuild): the top
     100 part pairs that ship together in the same order, ranked by
@@ -2551,7 +2562,7 @@ def agg_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = li.select("l_orderkey", "l_partkey").distinct()
     baskets = items.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_list("l_partkey")).alias("ds")
-    )
+    ).filter(F.size("ds") <= MAX_BASKET)
     pairs = (
         _pairs_from_sorted_list(baskets.select("ds"))
         .groupBy(
@@ -2559,7 +2570,9 @@ def agg_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_ab"))
     )
-    part_counts = items.groupBy("l_partkey").agg(
+    part_counts = baskets.select(
+        F.explode("ds").alias("l_partkey")
+    ).groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("n_i")
     )
     n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
@@ -2598,9 +2611,15 @@ def agg_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-AGG_BASKET_LIFT_ORACLE = """
-WITH items AS (
+AGG_BASKET_LIFT_ORACLE = f"""
+WITH all_items AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), kept AS (
+  SELECT l_orderkey FROM all_items
+  GROUP BY 1 HAVING COUNT(*) <= {MAX_BASKET}
+), items AS (
+  SELECT a.l_orderkey, a.l_partkey
+  FROM all_items a JOIN kept k ON a.l_orderkey = k.l_orderkey
 ), ic AS (
   SELECT l_partkey, COUNT(*) AS n_i FROM items GROUP BY 1
 ), n AS (

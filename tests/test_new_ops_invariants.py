@@ -1390,6 +1390,69 @@ def test_basket_lift_edge_corpus(spark, sf_dir, tmp_path):
     compare_with_oracle(agg_basket_lift(spark, d), AGG_BASKET_LIFT_ORACLE, d)
 
 
+def test_basket_lift_whale_basket_capped(spark, sf_dir, tmp_path):
+    """MAX_BASKET guard (r9 scale review): one whale order with
+    MAX_BASKET+1 distinct parts is dropped ENTIRELY — from the pair
+    universe AND the supports AND the order total, so lift
+    denominators stay consistent — while an order exactly AT the cap
+    is kept. Without the guard the whale alone would emit ~C(101,2)
+    pairs per such order and, at a realistic bulk-order size, put
+    billions of pairs on one task."""
+    import datetime
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_etl_pipeline_spark.plans.relational import (
+        AGG_BASKET_LIFT_ORACLE,
+        MAX_BASKET,
+        agg_basket_lift,
+    )
+    from simple_etl_pipeline_spark.schemas import TESTDATA_TABLES
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    rows = []
+    # order 1: the whale — MAX_BASKET+1 distinct parts, must vanish
+    rows += [(1, 1000 + i) for i in range(MAX_BASKET + 1)]
+    # order 2: exactly AT the cap — kept (uses parts 1000..)
+    rows += [(2, 1000 + i) for i in range(MAX_BASKET)]
+    # order 3: a small basket sharing parts with the whale
+    rows += [(3, 1000), (3, 1001)]
+    d = str(tmp_path / "basket_whale")
+    os.makedirs(d)
+    n = len(rows)
+    ts = datetime.datetime(2024, 1, 1)
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+                "l_suppkey": pa.array([1] * n, pa.int64()),
+                "l_quantity": pa.array([1.0] * n, pa.float64()),
+                "l_extendedprice": pa.array([1.0] * n, pa.float64()),
+                "l_discount": pa.array([0.0] * n, pa.float64()),
+                "l_tax": pa.array([0.0] * n, pa.float64()),
+                "l_returnflag": pa.array(["N"] * n, pa.string()),
+                "l_linestatus": pa.array(["O"] * n, pa.string()),
+                "l_shipdate": pa.array([ts] * n, pa.timestamp("us")),
+            }
+        ),
+        os.path.join(d, "lineitem.parquet"),
+    )
+    for t in TESTDATA_TABLES:
+        if t != "lineitem":
+            os.symlink(f"{sf_dir}/{t}.parquet", os.path.join(d, f"{t}.parquet"))
+    got = {
+        (r.part_a, r.part_b): r for r in agg_basket_lift(spark, d).collect()
+    }
+    top = got[(1000, 1001)]
+    assert top.n_orders == 2          # whale order excluded from N
+    assert top.n_ab == 2              # orders 2 and 3, NOT the whale
+    assert top.n_a == 2 and top.n_b == 2  # supports over kept baskets only
+    compare_with_oracle(agg_basket_lift(spark, d), AGG_BASKET_LIFT_ORACLE, d)
+
+
 def test_curriculum_matches_oracle_and_conserves(spark, sf_dir):
     from simple_etl_pipeline_spark.plans.text import (
         CURRICULUM_SHARD,
