@@ -3164,3 +3164,52 @@ def test_weighted_sample_fuzzed_cross_engine(spark, sf_dir, tmp_path_factory, do
         if t != "documents":
             os.symlink(f"{sf_dir}/{t}.parquet", os.path.join(str(d), f"{t}.parquet"))
     compare_with_oracle(weighted_sample(spark, str(d)), WSAMPLE_ORACLE, str(d))
+
+
+def test_seasonal_residuals_long_span_grid(spark, sf_dir, tmp_path):
+    """The hour grid generates span-sized (not data-sized) from a
+    1-row bounds explode: a 5-year span with 60 sparse events makes a
+    ~44k-hour grid — the shape a decade-scale corpus produces — and
+    must fill, profile and rank without data-sized structures (a
+    50-year / 438k-hour sweep of the same shape passes in ~7 s; this
+    pytest row pins the smaller version)."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_etl_pipeline_spark.plans.events import (
+        EV_SEASONAL_RESIDUALS_ORACLE,
+        TOP_HOURS,
+        ev_seasonal_residuals,
+    )
+    from simple_etl_pipeline_spark.schemas import TESTDATA_TABLES
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    d = str(tmp_path / "seasonal_span")
+    os.makedirs(d)
+    base = dt.datetime(2020, 1, 6)
+    ts = [base + dt.timedelta(days=i * 30, hours=i % 24) for i in range(60)]
+    n = len(ts)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array([1] * n, pa.int64()),
+                "event_type": pa.array(["view"] * n, pa.string()),
+                "value": pa.array([1.0] * n, pa.float64()),
+                "props": pa.array(["{}"] * n, pa.string()),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    for t in TESTDATA_TABLES:
+        if t != "events":
+            os.symlink(f"{sf_dir}/{t}.parquet", os.path.join(d, f"{t}.parquet"))
+    rows = ev_seasonal_residuals(spark, d).collect()
+    assert len(rows) == TOP_HOURS
+    compare_with_oracle(
+        ev_seasonal_residuals(spark, d), EV_SEASONAL_RESIDUALS_ORACLE, d
+    )
