@@ -2668,11 +2668,12 @@ def ev_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap-fill lesson: a dead hour IS the anomaly you most want to
     catch), so the baseline is unbiased by missingness.
 
-    Engine-exactness: the hour bucket is unix-micros integer division
-    on BOTH sides (Spark div / DuckDB // both truncate toward zero —
-    a floor(epoch)-then-divide oracle would shift pre-1970
-    fractional-second timestamps by one bucket, the review-caught
-    convention mix); day-of-week is computed ARITHMETICALLY from the
+    Engine-exactness: the hour bucket is FLOOR division of unix
+    micros via the pmod idiom, identical on both engines (plain
+    Spark div / DuckDB // truncate toward zero, which would make the
+    epoch-straddling bucket two hours wide and emit negative
+    hod/dow for pre-1970 data — both review-caught convention bugs);
+    day-of-week is computed ARITHMETICALLY from the
     epoch hour ((he div 24 + 4) mod 7; 1970-01-01 was a Thursday)
     because the engines' dayofweek() builtins disagree on numbering;
     slot sums-of-squares and micros products run in decimal(38,0)/
@@ -2698,7 +2699,14 @@ def ev_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("ts").isNotNull()
     )
-    he = F.expr("unix_micros(ts) div 3600000000")
+    # FLOOR division (pmod idiom), not truncation: trunc-toward-zero
+    # would make the epoch-straddling bucket two hours wide and emit
+    # negative hod/dow for pre-1970 data (review-caught: both engines
+    # agreed on the wrong answer, invisible to parity tests)
+    he = F.expr(
+        "(unix_micros(ts) - pmod(unix_micros(ts), 3600000000))"
+        " div 3600000000"
+    )
     counts = ev.groupBy(he.alias("he")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
@@ -2713,8 +2721,10 @@ def ev_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "he",
             F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt"),
-            F.expr("((he div 24) + 4) % 7").cast("int").alias("dow"),
-            F.expr("he % 24").cast("int").alias("hod"),
+            F.expr(
+                "pmod((he - pmod(he, 24)) div 24 + 4, 7)"
+            ).cast("int").alias("dow"),
+            F.expr("pmod(he, 24)").cast("int").alias("hod"),
         )
     )
     slots = full.groupBy("dow", "hod").agg(
@@ -2758,7 +2768,10 @@ def ev_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EV_SEASONAL_RESIDUALS_ORACLE = f"""
 WITH hours AS (
-  SELECT epoch_us(ts) // 3600000000 AS he, COUNT(*) AS cnt
+  SELECT (epoch_us(ts)
+          - ((epoch_us(ts) % 3600000000) + 3600000000) % 3600000000)
+         // 3600000000 AS he,
+    COUNT(*) AS cnt
   FROM events WHERE ts IS NOT NULL GROUP BY 1
 ), b AS (
   SELECT MIN(he) AS mn, MAX(he) AS mx FROM hours
@@ -2766,8 +2779,9 @@ WITH hours AS (
   SELECT unnest(generate_series(mn, mx)) AS he FROM b
 ), filled AS (
   SELECT g.he, CAST(COALESCE(h.cnt, 0) AS BIGINT) AS cnt,
-    CAST(((g.he // 24) + 4) % 7 AS INT) AS dow,
-    CAST(g.he % 24 AS INT) AS hod
+    CAST((((g.he - ((g.he % 24) + 24) % 24) // 24 + 4) % 7 + 7) % 7
+         AS INT) AS dow,
+    CAST(((g.he % 24) + 24) % 24 AS INT) AS hod
   FROM grid g LEFT JOIN hours h ON g.he = h.he
 ), slots AS (
   SELECT dow, hod, COUNT(*) AS n, SUM(cnt) AS s,

@@ -2559,7 +2559,15 @@ def agg_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simple_etl_pipeline_spark.plans.text import _pairs_from_sorted_list
 
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # NULL l_partkey cannot co-occur with anything AND would make the
+    # cap count diverge (collect_list drops NULLs, the oracle's
+    # COUNT(*) would not) — excluded on both sides before anything
+    # counts (review-caught boundary divergence).
+    items = (
+        li.select("l_orderkey", "l_partkey")
+        .filter(F.col("l_partkey").isNotNull())
+        .distinct()
+    )
     baskets = items.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_list("l_partkey")).alias("ds")
     ).filter(F.size("ds") <= MAX_BASKET)
@@ -2614,6 +2622,7 @@ def agg_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 AGG_BASKET_LIFT_ORACLE = f"""
 WITH all_items AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_partkey IS NOT NULL
 ), kept AS (
   SELECT l_orderkey FROM all_items
   GROUP BY 1 HAVING COUNT(*) <= {MAX_BASKET}

@@ -124,16 +124,20 @@ def test_rotation_invariant_no_query_waits_three_rounds():
         # ADVICE r8 (low): the restriction to recorded_ever would let a
         # query that was registered but NEVER scheduled — the exact
         # agg_mode_source_by_lang crack — pass silently while the
-        # window equals the latest recording. Close it: never-recorded
-        # registry members are legitimate ONLY if they are declared
-        # banked prebuilds (registered in the same commit as the next
-        # rebalance, by the documented staging pattern). Anything else
-        # predates the gate without ever having had a slot.
-        allowed_new = set(getattr(entrymod, "_BANKED_PREBUILDS", ()))
-        orphans = sorted(oracle - recorded_ever - window - allowed_new)
+        # window equals the latest recording. Close it: in the pending
+        # state NO registered query may be absent from every recording
+        # and the window. (The original fix allowlisted
+        # _BANKED_PREBUILDS here, but test_banked_prebuilds_list_is_
+        # consistent now forbids a name being banked AND registered —
+        # registration moves the name out of the bank in the same
+        # commit as the rebalance, which also flips the state to
+        # active — so the subtraction was dead and this is the
+        # strictly stronger form: registering without rebalancing
+        # fails immediately.)
+        orphans = sorted(oracle - recorded_ever - window)
         assert orphans == [], (
-            f"registered queries never scheduled in ANY window and not "
-            f"declared as banked prebuilds: {orphans}"
+            f"registered queries never scheduled in ANY window: "
+            f"{orphans} (register + rebalance in the same commit)"
         )
         return
     covered = set(window)

@@ -1415,8 +1415,11 @@ def test_basket_lift_whale_basket_capped(spark, sf_dir, tmp_path):
     rows = []
     # order 1: the whale — MAX_BASKET+1 distinct parts, must vanish
     rows += [(1, 1000 + i) for i in range(MAX_BASKET + 1)]
-    # order 2: exactly AT the cap — kept (uses parts 1000..)
-    rows += [(2, 1000 + i) for i in range(MAX_BASKET)]
+    # order 2: exactly AT the cap — kept — PLUS a NULL-partkey line,
+    # which must not tip it over the cap on either engine (second
+    # review find: collect_list drops NULLs but a COUNT(*) oracle
+    # counted them, diverging exactly at this boundary)
+    rows += [(2, 1000 + i) for i in range(MAX_BASKET)] + [(2, None)]
     # order 3: a small basket sharing parts with the whale
     rows += [(3, 1000), (3, 1001)]
     d = str(tmp_path / "basket_whale")
@@ -3085,8 +3088,16 @@ def test_seasonal_residuals_pre1970_bucket_parity(spark, sf_dir, tmp_path):
     d = str(tmp_path / "seasonal_pre1970")
     os.makedirs(d)
     epoch = dt.datetime(1970, 1, 1)
-    offsets_s = [-3599.5, -3600.0, -1.0, -0.5, 0.0, 0.5, 3599.5, 3600.0,
-                 7199.5, 7200.0, -7199.5, -7200.0]
+    # two weeks of hourly events straddling the epoch, so every
+    # (dow, hod) slot has n = 2 hours and the output is NON-empty
+    # (a narrower corpus would leave every slot at n = 1 and pin
+    # nothing), plus fractional-second events either side of both the
+    # epoch and an hour boundary — the floor-vs-truncate divergence
+    # points. The 23:00:00.5 Dec 31 event doubles hour -1's count,
+    # making it the top residual: the by_hour branch below is
+    # guaranteed to execute.
+    offsets_s = [h * 3600.0 for h in range(-7 * 24, 7 * 24)]
+    offsets_s += [-3599.5, -0.5, 0.5, 3599.5]
     ts = [epoch + dt.timedelta(seconds=o) for o in offsets_s]
     n = len(ts)
     pq.write_table(
@@ -3105,6 +3116,21 @@ def test_seasonal_residuals_pre1970_bucket_parity(spark, sf_dir, tmp_path):
     for t in TESTDATA_TABLES:
         if t != "events":
             os.symlink(f"{sf_dir}/{t}.parquet", os.path.join(d, f"{t}.parquet"))
+    rows = ev_seasonal_residuals(spark, d).collect()
+    # floor semantics (second review pass): hour buckets are calendar
+    # hours even pre-1970 — hod/dow stay in-domain, the 23:00:00.5
+    # event belongs to hour -1 (23:00 Dec 31 1969, a Wednesday), and
+    # no double-width epoch-straddling bucket exists
+    assert rows, "corpus must produce ranked hours"
+    assert all(0 <= r.hod < 24 and 0 <= r.dow < 7 for r in rows)
+    by_hour = {r.hour_epoch: r for r in rows}
+    assert -3600 in by_hour, "the doubled pre-epoch hour must rank"
+    assert by_hour[-3600].hod == 23
+    assert by_hour[-3600].dow == 3  # Dec 31 1969 was a Wednesday
+    # floor places ALL THREE pre-epoch events in hour -1: the
+    # on-the-hour one, 23:00:00.5, AND 23:59:59.5 (-0.5 s — the one
+    # truncation would have pushed into the 1970 bucket)
+    assert by_hour[-3600].n_events == 3
     compare_with_oracle(
         ev_seasonal_residuals(spark, d), EV_SEASONAL_RESIDUALS_ORACLE, d
     )
