@@ -2651,6 +2651,304 @@ ORDER BY n_ab DESC, part_a, part_b LIMIT 100
 """
 
 
+# --- k-anonymity privacy audit (round-12 prebuild bank) -----------------
+# Thresholds audited: the classic k=5 release bar plus the stricter
+# k=25 "safe harbor"-style bar. Quasi-identifier band width for the
+# account balance: 1000 currency units (100_000 cents).
+K_ANON_THRESHOLDS = (5, 25)
+K_ANON_BAND_CENTS = 100_000
+
+
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity privacy audit over the customer table — the release
+    gate every training-data pipeline with people-derived rows needs:
+    a row is k-anonymous iff at least k rows share its full
+    quasi-identifier (QI) tuple, so an attacker who knows someone's
+    QIs cannot single them out below a 1-in-k re-identification bound
+    (Sweeney 2002). QIs here are the classic linkable attributes:
+    nation, market segment, and the account balance coarsened into
+    1000-unit bands (banding is itself the standard k-anonymity
+    generalization step — exact balances would make nearly every row
+    unique). The audit reports, for k in {5, 25}: how many
+    equivalence classes and rows fall below k and the at-risk row
+    share in exact ppm — the numbers a privacy review needs to decide
+    between suppression and further generalization.
+
+    Cross-engine exactness: balances become integer cents via one
+    decimal(15,2) cast (exact); the band is a FLOOR division done as
+    (cents - pmod(cents, W)) div W — Spark's `div` truncates toward
+    zero while DuckDB's `//` floors, so negative balances would
+    otherwise band off-by-one (the ev_seasonal_residuals hazard
+    class); subtracting the non-negative pmod first makes the
+    numerator an exact multiple, where truncation and floor agree.
+    NULL QI values form their own class in BOTH engines (GROUP BY
+    treats NULLs equal) — no mapping needed.
+
+    Scale shape: one customer-keyed aggregation to QI classes
+    (map-side combined, output bounded by the QI universe, orders of
+    magnitude below the row count), then one 1-row summary agg.
+    Nothing after the scan is row-sized; this plan is two linear
+    keyed passes at any corpus size."""
+    cust = load_table(spark, sf_dir, "customer")
+    cents = (F.col("c_acctbal").cast("decimal(15,2)") * 100).cast("bigint")
+    band = F.expr(
+        f"(acct_cents - pmod(acct_cents, {K_ANON_BAND_CENTS}))"
+        f" div {K_ANON_BAND_CENTS}"
+    )
+    classes = (
+        cust.select(
+            "c_nationkey", "c_mktsegment", cents.alias("acct_cents")
+        )
+        .select("c_nationkey", "c_mktsegment", band.alias("acct_band"))
+        .groupBy("c_nationkey", "c_mktsegment", "acct_band")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    k5, k25 = K_ANON_THRESHOLDS
+    return classes.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("cnt").alias("min_class_size"),
+        F.count(F.when(F.col("cnt") < k5, F.lit(1))).alias("k5_classes"),
+        F.coalesce(F.sum(F.when(F.col("cnt") < k5, F.col("cnt"))), F.lit(0))
+        .cast("bigint")
+        .alias("k5_rows"),
+        F.count(F.when(F.col("cnt") < k25, F.lit(1))).alias("k25_classes"),
+        F.coalesce(F.sum(F.when(F.col("cnt") < k25, F.col("cnt"))), F.lit(0))
+        .cast("bigint")
+        .alias("k25_rows"),
+    ).select(
+        "n_rows",
+        "n_classes",
+        "min_class_size",
+        "k5_classes",
+        "k5_rows",
+        F.expr("k5_rows * 1000000 div greatest(n_rows, 1)")
+        .alias("k5_risk_ppm"),
+        "k25_classes",
+        "k25_rows",
+        F.expr("k25_rows * 1000000 div greatest(n_rows, 1)")
+        .alias("k25_risk_ppm"),
+    )
+
+
+DQ_K_ANONYMITY_ORACLE = f"""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+    (acct_cents - ((acct_cents % {K_ANON_BAND_CENTS})
+                   + {K_ANON_BAND_CENTS}) % {K_ANON_BAND_CENTS})
+      // {K_ANON_BAND_CENTS} AS acct_band,
+    COUNT(*) AS cnt
+  FROM (
+    SELECT c_nationkey, c_mktsegment,
+      CAST(CAST(c_acctbal AS DECIMAL(15,2)) * 100 AS BIGINT) AS acct_cents
+    FROM customer
+  )
+  GROUP BY 1, 2, 3
+), s AS (
+  SELECT
+    CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_rows,
+    COUNT(*) AS n_classes,
+    MIN(cnt) AS min_class_size,
+    COUNT(CASE WHEN cnt < {K_ANON_THRESHOLDS[0]} THEN 1 END) AS k5_classes,
+    CAST(COALESCE(SUM(CASE WHEN cnt < {K_ANON_THRESHOLDS[0]} THEN cnt END),
+                  0) AS BIGINT) AS k5_rows,
+    COUNT(CASE WHEN cnt < {K_ANON_THRESHOLDS[1]} THEN 1 END) AS k25_classes,
+    CAST(COALESCE(SUM(CASE WHEN cnt < {K_ANON_THRESHOLDS[1]} THEN cnt END),
+                  0) AS BIGINT) AS k25_rows
+  FROM classes
+)
+SELECT n_rows, n_classes, min_class_size, k5_classes, k5_rows,
+  CAST(k5_rows * 1000000 // GREATEST(n_rows, 1) AS BIGINT) AS k5_risk_ppm,
+  k25_classes, k25_rows,
+  CAST(k25_rows * 1000000 // GREATEST(n_rows, 1) AS BIGINT) AS k25_risk_ppm
+FROM s
+"""
+
+
+# --- per-nation OLS trend (round-12 prebuild bank) -----------------------
+# Constant x-shift: the midpoint of the TPC-H o_orderdate range
+# (1992-01-01 .. 1998-08-02 = epoch days 8035..10440). Shifting x by a
+# CONSTANT before the sums keeps the algorithm single-pass and
+# engine-identical while shrinking the moment magnitudes ~1e3x, which
+# is what keeps n*Sxy inside decimal(38,0) headroom (see docstring).
+OLS_X0_DAYS = 9237
+
+
+def agg_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation ordinary-least-squares trend of order value over
+    time — closed-form simple linear regression from distributive
+    sums, the aggregate form every SQL engine's regr_slope family
+    implements, built here in EXACT staged-integer arithmetic so the
+    result is engine-identical (regr_slope itself accumulates doubles
+    whose partition-order rounding differs across engines):
+
+      x = epoch_day(o_orderdate) - {OLS_X0_DAYS}  (constant shift)
+      y = order total in exact cents (decimal(15,2) * 100)
+      per nation: n, Sx, Sy, Sxx, Sxy, Syy as decimal(38,0) sums
+      sxx_n = n*Sxx - Sx^2, sxy_n = n*Sxy - Sx*Sy, syy_n = n*Syy - Sy^2
+      slope  = sxy_n / sxx_n      (micro-cents/day, staged integer)
+      r2     = sxy_n^2 / (sxx_n * syy_n)  (ppm, staged integer)
+
+    Staged-integer division: every ratio is sign(p) * (|p| * scale div
+    q) — taking |p| first makes Spark's truncate-toward-zero `div` and
+    DuckDB's flooring `//` agree on negative numerators (the same
+    divergence class the k-anonymity band and seasonal buckets dodge).
+    r2_ppm evaluates as tdiv(tdiv(|sxy_n|*1e6, sxx_n) * |sxy_n|,
+    syy_n) — the 1e6 of the inner stage is itself the ppm scale —
+    staged truncation costs a few ulp of the exact rational but is
+    bit-identical across engines, which is the gate's requirement. Degenerate groups: a single distinct order day
+    (sxx_n = 0) has no slope -> NULL; constant y (syy_n = 0) has no
+    r2 -> NULL.
+
+    Overflow headroom: with |x| <= ~1300 (shifted days) and y <= ~6e7
+    cents, n*Sxy stays under 1e38 to beyond 1e9 orders per nation and
+    the r2 staging to ~1e8; past that the documented two-pass variant
+    (subtract a first-pass mean instead of the constant) is the 100 TB
+    fallback — the sums themselves remain exact far beyond any real
+    per-nation cardinality.
+
+    Scale shape: one orders->customer equi-join (both sides shuffle on
+    custkey, linear), map-side partial aggregation into 25 nation
+    groups, then pure per-row arithmetic on the bounded frame and a
+    25-row broadcast join to nation names. Nothing after the join
+    exceeds the nation universe."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    dec = "decimal(38,0)"
+    y = (F.col("o_totalprice").cast("decimal(15,2)") * 100).cast("bigint")
+    base = (
+        orders.select(
+            "o_custkey",
+            epoch_seconds(F.col("o_orderdate")).alias("oep"),
+            y.alias("y"),
+        )
+        # order dates are midnight timestamps (non-negative epoch), so
+        # integer div == floor == DuckDB's `//` here
+        .select(
+            "o_custkey",
+            F.expr(f"oep div 86400 - {OLS_X0_DAYS}").alias("x"),
+            "y",
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    sums = base.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        # per-row products fit bigint by construction (|x| <= ~1300
+        # shifted days, y <= ~6e7 cents -> y*y <= 3.6e15); only the
+        # REDUCTIONS need the 128-bit headroom
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+    )
+    moments = sums.select(
+        "c_nationkey",
+        F.col("n").cast("bigint").alias("n_orders"),
+        "n",
+        "sx",
+        "sy",
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .alias("sxx_n"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .alias("sxy_n"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .alias("syy_n"),
+    )
+    derived = moments.select(
+        "c_nationkey",
+        "n_orders",
+        F.expr(
+            "CASE WHEN sx < 0 THEN -((-sx) * 1000000 div n)"
+            f" ELSE sx * 1000000 div n END + {OLS_X0_DAYS * 1_000_000}L"
+        ).cast("bigint").alias("xbar_day_ppm"),
+        F.expr("sy div n").cast("bigint").alias("mean_cents"),
+        F.expr(
+            "CASE WHEN sxx_n = 0 THEN NULL"
+            " WHEN sxy_n < 0 THEN -((-sxy_n) * 1000000 div sxx_n)"
+            " ELSE sxy_n * 1000000 div sxx_n END"
+        ).cast("bigint").alias("slope_microcents_per_day"),
+        F.expr(
+            # r2_ppm = (|sxy_n|*1e6 div sxx_n) * |sxy_n| div syy_n
+            # ~= 1e6 * sxy_n^2 / (sxx_n*syy_n); the 1e6 from the first
+            # stage IS the ppm scale — no second scale factor
+            "CASE WHEN sxx_n = 0 OR syy_n = 0 THEN NULL ELSE"
+            " (CASE WHEN sxy_n < 0 THEN (-sxy_n) * 1000000 div sxx_n"
+            "  ELSE sxy_n * 1000000 div sxx_n END)"
+            " * (CASE WHEN sxy_n < 0 THEN -sxy_n ELSE sxy_n END)"
+            " div syy_n END"
+        ).cast("bigint").alias("r2_ppm"),
+    )
+    return (
+        derived.join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "n_name",
+            "n_orders",
+            "xbar_day_ppm",
+            "mean_cents",
+            "slope_microcents_per_day",
+            "r2_ppm",
+        )
+        .orderBy("n_name")
+    )
+
+
+AGG_OLS_TREND_ORACLE = f"""
+WITH base AS (
+  SELECT c_nationkey,
+    {sql_epoch('o_orderdate')} // 86400 - {OLS_X0_DAYS} AS x,
+    CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+), sums AS (
+  -- the moment products run in HUGEINT (DuckDB's 128-bit integer,
+  -- the same headroom class as Spark's decimal(38,0) on the other
+  -- side; two DECIMAL(38,0)s cannot multiply here — width 76)
+  SELECT c_nationkey,
+    CAST(COUNT(*) AS HUGEINT) AS n,
+    CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+    CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+    CAST(SUM(CAST(x * x AS HUGEINT)) AS HUGEINT) AS sxx,
+    CAST(SUM(CAST(x * y AS HUGEINT)) AS HUGEINT) AS sxy,
+    CAST(SUM(CAST(y * y AS HUGEINT)) AS HUGEINT) AS syy
+  FROM base GROUP BY 1
+), m AS (
+  SELECT c_nationkey, CAST(n AS BIGINT) AS n_orders, n, sx, sy,
+    n * sxx - sx * sx AS sxx_n,
+    n * sxy - sx * sy AS sxy_n,
+    n * syy - sy * sy AS syy_n
+  FROM sums
+)
+SELECT n_name, n_orders,
+  CAST(CASE WHEN sx < 0 THEN -((-sx) * 1000000 // n)
+       ELSE sx * 1000000 // n END
+       + {OLS_X0_DAYS * 1_000_000} AS BIGINT) AS xbar_day_ppm,
+  CAST(sy // n AS BIGINT) AS mean_cents,
+  CAST(CASE WHEN sxx_n = 0 THEN NULL
+       WHEN sxy_n < 0 THEN -((-sxy_n) * 1000000 // sxx_n)
+       ELSE sxy_n * 1000000 // sxx_n END AS BIGINT)
+    AS slope_microcents_per_day,
+  CAST(CASE WHEN sxx_n = 0 OR syy_n = 0 THEN NULL ELSE
+       (CASE WHEN sxy_n < 0 THEN (-sxy_n) * 1000000 // sxx_n
+        ELSE sxy_n * 1000000 // sxx_n END)
+       * (CASE WHEN sxy_n < 0 THEN -sxy_n ELSE sxy_n END)
+       // syy_n END AS BIGINT) AS r2_ppm
+FROM m JOIN nation ON c_nationkey = n_nationkey
+ORDER BY n_name
+"""
+
+
 # join_fuzzy_recall was DEMOTED to pytest-only parity in round 6
 # (tests/test_oracle_parity.py DEMOTED map): it recomputes
 # join_fuzzy_part_names' banded pairs against the unbanded ground

@@ -4227,6 +4227,211 @@ FROM rolled ORDER BY doc_id
 """
 
 
+# --- cross-document boilerplate line removal (round-12 prebuild bank) ---
+# A line is boilerplate when it appears in at least this many DISTINCT
+# documents (the C4/RefinedWeb device: navigation chrome, cookie
+# banners, footers and licence blurbs repeat across pages; prose does
+# not). 3 is the C4 paper's own cross-document threshold.
+BOILER_MIN_DOCS = 3
+# Injected page chrome (the corpus_with_dups device: the synthetic
+# corpus is single-line and repeat-free, so deterministic banner/footer
+# lines keep the operator non-trivial at every SF; the padding
+# exercises the trim). Every doc_id % 5 == 0 page gets the cookie
+# banner above its body, every doc_id % 7 == 0 page the footer below.
+BOILER_BANNER = "   Accept cookies to continue   "
+BOILER_FOOTER = " (c) Example Corp - all rights reserved "
+
+
+def boiler_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents corpus with injected page chrome (see constants);
+    NULL-text docs stay NULL (concat with NULL is NULL in both
+    engines, by design — they still count as documents)."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_banner = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit(BOILER_BANNER + "\n"), F.col("text")),
+    ).otherwise(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(with_banner, F.lit("\n" + BOILER_FOOTER)),
+        )
+        .otherwise(with_banner)
+        .alias("text"),
+    )
+
+
+BOILER_CORPUS_SQL = f"""
+SELECT doc_id, source,
+  CASE WHEN doc_id % 7 = 0 THEN wb || chr(10) || '{BOILER_FOOTER}'
+       ELSE wb END AS text
+FROM (
+  SELECT doc_id, source,
+    CASE WHEN doc_id % 5 = 0 THEN '{BOILER_BANNER}' || chr(10) || text
+         ELSE text END AS wb
+  FROM documents
+)
+"""
+
+
+def txt_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-line (boilerplate) removal manifest —
+    the C4-style corpus-cleaning stage that no per-document filter can
+    express: a LINE is boilerplate iff it occurs in >= BOILER_MIN_DOCS
+    distinct documents, and every occurrence (in every document) is
+    then removed. Lines are newline-split, trimmed of spaces/tabs/CRs,
+    and keyed by their 60-bit md5; empty lines are not lines. The
+    output is the per-source removal manifest a pipeline operator
+    reads before committing the cleanup: total docs, line and char
+    volumes, how many distinct boilerplate lines the source carries,
+    their occurrence count, the chars they remove, and the removal
+    rate in exact integer ppm. NULL source is its own real group
+    '(null)'; docs with NULL text still count toward n_docs (they have
+    zero lines). Input is the `boiler_corpus` view (injected
+    banner/footer chrome — the corpus_with_dups device), so the
+    removal manifest is non-trivial at every SF.
+
+    Scale shape — the standard two-aggregation form, NOT a window:
+    (1) one narrow map explodes lines (no shuffle); (2) one keyed
+    aggregation to (line_key, doc_id) collapses within-doc repeats
+    map-side; (3) the document-frequency frame aggregates per
+    line_key — crucially an AGG, never COUNT() OVER (PARTITION BY
+    line_key): boilerplate lines are BY DEFINITION the heavy keys (a
+    footer in every page = |docs| rows under one window key), so the
+    window form would funnel exactly the interesting keys through
+    single reducers, while the agg's map-side partials collapse them;
+    (4) one line_key-equi-join back (both sides shuffle-keyed alike,
+    linear, AQE skew-join handles a pathological key); (5) a
+    source-bounded rollup. Nothing downstream exceeds |sources|."""
+    docs = boiler_corpus(spark, sf_dir)
+    src = F.coalesce(F.col("source"), F.lit("(null)"))
+    lines = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            src.alias("src"),
+            F.explode(F.split(F.col("text"), "\n")).alias("ln"),
+        )
+        .select(
+            "doc_id",
+            "src",
+            F.expr("trim(BOTH ' \\t\\r' FROM ln)").alias("lt"),
+        )
+        .filter(F.col("lt") != "")
+    )
+    per_doc = (
+        lines.select(
+            md5_hash60(F.col("lt")).alias("line_key"),
+            "doc_id",
+            "src",
+            F.length("lt").cast("bigint").alias("lchars"),
+        )
+        .groupBy("line_key", "doc_id", "src")
+        .agg(
+            F.count(F.lit(1)).alias("occ"),
+            F.sum("lchars").alias("chars"),
+        )
+    )
+    doc_freq = per_doc.groupBy("line_key").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    j = per_doc.join(doc_freq, "line_key")
+    boiler = F.col("df") >= BOILER_MIN_DOCS
+    per_src = j.groupBy("src").agg(
+        F.sum("occ").cast("bigint").alias("n_lines"),
+        F.sum("chars").cast("bigint").alias("n_line_chars"),
+        F.countDistinct(F.when(boiler, F.col("line_key")))
+        .alias("boiler_lines"),
+        F.coalesce(F.sum(F.when(boiler, F.col("occ"))), F.lit(0))
+        .cast("bigint")
+        .alias("boiler_occurrences"),
+        F.coalesce(F.sum(F.when(boiler, F.col("chars"))), F.lit(0))
+        .cast("bigint")
+        .alias("removed_chars"),
+    )
+    src_docs = docs.groupBy(src.alias("src")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return (
+        src_docs.join(per_src, "src", "left")
+        .select(
+            F.col("src").alias("source"),
+            "n_docs",
+            F.coalesce("n_lines", F.lit(0)).cast("bigint").alias("n_lines"),
+            F.coalesce("n_line_chars", F.lit(0))
+            .cast("bigint")
+            .alias("n_line_chars"),
+            F.coalesce("boiler_lines", F.lit(0))
+            .cast("bigint")
+            .alias("boiler_lines"),
+            F.coalesce("boiler_occurrences", F.lit(0))
+            .cast("bigint")
+            .alias("boiler_occurrences"),
+            F.coalesce("removed_chars", F.lit(0))
+            .cast("bigint")
+            .alias("removed_chars"),
+        )
+        .withColumn(
+            "boiler_ppm",
+            F.expr(
+                "removed_chars * 1000000 div greatest(n_line_chars, 1)"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+TXT_BOILERPLATE_ORACLE = f"""
+WITH corpus AS ({BOILER_CORPUS_SQL}
+), rawlines AS (
+  SELECT doc_id, COALESCE(source, '(null)') AS src,
+    trim(ln, ' ' || chr(9) || chr(13)) AS lt
+  FROM (
+    SELECT doc_id, source,
+      UNNEST(string_split(text, chr(10))) AS ln
+    FROM corpus WHERE text IS NOT NULL
+  )
+), lines AS (
+  SELECT * FROM rawlines WHERE lt <> ''
+), per_doc AS (
+  SELECT {sql_md5_hash60('lt')} AS line_key, doc_id, src,
+    COUNT(*) AS occ, CAST(SUM(length(lt)) AS BIGINT) AS chars
+  FROM lines GROUP BY 1, 2, 3
+), doc_freq AS (
+  SELECT line_key, COUNT(*) AS df FROM per_doc GROUP BY 1
+), j AS (
+  SELECT per_doc.*, doc_freq.df
+  FROM per_doc JOIN doc_freq USING (line_key)
+), per_src AS (
+  SELECT src,
+    CAST(SUM(occ) AS BIGINT) AS n_lines,
+    CAST(SUM(chars) AS BIGINT) AS n_line_chars,
+    COUNT(DISTINCT CASE WHEN df >= {BOILER_MIN_DOCS}
+                        THEN line_key END) AS boiler_lines,
+    CAST(COALESCE(SUM(CASE WHEN df >= {BOILER_MIN_DOCS} THEN occ END),
+                  0) AS BIGINT) AS boiler_occurrences,
+    CAST(COALESCE(SUM(CASE WHEN df >= {BOILER_MIN_DOCS} THEN chars END),
+                  0) AS BIGINT) AS removed_chars
+  FROM j GROUP BY 1
+), src_docs AS (
+  SELECT COALESCE(source, '(null)') AS src, COUNT(*) AS n_docs
+  FROM documents GROUP BY 1
+)
+SELECT d.src AS source, d.n_docs,
+  CAST(COALESCE(l.n_lines, 0) AS BIGINT) AS n_lines,
+  CAST(COALESCE(l.n_line_chars, 0) AS BIGINT) AS n_line_chars,
+  CAST(COALESCE(l.boiler_lines, 0) AS BIGINT) AS boiler_lines,
+  CAST(COALESCE(l.boiler_occurrences, 0) AS BIGINT) AS boiler_occurrences,
+  CAST(COALESCE(l.removed_chars, 0) AS BIGINT) AS removed_chars,
+  CAST(COALESCE(l.removed_chars, 0) * 1000000
+       // GREATEST(COALESCE(l.n_line_chars, 0), 1) AS BIGINT) AS boiler_ppm
+FROM src_docs d LEFT JOIN per_src l ON d.src = l.src
+ORDER BY source
+"""
+
+
 # dedup_minhash_ml is pytest-only (tests/test_retrieval.py): its
 # Spark-internal MinHashLSH seeds can never hash-match a DuckDB oracle,
 # so it would be a permanently oracle-dark registry entry. The
