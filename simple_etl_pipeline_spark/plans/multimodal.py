@@ -192,6 +192,199 @@ FROM per_hash GROUP BY mime ORDER BY mime
 """
 
 
+# --- perceptual-hash near-dup images (round-12 prebuild bank) -----------
+# 60-bit average-hash (the repo's positive-bigint hash width), split
+# into 4 bands of 15 bits for the LSH bucket join — the same band
+# geometry dedup_simhash uses on text. Near-dup verdict: Hamming
+# distance <= 8 of 60.
+PHASH_SAMPLES = 60
+PHASH_BAND_BITS = 15
+PHASH_BANDS = 4
+PHASH_HAMMING_MAX = 8
+
+
+def phash_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image blobs (the doc_id % 3 == 0 mime class, non-empty) plus
+    injected duplicates that keep the operator non-trivial at every SF
+    (the corpus_with_dups device, shifted by multiples of 3 so the
+    copies stay in the image mime class): every 5th image re-crawled
+    byte-identically (+3_000_000), every 7th re-encoded with its first
+    three characters replaced (+6_000_000) — a small in-place edit, the
+    kind a perceptual hash must survive and an exact md5 cannot."""
+    docs = load_table(spark, sf_dir, "documents")
+    imgs = docs.filter(
+        (F.col("doc_id") % 3 == 0) & F.col("text").isNotNull()
+    ).select("doc_id", "text")
+    exact = imgs.filter(F.col("doc_id") % 15 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"), "text"
+    )
+    near = imgs.filter(F.col("doc_id") % 21 == 0).select(
+        (F.col("doc_id") + 6_000_000).alias("doc_id"),
+        F.concat(F.lit("zzz"), F.expr("substr(text, 4)")).alias("text"),
+    )
+    return (
+        imgs.unionByName(exact)
+        .unionByName(near)
+        .filter(F.length(F.encode(F.col("text"), "UTF-8")) > 0)
+    )
+
+
+PHASH_CORPUS_SQL = """
+WITH base_imgs AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % 3 = 0 AND text IS NOT NULL
+), corpus AS (
+  SELECT doc_id, text FROM base_imgs
+  UNION ALL
+  SELECT doc_id + 3000000, text FROM base_imgs WHERE doc_id % 15 = 0
+  UNION ALL
+  SELECT doc_id + 6000000, 'zzz' || substr(text, 4)
+  FROM base_imgs WHERE doc_id % 21 = 0
+)
+SELECT doc_id, text FROM corpus
+WHERE octet_length(encode(text)) > 0
+"""
+
+
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE detection by perceptual hash — the
+    multimodal sibling of dedup_simhash, run BEFORE any decode: two
+    re-encodes of the same picture differ in bytes (md5-dedup blind)
+    but not in coarse luminance structure, which an average-hash
+    captures. With codecs stubbed (multimodal/features.py), the
+    'pixels' are the deterministic byte plane itself: 60 evenly-spaced
+    samples (byte (i*sz) div 60 — the mm_resize sampling), bit i set
+    iff sample i exceeds the mean (exact integer form: 60*p_i >
+    sum(p)), packed into a positive 60-bit bigint. A real decoder
+    swaps ONLY the sample source (decoded 8x8 luma instead of raw
+    bytes); the hashing, banding and verification below are the
+    production pipeline unchanged.
+
+    Candidate generation is banded LSH, never all-pairs: a pair within
+    Hamming distance d is found iff some 15-bit band is flip-free —
+    GUARANTEED by pigeonhole for d <= 3 (three flips cannot touch all
+    four bands), and the overwhelmingly-likely case up to the
+    d = 8 verification threshold (recall lost only when the flips
+    spread across all 4 bands) — the same recall/cost trade
+    dedup_simhash documents on text. Verification is exact: popcount
+    of the XOR.
+
+    Scale shape: one narrow map computes every hash in the scan stage
+    (Column-only arithmetic — no Python, no UDF); 4 band keys explode
+    to 4N rows; ONE shuffle on (band, value) groups candidates;
+    within-bucket pairing is bounded by bucket size (random 15-bit
+    bands keep buckets ~N/32768 — the documented simhash/minhash
+    expansion class), and the exact Hamming check runs on candidate
+    pairs only. Zero all-pairs products at any corpus size."""
+    n = PHASH_SAMPLES
+    imgs = phash_corpus(spark, sf_dir).select(
+        "doc_id",
+        F.hex(F.encode(F.col("text"), "UTF-8")).alias("hx"),
+        F.length(F.encode(F.col("text"), "UTF-8"))
+        .cast("bigint")
+        .alias("sz"),
+    )
+    hashed = (
+        imgs.withColumn(
+            "ps",
+            F.expr(
+                f"transform(sequence(0, {n - 1}), i -> "
+                f"cast(conv(substr(hx, cast(2 * ((i * sz) div {n}) + 1 "
+                f"as int), 2), 16, 10) as int))"
+            ),
+        )
+        .withColumn("total", F.expr("aggregate(ps, 0L, (a, x) -> a + x)"))
+        .withColumn(
+            "h",
+            F.expr(
+                f"aggregate(sequence(0, {n - 1}), 0L, (a, i) -> "
+                f"a + if({n} * ps[i] > total, shiftleft(1L, i), 0L))"
+            ),
+        )
+        .select("doc_id", "h")
+    )
+    bands = hashed.select(
+        "doc_id",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"shiftright(h, {b * PHASH_BAND_BITS})"
+                            f" & {(1 << PHASH_BAND_BITS) - 1}"
+                        ).alias("bv"),
+                    )
+                    for b in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("x"),
+    ).select("doc_id", "h", "x.band", "x.bv")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("h").alias("ha"),
+        "band",
+        "bv",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("h").alias("hb"),
+        "band",
+        "bv",
+    )
+    cand = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.expr("cast(bit_count(ha ^ hb) as bigint)")
+        )
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+MM_PHASH_ORACLE = f"""
+WITH corpus AS ({PHASH_CORPUS_SQL}
+), imgs AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+    CAST(octet_length(encode(text)) AS BIGINT) AS sz
+  FROM corpus
+), sampled AS (
+  SELECT doc_id,
+    list_transform(generate_series(0, {PHASH_SAMPLES - 1}), i ->
+      CAST(concat('0x',
+        substr(hx, CAST(2 * ((i * sz) // {PHASH_SAMPLES}) + 1 AS INT), 2))
+        AS INT)) AS ps
+  FROM imgs
+), hashed AS (
+  SELECT doc_id,
+    CAST(list_sum(list_transform(generate_series(1, {PHASH_SAMPLES}), j ->
+      CASE WHEN {PHASH_SAMPLES} * ps[j] > list_sum(ps)
+           THEN 1::BIGINT << (j - 1) ELSE 0::BIGINT END)) AS BIGINT) AS h
+  FROM sampled
+), bands AS (
+  SELECT doc_id, h, b.band,
+    (h >> (b.band * {PHASH_BAND_BITS})) & {(1 << PHASH_BAND_BITS) - 1} AS bv
+  FROM hashed, (SELECT UNNEST(generate_series(0, {PHASH_BANDS - 1}))
+                AS band) b
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.h AS ha, b.h AS hb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {PHASH_HAMMING_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+
 # mm_dedup_blobs was DEMOTED to pytest-only parity in round 6
 # (tests/test_oracle_parity.py DEMOTED map): as its docstring says, it
 # is dedup_exact's hash-groupBy shape applied to the blob column — the
