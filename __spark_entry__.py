@@ -78,6 +78,16 @@ _BANKED_PREBUILDS = [
     "ev_time_embargo_split",
     "ev_seasonal_residuals",
     "dq_profile_drift",
+    # r12 bank (built round 9, the continuation session): k-anonymity
+    # privacy audit, per-nation exact-integer OLS trend, C4-style
+    # cross-document boilerplate-line removal, perceptual-hash image
+    # near-dup detection (plans/multimodal.py — the first banked name
+    # outside the four classic plans modules; the laziness and
+    # consistency tests resolve it there)
+    "dq_k_anonymity",
+    "agg_ols_trend",
+    "txt_boilerplate_lines",
+    "mm_phash_dedup",
 ]
 
 _WINDOW = [

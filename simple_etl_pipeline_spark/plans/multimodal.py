@@ -349,6 +349,32 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The two halves of the SQL-side hash, shared by the oracle and the
+# python-reference property test (tests/test_new_ops_invariants.py):
+# sample the byte plane into `ps`, then pack the above-mean bits.
+PHASH_PS_SQL = (
+    f"list_transform(generate_series(0, {PHASH_SAMPLES - 1}), i -> "
+    f"CAST(concat('0x', substr(hx, "
+    f"CAST(2 * ((i * sz) // {PHASH_SAMPLES}) + 1 AS INT), 2)) AS INT))"
+)
+PHASH_PACK_SQL = (
+    f"CAST(list_sum(list_transform(generate_series(1, {PHASH_SAMPLES}), "
+    f"j -> CASE WHEN {PHASH_SAMPLES} * ps[j] > list_sum(ps) "
+    f"THEN 1::BIGINT << (j - 1) ELSE 0::BIGINT END)) AS BIGINT)"
+)
+
+
+def py_avg_hash(text: str) -> int:
+    """Independent from-scratch python reference of the 60-bit
+    average-hash — the lock the property test compares BOTH engine
+    implementations against."""
+    b = text.encode("utf-8")
+    n = PHASH_SAMPLES
+    ps = [b[(i * len(b)) // n] for i in range(n)]
+    total = sum(ps)
+    return sum(1 << i for i, p in enumerate(ps) if n * p > total)
+
+
 MM_PHASH_ORACLE = f"""
 WITH corpus AS ({PHASH_CORPUS_SQL}
 ), imgs AS (
@@ -356,17 +382,10 @@ WITH corpus AS ({PHASH_CORPUS_SQL}
     CAST(octet_length(encode(text)) AS BIGINT) AS sz
   FROM corpus
 ), sampled AS (
-  SELECT doc_id,
-    list_transform(generate_series(0, {PHASH_SAMPLES - 1}), i ->
-      CAST(concat('0x',
-        substr(hx, CAST(2 * ((i * sz) // {PHASH_SAMPLES}) + 1 AS INT), 2))
-        AS INT)) AS ps
+  SELECT doc_id, {PHASH_PS_SQL} AS ps
   FROM imgs
 ), hashed AS (
-  SELECT doc_id,
-    CAST(list_sum(list_transform(generate_series(1, {PHASH_SAMPLES}), j ->
-      CASE WHEN {PHASH_SAMPLES} * ps[j] > list_sum(ps)
-           THEN 1::BIGINT << (j - 1) ELSE 0::BIGINT END)) AS BIGINT) AS h
+  SELECT doc_id, {PHASH_PACK_SQL} AS h
   FROM sampled
 ), bands AS (
   SELECT doc_id, h, b.band,

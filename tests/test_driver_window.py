@@ -47,6 +47,7 @@ def test_banked_prebuilds_list_is_consistent():
     (a typo would silently fail to allowlist the real prebuild)."""
     from simple_etl_pipeline_spark.plans import (
         events as _ev,
+        multimodal as _mm,
         relational as _rel,
         similarity as _sim,
         text as _txt,
@@ -62,7 +63,7 @@ def test_banked_prebuilds_list_is_consistent():
     for name in banked:
         assert any(
             callable(getattr(mod, name, None))
-            for mod in (_ev, _rel, _sim, _txt)
+            for mod in (_ev, _rel, _sim, _txt, _mm)
         ), f"banked prebuild {name} resolves to no operator"
 
 

@@ -3239,3 +3239,464 @@ def test_seasonal_residuals_long_span_grid(spark, sf_dir, tmp_path):
     compare_with_oracle(
         ev_seasonal_residuals(spark, d), EV_SEASONAL_RESIDUALS_ORACLE, d
     )
+
+
+# ===================== round-12 bank (built round 9) =====================
+def _edge_dir(tmp_path, name, tables: dict):
+    """Write the given pyarrow tables into a fresh sf-dir, symlinking
+    every other testdata table from SF_DIR (the established
+    edge-corpus idiom)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from simple_etl_pipeline_spark.schemas import TESTDATA_TABLES
+    from tests.conftest import SF_DIR
+
+    d = str(tmp_path / name)
+    os.makedirs(d)
+    for t, table in tables.items():
+        pq.write_table(table, os.path.join(d, f"{t}.parquet"))
+    for t in TESTDATA_TABLES:
+        if t not in tables:
+            os.symlink(
+                os.path.join(SF_DIR, f"{t}.parquet"),
+                os.path.join(d, f"{t}.parquet"),
+            )
+    return d
+
+
+def test_k_anonymity_matches_oracle(spark, sf_dir):
+    from simple_etl_pipeline_spark.plans.relational import (
+        DQ_K_ANONYMITY_ORACLE,
+        dq_k_anonymity,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    compare_with_oracle(
+        dq_k_anonymity(spark, sf_dir), DQ_K_ANONYMITY_ORACLE, sf_dir
+    )
+    row = dq_k_anonymity(spark, sf_dir).collect()[0]
+    assert row.n_rows > 0 and row.n_classes > 0
+    # k25 subsumes k5: a class below 5 is below 25
+    assert row.k25_classes >= row.k5_classes
+    assert row.k25_rows >= row.k5_rows
+
+
+def test_k_anonymity_floor_banding_and_thresholds(spark, tmp_path):
+    """Engineered equivalence classes pin the banding convention and
+    both thresholds: negative balances must FLOOR-band (-0.01 and
+    -999.99 share band -1; truncation would fuse them with band 0),
+    class sizes straddle k=5 (4 violates, 5 passes) and k=25, and a
+    NULL segment forms its own real class. Exact counts asserted, then
+    both engines compared on the same corpus."""
+    import pyarrow as pa
+
+    from simple_etl_pipeline_spark.plans.relational import (
+        DQ_K_ANONYMITY_ORACLE,
+        dq_k_anonymity,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    rows = []  # (nationkey, segment, acctbal)
+    rows += [(1, "A", 100.00)] * 30          # class: passes both
+    rows += [(1, "B", 150.25)] * 4           # violates k5 and k25
+    rows += [(1, "C", 2500.75)] * 5          # passes k5, violates k25
+    rows += [(2, "A", -0.01)] * 2            # band -1 (floor!)
+    rows += [(2, "A", -999.99)] * 2          # band -1 -> same class (4)
+    rows += [(2, "A", 0.01)] * 3             # band 0 -> separate (3)
+    rows += [(2, "A", -1000.01)] * 6         # band -2 (6: passes k5)
+    rows += [(3, None, 77.0)] * 2            # NULL segment class (2)
+    cust = pa.table(
+        {
+            "c_custkey": pa.array(range(len(rows)), pa.int64()),
+            "c_name": pa.array(
+                [f"c{i}" for i in range(len(rows))], pa.string()
+            ),
+            "c_nationkey": pa.array([n for n, _, _ in rows], pa.int32()),
+            "c_acctbal": pa.array([b for _, _, b in rows], pa.float64()),
+            "c_mktsegment": pa.array([s for _, s, _ in rows], pa.string()),
+        }
+    )
+    d = _edge_dir(tmp_path, "kanon_edge", {"customer": cust})
+    out = dq_k_anonymity(spark, d).collect()[0]
+    assert out.n_rows == len(rows)
+    # classes: (1,A,0) (1,B,0) (1,C,2) (2,A,-1) (2,A,0) (2,A,-2)
+    #          (3,NULL,0) = 7 (floor banding merges the two negatives)
+    assert out.n_classes == 7
+    assert out.min_class_size == 2
+    # below 5: the 4-row B class, the 3-row (2,A,0), the 4-row merged
+    # (2,A,-1), the 2-row NULL class = 4 classes / 13 rows
+    assert out.k5_classes == 4 and out.k5_rows == 13
+    # below 25: all but the 30-row class
+    assert out.k25_classes == 6 and out.k25_rows == len(rows) - 30
+    assert out.k5_risk_ppm == 13 * 1_000_000 // len(rows)
+    compare_with_oracle(dq_k_anonymity(spark, d), DQ_K_ANONYMITY_ORACLE, d)
+
+
+def test_ols_trend_matches_oracle(spark, sf_dir):
+    from simple_etl_pipeline_spark.plans.relational import (
+        AGG_OLS_TREND_ORACLE,
+        agg_ols_trend,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    compare_with_oracle(
+        agg_ols_trend(spark, sf_dir), AGG_OLS_TREND_ORACLE, sf_dir
+    )
+    for r in agg_ols_trend(spark, sf_dir).collect():
+        assert r.r2_ppm is None or 0 <= r.r2_ppm <= 1_000_000
+
+
+def _py_ols_staged(pairs):
+    """Independent python twin of the staged-integer OLS — exact
+    bigints via python's unbounded ints; pairs are (epoch_day, cents)
+    with cents >= 0."""
+    from simple_etl_pipeline_spark.plans.relational import OLS_X0_DAYS
+
+    xs = [d - OLS_X0_DAYS for d, _ in pairs]
+    ys = [c for _, c in pairs]
+    n = len(pairs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    syy = sum(y * y for y in ys)
+    sxx_n = n * sxx - sx * sx
+    sxy_n = n * sxy - sx * sy
+    syy_n = n * syy - sy * sy
+
+    def tdiv(p, scale, q):
+        s = -1 if p < 0 else 1
+        return s * (abs(p) * scale // q)
+
+    xbar = tdiv(sx, 1_000_000, n) + OLS_X0_DAYS * 1_000_000
+    mean = sy // n
+    slope = None if sxx_n == 0 else tdiv(sxy_n, 1_000_000, sxx_n)
+    r2 = (
+        None
+        if sxx_n == 0 or syy_n == 0
+        else (abs(sxy_n) * 1_000_000 // sxx_n) * abs(sxy_n) // syy_n
+    )
+    return n, xbar, mean, slope, r2
+
+
+def _ols_corpus(tmp_path, name, orders_rows):
+    """orders_rows: (custkey, epoch_day, price). Customers map custkey
+    k -> nationkey k % 4; nation/region stay the testdata dims."""
+    import datetime
+
+    import pyarrow as pa
+
+    custkeys = sorted({c for c, _, _ in orders_rows})
+    cust = pa.table(
+        {
+            "c_custkey": pa.array(custkeys, pa.int64()),
+            "c_name": pa.array([f"c{k}" for k in custkeys], pa.string()),
+            "c_nationkey": pa.array([k % 4 for k in custkeys], pa.int32()),
+            "c_acctbal": pa.array([0.0] * len(custkeys), pa.float64()),
+            "c_mktsegment": pa.array(["S"] * len(custkeys), pa.string()),
+        }
+    )
+    epoch = datetime.datetime(1970, 1, 1)
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(range(len(orders_rows)), pa.int64()),
+            "o_custkey": pa.array([c for c, _, _ in orders_rows], pa.int64()),
+            "o_orderstatus": pa.array(["F"] * len(orders_rows), pa.string()),
+            "o_totalprice": pa.array(
+                [p for _, _, p in orders_rows], pa.float64()
+            ),
+            "o_orderdate": pa.array(
+                [
+                    epoch + datetime.timedelta(days=d)
+                    for _, d, _ in orders_rows
+                ],
+                pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(
+                ["1-URGENT"] * len(orders_rows), pa.string()
+            ),
+        }
+    )
+    return _edge_dir(tmp_path, name, {"customer": cust, "orders": orders})
+
+
+def test_ols_trend_exact_reference_and_degenerates(spark, tmp_path):
+    """A perfect line must read slope EXACTLY (200 cents/day =
+    2e8 micro-cents/day) with r2_ppm exactly 1e6; a single-day group
+    has no slope (NULL); a constant-y group has slope 0 and no r2
+    (NULL); and an arbitrary group must equal the independent python
+    staged-integer twin bit-for-bit. Then cross-engine parity on the
+    same corpus."""
+    from simple_etl_pipeline_spark.plans.relational import (
+        AGG_OLS_TREND_ORACLE,
+        agg_ols_trend,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    rows = []
+    # nation 0 (custkey 4): y = 100.00 + 2.00 * t currency, 10 days
+    line = [(4, 9000 + t, 100.00 + 2.00 * t) for t in range(10)]
+    rows += line
+    # nation 1 (custkey 1): all orders on one day
+    rows += [(1, 9100, 50.0), (1, 9100, 60.0), (1, 9100, 70.0)]
+    # nation 2 (custkey 2): constant price over many days
+    rows += [(2, 9000 + 37 * i, 123.45) for i in range(5)]
+    # nation 3 (custkey 3): arbitrary, checked against the python twin
+    arb = [(3, 8100, 10.00), (3, 9950, 905.50), (3, 8700, 3.25),
+           (3, 10250, 44.75), (3, 9001, 500.00)]
+    rows += arb
+    d = _ols_corpus(tmp_path, "ols_exact", rows)
+    out = {r.n_name: r for r in agg_ols_trend(spark, d).collect()}
+    assert out["NATION_0"].slope_microcents_per_day == 200_000_000
+    assert out["NATION_0"].r2_ppm == 1_000_000
+    assert out["NATION_1"].slope_microcents_per_day is None
+    assert out["NATION_1"].r2_ppm is None
+    assert out["NATION_2"].slope_microcents_per_day == 0
+    assert out["NATION_2"].r2_ppm is None
+    n, xbar, mean, slope, r2 = _py_ols_staged(
+        [(day, round(p * 100)) for _, day, p in arb]
+    )
+    got = out["NATION_3"]
+    assert (got.n_orders, got.xbar_day_ppm, got.mean_cents) == (
+        n, xbar, mean,
+    )
+    assert got.slope_microcents_per_day == slope
+    assert got.r2_ppm == r2
+    compare_with_oracle(agg_ols_trend(spark, d), AGG_OLS_TREND_ORACLE, d)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 6),                     # custkey -> 4 nations
+            st.integers(0, 40000),                 # epoch day (pre/post X0)
+            st.integers(0, 60_000_000),            # price in cents
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@_SETTINGS
+def test_ols_trend_fuzzed_cross_engine(spark, tmp_path_factory, rows):
+    """Random corpora (days on BOTH sides of the X0 shift, so negative
+    x and negative sxy_n exercise the sign-symmetric division) must
+    match the oracle AND the independent python twin per nation."""
+    from simple_etl_pipeline_spark.plans.relational import (
+        AGG_OLS_TREND_ORACLE,
+        agg_ols_trend,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    orders = [(c, d, cents / 100.0) for c, d, cents in rows]
+    sf = _ols_corpus(tmp_path_factory.mktemp("ols_fuzz"), "c", orders)
+    out = {r.n_name: r for r in agg_ols_trend(spark, sf).collect()}
+    by_nation: dict[int, list] = {}
+    for c, d, cents in rows:
+        by_nation.setdefault(c % 4, []).append((d, cents))
+    for nk, pairs in by_nation.items():
+        n, xbar, mean, slope, r2 = _py_ols_staged(pairs)
+        got = out[f"NATION_{nk}"]
+        assert got.n_orders == n
+        assert got.xbar_day_ppm == xbar
+        assert got.mean_cents == mean
+        assert got.slope_microcents_per_day == slope
+        assert got.r2_ppm == r2
+    compare_with_oracle(agg_ols_trend(spark, sf), AGG_OLS_TREND_ORACLE, sf)
+
+
+def test_boilerplate_matches_oracle_and_fires(spark, sf_dir):
+    from simple_etl_pipeline_spark.plans.text import (
+        TXT_BOILERPLATE_ORACLE,
+        txt_boilerplate_lines,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    compare_with_oracle(
+        txt_boilerplate_lines(spark, sf_dir), TXT_BOILERPLATE_ORACLE, sf_dir
+    )
+    rows = txt_boilerplate_lines(spark, sf_dir).collect()
+    # the injected chrome guarantees boilerplate at every SF
+    assert sum(r.boiler_occurrences for r in rows) > 0
+    for r in rows:
+        assert r.removed_chars <= r.n_line_chars
+        assert 0 <= r.boiler_ppm <= 1_000_000
+
+
+def test_boilerplate_semantics_on_edge_corpus(spark, tmp_path):
+    """Doc ids avoid the %5/%7 chrome injection so the corpus is pure:
+    a line must be boilerplate at df=3 distinct docs but not df=2;
+    whitespace variants (space/tab/CR padding) trim to the same key;
+    a within-doc repeat counts ONCE toward df but every occurrence is
+    removed; NULL-text docs still count as documents; NULL source is
+    its own group. Exact numbers asserted, then engine parity."""
+    import pyarrow as pa
+
+    from simple_etl_pipeline_spark.plans.text import (
+        TXT_BOILERPLATE_ORACLE,
+        txt_boilerplate_lines,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    B = "SHARED FOOTER"     # 13 chars; boiler (docs 1, 2, 3, 8)
+    T2 = "TWICE ONLY"       # 10 chars; df=2 -> not boiler (docs 4, 6)
+    docs = [
+        # (doc_id, text, source)
+        (1, f"alpha one\n  {B}", "s1"),
+        (2, f"beta two\n\t{B}\r", "s1"),
+        (3, f"{B}   \ngamma three", "s2"),
+        (4, f"{T2}\ndelta four", "s2"),
+        (6, f"{T2}", "s2"),
+        (8, f"{B}\nmiddle\n {B} ", None),   # within-doc repeat
+        (9, None, "s3"),                      # NULL text
+        (11, "   \n\t\r\n", "s3"),           # only empty lines
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t, _ in docs], pa.string()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+            "source": pa.array([s for _, _, s in docs], pa.string()),
+            "n_chars": pa.array(
+                [len(t) if t else 0 for _, t, _ in docs], pa.int64()
+            ),
+        }
+    )
+    d = _edge_dir(tmp_path, "boiler_edge", {"documents": tbl})
+    out = {r.source: r for r in txt_boilerplate_lines(spark, d).collect()}
+    assert set(out) == {"s1", "s2", "s3", "(null)"}
+    # s1: docs 1,2 -> 4 lines, B removed twice (trim variants merge)
+    assert out["s1"].n_docs == 2 and out["s1"].n_lines == 4
+    assert out["s1"].boiler_lines == 1
+    assert out["s1"].boiler_occurrences == 2
+    assert out["s1"].removed_chars == 2 * len(B)
+    # s2: docs 3,4,6 -> 5 lines; B once; T2 is df=2 -> kept
+    assert out["s2"].n_docs == 3 and out["s2"].n_lines == 5
+    assert out["s2"].boiler_lines == 1
+    assert out["s2"].boiler_occurrences == 1
+    assert out["s2"].removed_chars == len(B)
+    # NULL source: doc 8 alone; B twice within one doc -> df counted
+    # once, both occurrences removed
+    assert out["(null)"].n_docs == 1 and out["(null)"].n_lines == 3
+    assert out["(null)"].boiler_occurrences == 2
+    assert out["(null)"].removed_chars == 2 * len(B)
+    # s3: a NULL-text doc and an empty-lines doc still count as docs
+    assert out["s3"].n_docs == 2 and out["s3"].n_lines == 0
+    assert out["s3"].boiler_ppm == 0
+    compare_with_oracle(
+        txt_boilerplate_lines(spark, d), TXT_BOILERPLATE_ORACLE, d
+    )
+
+
+@given(st.text(st.characters(exclude_categories=("Cs",)), min_size=1,
+               max_size=200))
+@_SETTINGS
+def test_phash_sql_hash_matches_python(s):
+    """The oracle's hash expression (PHASH_PS_SQL + PHASH_PACK_SQL)
+    must equal the independent python reference on arbitrary unicode —
+    byte sampling, exact mean comparison and bit packing all locked.
+    (The Spark side is locked to the oracle by the parity tests.)"""
+    import duckdb
+
+    from simple_etl_pipeline_spark.plans.multimodal import (
+        PHASH_PACK_SQL,
+        PHASH_PS_SQL,
+        py_avg_hash,
+    )
+
+    if len(s.encode("utf-8")) == 0:
+        return
+    got = duckdb.sql(
+        f"WITH imgs AS (SELECT hex(encode(?::VARCHAR)) AS hx, "
+        f"CAST(octet_length(encode(?::VARCHAR)) AS BIGINT) AS sz), "
+        f"sampled AS (SELECT {PHASH_PS_SQL} AS ps FROM imgs) "
+        f"SELECT {PHASH_PACK_SQL} FROM sampled",
+        params=[s, s],
+    ).fetchone()[0]
+    assert got == py_avg_hash(s)
+    assert 0 <= got < (1 << 60)
+
+
+def test_phash_dedup_matches_oracle_and_finds_injected(spark, sf_dir):
+    from simple_etl_pipeline_spark.plans.multimodal import (
+        MM_PHASH_ORACLE,
+        mm_phash_dedup,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    compare_with_oracle(
+        mm_phash_dedup(spark, sf_dir), MM_PHASH_ORACLE, sf_dir
+    )
+    rows = mm_phash_dedup(spark, sf_dir).collect()
+    exact = {(r.doc_a, r.doc_b) for r in rows if r.hamming == 0}
+    # every byte-identical injected re-crawl must be found (its hash
+    # is equal, so every band matches — recall 1 by construction)
+    import duckdb
+
+    from simple_etl_pipeline_spark.testing import duckdb_connection
+
+    con = duckdb_connection(sf_dir)
+    expected = con.execute(
+        "SELECT doc_id FROM documents WHERE doc_id % 15 = 0 "
+        "AND doc_id % 3 = 0 AND text IS NOT NULL "
+        "AND octet_length(encode(text)) > 0"
+    ).fetchall()
+    for (base,) in expected:
+        assert (base, base + 3_000_000) in exact
+
+
+def test_phash_pairs_on_constructed_corpus(spark, tmp_path):
+    """Constructed blobs with KNOWN Hamming relationships (computed by
+    the python reference inside the test): a byte-identical pair at
+    distance 0, an in-place small edit within the threshold, a
+    restructured blob beyond it (absent), and a sub-60-byte blob pair
+    (sample positions repeat — still well-defined). Doc ids avoid the
+    %15/%21 injection residues so the corpus is exactly what the test
+    writes."""
+    import pyarrow as pa
+
+    from simple_etl_pipeline_spark.plans.multimodal import (
+        MM_PHASH_ORACLE,
+        mm_phash_dedup,
+        py_avg_hash,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    base = "The quick brown fox jumps over the lazy dog. " * 4  # 184 B
+    # in-place low-byte edit at a SAMPLED position ((1*184)//60 = 3):
+    # deterministically pick the first candidate the python reference
+    # scores within the (0, 8] near-dup window
+    near = next(
+        c
+        for c in (base[:3] + r + base[6:] for r in ("!!!", "...", "ZZZ"))
+        if 0
+        < bin(py_avg_hash(base) ^ py_avg_hash(c)).count("1")
+        <= 8
+    )
+    far = "".join(sorted(base))          # same bytes, fully reordered
+    short = "tiny-blob!"                  # 10 bytes < 60 samples
+    # ids ≡ 0 (mod 3), not ≡ 0 (mod 15) or (mod 21)
+    docs = [(3, base), (6, near), (9, far), (12, short), (18, short),
+            (24, base)]
+    h = {i: py_avg_hash(t) for i, t in docs}
+    ham = lambda a, b: bin(h[a] ^ h[b]).count("1")  # noqa: E731
+    assert ham(3, 24) == 0 and ham(12, 18) == 0
+    assert 0 < ham(3, 6) <= 8        # near edit survives
+    assert ham(3, 9) > 8             # reordering destroys structure
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+            "source": pa.array(["s"] * len(docs), pa.string()),
+            "n_chars": pa.array([len(t) for _, t in docs], pa.int64()),
+        }
+    )
+    d = _edge_dir(tmp_path, "phash_edge", {"documents": tbl})
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in mm_phash_dedup(spark, d).collect()}
+    assert got.get((3, 24)) == 0
+    assert got.get((12, 18)) == 0
+    assert got.get((3, 6)) == ham(3, 6)
+    assert (3, 9) not in got
+    compare_with_oracle(mm_phash_dedup(spark, d), MM_PHASH_ORACLE, d)

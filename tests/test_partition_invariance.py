@@ -53,6 +53,12 @@ QUERIES["train_token_budget_pack"] = _txt.train_token_budget_pack
 QUERIES["ev_time_embargo_split"] = _ev.ev_time_embargo_split
 QUERIES["ev_seasonal_residuals"] = _ev.ev_seasonal_residuals
 QUERIES["dq_profile_drift"] = _rel.dq_profile_drift
+# round-9-built r12 bank
+from simple_etl_pipeline_spark.plans import multimodal as _mm  # noqa: E402
+QUERIES["dq_k_anonymity"] = _rel.dq_k_anonymity
+QUERIES["agg_ols_trend"] = _rel.agg_ols_trend
+QUERIES["txt_boilerplate_lines"] = _txt.txt_boilerplate_lines
+QUERIES["mm_phash_dedup"] = _mm.mm_phash_dedup
 
 # Float-aggregate-heavy and sketch queries — the ones that WOULD diverge
 # under double-sum reordering or rand()-based sampling.
@@ -124,6 +130,15 @@ INVARIANT_QUERIES = [
     "ev_time_embargo_split",
     "ev_seasonal_residuals",
     "dq_profile_drift",
+    # round-9-built r12 bank: exact integer class counts (k-anon),
+    # decimal moment sums + staged sign-symmetric integer division
+    # (OLS), integer char/occurrence counts + md5 line keys
+    # (boilerplate), integer-arithmetic average-hash + banded pairs
+    # (phash) — every one must be layout-independent
+    "dq_k_anonymity",
+    "agg_ols_trend",
+    "txt_boilerplate_lines",
+    "mm_phash_dedup",
 ]
 
 

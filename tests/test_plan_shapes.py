@@ -750,3 +750,96 @@ def test_profile_drift_single_pass_no_join(spark, sf_dir):
     assert plan.count("FileScan parquet") == 2  # events scan + bounds scan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_k_anonymity_is_two_aggs_no_join_no_window(spark, sf_dir):
+    """The privacy audit is two keyed aggregations over one pruned
+    customer scan — no window (class counting must never key a window
+    by the QI tuple), no join, and the scan reads only the three QI
+    source columns."""
+    from simple_etl_pipeline_spark.plans import relational as relmod
+
+    plan = (
+        relmod.dq_k_anonymity(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    rs = plan.split("ReadSchema")[1][:200]
+    assert "c_acctbal" in rs and "c_custkey" not in rs, rs
+
+
+def test_ols_trend_equi_join_broadcast_nation(spark, sf_dir):
+    """OLS moments: one orders->customer equi-join (hash-based, never
+    nested-loop), a 25-group aggregation, and the nation name side a
+    broadcast; the orders scan is pruned to the three used columns."""
+    from simple_etl_pipeline_spark.plans import relational as relmod
+
+    plan = (
+        relmod.agg_ols_trend(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+    orders_rs = next(
+        seg[:200]
+        for seg in plan.split("ReadSchema")[1:]
+        if "o_custkey" in seg[:200]
+    )
+    assert "o_totalprice" in orders_rs and "o_orderkey" not in orders_rs
+
+
+def test_boilerplate_doc_freq_is_agg_plus_join_never_window(spark, sf_dir):
+    """The document-frequency of a line comes from an aggregation
+    joined back on line_key — boilerplate lines are BY DEFINITION the
+    heavy keys, so a COUNT() OVER (PARTITION BY line_key) would funnel
+    exactly the interesting keys through single reducers. The plan
+    must carry no window at all, only keyed aggregates and an
+    equi-join."""
+    from simple_etl_pipeline_spark.plans import text as txtmod
+
+    plan = (
+        txtmod.txt_boilerplate_lines(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_phash_hashing_is_columnar_band_join_is_equi(spark, sf_dir):
+    """The perceptual hash is Column arithmetic inside the scan stage
+    (no Python evaluation of any kind), and candidate generation is an
+    equi-join on (band, value) — never a cross product of the image
+    corpus."""
+    from simple_etl_pipeline_spark.plans import multimodal as mmmod
+
+    plan = (
+        mmmod.mm_phash_dedup(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # hash-based EQUI join keyed on the bands (at test SF the tiny
+    # build side broadcasts; at scale stats flip it to sort-merge —
+    # either way the keys prove band-bucketed candidates, not a cross)
+    join_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "HashJoin" in ln or "SortMergeJoin" in ln
+    ]
+    assert join_lines and all("band" in ln for ln in join_lines), plan

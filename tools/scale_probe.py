@@ -125,6 +125,16 @@ PROBE_QUERIES = [
     # shuffle + lang rollup; the budget bounds the SELECTED set, so
     # past the cutoff only the rank/cumsum pass grows.
     "train_token_budget_pack",
+    # r12 bank: line explode + two keyed aggs + line_key join-back;
+    # the scaler's per-copy token suffix keeps body lines distinct
+    # across copies (only the query-injected chrome repeats), so the
+    # doc-frequency frame grows linearly like a real corpus.
+    "txt_boilerplate_lines",
+    # r12 bank: scan-stage Column hashing + 4x15-bit band join; the
+    # per-copy text perturbation keeps copies out of each other's
+    # hash buckets, so candidate pairs grow with the within-copy
+    # injections (~linear), not quadratically.
+    "mm_phash_dedup",
 ]
 # Embedding-side probe (SPARK_GRAFT_PROBE=sim): vectors are perturbed
 # per copy (direction-dependent per-dim scaling), so LSH/sign buckets
@@ -234,6 +244,14 @@ ORD_PROBE_QUERIES = [
     # the pair stream grows K× while the co-occurring pair universe
     # (and the top-100 head) stays fixed — map-side collapse territory.
     "agg_basket_lift",
+    # r12 bank: orders->customer equi-join + 25-group moment agg; the
+    # coherent custkey shift keeps the join linear while both sides
+    # grow K×.
+    "agg_ols_trend",
+    # r12 bank: customer scales K× with UNCHANGED QI values per copy,
+    # so the class universe stays fixed while class counts grow K× —
+    # the bounded-agg shape the audit claims.
+    "dq_k_anonymity",
 ]
 # Streaming probe (SPARK_GRAFT_PROBE=st): availableNow replay of the
 # scaled events — wall includes the full micro-batch drain, so the
@@ -519,6 +537,14 @@ def main() -> None:
         "ev_seasonal_residuals", _evmod.ev_seasonal_residuals
     )
     queries.setdefault("dq_profile_drift", _relmod.dq_profile_drift)
+    queries.setdefault("dq_k_anonymity", _relmod.dq_k_anonymity)
+    queries.setdefault("agg_ols_trend", _relmod.agg_ols_trend)
+    queries.setdefault(
+        "txt_boilerplate_lines", _txtmod.txt_boilerplate_lines
+    )
+    from simple_etl_pipeline_spark.plans import multimodal as _mmmod
+
+    queries.setdefault("mm_phash_dedup", _mmmod.mm_phash_dedup)
     # ... and so do demoted queries (pytest-only parity twins): probe
     # lists name them by their original keys, which leave the registry
     # on demotion.
