@@ -193,6 +193,14 @@ _WINDOW = [
 # Registry arithmetic: 145 registered / 150 three-round slots
 # (5 slack) — the invariant stays satisfiable PROVIDED net growth
 # stays <= 0 per round (demote-one-per-add).
+# Bank queue behind the r10 reserve: the r11 bank (token budget /
+# embargo / seasonal / profile drift) and the r12 bank (k-anonymity /
+# OLS trend / boilerplate / phash) each need four demotions in their
+# registration round; candidate classes to draw from, in derivative
+# order: the remaining ref_clean_* parity singles, window_running_total
+# (prefix-sum semantics now pinned by global_prefix_sum surfaces),
+# agg_histogram (equi-width sibling of the registered percentile
+# heads), ev_sliding_windows (the streaming twin keeps the oracle).
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -269,13 +269,33 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_simhash documents on text. Verification is exact: popcount
     of the XOR.
 
+    Output is at HASH-CLUSTER granularity, not document pairs — a
+    design forced by measurement, not taste: unlike SimHash (whose
+    bits are md5-derived and therefore uniform), an average-hash
+    CONCENTRATES on structured input — the bank-stage scale probe on
+    the K-scaled corpus read distinct hashes growing only ~N^0.5
+    while byte-identical-hash documents piled up, so the doc-pair
+    output was itself quadratic (probe exponent 0.73, caught before
+    any registration). The fix is the map-side-collapse move: ONE
+    groupBy on h folds every identical-hash document into a cluster
+    row FIRST (dedup_exact's linear shape — equal hashes need no LSH
+    to find each other), and only DISTINCT hashes enter the band
+    join. Rows: kind='exact' per cluster with >= 2 members (survivor,
+    member count, xor_ids pinning membership, weight = C(m,2)
+    underlying doc pairs); kind='near' per cluster PAIR within
+    Hamming (0, 8] (both survivors, both counts, weight = m_a * m_b).
+    Every doc-level relationship is still counted — as exact integer
+    weights, never materialized rows.
+
     Scale shape: one narrow map computes every hash in the scan stage
-    (Column-only arithmetic — no Python, no UDF); 4 band keys explode
-    to 4N rows; ONE shuffle on (band, value) groups candidates;
-    within-bucket pairing is bounded by bucket size (random 15-bit
-    bands keep buckets ~N/32768 — the documented simhash/minhash
-    expansion class), and the exact Hamming check runs on candidate
-    pairs only. Zero all-pairs products at any corpus size."""
+    (Column-only arithmetic — no Python, no UDF); one h-keyed
+    aggregation (map-side combined) collapses to the distinct-hash
+    frame; 4 band keys explode to 4 x |distinct h|; ONE shuffle on
+    (band, value) groups candidates, within-bucket pairing bounded by
+    distinct-hash bucket sizes (sub-linear by the very concentration
+    that motivated the design); the exact Hamming check runs on
+    candidate pairs only. Zero all-pairs products at any corpus
+    size."""
     n = PHASH_SAMPLES
     imgs = phash_corpus(spark, sf_dir).select(
         "doc_id",
@@ -303,9 +323,16 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "h")
     )
-    bands = hashed.select(
-        "doc_id",
+    clusters = hashed.groupBy("h").agg(
+        F.count(F.lit(1)).alias("members"),
+        F.min("doc_id").alias("survivor"),
+        F.expr("bit_xor(doc_id)").alias("xor_ids"),
+    )
+    bands = clusters.select(
         "h",
+        "members",
+        "survivor",
+        "xor_ids",
         F.explode(
             F.array(
                 *[
@@ -320,32 +347,72 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("x"),
-    ).select("doc_id", "h", "x.band", "x.bv")
+    ).select("h", "members", "survivor", "xor_ids", "x.band", "x.bv")
     a = bands.select(
-        F.col("doc_id").alias("doc_a"),
+        F.col("survivor").alias("doc_a"),
         F.col("h").alias("ha"),
+        F.col("members").alias("members_a"),
+        F.col("xor_ids").alias("xa"),
         "band",
         "bv",
     )
     b = bands.select(
-        F.col("doc_id").alias("doc_b"),
+        F.col("survivor").alias("doc_b"),
         F.col("h").alias("hb"),
+        F.col("members").alias("members_b"),
         "band",
         "bv",
     )
+    # <= keeps each cluster's SELF-match: that row (doc_a == doc_b,
+    # hamming 0) is the exact-cluster record, so the whole output is
+    # one join with no union (a union of the two shared-lineage
+    # branches also trips Catalyst's constraint rewrite on the
+    # corpus-union plan — double win)
     cand = (
         a.join(b, ["band", "bv"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "ha", "hb")
+        .filter(F.col("doc_a") <= F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", "ha", "hb", "members_a", "members_b", "xa"
+        )
         .distinct()
-    )
-    return (
-        cand.withColumn(
+        .withColumn(
             "hamming", F.expr("cast(bit_count(ha ^ hb) as bigint)")
         )
-        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
-        .select("doc_a", "doc_b", "hamming")
-        .orderBy("doc_a", "doc_b")
+    )
+    is_exact = F.col("doc_a") == F.col("doc_b")
+    return (
+        cand.filter(
+            (is_exact & (F.col("members_a") >= 2))
+            | (
+                ~is_exact
+                & (F.col("hamming") > 0)
+                & (F.col("hamming") <= PHASH_HAMMING_MAX)
+            )
+        )
+        .select(
+            F.when(is_exact, F.lit("exact"))
+            .otherwise(F.lit("near"))
+            .alias("kind"),
+            "doc_a",
+            F.when(is_exact, F.lit(None).cast("bigint"))
+            .otherwise(F.col("doc_b"))
+            .alias("doc_b"),
+            "hamming",
+            "members_a",
+            F.when(is_exact, F.lit(None).cast("bigint"))
+            .otherwise(F.col("members_b"))
+            .alias("members_b"),
+            F.when(
+                is_exact,
+                F.expr("members_a * (members_a - 1) div 2"),
+            )
+            .otherwise(F.col("members_a") * F.col("members_b"))
+            .alias("weight"),
+            F.when(is_exact, F.col("xa"))
+            .otherwise(F.lit(None).cast("bigint"))
+            .alias("xor_ids"),
+        )
+        .orderBy("kind", "doc_a", "doc_b")
     )
 
 
@@ -387,20 +454,36 @@ WITH corpus AS ({PHASH_CORPUS_SQL}
 ), hashed AS (
   SELECT doc_id, {PHASH_PACK_SQL} AS h
   FROM sampled
+), clusters AS (
+  SELECT h, COUNT(*) AS members, MIN(doc_id) AS survivor,
+         bit_xor(doc_id) AS xor_ids
+  FROM hashed GROUP BY h
+), exact AS (
+  SELECT 'exact' AS kind, survivor AS doc_a,
+    CAST(NULL AS BIGINT) AS doc_b, CAST(0 AS BIGINT) AS hamming,
+    members AS members_a, CAST(NULL AS BIGINT) AS members_b,
+    CAST(members * (members - 1) // 2 AS BIGINT) AS weight, xor_ids
+  FROM clusters WHERE members >= 2
 ), bands AS (
-  SELECT doc_id, h, b.band,
+  SELECT h, members, survivor, b.band,
     (h >> (b.band * {PHASH_BAND_BITS})) & {(1 << PHASH_BAND_BITS) - 1} AS bv
-  FROM hashed, (SELECT UNNEST(generate_series(0, {PHASH_BANDS - 1}))
-                AS band) b
+  FROM clusters, (SELECT UNNEST(generate_series(0, {PHASH_BANDS - 1}))
+                  AS band) b
 ), cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                  a.h AS ha, b.h AS hb
+  SELECT DISTINCT a.survivor AS doc_a, b.survivor AS doc_b,
+    a.h AS ha, b.h AS hb, a.members AS members_a, b.members AS members_b
   FROM bands a JOIN bands b
-    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ON a.band = b.band AND a.bv = b.bv AND a.survivor < b.survivor
+), near AS (
+  SELECT 'near' AS kind, doc_a, doc_b,
+    CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming,
+    members_a, members_b,
+    CAST(members_a * members_b AS BIGINT) AS weight,
+    CAST(NULL AS BIGINT) AS xor_ids
+  FROM cand WHERE bit_count(xor(ha, hb)) <= {PHASH_HAMMING_MAX}
 )
-SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
-FROM cand WHERE bit_count(xor(ha, hb)) <= {PHASH_HAMMING_MAX}
-ORDER BY doc_a, doc_b
+SELECT * FROM exact UNION ALL SELECT * FROM near
+ORDER BY kind, doc_a, doc_b
 """
 
 

@@ -3622,41 +3622,55 @@ def test_phash_dedup_matches_oracle_and_finds_injected(spark, sf_dir):
         MM_PHASH_ORACLE,
         mm_phash_dedup,
     )
-    from simple_etl_pipeline_spark.testing import compare_with_oracle
+    from simple_etl_pipeline_spark.testing import (
+        compare_with_oracle,
+        duckdb_connection,
+    )
 
     compare_with_oracle(
         mm_phash_dedup(spark, sf_dir), MM_PHASH_ORACLE, sf_dir
     )
     rows = mm_phash_dedup(spark, sf_dir).collect()
-    exact = {(r.doc_a, r.doc_b) for r in rows if r.hamming == 0}
-    # every byte-identical injected re-crawl must be found (its hash
-    # is equal, so every band matches — recall 1 by construction)
-    import duckdb
-
-    from simple_etl_pipeline_spark.testing import duckdb_connection
-
+    exact = [r for r in rows if r.kind == "exact"]
+    # cluster-row internal consistency: weight == C(members, 2),
+    # hamming 0, no partner columns
+    for r in exact:
+        assert r.weight == r.members_a * (r.members_a - 1) // 2
+        assert r.hamming == 0 and r.doc_b is None and r.members_b is None
+    for r in rows:
+        if r.kind == "near":
+            assert 0 < r.hamming <= 8
+            assert r.weight == r.members_a * r.members_b
+            assert r.xor_ids is None
+    # every byte-identical injected re-crawl shares its base's hash,
+    # so each such PAIR lands inside some exact cluster's C(m,2)
+    # weight — the exact weights must cover them all
     con = duckdb_connection(sf_dir)
-    expected = con.execute(
-        "SELECT doc_id FROM documents WHERE doc_id % 15 = 0 "
+    (n_injected,) = con.execute(
+        "SELECT COUNT(*) FROM documents WHERE doc_id % 15 = 0 "
         "AND doc_id % 3 = 0 AND text IS NOT NULL "
         "AND octet_length(encode(text)) > 0"
-    ).fetchall()
-    for (base,) in expected:
-        assert (base, base + 3_000_000) in exact
+    ).fetchone()
+    assert sum(r.weight for r in exact) >= n_injected > 0
 
 
-def test_phash_pairs_on_constructed_corpus(spark, tmp_path):
-    """Constructed blobs with KNOWN Hamming relationships (computed by
-    the python reference inside the test): a byte-identical pair at
-    distance 0, an in-place small edit within the threshold, a
-    restructured blob beyond it (absent), and a sub-60-byte blob pair
-    (sample positions repeat — still well-defined). Doc ids avoid the
-    %15/%21 injection residues so the corpus is exactly what the test
-    writes."""
+def test_phash_clusters_on_constructed_corpus(spark, tmp_path):
+    """Constructed blobs with KNOWN Hamming relationships, checked
+    against a full python model of the operator (hash, clustering,
+    band candidacy, verification): a byte-identical pair collapses to
+    ONE exact cluster row, an in-place small edit yields a near row at
+    its true distance (with the 2-member cluster's weight), a
+    restructured blob appears nowhere, and a sub-60-byte blob pair
+    (sample positions repeat — still well-defined) clusters exactly.
+    Doc ids avoid the %15/%21 injection residues so the corpus is
+    exactly what the test writes."""
     import pyarrow as pa
 
     from simple_etl_pipeline_spark.plans.multimodal import (
         MM_PHASH_ORACLE,
+        PHASH_BAND_BITS,
+        PHASH_BANDS,
+        PHASH_HAMMING_MAX,
         mm_phash_dedup,
         py_avg_hash,
     )
@@ -3679,10 +3693,39 @@ def test_phash_pairs_on_constructed_corpus(spark, tmp_path):
     docs = [(3, base), (6, near), (9, far), (12, short), (18, short),
             (24, base)]
     h = {i: py_avg_hash(t) for i, t in docs}
-    ham = lambda a, b: bin(h[a] ^ h[b]).count("1")  # noqa: E731
-    assert ham(3, 24) == 0 and ham(12, 18) == 0
-    assert 0 < ham(3, 6) <= 8        # near edit survives
-    assert ham(3, 9) > 8             # reordering destroys structure
+    assert h[3] == h[24] and h[12] == h[18]
+    assert 0 < bin(h[3] ^ h[6]).count("1") <= 8
+    assert bin(h[3] ^ h[9]).count("1") > 8
+
+    # full python model: clusters, then band-candidate near pairs
+    clusters: dict[int, list[int]] = {}
+    for i, _ in docs:
+        clusters.setdefault(h[i], []).append(i)
+    exp_exact = {
+        (min(m), len(m), len(m) * (len(m) - 1) // 2)
+        for m in clusters.values()
+        if len(m) >= 2
+    }
+    mask = (1 << PHASH_BAND_BITS) - 1
+
+    def bands_match(x, y):
+        return any(
+            (x >> (b * PHASH_BAND_BITS)) & mask
+            == (y >> (b * PHASH_BAND_BITS)) & mask
+            for b in range(PHASH_BANDS)
+        )
+
+    hs = sorted(clusters, key=lambda k: min(clusters[k]))
+    exp_near = set()
+    for i, ha in enumerate(hs):
+        for hb in hs[i + 1:]:
+            d0 = bin(ha ^ hb).count("1")
+            if 0 < d0 <= PHASH_HAMMING_MAX and bands_match(ha, hb):
+                sa, sb = min(clusters[ha]), min(clusters[hb])
+                exp_near.add(
+                    (min(sa, sb), max(sa, sb), d0,
+                     len(clusters[ha]) * len(clusters[hb]))
+                )
     tbl = pa.table(
         {
             "doc_id": pa.array([i for i, _ in docs], pa.int64()),
@@ -3693,10 +3736,25 @@ def test_phash_pairs_on_constructed_corpus(spark, tmp_path):
         }
     )
     d = _edge_dir(tmp_path, "phash_edge", {"documents": tbl})
-    got = {(r.doc_a, r.doc_b): r.hamming
-           for r in mm_phash_dedup(spark, d).collect()}
-    assert got.get((3, 24)) == 0
-    assert got.get((12, 18)) == 0
-    assert got.get((3, 6)) == ham(3, 6)
-    assert (3, 9) not in got
+    rows = mm_phash_dedup(spark, d).collect()
+    got_exact = {
+        (r.doc_a, r.members_a, r.weight)
+        for r in rows
+        if r.kind == "exact"
+    }
+    got_near = {
+        (r.doc_a, r.doc_b, r.hamming, r.weight)
+        for r in rows
+        if r.kind == "near"
+    }
+    assert got_exact == exp_exact
+    assert got_near == exp_near
+    assert (3, 6, bin(h[3] ^ h[6]).count("1"), 2) in got_near
+    assert all(9 not in (a, b) for a, b, _, _ in got_near)
+    # the byte-identical pairs are exact rows, with membership pinned
+    xor_by_survivor = {
+        r.doc_a: r.xor_ids for r in rows if r.kind == "exact"
+    }
+    assert xor_by_survivor[3] == 3 ^ 24
+    assert xor_by_survivor[12] == 12 ^ 18
     compare_with_oracle(mm_phash_dedup(spark, d), MM_PHASH_ORACLE, d)

@@ -421,6 +421,11 @@ def write_scaled_orders(spark, sf_dir: str, k: int, out_dir: str) -> None:
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "customer.parquet"))
     )
+    # fixed dimensions ride along UNSCALED (nations don't grow with
+    # order volume; agg_ols_trend broadcasts this 25-row side)
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").parquet(
+        os.path.join(out_dir, "nation.parquet")
+    )
     lineitem = load_table(spark, sf_dir, "lineitem")
     (
         lineitem.crossJoin(copies)
