@@ -2830,11 +2830,16 @@ def agg_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             epoch_seconds(F.col("o_orderdate")).alias("oep"),
             y.alias("y"),
         )
-        # order dates are midnight timestamps (non-negative epoch), so
-        # integer div == floor == DuckDB's `//` here
+        # FLOOR day bucketing via the pmod idiom: a bare `oep div
+        # 86400` truncates toward zero in Spark while the oracle's
+        # `//` floors, so a pre-1970 order date would land one day
+        # off (the ev_seasonal_residuals divergence class, caught in
+        # this operator by the bank-stage self-review)
         .select(
             "o_custkey",
-            F.expr(f"oep div 86400 - {OLS_X0_DAYS}").alias("x"),
+            F.expr(
+                f"(oep - pmod(oep, 86400)) div 86400 - {OLS_X0_DAYS}"
+            ).alias("x"),
             "y",
         )
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))

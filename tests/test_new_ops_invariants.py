@@ -3307,6 +3307,8 @@ def test_k_anonymity_floor_banding_and_thresholds(spark, tmp_path):
     rows += [(2, "A", 0.01)] * 3             # band 0 -> separate (3)
     rows += [(2, "A", -1000.01)] * 6         # band -2 (6: passes k5)
     rows += [(3, None, 77.0)] * 2            # NULL segment class (2)
+    rows += [(4, "Z", None)] * 3             # NULL balance -> NULL band
+    #                                          class of 3 (violates k5)
     cust = pa.table(
         {
             "c_custkey": pa.array(range(len(rows)), pa.int64()),
@@ -3322,15 +3324,17 @@ def test_k_anonymity_floor_banding_and_thresholds(spark, tmp_path):
     out = dq_k_anonymity(spark, d).collect()[0]
     assert out.n_rows == len(rows)
     # classes: (1,A,0) (1,B,0) (1,C,2) (2,A,-1) (2,A,0) (2,A,-2)
-    #          (3,NULL,0) = 7 (floor banding merges the two negatives)
-    assert out.n_classes == 7
+    #          (3,NULL,0) (4,Z,NULL) = 8 (floor banding merges the two
+    # negatives; NULL balances group as their own band in both engines)
+    assert out.n_classes == 8
     assert out.min_class_size == 2
     # below 5: the 4-row B class, the 3-row (2,A,0), the 4-row merged
-    # (2,A,-1), the 2-row NULL class = 4 classes / 13 rows
-    assert out.k5_classes == 4 and out.k5_rows == 13
+    # (2,A,-1), the 2-row NULL-segment class, the 3-row NULL-band
+    # class = 5 classes / 16 rows
+    assert out.k5_classes == 5 and out.k5_rows == 16
     # below 25: all but the 30-row class
-    assert out.k25_classes == 6 and out.k25_rows == len(rows) - 30
-    assert out.k5_risk_ppm == 13 * 1_000_000 // len(rows)
+    assert out.k25_classes == 7 and out.k25_rows == len(rows) - 30
+    assert out.k5_risk_ppm == 16 * 1_000_000 // len(rows)
     compare_with_oracle(dq_k_anonymity(spark, d), DQ_K_ANONYMITY_ORACLE, d)
 
 
@@ -3470,7 +3474,9 @@ def test_ols_trend_exact_reference_and_degenerates(spark, tmp_path):
     st.lists(
         st.tuples(
             st.integers(1, 6),                     # custkey -> 4 nations
-            st.integers(0, 40000),                 # epoch day (pre/post X0)
+            st.integers(-15000, 40000),            # epoch day — NEGATIVE
+            # days (pre-1970) exercise the pmod floor bucketing where
+            # Spark's bare `div` would truncate one day off
             st.integers(0, 60_000_000),            # price in cents
         ),
         min_size=1,
@@ -3479,9 +3485,11 @@ def test_ols_trend_exact_reference_and_degenerates(spark, tmp_path):
 )
 @_SETTINGS
 def test_ols_trend_fuzzed_cross_engine(spark, tmp_path_factory, rows):
-    """Random corpora (days on BOTH sides of the X0 shift, so negative
-    x and negative sxy_n exercise the sign-symmetric division) must
-    match the oracle AND the independent python twin per nation."""
+    """Random corpora (days on BOTH sides of the X0 shift AND of the
+    1970 epoch, so negative x, negative sxy_n and negative epoch all
+    exercise the sign-symmetric division and the floor day bucketing)
+    must match the oracle AND the independent python twin per
+    nation."""
     from simple_etl_pipeline_spark.plans.relational import (
         AGG_OLS_TREND_ORACLE,
         agg_ols_trend,
