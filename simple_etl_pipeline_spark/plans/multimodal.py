@@ -210,7 +210,15 @@ def phash_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies stay in the image mime class): every 5th image re-crawled
     byte-identically (+3_000_000), every 7th re-encoded with its first
     three characters replaced (+6_000_000) — a small in-place edit, the
-    kind a perceptual hash must survive and an exact md5 cannot."""
+    kind a perceptual hash must survive and an exact md5 cannot.
+
+    Id-range precondition (the corpus_with_dups convention,
+    plans/text.py — same class, documented here per review): base
+    doc_ids must stay below 3_000_000 per 10M scale-probe copy band,
+    or an injected id could collide with a real document and corrupt
+    member counts; the driver testdata tops out orders of magnitude
+    below, and the probe writer's copy*10M shift preserves the
+    headroom inside every band."""
     docs = load_table(spark, sf_dir, "documents")
     imgs = docs.filter(
         (F.col("doc_id") % 3 == 0) & F.col("text").isNotNull()

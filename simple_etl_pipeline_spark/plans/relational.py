@@ -2875,7 +2875,13 @@ def agg_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CASE WHEN sx < 0 THEN -((-sx) * 1000000 div n)"
             f" ELSE sx * 1000000 div n END + {OLS_X0_DAYS * 1_000_000}L"
         ).cast("bigint").alias("xbar_day_ppm"),
-        F.expr("sy div n").cast("bigint").alias("mean_cents"),
+        # sign-symmetric like every other ratio here: order totals are
+        # positive in TPC-H, but a refund/credit row must not flip the
+        # engines one cent apart (review finding: a bare `sy div n`
+        # truncates in Spark while the oracle's // floors)
+        F.expr(
+            "CASE WHEN sy < 0 THEN -((-sy) div n) ELSE sy div n END"
+        ).cast("bigint").alias("mean_cents"),
         F.expr(
             "CASE WHEN sxx_n = 0 THEN NULL"
             " WHEN sxy_n < 0 THEN -((-sxy_n) * 1000000 div sxx_n)"
@@ -2939,7 +2945,8 @@ SELECT n_name, n_orders,
   CAST(CASE WHEN sx < 0 THEN -((-sx) * 1000000 // n)
        ELSE sx * 1000000 // n END
        + {OLS_X0_DAYS * 1_000_000} AS BIGINT) AS xbar_day_ppm,
-  CAST(sy // n AS BIGINT) AS mean_cents,
+  CAST(CASE WHEN sy < 0 THEN -((-sy) // n) ELSE sy // n END
+       AS BIGINT) AS mean_cents,
   CAST(CASE WHEN sxx_n = 0 THEN NULL
        WHEN sxy_n < 0 THEN -((-sxy_n) * 1000000 // sxx_n)
        ELSE sxy_n * 1000000 // sxx_n END AS BIGINT)

@@ -3354,8 +3354,8 @@ def test_ols_trend_matches_oracle(spark, sf_dir):
 
 def _py_ols_staged(pairs):
     """Independent python twin of the staged-integer OLS — exact
-    bigints via python's unbounded ints; pairs are (epoch_day, cents)
-    with cents >= 0."""
+    bigints via python's unbounded ints; pairs are (epoch_day, cents),
+    cents of either sign (refund/credit rows)."""
     from simple_etl_pipeline_spark.plans.relational import OLS_X0_DAYS
 
     xs = [d - OLS_X0_DAYS for d, _ in pairs]
@@ -3374,7 +3374,7 @@ def _py_ols_staged(pairs):
         return s * (abs(p) * scale // q)
 
     xbar = tdiv(sx, 1_000_000, n) + OLS_X0_DAYS * 1_000_000
-    mean = sy // n
+    mean = tdiv(sy, 1, n)
     slope = None if sxx_n == 0 else tdiv(sxy_n, 1_000_000, sxx_n)
     r2 = (
         None
@@ -3477,7 +3477,10 @@ def test_ols_trend_exact_reference_and_degenerates(spark, tmp_path):
             st.integers(-15000, 40000),            # epoch day — NEGATIVE
             # days (pre-1970) exercise the pmod floor bucketing where
             # Spark's bare `div` would truncate one day off
-            st.integers(0, 60_000_000),            # price in cents
+            st.integers(-5_000_000, 60_000_000),   # cents — NEGATIVE
+            # prices (refund/credit rows) exercise the sign-symmetric
+            # mean division (review finding: bare sy div n truncated
+            # in Spark while the oracle floored)
         ),
         min_size=1,
         max_size=40,
