@@ -226,6 +226,7 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     drift_flags = []
+    prev = None
     try:
         with open(detail_path) as f:
             prev = json.load(f)
@@ -264,8 +265,38 @@ def main() -> None:
         "drift_flags": drift_flags,
         "sf": sf_val,
     }
-    with open(detail_path, "w") as f:
-        json.dump(detail, f, indent=1)
+    # A loud run must never become the tripwire's new baseline: when
+    # every flag is plan-fp-SAME (the pure box-noise signature — the
+    # r9 drill read 46.9 s/1 flag then 56.0 s/7 flags minutes apart on
+    # identical code), keep the previous quiet base on disk so the
+    # next quiet run is still compared against a quiet epoch. A run
+    # with any fp-CHANGED flag still rewrites: a deliberate plan
+    # change must establish its own new base (the r9 basket-cap
+    # precedent).
+    box_noise_only = bool(drift_flags) and not any(
+        fl["fp_changed"] for fl in drift_flags
+    )
+    # ... and a local iteration at a DIFFERENT sf (sf0.01 smoke runs)
+    # must not replace the driver-epoch base either — the tripwire
+    # only compares same-sf, so a cross-sf rewrite just blinds it.
+    # SPARK_GRAFT_BENCH_REBASE=1 forces a rewrite (new-epoch
+    # bootstrap, e.g. the driver moving to a new sf).
+    same_epoch = prev is None or prev.get("sf") == sf_val
+    if os.environ.get("SPARK_GRAFT_BENCH_REBASE") == "1" or (
+        same_epoch and not box_noise_only
+    ):
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    else:
+        reason = (
+            "drift flags are all plan-fp-same (box-noise signature)"
+            if box_noise_only
+            else f"run sf={sf_val} != baseline sf={prev.get('sf')}"
+        )
+        print(
+            f"# {reason}: BENCH_DETAIL.json baseline left untouched",
+            file=sys.stderr,
+        )
     print(json.dumps(detail))
     # LAST line = the one the driver parses: keep it short. drift
     # names ride along only when non-empty so the judge sees them in
