@@ -3769,3 +3769,66 @@ def test_phash_clusters_on_constructed_corpus(spark, tmp_path):
     assert xor_by_survivor[3] == 3 ^ 24
     assert xor_by_survivor[12] == 12 ^ 18
     compare_with_oracle(mm_phash_dedup(spark, d), MM_PHASH_ORACLE, d)
+
+
+def test_ols_trend_triangulates_with_builtin_regr_slope(spark, sf_dir):
+    """Three INDEPENDENT implementations of the regression must agree:
+    the operator's staged-integer slope, Spark's builtin regr_slope,
+    and DuckDB's builtin regr_slope (both double-accumulating) — the
+    exact value must sit within a relative whisker of both builtins
+    (they differ from exact only by float accumulation order). This
+    bounds the FORMULA, not just the engines' agreement with each
+    other."""
+    from pyspark.sql import functions as F
+
+    from simple_etl_pipeline_spark.plans.relational import (
+        OLS_X0_DAYS,
+        agg_ols_trend,
+    )
+    from simple_etl_pipeline_spark.schemas import load_table
+    from simple_etl_pipeline_spark.testing import duckdb_connection
+
+    exact = {
+        r.n_name: r.slope_microcents_per_day
+        for r in agg_ols_trend(spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    spark_builtin = {
+        r.n_name: r.b
+        for r in (
+            orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(
+                F.expr(
+                    "regr_slope(o_totalprice * 100,"
+                    f" unix_timestamp(o_orderdate) div 86400"
+                    f" - {OLS_X0_DAYS})"
+                ).alias("b")
+            )
+            .collect()
+        )
+    }
+    con = duckdb_connection(sf_dir)
+    duck_builtin = dict(
+        con.execute(
+            "SELECT n_name, regr_slope(o_totalprice * 100,"
+            f" CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400"
+            f" - {OLS_X0_DAYS}) "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+        ).fetchall()
+    )
+    for name, micro in exact.items():
+        if micro is None:
+            continue
+        for builtin in (spark_builtin[name], duck_builtin[name]):
+            # exact is truncated to 1e-6 cents/day; builtins carry
+            # float accumulation error — agree to 1e-6 relative + the
+            # truncation ulp
+            tol = abs(builtin) * 1e-6 + 2e-6
+            assert abs(micro / 1e6 - builtin) <= tol, (
+                name, micro, builtin,
+            )
