@@ -3832,3 +3832,118 @@ def test_ols_trend_triangulates_with_builtin_regr_slope(spark, sf_dir):
             assert abs(micro / 1e6 - builtin) <= tol, (
                 name, micro, builtin,
             )
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2", None]),   # source incl. NULL
+            st.lists(
+                st.one_of(
+                    # shared lines (cross-doc df structure) and noise
+                    st.sampled_from(
+                        ["SHARED A", " SHARED A\t", "rare line",
+                         "", "   ", "\t\r"]
+                    ),
+                    # arbitrary unicode incl. astral chars — length()
+                    # and split/trim must agree code-point-for-code-
+                    # point across engines
+                    st.text(
+                        st.characters(exclude_categories=("Cs",)),
+                        max_size=12,
+                    ),
+                ),
+                max_size=5,
+            ),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@_SETTINGS
+def test_boilerplate_fuzzed_cross_engine(spark, tmp_path_factory, rows):
+    """Random multi-line unicode corpora through BOTH engines: newline
+    splitting, the ' \\t\\r' trim set, code-point length() and the
+    df>=3 threshold must agree on arbitrary input, not just the
+    hand-built corpus. Newlines injected via join so every doc is
+    multi-line; doc ids stride 35 past the %5/%7 chrome residues and
+    a NULL-text doc rides along."""
+    import pyarrow as pa
+
+    from simple_etl_pipeline_spark.plans.text import (
+        TXT_BOILERPLATE_ORACLE,
+        txt_boilerplate_lines,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    texts = ["\n".join(lines) for _, lines in rows] + [None]
+    srcs = [s for s, _ in rows] + ["s1"]
+    ids = [1 + 35 * i for i in range(len(texts))]  # 1, 36, 71, ... —
+    # never % 5 == 0 or % 7 == 0 (35k+1 mod 5 = 1, mod 7 = 1)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(srcs, pa.string()),
+            "n_chars": pa.array(
+                [len(t) if t else 0 for t in texts], pa.int64()
+            ),
+        }
+    )
+    d = _edge_dir(
+        tmp_path_factory.mktemp("boiler_fuzz"), "c", {"documents": tbl}
+    )
+    compare_with_oracle(
+        txt_boilerplate_lines(spark, d), TXT_BOILERPLATE_ORACLE, d
+    )
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),                       # nationkey
+            st.sampled_from(["A", "B", None]),       # segment incl. NULL
+            st.one_of(
+                st.none(),                           # NULL balance
+                # signed cents straddling the band edges (exact 2dp)
+                st.integers(-200_001, 200_001),
+            ),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@_SETTINGS
+def test_k_anonymity_fuzzed_cross_engine(spark, tmp_path_factory, rows):
+    """Random customers with signed/NULL balances straddling the
+    1000-unit band edges: floor banding, NULL QI grouping and both
+    threshold counts must agree across engines on arbitrary input."""
+    import pyarrow as pa
+
+    from simple_etl_pipeline_spark.plans.relational import (
+        DQ_K_ANONYMITY_ORACLE,
+        dq_k_anonymity,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    tbl = pa.table(
+        {
+            "c_custkey": pa.array(range(len(rows)), pa.int64()),
+            "c_name": pa.array(
+                [f"c{i}" for i in range(len(rows))], pa.string()
+            ),
+            "c_nationkey": pa.array([n for n, _, _ in rows], pa.int32()),
+            "c_acctbal": pa.array(
+                [None if c is None else c / 100.0 for _, _, c in rows],
+                pa.float64(),
+            ),
+            "c_mktsegment": pa.array([s for _, s, _ in rows], pa.string()),
+        }
+    )
+    d = _edge_dir(
+        tmp_path_factory.mktemp("kanon_fuzz"), "c", {"customer": tbl}
+    )
+    compare_with_oracle(
+        dq_k_anonymity(spark, d), DQ_K_ANONYMITY_ORACLE, d
+    )
