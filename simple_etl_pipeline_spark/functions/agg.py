@@ -55,3 +55,50 @@ def epoch_seconds(c: Column | str) -> Column:
 
 def sql_epoch(expr: str) -> str:
     return f"CAST(floor(epoch({expr})) AS BIGINT)"
+
+
+# --- cross-engine FLOOR division --------------------------------------
+#
+# Integer division truncates toward zero in BOTH engines (verified:
+# `SELECT -90000 // 86400` is -1 in DuckDB and `-90000 div 86400` is
+# -1 in Spark), so bare integer division is NOT floor division for
+# negative numerators — a pre-1970 timestamp bucketed with a bare
+# `div`/`//` lands one bucket high on BOTH sides, or on ONE side if
+# the idiom is applied asymmetrically (the round-9 agg_ols_trend
+# oracle bug, ADVICE r9: the Spark side floored via pmod while the
+# oracle kept the bare `//`). The floor idiom subtracts the
+# NON-NEGATIVE remainder first, making the numerator an exact multiple
+# of the divisor — where truncation and floor agree. These four
+# helpers are the ONLY sanctioned spelling: every floor-division in an
+# operator must use floor_div/floor_div_expr on the Spark side and
+# sql_floor_div on the oracle side, so floor semantics can never again
+# be applied to only one engine.
+
+
+def floor_div_expr(expr: str, divisor: int) -> str:
+    """Spark SQL expression string: FLOOR division of an integer
+    expression by a positive integer constant. `expr` is interpolated
+    twice — it must be a pure, cheap expression (a column reference or
+    simple arithmetic)."""
+    assert divisor > 0
+    return f"(({expr}) - pmod(({expr}), {divisor})) div {divisor}"
+
+
+def floor_div(expr: str, divisor: int) -> Column:
+    """Column form of :func:`floor_div_expr`."""
+    return F.expr(floor_div_expr(expr, divisor))
+
+
+def sql_pmod(expr: str, divisor: int) -> str:
+    """DuckDB twin of Spark's pmod(): the non-negative remainder.
+    DuckDB's `%` follows the dividend's sign (-7 % 2 = -1), so the
+    classic ((e % d) + d) % d normalization is required."""
+    assert divisor > 0
+    return f"((({expr}) % {divisor}) + {divisor}) % {divisor}"
+
+
+def sql_floor_div(expr: str, divisor: int) -> str:
+    """DuckDB twin of :func:`floor_div_expr`. Same purity requirement
+    on `expr` (interpolated more than once)."""
+    assert divisor > 0
+    return f"((({expr}) - ({sql_pmod(expr, divisor)})) // {divisor})"

@@ -15,7 +15,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from simple_etl_pipeline_spark.functions.agg import dsum, epoch_seconds, sql_dsum, sql_epoch
+from simple_etl_pipeline_spark.functions.agg import (
+    dsum,
+    epoch_seconds,
+    floor_div,
+    floor_div_expr,
+    sql_dsum,
+    sql_epoch,
+    sql_floor_div,
+    sql_pmod,
+)
 from simple_etl_pipeline_spark.functions.text import sql_md5_hash60
 from simple_etl_pipeline_spark.schemas import load_table
 
@@ -2699,14 +2708,12 @@ def ev_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("ts").isNotNull()
     )
-    # FLOOR division (pmod idiom), not truncation: trunc-toward-zero
-    # would make the epoch-straddling bucket two hours wide and emit
-    # negative hod/dow for pre-1970 data (review-caught: both engines
-    # agreed on the wrong answer, invisible to parity tests)
-    he = F.expr(
-        "(unix_micros(ts) - pmod(unix_micros(ts), 3600000000))"
-        " div 3600000000"
-    )
+    # FLOOR division (shared floor_div helper), not truncation:
+    # trunc-toward-zero would make the epoch-straddling bucket two
+    # hours wide and emit negative hod/dow for pre-1970 data
+    # (review-caught: both engines agreed on the wrong answer,
+    # invisible to parity tests)
+    he = floor_div("unix_micros(ts)", 3600000000)
     counts = ev.groupBy(he.alias("he")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
@@ -2722,7 +2729,7 @@ def ev_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "he",
             F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt"),
             F.expr(
-                "pmod((he - pmod(he, 24)) div 24 + 4, 7)"
+                f"pmod({floor_div_expr('he', 24)} + 4, 7)"
             ).cast("int").alias("dow"),
             F.expr("pmod(he, 24)").cast("int").alias("hod"),
         )
@@ -2768,9 +2775,7 @@ def ev_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EV_SEASONAL_RESIDUALS_ORACLE = f"""
 WITH hours AS (
-  SELECT (epoch_us(ts)
-          - ((epoch_us(ts) % 3600000000) + 3600000000) % 3600000000)
-         // 3600000000 AS he,
+  SELECT {sql_floor_div('epoch_us(ts)', 3600000000)} AS he,
     COUNT(*) AS cnt
   FROM events WHERE ts IS NOT NULL GROUP BY 1
 ), b AS (
@@ -2779,9 +2784,8 @@ WITH hours AS (
   SELECT unnest(generate_series(mn, mx)) AS he FROM b
 ), filled AS (
   SELECT g.he, CAST(COALESCE(h.cnt, 0) AS BIGINT) AS cnt,
-    CAST((((g.he - ((g.he % 24) + 24) % 24) // 24 + 4) % 7 + 7) % 7
-         AS INT) AS dow,
-    CAST(((g.he % 24) + 24) % 24 AS INT) AS hod
+    CAST({sql_pmod(sql_floor_div('g.he', 24) + ' + 4', 7)} AS INT) AS dow,
+    CAST({sql_pmod('g.he', 24)} AS INT) AS hod
   FROM grid g LEFT JOIN hours h ON g.he = h.he
 ), slots AS (
   SELECT dow, hod, COUNT(*) AS n, SUM(cnt) AS s,

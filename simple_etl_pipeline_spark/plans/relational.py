@@ -26,9 +26,11 @@ from simple_etl_pipeline_spark.functions.agg import (
     davg,
     dsum,
     epoch_seconds,
+    floor_div,
     sql_davg,
     sql_dsum,
     sql_epoch,
+    sql_floor_div,
 )
 from simple_etl_pipeline_spark.schemas import load_table
 
@@ -2675,12 +2677,13 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     between suppression and further generalization.
 
     Cross-engine exactness: balances become integer cents via one
-    decimal(15,2) cast (exact); the band is a FLOOR division done as
-    (cents - pmod(cents, W)) div W — Spark's `div` truncates toward
-    zero while DuckDB's `//` floors, so negative balances would
-    otherwise band off-by-one (the ev_seasonal_residuals hazard
-    class); subtracting the non-negative pmod first makes the
-    numerator an exact multiple, where truncation and floor agree.
+    decimal(15,2) cast (exact); the band is a FLOOR division via the
+    shared floor_div / sql_floor_div helper pair — integer division
+    truncates toward zero in BOTH engines, so a bare `div`/`//` would
+    band negative balances one band HIGH on both sides (the
+    ev_seasonal_residuals hazard class); subtracting the non-negative
+    pmod first makes the numerator an exact multiple, where truncation
+    and floor agree.
     NULL QI values form their own class in BOTH engines (GROUP BY
     treats NULLs equal) — no mapping needed.
 
@@ -2691,10 +2694,7 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed passes at any corpus size."""
     cust = load_table(spark, sf_dir, "customer")
     cents = (F.col("c_acctbal").cast("decimal(15,2)") * 100).cast("bigint")
-    band = F.expr(
-        f"(acct_cents - pmod(acct_cents, {K_ANON_BAND_CENTS}))"
-        f" div {K_ANON_BAND_CENTS}"
-    )
+    band = floor_div("acct_cents", K_ANON_BAND_CENTS)
     classes = (
         cust.select(
             "c_nationkey", "c_mktsegment", cents.alias("acct_cents")
@@ -2734,9 +2734,7 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 DQ_K_ANONYMITY_ORACLE = f"""
 WITH classes AS (
   SELECT c_nationkey, c_mktsegment,
-    (acct_cents - ((acct_cents % {K_ANON_BAND_CENTS})
-                   + {K_ANON_BAND_CENTS}) % {K_ANON_BAND_CENTS})
-      // {K_ANON_BAND_CENTS} AS acct_band,
+    {sql_floor_div('acct_cents', K_ANON_BAND_CENTS)} AS acct_band,
     COUNT(*) AS cnt
   FROM (
     SELECT c_nationkey, c_mktsegment,
@@ -2790,9 +2788,14 @@ def agg_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
       r2     = sxy_n^2 / (sxx_n * syy_n)  (ppm, staged integer)
 
     Staged-integer division: every ratio is sign(p) * (|p| * scale div
-    q) — taking |p| first makes Spark's truncate-toward-zero `div` and
-    DuckDB's flooring `//` agree on negative numerators (the same
-    divergence class the k-anonymity band and seasonal buckets dodge).
+    q). Integer division truncates toward zero in BOTH engines, so the
+    explicit |p| staging is not a divergence fix — it PINS the
+    truncate-toward-zero rounding convention in the query text itself,
+    matching the python reference twin's tdiv() and staying correct if
+    either engine ever changes its default. (Where FLOOR semantics are
+    required — the day bucketing of x — the shared floor_div /
+    sql_floor_div helper pair is used on both sides; bare division is
+    never floor for negative numerators.)
     r2_ppm evaluates as tdiv(tdiv(|sxy_n|*1e6, sxx_n) * |sxy_n|,
     syy_n) — the 1e6 of the inner stage is itself the ppm scale —
     staged truncation costs a few ulp of the exact rational but is
@@ -2830,16 +2833,15 @@ def agg_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             epoch_seconds(F.col("o_orderdate")).alias("oep"),
             y.alias("y"),
         )
-        # FLOOR day bucketing via the pmod idiom: a bare `oep div
-        # 86400` truncates toward zero in Spark while the oracle's
-        # `//` floors, so a pre-1970 order date would land one day
-        # off (the ev_seasonal_residuals divergence class, caught in
-        # this operator by the bank-stage self-review)
+        # FLOOR day bucketing via the shared floor_div helper: both
+        # engines' integer division truncates toward zero, so a bare
+        # `div`/`//` would land any pre-1970 order date one day HIGH
+        # on both sides (the ev_seasonal_residuals hazard class). The
+        # helper pair guarantees the idiom is applied to BOTH engines
+        # (ADVICE r9: the oracle side had kept the bare `//`).
         .select(
             "o_custkey",
-            F.expr(
-                f"(oep - pmod(oep, 86400)) div 86400 - {OLS_X0_DAYS}"
-            ).alias("x"),
+            (floor_div("oep", 86400) - F.lit(OLS_X0_DAYS)).alias("x"),
             "y",
         )
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
@@ -2875,10 +2877,11 @@ def agg_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CASE WHEN sx < 0 THEN -((-sx) * 1000000 div n)"
             f" ELSE sx * 1000000 div n END + {OLS_X0_DAYS * 1_000_000}L"
         ).cast("bigint").alias("xbar_day_ppm"),
-        # sign-symmetric like every other ratio here: order totals are
-        # positive in TPC-H, but a refund/credit row must not flip the
-        # engines one cent apart (review finding: a bare `sy div n`
-        # truncates in Spark while the oracle's // floors)
+        # sign-symmetric like every other ratio here: both engines'
+        # integer division truncates toward zero, so a bare `sy div n`
+        # would in fact agree cross-engine — the explicit |p| staging
+        # pins the rounding convention (and the python twin's tdiv)
+        # in the query text rather than relying on engine defaults
         F.expr(
             "CASE WHEN sy < 0 THEN -((-sy) div n) ELSE sy div n END"
         ).cast("bigint").alias("mean_cents"),
@@ -2918,7 +2921,7 @@ def agg_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 AGG_OLS_TREND_ORACLE = f"""
 WITH base AS (
   SELECT c_nationkey,
-    {sql_epoch('o_orderdate')} // 86400 - {OLS_X0_DAYS} AS x,
+    {sql_floor_div(sql_epoch('o_orderdate'), 86400)} - {OLS_X0_DAYS} AS x,
     CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS y
   FROM orders JOIN customer ON o_custkey = c_custkey
   WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL

@@ -2704,9 +2704,9 @@ def txt_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # greatest(sw, 0): true KL >= 0, but the micro-log snap can leave a
-    # few negative microbits; clamping keeps the floor-div on the
-    # non-negative range where Spark's `div` (truncate) and DuckDB's
-    # `//` (floor) agree.
+    # few negative microbits; clamping keeps the division on the
+    # non-negative range, where truncation (what BOTH engines' integer
+    # division does) coincides with floor.
     return (
         contrib.groupBy("lang")
         .agg(

@@ -3385,8 +3385,12 @@ def _py_ols_staged(pairs):
 
 
 def _ols_corpus(tmp_path, name, orders_rows):
-    """orders_rows: (custkey, epoch_day, price). Customers map custkey
-    k -> nationkey k % 4; nation/region stay the testdata dims."""
+    """orders_rows: (custkey, epoch_SECONDS, price) — seconds, not
+    days, so tests can place orders at non-midnight times (a timestamp
+    that is an exact multiple of 86400 cannot distinguish floor from
+    truncating day bucketing; the r9 oracle bug was invisible to a
+    midnight-only corpus). Customers map custkey k -> nationkey k % 4;
+    nation/region stay the testdata dims."""
     import datetime
 
     import pyarrow as pa
@@ -3412,8 +3416,8 @@ def _ols_corpus(tmp_path, name, orders_rows):
             ),
             "o_orderdate": pa.array(
                 [
-                    epoch + datetime.timedelta(days=d)
-                    for _, d, _ in orders_rows
+                    epoch + datetime.timedelta(seconds=s)
+                    for _, s, _ in orders_rows
                 ],
                 pa.timestamp("us"),
             ),
@@ -3438,18 +3442,20 @@ def test_ols_trend_exact_reference_and_degenerates(spark, tmp_path):
     )
     from simple_etl_pipeline_spark.testing import compare_with_oracle
 
+    DAY = 86400
     rows = []
     # nation 0 (custkey 4): y = 100.00 + 2.00 * t currency, 10 days
-    line = [(4, 9000 + t, 100.00 + 2.00 * t) for t in range(10)]
+    line = [(4, (9000 + t) * DAY, 100.00 + 2.00 * t) for t in range(10)]
     rows += line
     # nation 1 (custkey 1): all orders on one day
-    rows += [(1, 9100, 50.0), (1, 9100, 60.0), (1, 9100, 70.0)]
+    rows += [(1, 9100 * DAY, 50.0), (1, 9100 * DAY, 60.0),
+             (1, 9100 * DAY, 70.0)]
     # nation 2 (custkey 2): constant price over many days
-    rows += [(2, 9000 + 37 * i, 123.45) for i in range(5)]
+    rows += [(2, (9000 + 37 * i) * DAY, 123.45) for i in range(5)]
     # nation 3 (custkey 3): arbitrary, checked against the python twin
     arb = [(3, 8100, 10.00), (3, 9950, 905.50), (3, 8700, 3.25),
            (3, 10250, 44.75), (3, 9001, 500.00)]
-    rows += arb
+    rows += [(c, day * DAY, p) for c, day, p in arb]
     d = _ols_corpus(tmp_path, "ols_exact", rows)
     out = {r.n_name: r for r in agg_ols_trend(spark, d).collect()}
     assert out["NATION_0"].slope_microcents_per_day == 200_000_000
@@ -3470,17 +3476,61 @@ def test_ols_trend_exact_reference_and_degenerates(spark, tmp_path):
     compare_with_oracle(agg_ols_trend(spark, d), AGG_OLS_TREND_ORACLE, d)
 
 
+def test_ols_trend_pre_1970_non_midnight_floor_day(spark, tmp_path):
+    """ADVICE r9 pin: a pre-1970 timestamp that is NOT midnight
+    separates floor-day from truncate-day bucketing. 1969-12-30 18:00
+    is epoch -108000 s: truncation gives day -1, floor gives day -2 —
+    bare integer division (`div` in Spark, `//` in DuckDB — BOTH
+    truncate toward zero) lands one day high on either side unless the
+    shared floor_div / sql_floor_div pair is applied to both. Pinned
+    against the hand-computed floor day AND the oracle."""
+    from simple_etl_pipeline_spark.plans.relational import (
+        AGG_OLS_TREND_ORACLE,
+        OLS_X0_DAYS,
+        agg_ols_trend,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    # nation 0 (custkey 4): two pre-1970 evening orders one floor-day
+    # apart, plus a post-1970 non-midnight one on another custkey of
+    # the same nation to keep the group non-degenerate
+    rows = [
+        (4, -108000, 10.00),   # 1969-12-30 18:00 -> floor day -2
+        (4, -21600, 20.00),    # 1969-12-31 18:00 -> floor day -1
+        (8, 3600, 30.00),      # 1970-01-01 01:00 -> floor day 0
+    ]
+    d = _ols_corpus(tmp_path, "ols_pre1970", rows)
+    out = {r.n_name: r for r in agg_ols_trend(spark, d).collect()}
+    n, xbar, mean, slope, r2 = _py_ols_staged(
+        [(-2, 1000), (-1, 2000), (0, 3000)]
+    )
+    got = out["NATION_0"]
+    assert got.n_orders == n
+    # truncate-day bucketing would read x-bar one third of a day high
+    assert got.xbar_day_ppm == xbar
+    assert got.mean_cents == mean
+    assert got.slope_microcents_per_day == slope
+    assert got.r2_ppm == r2
+    # slope over floor days: exactly +10.00 currency per day
+    assert got.slope_microcents_per_day == 1_000_000_000
+    compare_with_oracle(agg_ols_trend(spark, d), AGG_OLS_TREND_ORACLE, d)
+
+
 @given(
     st.lists(
         st.tuples(
             st.integers(1, 6),                     # custkey -> 4 nations
             st.integers(-15000, 40000),            # epoch day — NEGATIVE
-            # days (pre-1970) exercise the pmod floor bucketing where
-            # Spark's bare `div` would truncate one day off
+            # days (pre-1970) exercise the floor day bucketing, where
+            # bare integer division (truncation in BOTH engines) would
+            # land one day high
+            st.integers(0, 86399),                 # seconds of day —
+            # NON-MIDNIGHT times are what separate floor from truncate
+            # (the r9 oracle bug was invisible to a midnight-only
+            # corpus: multiples of 86400 divide exactly either way)
             st.integers(-5_000_000, 60_000_000),   # cents — NEGATIVE
-            # prices (refund/credit rows) exercise the sign-symmetric
-            # mean division (review finding: bare sy div n truncated
-            # in Spark while the oracle floored)
+            # prices (refund/credit rows) exercise the explicit
+            # sign-symmetric staged division shared with the twin
         ),
         min_size=1,
         max_size=40,
@@ -3488,22 +3538,26 @@ def test_ols_trend_exact_reference_and_degenerates(spark, tmp_path):
 )
 @_SETTINGS
 def test_ols_trend_fuzzed_cross_engine(spark, tmp_path_factory, rows):
-    """Random corpora (days on BOTH sides of the X0 shift AND of the
-    1970 epoch, so negative x, negative sxy_n and negative epoch all
-    exercise the sign-symmetric division and the floor day bucketing)
-    must match the oracle AND the independent python twin per
-    nation."""
+    """Random corpora (timestamps on BOTH sides of the X0 shift AND of
+    the 1970 epoch, at arbitrary times of day, so negative x, negative
+    sxy_n, negative epoch and floor-vs-truncate day bucketing are all
+    exercised) must match the oracle AND the independent python twin
+    per nation."""
     from simple_etl_pipeline_spark.plans.relational import (
         AGG_OLS_TREND_ORACLE,
         agg_ols_trend,
     )
     from simple_etl_pipeline_spark.testing import compare_with_oracle
 
-    orders = [(c, d, cents / 100.0) for c, d, cents in rows]
+    orders = [
+        (c, d * 86400 + sod, cents / 100.0) for c, d, sod, cents in rows
+    ]
     sf = _ols_corpus(tmp_path_factory.mktemp("ols_fuzz"), "c", orders)
     out = {r.n_name: r for r in agg_ols_trend(spark, sf).collect()}
     by_nation: dict[int, list] = {}
-    for c, d, cents in rows:
+    for c, d, _sod, cents in rows:
+        # python // floors, so d * 86400 + sod lands on floor day d
+        # for every sod in [0, 86400) — the twin keys on the floor day
         by_nation.setdefault(c % 4, []).append((d, cents))
     for nk, pairs in by_nation.items():
         n, xbar, mean, slope, r2 = _py_ols_staged(pairs)
