@@ -192,17 +192,21 @@ def main() -> None:
             df = fn(spark, SF_DIR)
             n = df.count()
             runs.append(time.perf_counter() - t0)
-        # Free any global_row_number range-shuffle barriers the runs
-        # persisted (ADVICE r8: otherwise each rank-bearing query leaks
-        # 4 cached frames per bench pass — warmup + 3 timed builds —
-        # and accumulated entries distort later queries' memory).
-        # Released AFTER the timed runs so within-query cache
-        # substitution behavior (and hence timings) match prior rounds.
+        # Free the global_row_number range-shuffle barriers THIS
+        # query's runs persisted (ADVICE r8: otherwise each
+        # rank-bearing query leaks 4 cached frames per bench pass —
+        # warmup + 3 timed builds — and accumulated entries distort
+        # later queries' memory). Released AFTER the timed runs so
+        # within-query cache substitution behavior (and hence timings)
+        # match prior rounds. Per-frame release (ADVICE r9): the four
+        # builds are sameResult-identical, so releasing for the last
+        # frame drains all four without touching barriers of any other
+        # pending frame.
         from simple_etl_pipeline_spark.plans.relational import (
-            release_row_number_barriers,
+            release_barriers_for,
         )
 
-        release_row_number_barriers()
+        release_barriers_for(df)
         med = statistics.median(runs)
         timings[name] = round(med, 3)
         spreads[name] = round(max(runs) - min(runs), 3)

@@ -1831,20 +1831,91 @@ FROM supplier ORDER BY s_suppkey
 # lifetime, and the stale entries are themselves a source of
 # InMemoryTableScan fingerprint drift). The builders stay lazy — they
 # cannot unpersist themselves without triggering a job — so release is
-# the consumer's move, AFTER the result is materialized:
-# bench.py releases after each query's timed runs,
-# testing.compare_with_oracle after its toPandas(). A driver that runs
-# each query once leaks at most one bounded barrier per rank-bearing
-# query per run.
+# the consumer's move, AFTER the result is materialized, and it must
+# be PER-FRAME (ADVICE r9): bench.py and testing.compare_with_oracle
+# call release_barriers_for(result) so a barrier belonging to some
+# OTHER frame that was built but not yet materialized keeps its
+# persistence marker. A driver that runs each query once leaks at most
+# one bounded barrier per rank-bearing query per run.
 _ROW_NUMBER_BARRIERS: list[DataFrame] = []
 
 
+def _plan_contains(parent_jplan, child_jplan) -> bool:
+    """True when `child_jplan` is (semantically) a subtree of
+    `parent_jplan` — sameResult-based walk over the analyzed logical
+    plan, so expression-id re-assignment between two analyses of the
+    same build does not defeat the match. Subquery expressions are not
+    descended: barriers are join/window inputs, never correlated
+    subqueries, by construction."""
+    stack = [parent_jplan]
+    while stack:
+        node = stack.pop()
+        if node.sameResult(child_jplan):
+            return True
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return False
+
+
+def release_barriers_for(df: DataFrame) -> int:
+    """Unpersist exactly the global_row_number / global_prefix_sum
+    barriers that are plan subtrees of `df`; returns how many were
+    released. Call AFTER materializing `df`.
+
+    This is the per-frame form ADVICE r9 asked for: the old global
+    release popped barriers belonging to OTHER frames that were built
+    but not yet materialized. unpersist() removes the persistence
+    marker for good — nothing repopulates it — so such a frame's
+    window and counts branches would later re-execute the range
+    exchange independently, reintroducing the boundary-sampling
+    nondeterminism the barrier exists to prevent (latent on clusters,
+    invisible on a deterministic local box).
+
+    Spark's CacheManager keys cache entries by sameResult, so
+    semantically identical barriers (e.g. the same query built once
+    per timed bench run) denote ONE cache entry; releasing them
+    together here matches that reality. The known residual: two
+    coexisting IDENTICAL pending frames share a cache entry, so
+    releasing one's barrier releases the twin's — inherent to the
+    CacheManager, not to this registry (partition-invariance twins
+    differ in partitioning and are unaffected)."""
+    if not _ROW_NUMBER_BARRIERS:
+        return 0
+    try:
+        parent = df._jdf.queryExecution().analyzed()
+    except Exception:
+        return 0
+    kept: list[DataFrame] = []
+    dropped: list[DataFrame] = []
+    for b in _ROW_NUMBER_BARRIERS:
+        try:
+            mine = _plan_contains(
+                parent, b._jdf.queryExecution().analyzed()
+            )
+        except Exception:
+            mine = True  # dead session/plan: drop it from the registry
+        (dropped if mine else kept).append(b)
+    _ROW_NUMBER_BARRIERS[:] = kept
+    n = 0
+    for b in dropped:
+        try:
+            b.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to free
+    return n
+
+
 def release_row_number_barriers() -> int:
-    """Unpersist every global_row_number barrier created since the
-    last release; returns how many were released. Safe to call any
-    time — a consumer that re-materializes later just repopulates (the
-    range boundaries are fixed once the shuffle map stage has run, so
-    determinism is unaffected)."""
+    """Unpersist EVERY outstanding barrier; returns how many. This is
+    session-level teardown for harnesses that have materialized every
+    frame they built (end of a bench/probe pass, pytest session end).
+    NOT safe while some rank-bearing frame is still pending (re-)
+    materialization: unpersist removes the persistence marker for good
+    — nothing repopulates it — and that frame would re-execute the
+    range exchange per branch (see release_barriers_for, the per-frame
+    release consumers use after each materialization)."""
     n = 0
     while _ROW_NUMBER_BARRIERS:
         df = _ROW_NUMBER_BARRIERS.pop()

@@ -168,15 +168,17 @@ def compare_with_oracle(
     con = duckdb_connection(sf_dir)
     exp = con.execute(oracle_sql).fetchdf()
     got = spark_df.toPandas()
-    # The Spark side is fully materialized — release any
-    # global_row_number persist() barriers it created (ADVICE r8:
-    # they otherwise live for the session, and the pytest session
-    # builds thousands of frames).
+    # The Spark side is fully materialized — release the
+    # global_row_number persist() barriers belonging to THIS frame
+    # (ADVICE r8: they otherwise live for the session, and the pytest
+    # session builds thousands of frames; ADVICE r9: the release must
+    # be per-frame so a barrier of some other built-but-not-yet-
+    # materialized frame keeps its persistence marker).
     from simple_etl_pipeline_spark.plans.relational import (
-        release_row_number_barriers,
+        release_barriers_for,
     )
 
-    release_row_number_barriers()
+    release_barriers_for(spark_df)
 
     exp_cols = sorted(exp.columns.tolist())
     got_cols = sorted(got.columns.tolist())

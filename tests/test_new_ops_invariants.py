@@ -897,12 +897,10 @@ def test_rfm_matches_oracle(spark, sf_dir):
 def test_row_number_barrier_registry_drains(spark, sf_dir):
     """ADVICE r8 (low): global_row_number persists its range-shuffle
     barrier and the builder (lazy by contract) cannot unpersist it —
-    the registry + release_row_number_barriers() is the fix. Pin the
-    contract: a rank-bearing build registers >= 1 barrier, release
-    unpersists them all and drains the registry, and a repeat release
-    is a 0-count no-op. (compare_with_oracle and bench.py both call
-    release after materialization, so the pytest/bench sessions no
-    longer accumulate cached frames.)"""
+    the registry is the fix. Pin the session-teardown contract: a
+    rank-bearing build registers >= 1 barrier,
+    release_row_number_barriers() unpersists them all and drains the
+    registry, and a repeat release is a 0-count no-op."""
     from simple_etl_pipeline_spark.plans.relational import (
         _ROW_NUMBER_BARRIERS,
         agg_rfm_segments,
@@ -916,6 +914,51 @@ def test_row_number_barrier_registry_drains(spark, sf_dir):
     assert release_row_number_barriers() >= 1
     assert _ROW_NUMBER_BARRIERS == []
     assert release_row_number_barriers() == 0
+
+
+def test_row_number_barrier_release_is_per_frame(spark, sf_dir):
+    """ADVICE r9 (medium): the old global release popped barriers of
+    OTHER frames that were built but not yet materialized — and
+    unpersist() removes the persistence marker for good (nothing
+    repopulates it), so that frame's window/counts branches would
+    later re-execute the range exchange independently. Pin the
+    per-frame contract: with two DIFFERENT rank-bearing frames
+    pending, release_barriers_for(B) unpersists only B's barrier; A's
+    stays registered AND keeps its persistence marker, so A still
+    materializes through one shared barrier; a final
+    release_barriers_for(A) then drains the registry."""
+    from pyspark.storagelevel import StorageLevel
+
+    from simple_etl_pipeline_spark.plans.relational import (
+        _ROW_NUMBER_BARRIERS,
+        agg_rfm_segments,
+        release_barriers_for,
+        release_row_number_barriers,
+    )
+    from simple_etl_pipeline_spark.plans.text import train_token_budget_pack
+
+    release_row_number_barriers()  # clean slate from earlier tests
+    df_a = agg_rfm_segments(spark, sf_dir)      # global_row_number user
+    n_a = len(_ROW_NUMBER_BARRIERS)
+    assert n_a >= 1
+    barriers_a = list(_ROW_NUMBER_BARRIERS)
+    df_b = train_token_budget_pack(spark, sf_dir)  # global_prefix_sum
+    assert len(_ROW_NUMBER_BARRIERS) > n_a
+    df_b.count()
+    released_b = release_barriers_for(df_b)
+    assert released_b >= 1
+    # A's barriers survived B's release: same objects, still marked
+    assert _ROW_NUMBER_BARRIERS == barriers_a
+    for b in barriers_a:
+        assert b.storageLevel != StorageLevel.NONE, (
+            "frame A's barrier lost its persistence marker — the exact"
+            " hazard the per-frame release exists to prevent"
+        )
+    df_a.count()  # A still materializes through its own barrier
+    assert release_barriers_for(df_a) >= n_a
+    assert _ROW_NUMBER_BARRIERS == []
+    # releasing for an unrelated frame is a no-op
+    assert release_barriers_for(df_b) == 0
 
 
 def test_rfm_conservation_and_balance(spark, sf_dir):

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 import __spark_entry__ as entrymod
 from simple_etl_pipeline_spark.functions.text import tokens_col
 from simple_etl_pipeline_spark.plans.relational import (
-    release_row_number_barriers as _release_rank_barriers,
+    release_barriers_for as _release_rank_barriers_for,
 )
 from simple_etl_pipeline_spark.schemas import load_table
 from simple_etl_pipeline_spark.session import get_spark
@@ -567,8 +567,11 @@ def main() -> None:
         os.makedirs(warm, exist_ok=True)
         writer(spark, SF_DIR, 1, warm)
         for name in probe:
-            queries[name](spark, warm).count()
-        _release_rank_barriers()
+            wdf = queries[name](spark, warm)
+            wdf.count()
+            # per-frame release (ADVICE r9): drop only this build's
+            # global_row_number barriers
+            _release_rank_barriers_for(wdf)
         spark.catalog.clearCache()
         for k in ks:
             kdir = os.path.join(base, f"k{k}")
@@ -580,16 +583,18 @@ def main() -> None:
             ).count()
             for name in probe:
                 t0 = time.perf_counter()
-                n_out = queries[name](spark, kdir).count()
+                kdf = queries[name](spark, kdir)
+                n_out = kdf.count()
                 wall = time.perf_counter() - t0
                 results[name][k] = wall
-                # free any global_row_number/prefix_sum barriers this
+                # free the global_row_number/prefix_sum barriers THIS
                 # build persisted (the ADVICE-r8 leak, closed for bench
                 # and the oracle harness — the probe harness builds the
                 # same rank-bearing queries once per scale point and
                 # would otherwise accumulate growing cached range
-                # shuffles across K, distorting the exponents)
-                _release_rank_barriers()
+                # shuffles across K, distorting the exponents; ADVICE
+                # r9: released per-frame, other frames keep theirs)
+                _release_rank_barriers_for(kdf)
                 if name == "dedup_semdedup":
                     # evidence for the bounded-cell-width contract: the
                     # output carries (cell, bucket), so max width is one
