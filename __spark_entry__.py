@@ -63,13 +63,13 @@ def _all_modules():
 # fails. Names move OUT of this list in the same commit that registers
 # them into the rebalanced window.
 _BANKED_PREBUILDS = [
-    # r10 reserve (the r9 slate — dq_expectations, agg_basket_lift,
-    # train_curriculum_order, search_hybrid_rrf — registered into the
-    # r9 window below and left this list in the same commit)
-    "txt_lm_perplexity",
-    "train_hard_negatives",
-    "ev_srm_check",
-    "ev_trimmed_mean",
+    # r10 reserve registered round 10 (txt_lm_perplexity,
+    # train_hard_negatives, ev_srm_check, ev_trimmed_mean — into the
+    # r10 window below, leaving this list in the same commit; the r9
+    # slate did the same in round 9). Per VERDICT r9 #2 the bank
+    # DRAINS from here: no new prebuilds in round 10, so the queue is
+    # r11 bank -> r12 bank, each four needing four demotions in its
+    # registration round.
     # r11 bank (built round 9): token-budget corpus selection (the
     # global_prefix_sum primitive's first surface), temporal split
     # with embargo, seasonal-profile anomaly hours, two-window
@@ -91,117 +91,126 @@ _BANKED_PREBUILDS = [
 ]
 
 _WINDOW = [
-    # ROUND-9 COMPOSITION (rotation_plan.py pre-rebalance output,
-    # verified by the r8 judge: 46 mandatory / 4 free):
-    #   1. The 46-query r9 MANDATORY set — the r6-green residue whose
-    #      last driver row was round 6 (minus the three r8
-    #      early-rotations), exactly the list rotation_plan.py printed.
-    #   2. The 4 round-8 prebuilds, now registered (the banked-then-
-    #      register staging, fifth consecutive round): dq_expectations
-    #      (oldest debt — banked since r7), agg_basket_lift,
-    #      train_curriculum_order (NULL-text ordering fixed per ADVICE
-    #      r8 BEFORE registration, commit b4dbc7a),
-    #      search_hybrid_rrf (rounded-float fuzz swept pre-gate,
-    #      commit 0fd7c88; _bm25_per_doc untouched, so bm25_topk's
-    #      r8 fp-bit-identical evidence stands — no canary needed).
-    #   Net registry growth ZERO: 4 demotions for 4 registrations
-    #   (ref_clean_rating, ref_clean_colors, ev_tumbling_hourly,
-    #   txt_char_entropy — the exact candidates the r8 ledger named;
-    #   none is in the r9 mandatory set, so no extra slots open).
-    # -- mandatory (46): last driver row in round 6 -------------------------
-    "agg_approx_percentile",
-    "dedup_components_lsh",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_incremental",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_paragraphs",
-    "dedup_survivors_quality",
-    "ev_asof_purchase_click",
-    "ev_attribution",
-    "ev_conversion_windows",
-    "ev_cuped",
-    "ev_heavy_hitters",
-    "ev_hll_user_rollup",
-    "ev_json_variant",
-    "ev_retention_cohorts",
-    "ev_session_windows",
-    "ev_zscore_outliers",
-    "join_fuzzy_part_names",
-    "q11_important_parts",
-    "q16_supplier_cardinality",
-    "q17_small_qty_revenue",
-    "q1_pricing_summary",
-    "q20_excess_shippers",
-    "q21_waiting_suppliers",
-    "q8_market_share",
-    "q9_product_profit",
-    "sim_mrl_recall",
-    "sim_pq_adc",
-    "sim_quantize_int8",
-    "st_dedup_index",
-    "st_session_windows",
-    "train_shard_manifest",
-    "txt_chunk_windows",
-    "txt_contamination",
-    "txt_dataset_card",
-    "txt_gopher_quality",
-    "txt_pack_sequences",
-    "txt_pagerank",
-    "txt_pii_redact",
-    "txt_repetition_filter",
-    "txt_sample_stratified",
-    "txt_triangle_count",
-    "unpivot_lineitem_measures",
-    "window_ntile_customer_deciles",
-    # -- round-9 registrations (4) ------------------------------------------
-    "dq_expectations",
-    "agg_basket_lift",
+    # ROUND-10 COMPOSITION (rotation_plan.py pre-rebalance output at
+    # round-10 open, verified by the r9 judge: 49 mandatory / 1 free):
+    #   1. The r10 MANDATORY set minus the four round-10 demotions —
+    #      45 queries: the r7-green residue whose last driver row was
+    #      round 7 (the 42 relational/setops/scalar rows plus
+    #      bm25_topk, dedup_semdedup, sim_kmeans_lloyd, the ev_*
+    #      range-join/scd2/zorder/countmin/quantile/path/attribution
+    #      rows, st_static_zscore, st_user_totals_stateful, and the
+    #      txt_* bloom/dsir/rare-token trio), exactly the list
+    #      rotation_plan.py printed minus agg_rollup_orders,
+    #      agg_salted_sum, orderby_limit_top_orders and
+    #      window_running_total (the four r10 demotions — demoting an
+    #      IN-MANDATORY query frees its window slot, the r7 device;
+    #      rationale at plans/relational.py QUERIES and
+    #      testing.demoted_queries()).
+    #   2. The 4 round-9-banked prebuilds, now registered (the
+    #      banked-then-register staging, sixth consecutive round):
+    #      txt_lm_perplexity, train_hard_negatives (0.95-boundary
+    #      fuzz swept r9), ev_srm_check (decimal(38,0) chi-square per
+    #      ADVICE r8), ev_trimmed_mean (global_row_number's third
+    #      surface).
+    #   3. ONE canary slot (the slot window_running_total's demotion
+    #      freed): train_curriculum_order — the rank-bearing r9
+    #      registration — because round 10 changed the shared
+    #      global_row_number barrier-RELEASE surface (ADVICE r9
+    #      per-frame fix in bench.py / testing.compare_with_oracle;
+    #      the builder itself is untouched). Together with the
+    #      registering ev_trimmed_mean this puts two
+    #      global_row_number consumers in-window the same round the
+    #      release semantics changed (changed-code canary rule).
+    #   Net registry growth ZERO: 4 demotions for 4 registrations,
+    #   registry stays at 145.
+    # -- mandatory (45): last driver row in round 7 -------------------------
+    "agg_conditional_pivot",
+    "agg_cube_lineitem",
+    "agg_distinct_counts",
+    "agg_grouping_sets",
+    "agg_histogram",
+    "agg_mode_source_by_lang",
+    "agg_percentiles",
+    "bm25_topk",
+    "dedup_semdedup",
+    "ev_attribution_linear",
+    "ev_countmin_users",
+    "ev_path_transitions",
+    "ev_quantile_sketch",
+    "ev_range_join_incidents",
+    "ev_scd2_users",
+    "ev_zorder_layout",
+    "join_anti_customers_without_orders",
+    "join_broadcast_brand_revenue",
+    "join_full_outer_nation_presence",
+    "join_semi_discounted",
+    "q10_returned_items",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q18_large_volume_customers",
+    "q19_disjunctive_filter",
+    "q22_idle_customers",
+    "q2_top_supplier_per_nation",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_region_revenue",
+    "q6_revenue_filter",
+    "q7_nation_volume",
+    "scalar_functions",
+    "setops_nations",
+    "sim_kmeans_lloyd",
+    "st_static_zscore",
+    "st_user_totals_stateful",
+    "txt_bloom_contamination",
+    "txt_dsir_weights",
+    "txt_rare_token_ratio",
+    "window_above_customer_avg",
+    "window_percent_rank_suppliers",
+    "window_rolling_7d",
+    "window_topk_orders_per_customer",
+    # -- round-10 registrations (4) -----------------------------------------
+    "txt_lm_perplexity",
+    "train_hard_negatives",
+    "ev_srm_check",
+    "ev_trimmed_mean",
+    # -- canary (1): shared rank-barrier release surface changed r10 --------
     "train_curriculum_order",
-    "search_hybrid_rrf",
 ]
 
-# ROUND-10 ROTATION LEDGER (tools/rotation_plan.py run AFTER the r9
+# ROUND-11 ROTATION LEDGER (tools/rotation_plan.py run AFTER the r10
 # rebalance prints state=post_rebalance with exactly this arithmetic):
-# at the r10 gate the last two recorded windows will be
-# CORRECTNESS_r08 + this window, so next_round_mandatory = 49 queries
-# (the r7-green residue: the 42 q*/agg_*/join_*/window_*/setops/
-# scalar/orderby relational rows plus bm25_topk, dedup_semdedup,
-# sim_kmeans_lloyd, the ev_* r7 trio + range-join/scd2/zorder/
-# countmin, st_static_zscore, st_user_totals_stateful,
-# txt_bloom_contamination, txt_dsir_weights, txt_rare_token_ratio)
-# and next_round_free_slots = 1. The r10 reserve is FOUR banked
-# prebuilds (pytest-oracle green with probe + edge-corpus rows since
-# r8): txt_lm_perplexity (CCNet-style bigram-LM cross-entropy,
-# micro-log2 exact; probe 0.44/0.55@256), train_hard_negatives
-# (near-dup + same-source-excluded cosine top-K; 0.95-boundary fuzz
-# swept r9), ev_srm_check (chi-square guardrail, decimal(38,0)
-# headroom per ADVICE r8), ev_trimmed_mean (global_row_number third
-# surface, whale-drop corpus). Registering all four needs the 1 free
-# slot + 3 IN-MANDATORY demotions (the r7 device: demoting a
-# mandatory-set member frees its window slot). Demotion candidates
-# inside the r10 mandatory set, each a derivative surface:
-#   - agg_rollup_orders (grouping-sets family: the registered
-#     agg_cube_lineitem + agg_grouping_sets pin the Expand operator;
-#     rollup is a strict subset of both),
-#   - agg_salted_sum (its RESULT equals the plain sum the registered
-#     aggregation rows already hash; its unique content — the salting
-#     plan shape — is pinned by test_plan_shapes),
-#   - orderby_limit_top_orders (TakeOrderedAndProject surface shared
-#     with the registered q10/q15/q18 order+limit heads).
+# at the r11 gate the last two recorded windows will be
+# CORRECTNESS_r09 + this window, so next_round_mandatory = 46 queries
+# (the r8-green residue: agg_approx_distinct, agg_rfm_segments, the
+# dedup components/ngram-spans/simhash trio, the ev_* funnel/gap-fill/
+# hll-overlap/rollup/sliding/daily rows, inverted_index, the four mm_*
+# rows, q12, the four ref_* parity rows, the sim_* ann/centroid/ivfpq/
+# knn/rp rows, skip_bloom_stats, the five st_* rows, and the txt_*
+# bpe/doc-features/domain-split/fingerprint/gopher-rep/kl/langid/
+# mixture/ngram/tfidf/token-stats/training-corpus/winnow rows plus
+# weighted_sample) and next_round_free_slots = 4 — EXACTLY the r11
+# bank (built round 9, probes + edge corpora recorded):
+# train_token_budget_pack (global_prefix_sum first surface, probe
+# 0.17/0.33@256), ev_time_embargo_split (-0.04/0.06@256),
+# ev_seasonal_residuals (-0.10/0.04@256), dq_profile_drift
+# (0.10/0.27@256). No in-mandatory demotions are needed for WINDOW
+# space this time; the four demotions the REGISTRY cap (145/150)
+# requires can come from the derivative classes, in order:
+# agg_histogram (equi-width sibling of the registered percentile
+# heads), ev_sliding_windows (streaming twin st_sliding_windows keeps
+# the oracle), ref_clean_size_gender (the ref_clean_price class —
+# pinned by ref_transform_full's hash + the differential suites),
+# txt_ngram_freq (component of the registered txt_bpe_tokens pair
+# stage). Demoting any of these from the mandatory set ALSO frees a
+# window slot usable as a canary if r11 work touches shared code.
 # Registry arithmetic: 145 registered / 150 three-round slots
 # (5 slack) — the invariant stays satisfiable PROVIDED net growth
 # stays <= 0 per round (demote-one-per-add).
-# Bank queue behind the r10 reserve: the r11 bank (token budget /
-# embargo / seasonal / profile drift) and the r12 bank (k-anonymity /
-# OLS trend / boilerplate / phash) each need four demotions in their
-# registration round; candidate classes to draw from, in derivative
-# order: the remaining ref_clean_* parity singles, window_running_total
-# (prefix-sum semantics now pinned by global_prefix_sum surfaces),
-# agg_histogram (equi-width sibling of the registered percentile
-# heads), ev_sliding_windows (the streaming twin keeps the oracle).
-
+# Bank queue: after the r11 bank registers, the r12 bank (k-anonymity
+# / OLS trend / boilerplate / phash) drains the same way in round 12,
+# leaving the bank EMPTY — per VERDICT r9 #2 no new prebuilds were
+# added in round 10.
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

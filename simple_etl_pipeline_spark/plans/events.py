@@ -2850,6 +2850,13 @@ TAIL_QUERIES = {
     # rationale at each module's QUERIES and testing.demoted_queries().
     "ev_gap_fill": ev_gap_fill,
     "ev_hll_overlap": ev_hll_overlap,
+    # round-10 registrations (prebuilt + pytest-oracle-green since r8:
+    # the SRM guardrail got its decimal(38,0) chi-square headroom per
+    # ADVICE r8, the trimmed mean is global_row_number's third
+    # surface). Matching demotions: agg_rollup_orders +
+    # orderby_limit_top_orders at plans/relational.py QUERIES.
+    "ev_srm_check": ev_srm_check,
+    "ev_trimmed_mean": ev_trimmed_mean,
 }
 TAIL_ORACLES = {
     "skip_bloom_stats": SKIP_BLOOM_STATS_ORACLE,
@@ -2870,4 +2877,6 @@ TAIL_ORACLES = {
     "ev_path_transitions": EV_PATH_TRANSITIONS_ORACLE,
     "ev_gap_fill": EV_GAP_FILL_ORACLE,
     "ev_hll_overlap": EV_HLL_OVERLAP_ORACLE,
+    "ev_srm_check": EV_SRM_CHECK_ORACLE,
+    "ev_trimmed_mean": EV_TRIMMED_MEAN_ORACLE,
 }

@@ -194,12 +194,27 @@ FROM per_hash GROUP BY mime ORDER BY mime
 
 # --- perceptual-hash near-dup images (round-12 prebuild bank) -----------
 # 60-bit average-hash (the repo's positive-bigint hash width), split
-# into 4 bands of 15 bits for the LSH bucket join — the same band
-# geometry dedup_simhash uses on text. Near-dup verdict: Hamming
-# distance <= 8 of 60.
+# into 3 bands of 20 bits for the LSH bucket join. Near-dup verdict:
+# Hamming distance <= 8 of 60.
+#
+# Band geometry (VERDICT r9 #4 — the pre-registration mitigation for
+# the probe's 64->256 tail): the original 4 x 15-bit geometry (the
+# dedup_simhash text geometry) showed a 0.86 terminal probe leg —
+# average-hash values CONCENTRATE on structured bytes, so a few
+# 15-bit band values went heavy and the candidate join's skewed
+# buckets dominated the tail. 20-bit bands are 32x more selective
+# (2^20 vs 2^15 bucket universe), which thins exactly the heavy
+# buckets; the price is the pigeonhole recall bound dropping from
+# d <= 3 (4 bands) to d <= 2 (3 bands) with band-split losses
+# possible in (2, 8] — acceptable for a near-DUP detector whose
+# exact-cluster stage (the volume) is band-free and unchanged.
+# The alternative mitigation SCALING.md names (join_fuzzy-style
+# per-bucket cap) was rejected for this operator: the exact-cluster
+# records ride the band join's self-match rows, so capping buckets
+# would silently drop exact clusters whose every band is heavy.
 PHASH_SAMPLES = 60
-PHASH_BAND_BITS = 15
-PHASH_BANDS = 4
+PHASH_BAND_BITS = 20
+PHASH_BANDS = 3
 PHASH_HAMMING_MAX = 8
 
 
@@ -269,13 +284,17 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     production pipeline unchanged.
 
     Candidate generation is banded LSH, never all-pairs: a pair within
-    Hamming distance d is found iff some 15-bit band is flip-free —
-    GUARANTEED by pigeonhole for d <= 3 (three flips cannot touch all
-    four bands), and the overwhelmingly-likely case up to the
+    Hamming distance d is found iff some 20-bit band is flip-free —
+    GUARANTEED by pigeonhole for d <= 2 (two flips cannot touch all
+    three bands), and the overwhelmingly-likely case up to the
     d = 8 verification threshold (recall lost only when the flips
-    spread across all 4 bands) — the same recall/cost trade
-    dedup_simhash documents on text. Verification is exact: popcount
-    of the XOR.
+    spread across all 3 bands) — the same recall/cost trade
+    dedup_simhash documents on text, with WIDER bands than simhash's
+    4 x 15 because average-hash values concentrate on structured
+    bytes (see the band-geometry note at PHASH_BAND_BITS: the 32x
+    more selective buckets are the VERDICT r9 #4 mitigation for the
+    probe's 64->256 tail). Verification is exact: popcount of the
+    XOR.
 
     Output is at HASH-CLUSTER granularity, not document pairs — a
     design forced by measurement, not taste: unlike SimHash (whose

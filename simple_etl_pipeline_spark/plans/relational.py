@@ -1443,7 +1443,22 @@ QUERIES = {
     "q14_promo_revenue": q14_promo_revenue,
     "join_broadcast_brand_revenue": join_broadcast_brand_revenue,
     "window_rolling_7d": window_rolling_7d,
-    "orderby_limit_top_orders": orderby_limit_top_orders,
+    # round-10 demotions (one per round-10 registration; capacity rule
+    # — each keeps full pytest oracle parity via
+    # testing.demoted_queries() and its bench row):
+    #   - orderby_limit_top_orders: TakeOrderedAndProject surface
+    #     shared with the registered q10/q15/q18 order+limit heads.
+    #   - agg_rollup_orders: grouping-sets family — the registered
+    #     agg_cube_lineitem + agg_grouping_sets pin the Expand
+    #     operator; rollup is a strict subset of both.
+    #   - agg_salted_sum: its RESULT equals the plain sum the
+    #     registered aggregation rows already hash; its unique content
+    #     — the salting plan shape — is pinned by test_plan_shapes.
+    #   - window_running_total: prefix-sum semantics are now pinned by
+    #     the global_prefix_sum surfaces (train_token_budget_pack's
+    #     barrier-shape test + the registering ev_trimmed_mean rank
+    #     path); the un-partitioned running-sum window it demonstrates
+    #     is the exact shape global_prefix_sum exists to replace.
     "q2_top_supplier_per_nation": q2_top_supplier_per_nation,
     "q4_order_priority": q4_order_priority,
     "q7_nation_volume": q7_nation_volume,
@@ -1458,16 +1473,13 @@ QUERIES = {
     "join_semi_discounted": join_semi_discounted,
     "join_anti_customers_without_orders": join_anti_customers_without_orders,
     "agg_distinct_counts": agg_distinct_counts,
-    "agg_rollup_orders": agg_rollup_orders,
     "agg_cube_lineitem": agg_cube_lineitem,
     "agg_grouping_sets": agg_grouping_sets,
     "agg_conditional_pivot": agg_conditional_pivot,
     "agg_percentiles": agg_percentiles,
     "agg_histogram": agg_histogram,
-    "agg_salted_sum": agg_salted_sum,
     "window_above_customer_avg": window_above_customer_avg,
     "window_topk_orders_per_customer": window_topk_orders_per_customer,
-    "window_running_total": window_running_total,
     "setops_nations": setops_nations,
     "q8_market_share": q8_market_share,
     "q9_product_profit": q9_product_profit,
@@ -1501,19 +1513,15 @@ ORACLES = {
     "join_anti_customers_without_orders": JOIN_ANTI_ORACLE,
     "join_broadcast_brand_revenue": JOIN_BROADCAST_ORACLE,
     "agg_distinct_counts": AGG_DISTINCT_ORACLE,
-    "agg_rollup_orders": AGG_ROLLUP_ORACLE,
     "agg_cube_lineitem": AGG_CUBE_ORACLE,
     "agg_grouping_sets": AGG_GROUPING_SETS_ORACLE,
     "agg_approx_distinct": AGG_APPROX_DISTINCT_ORACLE,
     "agg_conditional_pivot": AGG_PIVOT_ORACLE,
     "agg_percentiles": AGG_PERCENTILES_ORACLE,
     "agg_histogram": AGG_HISTOGRAM_ORACLE,
-    "agg_salted_sum": AGG_SALTED_ORACLE,
     "window_above_customer_avg": WINDOW_ABOVE_AVG_ORACLE,
     "window_topk_orders_per_customer": WINDOW_TOPK_ORACLE,
-    "window_running_total": WINDOW_RUNNING_ORACLE,
     "setops_nations": SETOPS_ORACLE,
-    "orderby_limit_top_orders": ORDERBY_LIMIT_ORACLE,
     "q8_market_share": Q8_ORACLE,
     "q9_product_profit": Q9_ORACLE,
     "q11_important_parts": Q11_ORACLE,

@@ -1523,6 +1523,10 @@ TAIL_QUERIES = {
     "sim_mrl_recall": sim_mrl_recall,
     "sim_kmeans_lloyd": sim_kmeans_lloyd,
     "sim_rp_recall": sim_rp_recall,
+    # round-10 registration (prebuilt + pytest-oracle-green since r8,
+    # 0.95-boundary fuzz swept r9; matching demotion:
+    # agg_salted_sum at plans/relational.py QUERIES)
+    "train_hard_negatives": train_hard_negatives,
 }
 TAIL_ORACLES = {
     "sim_quantize_int8": SIM_QUANTIZE_ORACLE,
@@ -1532,4 +1536,5 @@ TAIL_ORACLES = {
     "sim_mrl_recall": SIM_MRL_RECALL_ORACLE,
     "sim_kmeans_lloyd": SIM_KMEANS_ORACLE,
     "sim_rp_recall": SIM_RP_RECALL_ORACLE,
+    "train_hard_negatives": TRAIN_HARD_NEGATIVES_ORACLE,
 }

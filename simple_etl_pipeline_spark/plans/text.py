@@ -4485,6 +4485,11 @@ TAIL_QUERIES = {
     # canary rule fires only if the fusion work edits that pipeline)
     "train_curriculum_order": train_curriculum_order,
     "search_hybrid_rrf": search_hybrid_rrf,
+    # round-10 registration (prebuilt + pytest-oracle-green since r8;
+    # matching demotion: window_running_total et al. at
+    # plans/relational.py QUERIES — capacity rule, net registry
+    # growth zero)
+    "txt_lm_perplexity": txt_lm_perplexity,
 }
 
 TAIL_ORACLES = {
@@ -4516,4 +4521,5 @@ TAIL_ORACLES = {
     "txt_domain_split": TXT_DOMAIN_SPLIT_ORACLE,
     "train_curriculum_order": TRAIN_CURRICULUM_ORACLE,
     "search_hybrid_rrf": SEARCH_HYBRID_RRF_ORACLE,
+    "txt_lm_perplexity": TXT_LM_PERPLEXITY_ORACLE,
 }

@@ -73,6 +73,16 @@ def demoted_queries() -> dict:
         SIM_IVF_ORACLE,
         sim_ivf_topk,
     )
+    from simple_etl_pipeline_spark.plans.relational import (
+        AGG_ROLLUP_ORACLE,
+        AGG_SALTED_ORACLE,
+        ORDERBY_LIMIT_ORACLE,
+        WINDOW_RUNNING_ORACLE,
+        agg_rollup_orders,
+        agg_salted_sum,
+        orderby_limit_top_orders,
+        window_running_total,
+    )
     from simple_etl_pipeline_spark.plans.text import (
         _simhash_pairs_oracle,
         dedup_simhash_pairs,
@@ -124,6 +134,29 @@ def demoted_queries() -> dict:
         "ref_clean_colors": (ref_clean_colors, REF_CLEAN_COLORS_ORACLE),
         "ev_tumbling_hourly": (ev_tumbling_hourly, EV_TUMBLING_ORACLE),
         "txt_char_entropy": (txt_char_entropy, TXT_CHAR_ENTROPY_ORACLE),
+        # round-10 demotions (one per round-10 registration; rationale
+        # at plans/relational.py QUERIES):
+        #   - orderby_limit_top_orders: TakeOrderedAndProject surface
+        #     shared with registered q10/q15/q18 order+limit heads.
+        #   - agg_rollup_orders: Expand operator pinned by registered
+        #     agg_cube_lineitem + agg_grouping_sets (rollup is a
+        #     strict subset of both).
+        #   - agg_salted_sum: result equals the plain sums already
+        #     hashed; the salting plan shape stays pinned by
+        #     test_plan_shapes.
+        #   - window_running_total: prefix-sum semantics pinned by the
+        #     global_prefix_sum surfaces (the exact shape it exists to
+        #     replace at scale).
+        "orderby_limit_top_orders": (
+            orderby_limit_top_orders,
+            ORDERBY_LIMIT_ORACLE,
+        ),
+        "agg_rollup_orders": (agg_rollup_orders, AGG_ROLLUP_ORACLE),
+        "agg_salted_sum": (agg_salted_sum, AGG_SALTED_ORACLE),
+        "window_running_total": (
+            window_running_total,
+            WINDOW_RUNNING_ORACLE,
+        ),
     }
 
 
