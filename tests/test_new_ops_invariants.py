@@ -3519,6 +3519,51 @@ def test_ols_trend_exact_reference_and_degenerates(spark, tmp_path):
     compare_with_oracle(agg_ols_trend(spark, d), AGG_OLS_TREND_ORACLE, d)
 
 
+@given(
+    st.lists(
+        st.integers(-(2**62), 2**62),  # numerators of either sign,
+        # far beyond the double-precision range so the helper's
+        # integer path (never a float detour) is what's measured
+        min_size=1,
+        max_size=20,
+    ),
+    st.sampled_from([2, 7, 24, 86400, 3600000000]),
+)
+@_SETTINGS
+def test_floor_div_helpers_match_python_floor(spark, xs, d):
+    """The shared floor-division helper pair (functions/agg.py) is the
+    ONLY sanctioned floor-div spelling — pin both sides to python's
+    true-floor `//` for numerators of either sign and every divisor
+    class the operators use. Bare integer division truncates toward
+    zero in BOTH engines (the r9 one-sided-oracle bug came from
+    believing otherwise), so this test fails loudly if either helper
+    ever degrades to a bare div."""
+    import duckdb
+
+    from simple_etl_pipeline_spark.functions.agg import (
+        floor_div,
+        sql_floor_div,
+    )
+
+    expected = [x // d for x in xs]
+    sdf = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "i long, x long"
+    )
+    got_spark = [
+        r.q
+        for r in sdf.select("i", floor_div("x", d).alias("q"))
+        .orderBy("i")
+        .collect()
+    ]
+    assert got_spark == expected
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(f"SELECT {sql_floor_div(str(x), d)}").fetchone()[0]
+        for x in xs
+    ]
+    assert got_duck == expected
+
+
 def test_ols_trend_pre_1970_non_midnight_floor_day(spark, tmp_path):
     """ADVICE r9 pin: a pre-1970 timestamp that is NOT midnight
     separates floor-day from truncate-day bucketing. 1969-12-30 18:00
