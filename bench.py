@@ -131,6 +131,13 @@ HEADLINE = [
     "agg_basket_lift",
     "train_curriculum_order",
     "search_hybrid_rrf",
+    # round 10: the registered prebuild quartet (bigram-LM perplexity
+    # filter, hard-negative mining, SRM guardrail, per-variant trimmed
+    # mean — the fourth global-row-number surface).
+    "txt_lm_perplexity",
+    "train_hard_negatives",
+    "ev_srm_check",
+    "ev_trimmed_mean",
 ]
 
 
