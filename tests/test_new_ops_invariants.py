@@ -3913,6 +3913,129 @@ def test_phash_clusters_on_constructed_corpus(spark, tmp_path):
     compare_with_oracle(mm_phash_dedup(spark, d), MM_PHASH_ORACLE, d)
 
 
+_PHASH_FUZZ_BASES = [
+    "The quick brown fox jumps over the lazy dog. " * 4,
+    "Lorem ipsum dolor sit amet, consectetur adipiscing elit sed do " * 3,
+    "0123456789" * 13,
+    "tiny-blob!",  # sub-60-byte: sample positions repeat, still defined
+]
+
+
+def _phash_python_model(docs):
+    """Full python model of mm_phash_dedup (hash -> clusters -> band
+    candidacy at the CURRENT PHASH_BANDS x PHASH_BAND_BITS geometry ->
+    exact Hamming verify): returns (exact rows, near rows) in the
+    operator's set form. The same model the constructed-corpus test
+    inlines, factored for the randomized fuzz."""
+    from simple_etl_pipeline_spark.plans.multimodal import (
+        PHASH_BAND_BITS,
+        PHASH_BANDS,
+        PHASH_HAMMING_MAX,
+        py_avg_hash,
+    )
+
+    h = {i: py_avg_hash(t) for i, t in docs}
+    clusters: dict[int, list[int]] = {}
+    for i, _ in docs:
+        clusters.setdefault(h[i], []).append(i)
+    exp_exact = {
+        (min(m), len(m), len(m) * (len(m) - 1) // 2)
+        for m in clusters.values()
+        if len(m) >= 2
+    }
+    mask = (1 << PHASH_BAND_BITS) - 1
+
+    def bands_match(x, y):
+        return any(
+            (x >> (b * PHASH_BAND_BITS)) & mask
+            == (y >> (b * PHASH_BAND_BITS)) & mask
+            for b in range(PHASH_BANDS)
+        )
+
+    exp_near = set()
+    hs = sorted(clusters)
+    for i, ha in enumerate(hs):
+        for hb in hs[i + 1:]:
+            d0 = bin(ha ^ hb).count("1")
+            if 0 < d0 <= PHASH_HAMMING_MAX and bands_match(ha, hb):
+                sa, sb = min(clusters[ha]), min(clusters[hb])
+                exp_near.add(
+                    (min(sa, sb), max(sa, sb), d0,
+                     len(clusters[ha]) * len(clusters[hb]))
+                )
+    return exp_exact, exp_near
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),     # base template
+            st.integers(0, 10**6),  # mutation position seed
+            st.integers(0, 4),     # number of in-place byte mutations
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@_SETTINGS
+def test_phash_dedup_fuzzed_against_python_model(
+    spark, tmp_path_factory, specs
+):
+    """Randomized end-to-end sweep of the 3x20-bit band geometry (the
+    r10 mitigation): corpora of template blobs with 0-4 in-place byte
+    mutations land at assorted Hamming distances, so exact clusters,
+    band-found near pairs, band-SPLIT misses (flips across all 3
+    bands) and beyond-threshold pairs all occur — the engine output
+    must equal the independent python model exactly, and the oracle
+    must hash-match on the same corpus. Doc ids avoid the %15/%21
+    injection residues, so the corpus is exactly what the test
+    writes."""
+    import pyarrow as pa
+
+    from simple_etl_pipeline_spark.plans.multimodal import (
+        MM_PHASH_ORACLE,
+        mm_phash_dedup,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    id_pool = [
+        i for i in range(3, 3 * 300, 3) if i % 15 != 0 and i % 21 != 0
+    ]
+    docs = []
+    for n, (b, seed, muts) in enumerate(specs):
+        t = list(_PHASH_FUZZ_BASES[b])
+        for m in range(muts):
+            pos = (seed * 31 + m * 97) % len(t)
+            t[pos] = chr(33 + ((seed + m * 13) % 90))  # printable ASCII
+        docs.append((id_pool[n], "".join(t)))
+    exp_exact, exp_near = _phash_python_model(docs)
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+            "source": pa.array(["s"] * len(docs), pa.string()),
+            "n_chars": pa.array([len(t) for _, t in docs], pa.int64()),
+        }
+    )
+    d = _edge_dir(
+        tmp_path_factory.mktemp("phash_fuzz"), "c", {"documents": tbl}
+    )
+    rows = mm_phash_dedup(spark, d).collect()
+    got_exact = {
+        (r.doc_a, r.members_a, r.weight) for r in rows if r.kind == "exact"
+    }
+    got_near = {
+        (r.doc_a, r.doc_b, r.hamming, r.weight)
+        for r in rows
+        if r.kind == "near"
+    }
+    assert got_exact == exp_exact
+    assert got_near == exp_near
+    compare_with_oracle(mm_phash_dedup(spark, d), MM_PHASH_ORACLE, d)
+
+
 def test_ols_trend_triangulates_with_builtin_regr_slope(spark, sf_dir):
     """Three INDEPENDENT implementations of the regression must agree:
     the operator's staged-integer slope, Spark's builtin regr_slope,

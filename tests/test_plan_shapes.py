@@ -599,6 +599,13 @@ def test_hard_negatives_keyed_lookup_bounded_cross(spark, sf_dir):
     for ln in plan.splitlines():
         if "windowspecdefinition" in ln:
             assert "anchor_id" in ln.split("windowspecdefinition")[1][:40], ln
+    # the hn_rank <= K head must be PUSHED into the window sort
+    # (WindowGroupLimit, Spark 3.5+): each partition keeps a running
+    # top-K instead of fully sorting its corpus-sized candidate list —
+    # the property that makes the per-anchor window viable before the
+    # documented IVF swap at extreme scale. Regression here (a config
+    # or upgrade losing the rule) turns the window into a full sort.
+    assert "WindowGroupLimit" in plan, plan
 
 
 def test_srm_check_single_scan_bounded_window(spark, sf_dir):
