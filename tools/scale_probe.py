@@ -130,7 +130,8 @@ PROBE_QUERIES = [
     # across copies (only the query-injected chrome repeats), so the
     # doc-frequency frame grows linearly like a real corpus.
     "txt_boilerplate_lines",
-    # r12 bank: scan-stage Column hashing + 4x15-bit band join; the
+    # r12 bank: scan-stage Column hashing + 3x20-bit band join (4x15
+    # widened in r10 — the VERDICT r9 #4 tail mitigation); the
     # per-copy text perturbation keeps copies out of each other's
     # hash buckets, so candidate pairs grow with the within-copy
     # injections (~linear), not quadratically.
