@@ -201,8 +201,11 @@ _WINDOW = [
 # heads), ev_sliding_windows (streaming twin st_sliding_windows keeps
 # the oracle), ref_clean_size_gender (the ref_clean_price class —
 # pinned by ref_transform_full's hash + the differential suites),
-# txt_ngram_freq (component of the registered txt_bpe_tokens pair
-# stage). Demoting any of these from the mandatory set ALSO frees a
+# txt_ngram_freq (its bigram-shingle explode is pinned by the
+# registered dedup_ngram_jaccard/dedup_ngram_spans shingle pipeline,
+# and its global top-K head by the registered q15/q18
+# TakeOrderedAndProject rows). Demoting any of these from the
+# mandatory set ALSO frees a
 # window slot usable as a canary if r11 work touches shared code.
 # Registry arithmetic: 145 registered / 150 three-round slots
 # (5 slack) — the invariant stays satisfiable PROVIDED net growth
