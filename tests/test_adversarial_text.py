@@ -90,6 +90,16 @@ ADVERSARIAL_QUERIES = [
     "mm_frame_sample",
     "mm_resize",
     "mm_dedup_blobs",
+    # round 10: the remaining registered documents-only queries join
+    # the gauntlet — the bigram LM over degenerate text (single-token
+    # docs excluded, repetition-spam scoring, CJK bigrams), the two
+    # rank-primitive manifests (curriculum order / domain split under
+    # null-text and null-propagated quality keys) and the hybrid RRF
+    # fusion (BM25 over the edge corpus + the broadcast query panel)
+    "txt_lm_perplexity",
+    "train_curriculum_order",
+    "txt_domain_split",
+    "search_hybrid_rrf",
 ]
 
 
