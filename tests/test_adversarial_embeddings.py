@@ -66,6 +66,11 @@ ADVERSARIAL_SIM_QUERIES = [
     "sim_kmeans_lloyd",
     "dedup_embedding_cosine",
     "dedup_semdedup",
+    # round 10: the registered hard-negative miner — zero-vector
+    # anchors (NULL cosine), exact-duplicate candidates at the 0.95
+    # near-dup boundary, and the same-source exclusion under the
+    # symlinked documents fixture all flow through the parity gate
+    "train_hard_negatives",
 ]
 
 
