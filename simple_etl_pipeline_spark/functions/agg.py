@@ -80,7 +80,8 @@ def floor_div_expr(expr: str, divisor: int) -> str:
     expression by a positive integer constant. `expr` is interpolated
     twice — it must be a pure, cheap expression (a column reference or
     simple arithmetic)."""
-    assert divisor > 0
+    if divisor <= 0:
+        raise ValueError(f"divisor must be positive, got {divisor}")
     return f"(({expr}) - pmod(({expr}), {divisor})) div {divisor}"
 
 
@@ -93,12 +94,14 @@ def sql_pmod(expr: str, divisor: int) -> str:
     """DuckDB twin of Spark's pmod(): the non-negative remainder.
     DuckDB's `%` follows the dividend's sign (-7 % 2 = -1), so the
     classic ((e % d) + d) % d normalization is required."""
-    assert divisor > 0
+    if divisor <= 0:
+        raise ValueError(f"divisor must be positive, got {divisor}")
     return f"((({expr}) % {divisor}) + {divisor}) % {divisor}"
 
 
 def sql_floor_div(expr: str, divisor: int) -> str:
     """DuckDB twin of :func:`floor_div_expr`. Same purity requirement
     on `expr` (interpolated more than once)."""
-    assert divisor > 0
+    if divisor <= 0:
+        raise ValueError(f"divisor must be positive, got {divisor}")
     return f"((({expr}) - ({sql_pmod(expr, divisor)})) // {divisor})"

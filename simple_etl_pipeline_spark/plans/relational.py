@@ -1866,6 +1866,22 @@ def _plan_contains(parent_jplan, child_jplan) -> bool:
     return False
 
 
+def _barrier_session_dead(b: DataFrame) -> bool:
+    """True ONLY when the barrier's SparkSession/context is positively
+    confirmed stopped (its cache entry is gone with the JVM state, so
+    evicting the registry entry frees nothing and risks nothing).
+    Any failure of the check itself returns False: an undiagnosable
+    barrier stays registered rather than being unpersisted out from
+    under a pending frame (ADVICE r10)."""
+    try:
+        sc = b.sparkSession.sparkContext
+        if sc is None or getattr(sc, "_jsc", None) is None:
+            return True
+        return bool(sc._jsc.sc().isStopped())
+    except Exception:
+        return False
+
+
 def release_barriers_for(df: DataFrame) -> int:
     """Unpersist exactly the global_row_number / global_prefix_sum
     barriers that are plan subtrees of `df`; returns how many were
@@ -1902,7 +1918,13 @@ def release_barriers_for(df: DataFrame) -> int:
                 parent, b._jdf.queryExecution().analyzed()
             )
         except Exception:
-            mine = True  # dead session/plan: drop it from the registry
+            # The containment check itself failed (py4j hiccup, JVM
+            # error). Only evict the barrier when its session is
+            # CONFIRMED dead — a transient failure on a live
+            # other-frame barrier must NOT unpersist it, or that
+            # frame's branches would re-execute the range exchange
+            # independently (ADVICE r10). Unknown -> keep registered.
+            mine = _barrier_session_dead(b)
         (dropped if mine else kept).append(b)
     _ROW_NUMBER_BARRIERS[:] = kept
     n = 0

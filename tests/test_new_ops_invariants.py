@@ -961,6 +961,63 @@ def test_row_number_barrier_release_is_per_frame(spark, sf_dir):
     assert release_barriers_for(df_b) == 0
 
 
+def test_barrier_release_keeps_live_barrier_on_check_failure(
+    spark, sf_dir, monkeypatch
+):
+    """ADVICE r10 (low): a transient py4j/JVM failure during the
+    plan-containment check must NOT evict a live barrier — the old
+    `except: mine = True` would unpersist another pending frame's
+    barrier on a hiccup, reintroducing exactly the premature-unpersist
+    hazard the per-frame release exists to prevent. Pin: with the
+    containment check forced to raise and the session demonstrably
+    alive, release_barriers_for releases nothing and the registry is
+    untouched; a dead-session barrier (check forced True) IS evicted."""
+    from pyspark.storagelevel import StorageLevel
+
+    from simple_etl_pipeline_spark.plans import relational as rel
+
+    rel.release_row_number_barriers()  # clean slate
+    df = rel.agg_rfm_segments(spark, sf_dir)
+    assert len(rel._ROW_NUMBER_BARRIERS) >= 1
+    barriers = list(rel._ROW_NUMBER_BARRIERS)
+
+    def boom(parent, child):
+        raise RuntimeError("transient py4j failure")
+
+    monkeypatch.setattr(rel, "_plan_contains", boom)
+    # live session + failing check -> keep everything registered
+    assert rel.release_barriers_for(df) == 0
+    assert rel._ROW_NUMBER_BARRIERS == barriers
+    for b in barriers:
+        assert b.storageLevel != StorageLevel.NONE
+    # confirmed-dead session -> the eviction path still works
+    monkeypatch.setattr(rel, "_barrier_session_dead", lambda b: True)
+    assert rel.release_barriers_for(df) == len(barriers)
+    assert rel._ROW_NUMBER_BARRIERS == []
+    monkeypatch.undo()
+    df.count()  # frame still materializes (cache gone, plan intact)
+
+
+def test_floor_div_helpers_reject_non_positive_divisor():
+    """ADVICE r10 (low): the positive-divisor precondition must
+    survive `python -O` (assert is stripped there) — the helpers are
+    the only sanctioned floor-div spelling, so a bad divisor must fail
+    fast, never emit non-floor (or divide-by-zero) SQL."""
+    import pytest as _pytest
+
+    from simple_etl_pipeline_spark.functions.agg import (
+        floor_div,
+        floor_div_expr,
+        sql_floor_div,
+        sql_pmod,
+    )
+
+    for fn in (floor_div, floor_div_expr, sql_floor_div, sql_pmod):
+        for bad in (0, -1, -86400):
+            with _pytest.raises(ValueError):
+                fn("x", bad)
+
+
 def test_rfm_conservation_and_balance(spark, sf_dir):
     """Customers and orders are conserved across segments, and each
     dimension's buckets are balanced to within one customer (NTILE's
