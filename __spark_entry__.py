@@ -63,21 +63,14 @@ def _all_modules():
 # fails. Names move OUT of this list in the same commit that registers
 # them into the rebalanced window.
 _BANKED_PREBUILDS = [
-    # r10 reserve registered round 10 (txt_lm_perplexity,
-    # train_hard_negatives, ev_srm_check, ev_trimmed_mean — into the
-    # r10 window below, leaving this list in the same commit; the r9
-    # slate did the same in round 9). Per VERDICT r9 #2 the bank
-    # DRAINS from here: no new prebuilds in round 10, so the queue is
-    # r11 bank -> r12 bank, each four needing four demotions in its
-    # registration round.
-    # r11 bank (built round 9): token-budget corpus selection (the
-    # global_prefix_sum primitive's first surface), temporal split
-    # with embargo, seasonal-profile anomaly hours, two-window
-    # data-profile drift
-    "train_token_budget_pack",
-    "ev_time_embargo_split",
-    "ev_seasonal_residuals",
-    "dq_profile_drift",
+    # r11 bank registered round 11 (train_token_budget_pack,
+    # ev_time_embargo_split, ev_seasonal_residuals, dq_profile_drift —
+    # into the r11 window below, leaving this list in the same commit;
+    # the r10 reserve and r9 slate did the same in their rounds). Per
+    # VERDICT r9 #2 / r10 #5 the bank only DRAINS: no new prebuilds in
+    # rounds 10-11, so after the r12 bank below registers in round 12
+    # the bank is EMPTY (post-bank roadmap in the ROUND-12 LEDGER and
+    # SCALING.md r11).
     # r12 bank (built round 9, the continuation session): k-anonymity
     # privacy audit, per-nation exact-integer OLS trend, C4-style
     # cross-document boilerplate-line removal, perceptual-hash image
@@ -91,129 +84,145 @@ _BANKED_PREBUILDS = [
 ]
 
 _WINDOW = [
-    # ROUND-10 COMPOSITION (rotation_plan.py pre-rebalance output at
-    # round-10 open, verified by the r9 judge: 49 mandatory / 1 free):
-    #   1. The r10 MANDATORY set minus the four round-10 demotions —
-    #      45 queries: the r7-green residue whose last driver row was
-    #      round 7 (the 42 relational/setops/scalar rows plus
-    #      bm25_topk, dedup_semdedup, sim_kmeans_lloyd, the ev_*
-    #      range-join/scd2/zorder/countmin/quantile/path/attribution
-    #      rows, st_static_zscore, st_user_totals_stateful, and the
-    #      txt_* bloom/dsir/rare-token trio), exactly the list
-    #      rotation_plan.py printed minus agg_rollup_orders,
-    #      agg_salted_sum, orderby_limit_top_orders and
-    #      window_running_total (the four r10 demotions — demoting an
-    #      IN-MANDATORY query frees its window slot, the r7 device;
-    #      rationale at plans/relational.py QUERIES and
-    #      testing.demoted_queries()).
-    #   2. The 4 round-9-banked prebuilds, now registered (the
-    #      banked-then-register staging, sixth consecutive round):
-    #      txt_lm_perplexity, train_hard_negatives (0.95-boundary
-    #      fuzz swept r9), ev_srm_check (decimal(38,0) chi-square per
-    #      ADVICE r8), ev_trimmed_mean (global_row_number's third
-    #      surface).
-    #   3. ONE canary slot (the slot window_running_total's demotion
-    #      freed): train_curriculum_order — the rank-bearing r9
-    #      registration — because round 10 changed the shared
-    #      global_row_number barrier-RELEASE surface (ADVICE r9
-    #      per-frame fix in bench.py / testing.compare_with_oracle;
-    #      the builder itself is untouched). Together with the
-    #      registering ev_trimmed_mean this puts two
-    #      global_row_number consumers in-window the same round the
-    #      release semantics changed (changed-code canary rule).
+    # ROUND-11 COMPOSITION (rotation_plan.py pre-rebalance output at
+    # round-11 open, verified by the r10 judge: 46 mandatory / 4 free):
+    #   1. The r11 MANDATORY set minus the three round-11 demotions
+    #      that were in it — 43 queries: the r8-green residue whose
+    #      last driver row was round 8, exactly the list
+    #      rotation_plan.py printed minus ev_sliding_windows,
+    #      ref_clean_size_gender and txt_ngram_freq (three of the four
+    #      r11 demotions — demoting an IN-MANDATORY query frees its
+    #      window slot, the r7 device; the fourth demotion,
+    #      agg_histogram, was not in the mandatory set — it satisfies
+    #      the registry cap for the fourth registration; rationale at
+    #      each module's QUERIES and testing.demoted_queries()).
+    #   2. The 4 round-9-banked prebuilds (the r11 bank), now
+    #      registered (the banked-then-register staging, seventh
+    #      consecutive round): train_token_budget_pack
+    #      (global_prefix_sum's first driver surface),
+    #      ev_time_embargo_split, ev_seasonal_residuals (floor-div
+    #      helper consumer), dq_profile_drift (1e15-ppm saturation
+    #      cap).
+    #   3. TWO canary slots (freed by the in-mandatory demotions):
+    #      ev_trimmed_mean + train_curriculum_order — round 11
+    #      changed the shared barrier-EVICTION path
+    #      (release_barriers_for's failed-check behavior, ADVICE r10)
+    #      and the floor-div helper preconditions (assert ->
+    #      ValueError), so the changed-code canary rule wants
+    #      registered consumers of both surfaces in-window: together
+    #      with the registering train_token_budget_pack and
+    #      agg_rfm_segments (mandatory) that is FOUR
+    #      global_row_number/global_prefix_sum consumers, and
+    #      ev_seasonal_residuals covers the floor-div side.
+    #   4. ONE look-ahead slot: search_hybrid_rrf — the newest code
+    #      (r9 registration) in the prospective r12-mandatory set;
+    #      covering it now trims r12 mandatory to 48 so the r12 bank's
+    #      4 registrations fit with the 4 in-mandatory demotions the
+    #      registry cap needs anyway (see the ROUND-12 LEDGER below).
     #   Net registry growth ZERO: 4 demotions for 4 registrations,
     #   registry stays at 145.
-    # -- mandatory (45): last driver row in round 7 -------------------------
-    "agg_conditional_pivot",
-    "agg_cube_lineitem",
-    "agg_distinct_counts",
-    "agg_grouping_sets",
-    "agg_histogram",
-    "agg_mode_source_by_lang",
-    "agg_percentiles",
-    "bm25_topk",
-    "dedup_semdedup",
-    "ev_attribution_linear",
-    "ev_countmin_users",
-    "ev_path_transitions",
-    "ev_quantile_sketch",
-    "ev_range_join_incidents",
-    "ev_scd2_users",
-    "ev_zorder_layout",
-    "join_anti_customers_without_orders",
-    "join_broadcast_brand_revenue",
-    "join_full_outer_nation_presence",
-    "join_semi_discounted",
-    "q10_returned_items",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q18_large_volume_customers",
-    "q19_disjunctive_filter",
-    "q22_idle_customers",
-    "q2_top_supplier_per_nation",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_region_revenue",
-    "q6_revenue_filter",
-    "q7_nation_volume",
-    "scalar_functions",
-    "setops_nations",
-    "sim_kmeans_lloyd",
-    "st_static_zscore",
-    "st_user_totals_stateful",
-    "txt_bloom_contamination",
-    "txt_dsir_weights",
-    "txt_rare_token_ratio",
-    "window_above_customer_avg",
-    "window_percent_rank_suppliers",
-    "window_rolling_7d",
-    "window_topk_orders_per_customer",
-    # -- round-10 registrations (4) -----------------------------------------
-    "txt_lm_perplexity",
-    "train_hard_negatives",
-    "ev_srm_check",
+    # -- mandatory (43): last driver row in round 8 -------------------------
+    "agg_approx_distinct",
+    "agg_rfm_segments",
+    "dedup_components",
+    "dedup_ngram_spans",
+    "dedup_simhash",
+    "ev_funnel",
+    "ev_gap_fill",
+    "ev_hll_overlap",
+    "ev_rollup_multires",
+    "ev_user_daily_activity",
+    "inverted_index",
+    "mm_binary_meta",
+    "mm_blob_features",
+    "mm_frame_sample",
+    "mm_resize",
+    "q12_shipmode_priority",
+    "ref_dirty_view",
+    "ref_remove_dirty",
+    "ref_transform_full",
+    "sim_ann_lsh",
+    "sim_centroids_by_label",
+    "sim_ivfpq_topk",
+    "sim_knn_brute",
+    "sim_rp_recall",
+    "skip_bloom_stats",
+    "st_dedup_events",
+    "st_scd2_users",
+    "st_sliding_windows",
+    "st_stream_stream_join",
+    "st_tumbling_hourly",
+    "txt_bpe_tokens",
+    "txt_doc_features",
+    "txt_domain_split",
+    "txt_fingerprint",
+    "txt_gopher_repetition",
+    "txt_kl_drift",
+    "txt_langid",
+    "txt_mixture_manifest",
+    "txt_tfidf_top_term",
+    "txt_token_stats",
+    "txt_training_corpus",
+    "txt_winnow_fingerprint",
+    "weighted_sample",
+    # -- round-11 registrations (4): the r11 bank ---------------------------
+    "train_token_budget_pack",
+    "ev_time_embargo_split",
+    "ev_seasonal_residuals",
+    "dq_profile_drift",
+    # -- canaries (2): barrier-eviction + floor-div surfaces changed r11 ----
     "ev_trimmed_mean",
-    # -- canary (1): shared rank-barrier release surface changed r10 --------
     "train_curriculum_order",
+    # -- look-ahead (1): newest code in the prospective r12 mandatory -------
+    "search_hybrid_rrf",
 ]
 
-# ROUND-11 ROTATION LEDGER (tools/rotation_plan.py run AFTER the r10
+# ROUND-12 ROTATION LEDGER (tools/rotation_plan.py run AFTER the r11
 # rebalance prints state=post_rebalance with exactly this arithmetic):
-# at the r11 gate the last two recorded windows will be
-# CORRECTNESS_r09 + this window, so next_round_mandatory = 46 queries
-# (the r8-green residue: agg_approx_distinct, agg_rfm_segments, the
-# dedup components/ngram-spans/simhash trio, the ev_* funnel/gap-fill/
-# hll-overlap/rollup/sliding/daily rows, inverted_index, the four mm_*
-# rows, q12, the four ref_* parity rows, the sim_* ann/centroid/ivfpq/
-# knn/rp rows, skip_bloom_stats, the five st_* rows, and the txt_*
-# bpe/doc-features/domain-split/fingerprint/gopher-rep/kl/langid/
-# mixture/ngram/tfidf/token-stats/training-corpus/winnow rows plus
-# weighted_sample) and next_round_free_slots = 4 — EXACTLY the r11
-# bank (built round 9, probes + edge corpora recorded):
-# train_token_budget_pack (global_prefix_sum first surface, probe
-# 0.17/0.33@256), ev_time_embargo_split (-0.04/0.06@256),
-# ev_seasonal_residuals (-0.10/0.04@256), dq_profile_drift
-# (0.10/0.27@256). No in-mandatory demotions are needed for WINDOW
-# space this time; the four demotions the REGISTRY cap (145/150)
-# requires can come from the derivative classes, in order:
-# agg_histogram (equi-width sibling of the registered percentile
-# heads), ev_sliding_windows (streaming twin st_sliding_windows keeps
-# the oracle), ref_clean_size_gender (the ref_clean_price class —
-# pinned by ref_transform_full's hash + the differential suites),
-# txt_ngram_freq (its bigram-shingle explode is pinned by the
-# registered dedup_ngram_jaccard/dedup_ngram_spans shingle pipeline,
-# and its global top-K head by the registered q15/q18
-# TakeOrderedAndProject rows). Demoting any of these from the
-# mandatory set ALSO frees a
-# window slot usable as a canary if r11 work touches shared code.
+# at the r12 gate the last two recorded windows will be
+# CORRECTNESS_r10 + this window, so next_round_mandatory = 48 queries
+# (the r9-green residue: agg_approx_percentile, agg_basket_lift, the
+# dedup components-lsh/embedding-cosine/exact/incremental/minhash/
+# ngram-jaccard/paragraphs/survivors rows, dq_expectations, the ev_*
+# asof/attribution/attribution-less-linear/conversion/cuped/
+# heavy-hitters/hll-rollup/json-variant/retention/session/zscore rows,
+# join_fuzzy_part_names, q1/q8/q9/q11/q16/q17/q20/q21, the sim_*
+# mrl/pq-adc/int8 rows, st_dedup_index, st_session_windows,
+# train_shard_manifest, the txt_* chunk/contamination/dataset-card/
+# gopher-quality/pack-sequences/pagerank/pii/repetition/stratified/
+# triangle rows, unpivot_lineitem_measures,
+# window_ntile_customer_deciles) and next_round_free_slots = 2. The
+# r12 bank (built round 9, the continuation session; probes + edge
+# corpora recorded; mm_phash re-probed 0.45@256 after the r10 3x20-bit
+# band mitigation) is FOUR queries — dq_k_anonymity, agg_ols_trend,
+# txt_boilerplate_lines, mm_phash_dedup — so r12 needs >= 2
+# IN-MANDATORY demotions for window space; the registry cap (145/150)
+# needs 4 demotions anyway, and all four candidates below are in the
+# r12 mandatory set, so taking them in-mandatory yields 48 - 4 + 4 =
+# 48 window rows with 2 free canary slots. Candidates, in order:
+# ev_session_windows (streaming twin st_session_windows keeps the
+# identical oracle — the same keep-one-per-surface rule as the r9
+# ev_tumbling_hourly and r11 ev_sliding_windows demotions),
+# agg_approx_percentile (sketch sibling of the registered
+# agg_percentiles exact heads; its approx_percentile surface is also
+# pinned by ev_quantile_sketch), window_ntile_customer_deciles
+# (rank-derivative of the registered window_percent_rank_suppliers —
+# same customer-keyed rank scan, ntile vs percent_rank head),
+# ev_attribution (first/last-touch head; the registered
+# ev_attribution_linear pins the same sessionized credit pipeline
+# with the strictly-larger linear-split surface).
 # Registry arithmetic: 145 registered / 150 three-round slots
 # (5 slack) — the invariant stays satisfiable PROVIDED net growth
 # stays <= 0 per round (demote-one-per-add).
-# Bank queue: after the r11 bank registers, the r12 bank (k-anonymity
-# / OLS trend / boilerplate / phash) drains the same way in round 12,
-# leaving the bank EMPTY — per VERDICT r9 #2 no new prebuilds were
-# added in round 10.
+# Bank queue: after the r12 bank registers the bank is EMPTY for the
+# first time since r7 (per VERDICT r9 #2 / r10 #5 no new prebuilds in
+# r10 or r11). The post-bank roadmap (r13 bank candidates, argued
+# against the north star in SCALING.md r11) names: tokenizer-aware
+# sequence packing with attention-mask manifests
+# (train_token_budget_pack's successor), embedding-drift monitoring
+# between two corpus snapshots (the dq twin of txt_kl_drift on
+# vectors), and incremental streaming MinHash-LSH index maintenance
+# (st_dedup_index's near-dup sibling).
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

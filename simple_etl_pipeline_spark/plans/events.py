@@ -361,7 +361,12 @@ QUERIES = {
     # keep-one-per-surface rule, and the streaming side is the one
     # whose adapter code (_run_to_memory) carries unique machinery.
     # Full pytest parity via testing.demoted_queries(); bench row kept.
-    "ev_sliding_windows": ev_sliding_windows,
+    # ev_sliding_windows DEMOTED round 11 (capacity rule, matching the
+    # ev_time_embargo_split registration): its streaming twin
+    # st_sliding_windows shares the IDENTICAL oracle and stays
+    # registered — the same keep-one-per-surface rationale as the r9
+    # ev_tumbling_hourly demotion above. Full pytest parity via
+    # testing.demoted_queries(); bench row kept.
     "ev_session_windows": ev_session_windows,
     "ev_user_daily_activity": ev_user_daily_activity,
 }
@@ -370,7 +375,7 @@ ORACLES = {
     "ev_asof_purchase_click": EV_ASOF_ORACLE,
     "ev_funnel": EV_FUNNEL_ORACLE,
     "ev_rollup_multires": EV_ROLLUP_MULTIRES_ORACLE,
-    "ev_sliding_windows": EV_SLIDING_ORACLE,
+    # ev_sliding_windows demoted r11 — see QUERIES comment
     "ev_session_windows": EV_SESSION_ORACLE,
     "ev_user_daily_activity": EV_DAILY_ORACLE,
 }
@@ -2857,6 +2862,13 @@ TAIL_QUERIES = {
     # orderby_limit_top_orders at plans/relational.py QUERIES.
     "ev_srm_check": ev_srm_check,
     "ev_trimmed_mean": ev_trimmed_mean,
+    # round-11 registrations (r11 bank, prebuilt + pytest-oracle-green
+    # since r9, sf0.1 hash-swept on final r10 code). Matching
+    # demotions: ev_sliding_windows at QUERIES above +
+    # ref_clean_size_gender at plans/reference_parity.py — capacity
+    # rule, net registry growth zero.
+    "ev_time_embargo_split": ev_time_embargo_split,
+    "ev_seasonal_residuals": ev_seasonal_residuals,
 }
 TAIL_ORACLES = {
     "skip_bloom_stats": SKIP_BLOOM_STATS_ORACLE,
@@ -2879,4 +2891,6 @@ TAIL_ORACLES = {
     "ev_hll_overlap": EV_HLL_OVERLAP_ORACLE,
     "ev_srm_check": EV_SRM_CHECK_ORACLE,
     "ev_trimmed_mean": EV_TRIMMED_MEAN_ORACLE,
+    "ev_time_embargo_split": EV_TIME_EMBARGO_ORACLE,
+    "ev_seasonal_residuals": EV_SEASONAL_RESIDUALS_ORACLE,
 }

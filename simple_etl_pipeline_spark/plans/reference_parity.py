@@ -281,12 +281,19 @@ REF_CLEAN_COLORS_ORACLE = _with_view(
     f"SELECT p_partkey, colors, {SQL_CLEAN_COLORS} AS colors_clean FROM dirty ORDER BY p_partkey"
 )
 
+REF_CLEAN_SIZE_GENDER_ORACLE = _with_view(
+    f"SELECT p_partkey, size, gender, {SQL_CLEAN_SIZE} AS size_clean, "
+    f"{SQL_CLEAN_GENDER} AS gender_clean FROM dirty ORDER BY p_partkey"
+)
+
 ORACLES = {
     "ref_dirty_view": _with_view("SELECT * FROM dirty ORDER BY p_partkey"),
-    "ref_clean_size_gender": _with_view(
-        f"SELECT p_partkey, size, gender, {SQL_CLEAN_SIZE} AS size_clean, "
-        f"{SQL_CLEAN_GENDER} AS gender_clean FROM dirty ORDER BY p_partkey"
-    ),
+    # ref_clean_size_gender DEMOTED round 11 (capacity rule, matching
+    # the ev_seasonal_residuals registration): the ref_clean_price
+    # class — its size/gender prefix-strips are pinned by
+    # ref_transform_full's pipeline hash (registered, in the r11
+    # window) plus the per-cleaner differential + hypothesis suites.
+    # Full pytest parity via testing.demoted_queries(); bench row kept.
     "ref_remove_dirty": _with_view(
         f"SELECT p_partkey, title, price, rating FROM dirty WHERE {SQL_DIRTY_KEEP} ORDER BY p_partkey"
     ),
@@ -309,7 +316,7 @@ ORACLES = {
 
 QUERIES = {
     "ref_dirty_view": ref_dirty_view,
-    "ref_clean_size_gender": ref_clean_size_gender,
+    # ref_clean_size_gender demoted r11 — see ORACLES comment
     "ref_remove_dirty": ref_remove_dirty,
     "ref_transform_full": ref_transform_full,
 }

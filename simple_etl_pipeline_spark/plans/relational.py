@@ -1477,7 +1477,12 @@ QUERIES = {
     "agg_grouping_sets": agg_grouping_sets,
     "agg_conditional_pivot": agg_conditional_pivot,
     "agg_percentiles": agg_percentiles,
-    "agg_histogram": agg_histogram,
+    # agg_histogram DEMOTED round 11 (capacity rule, matching the
+    # dq_profile_drift registration): the equi-width bucketing sibling
+    # of the registered percentile heads — agg_percentiles pins the
+    # same numeric-distribution scan, and dq_profile_drift itself
+    # registers a histogram-per-window comparison this round. Full
+    # pytest parity via testing.demoted_queries(); bench row kept.
     "window_above_customer_avg": window_above_customer_avg,
     "window_topk_orders_per_customer": window_topk_orders_per_customer,
     "setops_nations": setops_nations,
@@ -1518,7 +1523,7 @@ ORACLES = {
     "agg_approx_distinct": AGG_APPROX_DISTINCT_ORACLE,
     "agg_conditional_pivot": AGG_PIVOT_ORACLE,
     "agg_percentiles": AGG_PERCENTILES_ORACLE,
-    "agg_histogram": AGG_HISTOGRAM_ORACLE,
+    # agg_histogram demoted r11 — see QUERIES comment
     "window_above_customer_avg": WINDOW_ABOVE_AVG_ORACLE,
     "window_topk_orders_per_customer": WINDOW_TOPK_ORACLE,
     "setops_nations": SETOPS_ORACLE,
@@ -3087,6 +3092,11 @@ TAIL_QUERIES = {
     # (agg_basket_lift) — rationale at plans/reference_parity.py.)
     "dq_expectations": dq_expectations,
     "agg_basket_lift": agg_basket_lift,
+    # round-11 registration (r11 bank, prebuilt + pytest-oracle-green
+    # since r9, sf0.1 hash-swept on final r10 code; 1e15-ppm
+    # saturation cap). Matching demotion: agg_histogram at QUERIES
+    # above — capacity rule, net registry growth zero.
+    "dq_profile_drift": dq_profile_drift,
 }
 TAIL_ORACLES = {
     "agg_approx_percentile": AGG_APPROX_PERCENTILE_ORACLE,
@@ -3098,4 +3108,5 @@ TAIL_ORACLES = {
     "agg_rfm_segments": AGG_RFM_ORACLE,
     "dq_expectations": DQ_EXPECTATIONS_ORACLE,
     "agg_basket_lift": AGG_BASKET_LIFT_ORACLE,
+    "dq_profile_drift": DQ_PROFILE_DRIFT_ORACLE,
 }

@@ -1173,7 +1173,13 @@ QUERIES = {
     "txt_token_stats": txt_token_stats,
     "txt_doc_features": txt_doc_features,
     "txt_langid": txt_langid,
-    "txt_ngram_freq": txt_ngram_freq,
+    # txt_ngram_freq DEMOTED round 11 (capacity rule, one per r11
+    # registration — matching train_token_budget_pack): its
+    # bigram-shingle explode is pinned by the registered
+    # dedup_ngram_jaccard / dedup_ngram_spans shingle pipeline, and
+    # its global top-K head by the registered q15/q18
+    # TakeOrderedAndProject rows; full pytest parity continues via
+    # testing.demoted_queries(), and its bench row survives.
     "txt_tfidf_top_term": txt_tfidf_top_term,
     "txt_fingerprint": txt_fingerprint,
     "dedup_exact": dedup_exact,
@@ -1196,7 +1202,7 @@ ORACLES = {
     "txt_token_stats": TXT_TOKEN_STATS_ORACLE,
     "txt_doc_features": TXT_DOC_FEATURES_ORACLE,
     "txt_langid": _langid_oracle(),
-    "txt_ngram_freq": TXT_NGRAM_FREQ_ORACLE,
+    # txt_ngram_freq demoted r11 — see QUERIES comment
     "txt_tfidf_top_term": TXT_TFIDF_ORACLE,
     "txt_fingerprint": TXT_FINGERPRINT_ORACLE,
     "dedup_exact": DEDUP_EXACT_ORACLE,
@@ -4490,6 +4496,11 @@ TAIL_QUERIES = {
     # plans/relational.py QUERIES — capacity rule, net registry
     # growth zero)
     "txt_lm_perplexity": txt_lm_perplexity,
+    # round-11 registration (r11 bank, prebuilt + pytest-oracle-green
+    # since r9, sf0.1 hash-swept on final r10 code; matching demotion:
+    # txt_ngram_freq at QUERIES above — capacity rule, net registry
+    # growth zero). global_prefix_sum's first driver surface.
+    "train_token_budget_pack": train_token_budget_pack,
 }
 
 TAIL_ORACLES = {
@@ -4522,4 +4533,5 @@ TAIL_ORACLES = {
     "train_curriculum_order": TRAIN_CURRICULUM_ORACLE,
     "search_hybrid_rrf": SEARCH_HYBRID_RRF_ORACLE,
     "txt_lm_perplexity": TXT_LM_PERPLEXITY_ORACLE,
+    "train_token_budget_pack": TRAIN_TOKEN_BUDGET_ORACLE,
 }

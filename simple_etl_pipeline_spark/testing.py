@@ -87,6 +87,22 @@ def demoted_queries() -> dict:
         _simhash_pairs_oracle,
         dedup_simhash_pairs,
     )
+    from simple_etl_pipeline_spark.plans.events import (
+        EV_SLIDING_ORACLE,
+        ev_sliding_windows,
+    )
+    from simple_etl_pipeline_spark.plans.reference_parity import (
+        REF_CLEAN_SIZE_GENDER_ORACLE,
+        ref_clean_size_gender,
+    )
+    from simple_etl_pipeline_spark.plans.relational import (
+        AGG_HISTOGRAM_ORACLE,
+        agg_histogram,
+    )
+    from simple_etl_pipeline_spark.plans.text import (
+        TXT_NGRAM_FREQ_ORACLE,
+        txt_ngram_freq,
+    )
 
     return {
         "sim_ivf_recall": (sim_ivf_recall, SIM_IVF_RECALL_ORACLE),
@@ -157,6 +173,27 @@ def demoted_queries() -> dict:
             window_running_total,
             WINDOW_RUNNING_ORACLE,
         ),
+        # round-11 demotions (one per round-11 registration; rationale
+        # at each module's QUERIES/ORACLES comment):
+        #   - agg_histogram: equi-width sibling of the registered
+        #     percentile heads; dq_profile_drift registers a
+        #     histogram-per-window comparison the same round.
+        #   - ev_sliding_windows: streaming twin st_sliding_windows
+        #     keeps the identical oracle registered.
+        #   - ref_clean_size_gender: the ref_clean_price class —
+        #     pinned by ref_transform_full's pipeline hash + the
+        #     differential suites.
+        #   - txt_ngram_freq: bigram-shingle explode pinned by the
+        #     registered dedup_ngram_jaccard/dedup_ngram_spans
+        #     pipeline; global top-K head by the registered q15/q18
+        #     TakeOrderedAndProject rows.
+        "agg_histogram": (agg_histogram, AGG_HISTOGRAM_ORACLE),
+        "ev_sliding_windows": (ev_sliding_windows, EV_SLIDING_ORACLE),
+        "ref_clean_size_gender": (
+            ref_clean_size_gender,
+            REF_CLEAN_SIZE_GENDER_ORACLE,
+        ),
+        "txt_ngram_freq": (txt_ngram_freq, TXT_NGRAM_FREQ_ORACLE),
     }
 
 

@@ -2632,6 +2632,72 @@ def test_token_budget_pack_matches_oracle_and_greedy_boundary(spark, sf_dir):
     )
 
 
+def test_token_budget_pack_tie_at_exact_boundary(spark, sf_dir, tmp_path):
+    """Registration-gate pin (VERDICT r10 #4): tie behavior exactly AT
+    the budget line under the corrected both-engines-truncate premise.
+    2501 IDENTICAL docs (8 all-distinct tokens each -> the same
+    quality_ppm = 1_000_000 for every one, a pure tie class) against
+    TOKEN_BUDGET = 20_000 = 2500 * 8: the doc_id ASC tie-break alone
+    decides the cut — docs 1..2500 are kept, doc 2501 (same quality,
+    same length) is excluded because its INCLUSIVE running total would
+    read 20_008; the kept total lands EXACTLY on the budget (<= is
+    inclusive: a doc that exactly exhausts the budget is kept).
+    Lower-quality filler docs rank after the tie class and are all
+    excluded (cum already at budget). Membership pinned by xor_ids =
+    XOR(1..2500), order by first/last seq, plus full oracle parity."""
+    import functools
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_etl_pipeline_spark.plans.text import (
+        TOKEN_BUDGET,
+        TRAIN_TOKEN_BUDGET_ORACLE,
+        train_token_budget_pack,
+    )
+    from simple_etl_pipeline_spark.schemas import TESTDATA_TABLES
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    assert TOKEN_BUDGET == 20_000  # the arithmetic below assumes it
+    d = str(tmp_path / "tbp_tie")
+    os.makedirs(d)
+    n_tie = 2501  # one more identical doc than the budget admits
+    tie_text = "t0 t1 t2 t3 t4 t5 t6 t7"  # 8 tokens, all distinct
+    lo_text = "a a a a"  # 4 tokens, 1 distinct -> 250_000 ppm
+    texts = [tie_text] * n_tie + [lo_text] * 5
+    langs = ["hi"] * n_tie + ["lo"] * 5
+    n = len(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(1, n + 1), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+                "source": pa.array(["s"] * n, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    for t in TESTDATA_TABLES:
+        if t != "documents":
+            os.symlink(f"{sf_dir}/{t}.parquet", os.path.join(d, f"{t}.parquet"))
+    rows = {r.lang: r for r in train_token_budget_pack(spark, d).collect()}
+    assert set(rows) == {"hi"}  # every lower-quality doc excluded
+    hi = rows["hi"]
+    assert hi.n_docs == 2500  # doc 2501: same quality, cut by doc_id
+    assert hi.n_tokens == TOKEN_BUDGET  # inclusive boundary: exact fit
+    assert (hi.first_seq, hi.last_seq) == (1, 2500)
+    assert hi.min_quality_ppm == 1_000_000
+    assert hi.xor_ids == functools.reduce(
+        lambda a, b: a ^ b, range(1, 2501)
+    )
+    compare_with_oracle(
+        train_token_budget_pack(spark, d), TRAIN_TOKEN_BUDGET_ORACLE, d
+    )
+
+
 def test_token_budget_pack_excludes_unusable_docs(spark, sf_dir, tmp_path):
     """NULL-text and blank docs have zero tokens — no trainable
     content, excluded BEFORE ranking (they'd otherwise occupy seq
@@ -3162,6 +3228,97 @@ def test_profile_drift_opposite_extreme_means_saturate(spark, sf_dir, tmp_path):
     assert vm.delta == DQ_DELTA_CAP  # saturated, not overflowed
     assert vm.flagged
     compare_with_oracle(dq_profile_drift(spark, d), DQ_PROFILE_DRIFT_ORACLE, d)
+
+
+def test_profile_drift_ppm_cap_fires_and_matches_oracle(
+    spark, sf_dir, tmp_path
+):
+    """Registration-gate pin (VERDICT r10 #4): the 1e15-ppm saturation
+    cap must be observed actually FIRING, not just present in the
+    expression — the extreme-means test above saturates the DELTA cap
+    but its drift_ppm (~2e6) never reaches DQ_DRIFT_PPM_CAP. Here half
+    A's mean is 1 micro and half B's is ~9.2e18 micros, so the raw
+    ratio (~9.2e24 ppm) exceeds the cap by nine orders of magnitude:
+    drift_ppm must read EXACTLY DQ_DRIFT_PPM_CAP on both engines (the
+    uncapped value would also overflow the final BIGINT cast — the
+    cap is correctness, not cosmetics)."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_etl_pipeline_spark.plans.relational import (
+        DQ_DRIFT_PPM_CAP,
+        DQ_PROFILE_DRIFT_ORACLE,
+        dq_profile_drift,
+    )
+    from simple_etl_pipeline_spark.schemas import TESTDATA_TABLES
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    d = str(tmp_path / "drift_ppm_cap")
+    os.makedirs(d)
+    base = dt.datetime(2024, 8, 1)
+    ts = [base, base + dt.timedelta(hours=100)]
+    # 1e-6 -> a_value_mean_micros = 1 (the divisor floor greatest(|a|,1)
+    # is NOT what keeps this finite — a is genuinely 1); 9.2233e12 ->
+    # b ~ 9.2233e18 micros, just inside BIGINT per the per-half envelope.
+    vals = [1e-6, 9.2233e12]
+    n = len(ts)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array([1] * n, pa.int64()),
+                "event_type": pa.array(["view"] * n, pa.string()),
+                "value": pa.array(vals, pa.float64()),
+                "props": pa.array(["{}"] * n, pa.string()),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    for t in TESTDATA_TABLES:
+        if t != "events":
+            os.symlink(f"{sf_dir}/{t}.parquet", os.path.join(d, f"{t}.parquet"))
+    got = {r.metric: r for r in dq_profile_drift(spark, d).collect()}
+    vm = got["value_mean_micros"]
+    assert vm.a_value == 1
+    assert vm.drift_ppm == DQ_DRIFT_PPM_CAP  # the cap itself, exactly
+    assert vm.flagged
+    compare_with_oracle(dq_profile_drift(spark, d), DQ_PROFILE_DRIFT_ORACLE, d)
+
+
+def test_profile_drift_sf01_realistic_headroom(spark):
+    """The other side of the cap contract, pinned at sf0.1 (the bench
+    corpus, 10x the driver's correctness SF): on realistic data the
+    saturation cap must have ORDERS of headroom — every metric row
+    exists (7), every drift_ppm is far below DQ_DRIFT_PPM_CAP, and
+    every |delta| far below DQ_DELTA_CAP. If this ever trips, the
+    profile math regressed (or the testdata changed shape), not the
+    corpus."""
+    import os
+
+    import pytest as _pytest
+
+    from simple_etl_pipeline_spark.plans.relational import (
+        DQ_DELTA_CAP,
+        DQ_DRIFT_PPM_CAP,
+        dq_profile_drift,
+    )
+
+    sf01 = os.environ.get("SPARK_GRAFT_SF01_DIR", "/root/testdata/sf0.1")
+    if not os.path.isdir(sf01):
+        _pytest.skip("sf0.1 testdata not present")
+    rows = dq_profile_drift(spark, sf01).collect()
+    assert len(rows) == 7
+    assert {r.metric for r in rows} == {
+        "n_events", "distinct_users", "distinct_types", "null_user_ppm",
+        "null_value_ppm", "value_mean_micros", "events_per_user_ppm",
+    }
+    for r in rows:
+        assert r.drift_ppm < DQ_DRIFT_PPM_CAP // 10**6, r
+        assert abs(r.delta) < DQ_DELTA_CAP // 10**6, r
 
 
 def test_seasonal_residuals_pre1970_bucket_parity(spark, sf_dir, tmp_path):
