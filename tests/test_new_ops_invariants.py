@@ -2827,6 +2827,90 @@ def test_embargo_split_hand_computed_cutoffs(spark, sf_dir, tmp_path):
     )
 
 
+@_settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[_HC.function_scoped_fixture],
+)
+@_given(
+    offs=_st.lists(
+        _st.integers(min_value=0, max_value=10**12),  # us offsets, ~11.5 d
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_embargo_split_fuzzed_cross_engine(
+    spark, sf_dir, tmp_path_factory, offs
+):
+    """Registration-gate fuzz (completes the r11 quartet — the other
+    three registrations already had cross-engine fuzz rows): random
+    event streams, and whenever the drawn span leaves the cutoffs
+    strictly inside it, two events are INJECTED exactly AT t0 and AT
+    t1 — the half-open boundary semantics (us < t0 train, t0 <= us <
+    t1 embargo, t1 <= us test) are then decided by the injected rows:
+    an at-t0 event must land in embargo, an at-t1 event in test.
+    Memberships recomputed by a python mini-model; full driver-gate
+    oracle comparison per example."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_etl_pipeline_spark.plans.events import (
+        EMBARGO_US,
+        EV_TIME_EMBARGO_ORACLE,
+        ev_time_embargo_split,
+    )
+    from simple_etl_pipeline_spark.schemas import TESTDATA_TABLES
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    base_us = int(dt.datetime(2024, 3, 1).timestamp()) * 1_000_000
+    us = [base_us + o for o in offs]
+    mn, mx = min(us), max(us)
+    t0 = mn + (mx - mn) * 80 // 100
+    t1 = t0 + EMBARGO_US
+    if t0 > mn and t1 < mx:  # injection cannot move the observed span
+        us += [t0, t1]
+    d = tmp_path_factory.mktemp("embargo_fuzz")
+    n = len(us)
+    epoch = dt.datetime(1970, 1, 1)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(
+                    [epoch + dt.timedelta(microseconds=u) for u in us],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([i % 5 for i in range(n)], pa.int64()),
+                "event_type": pa.array(["view"] * n, pa.string()),
+                "value": pa.array([0.25] * n, pa.float64()),
+                "props": pa.array(["{}"] * n, pa.string()),
+            }
+        ),
+        os.path.join(str(d), "events.parquet"),
+    )
+    for t in TESTDATA_TABLES:
+        if t != "events":
+            os.symlink(f"{sf_dir}/{t}.parquet", os.path.join(str(d), f"{t}.parquet"))
+    model = {"train": 0, "embargo": 0, "test": 0}
+    for u in us:
+        model[
+            "train" if u < t0 else ("embargo" if u < t1 else "test")
+        ] += 1
+    rows = {r.split: r for r in ev_time_embargo_split(spark, str(d)).collect()}
+    for split, n_model in model.items():
+        got = rows[split].n_events if split in rows else 0
+        assert got == n_model, (split, got, n_model, t0, t1)
+    if t0 > mn and t1 < mx:  # the injected boundary rows landed right
+        assert rows["embargo"].min_us <= t0 <= rows["embargo"].max_us
+        assert rows["test"].min_us == t1
+    compare_with_oracle(
+        ev_time_embargo_split(spark, str(d)), EV_TIME_EMBARGO_ORACLE, str(d)
+    )
+
+
 def test_seasonal_residuals_matches_oracle(spark, sf_dir):
     from simple_etl_pipeline_spark.plans.events import (
         EV_SEASONAL_RESIDUALS_ORACLE,
