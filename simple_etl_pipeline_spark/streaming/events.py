@@ -191,7 +191,10 @@ def _run_to_memory(
                 result.sparkSession.catalog.dropTempView(name)
             except Exception:  # pragma: no cover — nothing registered
                 pass
-    assert last is not None
+    if last is None:  # unreachable by the retry-loop contract; kept
+        # as an explicit raise so `python -O` cannot turn a broken
+        # retry loop into `raise None` (TypeError) — ADVICE-r10 class
+        raise RuntimeError("stream retry loop exited without an error")
     raise last
 
 

@@ -574,7 +574,10 @@ def scd2_backfill(
         finally:
             shutil.rmtree(checkpoint, ignore_errors=True)
             shutil.rmtree(staging, ignore_errors=True)
-    assert last is not None
+    if last is None:  # unreachable by the retry-loop contract; kept
+        # as an explicit raise so `python -O` cannot turn a broken
+        # retry loop into `raise None` (TypeError) — ADVICE-r10 class
+        raise RuntimeError("stream retry loop exited without an error")
     raise last
 
 

@@ -252,8 +252,19 @@ def compare_with_oracle(
 
     exp_cols = sorted(exp.columns.tolist())
     got_cols = sorted(got.columns.tolist())
-    assert exp_cols == got_cols, f"column mismatch: spark={got_cols} oracle={exp_cols}"
-    assert len(exp) == len(got), f"row count: spark={len(got)} oracle={len(exp)}"
+    # Explicit raises, not bare `assert` (the ADVICE-r10 class): this
+    # harness also runs OUTSIDE pytest (banked sf0.1 sweeps, /verify
+    # scripts), where `python -O` would strip asserts and let a
+    # divergent result read as a silent pass — an evidence-integrity
+    # hazard, not just style. The remaining checks below already raise.
+    if exp_cols != got_cols:
+        raise AssertionError(
+            f"column mismatch: spark={got_cols} oracle={exp_cols}"
+        )
+    if len(exp) != len(got):
+        raise AssertionError(
+            f"row count: spark={len(got)} oracle={len(exp)}"
+        )
 
     # Type strictness: the driver's check hashes typed values, so an
     # int64 Spark column vs a float64 oracle column (e.g. DuckDB's
