@@ -100,6 +100,11 @@ ADVERSARIAL_QUERIES = [
     "train_curriculum_order",
     "txt_domain_split",
     "search_hybrid_rrf",
+    # round 11: the newly REGISTERED documents-only query joins the
+    # gauntlet — the greedy token-budget pack over degenerate text
+    # (empty/null/whitespace docs excluded pre-ranking, ties from the
+    # repetition-spam quality collisions, CJK token counting)
+    "train_token_budget_pack",
 ]
 
 
