@@ -1871,20 +1871,37 @@ def _plan_contains(parent_jplan, child_jplan) -> bool:
     return False
 
 
-def _barrier_session_dead(b: DataFrame) -> bool:
-    """True ONLY when the barrier's SparkSession/context is positively
-    confirmed stopped (its cache entry is gone with the JVM state, so
-    evicting the registry entry frees nothing and risks nothing).
-    Any failure of the check itself returns False: an undiagnosable
-    barrier stays registered rather than being unpersisted out from
-    under a pending frame (ADVICE r10)."""
+# Consecutive-undiagnosable-check budget before a barrier is evicted
+# from the registry anyway (ADVICE r11): a barrier whose py4j gateway
+# is entirely down raises on EVERY probe, so it can never be positively
+# confirmed dead — without a budget it would sit in
+# _ROW_NUMBER_BARRIERS for the life of the process after an abnormal
+# JVM death. Three strikes keeps the r10 safety property for transient
+# hiccups (one or two failed probes on a live barrier keep it
+# registered, counter reset by the next successful check) while
+# bounding the residue: a gateway that is down for three consecutive
+# release passes is not coming back for that barrier's JVM state.
+_BARRIER_UNDIAG_EVICT_AFTER = 3
+
+
+def _barrier_session_dead(b: DataFrame) -> bool | None:
+    """Tri-state liveness probe for a registered barrier:
+    True  — the SparkSession/context is POSITIVELY confirmed stopped
+            (its cache entry died with the JVM state, so evicting the
+            registry entry frees nothing and risks nothing);
+    False — positively confirmed alive;
+    None  — the probe itself failed (py4j gateway down / JVM error):
+            undiagnosable. The caller keeps the barrier registered,
+            counting consecutive None verdicts against
+            _BARRIER_UNDIAG_EVICT_AFTER (ADVICE r10 kept unknowns
+            forever; ADVICE r11 bounds that residue)."""
     try:
         sc = b.sparkSession.sparkContext
         if sc is None or getattr(sc, "_jsc", None) is None:
             return True
         return bool(sc._jsc.sc().isStopped())
     except Exception:
-        return False
+        return None
 
 
 def release_barriers_for(df: DataFrame) -> int:
@@ -1922,14 +1939,29 @@ def release_barriers_for(df: DataFrame) -> int:
             mine = _plan_contains(
                 parent, b._jdf.queryExecution().analyzed()
             )
+            b._graft_undiag_checks = 0
         except Exception:
             # The containment check itself failed (py4j hiccup, JVM
-            # error). Only evict the barrier when its session is
-            # CONFIRMED dead — a transient failure on a live
-            # other-frame barrier must NOT unpersist it, or that
-            # frame's branches would re-execute the range exchange
-            # independently (ADVICE r10). Unknown -> keep registered.
-            mine = _barrier_session_dead(b)
+            # error). Evict the barrier when its session is CONFIRMED
+            # dead — a transient failure on a live other-frame barrier
+            # must NOT unpersist it, or that frame's branches would
+            # re-execute the range exchange independently (ADVICE
+            # r10). An UNDIAGNOSABLE barrier (the liveness probe
+            # itself raises — gateway down) stays registered for up to
+            # _BARRIER_UNDIAG_EVICT_AFTER consecutive failed passes,
+            # then is evicted anyway (ADVICE r11: a dead gateway can
+            # never be positively confirmed, and the registry must not
+            # accumulate such residue for the process lifetime). The
+            # counter lives on the barrier frame and resets on any
+            # successful containment or liveness check.
+            dead = _barrier_session_dead(b)
+            if dead is None:
+                strikes = getattr(b, "_graft_undiag_checks", 0) + 1
+                b._graft_undiag_checks = strikes
+                mine = strikes >= _BARRIER_UNDIAG_EVICT_AFTER
+            else:
+                b._graft_undiag_checks = 0
+                mine = dead
         (dropped if mine else kept).append(b)
     _ROW_NUMBER_BARRIERS[:] = kept
     n = 0

@@ -998,6 +998,55 @@ def test_barrier_release_keeps_live_barrier_on_check_failure(
     df.count()  # frame still materializes (cache gone, plan intact)
 
 
+def test_barrier_release_evicts_undiagnosable_after_three_strikes(
+    spark, sf_dir, monkeypatch
+):
+    """ADVICE r11 (low): a barrier whose py4j gateway is entirely down
+    raises on EVERY liveness probe, so it can never be POSITIVELY
+    confirmed dead — under the r10 rule it stayed registered for the
+    process lifetime. Pin the bounded form: an UNDIAGNOSABLE barrier
+    (containment check raises AND the liveness probe raises) survives
+    the first _BARRIER_UNDIAG_EVICT_AFTER - 1 consecutive release
+    passes untouched, is evicted on the Nth, and any successful check
+    in between resets the strike counter — so transient hiccups on a
+    live barrier still never evict it (the r10 safety property)."""
+    from simple_etl_pipeline_spark.plans import relational as rel
+
+    rel.release_row_number_barriers()  # clean slate
+    df = rel.agg_rfm_segments(spark, sf_dir)
+    assert len(rel._ROW_NUMBER_BARRIERS) >= 1
+    barriers = list(rel._ROW_NUMBER_BARRIERS)
+    n = rel._BARRIER_UNDIAG_EVICT_AFTER
+    assert n >= 2  # a single hiccup must never evict
+
+    def boom(parent, child):
+        raise RuntimeError("transient py4j failure")
+
+    monkeypatch.setattr(rel, "_plan_contains", boom)
+    monkeypatch.setattr(rel, "_barrier_session_dead", lambda b: None)
+    # strikes 1 .. N-1: kept, registry untouched
+    for _ in range(n - 1):
+        assert rel.release_barriers_for(df) == 0
+        assert rel._ROW_NUMBER_BARRIERS == barriers
+    # a successful check in between resets the counter ...
+    monkeypatch.undo()
+    assert rel.release_barriers_for(spark.range(3)) == 0  # unrelated
+    assert rel._ROW_NUMBER_BARRIERS == barriers
+    for b in barriers:
+        assert getattr(b, "_graft_undiag_checks", 0) == 0
+    # ... so the next N-1 undiagnosable passes still keep it
+    monkeypatch.setattr(rel, "_plan_contains", boom)
+    monkeypatch.setattr(rel, "_barrier_session_dead", lambda b: None)
+    for _ in range(n - 1):
+        assert rel.release_barriers_for(df) == 0
+        assert rel._ROW_NUMBER_BARRIERS == barriers
+    # strike N: evicted anyway (best-effort unpersist still runs)
+    assert rel.release_barriers_for(df) == len(barriers)
+    assert rel._ROW_NUMBER_BARRIERS == []
+    monkeypatch.undo()
+    df.count()  # frame still materializes (cache gone, plan intact)
+
+
 def test_floor_div_helpers_reject_non_positive_divisor():
     """ADVICE r10 (low): the positive-divisor precondition must
     survive `python -O` (assert is stripped there) — the helpers are
