@@ -62,167 +62,149 @@ def _all_modules():
 # recorded window AND the current one must appear HERE, or the test
 # fails. Names move OUT of this list in the same commit that registers
 # them into the rebalanced window.
-_BANKED_PREBUILDS = [
-    # r11 bank registered round 11 (train_token_budget_pack,
-    # ev_time_embargo_split, ev_seasonal_residuals, dq_profile_drift —
-    # into the r11 window below, leaving this list in the same commit;
-    # the r10 reserve and r9 slate did the same in their rounds). Per
-    # VERDICT r9 #2 / r10 #5 the bank only DRAINS: no new prebuilds in
-    # rounds 10-11, so after the r12 bank below registers in round 12
-    # the bank is EMPTY (post-bank roadmap in the ROUND-12 LEDGER and
-    # SCALING.md r11).
-    # r12 bank (built round 9, the continuation session): k-anonymity
-    # privacy audit, per-nation exact-integer OLS trend, C4-style
-    # cross-document boilerplate-line removal, perceptual-hash image
-    # near-dup detection (plans/multimodal.py — the first banked name
-    # outside the four classic plans modules; the laziness and
-    # consistency tests resolve it there)
+_BANKED_PREBUILDS: list[str] = [
+    # EMPTY for the first time since round 7: the r12 bank
+    # (dq_k_anonymity, agg_ols_trend, txt_boilerplate_lines,
+    # mm_phash_dedup — built round 9, the continuation session)
+    # registered into the round-12 window below, leaving this list in
+    # the same commit, exactly as the r11 bank / r10 reserve / r9
+    # slate did in their rounds. The bank only drained in rounds
+    # 10-12 per VERDICT r9 #2 / r10 #5. The r13 bank (the SCALING.md
+    # r11 post-bank roadmap: tokenizer-aware attention-mask sequence
+    # packing, embedding-drift monitoring between corpus snapshots,
+    # streaming MinHash-LSH index maintenance) is BUILT during round
+    # 12 — its names join this list in their build commits and
+    # register in round 13 (see the ROUND-13 LEDGER below).
+]
+
+_WINDOW = [
+    # ROUND-12 COMPOSITION (rotation_plan.py pre-rebalance output at
+    # round-12 open, verified by the r11 judge: 48 mandatory / 2
+    # free):
+    #   1. The r12 MANDATORY set minus the four round-12 demotions —
+    #      44 queries: the r9-green residue whose last driver row was
+    #      round 9, exactly the list rotation_plan.py printed minus
+    #      ev_session_windows, agg_approx_percentile,
+    #      window_ntile_customer_deciles and ev_attribution (all four
+    #      r12 demotions are IN the mandatory set — demoting an
+    #      in-mandatory query frees its window slot, the r7 device;
+    #      the same four demotions satisfy the registry capacity rule
+    #      for the four registrations; rationale at each module's
+    #      QUERIES/TAIL_QUERIES and testing.demoted_queries()).
+    #   2. The 4 round-9-banked prebuilds (the r12 bank), now
+    #      registered (the banked-then-register staging, eighth
+    #      consecutive round): dq_k_anonymity + agg_ols_trend (the two
+    #      floor-div helper consumers — registering them puts that
+    #      r11-changed surface under driver rows), txt_boilerplate_
+    #      lines, mm_phash_dedup (plans/multimodal.py untouched since
+    #      the r10 band mitigation, so the r10 probe evidence carries
+    #      — the registration is the mechanical dict entry VERDICT r11
+    #      #2 prescribed).
+    #   3. TWO canary slots: train_curriculum_order +
+    #      train_token_budget_pack — round 12 changed the shared
+    #      barrier-EVICTION path again (ADVICE r11: undiagnosable
+    #      barriers now evict after _BARRIER_UNDIAG_EVICT_AFTER
+    #      consecutive failed containment+liveness checks), so the
+    #      changed-code canary rule wants registered consumers of BOTH
+    #      barrier-registering primitives in-window: one
+    #      global_row_number consumer (curriculum) and one
+    #      global_prefix_sum consumer (token budget pack).
+    #   Net registry growth ZERO: 4 demotions for 4 registrations,
+    #   registry stays at 145.
+    # -- mandatory (44): last driver row in round 9 -------------------------
+    "agg_basket_lift",
+    "dedup_components_lsh",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_paragraphs",
+    "dedup_survivors_quality",
+    "dq_expectations",
+    "ev_asof_purchase_click",
+    "ev_conversion_windows",
+    "ev_cuped",
+    "ev_heavy_hitters",
+    "ev_hll_user_rollup",
+    "ev_json_variant",
+    "ev_retention_cohorts",
+    "ev_zscore_outliers",
+    "join_fuzzy_part_names",
+    "q11_important_parts",
+    "q16_supplier_cardinality",
+    "q17_small_qty_revenue",
+    "q1_pricing_summary",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
+    "q8_market_share",
+    "q9_product_profit",
+    "sim_mrl_recall",
+    "sim_pq_adc",
+    "sim_quantize_int8",
+    "st_dedup_index",
+    "st_session_windows",
+    "train_shard_manifest",
+    "txt_chunk_windows",
+    "txt_contamination",
+    "txt_dataset_card",
+    "txt_gopher_quality",
+    "txt_pack_sequences",
+    "txt_pagerank",
+    "txt_pii_redact",
+    "txt_repetition_filter",
+    "txt_sample_stratified",
+    "txt_triangle_count",
+    "unpivot_lineitem_measures",
+    # -- round-12 registrations (4): the r12 bank — bank now EMPTY ----------
     "dq_k_anonymity",
     "agg_ols_trend",
     "txt_boilerplate_lines",
     "mm_phash_dedup",
-]
-
-_WINDOW = [
-    # ROUND-11 COMPOSITION (rotation_plan.py pre-rebalance output at
-    # round-11 open, verified by the r10 judge: 46 mandatory / 4 free):
-    #   1. The r11 MANDATORY set minus the three round-11 demotions
-    #      that were in it — 43 queries: the r8-green residue whose
-    #      last driver row was round 8, exactly the list
-    #      rotation_plan.py printed minus ev_sliding_windows,
-    #      ref_clean_size_gender and txt_ngram_freq (three of the four
-    #      r11 demotions — demoting an IN-MANDATORY query frees its
-    #      window slot, the r7 device; the fourth demotion,
-    #      agg_histogram, was not in the mandatory set — it satisfies
-    #      the registry cap for the fourth registration; rationale at
-    #      each module's QUERIES and testing.demoted_queries()).
-    #   2. The 4 round-9-banked prebuilds (the r11 bank), now
-    #      registered (the banked-then-register staging, seventh
-    #      consecutive round): train_token_budget_pack
-    #      (global_prefix_sum's first driver surface),
-    #      ev_time_embargo_split, ev_seasonal_residuals (floor-div
-    #      helper consumer), dq_profile_drift (1e15-ppm saturation
-    #      cap).
-    #   3. TWO canary slots (freed by the in-mandatory demotions):
-    #      ev_trimmed_mean + train_curriculum_order — round 11
-    #      changed the shared barrier-EVICTION path
-    #      (release_barriers_for's failed-check behavior, ADVICE r10)
-    #      and the floor-div helper preconditions (assert ->
-    #      ValueError), so the changed-code canary rule wants
-    #      registered consumers of both surfaces in-window: together
-    #      with the registering train_token_budget_pack and
-    #      agg_rfm_segments (mandatory) that is FOUR
-    #      global_row_number/global_prefix_sum consumers, and
-    #      ev_seasonal_residuals covers the floor-div side.
-    #   4. ONE look-ahead slot: search_hybrid_rrf — the newest code
-    #      (r9 registration) in the prospective r12-mandatory set;
-    #      covering it now trims r12 mandatory to 48 so the r12 bank's
-    #      4 registrations fit with the 4 in-mandatory demotions the
-    #      registry cap needs anyway (see the ROUND-12 LEDGER below).
-    #   Net registry growth ZERO: 4 demotions for 4 registrations,
-    #   registry stays at 145.
-    # -- mandatory (43): last driver row in round 8 -------------------------
-    "agg_approx_distinct",
-    "agg_rfm_segments",
-    "dedup_components",
-    "dedup_ngram_spans",
-    "dedup_simhash",
-    "ev_funnel",
-    "ev_gap_fill",
-    "ev_hll_overlap",
-    "ev_rollup_multires",
-    "ev_user_daily_activity",
-    "inverted_index",
-    "mm_binary_meta",
-    "mm_blob_features",
-    "mm_frame_sample",
-    "mm_resize",
-    "q12_shipmode_priority",
-    "ref_dirty_view",
-    "ref_remove_dirty",
-    "ref_transform_full",
-    "sim_ann_lsh",
-    "sim_centroids_by_label",
-    "sim_ivfpq_topk",
-    "sim_knn_brute",
-    "sim_rp_recall",
-    "skip_bloom_stats",
-    "st_dedup_events",
-    "st_scd2_users",
-    "st_sliding_windows",
-    "st_stream_stream_join",
-    "st_tumbling_hourly",
-    "txt_bpe_tokens",
-    "txt_doc_features",
-    "txt_domain_split",
-    "txt_fingerprint",
-    "txt_gopher_repetition",
-    "txt_kl_drift",
-    "txt_langid",
-    "txt_mixture_manifest",
-    "txt_tfidf_top_term",
-    "txt_token_stats",
-    "txt_training_corpus",
-    "txt_winnow_fingerprint",
-    "weighted_sample",
-    # -- round-11 registrations (4): the r11 bank ---------------------------
-    "train_token_budget_pack",
-    "ev_time_embargo_split",
-    "ev_seasonal_residuals",
-    "dq_profile_drift",
-    # -- canaries (2): barrier-eviction + floor-div surfaces changed r11 ----
-    "ev_trimmed_mean",
+    # -- canaries (2): barrier-eviction surface changed again r12 -----------
     "train_curriculum_order",
-    # -- look-ahead (1): newest code in the prospective r12 mandatory -------
-    "search_hybrid_rrf",
+    "train_token_budget_pack",
 ]
 
-# ROUND-12 ROTATION LEDGER (tools/rotation_plan.py run AFTER the r11
+# ROUND-13 ROTATION LEDGER (tools/rotation_plan.py run AFTER the r12
 # rebalance prints state=post_rebalance with exactly this arithmetic):
-# at the r12 gate the last two recorded windows will be
-# CORRECTNESS_r10 + this window, so next_round_mandatory = 48 queries
-# (the r9-green residue: agg_approx_percentile, agg_basket_lift, the
-# dedup components-lsh/embedding-cosine/exact/incremental/minhash/
-# ngram-jaccard/paragraphs/survivors rows, dq_expectations, the ev_*
-# asof/attribution/attribution-less-linear/conversion/cuped/
-# heavy-hitters/hll-rollup/json-variant/retention/session/zscore rows,
-# join_fuzzy_part_names, q1/q8/q9/q11/q16/q17/q20/q21, the sim_*
-# mrl/pq-adc/int8 rows, st_dedup_index, st_session_windows,
-# train_shard_manifest, the txt_* chunk/contamination/dataset-card/
-# gopher-quality/pack-sequences/pagerank/pii/repetition/stratified/
-# triangle rows, unpivot_lineitem_measures,
-# window_ntile_customer_deciles) and next_round_free_slots = 2. The
-# r12 bank (built round 9, the continuation session; probes + edge
-# corpora recorded; mm_phash re-probed 0.45@256 after the r10 3x20-bit
-# band mitigation) is FOUR queries — dq_k_anonymity, agg_ols_trend,
-# txt_boilerplate_lines, mm_phash_dedup — so r12 needs >= 2
-# IN-MANDATORY demotions for window space; the registry cap (145/150)
-# needs 4 demotions anyway, and all four candidates below are in the
-# r12 mandatory set, so taking them in-mandatory yields 48 - 4 + 4 =
-# 48 window rows with 2 free canary slots. Candidates, in order:
-# ev_session_windows (streaming twin st_session_windows keeps the
-# identical oracle — the same keep-one-per-surface rule as the r9
-# ev_tumbling_hourly and r11 ev_sliding_windows demotions),
-# agg_approx_percentile (sketch sibling of the registered
-# agg_percentiles exact heads; its approx_percentile surface is also
-# pinned by ev_quantile_sketch), window_ntile_customer_deciles
-# (rank-derivative of the registered window_percent_rank_suppliers —
-# same customer-keyed rank scan, ntile vs percent_rank head),
-# ev_attribution (first/last-touch head; the registered
-# ev_attribution_linear pins the same sessionized credit pipeline
-# with the strictly-larger linear-split surface).
+# at the r13 gate the last two recorded windows will be
+# CORRECTNESS_r11 + this window (overlap: the two barrier canaries
+# train_curriculum_order / train_token_budget_pack), so
+# next_round_mandatory = 47 queries (the r10-green residue: the agg_*
+# conditional-pivot/cube/distinct-counts/grouping-sets/mode/
+# percentiles rows, bm25_topk, dedup_semdedup, the ev_*
+# attribution-linear/countmin/path-transitions/quantile-sketch/
+# range-join/scd2/srm/zorder rows, the join_* anti/broadcast/
+# full-outer/semi rows, q2/q3/q4/q5/q6/q7/q10/q13/q14/q15/q18/q19/
+# q22, scalar_functions, setops_nations, sim_kmeans_lloyd,
+# st_static_zscore, st_user_totals_stateful, train_hard_negatives,
+# the txt_* bloom-contamination/dsir/lm-perplexity/rare-token rows,
+# and the window_* above-avg/percent-rank/rolling-7d/topk rows) and
+# next_round_free_slots = 3. The r13 bank (BUILT this round per the
+# SCALING.md r11 post-bank roadmap; probes + edge corpora recorded in
+# SCALING.md r12) is THREE queries — train_attention_pack,
+# dq_embedding_drift, st_dedup_lsh_index — so the registry cap
+# (145/150) needs 3 demotions; all three candidates below are in the
+# r13 mandatory set, so taking them in-mandatory yields 47 - 3 + 3 =
+# 47 window rows with 3 free canary slots. Candidates, in order:
+# agg_cube_lineitem (its Expand operator is a strict special case of
+# the registered agg_grouping_sets — the same rationale that demoted
+# agg_rollup_orders in r10; grouping_sets is the strictly-larger
+# surface), ev_countmin_users (sketch sibling of the registered
+# EXACT ev_heavy_hitters on the same key universe — the
+# agg_approx_percentile r12 precedent: keep the exact head
+# registered, the sketch keeps pytest parity), txt_bloom_contamination
+# (its 4096-bit bit_or Bloom construction is pinned by the registered
+# skip_bloom_stats and its contamination-decision head by the
+# registered txt_contamination, the exact-shingle oracle of record).
 # Registry arithmetic: 145 registered / 150 three-round slots
 # (5 slack) — the invariant stays satisfiable PROVIDED net growth
 # stays <= 0 per round (demote-one-per-add).
-# Bank queue: after the r12 bank registers the bank is EMPTY for the
-# first time since r7 (per VERDICT r9 #2 / r10 #5 no new prebuilds in
-# r10 or r11). The post-bank roadmap (r13 bank candidates, argued
-# against the north star in SCALING.md r11) names: tokenizer-aware
-# sequence packing with attention-mask manifests
-# (train_token_budget_pack's successor), embedding-drift monitoring
-# between two corpus snapshots (the dq twin of txt_kl_drift on
-# vectors), and incremental streaming MinHash-LSH index maintenance
-# (st_dedup_index's near-dup sibling).
+# Bank queue: the bank EMPTIED this round (r12 bank registered above)
+# and refills with the r13 bank as each build lands (the prebuild
+# pattern resumes after two drain-only rounds). Post-r13 roadmap
+# candidates are argued in SCALING.md r12.
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

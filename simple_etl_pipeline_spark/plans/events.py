@@ -367,7 +367,15 @@ QUERIES = {
     # registered — the same keep-one-per-surface rationale as the r9
     # ev_tumbling_hourly demotion above. Full pytest parity via
     # testing.demoted_queries(); bench row kept.
-    "ev_session_windows": ev_session_windows,
+    # ev_session_windows DEMOTED round 12 (capacity rule, matching the
+    # txt_boilerplate_lines registration): its streaming twin
+    # st_session_windows shares the IDENTICAL oracle and stays
+    # registered — the same keep-one-per-surface rule as the r9/r11
+    # tumbling/sliding demotions, completing the set (all three
+    # windowing shapes now keep exactly their streaming side
+    # registered, the side whose _run_to_memory adapter carries the
+    # unique machinery). Full pytest parity via
+    # testing.demoted_queries(); bench row kept.
     "ev_user_daily_activity": ev_user_daily_activity,
 }
 
@@ -375,8 +383,8 @@ ORACLES = {
     "ev_asof_purchase_click": EV_ASOF_ORACLE,
     "ev_funnel": EV_FUNNEL_ORACLE,
     "ev_rollup_multires": EV_ROLLUP_MULTIRES_ORACLE,
-    # ev_sliding_windows demoted r11 — see QUERIES comment
-    "ev_session_windows": EV_SESSION_ORACLE,
+    # ev_sliding_windows demoted r11, ev_session_windows demoted r12
+    # — see QUERIES comment
     "ev_user_daily_activity": EV_DAILY_ORACLE,
 }
 
@@ -2831,7 +2839,12 @@ TAIL_QUERIES = {
     "ev_zorder_layout": ev_zorder_layout,
     # round-6 registrations (prebuilt + pytest-oracle-green in round 5)
     "ev_cuped": ev_cuped,
-    "ev_attribution": ev_attribution,
+    # ev_attribution DEMOTED round 12 (capacity rule, matching the
+    # mm_phash_dedup registration): the first/last-touch head — the
+    # registered ev_attribution_linear pins the same sessionized
+    # credit pipeline with the strictly-larger linear-split surface.
+    # Full pytest parity via testing.demoted_queries(); bench row
+    # kept.
     "ev_conversion_windows": ev_conversion_windows,
     # round-7 registrations (prebuilt + pytest-oracle-green in round 6).
     # Matching demotions keep net registry growth at ZERO (capacity
@@ -2882,7 +2895,7 @@ TAIL_ORACLES = {
     "ev_scd2_users": EV_SCD2_ORACLE,
     "ev_zorder_layout": EV_ZORDER_ORACLE,
     "ev_cuped": EV_CUPED_ORACLE,
-    "ev_attribution": EV_ATTRIBUTION_ORACLE,
+    # ev_attribution demoted r12 — see TAIL_QUERIES comment
     "ev_conversion_windows": EV_CONVERSION_ORACLE,
     "ev_quantile_sketch": EV_QSKETCH_ORACLE,
     "ev_attribution_linear": EV_ATTRIBUTION_LINEAR_ORACLE,

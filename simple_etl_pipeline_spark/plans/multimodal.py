@@ -519,5 +519,17 @@ ORDER BY kind, doc_a, doc_b
 # is dedup_exact's hash-groupBy shape applied to the blob column — the
 # registered dedup_exact hash pins the dedup semantics and
 # mm_binary_meta (driver-green r5) pins the blob plumbing.
-TAIL_QUERIES: dict = {}
-TAIL_ORACLES: dict = {}
+TAIL_QUERIES: dict = {
+    # round-12 registration (r12 bank, prebuilt + pytest-oracle-green
+    # since the r9 continuation session, sf0.1 hash-swept on final r11
+    # code; matching demotion: ev_attribution at plans/events.py
+    # TAIL_QUERIES — capacity rule, net registry growth zero). The
+    # function body above is UNTOUCHED since the r10 band-geometry
+    # mitigation, so the r10 probe evidence (3x20-bit bands, re-probe
+    # 0.45@256, terminal-leg attribution) carries — this dict entry is
+    # the mechanical register step VERDICT r11 #2 prescribed.
+    "mm_phash_dedup": mm_phash_dedup,
+}
+TAIL_ORACLES: dict = {
+    "mm_phash_dedup": MM_PHASH_ORACLE,
+}

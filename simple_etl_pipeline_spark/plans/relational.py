@@ -3108,8 +3108,16 @@ ORDER BY n_name
 # truth — a metric twin whose semantics the registered sibling's hash
 # already pins. Same rationale as sim_ivf_recall.
 TAIL_QUERIES = {
-    "agg_approx_percentile": agg_approx_percentile,
-    "window_ntile_customer_deciles": window_ntile_customer_deciles,
+    # agg_approx_percentile DEMOTED round 12 (capacity rule, matching
+    # the dq_k_anonymity registration): sketch sibling of the
+    # registered exact-percentile heads, and its approx_percentile
+    # surface stays pinned by the registered ev_quantile_sketch. Full
+    # pytest parity via testing.demoted_queries(); bench row kept.
+    # window_ntile_customer_deciles DEMOTED round 12 (capacity rule,
+    # matching the agg_ols_trend registration): rank-derivative of the
+    # registered window_percent_rank_suppliers — the same
+    # customer-keyed rank scan with an ntile head instead of
+    # percent_rank. Full pytest parity via testing.demoted_queries().
     "join_fuzzy_part_names": join_fuzzy_part_names,
     "unpivot_lineitem_measures": unpivot_lineitem_measures,
     "agg_mode_source_by_lang": agg_mode_source_by_lang,
@@ -3129,10 +3137,18 @@ TAIL_QUERIES = {
     # saturation cap). Matching demotion: agg_histogram at QUERIES
     # above — capacity rule, net registry growth zero.
     "dq_profile_drift": dq_profile_drift,
+    # round-12 registrations (r12 bank, prebuilt + pytest-oracle-green
+    # since the r9 continuation session, sf0.1 hash-swept on final r11
+    # code — the floor-div helpers both consume changed guard-only in
+    # r11, evidence re-earned per SCALING.md r11). Matching demotions:
+    # agg_approx_percentile + window_ntile_customer_deciles above —
+    # capacity rule, net registry growth zero; both demotions are also
+    # IN the r12 mandatory set, freeing the window slots the ledger
+    # arithmetic needs (48 - 4 + 4 = 48 with 2 canaries).
+    "dq_k_anonymity": dq_k_anonymity,
+    "agg_ols_trend": agg_ols_trend,
 }
 TAIL_ORACLES = {
-    "agg_approx_percentile": AGG_APPROX_PERCENTILE_ORACLE,
-    "window_ntile_customer_deciles": WINDOW_NTILE_ORACLE,
     "join_fuzzy_part_names": JOIN_FUZZY_ORACLE,
     "unpivot_lineitem_measures": UNPIVOT_ORACLE,
     "agg_mode_source_by_lang": AGG_MODE_ORACLE,
@@ -3141,4 +3157,6 @@ TAIL_ORACLES = {
     "dq_expectations": DQ_EXPECTATIONS_ORACLE,
     "agg_basket_lift": AGG_BASKET_LIFT_ORACLE,
     "dq_profile_drift": DQ_PROFILE_DRIFT_ORACLE,
+    "dq_k_anonymity": DQ_K_ANONYMITY_ORACLE,
+    "agg_ols_trend": AGG_OLS_TREND_ORACLE,
 }

@@ -4501,6 +4501,13 @@ TAIL_QUERIES = {
     # txt_ngram_freq at QUERIES above — capacity rule, net registry
     # growth zero). global_prefix_sum's first driver surface.
     "train_token_budget_pack": train_token_budget_pack,
+    # round-12 registration (r12 bank, prebuilt + pytest-oracle-green
+    # since the r9 continuation session, sf0.1 hash-swept on final r11
+    # code; matching demotion: ev_session_windows at plans/events.py
+    # QUERIES — capacity rule, net registry growth zero). C4-style
+    # cross-document boilerplate-line removal: line-hash agg +
+    # join-back, never a window on heavy line keys.
+    "txt_boilerplate_lines": txt_boilerplate_lines,
 }
 
 TAIL_ORACLES = {
@@ -4534,4 +4541,5 @@ TAIL_ORACLES = {
     "search_hybrid_rrf": SEARCH_HYBRID_RRF_ORACLE,
     "txt_lm_perplexity": TXT_LM_PERPLEXITY_ORACLE,
     "train_token_budget_pack": TRAIN_TOKEN_BUDGET_ORACLE,
+    "txt_boilerplate_lines": TXT_BOILERPLATE_ORACLE,
 }

@@ -103,6 +103,18 @@ def demoted_queries() -> dict:
         TXT_NGRAM_FREQ_ORACLE,
         txt_ngram_freq,
     )
+    from simple_etl_pipeline_spark.plans.events import (
+        EV_ATTRIBUTION_ORACLE,
+        EV_SESSION_ORACLE,
+        ev_attribution,
+        ev_session_windows,
+    )
+    from simple_etl_pipeline_spark.plans.relational import (
+        AGG_APPROX_PERCENTILE_ORACLE,
+        WINDOW_NTILE_ORACLE,
+        agg_approx_percentile,
+        window_ntile_customer_deciles,
+    )
 
     return {
         "sim_ivf_recall": (sim_ivf_recall, SIM_IVF_RECALL_ORACLE),
@@ -194,6 +206,33 @@ def demoted_queries() -> dict:
             REF_CLEAN_SIZE_GENDER_ORACLE,
         ),
         "txt_ngram_freq": (txt_ngram_freq, TXT_NGRAM_FREQ_ORACLE),
+        # round-12 demotions (one per round-12 registration; rationale
+        # at each module's QUERIES/TAIL_QUERIES comment — all four are
+        # also IN the r12 mandatory set, freeing the window slots the
+        # r12 ledger arithmetic needs):
+        #   - ev_session_windows: streaming twin st_session_windows
+        #     keeps the IDENTICAL oracle registered (completes the
+        #     keep-one-per-surface set with the r9 tumbling and r11
+        #     sliding demotions).
+        #   - agg_approx_percentile: sketch sibling of the registered
+        #     exact-percentile heads; its approx_percentile surface is
+        #     also pinned by the registered ev_quantile_sketch.
+        #   - window_ntile_customer_deciles: rank-derivative of the
+        #     registered window_percent_rank_suppliers — same
+        #     customer-keyed rank scan, ntile vs percent_rank head.
+        #   - ev_attribution: first/last-touch head; the registered
+        #     ev_attribution_linear pins the same sessionized credit
+        #     pipeline with the strictly-larger linear-split surface.
+        "ev_session_windows": (ev_session_windows, EV_SESSION_ORACLE),
+        "agg_approx_percentile": (
+            agg_approx_percentile,
+            AGG_APPROX_PERCENTILE_ORACLE,
+        ),
+        "window_ntile_customer_deciles": (
+            window_ntile_customer_deciles,
+            WINDOW_NTILE_ORACLE,
+        ),
+        "ev_attribution": (ev_attribution, EV_ATTRIBUTION_ORACLE),
     }
 
 
