@@ -2,16 +2,20 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Output contract (round-3 fix — the round-2 single giant line overflowed
-the driver's tail capture and recorded parsed:null):
+the driver's tail capture and recorded parsed:null; round-12 fix — at 71
+queries even the 2dp map outgrew the ~2.4 KB tail capture and BENCH_r11
+recorded parsed:null AGAIN, front-truncated):
   stdout, second-to-last line : full detail JSON (queries/spread/plan_fp)
   stdout, LAST line           : SHORT headline JSON
                                 {"metric","value","unit","queries","sf"}
   BENCH_DETAIL.json           : same detail JSON, written next to this file
 
-The final line carries the per-query map too but rounded to 2dp with no
-spread/plan_fp so it stays well under tail-capture size (~1 KB for 25
-queries); the detail line/file keeps the 3dp timings, spreads and plan
-fingerprints for round-over-round attribution.
+The final line carries ONLY the queries new to the current round's
+registrations in its per-query map (VERDICT r11 #7), plus the total and
+the query count, so it stays under ~1 KB no matter how many rounds of
+registrations accumulate; the detail line/file keeps the FULL 3dp
+timing map, spreads and plan fingerprints for round-over-round
+attribution.
 
 Each query is fully executed via a count-style action over the final
 result (write.noop would skip the orderBy/limit semantics; collect on
@@ -145,7 +149,42 @@ HEADLINE = [
     "ev_time_embargo_split",
     "ev_seasonal_residuals",
     "dq_profile_drift",
+    # round 12: the registered r12 bank (k-anonymity privacy audit,
+    # per-nation exact-integer OLS trend, cross-document
+    # boilerplate-line removal, perceptual-hash image near-dup) —
+    # the bank drains to EMPTY with these four.
+    "dq_k_anonymity",
+    "agg_ols_trend",
+    "txt_boilerplate_lines",
+    "mm_phash_dedup",
 ]
+
+# The per-query map on the LAST stdout line (the one the driver's
+# bounded tail capture parses) is restricted to this round's new
+# registrations: the full map made the line outgrow the ~2.4 KB tail
+# capture at 71 queries and BENCH_r11 recorded parsed:null (VERDICT
+# r11 #7). The full map always rides the detail line + BENCH_DETAIL.
+NEW_THIS_ROUND = [
+    "dq_k_anonymity",
+    "agg_ols_trend",
+    "txt_boilerplate_lines",
+    "mm_phash_dedup",
+]
+
+# Robust measurement protocol for the four drilled noisy queries
+# (ADVICE r11): (warmup_runs, timed_runs). Everything else keeps the
+# historical 1 warmup + 3 timed reps so round-over-round medians stay
+# comparable. The extra warmups absorb dedup_ngram_spans' slow codegen
+# warm-in (r10 drill: 0.96 -> 0.67 s over ~7 reps); the 5 timed reps
+# make the recorded spread a real quiet-box spread instead of a lucky
+# 3-run tail, which is what lets the drift gate drop these queries'
+# static SPREAD_FLOORS once a robust base is on disk.
+ROBUST_REPS = {
+    "sim_ivfpq_topk": (3, 5),
+    "dedup_ngram_spans": (3, 5),
+    "sim_rp_recall": (3, 5),
+    "sim_kmeans_lloyd": (3, 5),
+}
 
 
 def _plan_fingerprint(df) -> str:
@@ -181,6 +220,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     plan_fps: dict[str, str] = {}
+    reps_map: dict[str, int] = {}
     total = 0.0
     for name in HEADLINE:
         if name not in queries:
@@ -193,15 +233,25 @@ def main() -> None:
         # (sim_ivfpq_topk spread 3.05 s ≈ its median), making the
         # per-query number useless for regression detection. Warmup
         # brings the timed runs to steady state.
-        fn(spark, SF_DIR).count()
-        # median-of-3: the box shows up to 3x run-to-run noise from
+        #
+        # ROBUST-REPS queries (ADVICE r11): the four drilled noisy
+        # queries get 3 warmups + 5 timed reps instead of 1 + 3, so
+        # the recorded base median/spread are trustworthy rather than
+        # a lucky fast tail (dedup_ngram_spans warms in over ~7 reps —
+        # r10 drill: exec decays 0.96 -> 0.67 s) — which is what lets
+        # the drift gate drop their static SPREAD_FLOORS once a
+        # robust-protocol base is on disk (see the drift check below).
+        warmups, timed = ROBUST_REPS.get(name, (1, 3))
+        for _ in range(warmups):
+            fn(spark, SF_DIR).count()
+        # median-of-N: the box shows up to 3x run-to-run noise from
         # co-tenant load; the median resists a single noisy run while
         # still penalizing consistently slow plans. Spread (max-min)
         # per query is reported so regressions are attributable to the
         # plan vs the box.
         runs: list[float] = []
         n = 0
-        for _ in range(3):
+        for _ in range(timed):
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             n = df.count()
@@ -224,6 +274,7 @@ def main() -> None:
         med = statistics.median(runs)
         timings[name] = round(med, 3)
         spreads[name] = round(max(runs) - min(runs), 3)
+        reps_map[name] = timed
         total += med
         print(
             f"# {name}: median {med:.3f}s spread {spreads[name]:.3f}s"
@@ -257,6 +308,13 @@ def main() -> None:
     #                       0.96->0.67 s over 7 reps, spread ~0.2-0.3
     #   sim_rp_recall       r10 drill: mid-band wander ~±0.25
     #   sim_kmeans_lloyd    r10 drill: at-base wander ~±0.25
+    # ADVICE r11 (low): unconditional floors permanently widen these
+    # four queries' drift allowance to >= 0.5-0.6 s, hiding smaller
+    # genuine regressions. The floors now apply ONLY while the stored
+    # base was recorded under the legacy 1-warmup/3-rep protocol;
+    # once a ROBUST_REPS base (3 warmups + 5 timed reps, spread over
+    # all 5) is on disk its own spread is trustworthy and the gate
+    # tightens back to 2x the recorded spread.
     SPREAD_FLOORS = {
         "sim_ivfpq_topk": 0.30,
         "dedup_ngram_spans": 0.30,
@@ -273,7 +331,13 @@ def main() -> None:
                 base = prev.get("queries", {}).get(name)
                 if base is None:
                     continue
-                spread_floor = SPREAD_FLOORS.get(name, 0.0)
+                base_reps = prev.get("reps", {}).get(name, 3)
+                robust_reps = ROBUST_REPS.get(name, (1, 3))[1]
+                spread_floor = (
+                    SPREAD_FLOORS.get(name, 0.0)
+                    if base_reps < robust_reps
+                    else 0.0
+                )
                 allow = max(
                     2 * max(
                         prev.get("spread", {}).get(name, 0.0), spread_floor
@@ -305,6 +369,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "spread": spreads,
+        "reps": reps_map,
         "plan_fp": plan_fps,
         "drift_flags": drift_flags,
         "sf": sf_val,
@@ -342,19 +407,33 @@ def main() -> None:
             file=sys.stderr,
         )
     print(json.dumps(detail))
-    # LAST line = the one the driver parses: keep it short. drift
+    # LAST line = the one the driver parses: keep it SHORT (VERDICT
+    # r11 #7 — the full 2dp map outgrew the driver's ~2.4 KB tail
+    # capture at 71 queries and BENCH_r11 came back parsed:null). The
+    # per-query map carries only this round's new registrations;
+    # n_queries records how many medians the total sums over; drift
     # names ride along only when non-empty so the judge sees them in
     # BENCH_r{N}.json without growing the quiet-box line.
     short = {
         "metric": "headline_queries_total_wall",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "queries": {
+            k: round(timings[k], 2)
+            for k in NEW_THIS_ROUND
+            if k in timings
+        },
+        "n_queries": len(timings),
         "sf": sf_val,
     }
     if drift_flags:
         short["drift"] = [d["name"] for d in drift_flags]
-    print(json.dumps(short))
+    line = json.dumps(short)
+    assert len(line) < 1024, (
+        f"final headline line is {len(line)} bytes — it must stay "
+        "under the driver's tail capture (trim NEW_THIS_ROUND)"
+    )
+    print(line)
     spark.stop()
 
 
