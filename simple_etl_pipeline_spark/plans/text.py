@@ -4381,8 +4381,18 @@ def txt_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "boiler_ppm",
+            # decimal(38,0) staging for the ppm product (r12
+            # registration-gate self-review): removed_chars * 1e6
+            # overflows BIGINT once one source carries > 9.2e12
+            # boilerplate chars — ~9 TB of removed text in a single
+            # source, INSIDE the 100 TB envelope (the r9
+            # drift_ppm-overflow hazard class). Numerator and divisor
+            # are non-negative/positive, so div is floor on both
+            # engines; the quotient is a true ppm <= 1e6 and the final
+            # BIGINT cast can never overflow.
             F.expr(
-                "removed_chars * 1000000 div greatest(n_line_chars, 1)"
+                "cast(cast(removed_chars as decimal(38,0)) * 1000000"
+                " div greatest(n_line_chars, 1) as bigint)"
             ),
         )
         .orderBy("source")
@@ -4431,7 +4441,7 @@ SELECT d.src AS source, d.n_docs,
   CAST(COALESCE(l.boiler_lines, 0) AS BIGINT) AS boiler_lines,
   CAST(COALESCE(l.boiler_occurrences, 0) AS BIGINT) AS boiler_occurrences,
   CAST(COALESCE(l.removed_chars, 0) AS BIGINT) AS removed_chars,
-  CAST(COALESCE(l.removed_chars, 0) * 1000000
+  CAST(CAST(COALESCE(l.removed_chars, 0) AS HUGEINT) * 1000000
        // GREATEST(COALESCE(l.n_line_chars, 0), 1) AS BIGINT) AS boiler_ppm
 FROM src_docs d LEFT JOIN per_src l ON d.src = l.src
 ORDER BY source

@@ -3951,6 +3951,156 @@ def test_ols_trend_pre_1970_non_midnight_floor_day(spark, tmp_path):
     compare_with_oracle(agg_ols_trend(spark, d), AGG_OLS_TREND_ORACLE, d)
 
 
+def test_ols_trend_single_order_group_and_sf001_no_degenerates(
+    spark, tmp_path, sf_dir
+):
+    """Registration-gate self-review r12 (VERDICT r11 #3): the
+    degenerate the bank-stage tests never pinned in isolation — a
+    nation with exactly ONE order. n=1 makes BOTH centered moments
+    zero (sxx_n = n*Sxx - Sx^2 = 0 and syy_n = 0), so slope and r2
+    must be NULL on BOTH engines while mean_cents / xbar_day_ppm
+    still read the single row's exact values (n=1 exercises the
+    sign-staged div-by-n heads at their smallest divisor). A 2-row
+    same-day group pins that n>1 with zero x-variance lands in the
+    SAME NULL branch. Then the driver-scale side: at the sf dir the
+    gate runs, every nation must be NON-degenerate (n >= 2, non-NULL
+    slope), so the NULL branch — now pinned cross-engine here — is
+    provably not load-bearing for the driver hash."""
+    from simple_etl_pipeline_spark.plans.relational import (
+        AGG_OLS_TREND_ORACLE,
+        agg_ols_trend,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    DAY = 86400
+    rows = [
+        # nation 1 (custkey 1): exactly one order, negative-ish price
+        # cents odd so the tdiv heads see a non-multiple numerator
+        (1, 9123 * DAY + 7 * 3600, 333.33),
+        # nation 2 (custkey 2): two orders, SAME day -> sxx_n = 0 with
+        # n > 1 (the same NULL branch via variance, not via n)
+        (2, 9200 * DAY, 10.00),
+        (2, 9200 * DAY + 3600, 99.99),
+        # nation 3 (custkey 3): a healthy group so the corpus has a
+        # non-NULL row to hash alongside the NULLs
+        (3, 9000 * DAY, 20.00),
+        (3, 9010 * DAY, 30.00),
+        (3, 9020 * DAY, 55.00),
+    ]
+    d = _ols_corpus(tmp_path, "ols_n1", rows)
+    out = {r.n_name: r for r in agg_ols_trend(spark, d).collect()}
+    one = out["NATION_1"]
+    assert one.n_orders == 1
+    assert one.slope_microcents_per_day is None
+    assert one.r2_ppm is None
+    assert one.mean_cents == 33333
+    # the 07:00 offset floors away in the day bucketing BEFORE the
+    # average, so xbar is the exact whole day in ppm
+    assert one.xbar_day_ppm == 9123 * 1_000_000
+    same_day = out["NATION_2"]
+    assert same_day.n_orders == 2
+    assert same_day.slope_microcents_per_day is None
+    assert same_day.r2_ppm is None
+    assert same_day.mean_cents == (1000 + 9999) // 2
+    assert out["NATION_3"].slope_microcents_per_day is not None
+    # NULL slopes and NULL r2 must hash identically cross-engine
+    compare_with_oracle(agg_ols_trend(spark, d), AGG_OLS_TREND_ORACLE, d)
+    # driver-scale guard: the sf0.01/sf0.001 gate corpora contain no
+    # degenerate nation, so the pinned NULL branch never decides the
+    # driver hash (if TPC-H data ever did produce one, the rows above
+    # already pin both engines agreeing on it)
+    for r in agg_ols_trend(spark, sf_dir).collect():
+        assert r.n_orders >= 2, r
+        assert r.slope_microcents_per_day is not None, r
+
+
+def test_boilerplate_ppm_staging_survives_past_bigint_products(spark):
+    """Registration-gate self-review r12 finding (the one code change
+    it forced): boiler_ppm's product `removed_chars * 1000000`
+    overflows BIGINT once a source carries > 9.2e12 boilerplate chars
+    — ~9 TB of removed text in ONE source, inside the 100 TB
+    envelope (the r9 drift_ppm-overflow hazard class). The overflow
+    driver is VOLUME, so no test corpus can make the query itself
+    fire it; pin the idiom instead: the exact staged expressions now
+    in the query and its oracle, evaluated at a past-BIGINT operating
+    point, agree on both engines — and the UNstaged BIGINT form
+    provably throws under Spark ANSI at the same point (the hazard is
+    real, not theoretical)."""
+    import duckdb
+    import pytest as _pytest
+    from pyspark.errors import ArithmeticException
+
+    removed, total = 9_300_000_000_000, 10_000_000_000_000
+    staged = spark.sql(
+        f"select cast(cast({removed} as decimal(38,0)) * 1000000"
+        f" div greatest({total}, 1) as bigint) as ppm"
+    ).collect()[0].ppm
+    oracle = duckdb.sql(
+        f"select CAST(CAST({removed} AS HUGEINT) * 1000000"
+        f" // GREATEST({total}, 1) AS BIGINT) AS ppm"
+    ).fetchone()[0]
+    assert staged == oracle == 930_000
+    with _pytest.raises(ArithmeticException):
+        spark.sql(
+            f"select {removed} * 1000000 div greatest({total}, 1)"
+        ).collect()
+
+
+def test_k_anonymity_negative_band_class_at_exact_k_boundary(
+    spark, tmp_path
+):
+    """Registration-gate self-review r12 (VERDICT r11 #3, named ask):
+    a NEGATIVE-balance class sitting EXACTLY at each k threshold —
+    the strict `cnt < k` reading means a class of exactly k rows
+    PASSES, and the class membership itself is only correct if the
+    negative balances floor-banded (the pmod idiom's reason to
+    exist: truncation would split band -1 rows into band 0, changing
+    the class size AT the boundary and flipping the verdict). Classes:
+    exactly 5 rows in band -1 (passes k5, violates k25), exactly 4 in
+    band -2 (violates k5 — the boundary pair), exactly 25 in band -3
+    (passes BOTH: also exactly at the k25 boundary). The band-(-1)
+    class only reaches 5 because -0.01 and -999.99 floor to the same
+    band; under truncation it would read 2+3 split and flip BOTH
+    k5 verdicts."""
+    import pyarrow as pa
+
+    from simple_etl_pipeline_spark.plans.relational import (
+        DQ_K_ANONYMITY_ORACLE,
+        dq_k_anonymity,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    rows = []  # (nationkey, segment, acctbal)
+    rows += [(1, "A", -0.01)] * 2            # band -1
+    rows += [(1, "A", -999.99)] * 3          # band -1 -> class of 5
+    rows += [(1, "B", -1000.01)] * 4         # band -2 -> class of 4
+    rows += [(1, "C", -2000.50)] * 25        # band -3 -> class of 25
+    cust = pa.table(
+        {
+            "c_custkey": pa.array(range(len(rows)), pa.int64()),
+            "c_name": pa.array(
+                [f"c{i}" for i in range(len(rows))], pa.string()
+            ),
+            "c_nationkey": pa.array([n for n, _, _ in rows], pa.int32()),
+            "c_acctbal": pa.array([b for _, _, b in rows], pa.float64()),
+            "c_mktsegment": pa.array([s for _, s, _ in rows], pa.string()),
+        }
+    )
+    d = _edge_dir(tmp_path, "kanon_boundary", {"customer": cust})
+    out = dq_k_anonymity(spark, d).collect()[0]
+    assert out.n_rows == 34 and out.n_classes == 3
+    assert out.min_class_size == 4
+    # k5: ONLY the 4-row class violates — the 5-row negative-band
+    # class is exactly at the boundary and passes (strict <)
+    assert out.k5_classes == 1 and out.k5_rows == 4
+    # k25: the 5-row and 4-row classes violate; the exactly-25 class
+    # passes (strict < again, at the other threshold)
+    assert out.k25_classes == 2 and out.k25_rows == 9
+    assert out.k5_risk_ppm == 4 * 1_000_000 // 34
+    assert out.k25_risk_ppm == 9 * 1_000_000 // 34
+    compare_with_oracle(dq_k_anonymity(spark, d), DQ_K_ANONYMITY_ORACLE, d)
+
+
 @given(
     st.lists(
         st.tuples(
