@@ -75,6 +75,16 @@ _BANKED_PREBUILDS: list[str] = [
     # streaming MinHash-LSH index maintenance) is BUILT during round
     # 12 — its names join this list in their build commits and
     # register in round 13 (see the ROUND-13 LEDGER below).
+    # r13 bank (built round 12 per the roadmap): attention-mask
+    # sequence packing (global_prefix_sum's fifth surface),
+    # per-dimension embedding-snapshot drift (the dq_profile_drift
+    # cap discipline on vectors), incremental streaming MinHash-LSH
+    # band-bucket index (streaming/stateful.py — the first banked
+    # name in the streaming package; the consistency test resolves
+    # it there)
+    "train_attention_pack",
+    "dq_embedding_drift",
+    "st_dedup_lsh_index",
 ]
 
 _WINDOW = [

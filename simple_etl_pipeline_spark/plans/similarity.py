@@ -1509,6 +1509,205 @@ SELECT anchor_id, hn_rank, doc_id, sim, src FROM (
 """
 
 
+# --- embedding-distribution drift (round-13 prebuild bank) ---------------
+# Per-coordinate micros clamp: embedding coordinates saturate at ±1e9
+# (1e15 micros) before the BIGINT cast — a coordinate beyond that is
+# encoder garbage, and an unclamped cast would THROW under Spark ANSI
+# (round(x*1e6) > 2^63) instead of reporting the drift that garbage
+# represents. 1e15 micros also keeps every downstream sum inside
+# decimal(38,0)/HUGEINT to 1e12 vectors per snapshot.
+EMB_MICROS_CAP = 10**15
+
+
+def dq_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift between two corpus snapshots
+    (round-13 prebuild bank) — the dq twin of txt_kl_drift on VECTORS
+    and the monitor every retrieval pipeline needs: a silent encoder
+    version bump (or a re-embedding of half the corpus with different
+    normalization) shifts per-dimension statistics long before any
+    retrieval metric notices. The embeddings table splits into
+    snapshot A/B by the parity of a salted 60-bit md5 of vec_id
+    (deterministic, engine-identical, stable under corpus growth —
+    the txt_domain_split device); each snapshot is profiled
+    per-dimension and each dimension row carries both exact
+    integer-micros means, the signed delta, drift_ppm relative to
+    snapshot A, and the >20% flag — the dq_profile_drift cap
+    discipline applied per-dimension.
+
+    Exactness: coordinates are float32; CAST to double is exact, and
+    x * 1e6 can never land exactly on .5 (that would need x =
+    (2k+1)/2e6, whose 5^6 denominator no binary float has), so
+    round() agrees cross-engine bit-for-bit regardless of half-mode;
+    the rounded micros clamp at ±EMB_MICROS_CAP (see above) and sum
+    in decimal(38,0)/HUGEINT. Non-finite coordinates (NaN/±Inf — the
+    corruption this op exists to catch) are EXCLUDED from the means
+    and surfaced in n_bad; NULL embedding rows produce no coordinate
+    rows in either engine (posexplode/UNNEST of NULL). Means are
+    sign-staged truncating divisions (the agg_ols_trend tdiv
+    convention); drift_ppm = |delta| * 1e6 div max(|mean_a|, 1) runs
+    the product in 128-bit and saturates at DQ_DRIFT_PPM_CAP so the
+    final BIGINT cast can never overflow.
+
+    Calibration note: the flag is RELATIVE (ppm vs snapshot A), and
+    embedding means sit near zero, so at toy corpus sizes the
+    sampling error of a few-hundred-vector split makes many dims flag
+    — correct arithmetic on genuinely noisy estimates. At production
+    snapshot sizes (1e9+ vectors) the standard error of each mean
+    vanishes and a flag means real encoder drift; delta_micros rides
+    alongside every row so a consumer can gate on absolute magnitude
+    too. (A variance-normalized z-score variant is the
+    ev_seasonal_residuals pattern and a documented extension, not
+    this op.)
+
+    Scale shape: ONE posexplode over the fixed 64-dim vectors (a
+    constant 64x narrow map, not a data-dependent explode) feeding one
+    dim-keyed aggregation with map-side combine — everything after
+    the scan is exactly 64 rows. No joins, no windows, no second
+    pass."""
+    from simple_etl_pipeline_spark.functions.text import md5_hash60
+    from simple_etl_pipeline_spark.plans.relational import (
+        DQ_DRIFT_FLAG_PPM,
+        DQ_DRIFT_PPM_CAP,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    snap_b = (
+        md5_hash60(F.col("vec_id").cast("string"), F.lit("embdrift")) % 2
+        == 1
+    )
+    coords = emb.select(
+        snap_b.alias("in_b"),
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "in_b",
+        "dim",
+        F.col("x").cast("double").alias("xd"),
+    ).withColumn(
+        "finite", ~F.isnan("xd") & (F.abs("xd") <= F.lit(1e308))
+    ).withColumn(
+        "q",
+        F.least(
+            F.greatest(
+                F.round(F.col("xd") * 1_000_000),
+                F.lit(float(-EMB_MICROS_CAP)),
+            ),
+            F.lit(float(EMB_MICROS_CAP)),
+        ).cast("bigint"),
+    )
+    dec = "decimal(38,0)"
+    stats = coords.groupBy("dim").agg(
+        F.count(F.when(~F.col("in_b") & F.col("finite"), F.lit(1)))
+        .alias("n_a"),
+        F.count(F.when(F.col("in_b") & F.col("finite"), F.lit(1)))
+        .alias("n_b"),
+        F.count(F.when(~F.col("finite"), F.lit(1))).alias("n_bad"),
+        F.sum(
+            F.when(~F.col("in_b") & F.col("finite"), F.col("q")).cast(dec)
+        ).alias("s_a"),
+        F.sum(
+            F.when(F.col("in_b") & F.col("finite"), F.col("q")).cast(dec)
+        ).alias("s_b"),
+    )
+    means = stats.select(
+        "dim",
+        "n_a",
+        "n_b",
+        "n_bad",
+        F.expr(
+            "CASE WHEN n_a = 0 THEN NULL"
+            " WHEN s_a < 0 THEN -((-s_a) div n_a)"
+            " ELSE s_a div n_a END"
+        ).cast("bigint").alias("mean_a_micros"),
+        F.expr(
+            "CASE WHEN n_b = 0 THEN NULL"
+            " WHEN s_b < 0 THEN -((-s_b) div n_b)"
+            " ELSE s_b div n_b END"
+        ).cast("bigint").alias("mean_b_micros"),
+    )
+    return (
+        means.withColumn(
+            "delta_micros",
+            (F.col("mean_b_micros") - F.col("mean_a_micros")).cast(
+                "bigint"
+            ),
+        )
+        .withColumn(
+            "drift_ppm",
+            # the explicit NULL branch matters: least()/LEAST() SKIP
+            # NULL arguments in both engines, so without it a NULL
+            # delta (one snapshot empty — no basis for comparison)
+            # would silently read as the saturation cap and flag
+            F.expr(
+                "CASE WHEN delta_micros IS NULL THEN NULL ELSE"
+                " least(cast(abs(delta_micros) as decimal(38,0))"
+                " * 1000000 div greatest(abs(mean_a_micros), 1),"
+                f" {DQ_DRIFT_PPM_CAP}) END"
+            ).cast("bigint"),
+        )
+        .withColumn("flagged", F.col("drift_ppm") > DQ_DRIFT_FLAG_PPM)
+        .orderBy("dim")
+    )
+
+
+def _emb_drift_oracle() -> str:
+    from simple_etl_pipeline_spark.functions.text import sql_md5_hash60
+    from simple_etl_pipeline_spark.plans.relational import (
+        DQ_DRIFT_FLAG_PPM,
+        DQ_DRIFT_PPM_CAP,
+    )
+
+    cap = float(EMB_MICROS_CAP)
+    return f"""
+WITH coords AS (
+  SELECT
+    ({sql_md5_hash60("CAST(vec_id AS VARCHAR)", "'embdrift'")}) % 2 = 1
+      AS in_b,
+    CAST(unnest(embedding) AS DOUBLE) AS xd,
+    generate_subscripts(embedding, 1) - 1 AS dim
+  FROM embeddings
+), q AS (
+  SELECT in_b, dim, isfinite(xd) AS finite,
+    CAST(LEAST(GREATEST(round(xd * 1000000), {-cap}), {cap}) AS BIGINT)
+      AS q
+  FROM coords
+), stats AS (
+  SELECT dim,
+    COUNT(CASE WHEN NOT in_b AND finite THEN 1 END) AS n_a,
+    COUNT(CASE WHEN in_b AND finite THEN 1 END) AS n_b,
+    COUNT(CASE WHEN NOT finite THEN 1 END) AS n_bad,
+    SUM(CASE WHEN NOT in_b AND finite
+             THEN CAST(q AS HUGEINT) END) AS s_a,
+    SUM(CASE WHEN in_b AND finite
+             THEN CAST(q AS HUGEINT) END) AS s_b
+  FROM q GROUP BY dim
+), means AS (
+  SELECT dim, n_a, n_b, n_bad,
+    CAST(CASE WHEN n_a = 0 THEN NULL
+         WHEN s_a < 0 THEN -((-s_a) // n_a)
+         ELSE s_a // n_a END AS BIGINT) AS mean_a_micros,
+    CAST(CASE WHEN n_b = 0 THEN NULL
+         WHEN s_b < 0 THEN -((-s_b) // n_b)
+         ELSE s_b // n_b END AS BIGINT) AS mean_b_micros
+  FROM stats
+)
+SELECT dim, n_a, n_b, n_bad, mean_a_micros, mean_b_micros,
+  CAST(mean_b_micros - mean_a_micros AS BIGINT) AS delta_micros,
+  CAST(CASE WHEN mean_b_micros - mean_a_micros IS NULL THEN NULL ELSE
+       LEAST(CAST(abs(mean_b_micros - mean_a_micros) AS HUGEINT)
+             * 1000000 // GREATEST(abs(mean_a_micros), 1),
+             {DQ_DRIFT_PPM_CAP}) END AS BIGINT) AS drift_ppm,
+  CAST(CASE WHEN mean_b_micros - mean_a_micros IS NULL THEN NULL ELSE
+       LEAST(CAST(abs(mean_b_micros - mean_a_micros) AS HUGEINT)
+             * 1000000 // GREATEST(abs(mean_a_micros), 1),
+             {DQ_DRIFT_PPM_CAP}) END AS BIGINT) > {DQ_DRIFT_FLAG_PPM}
+    AS flagged
+FROM means ORDER BY dim
+"""
+
+
+DQ_EMBEDDING_DRIFT_ORACLE = _emb_drift_oracle()
+
+
 # sim_ivf_recall was DEMOTED to pytest-only parity in round 6
 # (tests/test_oracle_parity.py DEMOTED map): it is a pure composition
 # of three registered, driver-green queries (sim_knn_brute,

@@ -575,6 +575,67 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_band_keys_stateless(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, band, bkey): dedup_minhash_lsh's band
+    frame computed with STATELESS per-row array expressions — no
+    explode, no groupBy — so it can run inside a streaming query
+    BEFORE a stateful operator (Structured Streaming forbids chaining
+    a streaming aggregation ahead of applyInPandasWithState; the batch
+    pipeline's shingle-explode + per-doc min IS such an aggregation).
+
+    Provably identical to the batch band frame: the same distinct
+    shingle set (array_distinct vs explode-distinct), the same
+    per-shingle 60-bit md5 -> h31, the same K affine rehashes with
+    min folded by array_min instead of F.min over rows (min over the
+    same SET — order-free), the same 4-slot comma-joined band keys.
+    Docs with no shingles (< 3 tokens) produce no signature in the
+    batch groupBy and are filtered identically here. The equivalence
+    is pinned row-for-row by
+    tests/test_streaming.py::test_lsh_band_keys_stateless_equals_batch.
+    Per-row cost is K x |shingles| arithmetic on in-row arrays —
+    whole-stage-codegen Column work, no Python."""
+    sh_arr = F.array_distinct(shingles_col("text"))
+    t = (
+        docs.select("doc_id", sh_arr.alias("sh_arr"))
+        .filter(F.size("sh_arr") > 0)
+        .withColumn(
+            "h31s",
+            F.expr(
+                "transform(sh_arr, s -> cast(conv(substr(md5(s), 1, 15),"
+                f" 16, 10) as bigint) % {MINHASH_P})"
+            ),
+        )
+    )
+    mh_cols = [
+        F.expr(
+            f"array_min(transform(h31s, h -> ({a} * h + {b})"
+            f" % {MINHASH_P}))"
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_PERM)
+    ]
+    sig = t.select("doc_id", *mh_cols)
+    band_structs = [
+        F.struct(
+            F.lit(b).cast("bigint").alias("band"),
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"mh{b * _ROWS_PER_BAND + j}").cast("string")
+                    for j in range(_ROWS_PER_BAND)
+                ],
+            ).alias("bkey"),
+        )
+        for b in range(MINHASH_BANDS)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select(
+        "doc_id",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bkey").alias("bkey"),
+    )
+
+
 # CTE chain producing the MinHash-LSH verified near-dup pairs (mpairs);
 # shared by the minhash oracle and the LSH connected-components oracle.
 _MINHASH_PAIRS_CTES = f"""corpus AS ({CORPUS_SQL}),
@@ -4034,6 +4095,187 @@ SELECT lang, COUNT(*) AS n_docs,
   bit_xor(doc_id) AS xor_ids
 FROM ranked WHERE cum_tokens <= {TOKEN_BUDGET}
 GROUP BY lang ORDER BY lang
+"""
+
+
+# --- attention-mask sequence packing (round-13 prebuild bank) -----------
+# Fixed training context length in tokens. 2048 is the classic GPT-2/3
+# block size; the packing arithmetic below is independent of the value.
+ATTN_CTX = 2048
+
+
+def train_attention_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-aware sequence packing with attention-mask manifests
+    (round-13 prebuild bank) — train_token_budget_pack's successor per
+    the SCALING.md r11 roadmap: budget selection says WHICH documents
+    to train on, this says HOW they pack into fixed-length training
+    sequences. The packer is the standard causal-LM concatenation:
+    documents in deterministic corpus order (doc_id ASC), token
+    streams concatenated end-to-end and cut into ATTN_CTX-token
+    sequences; a document may straddle sequence boundaries (no token
+    is wasted — padding exists only in the final partial sequence).
+    The ATTENTION-MASK manifest is what the trainer actually consumes:
+    within a packed sequence, attention must not flow across document
+    boundaries, so each sequence's mask is fully described by the
+    ordered in-sequence offsets where a new document begins. The
+    manifest emits those as exact scalars per sequence: how many
+    documents overlap it, how many BEGIN in it (each one an attention
+    reset), the XOR of the in-sequence boundary offsets (pins the
+    offset set without materializing arrays), doc-id bounds and
+    membership XOR, real-token and pad counts, and the fill rate in
+    exact ppm. Tokenization is the shared whitespace tokens_col — the
+    'tokenizer-aware' seam: swapping tokenizers swaps ONE column
+    expression (txt_bpe_tokens is the registered BPE-ish twin), the
+    packing arithmetic is tokenizer-agnostic. Zero-token docs carry no
+    trainable content and are excluded before packing.
+
+    Exactness: every quantity is integer arithmetic on non-negative
+    token offsets — start = cum - n_tokens, first_seq = start div
+    ATTN_CTX, last_seq = (cum - 1) div ATTN_CTX; all operands are
+    >= 0 by construction, where truncating `div`/`//` IS floor on
+    both engines (the r11 token_budget precedent — no helper needed,
+    none used). fill_ppm = n_tokens * 1e6 div ATTN_CTX with
+    n_tokens <= ATTN_CTX, so the product is bounded at ~2e9: no
+    headroom staging required, ever.
+
+    Scale shape: one narrow map (tokenize once, one size() fold);
+    the `global_prefix_sum` primitive (plans/relational.py) assigns
+    exact token offsets — its FIFTH surface, and the reason this op
+    scales: an un-partitioned SUM(tokens) OVER (ORDER BY doc_id)
+    would serialize the corpus through one reducer at 100 TB; one
+    bounded explode of per-document span rows (total rows = n_docs +
+    total_tokens div ATTN_CTX — each extra row is a crossed sequence
+    boundary, so the explode is the OUTPUT size, never quadratic);
+    one seq-keyed aggregation (map-side combined) builds the
+    manifest. Output rows = ceil(total_tokens / ATTN_CTX) — the
+    manifest IS the product, like train_shard_manifest's shard rows.
+    Oracle: the identical arithmetic under SUM() OVER in DuckDB."""
+    from simple_etl_pipeline_spark.plans.relational import global_prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.size(tokens_col("text")).cast("bigint").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    packed = global_prefix_sum(
+        scored, ["doc_id"], "n_tokens", out_rank="pos", out_cum="cum"
+    )
+    spans = (
+        packed.select(
+            "doc_id",
+            "n_tokens",
+            (F.col("cum") - F.col("n_tokens")).alias("tok_start"),
+            (F.col("cum") - 1).alias("tok_end"),
+        )
+        .select(
+            "doc_id",
+            "tok_start",
+            "tok_end",
+            F.expr(
+                f"explode(sequence(tok_start div {ATTN_CTX},"
+                f" tok_end div {ATTN_CTX}))"
+            ).alias("seq_id"),
+        )
+        .select(
+            "doc_id",
+            "seq_id",
+            (
+                F.greatest(F.col("tok_start"), F.col("seq_id") * ATTN_CTX)
+            ).alias("seg_start"),
+            (
+                F.least(
+                    F.col("tok_end"),
+                    (F.col("seq_id") + 1) * ATTN_CTX - 1,
+                )
+            ).alias("seg_end"),
+            (F.col("tok_start") >= F.col("seq_id") * ATTN_CTX).alias(
+                "is_start"
+            ),
+            (F.col("tok_start") - F.col("seq_id") * ATTN_CTX).alias(
+                "boff"
+            ),
+        )
+    )
+    return (
+        spans.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("is_start"), F.lit(1))).alias("n_starts"),
+            F.coalesce(
+                F.expr("bit_xor(case when is_start then boff end)"),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("boundary_xor"),
+            F.sum(F.col("seg_end") - F.col("seg_start") + 1)
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.expr("bit_xor(doc_id)").alias("xor_docs"),
+        )
+        .select(
+            "seq_id",
+            "n_docs",
+            "n_starts",
+            "boundary_xor",
+            "n_tokens",
+            (F.lit(ATTN_CTX) - F.col("n_tokens"))
+            .cast("bigint")
+            .alias("pad_tokens"),
+            F.expr(f"n_tokens * 1000000 div {ATTN_CTX}")
+            .cast("bigint")
+            .alias("fill_ppm"),
+            "first_doc",
+            "last_doc",
+            "xor_docs",
+        )
+        .orderBy("seq_id")
+    )
+
+
+TRAIN_ATTENTION_PACK_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, CAST(len({sql_tokens('text')}) AS BIGINT) AS n_tokens
+  FROM documents
+), q AS (
+  SELECT * FROM scored WHERE n_tokens > 0
+), ranked AS (
+  SELECT doc_id, n_tokens,
+    CAST(SUM(n_tokens) OVER (ORDER BY doc_id ASC
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM q
+), spans AS (
+  SELECT doc_id, n_tokens, cum - n_tokens AS tok_start,
+    cum - 1 AS tok_end
+  FROM ranked
+), per AS (
+  SELECT doc_id, tok_start, tok_end,
+    UNNEST(generate_series(tok_start // {ATTN_CTX},
+                           tok_end // {ATTN_CTX})) AS seq_id
+  FROM spans
+), segs AS (
+  SELECT doc_id, seq_id,
+    GREATEST(tok_start, seq_id * {ATTN_CTX}) AS seg_start,
+    LEAST(tok_end, (seq_id + 1) * {ATTN_CTX} - 1) AS seg_end,
+    tok_start >= seq_id * {ATTN_CTX} AS is_start,
+    tok_start - seq_id * {ATTN_CTX} AS boff
+  FROM per
+)
+SELECT seq_id, COUNT(*) AS n_docs,
+  COUNT(CASE WHEN is_start THEN 1 END) AS n_starts,
+  CAST(COALESCE(bit_xor(CASE WHEN is_start THEN boff END), 0)
+       AS BIGINT) AS boundary_xor,
+  CAST(SUM(seg_end - seg_start + 1) AS BIGINT) AS n_tokens,
+  CAST({ATTN_CTX} - SUM(seg_end - seg_start + 1) AS BIGINT)
+    AS pad_tokens,
+  CAST(SUM(seg_end - seg_start + 1) * 1000000 // {ATTN_CTX} AS BIGINT)
+    AS fill_ppm,
+  MIN(doc_id) AS first_doc,
+  MAX(doc_id) AS last_doc,
+  bit_xor(doc_id) AS xor_docs
+FROM segs
+GROUP BY seq_id ORDER BY seq_id
 """
 
 

@@ -620,6 +620,226 @@ ORDER BY user_id, version
 """
 
 
+# --- incremental streaming MinHash-LSH index (round-13 prebuild bank) ----
+# Key-bucketed state (the user_totals_bucketed amortization, applied at
+# build time because the K=1->64 probe MEASURED the need): a naive
+# per-(band,bkey) grouping pays one Python/Arrow round-trip per OCCUPIED
+# BUCKET per micro-batch — ~4 x |docs| buckets of 1-3 rows each, and the
+# probe read a flat ~530 docs/s wall dominated by exactly those calls.
+# Hashing (band, bkey) into N_LSH_STATE_BUCKETS state groups makes the
+# runtime pay one Python call per GROUP per batch (<= 256) and the
+# function fans out to its buckets in pandas; state per group is three
+# parallel arrays (composite key, rep, n) — the same bytes as the
+# per-bucket layout, just packed. min/+= folding per bucket is
+# unchanged, so outputs are identical row-for-row.
+N_LSH_STATE_BUCKETS = 256
+
+LSH_INDEX_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("band", T.LongType()),
+        T.StructField("bkey", T.StringType()),
+        T.StructField("rep_doc", T.LongType()),
+        T.StructField("n_docs", T.LongType()),
+    ]
+)
+LSH_INDEX_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("comps", T.ArrayType(T.StringType())),
+        T.StructField("reps", T.ArrayType(T.LongType())),
+        T.StructField("ns", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def lsh_bucket_index(
+    bands: DataFrame, n_state_buckets: int = N_LSH_STATE_BUCKETS
+) -> DataFrame:
+    """Maintain the MinHash-LSH band-bucket index incrementally: input
+    is the stateless band frame (doc_id, band, bkey); the index entry
+    per (band, bkey) bucket is (representative = min doc_id seen,
+    member count) — the candidate-generation index a near-dup pipeline
+    probes as documents stream in. Each micro-batch emits the touched
+    buckets' updated rows (update mode), so a new document's arrival
+    immediately exposes whether it landed in an occupied bucket
+    (n_docs >= 2 -> near-dup candidate against the representative).
+    min/+= folding is order- and batching-invariant, so full replay
+    equals the batch band index REGARDLESS of how the file split into
+    micro-batches — the property the oracle checks. Buckets are packed
+    into hash-assigned state groups (see N_LSH_STATE_BUCKETS above);
+    the composite key "band|bkey" is unambiguous because band is a
+    bare integer and "|" never occurs in the comma-joined bkey."""
+
+    def _update_group(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        comps, reps, ns = state.get if state.exists else ([], [], [])
+        comps, reps, ns = list(comps), list(reps), list(ns)
+        idx = {c: i for i, c in enumerate(comps)}
+        touched: dict[str, int] = {}
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            grouped = pdf.groupby(["band", "bkey"], sort=True)
+            for (band, bkey), g in grouped:
+                comp = f"{int(band)}|{bkey}"
+                i = idx.get(comp)
+                if i is None:
+                    i = len(comps)
+                    idx[comp] = i
+                    comps.append(comp)
+                    reps.append(int(g["doc_id"].min()))
+                    ns.append(0)
+                else:
+                    m = int(g["doc_id"].min())
+                    if m < reps[i]:
+                        reps[i] = m
+                ns[i] += len(g)
+                touched[comp] = i
+        state.update((comps, reps, ns))
+        out_bands, out_bkeys = [], []
+        for comp in touched:
+            band_s, bkey = comp.split("|", 1)
+            out_bands.append(int(band_s))
+            out_bkeys.append(bkey)
+        yield pd.DataFrame(
+            {
+                "band": out_bands,
+                "bkey": out_bkeys,
+                "rep_doc": [reps[i] for i in touched.values()],
+                "n_docs": [ns[i] for i in touched.values()],
+            }
+        )
+
+    keyed = bands.withColumn(
+        "skey", F.pmod(F.hash("band", "bkey"), F.lit(n_state_buckets))
+    )
+    return keyed.groupBy("skey").applyInPandasWithState(
+        _update_group,
+        LSH_INDEX_OUTPUT_SCHEMA,
+        LSH_INDEX_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def st_dedup_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental streaming MinHash-LSH index maintenance (round-13
+    prebuild bank) — st_dedup_index's NEAR-dup sibling, closing the
+    "dedup is batch-only" gap: the exact-dup index streams
+    fingerprints; this streams MinHash band keys, so a document that
+    lands in an occupied band bucket is a near-dup CANDIDATE against
+    that bucket's representative the moment it arrives (verification
+    against the representative's shingles is the downstream batch
+    join dedup_minhash_lsh already implements). Signature computation
+    is the STATELESS array-expression twin of the batch pipeline
+    (plans/text.minhash_band_keys_stateless — Structured Streaming
+    forbids an aggregation ahead of applyInPandasWithState, and the
+    equivalence is pinned row-for-row by the batch-replay test);
+    dup injection mirrors st_dedup_index so the stream carries the
+    same corpus_with_dups the batch dedup family indexes.
+
+    State: (min doc_id, count) per occupied band bucket — the index
+    ITSELF, like st_dedup_index's fingerprint aggregation state: it
+    grows with the distinct-bucket universe (4 x |distinct
+    signatures| at worst), not with stream length, and is
+    RocksDB-backed at scale; there is deliberately NO timeout — an
+    index entry must outlive any watermark horizon (evicting one
+    would silently un-index its cluster; the time-bounded variant is
+    st_dedup_events' watermarked dropDuplicates, already registered).
+
+    The queries() adapter replays the corpus, takes each bucket's
+    final row, and rolls up per band: bucket count, indexed docs,
+    candidate-generating buckets (n >= 2), underlying candidate pairs
+    (sum of C(n,2) — exact integer weights, the mm_phash device),
+    max bucket width, and the XOR of bucket representatives (pins
+    the representative set). Full replay equals the batch band index,
+    so the oracle is the REAL DuckDB minhash band chain, not a
+    rows-only check."""
+    from simple_etl_pipeline_spark.plans.text import (
+        NEAR_DUP_TAIL,
+        minhash_band_keys_stateless,
+    )
+    from simple_etl_pipeline_spark.schemas import TABLE_SCHEMAS
+    from simple_etl_pipeline_spark.streaming.events import (
+        _run_to_memory,
+        _table_stream_source,
+    )
+
+    stream_dir, glob = _table_stream_source(sf_dir, "documents")
+    docs = (
+        # file-at-a-time trigger (the read_events_stream rationale):
+        # a multi-file corpus replays as genuinely separate
+        # micro-batches, so the cross-batch state merge is exercised —
+        # min/+= folding makes the result batching-invariant, which
+        # the constructed-corpus test pins with a deliberate 2-file
+        # split of one identical-doc cluster
+        spark.readStream.option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", 1)
+        .schema(TABLE_SCHEMAS["documents"])
+        .parquet(stream_dir)
+        .select("doc_id", "text")
+    )
+    exact = docs.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 23 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(NEAR_DUP_TAIL)).alias("text"),
+    )
+    corpus = docs.unionByName(exact).unionByName(near)
+    out = _run_to_memory(
+        lsh_bucket_index(minhash_band_keys_stateless(corpus)), "update"
+    )
+    final = out.groupBy("band", "bkey").agg(
+        F.min("rep_doc").alias("rep"),
+        F.max("n_docs").alias("n"),
+    )
+    return (
+        final.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("n").cast("bigint").alias("n_docs"),
+            F.count(F.when(F.col("n") >= 2, F.lit(1)))
+            .alias("n_cand_buckets"),
+            F.sum(F.expr("n * (n - 1) div 2"))
+            .cast("bigint")
+            .alias("cand_pairs"),
+            F.max("n").cast("bigint").alias("max_bucket"),
+            F.expr("bit_xor(rep)").alias("rep_xor"),
+        )
+        .orderBy("band")
+    )
+
+
+def _st_dedup_lsh_oracle() -> str:
+    """Full DuckDB oracle — NOT a rows-only check: full replay of the
+    incremental index equals the batch band index, so the oracle is
+    the dedup_minhash_lsh CTE chain (corpus/shingles/minhash/bands —
+    only `bands` is referenced; DuckDB does not evaluate the unused
+    pair CTEs) rolled up per band exactly like the adapter."""
+    from simple_etl_pipeline_spark.plans.text import _MINHASH_PAIRS_CTES
+
+    return f"""
+WITH {_MINHASH_PAIRS_CTES},
+buckets AS (
+  SELECT band, bkey, COUNT(*) AS n, MIN(doc_id) AS rep
+  FROM bands GROUP BY 1, 2
+)
+SELECT band, COUNT(*) AS n_buckets,
+  CAST(SUM(n) AS BIGINT) AS n_docs,
+  COUNT(CASE WHEN n >= 2 THEN 1 END) AS n_cand_buckets,
+  CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS cand_pairs,
+  CAST(MAX(n) AS BIGINT) AS max_bucket,
+  bit_xor(rep) AS rep_xor
+FROM buckets GROUP BY band ORDER BY band
+"""
+
+
+ST_DEDUP_LSH_ORACLE = _st_dedup_lsh_oracle()
+
+
 def user_totals_tws(stream: DataFrame) -> DataFrame:
     """Same per-user running totals via transformWithStateInPandas —
     Spark 4's successor API to applyInPandasWithState: typed state

@@ -237,12 +237,21 @@ def demoted_queries() -> dict:
 
 
 def duckdb_connection(sf_dir: str):
+    import os
+
     import duckdb
 
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        # a Spark-written (or test-constructed multi-file) table is a
+        # DIRECTORY of part files under the table name; DuckDB's
+        # read_parquet needs the explicit glob there, while Spark's
+        # reader handles both layouts natively
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
     return con
 

@@ -52,6 +52,10 @@ def test_banked_prebuilds_list_is_consistent():
         similarity as _sim,
         text as _txt,
     )
+    from simple_etl_pipeline_spark.streaming import (
+        events as _st_ev,
+        stateful as _st_state,
+    )
 
     banked = list(entrymod._BANKED_PREBUILDS)
     assert len(banked) == len(set(banked))
@@ -60,10 +64,12 @@ def test_banked_prebuilds_list_is_consistent():
         "banked names are unregistered by definition; registering one "
         "must remove it from _BANKED_PREBUILDS in the same commit"
     )
+    # streaming modules joined the resolution set in round 12 when the
+    # r13 bank added the first streaming prebuild (st_dedup_lsh_index)
     for name in banked:
         assert any(
             callable(getattr(mod, name, None))
-            for mod in (_ev, _rel, _sim, _txt, _mm)
+            for mod in (_ev, _rel, _sim, _txt, _mm, _st_ev, _st_state)
         ), f"banked prebuild {name} resolves to no operator"
 
 

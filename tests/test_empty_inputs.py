@@ -53,6 +53,11 @@ QUERIES["dq_k_anonymity"] = _rel.dq_k_anonymity
 QUERIES["agg_ols_trend"] = _rel.agg_ols_trend
 QUERIES["txt_boilerplate_lines"] = _txt.txt_boilerplate_lines
 QUERIES["mm_phash_dedup"] = _mm.mm_phash_dedup
+# round-12-built r13 bank (batch members; the streaming member
+# st_dedup_lsh_index is covered by tests/test_streaming.py's
+# constructed-corpus rows, including the zero-shingle corpus)
+QUERIES["train_attention_pack"] = _txt.train_attention_pack
+QUERIES["dq_embedding_drift"] = _sim.dq_embedding_drift
 
 REPRESENTATIVE = [
     "q1_pricing_summary",
@@ -132,6 +137,9 @@ REPRESENTATIVE = [
     "agg_ols_trend",
     "txt_boilerplate_lines",
     "mm_phash_dedup",
+    # r13 bank (built r12)
+    "train_attention_pack",
+    "dq_embedding_drift",
 ]
 
 

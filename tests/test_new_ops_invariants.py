@@ -4709,3 +4709,232 @@ def test_k_anonymity_fuzzed_cross_engine(spark, tmp_path_factory, rows):
     compare_with_oracle(
         dq_k_anonymity(spark, d), DQ_K_ANONYMITY_ORACLE, d
     )
+
+
+# --- r13 bank: attention-mask sequence packing ---------------------------
+def test_attention_pack_exact_manifest_on_edge_corpus(spark, tmp_path):
+    """Constructed corpus pinning every manifest column exactly: a doc
+    that fills sequence 0 to the token (boundary-exact, pad 0), a
+    5000-token doc straddling THREE sequences (only its first sequence
+    counts a start; middle chunks have n_starts=0 and boundary_xor=0
+    via the coalesce), two docs packing into the final partial
+    sequence (in-sequence boundary offsets pinned by XOR), an
+    empty-text doc and a NULL-text doc (both zero trainable tokens —
+    excluded before packing, invisible everywhere). Then full engine
+    parity on the same corpus."""
+    import pyarrow as pa
+
+    from simple_etl_pipeline_spark.plans.relational import (
+        release_barriers_for,
+    )
+    from simple_etl_pipeline_spark.plans.text import (
+        ATTN_CTX,
+        TRAIN_ATTENTION_PACK_ORACLE,
+        train_attention_pack,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    assert ATTN_CTX == 2048  # the arithmetic below is spelled for it
+
+    def words(n):
+        return " ".join(["w"] * n)
+
+    docs = [
+        (1, words(2048)),   # exactly seq 0
+        (2, words(5000)),   # seqs 1..3, start at boff 0 of seq 1
+        (3, words(96)),     # seq 3, boff 7048-6144=904
+        (4, ""),            # zero tokens -> excluded
+        (5, None),          # NULL text -> excluded
+        (6, words(1)),      # seq 3, boff 1000
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+            "source": pa.array(["s"] * len(docs), pa.string()),
+            "n_chars": pa.array(
+                [len(t) if t else 0 for _, t in docs], pa.int64()
+            ),
+        }
+    )
+    d = _edge_dir(tmp_path, "attn_edge", {"documents": tbl})
+    df = train_attention_pack(spark, d)
+    out = {r.seq_id: r for r in df.collect()}
+    release_barriers_for(df)
+    assert sorted(out) == [0, 1, 2, 3]
+    s0 = out[0]
+    assert (s0.n_docs, s0.n_starts, s0.boundary_xor) == (1, 1, 0)
+    assert (s0.n_tokens, s0.pad_tokens, s0.fill_ppm) == (2048, 0, 1000000)
+    assert (s0.first_doc, s0.last_doc, s0.xor_docs) == (1, 1, 1)
+    s1 = out[1]
+    assert (s1.n_docs, s1.n_starts, s1.boundary_xor) == (1, 1, 0)
+    assert (s1.n_tokens, s1.pad_tokens) == (2048, 0)
+    s2 = out[2]  # a middle chunk of doc 2: no starts at all
+    assert (s2.n_docs, s2.n_starts, s2.boundary_xor) == (1, 0, 0)
+    assert (s2.n_tokens, s2.pad_tokens) == (2048, 0)
+    assert s2.xor_docs == 2
+    s3 = out[3]  # tail of doc 2 (904 tokens) + doc 3 (96) + doc 6 (1)
+    assert (s3.n_docs, s3.n_starts) == (3, 2)
+    assert s3.boundary_xor == 904 ^ 1000
+    assert s3.n_tokens == 904 + 96 + 1
+    assert s3.pad_tokens == ATTN_CTX - 1001
+    assert s3.fill_ppm == 1001 * 1_000_000 // ATTN_CTX
+    assert (s3.first_doc, s3.last_doc, s3.xor_docs) == (2, 6, 2 ^ 3 ^ 6)
+    compare_with_oracle(
+        train_attention_pack(spark, d), TRAIN_ATTENTION_PACK_ORACLE, d
+    )
+
+
+# --- r13 bank: embedding-snapshot drift -----------------------------------
+def _emb_parity(vec_id: int) -> int:
+    """Python twin of the op's salted md5 split (engine-identical by
+    the md5_hash60 contract)."""
+    import hashlib
+
+    h = hashlib.md5(f"embdrift|{vec_id}".encode()).hexdigest()[:15]
+    return int(h, 16) % 2
+
+
+def test_embedding_drift_edge_corpus_nan_inf_clamp_and_empty_half(
+    spark, tmp_path
+):
+    """The corruption cases this monitor exists for, pinned exactly:
+    NaN and ±Inf coordinates are EXCLUDED from means and counted in
+    n_bad (an unguarded cast would THROW under ANSI); a runaway-
+    magnitude coordinate clamps at ±EMB_MICROS_CAP instead of
+    overflowing; negative means exercise the sign-staged division;
+    dimension rows where snapshot B is EMPTY read NULL mean/delta/
+    drift (never a divide-by-zero). Exact micros asserted via
+    float-exact coordinate choices, then engine parity."""
+    import pyarrow as pa
+
+    from simple_etl_pipeline_spark.plans.similarity import (
+        DQ_EMBEDDING_DRIFT_ORACLE,
+        EMB_MICROS_CAP,
+        dq_embedding_drift,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    a_ids = [i for i in range(100) if _emb_parity(i) == 0]
+    b_ids = [i for i in range(100) if _emb_parity(i) == 1]
+    assert len(a_ids) >= 3 and len(b_ids) >= 2
+    nan, inf = float("nan"), float("inf")
+    # dim 0: exact quarters -> exact micros; dim 1: corruption zoo;
+    # dim 2: negative means (sign-staged div); dim 3: clamp magnitude
+    vecs = {
+        a_ids[0]: [0.25, nan, -0.5, 1.0e12],
+        a_ids[1]: [0.25, 1.0, -0.25, 0.0],
+        a_ids[2]: [0.25, inf, -0.75, 0.0],
+        b_ids[0]: [0.5, -inf, -0.5, 0.0],
+        b_ids[1]: [0.5, 2.0, -1.0, 0.0],
+    }
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(sorted(vecs), pa.int64()),
+            "embedding": pa.array(
+                [vecs[k] for k in sorted(vecs)],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        }
+    )
+    d = _edge_dir(tmp_path, "embdrift_edge", {"embeddings": tbl})
+    out = {r.dim: r for r in dq_embedding_drift(spark, d).collect()}
+    assert sorted(out) == [0, 1, 2, 3]
+    d0 = out[0]  # exact: A mean 250000, B mean 500000 -> +100% drift
+    assert (d0.n_a, d0.n_b, d0.n_bad) == (3, 2, 0)
+    assert (d0.mean_a_micros, d0.mean_b_micros) == (250000, 500000)
+    assert (d0.delta_micros, d0.drift_ppm, bool(d0.flagged)) == (
+        250000,
+        1000000,
+        True,
+    )
+    d1 = out[1]  # one NaN + two infinities excluded and counted
+    assert d1.n_bad == 3
+    assert (d1.n_a, d1.n_b) == (1, 1)  # the finite 1.0 and 2.0
+    assert (d1.mean_a_micros, d1.mean_b_micros) == (1000000, 2000000)
+    d2 = out[2]  # negative means: truncating staged div, exact values
+    assert d2.mean_a_micros == -500000  # (-0.5 - 0.25 - 0.75) / 3
+    assert d2.mean_b_micros == -750000
+    assert d2.delta_micros == -250000
+    assert d2.drift_ppm == 500000 and bool(d2.flagged) is True
+    d3 = out[3]  # 1e12 * 1e6 micros clamps at the cap; others 0
+    assert d3.mean_a_micros == EMB_MICROS_CAP // 3
+    assert d3.mean_b_micros == 0
+    compare_with_oracle(
+        dq_embedding_drift(spark, d), DQ_EMBEDDING_DRIFT_ORACLE, d
+    )
+    # the empty-half case: a corpus whose every vector hashes into A
+    only_a = pa.table(
+        {
+            "vec_id": pa.array(a_ids[:3], pa.int64()),
+            "embedding": pa.array(
+                [[1.0], [2.0], [3.0]], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0, 0, 0], pa.int32()),
+        }
+    )
+    d2dir = _edge_dir(tmp_path, "embdrift_onlya", {"embeddings": only_a})
+    row = dq_embedding_drift(spark, d2dir).collect()[0]
+    assert (row.n_a, row.n_b) == (3, 0)
+    assert row.mean_a_micros == 2000000
+    assert row.mean_b_micros is None
+    assert row.delta_micros is None and row.drift_ppm is None
+    assert row.flagged is None
+    compare_with_oracle(
+        dq_embedding_drift(spark, d2dir), DQ_EMBEDDING_DRIFT_ORACLE, d2dir
+    )
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.one_of(
+                st.floats(
+                    min_value=-2e9,
+                    max_value=2e9,
+                    allow_nan=False,
+                    width=32,
+                ),
+                st.sampled_from(
+                    [float("nan"), float("inf"), float("-inf")]
+                ),
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@_SETTINGS
+def test_embedding_drift_fuzzed_cross_engine(
+    spark, tmp_path_factory, vec_rows
+):
+    """Cross-engine fuzz over the monitor's hazard surface: arbitrary
+    float32 coordinates (magnitudes past the clamp, NaN, ±Inf, ragged
+    dims) must hash-match DuckDB exactly — the float->micros rounding,
+    the non-finite exclusion, the clamp and the sign-staged divisions
+    all agree or this throws/mismatches."""
+    import pyarrow as pa
+
+    from simple_etl_pipeline_spark.plans.similarity import (
+        DQ_EMBEDDING_DRIFT_ORACLE,
+        dq_embedding_drift,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vec_rows)), pa.int64()),
+            "embedding": pa.array(vec_rows, pa.list_(pa.float32())),
+            "label": pa.array([0] * len(vec_rows), pa.int32()),
+        }
+    )
+    d = _edge_dir(
+        tmp_path_factory.mktemp("embfuzz"), "c", {"embeddings": tbl}
+    )
+    compare_with_oracle(
+        dq_embedding_drift(spark, d), DQ_EMBEDDING_DRIFT_ORACLE, d
+    )

@@ -59,6 +59,9 @@ QUERIES["dq_k_anonymity"] = _rel.dq_k_anonymity
 QUERIES["agg_ols_trend"] = _rel.agg_ols_trend
 QUERIES["txt_boilerplate_lines"] = _txt.txt_boilerplate_lines
 QUERIES["mm_phash_dedup"] = _mm.mm_phash_dedup
+# round-12-built r13 bank (batch members)
+QUERIES["train_attention_pack"] = _txt.train_attention_pack
+QUERIES["dq_embedding_drift"] = _sim.dq_embedding_drift
 
 # Float-aggregate-heavy and sketch queries — the ones that WOULD diverge
 # under double-sum reordering or rand()-based sampling.
@@ -139,6 +142,12 @@ INVARIANT_QUERIES = [
     "agg_ols_trend",
     "txt_boilerplate_lines",
     "mm_phash_dedup",
+    # round-12-built r13 bank: prefix-sum offsets + span explode must
+    # not depend on range-partition boundaries (attention pack);
+    # integer-micros sums + sign-staged division must not depend on
+    # layout (embedding drift)
+    "train_attention_pack",
+    "dq_embedding_drift",
 ]
 
 

@@ -850,3 +850,56 @@ def test_phash_hashing_is_columnar_band_join_is_equi(spark, sf_dir):
         if "HashJoin" in ln or "SortMergeJoin" in ln
     ]
     assert join_lines and all("band" in ln for ln in join_lines), plan
+
+
+def test_attention_pack_prefix_sum_barrier_and_bounded_explode(
+    spark, sf_dir
+):
+    """train_attention_pack (r13 bank) is global_prefix_sum's fifth
+    surface: range exchange on the doc_id total order, the persisted
+    barrier visible to both consuming branches, every window keyed by
+    _gpid or over the metadata-sized counts frame — and exactly ONE
+    generator (the span explode, whose output is manifest-sized:
+    n_docs + tokens div ctx rows), never a cartesian product."""
+    from simple_etl_pipeline_spark.plans import text as txtmod
+
+    plan = (
+        txtmod.train_attention_pack(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning(doc_id" in plan, plan
+    assert plan.count("InMemoryTableScan") >= 2, plan  # both branches
+    assert plan.count("Generate explode") == 1, plan
+    assert "ntile" not in plan
+    for ln in plan.splitlines():
+        if "row_number() windowspecdefinition" in ln:
+            assert "_gpid" in ln.split("windowspecdefinition")[1][:30], ln
+        elif "sum(n_tokens" in ln and "windowspecdefinition" in ln:
+            assert "_gpid" in ln.split("windowspecdefinition")[1][:30], ln
+
+
+def test_embedding_drift_single_agg_pass_no_join_no_window(
+    spark, sf_dir
+):
+    """dq_embedding_drift (r13 bank) is one posexplode feeding one
+    dim-keyed aggregation — no join of any kind, no window (the final
+    orderBy is a 64-row sort), and the embeddings scan pruned to
+    (vec_id, embedding): the label column must not be read."""
+    from simple_etl_pipeline_spark.plans import similarity as simmod
+
+    plan = (
+        simmod.dq_embedding_drift(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "Generate posexplode" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+    rs = plan.split("ReadSchema")[1][:200]
+    assert "embedding" in rs and "label" not in rs, rs

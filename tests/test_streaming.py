@@ -606,3 +606,153 @@ def test_scd2_backfill_retries_once_on_transient_failure(
     }
     assert calls["n"] == 2
     assert stream == _scd2_batch_closed(spark, d)
+
+
+def test_lsh_band_keys_stateless_equals_batch(spark, sf_dir):
+    """The r13-bank streaming LSH index computes MinHash band keys
+    with STATELESS array expressions (a streaming query cannot chain
+    the batch pipeline's shingle-explode aggregation ahead of
+    applyInPandasWithState). Pin the equivalence row-for-row: the
+    stateless frame over corpus_with_dups equals the batch frame
+    built exactly the way dedup_minhash_lsh builds it (_shingle_sets
+    explode -> per-doc min per permutation -> comma-joined 4-slot
+    band keys)."""
+    from pyspark.sql import functions as F
+
+    from simple_etl_pipeline_spark.plans.text import (
+        MINHASH_BANDS,
+        MINHASH_P,
+        _PERM,
+        _ROWS_PER_BAND,
+        _shingle_sets,
+        corpus_with_dups,
+        minhash_band_keys_stateless,
+    )
+
+    stateless = {
+        (r.doc_id, r.band, r.bkey)
+        for r in minhash_band_keys_stateless(
+            corpus_with_dups(spark, sf_dir)
+        ).collect()
+    }
+    sh = _shingle_sets(spark, sf_dir)
+    mh_cols = [
+        F.min(
+            (F.lit(a) * (F.col("sh") % MINHASH_P) + F.lit(b)) % MINHASH_P
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_PERM)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mh_cols)
+    batch = set()
+    for r in sig.collect():
+        for b in range(MINHASH_BANDS):
+            bkey = ",".join(
+                str(r[f"mh{b * _ROWS_PER_BAND + j}"])
+                for j in range(_ROWS_PER_BAND)
+            )
+            batch.add((r.doc_id, b, bkey))
+    assert stateless == batch
+    assert len(stateless) > 0
+
+
+def _lsh_edge_docs_dir(tmp_path, split: bool) -> str:
+    """Documents-only corpus for the streaming LSH index: one
+    3-member identical-text cluster (ids 1,2,3 — identical signatures
+    collide in EVERY band), one unique doc (4), one doc below the
+    3-token shingle minimum (5 — must vanish entirely). Ids avoid the
+    %17/%23 dup-injection residues so the corpus stays pure. When
+    `split`, the cluster is cut ACROSS two parquet files so the
+    file-at-a-time replay must merge its bucket state across
+    micro-batches."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    same = "the quick brown fox jumps over the lazy dog again and again"
+    uniq = "completely different content with its own distinct shingles here"
+    rows = [
+        (1, same, "en", "s", len(same)),
+        (2, same, "en", "s", len(same)),
+        (3, same, "en", "s", len(same)),
+        (4, uniq, "en", "s", len(uniq)),
+        (5, "two tokens", "en", "s", 10),
+    ]
+
+    def tbl(subset):
+        return pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in subset], pa.int64()),
+                "text": pa.array([r[1] for r in subset], pa.string()),
+                "lang": pa.array([r[2] for r in subset], pa.string()),
+                "source": pa.array([r[3] for r in subset], pa.string()),
+                "n_chars": pa.array([r[4] for r in subset], pa.int64()),
+            }
+        )
+
+    from simple_etl_pipeline_spark.schemas import TESTDATA_TABLES
+    from tests.conftest import SF_DIR
+
+    d = tmp_path / ("lsh_edge_split" if split else "lsh_edge")
+    docs_dir = d / "documents.parquet"
+    os.makedirs(docs_dir)
+    if split:
+        pq.write_table(tbl(rows[:2]), str(docs_dir / "part-0.parquet"))
+        pq.write_table(tbl(rows[2:]), str(docs_dir / "part-1.parquet"))
+    else:
+        pq.write_table(tbl(rows), str(docs_dir / "part-0.parquet"))
+    # the established edge-corpus idiom: other tables symlinked so the
+    # oracle harness can register its full view set (documents.parquet
+    # here is a DIRECTORY — DuckDB's read_parquet globs it the same)
+    for t in TESTDATA_TABLES:
+        if t != "documents":
+            os.symlink(
+                os.path.join(SF_DIR, f"{t}.parquet"),
+                os.path.join(str(d), f"{t}.parquet"),
+            )
+    return str(d)
+
+
+@pytest.mark.parametrize("split", [False, True])
+def test_streaming_lsh_index_constructed_corpus(spark, tmp_path, split):
+    """Exact expectations on the constructed corpus, with and without
+    the cross-batch split of the identical cluster (the split run
+    replays as two micro-batches — file-at-a-time trigger — so bucket
+    state built in batch 1 must absorb batch 2's members): per band,
+    2 buckets (cluster + unique), 4 indexed docs, exactly one
+    candidate-generating bucket of width 3 carrying C(3,2)=3
+    underlying pairs, representatives {1, 4}. The 2-token doc
+    produces no signature and must not appear anywhere. Then full
+    oracle parity on the same corpus."""
+    from simple_etl_pipeline_spark.streaming.stateful import (
+        ST_DEDUP_LSH_ORACLE,
+        st_dedup_lsh_index,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    d = _lsh_edge_docs_dir(tmp_path, split)
+    rows = st_dedup_lsh_index(spark, d).collect()
+    assert [r.band for r in rows] == [0, 1, 2, 3]
+    for r in rows:
+        assert r.n_buckets == 2, r
+        assert r.n_docs == 4, r
+        assert r.n_cand_buckets == 1, r
+        assert r.cand_pairs == 3, r
+        assert r.max_bucket == 3, r
+        assert r.rep_xor == 1 ^ 4, r
+    compare_with_oracle(st_dedup_lsh_index(spark, d), ST_DEDUP_LSH_ORACLE, d)
+
+
+def test_streaming_lsh_index_matches_oracle_on_testdata(spark, sf_dir):
+    """Full replay of the incremental index equals the batch band
+    index: the REAL DuckDB minhash CTE chain (not rows-only) on the
+    shared testdata corpus — the r13 bank's driver-gate rehearsal."""
+    from simple_etl_pipeline_spark.streaming.stateful import (
+        ST_DEDUP_LSH_ORACLE,
+        st_dedup_lsh_index,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    compare_with_oracle(
+        st_dedup_lsh_index(spark, sf_dir), ST_DEDUP_LSH_ORACLE, sf_dir
+    )

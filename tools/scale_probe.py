@@ -136,6 +136,15 @@ PROBE_QUERIES = [
     # hash buckets, so candidate pairs grow with the within-copy
     # injections (~linear), not quadratically.
     "mm_phash_dedup",
+    # r13 bank: tokenize-once narrow map + global_prefix_sum range
+    # shuffle + the bounded span explode (output-sized: n_docs +
+    # tokens/ctx rows) + seq rollup — wall should track tokens.
+    "train_attention_pack",
+    # r13 bank (streaming): stateless per-row signature arithmetic +
+    # one (band,bkey)-keyed stateful shuffle; per-copy token suffixes
+    # keep copies out of each other's buckets, so state entries and
+    # emitted rows grow linearly with docs.
+    "st_dedup_lsh_index",
 ]
 # Embedding-side probe (SPARK_GRAFT_PROBE=sim): vectors are perturbed
 # per copy (direction-dependent per-dim scaling), so LSH/sign buckets
@@ -160,6 +169,9 @@ SIM_PROBE_QUERIES = [
     # round-9 prebuild: keyed source-lookup join + 5-anchor broadcast
     # scan with near-dup/same-source exclusion (documents co-written).
     "train_hard_negatives",
+    # r13 bank: one posexplode (constant 64x) + one dim-keyed agg —
+    # should be among the flattest lines in the sim probe.
+    "dq_embedding_drift",
 ]
 # Events-side probe (SPARK_GRAFT_PROBE=ev): each copy shifts user_id and
 # event_id, so the per-user event structure (cohorts, funnels, as-of
@@ -551,6 +563,14 @@ def main() -> None:
     from simple_etl_pipeline_spark.plans import multimodal as _mmmod
 
     queries.setdefault("mm_phash_dedup", _mmmod.mm_phash_dedup)
+    # round-12-built r13 bank
+    from simple_etl_pipeline_spark.streaming import stateful as _stmod
+
+    queries.setdefault(
+        "train_attention_pack", _txtmod.train_attention_pack
+    )
+    queries.setdefault("dq_embedding_drift", _simmod.dq_embedding_drift)
+    queries.setdefault("st_dedup_lsh_index", _stmod.st_dedup_lsh_index)
     # ... and so do demoted queries (pytest-only parity twins): probe
     # lists name them by their original keys, which leave the registry
     # on demotion.
