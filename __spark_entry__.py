@@ -110,15 +110,25 @@ _WINDOW = [
     #      the r10 band mitigation, so the r10 probe evidence carries
     #      — the registration is the mechanical dict entry VERDICT r11
     #      #2 prescribed).
-    #   3. TWO canary slots: train_curriculum_order +
+    #   3. TWO canary slots, one per r12-changed shared surface:
     #      train_token_budget_pack — round 12 changed the shared
     #      barrier-EVICTION path again (ADVICE r11: undiagnosable
     #      barriers now evict after _BARRIER_UNDIAG_EVICT_AFTER
-    #      consecutive failed containment+liveness checks), so the
-    #      changed-code canary rule wants registered consumers of BOTH
-    #      barrier-registering primitives in-window: one
-    #      global_row_number consumer (curriculum) and one
-    #      global_prefix_sum consumer (token budget pack).
+    #      consecutive failed containment+liveness checks); the
+    #      token-budget pack is a registered global_prefix_sum
+    #      consumer whose materialize+release cycle exercises the
+    #      changed registry (the change is exception-path-only,
+    #      pinned by a dedicated three-strikes regression test; the
+    #      global_row_number twin surface is covered by
+    #      train_curriculum_order's r11 driver row).
+    #      dq_profile_drift — its drift_ppm saturation was rebuilt in
+    #      r12 (the decimal-div 64-bit WRAP found by the
+    #      dq_embedding_drift build fuzz: least(quotient, cap) read a
+    #      wrapped NEGATIVE quotient past 2^63; now a decimal-space
+    #      comparison), so the changed registered query takes the
+    #      second canary slot per the changed-code rule. Values at
+    #      every gate SF are identical (the wrap band needs ~9e18-ppm
+    #      ratios); the driver row pins exactly that.
     #   Net registry growth ZERO: 4 demotions for 4 registrations,
     #   registry stays at 145.
     # -- mandatory (44): last driver row in round 9 -------------------------
@@ -171,16 +181,16 @@ _WINDOW = [
     "agg_ols_trend",
     "txt_boilerplate_lines",
     "mm_phash_dedup",
-    # -- canaries (2): barrier-eviction surface changed again r12 -----------
-    "train_curriculum_order",
+    # -- canaries (2): barrier-eviction + drift-saturation surfaces ---------
     "train_token_budget_pack",
+    "dq_profile_drift",
 ]
 
 # ROUND-13 ROTATION LEDGER (tools/rotation_plan.py run AFTER the r12
 # rebalance prints state=post_rebalance with exactly this arithmetic):
 # at the r13 gate the last two recorded windows will be
-# CORRECTNESS_r11 + this window (overlap: the two barrier canaries
-# train_curriculum_order / train_token_budget_pack), so
+# CORRECTNESS_r11 + this window (overlap: the two canaries
+# train_token_budget_pack / dq_profile_drift, both r11-windowed), so
 # next_round_mandatory = 47 queries (the r10-green residue: the agg_*
 # conditional-pivot/cube/distinct-counts/grouping-sets/mode/
 # percentiles rows, bm25_topk, dedup_semdedup, the ev_*

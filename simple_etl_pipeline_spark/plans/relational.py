@@ -2592,10 +2592,26 @@ def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"CAST(b_value AS DECIMAL(38,0)) - a_value,"
                 f" {-DQ_DELTA_CAP}), {DQ_DELTA_CAP}) AS BIGINT)"
             ).alias("delta"),
+            # Saturation via a DECIMAL-space comparison, not
+            # least(quotient, cap): Spark's `div` on decimal operands
+            # converts the quotient to LONG by truncating the
+            # BigInteger's low 64 bits — it WRAPS silently past 2^63
+            # even under ANSI (r12 find: the dq_embedding_drift fuzz
+            # produced a wrapped NEGATIVE drift; this op's own cap
+            # test had been passing only because ITS wrapped value
+            # happened to land positive and above the cap).
+            # p >= cap * q  <=>  p div q >= cap for positive q, so the
+            # branch is exactly the saturation the old least()
+            # expressed; the ELSE quotient is < 1e15 and can never
+            # wrap. The oracle's LEAST form is already exact — DuckDB
+            # runs the whole expression in HUGEINT.
             F.expr(
-                f"least(abs(CAST(b_value AS DECIMAL(38,0)) - a_value)"
-                f" * 1000000 div greatest(abs(a_value), 1),"
-                f" {DQ_DRIFT_PPM_CAP})"
+                f"CASE WHEN abs(CAST(b_value AS DECIMAL(38,0)) - a_value)"
+                f" * 1000000 >= CAST({DQ_DRIFT_PPM_CAP} AS DECIMAL(38,0))"
+                f" * greatest(abs(a_value), 1)"
+                f" THEN {DQ_DRIFT_PPM_CAP}"
+                f" ELSE abs(CAST(b_value AS DECIMAL(38,0)) - a_value)"
+                f" * 1000000 div greatest(abs(a_value), 1) END"
             ).cast("bigint").alias("drift_ppm"),
         )
         .withColumn("flagged", F.col("drift_ppm") > DQ_DRIFT_FLAG_PPM)

@@ -1633,15 +1633,29 @@ def dq_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "drift_ppm",
-            # the explicit NULL branch matters: least()/LEAST() SKIP
-            # NULL arguments in both engines, so without it a NULL
-            # delta (one snapshot empty — no basis for comparison)
-            # would silently read as the saturation cap and flag
+            # Two build-stage catches live in this expression (both
+            # fuzz/edge-pinned):
+            # 1. the explicit NULL branch — least()/LEAST() SKIP NULL
+            #    arguments in both engines, so without it a NULL delta
+            #    (one snapshot empty, no basis for comparison) would
+            #    silently read as the saturation cap and flag;
+            # 2. saturation via a DECIMAL-space comparison, not
+            #    least(quotient, cap) — Spark's `div` on decimal
+            #    operands truncates the quotient to the BigInteger's
+            #    low 64 bits, WRAPPING silently past 2^63 even under
+            #    ANSI (the fuzz produced a wrapped NEGATIVE drift; the
+            #    same wrap was latent in the registered
+            #    dq_profile_drift, fixed the same round).
+            #    p >= cap * q <=> p div q >= cap for positive q; the
+            #    ELSE quotient is < 1e15 and can never wrap.
             F.expr(
-                "CASE WHEN delta_micros IS NULL THEN NULL ELSE"
-                " least(cast(abs(delta_micros) as decimal(38,0))"
-                " * 1000000 div greatest(abs(mean_a_micros), 1),"
-                f" {DQ_DRIFT_PPM_CAP}) END"
+                "CASE WHEN delta_micros IS NULL THEN NULL"
+                " WHEN cast(abs(delta_micros) as decimal(38,0))"
+                f" * 1000000 >= cast({DQ_DRIFT_PPM_CAP} as decimal(38,0))"
+                " * greatest(abs(mean_a_micros), 1)"
+                f" THEN {DQ_DRIFT_PPM_CAP}"
+                " ELSE cast(abs(delta_micros) as decimal(38,0))"
+                " * 1000000 div greatest(abs(mean_a_micros), 1) END"
             ).cast("bigint"),
         )
         .withColumn("flagged", F.col("drift_ppm") > DQ_DRIFT_FLAG_PPM)

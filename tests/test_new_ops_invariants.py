@@ -333,9 +333,15 @@ def test_session_oracle_ties_match_spark(spark, tmp_path):
         ),
         os.path.join(d, "events.parquet"),
     )
-    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
-    df = qs["ev_session_windows"](spark, d)
-    compare_with_oracle(df, oracles["ev_session_windows"], d)
+    # ev_session_windows was DEMOTED from the registry in round 12
+    # (streaming twin st_session_windows keeps the identical oracle
+    # registered); the tie-semantics pin continues against the
+    # demoted-queries map, same discipline as every other demotion
+    from simple_etl_pipeline_spark.testing import demoted_queries
+
+    fn, sql = demoted_queries()["ev_session_windows"]
+    df = fn(spark, d)
+    compare_with_oracle(df, sql, d)
     out = sorted(
         (r.session_start, r.n_events) for r in df.collect()
     )
@@ -3418,6 +3424,72 @@ def test_profile_drift_ppm_cap_fires_and_matches_oracle(
     vm = got["value_mean_micros"]
     assert vm.a_value == 1
     assert vm.drift_ppm == DQ_DRIFT_PPM_CAP  # the cap itself, exactly
+    assert vm.flagged
+    compare_with_oracle(dq_profile_drift(spark, d), DQ_PROFILE_DRIFT_ORACLE, d)
+
+
+def test_profile_drift_cap_fires_where_wrapped_div_was_negative(
+    spark, sf_dir, tmp_path
+):
+    """r12 regression pin for the decimal-div wrap: Spark's `div` on
+    decimal operands truncates the quotient to the low 64 bits of the
+    BigInteger — it WRAPS silently past 2^63, even under ANSI. The
+    original least(quotient, cap) idiom therefore depended on where
+    the wrapped value landed: the r11 cap test's quotient
+    (~9.2e24 ppm) happened to wrap POSITIVE and above the cap, hiding
+    the bug; THIS corpus puts the raw ratio at ~9.22337e18 ppm — just
+    past 2^63, where the wrap lands NEGATIVE and the old expression
+    read drift_ppm < 0 with flagged=False. With the decimal-space
+    comparison the cap must fire exactly, on both engines. (Found by
+    the dq_embedding_drift build-stage fuzz, r12.)"""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_etl_pipeline_spark.plans.relational import (
+        DQ_DRIFT_PPM_CAP,
+        DQ_PROFILE_DRIFT_ORACLE,
+        dq_profile_drift,
+    )
+    from simple_etl_pipeline_spark.schemas import TESTDATA_TABLES
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    d = str(tmp_path / "drift_wrap_neg")
+    os.makedirs(d)
+    base = dt.datetime(2024, 8, 1)
+    ts = [base, base + dt.timedelta(hours=100)]
+    # a = 1 micro; b = 9.3e12 micros -> raw ratio ~9.3e18 ppm, ~0.8%
+    # past 2^63 (9.2234e18): the 64-bit wrap of 9.3e18 is
+    # 9.3e18 - 2^64 = -9.15e18, i.e. squarely in the NEGATIVE band
+    # the old least() idiom silently returned.
+    vals = [1e-6, 9.3e6]
+    n = len(ts)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array([1] * n, pa.int64()),
+                "event_type": pa.array(["view"] * n, pa.string()),
+                "value": pa.array(vals, pa.float64()),
+                "props": pa.array(["{}"] * n, pa.string()),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    for t in TESTDATA_TABLES:
+        if t != "events":
+            os.symlink(
+                f"{sf_dir}/{t}.parquet", os.path.join(d, f"{t}.parquet")
+            )
+    raw_ppm = 9_300_000_000_000 * 1_000_000 - 1_000_000  # |b-a| * 1e6
+    assert 2**63 < raw_ppm < 2**64  # the negative-wrap band
+    got = {r.metric: r for r in dq_profile_drift(spark, d).collect()}
+    vm = got["value_mean_micros"]
+    assert vm.a_value == 1 and vm.b_value == 9_300_000_000_000
+    assert vm.drift_ppm == DQ_DRIFT_PPM_CAP
     assert vm.flagged
     compare_with_oracle(dq_profile_drift(spark, d), DQ_PROFILE_DRIFT_ORACLE, d)
 
