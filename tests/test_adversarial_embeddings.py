@@ -23,6 +23,14 @@ from simple_etl_pipeline_spark.testing import demoted_queries as _dq  # noqa: E4
 QUERIES.update({k: fn for k, (fn, _) in _dq().items()})
 ORACLES = entrymod.oracle_sql()
 ORACLES.update({k: sql for k, (_, sql) in _dq().items()})
+# banked prebuilds join the gauntlet before they earn a registry slot
+from simple_etl_pipeline_spark.plans.similarity import (  # noqa: E402
+    DQ_EMBEDDING_DRIFT_ORACLE,
+    dq_embedding_drift,
+)
+
+QUERIES["dq_embedding_drift"] = dq_embedding_drift
+ORACLES["dq_embedding_drift"] = DQ_EMBEDDING_DRIFT_ORACLE
 
 DIM = 64
 
@@ -71,6 +79,11 @@ ADVERSARIAL_SIM_QUERIES = [
     # near-dup boundary, and the same-source exclusion under the
     # symlinked documents fixture all flow through the parity gate
     "train_hard_negatives",
+    # round 12 (r13 bank, gauntleted at BUILD time): the snapshot
+    # drift monitor over zero vectors (zero means, divisor floor),
+    # exact duplicates, antipodal pairs and the 1e-18 underflow
+    # coordinates (round to 0 micros on both engines)
+    "dq_embedding_drift",
 ]
 
 

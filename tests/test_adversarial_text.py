@@ -20,6 +20,20 @@ from simple_etl_pipeline_spark.testing import demoted_queries as _dq  # noqa: E4
 QUERIES.update({k: fn for k, (fn, _) in _dq().items()})
 ORACLES = entrymod.oracle_sql()
 ORACLES.update({k: sql for k, (_, sql) in _dq().items()})
+# banked prebuilds join the gauntlet before they earn a registry slot
+from simple_etl_pipeline_spark.plans.text import (  # noqa: E402
+    TRAIN_ATTENTION_PACK_ORACLE,
+    train_attention_pack,
+)
+from simple_etl_pipeline_spark.streaming.stateful import (  # noqa: E402
+    ST_DEDUP_LSH_ORACLE,
+    st_dedup_lsh_index,
+)
+
+QUERIES["train_attention_pack"] = train_attention_pack
+ORACLES["train_attention_pack"] = TRAIN_ATTENTION_PACK_ORACLE
+QUERIES["st_dedup_lsh_index"] = st_dedup_lsh_index
+ORACLES["st_dedup_lsh_index"] = ST_DEDUP_LSH_ORACLE
 
 EDGE_DOCS = [
     # (doc_id, text, lang, source)
@@ -105,6 +119,21 @@ ADVERSARIAL_QUERIES = [
     # (empty/null/whitespace docs excluded pre-ranking, ties from the
     # repetition-spam quality collisions, CJK token counting)
     "train_token_budget_pack",
+    # round 12: the newly REGISTERED documents-surface queries join the
+    # gauntlet — cross-document boilerplate over empty/null/CJK lines
+    # (trim classes, within-doc repeats on the spam docs) and the
+    # perceptual-hash near-dup over the degenerate byte planes
+    # (empty/null text -> no payload; CJK multi-byte planes)
+    "txt_boilerplate_lines",
+    "mm_phash_dedup",
+    # round 12: the r13-bank documents queries, gauntleted at BUILD
+    # time — attention packing over empty/null/whitespace docs
+    # (excluded pre-packing) and CJK token counting; the streaming LSH
+    # index over the same corpus (sub-3-token docs produce no
+    # signature; the dup-injection residues are absent by doc-id
+    # construction)
+    "train_attention_pack",
+    "st_dedup_lsh_index",
 ]
 
 
