@@ -53,6 +53,20 @@ PICKS = {
     "agg_basket_lift": "distinct-first dedup, single-shuffle bounded basket pair expansion, keyed support joins, TakeOrdered head",
     "train_curriculum_order": "global_row_number range shuffle (2nd surface) + persisted barrier read by both branches; shard rollup keyed",
     "search_hybrid_rrf": "shared _bm25_per_doc posting shuffle + 5-query-vector broadcast dense scan; integer-ppm fusion over candidate-sized frames",
+    # round 11 registrations
+    "train_token_budget_pack": "global_prefix_sum range shuffle (rank AND running sum in ONE pid-keyed WindowExec) + broadcast offsets; lang rollup over the budget-bounded selection",
+    "dq_profile_drift": "1-row bounds broadcast + ONE conditional-agg pass for both halves' 7 metrics; stack() unpivot over a 1-row frame; decimal-space drift saturation (no 64-bit quotient conversion can wrap)",
+    "ev_seasonal_residuals": "hour-keyed agg with map-side collapse; complete grid exploded from a 1-row bounds broadcast; (dow,hod) slot stats joined on a 168-row key",
+    # round 12 registrations
+    "dq_k_anonymity": "two keyed aggs over one pruned 3-column customer scan; no join, no window — class counting never keys a window by the QI tuple",
+    "agg_ols_trend": "one orders->customer equi-join, 25-group decimal moment agg, pure arithmetic on the bounded frame, broadcast nation names",
+    "txt_boilerplate_lines": "line explode -> (line,doc) agg -> line_key document-frequency AGG (never a window on the by-definition-heavy line keys) -> keyed join-back -> source rollup",
+    "mm_phash_dedup": "scan-stage Column hashing; ONE h-keyed agg collapses identical hashes to clusters BEFORE the 3x20-bit band equi-join over distinct hashes; exact popcount verify on candidates only",
+    # round-12-built r13 bank (st_dedup_lsh_index is streaming — its
+    # batch-visible plan is the memory-sink rollup; the stateless
+    # signature stage is pinned by the batch-equivalence test instead)
+    "train_attention_pack": "global_prefix_sum offsets (5th surface) + ONE bounded span explode (output-sized) + seq-keyed manifest agg",
+    "dq_embedding_drift": "one posexplode (constant 64x) into one dim-keyed agg with map-side combine; 64 rows after the scan, no join, no window",
 }
 
 def main():
@@ -66,6 +80,12 @@ def main():
 
     for _n, (_fn, _sql) in demoted_queries().items():
         qs.setdefault(_n, _fn)
+    # banked prebuilds carry their evidence sections from build time
+    from simple_etl_pipeline_spark.plans.similarity import dq_embedding_drift
+    from simple_etl_pipeline_spark.plans.text import train_attention_pack
+
+    qs.setdefault("train_attention_pack", train_attention_pack)
+    qs.setdefault("dq_embedding_drift", dq_embedding_drift)
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     out = ["# PLANS — captured physical plans (sf0.1, AQE on)", "",
