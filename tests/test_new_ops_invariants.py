@@ -5010,3 +5010,183 @@ def test_embedding_drift_fuzzed_cross_engine(
     compare_with_oracle(
         dq_embedding_drift(spark, d), DQ_EMBEDDING_DRIFT_ORACLE, d
     )
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(
+                st.sampled_from(
+                    [
+                        "SHARED FOOTER",
+                        "NAV BAR",
+                        "body text one",
+                        "body text two",
+                        "unique-{i}",
+                        "",
+                    ]
+                ),
+                st.sampled_from(["", " ", "\t", "\r", " \t", " "]),
+                st.sampled_from(["", " ", "\r", "\t\r", " "]),
+            ),
+            min_size=0,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    st.lists(st.sampled_from(["s1", "s2", None]), min_size=10, max_size=10),
+)
+@_SETTINGS
+def test_boilerplate_fuzzed_cross_engine(
+    spark, tmp_path_factory, doc_lines, sources
+):
+    """Cross-engine fuzz over the boilerplate remover's hazard surface:
+    random line pools with random space/tab/CR padding (the exact trim
+    class — both engines must merge padded variants into one line key)
+    plus NBSP padding (NOT in the trim class — both engines must treat
+    it as line content), empty lines, empty docs, repeated lines
+    within a doc, NULL sources. Any trim/char-class divergence between
+    Spark's trim(BOTH ...) and DuckDB's trim(ln, chars) hash-mismatches
+    here."""
+    import pyarrow as pa
+
+    from simple_etl_pipeline_spark.plans.text import (
+        TXT_BOILERPLATE_ORACLE,
+        txt_boilerplate_lines,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    texts = []
+    for i, lines in enumerate(doc_lines):
+        if not lines:
+            texts.append(None)
+            continue
+        texts.append(
+            "\n".join(
+                pre + body.replace("{i}", str(i)) + post
+                for body, pre, post in lines
+            )
+        )
+    # ids avoid the %5/%7 chrome-injection residues of boiler_corpus
+    ids = [1, 2, 3, 4, 6, 8, 9, 11, 12, 13][: len(texts)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(sources[: len(texts)], pa.string()),
+            "n_chars": pa.array(
+                [len(t) if t else 0 for t in texts], pa.int64()
+            ),
+        }
+    )
+    d = _edge_dir(
+        tmp_path_factory.mktemp("boilfuzz"), "c", {"documents": tbl}
+    )
+    compare_with_oracle(
+        txt_boilerplate_lines(spark, d), TXT_BOILERPLATE_ORACLE, d
+    )
+
+
+@given(
+    st.lists(st.integers(0, 3000), min_size=1, max_size=25)
+)
+@_SETTINGS
+def test_attention_pack_fuzzed_cross_engine(
+    spark, tmp_path_factory, token_counts
+):
+    """Cross-engine fuzz over the packing arithmetic: arbitrary doc
+    token counts (zero-token docs excluded, giant docs straddling many
+    sequences, boundary-exact fits) must hash-match DuckDB AND satisfy
+    the packing invariants — contiguous seq ids from 0, every
+    non-final sequence exactly full, the final sequence's tokens+pad
+    = ctx, total packed tokens = the corpus total."""
+    import pyarrow as pa
+
+    from simple_etl_pipeline_spark.plans.relational import (
+        release_barriers_for,
+    )
+    from simple_etl_pipeline_spark.plans.text import (
+        ATTN_CTX,
+        TRAIN_ATTENTION_PACK_ORACLE,
+        train_attention_pack,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    texts = [" ".join(["w"] * n) if n else "" for n in token_counts]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["s"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    d = _edge_dir(
+        tmp_path_factory.mktemp("attnfuzz"), "c", {"documents": tbl}
+    )
+    df = train_attention_pack(spark, d)
+    rows = df.collect()
+    release_barriers_for(df)
+    total = sum(n for n in token_counts if n > 0)
+    if total == 0:
+        assert rows == []
+        return
+    assert [r.seq_id for r in rows] == list(range(len(rows)))
+    for r in rows[:-1]:
+        assert r.n_tokens == ATTN_CTX and r.pad_tokens == 0
+    assert rows[-1].n_tokens + rows[-1].pad_tokens == ATTN_CTX
+    assert sum(r.n_tokens for r in rows) == total
+    compare_with_oracle(
+        train_attention_pack(spark, d), TRAIN_ATTENTION_PACK_ORACLE, d
+    )
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),                      # nationkey
+            st.sampled_from(["A", "B", None]),      # segment
+            st.one_of(
+                st.none(),
+                st.integers(-300_000, 300_000),     # balance in cents
+            ),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@_SETTINGS
+def test_k_anonymity_fuzzed_cross_engine(spark, tmp_path_factory, rows):
+    """Cross-engine fuzz over the k-anonymity banding surface: random
+    QI tuples with NEGATIVE balances straddling band edges, NULL
+    segments and NULL balances — the floor-banding, NULL-class and
+    strict-threshold arithmetic must hash-match DuckDB on every draw."""
+    import pyarrow as pa
+
+    from simple_etl_pipeline_spark.plans.relational import (
+        DQ_K_ANONYMITY_ORACLE,
+        dq_k_anonymity,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    tbl = pa.table(
+        {
+            "c_custkey": pa.array(range(len(rows)), pa.int64()),
+            "c_name": pa.array(
+                [f"c{i}" for i in range(len(rows))], pa.string()
+            ),
+            "c_nationkey": pa.array([n for n, _, _ in rows], pa.int32()),
+            "c_acctbal": pa.array(
+                [b / 100.0 if b is not None else None for _, _, b in rows],
+                pa.float64(),
+            ),
+            "c_mktsegment": pa.array([s for _, s, _ in rows], pa.string()),
+        }
+    )
+    d = _edge_dir(
+        tmp_path_factory.mktemp("kanonfuzz"), "c", {"customer": tbl}
+    )
+    compare_with_oracle(dq_k_anonymity(spark, d), DQ_K_ANONYMITY_ORACLE, d)
