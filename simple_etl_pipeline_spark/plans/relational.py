@@ -2587,6 +2587,14 @@ def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "metric",
             F.col("a_value").cast("bigint").alias("a_value"),
             F.col("b_value").cast("bigint").alias("b_value"),
+            # NULL-skip audit note (r12): least()/greatest() SKIP NULL
+            # operands in both engines, but NO metric value here can
+            # be NULL — counts by construction, and the value sums
+            # coalesce to 0 for a valueless half (the documented
+            # "values disappeared" reading: mean 0, real delta, real
+            # flag) — so the skip semantics are unreachable. The
+            # dq_embedding_drift twin, whose snapshot means CAN be
+            # NULL, carries the explicit NULL branch instead.
             F.expr(
                 f"CAST(least(greatest("
                 f"CAST(b_value AS DECIMAL(38,0)) - a_value,"

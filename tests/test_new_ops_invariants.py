@@ -3494,6 +3494,72 @@ def test_profile_drift_cap_fires_where_wrapped_div_was_negative(
     compare_with_oracle(dq_profile_drift(spark, d), DQ_PROFILE_DRIFT_ORACLE, d)
 
 
+def test_profile_drift_valueless_half_reads_zero_mean_not_null(
+    spark, sf_dir, tmp_path
+):
+    """r12 least()-skips-NULLs audit pin for dq_profile_drift: a half
+    whose every event carries a NULL value reads value_mean_micros = 0
+    BY DESIGN (the coalesced "values disappeared" reading: a real
+    delta equal to the other half's mean, a real flag) — NOT NULL.
+    This is the semantics that makes the NULL-skip hazard of
+    least()/greatest() unreachable here (no metric value can be NULL),
+    in deliberate contrast to the dq_embedding_drift twin, whose
+    empty-snapshot means ARE NULL and carry an explicit NULL branch.
+    Pinned cross-engine so either op silently adopting the other's
+    convention hash-mismatches."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_etl_pipeline_spark.plans.relational import (
+        DQ_PROFILE_DRIFT_ORACLE,
+        dq_profile_drift,
+    )
+    from simple_etl_pipeline_spark.schemas import TESTDATA_TABLES
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    d = str(tmp_path / "drift_valueless_half")
+    os.makedirs(d)
+    base = dt.datetime(2024, 8, 1)
+    # half A (before the midpoint): two NULL-valued events; half B:
+    # two real values
+    ts = [base, base + dt.timedelta(hours=1),
+          base + dt.timedelta(hours=99), base + dt.timedelta(hours=100)]
+    vals = [None, None, 10.0, 30.0]
+    n = len(ts)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array([1, 2, 1, 2], pa.int64()),
+                "event_type": pa.array(["view"] * n, pa.string()),
+                "value": pa.array(vals, pa.float64()),
+                "props": pa.array(["{}"] * n, pa.string()),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    for t in TESTDATA_TABLES:
+        if t != "events":
+            os.symlink(
+                f"{sf_dir}/{t}.parquet", os.path.join(d, f"{t}.parquet")
+            )
+    got = {r.metric: r for r in dq_profile_drift(spark, d).collect()}
+    vm = got["value_mean_micros"]
+    assert vm.a_value == 0              # coalesced, never NULL
+    assert vm.b_value == 20_000_000     # mean(10, 30) in micros
+    assert vm.delta == 20_000_000       # a REAL move, fully attributed
+    assert vm.drift_ppm > 0 and vm.flagged
+    npm = got["null_value_ppm"]         # and the null rate metric says WHY
+    assert (npm.a_value, npm.b_value) == (1_000_000, 0)
+    ne = got["n_events"]
+    assert (ne.a_value, ne.b_value, ne.delta) == (2, 2, 0)
+    compare_with_oracle(dq_profile_drift(spark, d), DQ_PROFILE_DRIFT_ORACLE, d)
+
+
 def test_profile_drift_sf01_realistic_headroom(spark):
     """The other side of the cap contract, pinned at sf0.1 (the bench
     corpus, 10x the driver's correctness SF): on realistic data the
