@@ -5025,6 +5025,49 @@ def test_embedding_drift_edge_corpus_nan_inf_clamp_and_empty_half(
     )
 
 
+def test_embedding_drift_null_elements_excluded_everywhere(
+    spark, tmp_path
+):
+    """NULL elements INSIDE an embedding array (as opposed to NaN/Inf)
+    are excluded from the mean AND from n_bad on both engines: Spark's
+    isnan(NULL) is NULL so neither the finite nor the not-finite
+    branch counts the element, and DuckDB's isfinite(NULL) behaves
+    identically — a NULL coordinate is missing data, not corruption.
+    Pinned so neither engine's three-valued logic can silently drift
+    into counting them."""
+    import pyarrow as pa
+
+    from simple_etl_pipeline_spark.plans.similarity import (
+        DQ_EMBEDDING_DRIFT_ORACLE,
+        dq_embedding_drift,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    a_ids = [i for i in range(50) if _emb_parity(i) == 0]
+    vecs = {
+        a_ids[0]: [1.0, None],
+        a_ids[1]: [3.0, None],
+        a_ids[2]: [None, 0.5],
+    }
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(sorted(vecs), pa.int64()),
+            "embedding": pa.array(
+                [vecs[k] for k in sorted(vecs)], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        }
+    )
+    d = _edge_dir(tmp_path, "embnull_edge", {"embeddings": tbl})
+    out = {r.dim: r for r in dq_embedding_drift(spark, d).collect()}
+    d0, d1 = out[0], out[1]
+    assert (d0.n_a, d0.n_bad, d0.mean_a_micros) == (2, 0, 2_000_000)
+    assert (d1.n_a, d1.n_bad, d1.mean_a_micros) == (1, 0, 500_000)
+    compare_with_oracle(
+        dq_embedding_drift(spark, d), DQ_EMBEDDING_DRIFT_ORACLE, d
+    )
+
+
 @given(
     st.lists(
         st.lists(
