@@ -85,6 +85,20 @@ _BANKED_PREBUILDS: list[str] = [
     "train_attention_pack",
     "dq_embedding_drift",
     "st_dedup_lsh_index",
+    # r14 bank (built in the round-12 continuation session, AHEAD of
+    # the cadence — the SCALING.md r12 post-r13 roadmap trio, so r13
+    # only registers and roadmaps instead of building): pad-minimizing
+    # whole-document shelf packing (global_row_number's sixth
+    # surface), content-level corpus snapshot diff (the CDC twin of
+    # dq_embedding_drift on text), and the streaming embedding-drift
+    # monitor (st_static_zscore topology, batch expressions imported).
+    # Registration plan: r13 registers the r13 trio into its 3 free
+    # slots per the ROUND-13 LEDGER below; the r14 trio registers in
+    # r14 with 3 in-mandatory demotions named in the r14 ledger
+    # (written at r13 close, the standing cadence).
+    "train_binpack_shelves",
+    "dq_snapshot_diff",
+    "st_embedding_drift",
 ]
 
 _WINDOW = [

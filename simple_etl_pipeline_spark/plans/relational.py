@@ -3126,6 +3126,225 @@ ORDER BY n_name
 """
 
 
+# --- content-level corpus snapshot diff (round-14 prebuild bank) ----------
+SNAPDIFF_SALT = "snapdiff"
+SNAPDIFF_REV_TAIL = " [rev2]"
+
+
+def snapshot_diff(snap_a: DataFrame, snap_b: DataFrame) -> DataFrame:
+    """Core content-level diff of two corpus snapshots — the CDC twin
+    of dq_embedding_drift on TEXT, and the audit row every retraining
+    decision wants ("what actually changed since the last crawl?").
+    Inputs are two document-shaped frames (doc_id, text, source);
+    doc_id is the corpus key (non-null, unique per snapshot — the
+    documents-table contract every packing/dedup op shares). Each side
+    reduces to (doc_id, source, md5(text), char count); the two
+    reductions FULL OUTER equi-join on doc_id and every document
+    classifies exactly one way:
+
+      added      in A-side NULL (new in B)
+      deleted    in B-side NULL (gone from B)
+      unchanged  both present, hashes null-safe equal (<=> / IS NOT
+                 DISTINCT FROM — two NULL-text versions are the SAME
+                 content, not a change; an unguarded = would leak them
+                 into neither class)
+      changed    both present, hashes differ
+
+    Comparison is on the CONTENT HASH, not the text — at 100 TB the
+    diff never moves document bodies through the join, only 32-byte
+    digests (the realistic snapshot-manifest layout). A document whose
+    source moved between snapshots is attributed to its CURRENT
+    (B-side) source via coalesce(b_src, a_src); NULL source is the
+    real group '(null)' (the txt_domain_split convention). The
+    per-source rollup emits exact counts per class, char volumes
+    (chars added with new docs, chars removed with deleted docs, the
+    SIGNED char delta across changed docs), and churn_ppm =
+    (added + deleted + changed) * 1e6 div |A ∪ B| — staged in
+    decimal(38,0) so the product can never wrap (the quotient is
+    <= 1e6 by construction; the dq_profile_drift decimal-div lesson
+    applied at build time).
+
+    Scale shape: two narrow scan reductions (hash + length — no
+    shuffle), ONE doc_id-keyed full-outer equi-join (unique keys on
+    both sides: no skew, AQE-planned), and a source-keyed rollup whose
+    map-side partials collapse to |sources| rows before the shuffle.
+    Nothing after the join exceeds the source universe."""
+
+    def prep(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col("doc_id"),
+            F.coalesce(F.col("source"), F.lit("(null)")).alias(
+                f"{tag}_src"
+            ),
+            F.md5(F.col("text")).alias(f"{tag}_hash"),
+            F.coalesce(F.length("text"), F.lit(0))
+            .cast("bigint")
+            .alias(f"{tag}_chars"),
+            F.lit(True).alias(f"in_{tag}"),
+        )
+
+    joined = prep(snap_a, "a").join(prep(snap_b, "b"), "doc_id", "full_outer")
+    tagged = joined.select(
+        F.coalesce(F.col("b_src"), F.col("a_src")).alias("src"),
+        "in_a",
+        "in_b",
+        "a_chars",
+        "b_chars",
+        F.when(F.col("in_a").isNull(), F.lit("added"))
+        .when(F.col("in_b").isNull(), F.lit("deleted"))
+        .when(
+            F.col("a_hash").eqNullSafe(F.col("b_hash")), F.lit("unchanged")
+        )
+        .otherwise(F.lit("changed"))
+        .alias("cls"),
+    )
+    agg = tagged.groupBy("src").agg(
+        F.count("in_a").alias("n_a"),
+        F.count("in_b").alias("n_b"),
+        F.count(F.when(F.col("cls") == "added", F.lit(1))).alias("n_added"),
+        F.count(F.when(F.col("cls") == "deleted", F.lit(1))).alias(
+            "n_deleted"
+        ),
+        F.count(F.when(F.col("cls") == "changed", F.lit(1))).alias(
+            "n_changed"
+        ),
+        F.count(F.when(F.col("cls") == "unchanged", F.lit(1))).alias(
+            "n_unchanged"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("cls") == "added", F.col("b_chars"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("chars_added"),
+        F.coalesce(
+            F.sum(F.when(F.col("cls") == "deleted", F.col("a_chars"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("chars_deleted"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("cls") == "changed",
+                    F.col("b_chars") - F.col("a_chars"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("chars_changed_delta"),
+    )
+    return (
+        agg.withColumn(
+            "churn_ppm",
+            F.expr(
+                "cast(n_added + n_deleted + n_changed as decimal(38,0))"
+                " * 1000000 div greatest(n_a + n_added, 1)"
+            ).cast("bigint"),
+        )
+        .orderBy("src")
+    )
+
+
+def dq_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() adapter for :func:`snapshot_diff`: the testdata has one
+    documents table, so the two snapshots are derived deterministically
+    from it (the st_dedup_index injection device) via a salted 60-bit
+    md5 of doc_id into ten classes: class 0 is absent from snapshot A
+    (arrives as `added`), class 1 is absent from snapshot B
+    (`deleted`), classes 2-3 carry revised content in B (`changed` —
+    a literal tail appended; a NULL-text doc in these classes stays
+    NULL under concat, so its hash is null-safe-equal and it correctly
+    reads `unchanged`: the content did not change), classes 4-9 are
+    `unchanged`. Every classification branch is therefore exercised on
+    the stock corpus, and the split is stable under corpus growth."""
+    from simple_etl_pipeline_spark.functions.text import md5_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "text",
+        "source",
+        (
+            md5_hash60(F.col("doc_id").cast("string"), F.lit(SNAPDIFF_SALT))
+            % 10
+        ).alias("_h"),
+    )
+    snap_a = base.filter(F.col("_h") != 0).select("doc_id", "text", "source")
+    snap_b = base.filter(F.col("_h") != 1).select(
+        "doc_id",
+        F.when(
+            F.col("_h").isin(2, 3),
+            F.concat(F.col("text"), F.lit(SNAPDIFF_REV_TAIL)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "source",
+    )
+    return snapshot_diff(snap_a, snap_b)
+
+
+def _snapshot_diff_oracle() -> str:
+    from simple_etl_pipeline_spark.functions.text import sql_md5_hash60
+
+    h = sql_md5_hash60("CAST(doc_id AS VARCHAR)", f"'{SNAPDIFF_SALT}'")
+    # `||` (not concat()): DuckDB's concat() treats NULL as '', while
+    # Spark's concat is NULL-propagating — `||` matches Spark.
+    b_text = (
+        f"CASE WHEN h IN (2, 3) THEN text || '{SNAPDIFF_REV_TAIL}'"
+        " ELSE text END"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, source, ({h}) % 10 AS h FROM documents
+), a AS (
+  SELECT doc_id, COALESCE(source, '(null)') AS a_src,
+    md5(text) AS a_hash,
+    CAST(COALESCE(length(text), 0) AS BIGINT) AS a_chars,
+    TRUE AS in_a
+  FROM base WHERE h <> 0
+), b AS (
+  SELECT doc_id, COALESCE(source, '(null)') AS b_src,
+    md5({b_text}) AS b_hash,
+    CAST(COALESCE(length({b_text}), 0) AS BIGINT) AS b_chars,
+    TRUE AS in_b
+  FROM base WHERE h <> 1
+), tagged AS (
+  SELECT COALESCE(b_src, a_src) AS src, in_a, in_b, a_chars, b_chars,
+    CASE WHEN in_a IS NULL THEN 'added'
+         WHEN in_b IS NULL THEN 'deleted'
+         WHEN a_hash IS NOT DISTINCT FROM b_hash THEN 'unchanged'
+         ELSE 'changed' END AS cls
+  FROM a FULL OUTER JOIN b USING (doc_id)
+), agg AS (
+  SELECT src,
+    COUNT(in_a) AS n_a,
+    COUNT(in_b) AS n_b,
+    COUNT(CASE WHEN cls = 'added' THEN 1 END) AS n_added,
+    COUNT(CASE WHEN cls = 'deleted' THEN 1 END) AS n_deleted,
+    COUNT(CASE WHEN cls = 'changed' THEN 1 END) AS n_changed,
+    COUNT(CASE WHEN cls = 'unchanged' THEN 1 END) AS n_unchanged,
+    CAST(COALESCE(SUM(CASE WHEN cls = 'added' THEN b_chars END), 0)
+         AS BIGINT) AS chars_added,
+    CAST(COALESCE(SUM(CASE WHEN cls = 'deleted' THEN a_chars END), 0)
+         AS BIGINT) AS chars_deleted,
+    CAST(COALESCE(SUM(CASE WHEN cls = 'changed'
+                           THEN b_chars - a_chars END), 0)
+         AS BIGINT) AS chars_changed_delta
+  FROM tagged GROUP BY src
+)
+SELECT src, n_a, n_b, n_added, n_deleted, n_changed, n_unchanged,
+  chars_added, chars_deleted, chars_changed_delta,
+  CAST(CAST(n_added + n_deleted + n_changed AS HUGEINT) * 1000000
+       // GREATEST(n_a + n_added, 1) AS BIGINT) AS churn_ppm
+FROM agg ORDER BY src
+"""
+
+
+DQ_SNAPSHOT_DIFF_ORACLE = _snapshot_diff_oracle()
+
+
 # join_fuzzy_recall was DEMOTED to pytest-only parity in round 6
 # (tests/test_oracle_parity.py DEMOTED map): it recomputes
 # join_fuzzy_part_names' banded pairs against the unbanded ground

@@ -1563,37 +1563,16 @@ def dq_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant 64x narrow map, not a data-dependent explode) feeding one
     dim-keyed aggregation with map-side combine — everything after
     the scan is exactly 64 rows. No joins, no windows, no second
-    pass."""
-    from simple_etl_pipeline_spark.functions.text import md5_hash60
-    from simple_etl_pipeline_spark.plans.relational import (
-        DQ_DRIFT_FLAG_PPM,
-        DQ_DRIFT_PPM_CAP,
-    )
+    pass.
 
+    The split/quantization stage and the mean/drift/flag tail are the
+    shared module-level helpers emb_coords / emb_mean_expr /
+    emb_drift_tail (expression text unchanged by the extraction) so
+    the streaming twin st_embedding_drift imports the batch-verified
+    expressions instead of re-implementing them — the st_static_zscore
+    convention."""
     emb = load_table(spark, sf_dir, "embeddings")
-    snap_b = (
-        md5_hash60(F.col("vec_id").cast("string"), F.lit("embdrift")) % 2
-        == 1
-    )
-    coords = emb.select(
-        snap_b.alias("in_b"),
-        F.posexplode("embedding").alias("dim", "x"),
-    ).select(
-        "in_b",
-        "dim",
-        F.col("x").cast("double").alias("xd"),
-    ).withColumn(
-        "finite", ~F.isnan("xd") & (F.abs("xd") <= F.lit(1e308))
-    ).withColumn(
-        "q",
-        F.least(
-            F.greatest(
-                F.round(F.col("xd") * 1_000_000),
-                F.lit(float(-EMB_MICROS_CAP)),
-            ),
-            F.lit(float(EMB_MICROS_CAP)),
-        ).cast("bigint"),
-    )
+    coords = emb_coords(emb)
     dec = "decimal(38,0)"
     stats = coords.groupBy("dim").agg(
         F.count(F.when(~F.col("in_b") & F.col("finite"), F.lit(1)))
@@ -1613,17 +1592,67 @@ def dq_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a",
         "n_b",
         "n_bad",
-        F.expr(
-            "CASE WHEN n_a = 0 THEN NULL"
-            " WHEN s_a < 0 THEN -((-s_a) div n_a)"
-            " ELSE s_a div n_a END"
-        ).cast("bigint").alias("mean_a_micros"),
-        F.expr(
-            "CASE WHEN n_b = 0 THEN NULL"
-            " WHEN s_b < 0 THEN -((-s_b) div n_b)"
-            " ELSE s_b div n_b END"
-        ).cast("bigint").alias("mean_b_micros"),
+        emb_mean_expr("s_a", "n_a").alias("mean_a_micros"),
+        emb_mean_expr("s_b", "n_b").alias("mean_b_micros"),
     )
+    return emb_drift_tail(means)
+
+
+def emb_coords(emb: DataFrame) -> DataFrame:
+    """Shared snapshot-split + quantization stage of the embedding
+    drift monitors (batch dq_embedding_drift above; streaming twin
+    streaming/events.st_embedding_drift): tag each vector with its
+    md5-parity snapshot, posexplode to (dim, coordinate), mark
+    non-finite coordinates (NULL elements stay NULL `finite` — they
+    count in NEITHER the means nor n_bad, the pinned NULL-skip
+    semantics), and clamp the rounded micros at ±EMB_MICROS_CAP.
+    Works unchanged on a streaming frame (narrow expressions only)."""
+    from simple_etl_pipeline_spark.functions.text import md5_hash60
+
+    snap_b = (
+        md5_hash60(F.col("vec_id").cast("string"), F.lit("embdrift")) % 2
+        == 1
+    )
+    return emb.select(
+        snap_b.alias("in_b"),
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "in_b",
+        "dim",
+        F.col("x").cast("double").alias("xd"),
+    ).withColumn(
+        "finite", ~F.isnan("xd") & (F.abs("xd") <= F.lit(1e308))
+    ).withColumn(
+        "q",
+        F.least(
+            F.greatest(
+                F.round(F.col("xd") * 1_000_000),
+                F.lit(float(-EMB_MICROS_CAP)),
+            ),
+            F.lit(float(EMB_MICROS_CAP)),
+        ).cast("bigint"),
+    )
+
+
+def emb_mean_expr(s: str, n: str):
+    """Sign-staged truncating division of a decimal(38,0) micros sum by
+    a count — the agg_ols_trend tdiv convention, shared by both drift
+    monitors. NULL when the half is empty (n = 0)."""
+    return F.expr(
+        f"CASE WHEN {n} = 0 THEN NULL"
+        f" WHEN {s} < 0 THEN -((-{s}) div {n})"
+        f" ELSE {s} div {n} END"
+    ).cast("bigint")
+
+
+def emb_drift_tail(means: DataFrame) -> DataFrame:
+    """Shared delta/drift/flag tail over a per-dim means frame
+    (dim, n_a, n_b, n_bad, mean_a_micros, mean_b_micros)."""
+    from simple_etl_pipeline_spark.plans.relational import (
+        DQ_DRIFT_FLAG_PPM,
+        DQ_DRIFT_PPM_CAP,
+    )
+
     return (
         means.withColumn(
             "delta_micros",

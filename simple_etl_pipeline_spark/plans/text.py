@@ -4279,6 +4279,192 @@ GROUP BY seq_id ORDER BY seq_id
 """
 
 
+# --- pad-minimizing whole-document shelf packing (round-14 prebuild bank) --
+SHELF_BANDS = [2**k for k in range(0, 12)]  # 1, 2, 4, ..., ATTN_CTX
+if SHELF_BANDS[-1] != ATTN_CTX:  # not a bare assert: -O-safe (ADVICE r10)
+    raise ValueError("shelf band ladder must top out at ATTN_CTX")
+
+
+def _shelf_band_sql(col: str) -> str:
+    """Smallest power-of-two band >= token count, as a portable CASE
+    ladder (12 branches — exact integer comparison on both engines; a
+    float log2 would risk the exact-power boundaries). Token counts
+    above ATTN_CTX map to band 0: oversize, cannot shelf-pack."""
+    branches = " ".join(
+        f"WHEN {col} <= {b} THEN {b}" for b in SHELF_BANDS
+    )
+    return f"CASE WHEN {col} > {ATTN_CTX} THEN 0 {branches} END"
+
+
+def train_binpack_shelves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pad-minimizing WHOLE-document shelf packing (round-14 prebuild
+    bank) — train_attention_pack's complement per the SCALING.md r12
+    roadmap: the straddling packer wastes zero tokens but lets a
+    document span sequence boundaries; instruction-tuning and eval
+    batches need the opposite guarantee (no document straddles a
+    sequence), which makes padding unavoidable — the job is to MINIMIZE
+    it. True first-fit-decreasing is inherently sequential; the SHELF
+    variant is exactly distributable: each document rounds up to the
+    smallest power-of-two band >= its token count, and within a band of
+    length B a shelf holds exactly ATTN_CTX div B documents at stride B
+    (exact for every band because ATTN_CTX is itself a power of two —
+    zero tail waste by construction). Shelf membership is then a
+    CLOSED-FORM function of the document's rank within its band:
+    shelf_id = (rank - 1) div slots — no iteration, no bin state.
+    The pad-vs-FFD gap is bounded: a shelf's internal fragmentation is
+    < 50% of its real tokens (each doc wastes < its own length, since
+    band < 2 x tokens), and FFD itself cannot beat the lower bound
+    ceil(total/CTX), so the manifest's exact pad_tokens column IS the
+    audit of what the no-straddle guarantee costs on this corpus.
+
+    Degenerate classes, all surfaced rather than dropped: zero-token /
+    NULL-text documents carry no trainable content and are excluded
+    (the train_attention_pack rule); documents LONGER than ATTN_CTX
+    cannot be whole-packed — they emit as band 0 rows, one manifest
+    row per document, with n_seqs = ceil(tokens/CTX) (the sequence
+    run the doc would occupy alone) so the router that sends them to
+    the straddling packer sees their exact cost. For every row,
+    shelf or oversize run alike: pad_tokens = n_seqs * CTX - n_tokens
+    and fill_ppm = n_tokens * 1e6 div (n_seqs * CTX), the product
+    staged in decimal(38,0) (an oversize doc's token count is
+    unbounded; the quotient is <= 1e6 so the BIGINT cast can never
+    wrap — the dq_profile_drift decimal-div lesson applied at build
+    time).
+
+    Ranking within a band NEVER uses a band-partitioned window (a
+    <= 13-key partition would funnel the corpus through 13 reducers):
+    `global_row_number` over the total order (band_len, doc_id) — its
+    SIXTH surface — gives contiguous global ranks per band after ONE
+    range shuffle, and the in-band rank is grank minus the band's
+    start offset, a <= 13-row aggregate read back off the primitive's
+    persist barrier and broadcast. Shelf manifest rows then come from
+    one (band, shelf)-keyed aggregation with map-side combine; output
+    rows = n_shelves ~ docs/slots (the manifest IS the product).
+    Oracle: identical arithmetic under ROW_NUMBER() OVER
+    (PARTITION BY band ORDER BY doc_id) in DuckDB — the per-band rank
+    equivalence is exactly what the subtract-offset trick guarantees.
+    """
+    from simple_etl_pipeline_spark.plans.relational import (
+        global_row_number,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.size(tokens_col("text")).cast("bigint").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    banded = scored.withColumn(
+        "band_len", F.expr(_shelf_band_sql("n_tokens")).cast("bigint")
+    )
+    ranked = global_row_number(banded, ["band_len", "doc_id"], out="grank")
+    # per-band start offsets: <= 13 rows, read off the primitive's
+    # persist barrier (no second pass over the corpus), broadcast back
+    starts = ranked.groupBy("band_len").agg(
+        (F.min("grank") - 1).alias("_start")
+    )
+    placed = (
+        ranked.join(F.broadcast(starts), "band_len")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "band_len",
+            (F.col("grank") - F.col("_start")).alias("in_rank"),
+        )
+        .withColumn(
+            "shelf_id",
+            F.expr(
+                "(in_rank - 1) div (CASE WHEN band_len = 0 THEN 1"
+                f" ELSE {ATTN_CTX} div band_len END)"
+            ),
+        )
+    )
+    g = placed.groupBy("band_len", "shelf_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.expr("bit_xor(doc_id)").alias("xor_docs"),
+    )
+    return (
+        g.withColumn(
+            "n_seqs",
+            F.expr(
+                f"CASE WHEN band_len = 0 THEN"
+                f" (n_tokens + {ATTN_CTX - 1}) div {ATTN_CTX}"
+                " ELSE 1 END"
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "pad_tokens",
+            (F.col("n_seqs") * ATTN_CTX - F.col("n_tokens")).cast(
+                "bigint"
+            ),
+        )
+        .withColumn(
+            "fill_ppm",
+            F.expr(
+                "cast(n_tokens as decimal(38,0)) * 1000000"
+                f" div (n_seqs * {ATTN_CTX})"
+            ).cast("bigint"),
+        )
+        .select(
+            "band_len",
+            "shelf_id",
+            "n_seqs",
+            "n_docs",
+            "n_tokens",
+            "pad_tokens",
+            "fill_ppm",
+            "first_doc",
+            "last_doc",
+            "xor_docs",
+        )
+        .orderBy("band_len", "shelf_id")
+    )
+
+
+TRAIN_BINPACK_SHELVES_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, CAST(len({sql_tokens('text')}) AS BIGINT) AS n_tokens
+  FROM documents
+), q AS (
+  SELECT * FROM scored WHERE n_tokens > 0
+), banded AS (
+  SELECT doc_id, n_tokens,
+    CAST({_shelf_band_sql('n_tokens')} AS BIGINT) AS band_len
+  FROM q
+), ranked AS (
+  SELECT doc_id, n_tokens, band_len,
+    ROW_NUMBER() OVER (PARTITION BY band_len ORDER BY doc_id)
+      AS in_rank
+  FROM banded
+), placed AS (
+  SELECT doc_id, n_tokens, band_len,
+    (in_rank - 1) // (CASE WHEN band_len = 0 THEN 1
+                      ELSE {ATTN_CTX} // band_len END) AS shelf_id
+  FROM ranked
+), g AS (
+  SELECT band_len, shelf_id, COUNT(*) AS n_docs,
+    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+    MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+    bit_xor(doc_id) AS xor_docs
+  FROM placed GROUP BY band_len, shelf_id
+), m AS (
+  SELECT *,
+    CAST(CASE WHEN band_len = 0
+         THEN (n_tokens + {ATTN_CTX - 1}) // {ATTN_CTX}
+         ELSE 1 END AS BIGINT) AS n_seqs
+  FROM g
+)
+SELECT band_len, shelf_id, n_seqs, n_docs, n_tokens,
+  CAST(n_seqs * {ATTN_CTX} - n_tokens AS BIGINT) AS pad_tokens,
+  CAST(CAST(n_tokens AS HUGEINT) * 1000000
+       // (n_seqs * {ATTN_CTX}) AS BIGINT) AS fill_ppm,
+  first_doc, last_doc, xor_docs
+FROM m ORDER BY band_len, shelf_id
+"""
+
+
 def txt_domain_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split manifest: the split unit is
     the SOURCE (domain), not the document — every document of a

@@ -468,6 +468,91 @@ def st_static_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(zscore_outlier_agg(scored), "complete")
 
 
+def st_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming embedding-drift monitor (round-14 prebuild bank) —
+    the streaming twin of plans/similarity.dq_embedding_drift, closing
+    the same "monitors are batch-only" gap st_static_zscore closed for
+    anomaly scoring: snapshot A is the trusted batch profile computed
+    on the slow cadence; the B-half embeddings arrive as a LIVE stream
+    whose per-dimension state (count, decimal-micros sum, bad-coord
+    count — exactly 64 keys, bounded forever) updates each
+    micro-batch in complete mode. Every expression is IMPORTED from
+    the batch monitor (emb_coords / emb_mean_expr / emb_drift_tail),
+    not re-implemented — batch-verified arithmetic under readStream
+    unchanged, so full replay equals dq_embedding_drift row-for-row
+    and the op SHARES DQ_EMBEDDING_DRIFT_ORACLE (a real value oracle,
+    not a rows-only check).
+
+    The compare-against-profile join runs downstream of the memory
+    sink in this adapter: Structured Streaming cannot join AFTER a
+    complete-mode aggregation inside one query, and the join is two
+    64-row frames — metadata-sized at any corpus scale (broadcast by
+    stats). Dimensions one half never saw (ragged vector lengths, an
+    empty half) survive via the full-outer join with zero-filled
+    counts and NULL sums, reproducing the batch op's empty-half NULL
+    semantics exactly; n_bad is the sum of the per-half bad counts,
+    equal to the batch op's single-pass count. File-at-a-time trigger
+    replays a multi-file corpus as genuinely separate micro-batches,
+    exercising the cross-batch state merge (sum/count folding is
+    batching-invariant — the property the shared oracle checks)."""
+    from simple_etl_pipeline_spark.plans.similarity import (
+        emb_coords,
+        emb_drift_tail,
+        emb_mean_expr,
+    )
+    from simple_etl_pipeline_spark.schemas import TABLE_SCHEMAS, load_table
+
+    dec = "decimal(38,0)"
+
+    def half_stats(coords: DataFrame, tag: str) -> DataFrame:
+        return coords.groupBy("dim").agg(
+            F.count(F.when(F.col("finite"), F.lit(1))).alias(f"n_{tag}"),
+            F.sum(F.when(F.col("finite"), F.col("q")).cast(dec)).alias(
+                f"s_{tag}"
+            ),
+            F.count(F.when(~F.col("finite"), F.lit(1))).alias(
+                f"n_bad_{tag}"
+            ),
+        )
+
+    profile_a = half_stats(
+        emb_coords(load_table(spark, sf_dir, "embeddings")).filter(
+            ~F.col("in_b")
+        ),
+        "a",
+    )
+    directory, glob = _table_stream_source(sf_dir, "embeddings")
+    stream = (
+        spark.readStream.option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", 1)
+        .schema(TABLE_SCHEMAS["embeddings"])
+        .parquet(directory)
+    )
+    live_b = _run_to_memory(
+        half_stats(emb_coords(stream).filter(F.col("in_b")), "b"),
+        "complete",
+    )
+    joined = profile_a.join(live_b, "dim", "full_outer").select(
+        "dim",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        (
+            F.coalesce("n_bad_a", F.lit(0)) + F.coalesce("n_bad_b", F.lit(0))
+        ).alias("n_bad"),
+        "s_a",
+        "s_b",
+    )
+    means = joined.select(
+        "dim",
+        "n_a",
+        "n_b",
+        "n_bad",
+        emb_mean_expr("s_a", "n_a").alias("mean_a_micros"),
+        emb_mean_expr("s_b", "n_b").alias("mean_b_micros"),
+    )
+    return emb_drift_tail(means)
+
+
 QUERIES = {
     "st_tumbling_hourly": st_tumbling_hourly,
     "st_sliding_windows": st_sliding_windows,
