@@ -58,6 +58,11 @@ QUERIES["mm_phash_dedup"] = _mm.mm_phash_dedup
 # constructed-corpus rows, including the zero-shingle corpus)
 QUERIES["train_attention_pack"] = _txt.train_attention_pack
 QUERIES["dq_embedding_drift"] = _sim.dq_embedding_drift
+# round-12-continuation-built r14 bank (batch members; the streaming
+# member st_embedding_drift is covered by its constructed-corpus rows
+# in tests/test_streaming.py, including the empty-stream corpus)
+QUERIES["train_binpack_shelves"] = _txt.train_binpack_shelves
+QUERIES["dq_snapshot_diff"] = _rel.dq_snapshot_diff
 
 REPRESENTATIVE = [
     "q1_pricing_summary",
@@ -140,6 +145,9 @@ REPRESENTATIVE = [
     # r13 bank (built r12)
     "train_attention_pack",
     "dq_embedding_drift",
+    # r14 bank (built in the r12 continuation session)
+    "train_binpack_shelves",
+    "dq_snapshot_diff",
 ]
 
 

@@ -5299,3 +5299,326 @@ def test_k_anonymity_fuzzed_cross_engine(spark, tmp_path_factory, rows):
         tmp_path_factory.mktemp("kanonfuzz"), "c", {"customer": tbl}
     )
     compare_with_oracle(dq_k_anonymity(spark, d), DQ_K_ANONYMITY_ORACLE, d)
+
+
+# --- r14 bank: pad-minimizing whole-document shelf packing -----------------
+def test_binpack_shelves_edge_corpus_band_boundaries_and_oversize(
+    spark, tmp_path
+):
+    """Every band-ladder boundary and degenerate class pinned with
+    exact arithmetic (ATTN_CTX = 2048): counts of 1/2/3 land in bands
+    1/2/4 (smallest power of two >= count, strictly), 16 vs 17
+    straddles the 16/32 edge, 2047 and 2048 share the top band's
+    one-doc shelves, 2049 and 5000 are OVERSIZE (band 0, one manifest
+    row per doc, n_seqs = ceil(tokens/ctx)), a 3-doc 513-token band
+    splits into a full 2-slot shelf plus a partial one, and
+    empty/NULL-text docs vanish before packing. Then full engine
+    parity on the same corpus."""
+    import pyarrow as pa
+
+    from simple_etl_pipeline_spark.plans.relational import (
+        release_barriers_for,
+    )
+    from simple_etl_pipeline_spark.plans.text import (
+        ATTN_CTX,
+        TRAIN_BINPACK_SHELVES_ORACLE,
+        train_binpack_shelves,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    assert ATTN_CTX == 2048  # the arithmetic below is spelled for it
+
+    def words(n):
+        return " ".join(["w"] * n) if n else ""
+
+    counts = {
+        1: 1, 2: 2, 3: 3, 4: 16, 5: 17, 6: 2047, 7: 2048,
+        8: 2049, 9: 5000, 10: 0, 12: 513, 13: 513, 14: 513,
+    }
+    docs = [(i, words(n)) for i, n in counts.items()] + [(11, None)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+            "source": pa.array(["s"] * len(docs), pa.string()),
+            "n_chars": pa.array(
+                [len(t) if t else 0 for _, t in docs], pa.int64()
+            ),
+        }
+    )
+    d = _edge_dir(tmp_path, "shelf_edge", {"documents": tbl})
+    df = train_binpack_shelves(spark, d)
+    rows = df.collect()
+    release_barriers_for(df)
+    got = {(r.band_len, r.shelf_id): r for r in rows}
+    assert sorted(got) == [
+        (0, 0), (0, 1), (1, 0), (2, 0), (4, 0), (16, 0), (32, 0),
+        (1024, 0), (1024, 1), (2048, 0), (2048, 1),
+    ]
+    # oversize runs: one row per doc, exact sequence-run cost
+    o0 = got[(0, 0)]
+    assert (o0.n_seqs, o0.n_docs, o0.n_tokens) == (2, 1, 2049)
+    assert o0.pad_tokens == 2 * 2048 - 2049
+    assert o0.fill_ppm == 2049 * 1_000_000 // (2 * 2048)
+    assert (o0.first_doc, o0.last_doc, o0.xor_docs) == (8, 8, 8)
+    o1 = got[(0, 1)]
+    assert (o1.n_seqs, o1.n_docs, o1.n_tokens) == (3, 1, 5000)
+    assert o1.pad_tokens == 3 * 2048 - 5000
+    assert o1.fill_ppm == 5000 * 1_000_000 // (3 * 2048)
+    # strict band edges: 1 -> band 1, 2 -> band 2, 3 -> band 4,
+    # 16 -> band 16, 17 -> band 32
+    for band, tokens in [(1, 1), (2, 2), (4, 3), (16, 16), (32, 17)]:
+        r = got[(band, 0)]
+        assert (r.n_seqs, r.n_docs, r.n_tokens) == (1, 1, tokens), r
+        assert r.pad_tokens == 2048 - tokens
+        assert r.fill_ppm == tokens * 1_000_000 // 2048
+    # 2-slot band: full shelf {12, 13}, partial shelf {14}
+    s0 = got[(1024, 0)]
+    assert (s0.n_docs, s0.n_tokens, s0.pad_tokens) == (2, 1026, 1022)
+    assert (s0.first_doc, s0.last_doc, s0.xor_docs) == (12, 13, 12 ^ 13)
+    s1 = got[(1024, 1)]
+    assert (s1.n_docs, s1.n_tokens, s1.pad_tokens) == (1, 513, 1535)
+    assert s1.fill_ppm == 513 * 1_000_000 // 2048
+    # top band: one doc per shelf, in doc_id order; 2048 fills exactly
+    t0, t1 = got[(2048, 0)], got[(2048, 1)]
+    assert (t0.n_docs, t0.n_tokens, t0.pad_tokens) == (1, 2047, 1)
+    assert t0.xor_docs == 6
+    assert (t1.n_tokens, t1.pad_tokens, t1.fill_ppm) == (
+        2048, 0, 1_000_000,
+    )
+    assert t1.xor_docs == 7
+    compare_with_oracle(
+        train_binpack_shelves(spark, d), TRAIN_BINPACK_SHELVES_ORACLE, d
+    )
+
+
+@given(st.lists(st.integers(0, 5000), min_size=1, max_size=25))
+@_SETTINGS
+def test_binpack_shelves_fuzzed_cross_engine(
+    spark, tmp_path_factory, token_counts
+):
+    """Cross-engine fuzz over the shelf arithmetic: arbitrary token
+    counts (zero-token exclusions, oversize runs, boundary-exact band
+    fits) must hash-match DuckDB AND satisfy the shelf invariants —
+    within every band, all shelves but the last hold exactly `slots`
+    docs; every doc's band is the smallest power of two covering it;
+    total manifest tokens equal the packable corpus total plus the
+    oversize total."""
+    import pyarrow as pa
+
+    from simple_etl_pipeline_spark.plans.relational import (
+        release_barriers_for,
+    )
+    from simple_etl_pipeline_spark.plans.text import (
+        ATTN_CTX,
+        TRAIN_BINPACK_SHELVES_ORACLE,
+        train_binpack_shelves,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    texts = [" ".join(["w"] * n) if n else "" for n in token_counts]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["s"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    d = _edge_dir(
+        tmp_path_factory.mktemp("shelffuzz"), "c", {"documents": tbl}
+    )
+    df = train_binpack_shelves(spark, d)
+    rows = df.collect()
+    release_barriers_for(df)
+    total = sum(n for n in token_counts if n > 0)
+    assert sum(r.n_tokens for r in rows) == total
+    by_band: dict = {}
+    for r in rows:
+        by_band.setdefault(r.band_len, []).append(r)
+    for band, rs in by_band.items():
+        assert [r.shelf_id for r in rs] == list(range(len(rs)))
+        slots = 1 if band == 0 else ATTN_CTX // band
+        for r in rs[:-1]:
+            assert r.n_docs == slots, (band, r)
+        assert 1 <= rs[-1].n_docs <= slots
+        for r in rs:
+            assert r.pad_tokens == r.n_seqs * ATTN_CTX - r.n_tokens
+    compare_with_oracle(
+        train_binpack_shelves(spark, d), TRAIN_BINPACK_SHELVES_ORACLE, d
+    )
+
+
+# --- r14 bank: content-level corpus snapshot diff ---------------------------
+def _snap_class(doc_id: int) -> int:
+    """Python twin of the adapter's salted md5 ten-class split
+    (engine-identical by the md5_hash60 contract)."""
+    import hashlib
+
+    h = hashlib.md5(f"snapdiff|{doc_id}".encode()).hexdigest()[:15]
+    return int(h, 16) % 10
+
+
+def test_snapshot_diff_edge_corpus_every_class_and_null_semantics(
+    spark, tmp_path
+):
+    """One doc pinned per classification branch, plus the NULL
+    hazards the op exists to get right: a NULL-text doc in the
+    revision classes stays NULL under concat and correctly reads
+    `unchanged` (content did not change — null-safe hash equality);
+    a NULL-text doc in the stable classes is unchanged the same way;
+    a NULL source is the real group '(null)'. Exact counts, char
+    volumes and churn ppm asserted, then full engine parity."""
+    import pyarrow as pa
+
+    from simple_etl_pipeline_spark.plans.relational import (
+        DQ_SNAPSHOT_DIFF_ORACLE,
+        SNAPDIFF_REV_TAIL,
+        dq_snapshot_diff,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    def pick(cls_pred, k, taken):
+        out = []
+        i = 0
+        while len(out) < k:
+            if i not in taken and cls_pred(_snap_class(i)):
+                out.append(i)
+                taken.add(i)
+            i += 1
+        return out
+
+    taken: set = set()
+    added = pick(lambda c: c == 0, 1, taken)
+    deleted = pick(lambda c: c == 1, 1, taken)
+    changed = pick(lambda c: c in (2, 3), 2, taken)
+    stable = pick(lambda c: c >= 4, 3, taken)
+    rows = [
+        (added[0], "brand new doc", "s1"),
+        (deleted[0], "doomed doc", "s1"),
+        (changed[0], "revised doc", "s1"),
+        (changed[1], None, "s1"),      # NULL text in a revision class
+        (stable[0], "stable doc", "s1"),
+        (stable[1], None, "s1"),       # NULL text, stable class
+        (stable[2], "null source doc", None),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+            "n_chars": pa.array(
+                [len(r[1]) if r[1] else 0 for r in rows], pa.int64()
+            ),
+        }
+    )
+    d = _edge_dir(tmp_path, "snapdiff_edge", {"documents": tbl})
+    out = {r.src: r for r in dq_snapshot_diff(spark, d).collect()}
+    assert sorted(out) == ["(null)", "s1"]
+    s1 = out["s1"]
+    # snapshot A misses the added doc; B misses the deleted one
+    assert (s1.n_a, s1.n_b) == (5, 5)
+    assert (s1.n_added, s1.n_deleted, s1.n_changed) == (1, 1, 1)
+    # 3 unchanged: the stable doc + BOTH null-text docs
+    assert s1.n_unchanged == 3
+    assert s1.chars_added == len("brand new doc")
+    assert s1.chars_deleted == len("doomed doc")
+    assert s1.chars_changed_delta == len(SNAPDIFF_REV_TAIL)
+    assert s1.churn_ppm == 3 * 1_000_000 // 6  # |A u B| = 6
+    nul = out["(null)"]
+    assert (nul.n_a, nul.n_b, nul.n_unchanged) == (1, 1, 1)
+    assert nul.churn_ppm == 0
+    compare_with_oracle(
+        dq_snapshot_diff(spark, d), DQ_SNAPSHOT_DIFF_ORACLE, d
+    )
+
+
+def test_snapshot_diff_core_attributes_source_moves_to_current_side(
+    spark,
+):
+    """The core on two literal frames — the case the adapter cannot
+    synthesize: a document whose SOURCE moved between snapshots is
+    attributed to its current (B-side) source, whether its content
+    changed or not; and a document added with NULL text counts its
+    chars as 0."""
+    from simple_etl_pipeline_spark.plans.relational import snapshot_diff
+
+    cols = ["doc_id", "text", "source"]
+    a = spark.createDataFrame(
+        [
+            (1, "moved and changed", "olds"),
+            (2, "moved, same text", "olds"),
+            (3, "stays put", "s_keep"),
+        ],
+        cols,
+    )
+    b = spark.createDataFrame(
+        [
+            (1, "moved and CHANGED", "news"),
+            (2, "moved, same text", "news"),
+            (3, "stays put", "s_keep"),
+            (4, None, "s_keep"),
+        ],
+        cols,
+    )
+    out = {r.src: r for r in snapshot_diff(a, b).collect()}
+    assert sorted(out) == ["news", "s_keep"]
+    news = out["news"]
+    # both movers land under the CURRENT source, including their A-side
+    # presence counts — 'olds' has no row at all
+    assert (news.n_a, news.n_b) == (2, 2)
+    assert (news.n_changed, news.n_unchanged) == (1, 1)
+    keep = out["s_keep"]
+    assert (keep.n_a, keep.n_b, keep.n_added) == (1, 2, 1)
+    assert keep.chars_added == 0  # NULL text adds zero chars
+    assert keep.n_unchanged == 1
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(
+                ["alpha text", "beta text", "gamma", "", None]
+            ),
+            st.sampled_from(["s1", "s2", None]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_SETTINGS
+def test_snapshot_diff_fuzzed_cross_engine(spark, tmp_path_factory, rows):
+    """Cross-engine fuzz over the diff's hazard surface: random
+    text/NULL-text/empty-text docs under random (including NULL)
+    sources, with doc_ids drawn densely so every md5 class appears —
+    the null-safe hash compare, the NULL-propagating concat of the
+    revision tail, the '(null)' source group and the decimal-staged
+    churn ppm must hash-match DuckDB on every draw."""
+    import pyarrow as pa
+
+    from simple_etl_pipeline_spark.plans.relational import (
+        DQ_SNAPSHOT_DIFF_ORACLE,
+        dq_snapshot_diff,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(rows)), pa.int64()),
+            "text": pa.array([t for t, _ in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array([s for _, s in rows], pa.string()),
+            "n_chars": pa.array(
+                [len(t) if t else 0 for t, _ in rows], pa.int64()
+            ),
+        }
+    )
+    d = _edge_dir(
+        tmp_path_factory.mktemp("snapfuzz"), "c", {"documents": tbl}
+    )
+    compare_with_oracle(
+        dq_snapshot_diff(spark, d), DQ_SNAPSHOT_DIFF_ORACLE, d
+    )

@@ -62,6 +62,9 @@ QUERIES["mm_phash_dedup"] = _mm.mm_phash_dedup
 # round-12-built r13 bank (batch members)
 QUERIES["train_attention_pack"] = _txt.train_attention_pack
 QUERIES["dq_embedding_drift"] = _sim.dq_embedding_drift
+# r14 bank (built in the r12 continuation session; batch members)
+QUERIES["train_binpack_shelves"] = _txt.train_binpack_shelves
+QUERIES["dq_snapshot_diff"] = _rel.dq_snapshot_diff
 
 # Float-aggregate-heavy and sketch queries — the ones that WOULD diverge
 # under double-sum reordering or rand()-based sampling.
@@ -148,6 +151,13 @@ INVARIANT_QUERIES = [
     # layout (embedding drift)
     "train_attention_pack",
     "dq_embedding_drift",
+    # r14 bank: in-band ranks derive from global_row_number, so shelf
+    # membership must not move with range-partition boundaries
+    # (binpack shelves); md5 content hashes + exact integer counts and
+    # the decimal-staged churn ppm must be layout-independent
+    # (snapshot diff)
+    "train_binpack_shelves",
+    "dq_snapshot_diff",
 ]
 
 

@@ -903,3 +903,68 @@ def test_embedding_drift_single_agg_pass_no_join_no_window(
     assert plan.count("HashAggregate") >= 2, plan  # partial + final
     rs = plan.split("ReadSchema")[1][:200]
     assert "embedding" in rs and "label" not in rs, rs
+
+
+def test_binpack_shelves_row_number_barrier_no_band_window(
+    spark, sf_dir
+):
+    """train_binpack_shelves (r14 bank) is global_row_number's sixth
+    surface, ranked over the (band_len, doc_id) total order: one range
+    exchange, the persisted barrier read by both consuming branches
+    (ranks and the <= 13-row band-offsets frame), every row_number
+    keyed by _gpid — NEVER a band-partitioned window, whose <= 13-key
+    universe would funnel the corpus through 13 reducers. The offsets
+    come back on broadcast joins and there is no generator at all (the
+    manifest is an aggregation, not an explode)."""
+    from simple_etl_pipeline_spark.plans import text as txtmod
+
+    plan = (
+        txtmod.train_binpack_shelves(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning(band_len" in plan, plan
+    assert plan.count("InMemoryTableScan") >= 2, plan  # both branches
+    assert "Generate" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    for ln in plan.splitlines():
+        if "row_number() windowspecdefinition" in ln:
+            assert "_gpid" in ln.split("windowspecdefinition")[1][:30], ln
+        if "windowspecdefinition(band_len" in ln:
+            raise AssertionError(f"band-partitioned window leaked: {ln}")
+
+
+def test_snapshot_diff_full_outer_equi_join_pruned_scans(
+    spark, sf_dir
+):
+    """dq_snapshot_diff (r14 bank) moves only 32-byte digests through
+    ONE doc_id-keyed FULL OUTER equi-join (never a cross product, no
+    Python evaluation, no window), and both snapshot scans prune to
+    (doc_id, text, source) — lang and n_chars must not be read."""
+    from simple_etl_pipeline_spark.plans import relational as relmod
+
+    plan = (
+        relmod.dq_snapshot_diff(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "windowspecdefinition" not in plan, plan
+    join_lines = [
+        ln
+        for ln in plan.splitlines()
+        if ("SortMergeJoin" in ln or "HashJoin" in ln)
+    ]
+    assert join_lines, plan
+    assert all(
+        "doc_id" in ln and "FullOuter" in ln for ln in join_lines
+    ), plan
+    for rs in plan.split("ReadSchema")[1:]:
+        head = rs[:160]
+        assert "lang" not in head and "n_chars" not in head, head

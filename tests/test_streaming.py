@@ -756,3 +756,155 @@ def test_streaming_lsh_index_matches_oracle_on_testdata(spark, sf_dir):
     compare_with_oracle(
         st_dedup_lsh_index(spark, sf_dir), ST_DEDUP_LSH_ORACLE, sf_dir
     )
+
+
+# --- r14 bank: streaming embedding-drift monitor ---------------------------
+def _emb_edge_dir(tmp_path, name: str, vecs: dict, split: bool) -> str:
+    """Embeddings-only corpus for the streaming drift monitor; when
+    `split`, the vectors are cut across two parquet files so the
+    file-at-a-time replay must merge per-dim state across
+    micro-batches (sum/count folding is batching-invariant — the
+    property the shared oracle checks)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_etl_pipeline_spark.schemas import TESTDATA_TABLES
+    from tests.conftest import SF_DIR
+
+    ids = sorted(vecs)
+
+    def tbl(subset):
+        return pa.table(
+            {
+                "vec_id": pa.array(subset, pa.int64()),
+                "embedding": pa.array(
+                    [vecs[k] for k in subset], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0] * len(subset), pa.int32()),
+            }
+        )
+
+    d = tmp_path / name
+    emb_dir = d / "embeddings.parquet"
+    os.makedirs(emb_dir)
+    if split:
+        cut = max(1, len(ids) // 2)
+        pq.write_table(tbl(ids[:cut]), str(emb_dir / "part-0.parquet"))
+        pq.write_table(tbl(ids[cut:]), str(emb_dir / "part-1.parquet"))
+    else:
+        pq.write_table(tbl(ids), str(emb_dir / "part-0.parquet"))
+    for t in TESTDATA_TABLES:
+        if t != "embeddings":
+            os.symlink(
+                os.path.join(SF_DIR, f"{t}.parquet"),
+                os.path.join(str(d), f"{t}.parquet"),
+            )
+    return str(d)
+
+
+def test_streaming_embedding_drift_equals_batch_and_oracle(
+    spark, sf_dir
+):
+    """Full replay of the streaming monitor equals the batch
+    dq_embedding_drift ROW-FOR-ROW (the expressions are imported, the
+    state folding is exact integer/decimal), and both satisfy the one
+    shared DuckDB oracle — the r14 bank's driver-gate rehearsal."""
+    from simple_etl_pipeline_spark.plans.similarity import (
+        DQ_EMBEDDING_DRIFT_ORACLE,
+        dq_embedding_drift,
+    )
+    from simple_etl_pipeline_spark.streaming.events import (
+        st_embedding_drift,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    st_rows = [tuple(r) for r in st_embedding_drift(spark, sf_dir).collect()]
+    batch_rows = [
+        tuple(r) for r in dq_embedding_drift(spark, sf_dir).collect()
+    ]
+    assert st_rows == batch_rows
+    compare_with_oracle(
+        st_embedding_drift(spark, sf_dir), DQ_EMBEDDING_DRIFT_ORACLE, sf_dir
+    )
+
+
+@pytest.mark.parametrize("split", [False, True])
+def test_streaming_embedding_drift_constructed_corpus(
+    spark, tmp_path, split
+):
+    """The batch monitor's corruption zoo replayed THROUGH THE STREAM,
+    with and without a two-file cut (the split run replays as two
+    micro-batches, so dim state from batch 1 must absorb batch 2):
+    NaN/±Inf excluded and counted in n_bad, exact micros means on the
+    clean dim, the sign-staged negative means, and full parity against
+    the shared oracle."""
+    from tests.test_new_ops_invariants import _emb_parity
+
+    from simple_etl_pipeline_spark.plans.similarity import (
+        DQ_EMBEDDING_DRIFT_ORACLE,
+    )
+    from simple_etl_pipeline_spark.streaming.events import (
+        st_embedding_drift,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    a_ids = [i for i in range(100) if _emb_parity(i) == 0]
+    b_ids = [i for i in range(100) if _emb_parity(i) == 1]
+    nan, inf = float("nan"), float("inf")
+    vecs = {
+        a_ids[0]: [0.25, nan, -0.5],
+        a_ids[1]: [0.25, 1.0, -0.25],
+        a_ids[2]: [0.25, inf, -0.75],
+        b_ids[0]: [0.5, -inf, -0.5],
+        b_ids[1]: [0.5, 2.0, -1.0],
+    }
+    d = _emb_edge_dir(
+        tmp_path, f"stdrift_{'split' if split else 'one'}", vecs, split
+    )
+    out = {r.dim: r for r in st_embedding_drift(spark, d).collect()}
+    assert sorted(out) == [0, 1, 2]
+    d0 = out[0]
+    assert (d0.n_a, d0.n_b, d0.n_bad) == (3, 2, 0)
+    assert (d0.mean_a_micros, d0.mean_b_micros) == (250000, 500000)
+    assert (d0.drift_ppm, bool(d0.flagged)) == (1000000, True)
+    d1 = out[1]
+    assert d1.n_bad == 3 and (d1.n_a, d1.n_b) == (1, 1)
+    d2 = out[2]
+    assert (d2.mean_a_micros, d2.mean_b_micros) == (-500000, -750000)
+    compare_with_oracle(
+        st_embedding_drift(spark, d), DQ_EMBEDDING_DRIFT_ORACLE, d
+    )
+
+
+def test_streaming_embedding_drift_empty_stream_half(spark, tmp_path):
+    """A corpus whose every vector hashes into snapshot A: the STREAM
+    side aggregates nothing (zero B rows), and the full-outer
+    profile join must still emit every profiled dimension with
+    n_b = 0 and NULL mean/delta/drift — the batch op's empty-half
+    NULL semantics reproduced through the sink path."""
+    from tests.test_new_ops_invariants import _emb_parity
+
+    from simple_etl_pipeline_spark.plans.similarity import (
+        DQ_EMBEDDING_DRIFT_ORACLE,
+    )
+    from simple_etl_pipeline_spark.streaming.events import (
+        st_embedding_drift,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    a_ids = [i for i in range(60) if _emb_parity(i) == 0][:3]
+    vecs = {a_ids[0]: [1.0], a_ids[1]: [2.0], a_ids[2]: [3.0]}
+    d = _emb_edge_dir(tmp_path, "stdrift_onlya", vecs, split=False)
+    rows = st_embedding_drift(spark, d).collect()
+    assert len(rows) == 1
+    row = rows[0]
+    assert (row.n_a, row.n_b) == (3, 0)
+    assert row.mean_a_micros == 2000000
+    assert row.mean_b_micros is None
+    assert row.delta_micros is None and row.drift_ppm is None
+    assert row.flagged is None
+    compare_with_oracle(
+        st_embedding_drift(spark, d), DQ_EMBEDDING_DRIFT_ORACLE, d
+    )
