@@ -67,6 +67,12 @@ PICKS = {
     # signature stage is pinned by the batch-equivalence test instead)
     "train_attention_pack": "global_prefix_sum offsets (5th surface) + ONE bounded span explode (output-sized) + seq-keyed manifest agg",
     "dq_embedding_drift": "one posexplode (constant 64x) into one dim-keyed agg with map-side combine; 64 rows after the scan, no join, no window",
+    # r14 bank, built in the r12 continuation session
+    # (st_embedding_drift is streaming — its batch-visible plan is the
+    # 64-row profile join downstream of the sink; the shared-expression
+    # equivalence is pinned by the replay-equals-batch test instead)
+    "train_binpack_shelves": "band CASE ladder in the scan; global_row_number range shuffle (6th surface) over (band, doc_id); <=13-row band offsets broadcast back off the persisted barrier; shelf-keyed manifest agg — never a band-partitioned window",
+    "dq_snapshot_diff": "two narrow hash reductions (32-byte digests, not bodies) into ONE doc_id-keyed full-outer equi-join; source rollup collapses map-side to the source universe; decimal-staged churn ppm",
 }
 
 def main():
@@ -86,6 +92,11 @@ def main():
 
     qs.setdefault("train_attention_pack", train_attention_pack)
     qs.setdefault("dq_embedding_drift", dq_embedding_drift)
+    from simple_etl_pipeline_spark.plans.relational import dq_snapshot_diff
+    from simple_etl_pipeline_spark.plans.text import train_binpack_shelves
+
+    qs.setdefault("train_binpack_shelves", train_binpack_shelves)
+    qs.setdefault("dq_snapshot_diff", dq_snapshot_diff)
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     out = ["# PLANS — captured physical plans (sf0.1, AQE on)", "",

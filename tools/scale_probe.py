@@ -145,6 +145,15 @@ PROBE_QUERIES = [
     # keep copies out of each other's buckets, so state entries and
     # emitted rows grow linearly with docs.
     "st_dedup_lsh_index",
+    # r14 bank: band ladder is a narrow map; ONE range shuffle (the
+    # global_row_number primitive) + a <=13-row offsets broadcast +
+    # shelf-keyed agg — wall should track docs, the attention-pack
+    # shape minus its span explode.
+    "train_binpack_shelves",
+    # r14 bank: two narrow hash reductions + one doc_id-keyed
+    # full-outer join + source rollup; copies add disjoint doc_id
+    # ranges, so join fan-out stays 1:1 and wall should track docs.
+    "dq_snapshot_diff",
 ]
 # Embedding-side probe (SPARK_GRAFT_PROBE=sim): vectors are perturbed
 # per copy (direction-dependent per-dim scaling), so LSH/sign buckets
@@ -172,6 +181,11 @@ SIM_PROBE_QUERIES = [
     # r13 bank: one posexplode (constant 64x) + one dim-keyed agg —
     # should be among the flattest lines in the sim probe.
     "dq_embedding_drift",
+    # r14 bank (streaming): the same coords arithmetic replayed
+    # through availableNow micro-batches into 64-key complete-mode
+    # state — lives in the SIM probe because its table scales here
+    # (the st_dedup_index convention); wall tracks the replay scan.
+    "st_embedding_drift",
 ]
 # Events-side probe (SPARK_GRAFT_PROBE=ev): each copy shifts user_id and
 # event_id, so the per-user event structure (cohorts, funnels, as-of
@@ -571,6 +585,16 @@ def main() -> None:
     )
     queries.setdefault("dq_embedding_drift", _simmod.dq_embedding_drift)
     queries.setdefault("st_dedup_lsh_index", _stmod.st_dedup_lsh_index)
+    # r14 bank (built in the round-12 continuation session)
+    from simple_etl_pipeline_spark.streaming import events as _stevmod
+
+    queries.setdefault(
+        "train_binpack_shelves", _txtmod.train_binpack_shelves
+    )
+    queries.setdefault("dq_snapshot_diff", _relmod.dq_snapshot_diff)
+    queries.setdefault(
+        "st_embedding_drift", _stevmod.st_embedding_drift
+    )
     # ... and so do demoted queries (pytest-only parity twins): probe
     # lists name them by their original keys, which leave the registry
     # on demotion.
