@@ -99,6 +99,19 @@ _BANKED_PREBUILDS: list[str] = [
     "train_binpack_shelves",
     "dq_snapshot_diff",
     "st_embedding_drift",
+    # r15 bank (also built in the round-12 continuation session — the
+    # SCALING.md post-r14 roadmap trio): exact median/MAD robust
+    # anomaly monitor (global_row_number's 7th/8th surfaces: exact
+    # order statistics without a |types|-key window), LSH-bucketed
+    # corpus k-NN graph construction (the SemDeDup precursor), and
+    # byte-budget WebDataset-style shard layout for blobs
+    # (global_prefix_sum on bytes). Registration: r15, with 3
+    # in-mandatory demotions named in the r15 ledger (written at r14
+    # close); the bank drains 3 per round across r13/r14/r15 under
+    # the demote-one-per-add registry rule.
+    "ev_mad_outliers",
+    "sim_knn_graph",
+    "mm_bytes_shard_pack",
 ]
 
 _WINDOW = [

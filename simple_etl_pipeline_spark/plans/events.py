@@ -2826,6 +2826,172 @@ LIMIT {TOP_HOURS}
 """
 
 
+# --- median/MAD robust anomaly monitor (round-15 prebuild bank) -------------
+MAD_K = 3  # flag |x - median| > MAD_K * MAD (the classic robust fence)
+
+
+def ev_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier monitor per event type (round-15
+    prebuild bank) — the robust twin of the registered
+    ev_zscore_outliers: mean/std are themselves corrupted by exactly
+    the heavy tails the z-score op flags (one 1e9-valued event drags
+    the mean and explodes the std, silently un-flagging everything
+    else), while the median and the median absolute deviation have a
+    50% breakdown point. Both statistics are EXACT order statistics
+    (the lower median, rank ceil(n/2) ascending — percentile_disc
+    semantics, no interpolation, so the result is always a value that
+    actually occurred and both engines agree bit-for-bit on integer
+    micros), NOT sketch estimates: this op exists for the audit path
+    where "approximately robust" is an oxymoron.
+
+    Exact order statistics at 100 TB never use a per-type window (the
+    |types|-key partition would funnel the stream through a handful of
+    reducers): `global_row_number` over the (type, value, tie) total
+    order — its SEVENTH and EIGHTH surfaces, one range shuffle each —
+    gives contiguous per-type ranks after subtracting a |types|-row
+    broadcast offset (the train_binpack_shelves device), and the
+    rank-equals-ceil(n/2) filter selects each type's median row
+    without sorting anything on one node. Pass two ranks the absolute
+    deviations the same way; pass three scores the deviations frame
+    (read back off the second pass's persist barrier) against the
+    broadcast MAD.
+
+    Overflow staging: values are exact integer micros (the
+    ev_quantile_sketch cast; |value| <= ~9.2e12 by the same ANSI
+    domain bound); the deviation z - med of two near-extreme
+    opposite-signed micros can reach ~1.8e19 — NO BIGINT holds it
+    (the DQ_DELTA_CAP class) — so deviations are computed in
+    decimal(38,0)/HUGEINT and saturate at DQ_DELTA_CAP on BOTH
+    engines before ranking (identical clamp -> identical ranks); the
+    MAD_K fence comparison and the outlier ppm run in decimal so no
+    product can wrap. MAD = 0 (a majority-constant stream) flags
+    every nonzero deviation — the documented MAD degeneracy, pinned
+    by the edge corpus. NULL values are excluded (no order statistic
+    over NULL); NULL event_type is the real group '(null)'."""
+    from simple_etl_pipeline_spark.plans.relational import (
+        DQ_DELTA_CAP,
+        global_row_number,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    z = ev.select(
+        F.coalesce(F.col("event_type"), F.lit("(null)")).alias("et"),
+        (F.col("value").cast("decimal(38,6)") * 1_000_000)
+        .cast("bigint")
+        .alias("z"),
+        F.coalesce(F.col("event_id"), F.lit(-1)).alias("tie"),
+    )
+    r1 = global_row_number(z, ["et", "z", "tie"], out="g1")
+    grp1 = r1.groupBy("et").agg(
+        (F.min("g1") - 1).alias("s1"), F.count(F.lit(1)).alias("n")
+    )
+    med = (
+        r1.join(F.broadcast(grp1), "et")
+        .filter(F.col("g1") - F.col("s1") == F.expr("(n + 1) div 2"))
+        .select("et", F.col("z").alias("med_micros"), "n")
+    )
+    dev = z.join(F.broadcast(med), "et").select(
+        "et",
+        "tie",
+        "n",
+        "med_micros",
+        F.expr(
+            "CAST(least(abs(CAST(z AS decimal(38,0)) - med_micros),"
+            f" CAST({DQ_DELTA_CAP} AS decimal(38,0))) AS BIGINT)"
+        ).alias("d"),
+    )
+    r2 = global_row_number(dev, ["et", "d", "tie"], out="g2")
+    grp2 = r2.groupBy("et").agg((F.min("g2") - 1).alias("s2"))
+    mad = (
+        r2.join(F.broadcast(grp2), "et")
+        .filter(F.col("g2") - F.col("s2") == F.expr("(n + 1) div 2"))
+        .select("et", F.col("d").alias("mad_micros"))
+    )
+    scored = r2.join(F.broadcast(mad), "et")
+    return (
+        scored.groupBy("et")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("med_micros").alias("med_micros"),
+            F.max("mad_micros").alias("mad_micros"),
+            F.count(
+                F.when(
+                    F.expr(
+                        "CAST(d AS decimal(38,0))"
+                        f" > {MAD_K} * CAST(mad_micros AS decimal(38,0))"
+                    ),
+                    F.lit(1),
+                )
+            ).alias("n_outliers"),
+            F.max("d").alias("max_abs_dev"),
+        )
+        .select(
+            F.col("et").alias("event_type"),
+            "n_events",
+            "med_micros",
+            "mad_micros",
+            "n_outliers",
+            F.expr(
+                "CAST(CAST(n_outliers AS decimal(38,0)) * 1000000"
+                " div n_events AS BIGINT)"
+            ).alias("outlier_ppm"),
+            "max_abs_dev",
+        )
+        .orderBy("event_type")
+    )
+
+
+def _ev_mad_oracle() -> str:
+    from simple_etl_pipeline_spark.plans.relational import DQ_DELTA_CAP
+
+    return f"""
+WITH z AS (
+  SELECT COALESCE(event_type, '(null)') AS et,
+    CAST(CAST(value AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS z
+  FROM events WHERE value IS NOT NULL
+), m1 AS (
+  SELECT et, z,
+    ROW_NUMBER() OVER (PARTITION BY et ORDER BY z) AS rn,
+    COUNT(*) OVER (PARTITION BY et) AS n
+  FROM z
+), med AS (
+  SELECT et, z AS med_micros, n FROM m1 WHERE rn = (n + 1) // 2
+), dev AS (
+  SELECT z.et, med.n, med.med_micros,
+    CAST(LEAST(abs(CAST(z.z AS HUGEINT) - med.med_micros),
+               {DQ_DELTA_CAP}) AS BIGINT) AS d
+  FROM z JOIN med ON z.et = med.et
+), m2 AS (
+  SELECT et, d, ROW_NUMBER() OVER (PARTITION BY et ORDER BY d) AS rn
+  FROM dev
+), mad AS (
+  SELECT m2.et, m2.d AS mad_micros
+  FROM m2 JOIN med ON m2.et = med.et
+  WHERE m2.rn = (med.n + 1) // 2
+), agg AS (
+  SELECT dev.et AS event_type, COUNT(*) AS n_events,
+    MAX(dev.med_micros) AS med_micros,
+    MAX(mad.mad_micros) AS mad_micros,
+    COUNT(CASE WHEN CAST(dev.d AS HUGEINT)
+               > {MAD_K} * CAST(mad.mad_micros AS HUGEINT)
+          THEN 1 END) AS n_outliers,
+    MAX(dev.d) AS max_abs_dev
+  FROM dev JOIN mad ON dev.et = mad.et
+  GROUP BY dev.et
+)
+SELECT event_type, n_events, med_micros, mad_micros, n_outliers,
+  CAST(CAST(n_outliers AS HUGEINT) * 1000000 // n_events AS BIGINT)
+    AS outlier_ppm,
+  max_abs_dev
+FROM agg ORDER BY event_type
+"""
+
+
+EV_MAD_OUTLIERS_ORACLE = _ev_mad_oracle()
+
+
 TAIL_QUERIES = {
     "skip_bloom_stats": skip_bloom_stats,
     "ev_heavy_hitters": ev_heavy_hitters,

@@ -514,6 +514,124 @@ ORDER BY kind, doc_a, doc_b
 """
 
 
+# --- byte-budget shard layout for blobs (round-15 prebuild bank) -----------
+SHARD_BYTES = 65536  # target shard size; the arithmetic is value-free
+
+
+def mm_bytes_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-budget shard layout for binary blobs (round-15 prebuild
+    bank) — the tar/WebDataset shard manifest every multimodal trainer
+    reads: blobs in deterministic corpus order (doc_id ASC) cut into
+    ~SHARD_BYTES shards WITHOUT splitting any blob. The assignment is
+    the start-offset rule — shard_id = (cum - size) div SHARD_BYTES —
+    the closed-form whole-blob layout that is exactly distributable: a
+    blob whose span crosses a shard boundary stays whole in its START
+    shard, so a shard can overflow its target by at most one blob's
+    tail; the manifest reports that exactly (overflow_bytes, and
+    fill_ppm that can honestly exceed 1e6). True greedy fill (close
+    the shard when the NEXT blob would overflow) is sequential state
+    the way FFD is for train_binpack_shelves; the start-offset rule
+    keeps identical O(1) arithmetic per blob, bounds the deviation by
+    max blob size, and is reproducible from the data alone.
+
+    Byte offsets come from `global_prefix_sum` over (doc_id) with the
+    blob byte length as the value — the primitive's next surface, one
+    range shuffle; the manifest is one shard-keyed aggregation
+    (map-side combined; output rows = total_bytes/SHARD_BYTES — the
+    manifest IS the product, the train_shard_manifest contract).
+    Zero-byte blobs (empty payloads survive with_blob_column's
+    NULL-drop) consume no budget and land in the shard where their
+    start offset falls. fill_ppm is decimal-staged (a shard's bytes
+    are bounded by SHARD_BYTES + one blob, but the discipline costs
+    nothing and survives any SHARD_BYTES retune). Oracle: identical
+    arithmetic under SUM() OVER in DuckDB with
+    octet_length(encode(text)) as the blob length."""
+    from simple_etl_pipeline_spark.plans.relational import (
+        global_prefix_sum,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = with_blob_column(docs).select(
+        "doc_id",
+        "mime",
+        F.length("blob").cast("bigint").alias("n_bytes"),
+    )
+    packed = global_prefix_sum(
+        blobs, ["doc_id"], "n_bytes", out_rank="pos", out_cum="cum"
+    )
+    placed = packed.select(
+        "doc_id",
+        "mime",
+        "n_bytes",
+        "cum",
+        F.expr(f"(cum - n_bytes) div {SHARD_BYTES}").alias("shard_id"),
+    )
+    return (
+        placed.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blobs"),
+            F.sum("n_bytes").cast("bigint").alias("n_bytes"),
+            F.count(F.when(F.col("mime") == "image/png", F.lit(1)))
+            .alias("n_images"),
+            F.max("cum").alias("_end"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.expr("bit_xor(doc_id)").alias("xor_docs"),
+        )
+        .select(
+            "shard_id",
+            "n_blobs",
+            "n_bytes",
+            "n_images",
+            F.expr(
+                f"greatest(CAST(0 AS BIGINT),"
+                f" _end - (shard_id + 1) * {SHARD_BYTES})"
+            ).alias("overflow_bytes"),
+            F.expr(
+                "CAST(CAST(n_bytes AS decimal(38,0)) * 1000000"
+                f" div {SHARD_BYTES} AS BIGINT)"
+            ).alias("fill_ppm"),
+            "first_doc",
+            "last_doc",
+            "xor_docs",
+        )
+        .orderBy("shard_id")
+    )
+
+
+MM_BYTES_SHARD_PACK_ORACLE = f"""
+WITH blobs AS (
+  SELECT doc_id,
+    (['image/png', 'audio/wav', 'video/mp4'])[(doc_id % 3) + 1] AS mime,
+    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents WHERE text IS NOT NULL
+), ranked AS (
+  SELECT doc_id, mime, n_bytes,
+    CAST(SUM(n_bytes) OVER (ORDER BY doc_id ASC
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM blobs
+), placed AS (
+  SELECT doc_id, mime, n_bytes, cum,
+    (cum - n_bytes) // {SHARD_BYTES} AS shard_id
+  FROM ranked
+), g AS (
+  SELECT shard_id, COUNT(*) AS n_blobs,
+    CAST(SUM(n_bytes) AS BIGINT) AS n_bytes,
+    COUNT(CASE WHEN mime = 'image/png' THEN 1 END) AS n_images,
+    MAX(cum) AS e, MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+    bit_xor(doc_id) AS xor_docs
+  FROM placed GROUP BY shard_id
+)
+SELECT shard_id, n_blobs, n_bytes, n_images,
+  CAST(GREATEST(0, e - (shard_id + 1) * {SHARD_BYTES}) AS BIGINT)
+    AS overflow_bytes,
+  CAST(CAST(n_bytes AS HUGEINT) * 1000000 // {SHARD_BYTES} AS BIGINT)
+    AS fill_ppm,
+  first_doc, last_doc, xor_docs
+FROM g ORDER BY shard_id
+"""
+
+
 # mm_dedup_blobs was DEMOTED to pytest-only parity in round 6
 # (tests/test_oracle_parity.py DEMOTED map): as its docstring says, it
 # is dedup_exact's hash-groupBy shape applied to the blob column — the

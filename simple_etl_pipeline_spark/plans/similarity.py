@@ -321,6 +321,118 @@ ORDER BY vec_a, vec_b
 """
 
 
+# --- k-NN graph construction (round-15 prebuild bank) ----------------------
+KNN_GRAPH_K = 5
+
+
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus k-NN GRAPH construction (round-15 prebuild bank) — the
+    precursor of SemDeDup-style graph clustering and of every
+    diversity/coverage analysis over an embedded corpus: each vector's
+    top-K nearest neighbors among the vectors sharing its sign-bit LSH
+    bucket. This is CORPUS x CORPUS semantics made scale-safe the only
+    way it ever is at 100 TB: candidate generation is the bucket-keyed
+    equi-self-join (the dedup_embedding_cosine banding — compared
+    pairs cut ~|buckets|x, never a cross join), exact bit-identical
+    cosine (fixed-point fold, functions/vectors.py) runs on candidates
+    only, and per-node top-K is a node-keyed window — node keys are
+    CORPUS-sized, so the window parallelizes across the cluster (the
+    opposite of the <= 13-key band-window trap train_binpack_shelves
+    documents).
+
+    Output is the per-node graph summary, one row per corpus vector —
+    the manifest convention (the graph IS the product): degree (< K
+    when the bucket is small, 0 for a vector alone in its bucket OR a
+    zero-norm dead vector — cosine_dec yields NULL on both engines for
+    those, and NULL-sim candidates are EXCLUDED, not ranked last, so a
+    dead vector contributes no edges in either direction), the top and
+    K-th kept similarity (6-dp snapped, engine-identical), and the XOR
+    of neighbor ids pinning the exact neighbor set. Isolated nodes
+    survive via a left join back to the corpus with degree 0.
+
+    Recall note (the sim_ivf_recall discipline): single-bucket probing
+    trades recall for the |buckets|x candidate cut; the registered
+    recall meters are the tuning loop. At production bucket widths the
+    within-bucket candidate set bounds per-node work; skewed buckets
+    are the LSH_BITS knob's problem, measured by max bucket width in
+    the probe."""
+    emb = _emb(spark, sf_dir).select("vec_id", "v").withColumn(
+        "bucket", _bucket_col()
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("node"),
+            F.col("b.vec_id").alias("nbr"),
+            F.round(cosine_dec(F.col("a.v"), F.col("b.v")), 6).alias(
+                "sim"
+            ),
+        )
+        .filter(F.col("sim").isNotNull())
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("sim"), F.asc("nbr"))
+    edges = cand.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= KNN_GRAPH_K
+    )
+    per = edges.groupBy("node").agg(
+        F.count(F.lit(1)).alias("degree"),
+        F.max("sim").alias("top_sim"),
+        F.min("sim").alias("kth_sim"),
+        F.expr("bit_xor(nbr)").alias("nbr_xor"),
+    )
+    nodes = emb.select(F.col("vec_id").alias("node"))
+    return (
+        nodes.join(per, "node", "left")
+        .select(
+            "node",
+            F.coalesce("degree", F.lit(0)).cast("bigint").alias("degree"),
+            "top_sim",
+            "kth_sim",
+            F.coalesce("nbr_xor", F.lit(0)).cast("bigint").alias(
+                "nbr_xor"
+            ),
+        )
+        .orderBy("node")
+    )
+
+
+SIM_KNN_GRAPH_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), bucketed AS (
+  SELECT vec_id, v, {_sql_bucket('v')} AS bucket FROM base
+), cand AS (
+  SELECT a.vec_id AS node, b.vec_id AS nbr,
+    round({sql_cosine_dec('a.v', 'b.v')}, 6) AS sim
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+  WHERE round({sql_cosine_dec('a.v', 'b.v')}, 6) IS NOT NULL
+), edges AS (
+  SELECT * FROM (
+    SELECT node, nbr, sim,
+      ROW_NUMBER() OVER (PARTITION BY node
+                         ORDER BY sim DESC, nbr ASC) AS rn
+    FROM cand
+  ) WHERE rn <= {KNN_GRAPH_K}
+), per AS (
+  SELECT node, COUNT(*) AS degree, MAX(sim) AS top_sim,
+    MIN(sim) AS kth_sim, bit_xor(nbr) AS nbr_xor
+  FROM edges GROUP BY node
+)
+SELECT b.vec_id AS node,
+  CAST(COALESCE(p.degree, 0) AS BIGINT) AS degree,
+  p.top_sim, p.kth_sim,
+  CAST(COALESCE(p.nbr_xor, 0) AS BIGINT) AS nbr_xor
+FROM base b LEFT JOIN per p ON b.vec_id = p.node
+ORDER BY node
+"""
+
+
 def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality measurement: recall@3 of each approximate method
     (IVF cell search, sign-bit LSH) against the exact brute-force top-3,
