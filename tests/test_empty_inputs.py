@@ -63,6 +63,10 @@ QUERIES["dq_embedding_drift"] = _sim.dq_embedding_drift
 # in tests/test_streaming.py, including the empty-stream corpus)
 QUERIES["train_binpack_shelves"] = _txt.train_binpack_shelves
 QUERIES["dq_snapshot_diff"] = _rel.dq_snapshot_diff
+# r15 bank (also r12-continuation-built)
+QUERIES["ev_mad_outliers"] = _ev.ev_mad_outliers
+QUERIES["sim_knn_graph"] = _sim.sim_knn_graph
+QUERIES["mm_bytes_shard_pack"] = _mm.mm_bytes_shard_pack
 
 REPRESENTATIVE = [
     "q1_pricing_summary",
@@ -148,6 +152,10 @@ REPRESENTATIVE = [
     # r14 bank (built in the r12 continuation session)
     "train_binpack_shelves",
     "dq_snapshot_diff",
+    # r15 bank (same session)
+    "ev_mad_outliers",
+    "sim_knn_graph",
+    "mm_bytes_shard_pack",
 ]
 
 

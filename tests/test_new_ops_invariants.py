@@ -5622,3 +5622,289 @@ def test_snapshot_diff_fuzzed_cross_engine(spark, tmp_path_factory, rows):
     compare_with_oracle(
         dq_snapshot_diff(spark, d), DQ_SNAPSHOT_DIFF_ORACLE, d
     )
+
+
+# --- r15 bank: median/MAD robust anomaly monitor ---------------------------
+def _events_tbl(rows):
+    """rows: list of (event_id, event_type, value) — ts/user/props are
+    immaterial to the MAD monitor and filled with constants."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    return pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([t0] * len(rows), pa.timestamp("us")),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+
+
+def test_mad_outliers_edge_corpus_medians_degeneracy_and_cap(
+    spark, tmp_path
+):
+    """Exact order-statistic pins: odd and even counts take the LOWER
+    median (rank ceil(n/2)); a majority-constant type has MAD = 0 and
+    the d > 0 degeneracy flags its single mover; near-extreme
+    opposite-signed micros clamp the deviation at DQ_DELTA_CAP on
+    both engines (an unstaged BIGINT subtraction would throw under
+    ANSI); NULL values are excluded; NULL event_type is the real
+    '(null)' group. Then full engine parity."""
+    from simple_etl_pipeline_spark.plans.events import (
+        EV_MAD_OUTLIERS_ORACLE,
+        ev_mad_outliers,
+    )
+    from simple_etl_pipeline_spark.plans.relational import (
+        DQ_DELTA_CAP,
+        release_barriers_for,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    rows = [
+        (1, "odd", 1.0), (2, "odd", 2.0), (3, "odd", 100.0),
+        (4, "odd", None),                      # excluded
+        (5, "even", 1.0), (6, "even", 2.0), (7, "even", 3.0),
+        (8, "even", 1000.0),
+        (9, "const7", 5.0), (10, "const7", 5.0), (11, "const7", 5.0),
+        (12, "const7", 7.0),
+        (13, "cap", 9.0e12), (14, "cap", -9.0e12), (15, "cap", 9.0e12),
+        (16, None, 1.0),                       # the '(null)' group
+    ]
+    d = _edge_dir(tmp_path, "mad_edge", {"events": _events_tbl(rows)})
+    df = ev_mad_outliers(spark, d)
+    out = {r.event_type: r for r in df.collect()}
+    release_barriers_for(df)
+    assert sorted(out) == ["(null)", "cap", "const7", "even", "odd"]
+    o = out["odd"]
+    assert (o.n_events, o.med_micros, o.mad_micros) == (3, 2_000_000, 1_000_000)
+    assert (o.n_outliers, o.outlier_ppm, o.max_abs_dev) == (
+        1, 333_333, 98_000_000,
+    )
+    e = out["even"]  # lower median of [1,2,3,1000] is 2
+    assert (e.n_events, e.med_micros, e.mad_micros) == (4, 2_000_000, 1_000_000)
+    assert (e.n_outliers, e.outlier_ppm, e.max_abs_dev) == (
+        1, 250_000, 998_000_000,
+    )
+    c = out["const7"]  # MAD = 0: the single 7.0 flags on d > 0
+    assert (c.med_micros, c.mad_micros) == (5_000_000, 0)
+    assert (c.n_outliers, c.max_abs_dev) == (1, 2_000_000)
+    cap = out["cap"]  # |(-9e18) - 9e18| = 1.8e19 clamps at the cap
+    assert cap.med_micros == 9_000_000_000_000_000_000
+    assert cap.mad_micros == 0
+    assert cap.max_abs_dev == DQ_DELTA_CAP
+    assert cap.n_outliers == 1
+    nul = out["(null)"]
+    assert (nul.n_events, nul.med_micros, nul.mad_micros) == (
+        1, 1_000_000, 0,
+    )
+    compare_with_oracle(
+        ev_mad_outliers(spark, d), EV_MAD_OUTLIERS_ORACLE, d
+    )
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", None]),
+            st.one_of(
+                st.none(),
+                st.integers(-9_000_000, 9_000_000),
+                st.sampled_from([9 * 10**12, -(9 * 10**12)]),
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@_SETTINGS
+def test_mad_outliers_fuzzed_cross_engine(spark, tmp_path_factory, rows):
+    """Cross-engine fuzz over the robust monitor's hazard surface:
+    random integer-valued doubles (exactly representable, so the
+    micros cast is unambiguous) including the ±9e12 extremes that
+    drive deviations past BIGINT, NULL values, NULL types, heavy
+    ties. The order-statistic selection, the decimal-staged clamp and
+    the ppm arithmetic must hash-match DuckDB on every draw."""
+    from simple_etl_pipeline_spark.plans.events import (
+        EV_MAD_OUTLIERS_ORACLE,
+        ev_mad_outliers,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    evrows = [
+        (i, t, float(v) if v is not None else None)
+        for i, (t, v) in enumerate(rows)
+    ]
+    d = _edge_dir(
+        tmp_path_factory.mktemp("madfuzz"), "c", {"events": _events_tbl(evrows)}
+    )
+    compare_with_oracle(ev_mad_outliers(spark, d), EV_MAD_OUTLIERS_ORACLE, d)
+
+
+# --- r15 bank: LSH-bucketed k-NN graph --------------------------------------
+def test_knn_graph_edge_corpus_isolated_zero_and_partial_buckets(
+    spark, tmp_path
+):
+    """The graph semantics pinned on a constructed corpus: a 4-member
+    bucket where K cannot fill (degree 3 < K), identical vectors tied
+    at sim 1.0 with the nbr-id tie-break, an isolated node (alone in
+    its sign bucket — degree 0), and a ZERO vector sharing a bucket
+    with a live one: cosine is NULL on both engines, the candidate is
+    EXCLUDED, and both end up degree 0 (a dead vector neither ranks
+    nor is ranked). Then full engine parity."""
+    import pyarrow as pa
+
+    from simple_etl_pipeline_spark.plans.similarity import (
+        SIM_KNN_GRAPH_ORACLE,
+        sim_knn_graph,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    vecs = {
+        # bucket 255 (all 8 sign bits set)
+        11: [1.0] * 8,
+        12: [1.0] * 8,
+        13: [1.0] * 8,
+        14: [1.0] * 7 + [2.0],
+        # bucket 254 (dim 0 negative): alone -> isolated
+        20: [-1.0] + [1.0] * 7,
+        # bucket 0: a zero vector and a live all-negative vector
+        30: [0.0] * 8,
+        31: [-1.0] * 8,
+    }
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(sorted(vecs), pa.int64()),
+            "embedding": pa.array(
+                [vecs[k] for k in sorted(vecs)], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        }
+    )
+    d = _edge_dir(tmp_path, "knn_edge", {"embeddings": tbl})
+    out = {r.node: r for r in sim_knn_graph(spark, d).collect()}
+    assert sorted(out) == [11, 12, 13, 14, 20, 30, 31]
+    n11 = out[11]
+    assert n11.degree == 3
+    assert n11.top_sim == 1.0            # the identical twins
+    assert n11.nbr_xor == 12 ^ 13 ^ 14
+    assert out[14].degree == 3 and out[14].nbr_xor == 11 ^ 12 ^ 13
+    # identical vectors tie at 1.0 and the nbr-id tie-break is pinned
+    # by the oracle hash; degree < K because the bucket is small
+    assert out[20].degree == 0 and out[20].top_sim is None
+    assert out[20].nbr_xor == 0
+    assert out[30].degree == 0           # zero vector: no valid cosine
+    assert out[31].degree == 0           # its only bucket-mate is dead
+    compare_with_oracle(sim_knn_graph(spark, d), SIM_KNN_GRAPH_ORACLE, d)
+
+
+# --- r15 bank: byte-budget shard layout --------------------------------------
+def test_bytes_shard_pack_edge_corpus_boundaries_and_gaps(
+    spark, tmp_path
+):
+    """The start-offset rule pinned exactly (SHARD_BYTES = 65536): a
+    blob ending exactly on the boundary leaves zero overflow and the
+    next blob opens the next shard; a blob LARGER than a shard stays
+    whole in its start shard and its overflow eats the following
+    shard ids — shard ids legitimately SKIP (2 and 3 never exist
+    here); zero-byte blobs land by start offset and add nothing;
+    NULL-text blobs are dropped at the source. Then engine parity."""
+    import pyarrow as pa
+
+    from simple_etl_pipeline_spark.plans.multimodal import (
+        MM_BYTES_SHARD_PACK_ORACLE,
+        SHARD_BYTES,
+        mm_bytes_shard_pack,
+    )
+    from simple_etl_pipeline_spark.plans.relational import (
+        release_barriers_for,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    assert SHARD_BYTES == 65536  # the arithmetic below is spelled for it
+    docs = [
+        (1, "a" * 65536),   # fills shard 0 exactly
+        (2, "b" * 10),      # opens shard 1
+        (3, "c" * 200000),  # whole in shard 1; overflow spans 2 shards
+        (4, "d" * 5),       # starts at 265546 -> shard 4 (ids skip 2,3)
+        (5, ""),            # zero bytes, lands in shard 4
+        (6, None),          # NULL payload dropped at the source
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+            "source": pa.array(["s"] * len(docs), pa.string()),
+            "n_chars": pa.array(
+                [len(t) if t else 0 for _, t in docs], pa.int64()
+            ),
+        }
+    )
+    d = _edge_dir(tmp_path, "shard_edge", {"documents": tbl})
+    df = mm_bytes_shard_pack(spark, d)
+    rows = {r.shard_id: r for r in df.collect()}
+    release_barriers_for(df)
+    assert sorted(rows) == [0, 1, 4]
+    s0 = rows[0]
+    assert (s0.n_blobs, s0.n_bytes, s0.overflow_bytes) == (1, 65536, 0)
+    assert s0.fill_ppm == 1_000_000
+    s1 = rows[1]
+    assert (s1.n_blobs, s1.n_bytes) == (2, 200_010)
+    assert s1.overflow_bytes == 65_546 + 200_000 - 2 * 65_536
+    assert s1.fill_ppm == 200_010 * 1_000_000 // 65_536
+    assert (s1.first_doc, s1.last_doc, s1.xor_docs) == (2, 3, 2 ^ 3)
+    s4 = rows[4]
+    assert (s4.n_blobs, s4.n_bytes, s4.overflow_bytes) == (2, 5, 0)
+    assert (s4.first_doc, s4.last_doc, s4.xor_docs) == (4, 5, 4 ^ 5)
+    compare_with_oracle(
+        mm_bytes_shard_pack(spark, d), MM_BYTES_SHARD_PACK_ORACLE, d
+    )
+
+
+@given(st.lists(st.integers(0, 150_000), min_size=1, max_size=20))
+@_SETTINGS
+def test_bytes_shard_pack_fuzzed_cross_engine(
+    spark, tmp_path_factory, sizes
+):
+    """Cross-engine fuzz over the layout arithmetic: random byte sizes
+    (zero-byte blobs, boundary-exact fits, multi-shard monsters) must
+    hash-match DuckDB AND satisfy the layout invariants — every blob
+    whole in one shard, shard byte totals equal the corpus total, and
+    overflow is exactly the tail past the shard's budget."""
+    import pyarrow as pa
+
+    from simple_etl_pipeline_spark.plans.multimodal import (
+        MM_BYTES_SHARD_PACK_ORACLE,
+        mm_bytes_shard_pack,
+    )
+    from simple_etl_pipeline_spark.plans.relational import (
+        release_barriers_for,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    texts = ["x" * n for n in sizes]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["s"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    d = _edge_dir(
+        tmp_path_factory.mktemp("shardfuzz"), "c", {"documents": tbl}
+    )
+    df = mm_bytes_shard_pack(spark, d)
+    rows = df.collect()
+    release_barriers_for(df)
+    assert sum(r.n_bytes for r in rows) == sum(sizes)
+    assert sum(r.n_blobs for r in rows) == len(sizes)
+    compare_with_oracle(
+        mm_bytes_shard_pack(spark, d), MM_BYTES_SHARD_PACK_ORACLE, d
+    )

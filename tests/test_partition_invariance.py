@@ -65,6 +65,10 @@ QUERIES["dq_embedding_drift"] = _sim.dq_embedding_drift
 # r14 bank (built in the r12 continuation session; batch members)
 QUERIES["train_binpack_shelves"] = _txt.train_binpack_shelves
 QUERIES["dq_snapshot_diff"] = _rel.dq_snapshot_diff
+# r15 bank (same session)
+QUERIES["ev_mad_outliers"] = _ev.ev_mad_outliers
+QUERIES["sim_knn_graph"] = _sim.sim_knn_graph
+QUERIES["mm_bytes_shard_pack"] = _mm.mm_bytes_shard_pack
 
 # Float-aggregate-heavy and sketch queries — the ones that WOULD diverge
 # under double-sum reordering or rand()-based sampling.
@@ -158,6 +162,14 @@ INVARIANT_QUERIES = [
     # (snapshot diff)
     "train_binpack_shelves",
     "dq_snapshot_diff",
+    # r15 bank: exact order statistics through two global_row_number
+    # passes must not move with range boundaries (MAD); fixed-point
+    # cosine + deterministic tie-breaks pin the neighbor set (kNN
+    # graph); byte prefix sums and start-offset shard ids are pure
+    # integer arithmetic (shard pack)
+    "ev_mad_outliers",
+    "sim_knn_graph",
+    "mm_bytes_shard_pack",
 ]
 
 

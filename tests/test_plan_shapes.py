@@ -968,3 +968,82 @@ def test_snapshot_diff_full_outer_equi_join_pruned_scans(
     for rs in plan.split("ReadSchema")[1:]:
         head = rs[:160]
         assert "lang" not in head and "n_chars" not in head, head
+
+
+def test_mad_outliers_gpid_ranks_never_type_keyed_window(spark, sf_dir):
+    """ev_mad_outliers (r15 bank) ranks both passes through
+    global_row_number (7th/8th surfaces): two range exchanges, every
+    row_number keyed by _gpid, and NO window partitioned by the event
+    type — a |types|-key window would funnel the stream through a
+    handful of reducers. The per-type offset/median/MAD frames come
+    back as broadcast joins."""
+    from simple_etl_pipeline_spark.plans import events as evmod
+
+    plan = (
+        evmod.ev_mad_outliers(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange rangepartitioning(et") >= 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    for ln in plan.splitlines():
+        if "row_number() windowspecdefinition" in ln:
+            assert "_gpid" in ln.split("windowspecdefinition")[1][:30], ln
+        if "windowspecdefinition(et" in ln:
+            raise AssertionError(f"type-keyed window leaked: {ln}")
+
+
+def test_knn_graph_bucket_equi_join_node_keyed_topk(spark, sf_dir):
+    """sim_knn_graph (r15 bank): candidate generation is an equi-join
+    on the LSH bucket (never a cross product of the corpus, no Python
+    nodes), and the top-K window is keyed by the CORPUS-sized node id
+    — the parallelizable window class, explicitly not a bounded-key
+    funnel."""
+    from simple_etl_pipeline_spark.plans import similarity as simmod
+
+    plan = (
+        simmod.sim_knn_graph(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    join_lines = [
+        ln
+        for ln in plan.splitlines()
+        if ("SortMergeJoin" in ln or "HashJoin" in ln)
+        and "LeftOuter" not in ln
+    ]
+    assert join_lines, plan
+    assert any("bucket" in ln for ln in join_lines), plan
+    assert any(
+        "row_number() windowspecdefinition(node" in ln
+        for ln in plan.splitlines()
+    ), plan
+
+
+def test_bytes_shard_pack_prefix_sum_barrier_no_generate(spark, sf_dir):
+    """mm_bytes_shard_pack (r15 bank) rides global_prefix_sum: one
+    range exchange on doc_id, the persisted barrier read by both
+    branches, pid-keyed windows only — and no generator at all (the
+    manifest is a shard-keyed aggregation, not an explode)."""
+    from simple_etl_pipeline_spark.plans import multimodal as mmmod
+
+    plan = (
+        mmmod.mm_bytes_shard_pack(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning(doc_id" in plan, plan
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "Generate" not in plan, plan
+    for ln in plan.splitlines():
+        if "row_number() windowspecdefinition" in ln:
+            assert "_gpid" in ln.split("windowspecdefinition")[1][:30], ln
