@@ -73,6 +73,10 @@ PICKS = {
     # equivalence is pinned by the replay-equals-batch test instead)
     "train_binpack_shelves": "band CASE ladder in the scan; global_row_number range shuffle (6th surface) over (band, doc_id); <=13-row band offsets broadcast back off the persisted barrier; shelf-keyed manifest agg — never a band-partitioned window",
     "dq_snapshot_diff": "two narrow hash reductions (32-byte digests, not bodies) into ONE doc_id-keyed full-outer equi-join; source rollup collapses map-side to the source universe; decimal-staged churn ppm",
+    # r15 bank (same session)
+    "ev_mad_outliers": "exact order statistics without a |types|-key window: TWO global_row_number range shuffles (values, then decimal-clamped deviations), per-type offsets/median/MAD as broadcast joins, one scoring agg off the second barrier",
+    "sim_knn_graph": "bucket-keyed candidate equi-self-join (never corpus x corpus) + bit-identical fixed-point cosine on candidates only + node-keyed top-K window (corpus-sized keys: parallel) + left join keeps isolated nodes",
+    "mm_bytes_shard_pack": "global_prefix_sum over blob bytes (one range shuffle) + closed-form start-offset shard id + shard-keyed manifest agg; no generator, no data-sized window",
 }
 
 def main():
@@ -97,6 +101,15 @@ def main():
 
     qs.setdefault("train_binpack_shelves", train_binpack_shelves)
     qs.setdefault("dq_snapshot_diff", dq_snapshot_diff)
+    from simple_etl_pipeline_spark.plans.events import ev_mad_outliers
+    from simple_etl_pipeline_spark.plans.multimodal import (
+        mm_bytes_shard_pack,
+    )
+    from simple_etl_pipeline_spark.plans.similarity import sim_knn_graph
+
+    qs.setdefault("ev_mad_outliers", ev_mad_outliers)
+    qs.setdefault("sim_knn_graph", sim_knn_graph)
+    qs.setdefault("mm_bytes_shard_pack", mm_bytes_shard_pack)
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     out = ["# PLANS — captured physical plans (sf0.1, AQE on)", "",

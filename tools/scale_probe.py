@@ -154,6 +154,10 @@ PROBE_QUERIES = [
     # full-outer join + source rollup; copies add disjoint doc_id
     # ranges, so join fan-out stays 1:1 and wall should track docs.
     "dq_snapshot_diff",
+    # r15 bank: byte prefix sum (one range shuffle) + shard-keyed
+    # agg; manifest rows grow with total bytes / SHARD_BYTES — the
+    # train_shard_manifest shape on the binary table.
+    "mm_bytes_shard_pack",
 ]
 # Embedding-side probe (SPARK_GRAFT_PROBE=sim): vectors are perturbed
 # per copy (direction-dependent per-dim scaling), so LSH/sign buckets
@@ -186,6 +190,11 @@ SIM_PROBE_QUERIES = [
     # state — lives in the SIM probe because its table scales here
     # (the st_dedup_index convention); wall tracks the replay scan.
     "st_embedding_drift",
+    # r15 bank: bucket-keyed candidate self-join + node-keyed top-K —
+    # the probe's per-copy vector perturbation keeps buckets from
+    # filling with identical vectors, so candidate pairs (and the
+    # max bucket width the probe logs) grow like a real corpus.
+    "sim_knn_graph",
 ]
 # Events-side probe (SPARK_GRAFT_PROBE=ev): each copy shifts user_id and
 # event_id, so the per-user event structure (cohorts, funnels, as-of
@@ -236,6 +245,10 @@ EV_PROBE_QUERIES = [
     # round-8 prebuild: per-type sketch + distinct-frame build are the
     # only data passes; the pair matrix is |types|^2 register blobs.
     "ev_hll_overlap",
+    # r15 bank: two range shuffles (exact order statistics via
+    # global_row_number) + a scoring agg — wall should track rows;
+    # super-linearity would mean a type-keyed funnel leaked back in.
+    "ev_mad_outliers",
     # r11 bank: 1-row bounds broadcast + <=3-group agg -> linear scan.
     "ev_time_embargo_split",
     # r11 bank: hour-keyed count agg (span-sized), 168-slot broadcast,
@@ -594,6 +607,12 @@ def main() -> None:
     queries.setdefault("dq_snapshot_diff", _relmod.dq_snapshot_diff)
     queries.setdefault(
         "st_embedding_drift", _stevmod.st_embedding_drift
+    )
+    # r15 bank (same session)
+    queries.setdefault("ev_mad_outliers", _evmod.ev_mad_outliers)
+    queries.setdefault("sim_knn_graph", _simmod.sim_knn_graph)
+    queries.setdefault(
+        "mm_bytes_shard_pack", _mmmod.mm_bytes_shard_pack
     )
     # ... and so do demoted queries (pytest-only parity twins): probe
     # lists name them by their original keys, which leave the registry
