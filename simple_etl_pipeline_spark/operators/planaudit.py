@@ -59,8 +59,12 @@ def plan_fingerprint(df: DataFrame) -> str:
 
     Known residual (documented, not normalizable by text rules):
     multi-distinct aggregates (agg_approx_distinct,
-    agg_distinct_counts, txt_dataset_card) can flip between TWO equivalent Expand
-    orderings depending on expression-id parity — Spark's
+    agg_distinct_counts, txt_dataset_card, and dq_profile_drift —
+    whose FOUR conditional countDistincts yield a different
+    fingerprint on three consecutive same-session builds,
+    r12-continuation finding; bench.FP_RESIDUAL keeps these from
+    defeating the box-noise rebase guard) can flip between equivalent
+    Expand orderings depending on expression-id parity — Spark's
     RewriteDistinctAggregates orders distinct groups by an
     id-keyed structure — and a streaming backfill's staged scan
     embeds its per-run temp dir (st_scd2_users). Treat either
