@@ -31,6 +31,19 @@ from simple_etl_pipeline_spark.plans.similarity import (  # noqa: E402
 
 QUERIES["dq_embedding_drift"] = dq_embedding_drift
 ORACLES["dq_embedding_drift"] = DQ_EMBEDDING_DRIFT_ORACLE
+from simple_etl_pipeline_spark.plans.similarity import (  # noqa: E402
+    SIM_KNN_GRAPH_ORACLE,
+    sim_knn_graph,
+)
+from simple_etl_pipeline_spark.streaming.events import (  # noqa: E402
+    st_embedding_drift,
+)
+
+QUERIES["sim_knn_graph"] = sim_knn_graph
+ORACLES["sim_knn_graph"] = SIM_KNN_GRAPH_ORACLE
+QUERIES["st_embedding_drift"] = st_embedding_drift
+# the streaming twin SHARES the batch monitor's value oracle
+ORACLES["st_embedding_drift"] = DQ_EMBEDDING_DRIFT_ORACLE
 
 DIM = 64
 
@@ -84,6 +97,13 @@ ADVERSARIAL_SIM_QUERIES = [
     # exact duplicates, antipodal pairs and the 1e-18 underflow
     # coordinates (round to 0 micros on both engines)
     "dq_embedding_drift",
+    # r12 continuation (r15/r14 banks, gauntleted at BUILD time): the
+    # kNN graph over TWO zero vectors (NULL-cosine candidates excluded
+    # in both directions), exact-duplicate ties and antipodal buckets;
+    # the STREAMING drift twin replaying the same corruption corpus
+    # through the sink path
+    "sim_knn_graph",
+    "st_embedding_drift",
 ]
 
 

@@ -22,6 +22,14 @@ from simple_etl_pipeline_spark.testing import demoted_queries as _dq  # noqa: E4
 QUERIES.update({k: fn for k, (fn, _) in _dq().items()})
 ORACLES = entrymod.oracle_sql()
 ORACLES.update({k: sql for k, (_, sql) in _dq().items()})
+# banked prebuilds join the gauntlet before they earn a registry slot
+from simple_etl_pipeline_spark.plans.events import (  # noqa: E402
+    EV_MAD_OUTLIERS_ORACLE,
+    ev_mad_outliers,
+)
+
+QUERIES["ev_mad_outliers"] = ev_mad_outliers
+ORACLES["ev_mad_outliers"] = EV_MAD_OUTLIERS_ORACLE
 
 _T0 = dt.datetime(2024, 3, 1, 0, 0, 0)
 
@@ -120,6 +128,11 @@ ADVERSARIAL_EV_QUERIES = [
     "ev_cuped",
     "ev_attribution",
     "ev_conversion_windows",
+    # r12 continuation (r15 bank, gauntleted at BUILD time): the
+    # robust monitor over the ±1e12 extremes (decimal-staged
+    # deviations), the flood user's heavy ties, negative values and
+    # the single-event type groups
+    "ev_mad_outliers",
 ]
 
 

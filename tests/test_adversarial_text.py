@@ -34,6 +34,25 @@ QUERIES["train_attention_pack"] = train_attention_pack
 ORACLES["train_attention_pack"] = TRAIN_ATTENTION_PACK_ORACLE
 QUERIES["st_dedup_lsh_index"] = st_dedup_lsh_index
 ORACLES["st_dedup_lsh_index"] = ST_DEDUP_LSH_ORACLE
+from simple_etl_pipeline_spark.plans.multimodal import (  # noqa: E402
+    MM_BYTES_SHARD_PACK_ORACLE,
+    mm_bytes_shard_pack,
+)
+from simple_etl_pipeline_spark.plans.relational import (  # noqa: E402
+    DQ_SNAPSHOT_DIFF_ORACLE,
+    dq_snapshot_diff,
+)
+from simple_etl_pipeline_spark.plans.text import (  # noqa: E402
+    TRAIN_BINPACK_SHELVES_ORACLE,
+    train_binpack_shelves,
+)
+
+QUERIES["train_binpack_shelves"] = train_binpack_shelves
+ORACLES["train_binpack_shelves"] = TRAIN_BINPACK_SHELVES_ORACLE
+QUERIES["dq_snapshot_diff"] = dq_snapshot_diff
+ORACLES["dq_snapshot_diff"] = DQ_SNAPSHOT_DIFF_ORACLE
+QUERIES["mm_bytes_shard_pack"] = mm_bytes_shard_pack
+ORACLES["mm_bytes_shard_pack"] = MM_BYTES_SHARD_PACK_ORACLE
 
 EDGE_DOCS = [
     # (doc_id, text, lang, source)
@@ -134,6 +153,15 @@ ADVERSARIAL_QUERIES = [
     # construction)
     "train_attention_pack",
     "st_dedup_lsh_index",
+    # r12 continuation (r14/r15 banks, gauntleted at BUILD time):
+    # shelf packing over empty/null/whitespace docs and the band
+    # ladder on CJK token counts; the snapshot diff's md5-over-CJK
+    # and NULL-text null-safe compare through the revision classes;
+    # the byte shard layout over multi-byte payloads (octet_length
+    # vs codepoint length — the mm oracle hazard class)
+    "train_binpack_shelves",
+    "dq_snapshot_diff",
+    "mm_bytes_shard_pack",
 ]
 
 
