@@ -155,3 +155,26 @@ def test_rotation_invariant_no_query_waits_three_rounds():
         f"queries with no driver slot in the last two rounds nor the "
         f"current window: {uncovered}"
     )
+
+
+def test_every_banked_prebuild_has_a_sweep_entry():
+    """tools/banked_sweep.py is the registration gate's executable
+    form: a banked name missing from its resolve table would silently
+    fall out of the sf0.1 evidence sweep, so the table must cover the
+    bank exactly as it stands in every commit."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "banked_sweep",
+        os.path.join(
+            os.path.dirname(os.path.abspath(entrymod.__file__)),
+            "tools",
+            "banked_sweep.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    for name in entrymod._BANKED_PREBUILDS:
+        fn, sql = mod._resolve(name)
+        assert callable(fn) and isinstance(sql, str) and sql.strip()
