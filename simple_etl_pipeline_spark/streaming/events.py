@@ -484,14 +484,18 @@ def st_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     not a rows-only check).
 
     The compare-against-profile join runs downstream of the memory
-    sink in this adapter: Structured Streaming cannot join AFTER a
-    complete-mode aggregation inside one query, and the join is two
-    64-row frames — metadata-sized at any corpus scale (broadcast by
-    stats). Dimensions one half never saw (ragged vector lengths, an
-    empty half) survive via the full-outer join with zero-filled
-    counts and NULL sums, reproducing the batch op's empty-half NULL
-    semantics exactly; n_bad is the sum of the per-half bad counts,
-    equal to the batch op's single-pass count. File-at-a-time trigger
+    sink in this adapter because it must be FULL OUTER: a dimension
+    one half never saw (ragged vector lengths, an empty half) must
+    survive with zero-filled counts and NULL sums to reproduce the
+    batch op's empty-half NULL semantics exactly — and Structured
+    Streaming supports inner/left-outer static joins after a
+    complete-mode aggregation but rejects FullOuter (and RightOuter)
+    with the stream on the left (verified empirically on this Spark:
+    inner and left_outer run, full_outer raises). A left-outer
+    in-stream join would silently drop profile-only dimensions. The
+    adapter join is two 64-row frames — metadata-sized at any corpus
+    scale. n_bad is the sum of the per-half bad counts, equal to the
+    batch op's single-pass count. File-at-a-time trigger
     replays a multi-file corpus as genuinely separate micro-batches,
     exercising the cross-batch state merge (sum/count folding is
     batching-invariant — the property the shared oracle checks)."""
