@@ -112,6 +112,21 @@ _BANKED_PREBUILDS: list[str] = [
     "ev_mad_outliers",
     "sim_knn_graph",
     "mm_bytes_shard_pack",
+    # r16 bank (also built in the round-12 continuation session — the
+    # SCALING.md post-r15 roadmap trio, all three COMPOSITIONS of
+    # already-verified primitives): SemDeDup-style cluster pruning
+    # (connected_components over the mutual-kNN edges of the r15
+    # graph op), the cross-split shingle-contamination audit matrix
+    # (txt_domain_split's assignment x the shingle machinery), and
+    # the CUSUM level-shift scan over the hourly grid (the
+    # ev_gap_fill/seasonal grid device). Drain schedule with the bank
+    # at twelve: r13/r14/r15/r16 register exactly one trio each under
+    # demote-one-per-add — four registration rounds, each ledger
+    # naming its three in-mandatory demotions at the prior round's
+    # close (the standing cadence; registry stays at 145 throughout).
+    "sim_knn_components",
+    "train_eval_decontam_report",
+    "ev_changepoint_cusum",
 ]
 
 _WINDOW = [

@@ -2826,6 +2826,164 @@ LIMIT {TOP_HOURS}
 """
 
 
+# --- CUSUM change-point scan (round-16 prebuild bank) -----------------------
+CUSUM_TOP_HOURS = 24
+
+
+def ev_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point scan over the hourly event-count series
+    (round-16 prebuild bank) — the level-shift detector that completes
+    the monitoring family: ev_seasonal_residuals asks "is THIS hour
+    off its weekly slot", the CUSUM asks "did the WHOLE level shift,
+    and when" (the classic estimator: the change point is the hour
+    where the cumulative deviation from the global mean peaks —
+    deviations before a rate shift accumulate one way, after it the
+    other, so |S_h| is maximal at the break). Series = the COMPLETE
+    hour grid with empty hours counted 0 (a dead feed IS a level
+    shift; the ev_gap_fill/ev_seasonal grid device: the grid explodes
+    from a 1-row bounds broadcast).
+
+    Exactness: everything is integer micros — mu_micros = total * 1e6
+    div n_hours (truncating div on non-negative operands), dev_h =
+    cnt_h * 1e6 - mu_micros, S_h = running sum of dev over the hour
+    order. Products and the running sum are staged in decimal(38,0)/
+    HUGEINT (|S_h| is bounded by ~2 x total x 1e6, past BIGINT for a
+    multi-trillion-event series — the DQ_DELTA_CAP class) and the
+    emitted columns saturate symmetrically at ±DQ_DELTA_CAP, so the
+    final BIGINT cast can never overflow on either engine.
+
+    Scale shape: ONE hour-keyed count aggregation touches the stream
+    (map-side collapse to the span universe — a decade is ~88k rows
+    of metadata); the bounds/total frame is a 1-row broadcast; the
+    grid fill, the running-sum window and the |S| ranking all run
+    over the SPAN-sized grid — the adjudicated bounded-universe
+    single-partition window class (ev_gap_fill's), never data-sized.
+    The head is TakeOrdered (|S| desc, hour asc, top
+    CUSUM_TOP_HOURS); is_peak marks the argmax rows via a 1-row
+    max-|S| broadcast (ties share the peak deterministically)."""
+    from simple_etl_pipeline_spark.plans.relational import DQ_DELTA_CAP
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
+    hours = (
+        ev.select(
+            F.expr("unix_micros(ts) div 3600000000").alias("he")
+        )
+        .groupBy("he")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bounds = hours.agg(
+        F.min("he").alias("mn"),
+        F.max("he").alias("mx"),
+        F.sum("cnt").alias("total"),
+    )
+    grid = bounds.select(
+        F.explode(F.expr("sequence(mn, mx)")).alias("he"),
+        (F.col("mx") - F.col("mn") + 1).alias("n_hours"),
+        "total",
+    )
+    dec = "decimal(38,0)"
+    filled = (
+        grid.join(hours, "he", "left")
+        .select(
+            "he",
+            F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt"),
+            "n_hours",
+            "total",
+        )
+        .withColumn(
+            "mu_micros",
+            F.expr(
+                f"CAST(total AS {dec}) * 1000000 div n_hours"
+            ),
+        )
+        .withColumn(
+            "dev",
+            F.expr(f"CAST(cnt AS {dec}) * 1000000 - mu_micros"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("he").rowsBetween(Window.unboundedPreceding, 0)
+    cusum = filled.withColumn("s", F.sum("dev").over(w)).select(
+        "he", "cnt", "dev", "s", F.abs("s").alias("abs_s")
+    )
+    peak = cusum.agg(F.max("abs_s").alias("peak_abs"))
+
+    def clamp(col: str):
+        return F.expr(
+            f"CAST(least(greatest({col}, CAST(-{DQ_DELTA_CAP} AS {dec})),"
+            f" CAST({DQ_DELTA_CAP} AS {dec})) AS BIGINT)"
+        )
+
+    return (
+        cusum.orderBy(F.desc("abs_s"), F.asc("he"))
+        .limit(CUSUM_TOP_HOURS)
+        .crossJoin(F.broadcast(peak))
+        .select(
+            (F.col("he") * 3600).cast("bigint").alias("hour_epoch"),
+            F.col("cnt").alias("n_events"),
+            clamp("dev").alias("dev_micros"),
+            clamp("s").alias("cusum_micros"),
+            (F.col("abs_s") == F.col("peak_abs")).alias("is_peak"),
+        )
+        .orderBy(F.desc(F.abs("cusum_micros")), F.asc("hour_epoch"))
+    )
+
+
+def _cusum_oracle() -> str:
+    from simple_etl_pipeline_spark.functions.agg import sql_floor_div
+    from simple_etl_pipeline_spark.plans.relational import DQ_DELTA_CAP
+
+    clamp = (
+        "CAST(LEAST(GREATEST({x}, -CAST({cap} AS HUGEINT)),"
+        " CAST({cap} AS HUGEINT)) AS BIGINT)"
+    )
+    return f"""
+WITH hours AS (
+  SELECT {sql_floor_div('epoch_us(ts)', 3600000000)} AS he,
+    COUNT(*) AS cnt
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), b AS (
+  SELECT MIN(he) AS mn, MAX(he) AS mx,
+    CAST(SUM(cnt) AS HUGEINT) AS total,
+    MAX(he) - MIN(he) + 1 AS n_hours
+  FROM hours
+), grid AS (
+  SELECT unnest(generate_series(mn, mx)) AS he FROM b
+), filled AS (
+  SELECT g.he, CAST(COALESCE(h.cnt, 0) AS BIGINT) AS cnt,
+    CAST(b.total * 1000000 // b.n_hours AS HUGEINT) AS mu_micros
+  FROM grid g LEFT JOIN hours h ON g.he = h.he CROSS JOIN b
+), dev AS (
+  SELECT he, cnt,
+    CAST(cnt AS HUGEINT) * 1000000 - mu_micros AS dev
+  FROM filled
+), cusum AS (
+  SELECT he, cnt, dev,
+    SUM(dev) OVER (ORDER BY he
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM dev
+), peak AS (
+  SELECT MAX(abs(s)) AS peak_abs FROM cusum
+), head AS (
+  SELECT * FROM cusum ORDER BY abs(s) DESC, he ASC
+  LIMIT {CUSUM_TOP_HOURS}
+)
+SELECT he * 3600 AS hour_epoch, cnt AS n_events,
+  {clamp.format(x='dev', cap=DQ_DELTA_CAP)} AS dev_micros,
+  {clamp.format(x='s', cap=DQ_DELTA_CAP)} AS cusum_micros,
+  abs(s) = (SELECT peak_abs FROM peak) AS is_peak
+FROM head
+ORDER BY abs({clamp.format(x='s', cap=DQ_DELTA_CAP)}) DESC,
+  hour_epoch ASC
+"""
+
+
+EV_CHANGEPOINT_CUSUM_ORACLE = _cusum_oracle()
+
+
 # --- median/MAD robust anomaly monitor (round-15 prebuild bank) -------------
 MAD_K = 3  # flag |x - median| > MAD_K * MAD (the classic robust fence)
 

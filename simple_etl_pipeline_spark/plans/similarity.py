@@ -325,6 +325,38 @@ ORDER BY vec_a, vec_b
 KNN_GRAPH_K = 5
 
 
+def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The directed top-K edge stage shared by sim_knn_graph (r15
+    bank) and sim_knn_components (r16 bank): bucket-keyed candidate
+    equi-self-join, bit-identical fixed-point cosine on candidates
+    only, NULL-sim (zero-norm) candidates excluded, per-node top-K via
+    a node-keyed window (corpus-sized keys: parallel). Columns
+    (node, nbr, sim, rn <= KNN_GRAPH_K)."""
+    emb = _emb(spark, sf_dir).select("vec_id", "v").withColumn(
+        "bucket", _bucket_col()
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("node"),
+            F.col("b.vec_id").alias("nbr"),
+            F.round(cosine_dec(F.col("a.v"), F.col("b.v")), 6).alias(
+                "sim"
+            ),
+        )
+        .filter(F.col("sim").isNotNull())
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("sim"), F.asc("nbr"))
+    return cand.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= KNN_GRAPH_K
+    )
+
+
 def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus k-NN GRAPH construction (round-15 prebuild bank) — the
     precursor of SemDeDup-style graph clustering and of every
@@ -356,36 +388,16 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-bucket candidate set bounds per-node work; skewed buckets
     are the LSH_BITS knob's problem, measured by max bucket width in
     the probe."""
-    emb = _emb(spark, sf_dir).select("vec_id", "v").withColumn(
-        "bucket", _bucket_col()
-    )
-    a, b = emb.alias("a"), emb.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("node"),
-            F.col("b.vec_id").alias("nbr"),
-            F.round(cosine_dec(F.col("a.v"), F.col("b.v")), 6).alias(
-                "sim"
-            ),
-        )
-        .filter(F.col("sim").isNotNull())
-    )
-    w = Window.partitionBy("node").orderBy(F.desc("sim"), F.asc("nbr"))
-    edges = cand.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= KNN_GRAPH_K
-    )
+    edges = _knn_edges(spark, sf_dir)
     per = edges.groupBy("node").agg(
         F.count(F.lit(1)).alias("degree"),
         F.max("sim").alias("top_sim"),
         F.min("sim").alias("kth_sim"),
         F.expr("bit_xor(nbr)").alias("nbr_xor"),
     )
-    nodes = emb.select(F.col("vec_id").alias("node"))
+    nodes = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("node")
+    )
     return (
         nodes.join(per, "node", "left")
         .select(
@@ -401,8 +413,9 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SIM_KNN_GRAPH_ORACLE = f"""
-WITH base AS (
+# shared DuckDB CTE chain for the top-K edge stage (sim_knn_graph +
+# sim_knn_components oracles compose over it)
+_SIM_KNN_EDGES_CTES = f"""base AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), bucketed AS (
   SELECT vec_id, v, {_sql_bucket('v')} AS bucket FROM base
@@ -419,7 +432,10 @@ WITH base AS (
                          ORDER BY sim DESC, nbr ASC) AS rn
     FROM cand
   ) WHERE rn <= {KNN_GRAPH_K}
-), per AS (
+)"""
+
+SIM_KNN_GRAPH_ORACLE = f"""
+WITH {_SIM_KNN_EDGES_CTES}, per AS (
   SELECT node, COUNT(*) AS degree, MAX(sim) AS top_sim,
     MIN(sim) AS kth_sim, bit_xor(nbr) AS nbr_xor
   FROM edges GROUP BY node
@@ -429,6 +445,101 @@ SELECT b.vec_id AS node,
   p.top_sim, p.kth_sim,
   CAST(COALESCE(p.nbr_xor, 0) AS BIGINT) AS nbr_xor
 FROM base b LEFT JOIN per p ON b.vec_id = p.node
+ORDER BY node
+"""
+
+
+def sim_knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-pruning manifest (round-16 prebuild
+    bank) — the step the kNN graph exists FOR: connected components
+    over the MUTUAL-kNN edge set (an edge survives only when each
+    endpoint ranks the other in its top-K — the standard symmetric
+    filter that keeps hub nodes from chaining unrelated regions
+    through one popular neighbor), with the min-id component label as
+    the deterministic cluster id and survivor. Every vector gets a
+    manifest row: clustered nodes carry their component and cluster
+    size; nodes with no mutual edge are singleton survivors of their
+    own cluster. Keep-set = the is_survivor rows (one per cluster) —
+    exactly the SemDeDup pruning contract, with cosine-threshold
+    tightening left to the KNN_GRAPH_K / LSH_BITS knobs the graph op
+    documents.
+
+    Pure composition of verified primitives, zero new mechanism: the
+    edge stage is _knn_edges (the r15 graph op's own stage), the
+    mutuality filter is one edge-keyed LEFT SEMI self-join (shuffle
+    bounded by K x |corpus| directed edges), and the clustering is
+    plans/text.connected_components — the large-star/small-star
+    contraction with its O(log diameter) round bound and structural
+    convergence check, imported, not re-implemented. The singleton
+    fill is a node-keyed left join back to the corpus frame. Nothing
+    in the plan exceeds the edge set after the candidate join.
+    Oracle: the shared _SIM_KNN_EDGES_CTES chain + the recursive
+    transitive-closure CTE (the DEDUP_COMPONENTS_ORACLE device) with
+    a COALESCE singleton fill."""
+    from simple_etl_pipeline_spark.plans.text import (
+        _components_over_pairs,
+    )
+
+    fwd = _knn_edges(spark, sf_dir).select("node", "nbr")
+    mutual = fwd.join(
+        fwd.select(F.col("nbr").alias("node"), F.col("node").alias("nbr")),
+        ["node", "nbr"],
+        "left_semi",
+    )
+    pairs = mutual.filter(F.col("node") < F.col("nbr")).select(
+        F.col("node").alias("doc_a"), F.col("nbr").alias("doc_b")
+    )
+    comp = _components_over_pairs(pairs).withColumnRenamed(
+        "doc_id", "node"
+    )
+    nodes = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("node")
+    )
+    return (
+        nodes.join(comp, "node", "left")
+        .select(
+            "node",
+            F.coalesce("component", F.col("node"))
+            .cast("bigint")
+            .alias("component"),
+            F.coalesce("cluster_size", F.lit(1))
+            .cast("bigint")
+            .alias("cluster_size"),
+            (
+                F.coalesce("component", F.col("node")) == F.col("node")
+            ).alias("is_survivor"),
+        )
+        .orderBy("node")
+    )
+
+
+SIM_KNN_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE {_SIM_KNN_EDGES_CTES}, fwd AS (
+  SELECT node, nbr FROM edges
+), mutual AS (
+  SELECT f.node, f.nbr FROM fwd f
+  WHERE EXISTS (SELECT 1 FROM fwd r
+                WHERE r.node = f.nbr AND r.nbr = f.node)
+), sym AS (
+  SELECT node AS src, nbr AS dst FROM mutual
+), reach(src, dst) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN sym e ON r.dst = e.src
+), comp AS (
+  SELECT src AS node, LEAST(src, MIN(dst)) AS component
+  FROM reach GROUP BY src
+), sized AS (
+  SELECT node, component, cluster_size
+  FROM comp
+  JOIN (SELECT component, COUNT(*) AS cluster_size
+        FROM comp GROUP BY 1) USING (component)
+)
+SELECT b.vec_id AS node,
+  CAST(COALESCE(s.component, b.vec_id) AS BIGINT) AS component,
+  CAST(COALESCE(s.cluster_size, 1) AS BIGINT) AS cluster_size,
+  COALESCE(s.component, b.vec_id) = b.vec_id AS is_survivor
+FROM base b LEFT JOIN sized s ON b.vec_id = s.node
 ORDER BY node
 """
 

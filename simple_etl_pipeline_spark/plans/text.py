@@ -4544,6 +4544,220 @@ FROM agg ORDER BY split
 """
 
 
+# --- cross-split contamination matrix (round-16 prebuild bank) -------------
+_SPLIT_PAIRS = [("train", "val"), ("train", "test"), ("val", "test")]
+
+
+def train_eval_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination matrix (round-16 prebuild bank) — the
+    audit row that certifies a split manifest before training: for
+    each ordered split pair (A leaks INTO B: train→val, train→test,
+    val→test — the pipeline direction), exact counts of 3-gram
+    shingles the two splits share and of B-side documents carrying at
+    least one A-side shingle, plus exact-ppm rates. Pure composition
+    of verified primitives: the split is txt_domain_split's salted
+    md5 assignment (source-level, leakage-safe — this op is the
+    *verification* that the no-straddle split actually decontaminated
+    the eval sets down at the SHINGLE level, which domain grouping
+    makes likely but cross-domain template text can still violate);
+    the unit is the shared shingles_col 3-gram, keyed by its 60-bit
+    md5 (8-byte join keys, the dedup-family convention — never gram
+    strings through a shuffle).
+
+    Output is ALWAYS exactly three rows (the literal pair frame left-
+    joins the measured stats, so an empty split reads zeros instead
+    of vanishing): split_a, split_b, per-split distinct-shingle
+    vocabularies, n_shared, shared_ppm (share of B's vocabulary seen
+    in A — the eval-contamination direction), n_docs_b,
+    n_docs_contaminated, contam_ppm. NULL-text and sub-3-token docs
+    produce no shingles and cannot be contaminated but still count in
+    n_docs_b; ppm products are decimal-staged (quotient <= 1e6 by
+    construction).
+
+    Scale shape: one shingle explode (token-proportional, the
+    contamination family's volume) collapsing to DISTINCT (split,
+    doc, key) and (split, key) tables map-side; shingle-keyed
+    equi-joins for overlap (8-byte keys, Zipf heads collapsed by the
+    distinct); everything after the joins is <= 3 cells. No window,
+    no cross join; the 3-row pair frame is a literal broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = F.coalesce(F.col("source"), F.lit("(null)"))
+    h = md5_hash60(F.concat(F.lit("split|"), src)) % 1_000_000
+    split = (
+        F.when(h < 800_000, F.lit("train"))
+        .when(h < 900_000, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    tagged = docs.select(split.alias("split"), "doc_id", "text")
+    d_sh = (
+        tagged.select(
+            "split",
+            "doc_id",
+            F.explode(shingles_col("text")).alias("sh"),
+        )
+        .select("split", "doc_id", md5_hash60("sh").alias("shkey"))
+        .distinct()
+    )
+    s_sh = d_sh.select("split", "shkey").distinct()
+    vocab = s_sh.groupBy("split").agg(F.count(F.lit(1)).alias("n_sh"))
+    ndocs = tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    pairs = spark.createDataFrame(
+        _SPLIT_PAIRS, "split_a string, split_b string"
+    )
+    shared = (
+        s_sh.alias("a")
+        .join(
+            s_sh.alias("b"),
+            (F.col("a.shkey") == F.col("b.shkey"))
+            & (F.col("a.split") != F.col("b.split")),
+        )
+        .groupBy(
+            F.col("a.split").alias("split_a"),
+            F.col("b.split").alias("split_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    contam = (
+        d_sh.alias("d")
+        .join(
+            s_sh.alias("s"),
+            (F.col("d.shkey") == F.col("s.shkey"))
+            & (F.col("d.split") != F.col("s.split")),
+        )
+        .groupBy(
+            F.col("s.split").alias("split_a"),
+            F.col("d.split").alias("split_b"),
+        )
+        .agg(F.countDistinct("d.doc_id").alias("n_docs_contaminated"))
+    )
+    return (
+        pairs.join(F.broadcast(shared), ["split_a", "split_b"], "left")
+        .join(F.broadcast(contam), ["split_a", "split_b"], "left")
+        .join(
+            F.broadcast(
+                vocab.select(
+                    F.col("split").alias("split_a"),
+                    F.col("n_sh").alias("n_shingles_a"),
+                )
+            ),
+            "split_a",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                vocab.select(
+                    F.col("split").alias("split_b"),
+                    F.col("n_sh").alias("n_shingles_b"),
+                )
+            ),
+            "split_b",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                ndocs.select(
+                    F.col("split").alias("split_b"),
+                    F.col("n_docs").alias("n_docs_b"),
+                )
+            ),
+            "split_b",
+            "left",
+        )
+        .select(
+            "split_a",
+            "split_b",
+            F.coalesce("n_shingles_a", F.lit(0))
+            .cast("bigint")
+            .alias("n_shingles_a"),
+            F.coalesce("n_shingles_b", F.lit(0))
+            .cast("bigint")
+            .alias("n_shingles_b"),
+            F.coalesce("n_shared", F.lit(0))
+            .cast("bigint")
+            .alias("n_shared"),
+            F.expr(
+                "CAST(CAST(coalesce(n_shared, 0) AS decimal(38,0))"
+                " * 1000000 div greatest(coalesce(n_shingles_b, 0), 1)"
+                " AS BIGINT)"
+            ).alias("shared_ppm"),
+            F.coalesce("n_docs_b", F.lit(0))
+            .cast("bigint")
+            .alias("n_docs_b"),
+            F.coalesce("n_docs_contaminated", F.lit(0))
+            .cast("bigint")
+            .alias("n_docs_contaminated"),
+            F.expr(
+                "CAST(CAST(coalesce(n_docs_contaminated, 0)"
+                " AS decimal(38,0)) * 1000000"
+                " div greatest(coalesce(n_docs_b, 0), 1) AS BIGINT)"
+            ).alias("contam_ppm"),
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
+def _decontam_oracle() -> str:
+    src_expr = "concat('split|', COALESCE(source, '(null)'))"
+    h = sql_md5_hash60(src_expr)
+    split_case = (
+        f"CASE WHEN {h} % 1000000 < 800000 THEN 'train'"
+        f" WHEN {h} % 1000000 < 900000 THEN 'val' ELSE 'test' END"
+    )
+    return f"""
+WITH tagged AS (
+  SELECT {split_case} AS split, doc_id, text FROM documents
+), d_sh AS (
+  SELECT DISTINCT split, doc_id, {sql_md5_hash60('sh')} AS shkey
+  FROM (SELECT split, doc_id,
+          unnest({sql_shingles(sql_tokens('text'))}) AS sh
+        FROM tagged)
+), s_sh AS (
+  SELECT DISTINCT split, shkey FROM d_sh
+), vocab AS (
+  SELECT split, COUNT(*) AS n_sh FROM s_sh GROUP BY split
+), ndocs AS (
+  SELECT split, COUNT(*) AS n_docs FROM tagged GROUP BY split
+), pairs(split_a, split_b) AS (
+  VALUES ('train', 'val'), ('train', 'test'), ('val', 'test')
+), shared AS (
+  SELECT a.split AS split_a, b.split AS split_b, COUNT(*) AS n_shared
+  FROM s_sh a JOIN s_sh b
+    ON a.shkey = b.shkey AND a.split <> b.split
+  GROUP BY 1, 2
+), contam AS (
+  SELECT s.split AS split_a, d.split AS split_b,
+    COUNT(DISTINCT d.doc_id) AS n_docs_contaminated
+  FROM d_sh d JOIN s_sh s
+    ON d.shkey = s.shkey AND d.split <> s.split
+  GROUP BY 1, 2
+)
+SELECT p.split_a, p.split_b,
+  CAST(COALESCE(va.n_sh, 0) AS BIGINT) AS n_shingles_a,
+  CAST(COALESCE(vb.n_sh, 0) AS BIGINT) AS n_shingles_b,
+  CAST(COALESCE(sh.n_shared, 0) AS BIGINT) AS n_shared,
+  CAST(CAST(COALESCE(sh.n_shared, 0) AS HUGEINT) * 1000000
+       // GREATEST(COALESCE(vb.n_sh, 0), 1) AS BIGINT) AS shared_ppm,
+  CAST(COALESCE(nb.n_docs, 0) AS BIGINT) AS n_docs_b,
+  CAST(COALESCE(c.n_docs_contaminated, 0) AS BIGINT)
+    AS n_docs_contaminated,
+  CAST(CAST(COALESCE(c.n_docs_contaminated, 0) AS HUGEINT) * 1000000
+       // GREATEST(COALESCE(nb.n_docs, 0), 1) AS BIGINT)
+    AS contam_ppm
+FROM pairs p
+LEFT JOIN shared sh USING (split_a, split_b)
+LEFT JOIN contam c USING (split_a, split_b)
+LEFT JOIN vocab va ON va.split = p.split_a
+LEFT JOIN vocab vb ON vb.split = p.split_b
+LEFT JOIN ndocs nb ON nb.split = p.split_b
+ORDER BY split_a, split_b
+"""
+
+
+TRAIN_EVAL_DECONTAM_ORACLE = _decontam_oracle()
+
+
 # --- bigram-LM cross-entropy quality filter (CCNet-style) -----------------
 # CCNet (Wenzek et al. 2020) ranks web documents by the perplexity of a
 # language model trained on a trusted corpus and keeps the low-perplexity

@@ -70,6 +70,17 @@ def _resolve(name: str):
         "mm_bytes_shard_pack": (
             mm.mm_bytes_shard_pack, mm.MM_BYTES_SHARD_PACK_ORACLE,
         ),
+        # r16 bank
+        "sim_knn_components": (
+            sim.sim_knn_components, sim.SIM_KNN_COMPONENTS_ORACLE,
+        ),
+        "train_eval_decontam_report": (
+            txt.train_eval_decontam_report,
+            txt.TRAIN_EVAL_DECONTAM_ORACLE,
+        ),
+        "ev_changepoint_cusum": (
+            ev.ev_changepoint_cusum, ev.EV_CHANGEPOINT_CUSUM_ORACLE,
+        ),
     }
     if name not in table:
         raise KeyError(
