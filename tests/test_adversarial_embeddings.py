@@ -41,6 +41,13 @@ from simple_etl_pipeline_spark.streaming.events import (  # noqa: E402
 
 QUERIES["sim_knn_graph"] = sim_knn_graph
 ORACLES["sim_knn_graph"] = SIM_KNN_GRAPH_ORACLE
+from simple_etl_pipeline_spark.plans.similarity import (  # noqa: E402
+    SIM_KNN_COMPONENTS_ORACLE,
+    sim_knn_components,
+)
+
+QUERIES["sim_knn_components"] = sim_knn_components
+ORACLES["sim_knn_components"] = SIM_KNN_COMPONENTS_ORACLE
 QUERIES["st_embedding_drift"] = st_embedding_drift
 # the streaming twin SHARES the batch monitor's value oracle
 ORACLES["st_embedding_drift"] = DQ_EMBEDDING_DRIFT_ORACLE
@@ -104,6 +111,10 @@ ADVERSARIAL_SIM_QUERIES = [
     # through the sink path
     "sim_knn_graph",
     "st_embedding_drift",
+    # r16 bank: the mutual-kNN clusters over the exact-duplicate pair
+    # (3 == 4), zero vectors and antipodes — singleton/survivor
+    # semantics through the recursive-closure oracle
+    "sim_knn_components",
 ]
 
 

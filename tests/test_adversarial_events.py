@@ -30,6 +30,13 @@ from simple_etl_pipeline_spark.plans.events import (  # noqa: E402
 
 QUERIES["ev_mad_outliers"] = ev_mad_outliers
 ORACLES["ev_mad_outliers"] = EV_MAD_OUTLIERS_ORACLE
+from simple_etl_pipeline_spark.plans.events import (  # noqa: E402
+    EV_CHANGEPOINT_CUSUM_ORACLE,
+    ev_changepoint_cusum,
+)
+
+QUERIES["ev_changepoint_cusum"] = ev_changepoint_cusum
+ORACLES["ev_changepoint_cusum"] = EV_CHANGEPOINT_CUSUM_ORACLE
 
 _T0 = dt.datetime(2024, 3, 1, 0, 0, 0)
 
@@ -133,6 +140,10 @@ ADVERSARIAL_EV_QUERIES = [
     # deviations), the flood user's heavy ties, negative values and
     # the single-event type groups
     "ev_mad_outliers",
+    # r16 bank: the CUSUM scan over the gauntlet's sparse multi-day
+    # span (wide empty-hour stretches dominate the grid) and flood
+    # hours
+    "ev_changepoint_cusum",
 ]
 
 

@@ -53,6 +53,13 @@ QUERIES["dq_snapshot_diff"] = dq_snapshot_diff
 ORACLES["dq_snapshot_diff"] = DQ_SNAPSHOT_DIFF_ORACLE
 QUERIES["mm_bytes_shard_pack"] = mm_bytes_shard_pack
 ORACLES["mm_bytes_shard_pack"] = MM_BYTES_SHARD_PACK_ORACLE
+from simple_etl_pipeline_spark.plans.text import (  # noqa: E402
+    TRAIN_EVAL_DECONTAM_ORACLE,
+    train_eval_decontam_report,
+)
+
+QUERIES["train_eval_decontam_report"] = train_eval_decontam_report
+ORACLES["train_eval_decontam_report"] = TRAIN_EVAL_DECONTAM_ORACLE
 
 EDGE_DOCS = [
     # (doc_id, text, lang, source)
@@ -162,6 +169,9 @@ ADVERSARIAL_QUERIES = [
     "train_binpack_shelves",
     "dq_snapshot_diff",
     "mm_bytes_shard_pack",
+    # r16 bank: the contamination matrix over CJK shingles, NULL
+    # text, sub-shingle docs and the repetition-heavy spam doc
+    "train_eval_decontam_report",
 ]
 
 

@@ -67,6 +67,10 @@ QUERIES["dq_snapshot_diff"] = _rel.dq_snapshot_diff
 QUERIES["ev_mad_outliers"] = _ev.ev_mad_outliers
 QUERIES["sim_knn_graph"] = _sim.sim_knn_graph
 QUERIES["mm_bytes_shard_pack"] = _mm.mm_bytes_shard_pack
+# r16 bank (same session)
+QUERIES["sim_knn_components"] = _sim.sim_knn_components
+QUERIES["train_eval_decontam_report"] = _txt.train_eval_decontam_report
+QUERIES["ev_changepoint_cusum"] = _ev.ev_changepoint_cusum
 
 REPRESENTATIVE = [
     "q1_pricing_summary",
@@ -156,6 +160,11 @@ REPRESENTATIVE = [
     "ev_mad_outliers",
     "sim_knn_graph",
     "mm_bytes_shard_pack",
+    # r16 bank (same session; the decontam report emits its 3 literal
+    # pair rows with zero counts on an empty corpus by design)
+    "sim_knn_components",
+    "train_eval_decontam_report",
+    "ev_changepoint_cusum",
 ]
 
 
@@ -186,6 +195,16 @@ def test_query_survives_empty_tables(spark, empty_sf_dir, name):
         assert len(rows) == 7
         assert all(
             r.a_value == 0 and r.b_value == 0 and not r.flagged
+            for r in rows
+        )
+        return
+    if name == "train_eval_decontam_report":
+        # the matrix emits one row PER SPLIT PAIR by design (the
+        # literal pair frame); on empty tables every count is zero
+        assert len(rows) == 3
+        assert all(
+            r.n_shared == 0 and r.n_docs_contaminated == 0
+            and r.contam_ppm == 0
             for r in rows
         )
         return

@@ -5908,3 +5908,361 @@ def test_bytes_shard_pack_fuzzed_cross_engine(
     compare_with_oracle(
         mm_bytes_shard_pack(spark, d), MM_BYTES_SHARD_PACK_ORACLE, d
     )
+
+
+# --- r16 bank: SemDeDup-style kNN cluster pruning ---------------------------
+def test_knn_components_edge_corpus_mutuality_and_singletons(
+    spark, tmp_path
+):
+    """The mutuality filter pinned exactly: six identical vectors in
+    one bucket each keep the other five (K=5) and drop the seventh,
+    slightly-different bucket-mate — whose own top-5 lists five of
+    them — so its edges are all ONE-DIRECTIONAL and it must come out
+    a singleton, while the six form one cluster surviving at the min
+    id. A vector alone in its bucket and a zero vector (no valid
+    cosine in either direction) are singletons too. Then full engine
+    parity against the recursive-closure oracle."""
+    import pyarrow as pa
+
+    from simple_etl_pipeline_spark.plans.similarity import (
+        KNN_GRAPH_K,
+        SIM_KNN_COMPONENTS_ORACLE,
+        sim_knn_components,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    assert KNN_GRAPH_K == 5  # the corpus below is spelled for it
+    vecs = {}
+    for i in range(1, 7):              # bucket 255: identical clique
+        vecs[i] = [1.0] * 8
+    vecs[7] = [1.0] * 7 + [3.0]        # same bucket, everyone's 6th pick
+    vecs[20] = [-1.0] + [1.0] * 7      # alone in bucket 254
+    vecs[30] = [0.0] * 8               # zero vector in bucket 0
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(sorted(vecs), pa.int64()),
+            "embedding": pa.array(
+                [vecs[k] for k in sorted(vecs)], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        }
+    )
+    d = _edge_dir(tmp_path, "knncomp_edge", {"embeddings": tbl})
+    out = {r.node: r for r in sim_knn_components(spark, d).collect()}
+    assert sorted(out) == [1, 2, 3, 4, 5, 6, 7, 20, 30]
+    for i in range(1, 7):
+        assert (out[i].component, out[i].cluster_size) == (1, 6), out[i]
+        assert bool(out[i].is_survivor) is (i == 1)
+    for lone in (7, 20, 30):
+        r = out[lone]
+        assert (r.component, r.cluster_size) == (lone, 1), r
+        assert bool(r.is_survivor) is True
+    compare_with_oracle(
+        sim_knn_components(spark, d), SIM_KNN_COMPONENTS_ORACLE, d
+    )
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-4.0, max_value=4.0, allow_nan=False, width=32
+            ),
+            min_size=8,
+            max_size=8,
+        ),
+        min_size=2,
+        max_size=14,
+    )
+)
+@_SETTINGS
+def test_knn_components_fuzzed_cross_engine(
+    spark, tmp_path_factory, vec_rows
+):
+    """Cross-engine fuzz over random small graphs: arbitrary vectors
+    (including coordinate signs that scatter or pile into buckets)
+    must produce identical mutual edges, components, sizes and
+    survivor flags under the recursive-closure oracle, AND satisfy
+    the manifest invariants — component ids are cluster minima, and
+    survivors count exactly one per component."""
+    import pyarrow as pa
+
+    from simple_etl_pipeline_spark.plans.similarity import (
+        SIM_KNN_COMPONENTS_ORACLE,
+        sim_knn_components,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vec_rows)), pa.int64()),
+            "embedding": pa.array(vec_rows, pa.list_(pa.float32())),
+            "label": pa.array([0] * len(vec_rows), pa.int32()),
+        }
+    )
+    d = _edge_dir(
+        tmp_path_factory.mktemp("knncompfuzz"), "c", {"embeddings": tbl}
+    )
+    rows = sim_knn_components(spark, d).collect()
+    comps = {}
+    for r in rows:
+        comps.setdefault(r.component, []).append(r)
+    for comp, members in comps.items():
+        assert comp == min(m.node for m in members)
+        assert sum(1 for m in members if m.is_survivor) == 1
+        assert all(m.cluster_size == len(members) for m in members)
+    compare_with_oracle(
+        sim_knn_components(spark, d), SIM_KNN_COMPONENTS_ORACLE, d
+    )
+
+
+# --- r16 bank: cross-split contamination matrix -----------------------------
+def _split_of(source) -> str:
+    """Python twin of the salted md5 source-split assignment."""
+    import hashlib
+
+    s = source if source is not None else "(null)"
+    h = hashlib.md5(f"split|{s}".encode()).hexdigest()[:15]
+    v = int(h, 16) % 1_000_000
+    return "train" if v < 800_000 else ("val" if v < 900_000 else "test")
+
+
+def test_decontam_report_edge_corpus_planted_leak(spark, tmp_path):
+    """A planted leak pinned exactly: one shingle string shared
+    between a train-split doc and a val-split doc reads as one shared
+    shingle and one contaminated val doc; the test split carries only
+    unique text (zero contamination), a NULL-text doc (counts in
+    n_docs_b, cannot be contaminated) and a 2-token doc (below the
+    3-gram minimum — no shingles). Exact cells asserted, then engine
+    parity."""
+    import pyarrow as pa
+
+    from simple_etl_pipeline_spark.plans.text import (
+        TRAIN_EVAL_DECONTAM_ORACLE,
+        train_eval_decontam_report,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    def pick(split, taken):
+        i = 0
+        while True:
+            src = f"edge{i}"
+            if src not in taken and _split_of(src) == split:
+                taken.add(src)
+                return src
+            i += 1
+
+    taken: set = set()
+    s_train = pick("train", taken)
+    s_val = pick("val", taken)
+    s_test = pick("test", taken)
+    leak = "the planted leaking shingle text"  # 5 tokens -> 3 shingles
+    rows = [
+        (1, f"{leak} plus unique train tail", s_train),
+        (2, f"{leak} with its own val ending", s_val),
+        (3, "completely different eval content here", s_test),
+        (4, None, s_test),
+        (5, "two tokens", s_test),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+            "n_chars": pa.array(
+                [len(r[1]) if r[1] else 0 for r in rows], pa.int64()
+            ),
+        }
+    )
+    d = _edge_dir(tmp_path, "decontam_edge", {"documents": tbl})
+    out = {
+        (r.split_a, r.split_b): r
+        for r in train_eval_decontam_report(spark, d).collect()
+    }
+    assert sorted(out) == [
+        ("train", "test"), ("train", "val"), ("val", "test"),
+    ]
+    tv = out[("train", "val")]
+    # the 5-token leak yields 3 shared 3-gram shingles
+    assert tv.n_shared == 3
+    assert (tv.n_docs_b, tv.n_docs_contaminated) == (1, 1)
+    assert tv.contam_ppm == 1_000_000
+    tt = out[("train", "test")]
+    assert (tt.n_shared, tt.n_docs_contaminated) == (0, 0)
+    assert tt.n_docs_b == 3  # incl. the NULL-text and 2-token docs
+    vt = out[("val", "test")]
+    assert (vt.n_shared, vt.n_docs_contaminated) == (0, 0)
+    compare_with_oracle(
+        train_eval_decontam_report(spark, d), TRAIN_EVAL_DECONTAM_ORACLE, d
+    )
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(
+                [
+                    "alpha beta gamma delta",
+                    "alpha beta gamma shared tail",
+                    "one two",
+                    "",
+                    None,
+                ]
+            ),
+            st.sampled_from(["edge0", "edge1", "edge2", "edge7", None]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@_SETTINGS
+def test_decontam_report_fuzzed_cross_engine(
+    spark, tmp_path_factory, rows
+):
+    """Cross-engine fuzz: random doc/source draws (overlapping shingle
+    pools, NULL text, NULL sources, sub-shingle docs) must hash-match
+    DuckDB on every cell — the distinct-shingle joins, the literal
+    pair frame's zero fill and the decimal-staged ppm all agree or
+    this mismatches."""
+    import pyarrow as pa
+
+    from simple_etl_pipeline_spark.plans.text import (
+        TRAIN_EVAL_DECONTAM_ORACLE,
+        train_eval_decontam_report,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(rows)), pa.int64()),
+            "text": pa.array([t for t, _ in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array([s for _, s in rows], pa.string()),
+            "n_chars": pa.array(
+                [len(t) if t else 0 for t, _ in rows], pa.int64()
+            ),
+        }
+    )
+    d = _edge_dir(
+        tmp_path_factory.mktemp("decontamfuzz"), "c", {"documents": tbl}
+    )
+    compare_with_oracle(
+        train_eval_decontam_report(spark, d), TRAIN_EVAL_DECONTAM_ORACLE, d
+    )
+
+
+# --- r16 bank: CUSUM change-point scan ---------------------------------------
+def test_cusum_edge_corpus_level_shift_and_gaps(spark, tmp_path):
+    """A constructed level shift pinned exactly: 2 events/hour for 10
+    hours then 10/hour for 10 hours puts the global mean at 6/hour,
+    accumulates S_h to its |max| = 40e6 micros at the LAST hour of
+    the old regime (the CUSUM change-point estimator), and recovers
+    to S = 0 at the end; an empty hour inside the span counts 0 and
+    carries the most negative single-hour deviation. Exact integer
+    expectations asserted, then engine parity."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from simple_etl_pipeline_spark.plans.events import (
+        EV_CHANGEPOINT_CUSUM_ORACLE,
+        ev_changepoint_cusum,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    t0 = dt.datetime(2024, 5, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for h in range(20):
+        # hour 4 is deliberately EMPTY (gap inside the old regime)
+        n = 0 if h == 4 else (2 if h < 10 else 10)
+        for k in range(n):
+            eid += 1
+            rows.append(
+                (eid, t0 + dt.timedelta(hours=h, minutes=k), 1, "view",
+                 1.0, "{}")
+            )
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    d = _edge_dir(tmp_path, "cusum_edge", {"events": tbl})
+    out = ev_changepoint_cusum(spark, d).collect()
+    total = 2 * 9 + 10 * 10  # 118 events, hour 4 empty
+    mu = total * 1_000_000 // 20
+    assert len(out) == 20
+    peak = out[0]
+    # S_h is most negative at h=9 (end of the low regime)
+    assert peak.hour_epoch == int(
+        (t0 + dt.timedelta(hours=9)).timestamp()
+    )
+    exp_s9 = (2 * 9) * 1_000_000 - 10 * mu  # 8 low hours + 1 gap hour
+    assert peak.cusum_micros == exp_s9
+    assert bool(peak.is_peak) is True
+    assert sum(1 for r in out if r.is_peak) == 1
+    by_hour = {r.hour_epoch: r for r in out}
+    gap = by_hour[int((t0 + dt.timedelta(hours=4)).timestamp())]
+    assert gap.n_events == 0 and gap.dev_micros == -mu
+    last = by_hour[int((t0 + dt.timedelta(hours=19)).timestamp())]
+    assert last.cusum_micros == total * 1_000_000 - 20 * mu  # ~0 residue
+    compare_with_oracle(
+        ev_changepoint_cusum(spark, d), EV_CHANGEPOINT_CUSUM_ORACLE, d
+    )
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 60), st.integers(0, 5)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_SETTINGS
+def test_cusum_fuzzed_cross_engine(spark, tmp_path_factory, draws):
+    """Cross-engine fuzz: random (hour, burst-size) draws — sparse
+    grids with long empty stretches, heavy ties in |S|, single-hour
+    spans — must hash-match DuckDB on every draw (the grid fill, the
+    truncating mean, the decimal-staged running sum and the peak-tie
+    marking all agree or this mismatches)."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from simple_etl_pipeline_spark.plans.events import (
+        EV_CHANGEPOINT_CUSUM_ORACLE,
+        ev_changepoint_cusum,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    t0 = dt.datetime(2024, 6, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for h, n in draws:
+        for k in range(n):
+            eid += 1
+            rows.append((eid, t0 + dt.timedelta(hours=h, minutes=k)))
+    if not rows:
+        rows = [(1, t0)]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array(["view"] * len(rows), pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    d = _edge_dir(
+        tmp_path_factory.mktemp("cusumfuzz"), "c", {"events": tbl}
+    )
+    compare_with_oracle(
+        ev_changepoint_cusum(spark, d), EV_CHANGEPOINT_CUSUM_ORACLE, d
+    )

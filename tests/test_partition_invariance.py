@@ -69,6 +69,10 @@ QUERIES["dq_snapshot_diff"] = _rel.dq_snapshot_diff
 QUERIES["ev_mad_outliers"] = _ev.ev_mad_outliers
 QUERIES["sim_knn_graph"] = _sim.sim_knn_graph
 QUERIES["mm_bytes_shard_pack"] = _mm.mm_bytes_shard_pack
+# r16 bank (same session)
+QUERIES["sim_knn_components"] = _sim.sim_knn_components
+QUERIES["train_eval_decontam_report"] = _txt.train_eval_decontam_report
+QUERIES["ev_changepoint_cusum"] = _ev.ev_changepoint_cusum
 
 # Float-aggregate-heavy and sketch queries — the ones that WOULD diverge
 # under double-sum reordering or rand()-based sampling.
@@ -170,6 +174,13 @@ INVARIANT_QUERIES = [
     "ev_mad_outliers",
     "sim_knn_graph",
     "mm_bytes_shard_pack",
+    # r16 bank: component labels converge to the min id regardless of
+    # layout (kNN components); distinct shingle keys + exact-ppm cells
+    # (decontam); grid prefix sums are pure integer arithmetic over a
+    # deterministic hour order (CUSUM)
+    "sim_knn_components",
+    "train_eval_decontam_report",
+    "ev_changepoint_cusum",
 ]
 
 

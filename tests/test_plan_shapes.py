@@ -1047,3 +1047,72 @@ def test_bytes_shard_pack_prefix_sum_barrier_no_generate(spark, sf_dir):
     for ln in plan.splitlines():
         if "row_number() windowspecdefinition" in ln:
             assert "_gpid" in ln.split("windowspecdefinition")[1][:30], ln
+
+
+def test_knn_components_no_cartesian_no_python(spark, sf_dir):
+    """sim_knn_components (r16 bank) composes the bucket-keyed edge
+    stage, one edge-keyed LEFT SEMI mutuality join and the star-
+    contraction components — no cross product and no Python
+    evaluation anywhere in the converged plan."""
+    from simple_etl_pipeline_spark.plans import similarity as simmod
+
+    plan = (
+        simmod.sim_knn_components(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_decontam_report_shingle_keyed_joins_no_window(spark, sf_dir):
+    """train_eval_decontam_report (r16 bank): the overlap joins key on
+    the 60-bit shingle hash (8-byte keys, never gram strings), there
+    is no window anywhere, and no cross product — the only tiny
+    frames are the literal pair rows and the <= 3-cell stats, which
+    ride broadcast joins."""
+    from simple_etl_pipeline_spark.plans import text as txtmod
+
+    plan = (
+        txtmod.train_eval_decontam_report(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "windowspecdefinition" not in plan, plan
+    join_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "SortMergeJoin" in ln
+        or ("HashJoin" in ln and "LeftOuter" not in ln)
+    ]
+    assert join_lines, plan
+    assert all("shkey" in ln for ln in join_lines), plan
+
+
+def test_cusum_grid_window_and_bounded_broadcasts(spark, sf_dir):
+    """ev_changepoint_cusum (r16 bank): ONE hour-keyed aggregation
+    touches the stream; the running-sum window is un-partitioned over
+    the SPAN-sized grid (the ev_gap_fill adjudicated class); the head
+    is TakeOrdered, and the only nested-loop joins are the two 1-row
+    bounds/peak scalar broadcasts (the adjudicated bounded class)."""
+    from simple_etl_pipeline_spark.plans import events as evmod
+
+    plan = (
+        evmod.ev_changepoint_cusum(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+    assert "Generate explode" in plan, plan  # the grid, bounds-sized
