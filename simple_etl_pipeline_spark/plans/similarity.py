@@ -323,18 +323,65 @@ ORDER BY vec_a, vec_b
 
 # --- k-NN graph construction (round-15 prebuild bank) ----------------------
 KNN_GRAPH_K = 5
+# SemDeDup epsilon for the r16 pruning op: only near-duplicate edges
+# (6-dp cosine >= this) may merge clusters — semantically required
+# (pruning a 0.2-cosine chain would delete non-duplicates) AND the
+# scale guarantee (eps-balls have small diameter, so the contraction
+# converges in a handful of rounds at any corpus size — the build
+# probe measured the unthresholded variant at 953 s / exponent 1.04
+# at K=256 on exactly the percolated-chain pathology).
+KNN_COMPONENTS_MIN_SIM = 0.9
+# Target expected bucket width for the auto-scaled sign-bit space of
+# the kNN edge stage (see _knn_edges_from): candidates per node stay
+# ~this at any corpus size. 64 keeps per-node candidate work constant
+# while leaving recall within the LSH_BITS floor at every gate SF.
+KNN_TARGET_BUCKET = 64
 
 
-def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _knn_edges_from(corpus: DataFrame) -> DataFrame:
     """The directed top-K edge stage shared by sim_knn_graph (r15
-    bank) and sim_knn_components (r16 bank): bucket-keyed candidate
-    equi-self-join, bit-identical fixed-point cosine on candidates
-    only, NULL-sim (zero-norm) candidates excluded, per-node top-K via
-    a node-keyed window (corpus-sized keys: parallel). Columns
-    (node, nbr, sim, rn <= KNN_GRAPH_K)."""
-    emb = _emb(spark, sf_dir).select("vec_id", "v").withColumn(
-        "bucket", _bucket_col()
+    bank) and sim_knn_components (r16 bank) — parameterized by the
+    corpus frame (vec_id, v) so the components op can run it over the
+    dup-injected corpus: bucket-keyed candidate equi-self-join,
+    bit-identical fixed-point cosine on candidates only, NULL-sim
+    (zero-norm) candidates excluded, per-node top-K via a node-keyed
+    window (corpus-sized keys: parallel). Columns
+    (node, nbr, sim, rn <= KNN_GRAPH_K).
+
+    AUTO-SCALED bucket bits (the dedup_semdedup device, applied here
+    because the build-stage drill MEASURED the need): with the fixed
+    8-bit bucket space, candidates per node grow ∝ N/256 and the
+    cosine stage — a CodegenFallback higher-order-function at ~14 µs
+    per candidate — paid 64M evaluations (~16 minutes) at the 128k
+    probe point. The sign-bit count now grows with the corpus,
+    nbits = clamp(LSH_BITS, bits(ceil(N / KNN_TARGET_BUCKET)), 32),
+    so expected bucket width stays ~KNN_TARGET_BUCKET at any N and
+    candidate work stays linear. nbits derives IN-PLAN from a 1-row
+    scalar aggregate (the adjudicated bounds-broadcast class — no
+    driver job, plan stays lazy) via exact integer arithmetic
+    (length(bin(q-1)), not floating log2, so both engines compute
+    the identical nbits); at every test/gate SF the clamp floors at
+    LSH_BITS = 8, keeping driver-gate values identical to the fixed
+    layout. More bits trade recall exactly like the paper's K knob —
+    the registered recall meters are the tuning loop."""
+    bparam = corpus.agg(F.count(F.lit(1)).alias("_n")).select(
+        F.expr(
+            f"CASE WHEN ((_n + {KNN_TARGET_BUCKET - 1})"
+            f" div {KNN_TARGET_BUCKET}) <= 1 THEN {LSH_BITS}"
+            " ELSE least(greatest("
+            f"{LSH_BITS}, length(bin((_n + {KNN_TARGET_BUCKET - 1})"
+            f" div {KNN_TARGET_BUCKET} - 1))), 32) END"
+        ).alias("nbits")
     )
+    emb = corpus.crossJoin(F.broadcast(bparam)).withColumn(
+        "bucket",
+        F.expr(
+            "aggregate(sequence(0, nbits - 1), CAST(0 AS BIGINT),"
+            " (acc, j) -> acc + CASE WHEN element_at(v, j + 1) > 0"
+            " THEN CAST(shiftleft(CAST(1 AS BIGINT), j) AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END)"
+        ),
+    ).drop("nbits")
     a, b = emb.alias("a"), emb.alias("b")
     cand = (
         a.join(
@@ -354,6 +401,14 @@ def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("node").orderBy(F.desc("sim"), F.asc("nbr"))
     return cand.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= KNN_GRAPH_K
+    )
+
+
+def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K edges over the raw embeddings table (sim_knn_graph's
+    corpus)."""
+    return _knn_edges_from(
+        _emb(spark, sf_dir).select("vec_id", "v")
     )
 
 
@@ -414,12 +469,33 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # shared DuckDB CTE chain for the top-K edge stage (sim_knn_graph +
-# sim_knn_components oracles compose over it)
+# sim_knn_components oracles compose over it, each with its own
+# corpus CTE — the bucket-bit parameter derives from THAT corpus)
+def _sql_knn_bucket_ctes(corpus: str) -> str:
+    """bparam + bucketed CTEs over the named corpus CTE — the exact
+    integer twin of _knn_edges_from's auto-scaled sign-bit bucketing
+    (length(bin(q-1)), never floating log2)."""
+    return f"""bparam AS (
+  SELECT CASE WHEN q <= 1 THEN {LSH_BITS}
+       ELSE LEAST(GREATEST({LSH_BITS}, length(bin(q - 1))), 32) END
+    AS nbits
+  FROM (SELECT (COUNT(*) + {KNN_TARGET_BUCKET - 1})
+               // {KNN_TARGET_BUCKET} AS q
+        FROM {corpus})
+), bucketed AS (
+  SELECT vec_id, v,
+    list_sum(list_transform(
+      generate_series(0, (SELECT nbits FROM bparam) - 1),
+      j -> CASE WHEN v[j + 1] > 0
+           THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
+      AS bucket
+  FROM {corpus}
+)"""
+
+
 _SIM_KNN_EDGES_CTES = f"""base AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-), bucketed AS (
-  SELECT vec_id, v, {_sql_bucket('v')} AS bucket FROM base
-), cand AS (
+), {_sql_knn_bucket_ctes('base')}, cand AS (
   SELECT a.vec_id AS node, b.vec_id AS nbr,
     round({sql_cosine_dec('a.v', 'b.v')}, 6) AS sim
   FROM bucketed a JOIN bucketed b
@@ -452,35 +528,57 @@ ORDER BY node
 def sim_knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style cluster-pruning manifest (round-16 prebuild
     bank) — the step the kNN graph exists FOR: connected components
-    over the MUTUAL-kNN edge set (an edge survives only when each
-    endpoint ranks the other in its top-K — the standard symmetric
-    filter that keeps hub nodes from chaining unrelated regions
-    through one popular neighbor), with the min-id component label as
-    the deterministic cluster id and survivor. Every vector gets a
-    manifest row: clustered nodes carry their component and cluster
-    size; nodes with no mutual edge are singleton survivors of their
-    own cluster. Keep-set = the is_survivor rows (one per cluster) —
-    exactly the SemDeDup pruning contract, with cosine-threshold
-    tightening left to the KNN_GRAPH_K / LSH_BITS knobs the graph op
-    documents.
+    over the MUTUAL near-duplicate edge set, with the min-id component
+    label as the deterministic cluster id and survivor. An edge
+    survives only when BOTH filters pass: each endpoint ranks the
+    other in its top-K (the symmetric filter that keeps hub nodes
+    from chaining unrelated regions through one popular neighbor),
+    AND the 6-dp cosine clears KNN_COMPONENTS_MIN_SIM — the SemDeDup
+    epsilon. The threshold is load-bearing for SCALE, not just
+    semantics: pruning is only sound over eps-ball clusters, and
+    eps-balls have SMALL DIAMETER by construction, so the star
+    contraction converges in a handful of rounds at any corpus size.
+    The build-stage probe measured exactly why the unthresholded
+    variant is wrong twice over: mutual-kNN on unclustered vectors
+    percolates into giant chains (semantically NOT duplicates — a
+    0.2-cosine chain must never be pruned to one survivor) whose
+    diameter-driven round count read 953 s at K=256 (exponent 1.04);
+    with the epsilon the same corpus converges flat.
+
+    The adapter injects cosine-invariant scaled copies (vec_id % 11
+    == 0 -> +100000, x1.5 — the dedup_embedding_cosine device)
+    so the stock corpus carries REAL duplicate clusters to find; the
+    random base vectors sit far below the epsilon and stay singleton
+    survivors. Every vector gets a manifest row; keep-set = the
+    is_survivor rows (one per cluster) — the SemDeDup pruning
+    contract.
 
     Pure composition of verified primitives, zero new mechanism: the
-    edge stage is _knn_edges (the r15 graph op's own stage), the
-    mutuality filter is one edge-keyed LEFT SEMI self-join (shuffle
-    bounded by K x |corpus| directed edges), and the clustering is
-    plans/text.connected_components — the large-star/small-star
-    contraction with its O(log diameter) round bound and structural
-    convergence check, imported, not re-implemented. The singleton
-    fill is a node-keyed left join back to the corpus frame. Nothing
-    in the plan exceeds the edge set after the candidate join.
-    Oracle: the shared _SIM_KNN_EDGES_CTES chain + the recursive
-    transitive-closure CTE (the DEDUP_COMPONENTS_ORACLE device) with
-    a COALESCE singleton fill."""
+    edge stage is _knn_edges_from (the r15 graph op's own stage over
+    the injected corpus), the mutuality filter is one edge-keyed LEFT
+    SEMI self-join (shuffle bounded by K x |corpus| directed edges),
+    and the clustering is plans/text.connected_components — the
+    large-star/small-star contraction with its structural convergence
+    check, imported, not re-implemented. The singleton fill is a
+    node-keyed left join back to the corpus frame. Oracle: the
+    parameterized edge-CTE chain + the recursive transitive-closure
+    CTE (the DEDUP_COMPONENTS_ORACLE device) with a COALESCE
+    singleton fill."""
     from simple_etl_pipeline_spark.plans.text import (
         _components_over_pairs,
     )
 
-    fwd = _knn_edges(spark, sf_dir).select("node", "nbr")
+    base = _emb(spark, sf_dir).select("vec_id", "v")
+    dups = base.filter(F.col("vec_id") % 11 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("v", lambda x: x * 1.5).alias("v"),
+    )
+    corpus = base.unionByName(dups)
+    fwd = (
+        _knn_edges_from(corpus)
+        .filter(F.col("sim") >= KNN_COMPONENTS_MIN_SIM)
+        .select("node", "nbr")
+    )
     mutual = fwd.join(
         fwd.select(F.col("nbr").alias("node"), F.col("node").alias("nbr")),
         ["node", "nbr"],
@@ -492,9 +590,9 @@ def sim_knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = _components_over_pairs(pairs).withColumnRenamed(
         "doc_id", "node"
     )
-    nodes = load_table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("node")
-    )
+    # manifest rows for the WHOLE injected corpus — the scaled copies
+    # are exactly the rows the pruning exists to drop
+    nodes = corpus.select(F.col("vec_id").alias("node"))
     return (
         nodes.join(comp, "node", "left")
         .select(
@@ -514,8 +612,29 @@ def sim_knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIM_KNN_COMPONENTS_ORACLE = f"""
-WITH RECURSIVE {_SIM_KNN_EDGES_CTES}, fwd AS (
+WITH RECURSIVE base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), corpus AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(v, x -> x * 1.5)
+  FROM base WHERE vec_id % 11 = 0
+), {_sql_knn_bucket_ctes('corpus')}, cand AS (
+  SELECT a.vec_id AS node, b.vec_id AS nbr,
+    round({sql_cosine_dec('a.v', 'b.v')}, 6) AS sim
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+  WHERE round({sql_cosine_dec('a.v', 'b.v')}, 6) IS NOT NULL
+), edges AS (
+  SELECT * FROM (
+    SELECT node, nbr, sim,
+      ROW_NUMBER() OVER (PARTITION BY node
+                         ORDER BY sim DESC, nbr ASC) AS rn
+    FROM cand
+  ) WHERE rn <= {KNN_GRAPH_K}
+), fwd AS (
   SELECT node, nbr FROM edges
+  WHERE sim >= {KNN_COMPONENTS_MIN_SIM}
 ), mutual AS (
   SELECT f.node, f.nbr FROM fwd f
   WHERE EXISTS (SELECT 1 FROM fwd r
@@ -535,11 +654,11 @@ WITH RECURSIVE {_SIM_KNN_EDGES_CTES}, fwd AS (
   JOIN (SELECT component, COUNT(*) AS cluster_size
         FROM comp GROUP BY 1) USING (component)
 )
-SELECT b.vec_id AS node,
-  CAST(COALESCE(s.component, b.vec_id) AS BIGINT) AS component,
+SELECT c.vec_id AS node,
+  CAST(COALESCE(s.component, c.vec_id) AS BIGINT) AS component,
   CAST(COALESCE(s.cluster_size, 1) AS BIGINT) AS cluster_size,
-  COALESCE(s.component, b.vec_id) = b.vec_id AS is_survivor
-FROM base b LEFT JOIN sized s ON b.vec_id = s.node
+  COALESCE(s.component, c.vec_id) = c.vec_id AS is_survivor
+FROM corpus c LEFT JOIN sized s ON c.vec_id = s.node
 ORDER BY node
 """
 

@@ -5914,17 +5914,20 @@ def test_bytes_shard_pack_fuzzed_cross_engine(
 def test_knn_components_edge_corpus_mutuality_and_singletons(
     spark, tmp_path
 ):
-    """The mutuality filter pinned exactly: six identical vectors in
-    one bucket each keep the other five (K=5) and drop the seventh,
-    slightly-different bucket-mate — whose own top-5 lists five of
-    them — so its edges are all ONE-DIRECTIONAL and it must come out
-    a singleton, while the six form one cluster surviving at the min
-    id. A vector alone in its bucket and a zero vector (no valid
-    cosine in either direction) are singletons too. Then full engine
-    parity against the recursive-closure oracle."""
+    """The mutuality filter pinned exactly (independently of the
+    SemDeDup epsilon): six identical vectors in one bucket each keep
+    the other five (K=5) and drop the seventh bucket-mate, whose
+    cosine 0.9594 CLEARS the 0.9 threshold and whose own top-5 lists
+    five of them — so its edges are all ONE-DIRECTIONAL and it must
+    come out a singleton by mutuality alone, while the six form one
+    cluster surviving at the min id. A vector alone in its bucket and
+    a zero vector (no valid cosine in either direction) are
+    singletons too; no id here draws an injected dup copy (% 11). Then
+    full engine parity against the recursive-closure oracle."""
     import pyarrow as pa
 
     from simple_etl_pipeline_spark.plans.similarity import (
+        KNN_COMPONENTS_MIN_SIM,
         KNN_GRAPH_K,
         SIM_KNN_COMPONENTS_ORACLE,
         sim_knn_components,
@@ -5932,10 +5935,13 @@ def test_knn_components_edge_corpus_mutuality_and_singletons(
     from simple_etl_pipeline_spark.testing import compare_with_oracle
 
     assert KNN_GRAPH_K == 5  # the corpus below is spelled for it
+    assert KNN_COMPONENTS_MIN_SIM == 0.9
     vecs = {}
     for i in range(1, 7):              # bucket 255: identical clique
         vecs[i] = [1.0] * 8
-    vecs[7] = [1.0] * 7 + [3.0]        # same bucket, everyone's 6th pick
+    # same bucket, cos([1]*8, this) = 9/(sqrt(8)*sqrt(11)) ~ 0.9594:
+    # ABOVE the epsilon, but everyone's 6th pick -> one-directional
+    vecs[7] = [1.0] * 7 + [2.0]
     vecs[20] = [-1.0] + [1.0] * 7      # alone in bucket 254
     vecs[30] = [0.0] * 8               # zero vector in bucket 0
     tbl = pa.table(

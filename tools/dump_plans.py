@@ -77,6 +77,10 @@ PICKS = {
     "ev_mad_outliers": "exact order statistics without a |types|-key window: TWO global_row_number range shuffles (values, then decimal-clamped deviations), per-type offsets/median/MAD as broadcast joins, one scoring agg off the second barrier",
     "sim_knn_graph": "bucket-keyed candidate equi-self-join (never corpus x corpus) + bit-identical fixed-point cosine on candidates only + node-keyed top-K window (corpus-sized keys: parallel) + left join keeps isolated nodes",
     "mm_bytes_shard_pack": "global_prefix_sum over blob bytes (one range shuffle) + closed-form start-offset shard id + shard-keyed manifest agg; no generator, no data-sized window",
+    # r16 bank (same session — compositions of verified primitives)
+    "sim_knn_components": "the kNN edge stage + ONE edge-keyed left-semi mutuality join + star-contraction components (imported connected_components) + corpus left join for singleton survivors",
+    "train_eval_decontam_report": "shingle explode -> DISTINCT (split,key) tables map-side -> 60-bit-key overlap joins -> <=3-cell rollup onto the literal pair frame; no window, no cross join",
+    "ev_changepoint_cusum": "one hour-keyed count agg on the stream; grid/running-sum/ranking over the SPAN-sized grid (the gap_fill class); TakeOrdered head + two 1-row scalar broadcasts",
 }
 
 def main():
@@ -110,6 +114,21 @@ def main():
     qs.setdefault("ev_mad_outliers", ev_mad_outliers)
     qs.setdefault("sim_knn_graph", sim_knn_graph)
     qs.setdefault("mm_bytes_shard_pack", mm_bytes_shard_pack)
+    from simple_etl_pipeline_spark.plans.events import (
+        ev_changepoint_cusum,
+    )
+    from simple_etl_pipeline_spark.plans.similarity import (
+        sim_knn_components,
+    )
+    from simple_etl_pipeline_spark.plans.text import (
+        train_eval_decontam_report,
+    )
+
+    qs.setdefault("sim_knn_components", sim_knn_components)
+    qs.setdefault(
+        "train_eval_decontam_report", train_eval_decontam_report
+    )
+    qs.setdefault("ev_changepoint_cusum", ev_changepoint_cusum)
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     out = ["# PLANS — captured physical plans (sf0.1, AQE on)", "",

@@ -39,6 +39,28 @@ from simple_etl_pipeline_spark.schemas import load_table
 from simple_etl_pipeline_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _force(df) -> int:
+    """Timing action that cannot be optimized into measuring nothing.
+
+    A bare count() is PRUNABLE: Catalyst eliminates row-preserving
+    left joins (unique-keyed build side) and every unreferenced
+    column under count — sim_knn_graph's probe numbers measured a
+    plan whose ENTIRE edge stage had been optimized away, and
+    train_eval_decontam_report's measured three literal rows
+    (r12-continuation finding; both re-earned under this action).
+    Hashing every output column of every row forces full
+    materialization of exactly what a consumer of the query would
+    read; returns the row count like count() did."""
+    row = (
+        df.select(
+            F.xxhash64(*[F.col(c) for c in df.columns]).alias("_h")
+        )
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum("_h"))
+        .collect()[0]
+    )
+    return row["_n"]
 PROBE_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -158,6 +180,11 @@ PROBE_QUERIES = [
     # agg; manifest rows grow with total bytes / SHARD_BYTES — the
     # train_shard_manifest shape on the binary table.
     "mm_bytes_shard_pack",
+    # r16 bank: shingle explode collapsing to distinct (split, key)
+    # tables map-side + shingle-keyed overlap joins; per-copy token
+    # suffixes keep cross-copy shingles distinct, so overlap work
+    # grows with the within-copy shared pool (~linear), not K^2.
+    "train_eval_decontam_report",
 ]
 # Embedding-side probe (SPARK_GRAFT_PROBE=sim): vectors are perturbed
 # per copy (direction-dependent per-dim scaling), so LSH/sign buckets
@@ -195,6 +222,10 @@ SIM_PROBE_QUERIES = [
     # filling with identical vectors, so candidate pairs (and the
     # max bucket width the probe logs) grow like a real corpus.
     "sim_knn_graph",
+    # r16 bank: the graph op's edge stage + one edge-keyed semi-join
+    # + star-contraction components over the mutual subset (edges
+    # <= K x corpus) — wall should track the edge stage.
+    "sim_knn_components",
 ]
 # Events-side probe (SPARK_GRAFT_PROBE=ev): each copy shifts user_id and
 # event_id, so the per-user event structure (cohorts, funnels, as-of
@@ -249,6 +280,10 @@ EV_PROBE_QUERIES = [
     # global_row_number) + a scoring agg — wall should track rows;
     # super-linearity would mean a type-keyed funnel leaked back in.
     "ev_mad_outliers",
+    # r16 bank: one hour-keyed count agg touches the stream; the grid
+    # windows are span-sized — wall should track the scan, near-flat
+    # (the coherent event-id shift keeps the hour span fixed).
+    "ev_changepoint_cusum",
     # r11 bank: 1-row bounds broadcast + <=3-group agg -> linear scan.
     "ev_time_embargo_split",
     # r11 bank: hour-keyed count agg (span-sized), 168-slot broadcast,
@@ -614,6 +649,17 @@ def main() -> None:
     queries.setdefault(
         "mm_bytes_shard_pack", _mmmod.mm_bytes_shard_pack
     )
+    # r16 bank (same session)
+    queries.setdefault(
+        "sim_knn_components", _simmod.sim_knn_components
+    )
+    queries.setdefault(
+        "train_eval_decontam_report",
+        _txtmod.train_eval_decontam_report,
+    )
+    queries.setdefault(
+        "ev_changepoint_cusum", _evmod.ev_changepoint_cusum
+    )
     # ... and so do demoted queries (pytest-only parity twins): probe
     # lists name them by their original keys, which leave the registry
     # on demotion.
@@ -632,7 +678,7 @@ def main() -> None:
         writer(spark, SF_DIR, 1, warm)
         for name in probe:
             wdf = queries[name](spark, warm)
-            wdf.count()
+            _force(wdf)
             # per-frame release (ADVICE r9): drop only this build's
             # global_row_number barriers
             _release_rank_barriers_for(wdf)
@@ -648,7 +694,7 @@ def main() -> None:
             for name in probe:
                 t0 = time.perf_counter()
                 kdf = queries[name](spark, kdir)
-                n_out = kdf.count()
+                n_out = _force(kdf)
                 wall = time.perf_counter() - t0
                 results[name][k] = wall
                 # free the global_row_number/prefix_sum barriers THIS
