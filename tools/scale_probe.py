@@ -57,7 +57,9 @@ def _force(df) -> int:
         df.select(
             F.xxhash64(*[F.col(c) for c in df.columns]).alias("_h")
         )
-        .agg(F.count(F.lit(1)).alias("_n"), F.sum("_h"))
+        # bit_xor, not sum: a BIGINT sum of 64-bit hashes overflows
+        # under ANSI; XOR is overflow-free and order-independent
+        .agg(F.count(F.lit(1)).alias("_n"), F.expr("bit_xor(_h)"))
         .collect()[0]
     )
     return row["_n"]
