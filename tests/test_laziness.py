@@ -22,6 +22,9 @@ EXCLUDED = {
     "dedup_components_lsh",
     "dedup_survivors_quality",
     "txt_pagerank",
+    # composes connected_components (the same per-round convergence
+    # actions as dedup_components) over the mutual-kNN edge set
+    "sim_knn_components",
 }
 
 QUERIES = entrymod.queries()
