@@ -2866,9 +2866,14 @@ def ev_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("ts").isNotNull()
     )
+    # FLOOR division for the hour bucket (shared floor_div helper, the
+    # ev_seasonal_residuals convention): Spark's bare `div` truncates
+    # toward zero, so a pre-1970 timestamp would land one hour later
+    # than the oracle's sql_floor_div (ADVICE r12 high — an event at
+    # epoch-30min gave Spark a 3-row grid vs the oracle's 4).
     hours = (
         ev.select(
-            F.expr("unix_micros(ts) div 3600000000").alias("he")
+            floor_div("unix_micros(ts)", 3600000000).alias("he")
         )
         .groupBy("he")
         .agg(F.count(F.lit(1)).alias("cnt"))

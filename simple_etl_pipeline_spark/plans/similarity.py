@@ -270,6 +270,18 @@ SELECT q_id, cell, vec_id, sim, rn FROM (
 
 
 COSINE_DUP_THRESHOLD = 0.999
+# Id offset for cosine-invariant duplicate injection (the
+# dedup_embedding_cosine device, shared by sim_knn_components): far
+# outside any realistic vec_id domain so an injected copy's id can
+# never collide with a real corpus id — a collision would corrupt the
+# self-join exclusion, manifest uniqueness and survivor labels
+# (ADVICE r12: the old +100000 offset collided once vec_id >= 100000).
+# PRECONDITION (documented id domain): vec_id < 2^40 (~1.1e12). The
+# testdata tops out at 1999 and the scale probe shifts copies by 10M;
+# both sit far inside the domain. Survivor semantics are preserved:
+# every injected id is strictly larger than every base id, so min-id
+# components still elect the base vector.
+DUP_INJECT_OFFSET = 1 << 40
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -280,7 +292,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB — never an all-pairs scan."""
     emb = _emb(spark, sf_dir).select("vec_id", "v")
     dups = emb.filter(F.col("vec_id") % 11 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
+        (F.col("vec_id") + DUP_INJECT_OFFSET).alias("vec_id"),
         F.transform("v", lambda x: x * 1.5).alias("v"),
     )
     corpus = emb.unionByName(dups).withColumn("bucket", _bucket_col())
@@ -308,7 +320,7 @@ WITH base AS (
 ), corpus AS (
   SELECT vec_id, v FROM base
   UNION ALL
-  SELECT vec_id + 100000, list_transform(v, x -> x * 1.5) FROM base WHERE vec_id % 11 = 0
+  SELECT vec_id + {DUP_INJECT_OFFSET}, list_transform(v, x -> x * 1.5) FROM base WHERE vec_id % 11 = 0
 ), bucketed AS (
   SELECT vec_id, v, {_sql_bucket('v')} AS bucket FROM corpus
 )
@@ -546,7 +558,9 @@ def sim_knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the epsilon the same corpus converges flat.
 
     The adapter injects cosine-invariant scaled copies (vec_id % 11
-    == 0 -> +100000, x1.5 — the dedup_embedding_cosine device)
+    == 0 -> +DUP_INJECT_OFFSET, x1.5 — the dedup_embedding_cosine
+    device; the offset sits outside the documented vec_id domain so
+    injected ids can never collide with real ones, ADVICE r12)
     so the stock corpus carries REAL duplicate clusters to find; the
     random base vectors sit far below the epsilon and stay singleton
     survivors. Every vector gets a manifest row; keep-set = the
@@ -570,7 +584,7 @@ def sim_knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = _emb(spark, sf_dir).select("vec_id", "v")
     dups = base.filter(F.col("vec_id") % 11 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
+        (F.col("vec_id") + DUP_INJECT_OFFSET).alias("vec_id"),
         F.transform("v", lambda x: x * 1.5).alias("v"),
     )
     corpus = base.unionByName(dups)
@@ -617,7 +631,7 @@ WITH RECURSIVE base AS (
 ), corpus AS (
   SELECT vec_id, v FROM base
   UNION ALL
-  SELECT vec_id + 100000, list_transform(v, x -> x * 1.5)
+  SELECT vec_id + {DUP_INJECT_OFFSET}, list_transform(v, x -> x * 1.5)
   FROM base WHERE vec_id % 11 = 0
 ), {_sql_knn_bucket_ctes('corpus')}, cand AS (
   SELECT a.vec_id AS node, b.vec_id AS nbr,

@@ -21,7 +21,7 @@ duplicates makes the dedup outputs non-trivial at every SF.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from simple_etl_pipeline_spark.functions.agg import davg, sql_davg
@@ -4465,6 +4465,48 @@ FROM m ORDER BY band_len, shelf_id
 """
 
 
+# --- leakage-safe domain split assignment (ONE shared definition) ----------
+# The salted-md5 source-level split expression, defined once on each
+# engine and consumed by BOTH txt_domain_split (the production split
+# manifest) and train_eval_decontam_report (the audit that certifies
+# it): if the salt or thresholds are ever retuned, the audit moves with
+# the split by construction and can never silently certify a different
+# assignment than the one production uses (ADVICE r12 — the audit
+# previously re-implemented the expression inline).
+SPLIT_SALT = "split|"
+SPLIT_TRAIN_PPM = 800_000
+SPLIT_VAL_PPM = 900_000
+
+
+def domain_split_cols() -> tuple[Column, Column]:
+    """(split, grp) Spark Column pair of the domain split assignment:
+    grp = COALESCE(source, '(null)') — NULL mapped BEFORE hashing so it
+    draws one stable split — and split = salted 60-bit md5 of grp in
+    ppm space (< SPLIT_TRAIN_PPM train, < SPLIT_VAL_PPM val, else
+    test; 80/10/10 in expectation)."""
+    src = F.coalesce(F.col("source"), F.lit("(null)"))
+    h = md5_hash60(F.concat(F.lit(SPLIT_SALT), src)) % 1_000_000
+    split = (
+        F.when(h < SPLIT_TRAIN_PPM, F.lit("train"))
+        .when(h < SPLIT_VAL_PPM, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return split, src
+
+
+def sql_domain_split_case() -> str:
+    """DuckDB twin of ``domain_split_cols()[0]`` — the same salt and
+    ppm thresholds interpolated from the shared constants."""
+    h = sql_md5_hash60(
+        f"concat('{SPLIT_SALT}', COALESCE(source, '(null)'))"
+    )
+    return (
+        f"CASE WHEN {h} % 1000000 < {SPLIT_TRAIN_PPM} THEN 'train'"
+        f" WHEN {h} % 1000000 < {SPLIT_VAL_PPM} THEN 'val'"
+        " ELSE 'test' END"
+    )
+
+
 def txt_domain_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split manifest: the split unit is
     the SOURCE (domain), not the document — every document of a
@@ -4492,13 +4534,7 @@ def txt_domain_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     <= 3-row result for the ppm share. At 100 TB nothing after the
     scan exceeds the domain universe."""
     docs = load_table(spark, sf_dir, "documents")
-    src = F.coalesce(F.col("source"), F.lit("(null)"))
-    h = md5_hash60(F.concat(F.lit("split|"), src)) % 1_000_000
-    split = (
-        F.when(h < 800_000, F.lit("train"))
-        .when(h < 900_000, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
+    split, src = domain_split_cols()
     tagged = docs.select(
         split.alias("split"),
         src.alias("grp"),
@@ -4523,12 +4559,7 @@ def txt_domain_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TXT_DOMAIN_SPLIT_ORACLE = f"""
 WITH tagged AS (
-  SELECT CASE
-      WHEN {sql_md5_hash60("concat('split|', COALESCE(source, '(null)'))")}
-           % 1000000 < 800000 THEN 'train'
-      WHEN {sql_md5_hash60("concat('split|', COALESCE(source, '(null)'))")}
-           % 1000000 < 900000 THEN 'val'
-      ELSE 'test' END AS split,
+  SELECT {sql_domain_split_case()} AS split,
     COALESCE(source, '(null)') AS grp,
     CAST(len({sql_tokens('text')}) AS BIGINT) AS n_toks
   FROM documents
@@ -4581,13 +4612,7 @@ def train_eval_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct); everything after the joins is <= 3 cells. No window,
     no cross join; the 3-row pair frame is a literal broadcast."""
     docs = load_table(spark, sf_dir, "documents")
-    src = F.coalesce(F.col("source"), F.lit("(null)"))
-    h = md5_hash60(F.concat(F.lit("split|"), src)) % 1_000_000
-    split = (
-        F.when(h < 800_000, F.lit("train"))
-        .when(h < 900_000, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
+    split, _ = domain_split_cols()
     tagged = docs.select(split.alias("split"), "doc_id", "text")
     d_sh = (
         tagged.select(
@@ -4699,15 +4724,9 @@ def train_eval_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _decontam_oracle() -> str:
-    src_expr = "concat('split|', COALESCE(source, '(null)'))"
-    h = sql_md5_hash60(src_expr)
-    split_case = (
-        f"CASE WHEN {h} % 1000000 < 800000 THEN 'train'"
-        f" WHEN {h} % 1000000 < 900000 THEN 'val' ELSE 'test' END"
-    )
     return f"""
 WITH tagged AS (
-  SELECT {split_case} AS split, doc_id, text FROM documents
+  SELECT {sql_domain_split_case()} AS split, doc_id, text FROM documents
 ), d_sh AS (
   SELECT DISTINCT split, doc_id, {sql_md5_hash60('sh')} AS shkey
   FROM (SELECT split, doc_id,

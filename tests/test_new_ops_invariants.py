@@ -5968,6 +5968,53 @@ def test_knn_components_edge_corpus_mutuality_and_singletons(
     )
 
 
+def test_knn_components_large_id_no_injection_collision(spark, tmp_path):
+    """The ADVICE r12 collision class pinned dead: a corpus holding
+    BOTH vec_id 0 (which draws an injected scaled copy) and a real
+    vec_id equal to the OLD +100000 offset target. Under the old
+    offset the injected id 100000 collided with the real row
+    (duplicate keys corrupting the self-join exclusion, manifest
+    uniqueness and survivor labels); under DUP_INJECT_OFFSET the
+    manifest has one unique row per corpus member, the injected copy
+    lands at 0 + 2^40, and the (0, copy) pair is the only cluster.
+    Then full engine parity."""
+    import pyarrow as pa
+
+    from simple_etl_pipeline_spark.plans.similarity import (
+        DUP_INJECT_OFFSET,
+        SIM_KNN_COMPONENTS_ORACLE,
+        sim_knn_components,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    # orthogonal sign patterns keep the two real vectors out of each
+    # other's bucket; the scaled copy of id 0 shares id 0's bucket
+    vecs = {0: [1.0] * 8, 100000: [-1.0] * 8}
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(sorted(vecs), pa.int64()),
+            "embedding": pa.array(
+                [vecs[k] for k in sorted(vecs)], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        }
+    )
+    d = _edge_dir(tmp_path, "knncomp_bigid", {"embeddings": tbl})
+    rows = sim_knn_components(spark, d).collect()
+    nodes = [r.node for r in rows]
+    assert len(nodes) == len(set(nodes)) == 3  # uniqueness restored
+    out = {r.node: r for r in rows}
+    copy_id = 0 + DUP_INJECT_OFFSET
+    assert set(out) == {0, 100000, copy_id}
+    assert (out[0].component, out[0].cluster_size) == (0, 2)
+    assert (out[copy_id].component, out[copy_id].cluster_size) == (0, 2)
+    assert bool(out[0].is_survivor) and not bool(out[copy_id].is_survivor)
+    assert (out[100000].component, out[100000].cluster_size) == (100000, 1)
+    compare_with_oracle(
+        sim_knn_components(spark, d), SIM_KNN_COMPONENTS_ORACLE, d
+    )
+
+
 @given(
     st.lists(
         st.lists(
@@ -6225,18 +6272,23 @@ def test_cusum_edge_corpus_level_shift_and_gaps(spark, tmp_path):
 
 @given(
     st.lists(
-        st.tuples(st.integers(0, 60), st.integers(0, 5)),
+        st.tuples(st.integers(-60, 60), st.integers(0, 5)),
         min_size=1,
         max_size=30,
-    )
+    ),
+    st.sampled_from([1970, 2024]),
 )
 @_SETTINGS
-def test_cusum_fuzzed_cross_engine(spark, tmp_path_factory, draws):
+def test_cusum_fuzzed_cross_engine(spark, tmp_path_factory, draws, year):
     """Cross-engine fuzz: random (hour, burst-size) draws — sparse
     grids with long empty stretches, heavy ties in |S|, single-hour
     spans — must hash-match DuckDB on every draw (the grid fill, the
     truncating mean, the decimal-staged running sum and the peak-tie
-    marking all agree or this mismatches)."""
+    marking all agree or this mismatches). The hour draw spans
+    NEGATIVE offsets and the 1970 era anchors t0 at the epoch, so
+    pre-1970 hours exercise the floor-vs-trunc hour-bucket divide
+    (ADVICE r12 high: bare `div` bucketed epoch-30min one hour off
+    the oracle's floor division)."""
     import datetime as dt
 
     import pyarrow as pa
@@ -6247,7 +6299,7 @@ def test_cusum_fuzzed_cross_engine(spark, tmp_path_factory, draws):
     )
     from simple_etl_pipeline_spark.testing import compare_with_oracle
 
-    t0 = dt.datetime(2024, 6, 1, 0, 0, 0)
+    t0 = dt.datetime(year, 6 if year == 2024 else 1, 1, 0, 0, 0)
     rows = []
     eid = 0
     for h, n in draws:
@@ -6269,6 +6321,51 @@ def test_cusum_fuzzed_cross_engine(spark, tmp_path_factory, draws):
     d = _edge_dir(
         tmp_path_factory.mktemp("cusumfuzz"), "c", {"events": tbl}
     )
+    compare_with_oracle(
+        ev_changepoint_cusum(spark, d), EV_CHANGEPOINT_CUSUM_ORACLE, d
+    )
+
+
+def test_cusum_pre1970_bucket_parity(spark, tmp_path):
+    """The exact ADVICE r12 repro: one event 30 minutes BEFORE the
+    epoch plus events after it. Truncating `div` buckets epoch-30min
+    into hour 0 (3-row grid); floor division buckets it into hour -1
+    (4-row grid) — the oracle's sql_floor_div semantics. Pins the
+    grid size, the pre-epoch hour bucket, and full engine parity."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from simple_etl_pipeline_spark.plans.events import (
+        EV_CHANGEPOINT_CUSUM_ORACLE,
+        ev_changepoint_cusum,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    epoch = dt.datetime(1970, 1, 1, 0, 0, 0)
+    stamps = [
+        epoch - dt.timedelta(minutes=30),  # hour -1 under floor div
+        epoch + dt.timedelta(minutes=10),
+        epoch + dt.timedelta(hours=2, minutes=5),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(1, len(stamps) + 1), pa.int64()),
+            "ts": pa.array(stamps, pa.timestamp("us")),
+            "user_id": pa.array([1] * len(stamps), pa.int64()),
+            "event_type": pa.array(["view"] * len(stamps), pa.string()),
+            "value": pa.array([1.0] * len(stamps), pa.float64()),
+            "props": pa.array(["{}"] * len(stamps), pa.string()),
+        }
+    )
+    d = _edge_dir(tmp_path, "cusum_pre1970", {"events": tbl})
+    out = ev_changepoint_cusum(spark, d).collect()
+    # floor-div grid: hours -1..2 = 4 rows (trunc div would emit 3)
+    assert len(out) == 4
+    assert {r.hour_epoch for r in out} == {-3600, 0, 3600, 7200}
+    by_hour = {r.hour_epoch: r for r in out}
+    assert by_hour[-3600].n_events == 1
+    assert by_hour[3600].n_events == 0
     compare_with_oracle(
         ev_changepoint_cusum(spark, d), EV_CHANGEPOINT_CUSUM_ORACLE, d
     )
