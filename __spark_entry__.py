@@ -63,28 +63,14 @@ def _all_modules():
 # fails. Names move OUT of this list in the same commit that registers
 # them into the rebalanced window.
 _BANKED_PREBUILDS: list[str] = [
-    # EMPTY for the first time since round 7: the r12 bank
-    # (dq_k_anonymity, agg_ols_trend, txt_boilerplate_lines,
-    # mm_phash_dedup — built round 9, the continuation session)
-    # registered into the round-12 window below, leaving this list in
-    # the same commit, exactly as the r11 bank / r10 reserve / r9
-    # slate did in their rounds. The bank only drained in rounds
-    # 10-12 per VERDICT r9 #2 / r10 #5. The r13 bank (the SCALING.md
-    # r11 post-bank roadmap: tokenizer-aware attention-mask sequence
-    # packing, embedding-drift monitoring between corpus snapshots,
-    # streaming MinHash-LSH index maintenance) is BUILT during round
-    # 12 — its names join this list in their build commits and
-    # register in round 13 (see the ROUND-13 LEDGER below).
-    # r13 bank (built round 12 per the roadmap): attention-mask
-    # sequence packing (global_prefix_sum's fifth surface),
-    # per-dimension embedding-snapshot drift (the dq_profile_drift
-    # cap discipline on vectors), incremental streaming MinHash-LSH
-    # band-bucket index (streaming/stateful.py — the first banked
-    # name in the streaming package; the consistency test resolves
-    # it there)
-    "train_attention_pack",
-    "dq_embedding_drift",
-    "st_dedup_lsh_index",
+    # The r13 bank (train_attention_pack, dq_embedding_drift,
+    # st_dedup_lsh_index — built round 12 per the SCALING.md r11
+    # post-bank roadmap) REGISTERED into the round-13 window below,
+    # leaving this list in the same commit — the ninth consecutive
+    # banked-then-register round. The bank drains one trio per round
+    # across r13-r16 (VERDICT r12 #1/#8: register on schedule, do NOT
+    # build the r17 bank early), so this list holds 9 here, 6 at r14
+    # close, 3 at r15 close, 0 at r16 close.
     # r14 bank (built in the round-12 continuation session, AHEAD of
     # the cadence — the SCALING.md r12 post-r13 roadmap trio, so r13
     # only registers and roadmaps instead of building): pad-minimizing
@@ -130,143 +116,144 @@ _BANKED_PREBUILDS: list[str] = [
 ]
 
 _WINDOW = [
-    # ROUND-12 COMPOSITION (rotation_plan.py pre-rebalance output at
-    # round-12 open, verified by the r11 judge: 48 mandatory / 2
-    # free):
-    #   1. The r12 MANDATORY set minus the four round-12 demotions —
-    #      44 queries: the r9-green residue whose last driver row was
-    #      round 9, exactly the list rotation_plan.py printed minus
-    #      ev_session_windows, agg_approx_percentile,
-    #      window_ntile_customer_deciles and ev_attribution (all four
-    #      r12 demotions are IN the mandatory set — demoting an
-    #      in-mandatory query frees its window slot, the r7 device;
-    #      the same four demotions satisfy the registry capacity rule
-    #      for the four registrations; rationale at each module's
+    # ROUND-13 COMPOSITION (rotation_plan.py pre-rebalance output at
+    # round-13 open, verified by the r12 judge: 47 mandatory / 3
+    # free — exactly the ROUND-13 LEDGER the r12 close wrote):
+    #   1. The r13 MANDATORY set minus the three round-13 demotions —
+    #      44 queries: the r10-green residue whose last driver row was
+    #      round 10, exactly the list rotation_plan.py printed minus
+    #      agg_cube_lineitem, ev_countmin_users and
+    #      txt_bloom_contamination (all three r13 demotions are IN the
+    #      mandatory set — demoting an in-mandatory query frees its
+    #      window slot, the r7 device; the same three demotions
+    #      satisfy the registry capacity rule for the three
+    #      registrations; rationale at each module's
     #      QUERIES/TAIL_QUERIES and testing.demoted_queries()).
-    #   2. The 4 round-9-banked prebuilds (the r12 bank), now
-    #      registered (the banked-then-register staging, eighth
-    #      consecutive round): dq_k_anonymity + agg_ols_trend (the two
-    #      floor-div helper consumers — registering them puts that
-    #      r11-changed surface under driver rows), txt_boilerplate_
-    #      lines, mm_phash_dedup (plans/multimodal.py untouched since
-    #      the r10 band mitigation, so the r10 probe evidence carries
-    #      — the registration is the mechanical dict entry VERDICT r11
-    #      #2 prescribed).
-    #   3. TWO canary slots, one per r12-changed shared surface:
-    #      train_token_budget_pack — round 12 changed the shared
-    #      barrier-EVICTION path again (ADVICE r11: undiagnosable
-    #      barriers now evict after _BARRIER_UNDIAG_EVICT_AFTER
-    #      consecutive failed containment+liveness checks); the
-    #      token-budget pack is a registered global_prefix_sum
-    #      consumer whose materialize+release cycle exercises the
-    #      changed registry (the change is exception-path-only,
-    #      pinned by a dedicated three-strikes regression test; the
-    #      global_row_number twin surface is covered by
-    #      train_curriculum_order's r11 driver row).
-    #      dq_profile_drift — its drift_ppm saturation was rebuilt in
-    #      r12 (the decimal-div 64-bit WRAP found by the
-    #      dq_embedding_drift build fuzz: least(quotient, cap) read a
-    #      wrapped NEGATIVE quotient past 2^63; now a decimal-space
-    #      comparison), so the changed registered query takes the
-    #      second canary slot per the changed-code rule. Values at
-    #      every gate SF are identical (the wrap band needs ~9e18-ppm
-    #      ratios); the driver row pins exactly that.
-    #   Net registry growth ZERO: 4 demotions for 4 registrations,
+    #   2. The 3 round-12-banked prebuilds (the r13 bank), now
+    #      registered (the banked-then-register staging, ninth
+    #      consecutive round): train_attention_pack (global_prefix_sum
+    #      consumer), dq_embedding_drift, st_dedup_lsh_index (the
+    #      FIRST streaming-package registration — its oracle is the
+    #      real batch band-index CTE chain via replay-equals-batch).
+    #   3. THREE canary slots, one per r13-changed registered surface
+    #      (the changed-code rule): txt_domain_split — its salted
+    #      split assignment was extracted into the shared
+    #      domain_split_cols/sql_domain_split_case helper pair this
+    #      round (ADVICE r12: one definition for the split and its
+    #      decontamination audit); values at every SF are identical
+    #      by construction and the driver row pins exactly that.
+    #      dedup_embedding_cosine — its duplicate-injection offset
+    #      moved from +100000 to the far-disjoint DUP_INJECT_OFFSET
+    #      (2^40) so injected ids can never collide with real vec_ids
+    #      (ADVICE r12); its VALUES change (injected pair ids), so the
+    #      changed registered query re-pins under a fresh driver row.
+    #      ev_seasonal_residuals — the registered floor-div/grid
+    #      convention holder in plans/events.py, which changed this
+    #      round (the ev_changepoint_cusum trunc-vs-floor hour-bucket
+    #      fix, ADVICE r12 high); its row pins that the shared
+    #      floor_div surface still hashes identically.
+    #   Net registry growth ZERO: 3 demotions for 3 registrations,
     #   registry stays at 145.
-    # -- mandatory (44): last driver row in round 9 -------------------------
-    "agg_basket_lift",
-    "dedup_components_lsh",
+    # -- mandatory (44): last driver row in round 10 ------------------------
+    "agg_conditional_pivot",
+    "agg_distinct_counts",
+    "agg_grouping_sets",
+    "agg_mode_source_by_lang",
+    "agg_percentiles",
+    "bm25_topk",
+    "dedup_semdedup",
+    "ev_attribution_linear",
+    "ev_path_transitions",
+    "ev_quantile_sketch",
+    "ev_range_join_incidents",
+    "ev_scd2_users",
+    "ev_srm_check",
+    "ev_zorder_layout",
+    "join_anti_customers_without_orders",
+    "join_broadcast_brand_revenue",
+    "join_full_outer_nation_presence",
+    "join_semi_discounted",
+    "q10_returned_items",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q18_large_volume_customers",
+    "q19_disjunctive_filter",
+    "q22_idle_customers",
+    "q2_top_supplier_per_nation",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_region_revenue",
+    "q6_revenue_filter",
+    "q7_nation_volume",
+    "scalar_functions",
+    "setops_nations",
+    "sim_kmeans_lloyd",
+    "st_static_zscore",
+    "st_user_totals_stateful",
+    "train_hard_negatives",
+    "txt_dsir_weights",
+    "txt_lm_perplexity",
+    "txt_rare_token_ratio",
+    "window_above_customer_avg",
+    "window_percent_rank_suppliers",
+    "window_rolling_7d",
+    "window_topk_orders_per_customer",
+    # -- round-13 registrations (3): the r13 bank — bank drops to 9 ---------
+    "train_attention_pack",
+    "dq_embedding_drift",
+    "st_dedup_lsh_index",
+    # -- canaries (3): split-helper + dup-offset + floor-div surfaces --------
+    "txt_domain_split",
     "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_incremental",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_paragraphs",
-    "dedup_survivors_quality",
-    "dq_expectations",
-    "ev_asof_purchase_click",
-    "ev_conversion_windows",
-    "ev_cuped",
-    "ev_heavy_hitters",
-    "ev_hll_user_rollup",
-    "ev_json_variant",
-    "ev_retention_cohorts",
-    "ev_zscore_outliers",
-    "join_fuzzy_part_names",
-    "q11_important_parts",
-    "q16_supplier_cardinality",
-    "q17_small_qty_revenue",
-    "q1_pricing_summary",
-    "q20_excess_shippers",
-    "q21_waiting_suppliers",
-    "q8_market_share",
-    "q9_product_profit",
-    "sim_mrl_recall",
-    "sim_pq_adc",
-    "sim_quantize_int8",
-    "st_dedup_index",
-    "st_session_windows",
-    "train_shard_manifest",
-    "txt_chunk_windows",
-    "txt_contamination",
-    "txt_dataset_card",
-    "txt_gopher_quality",
-    "txt_pack_sequences",
-    "txt_pagerank",
-    "txt_pii_redact",
-    "txt_repetition_filter",
-    "txt_sample_stratified",
-    "txt_triangle_count",
-    "unpivot_lineitem_measures",
-    # -- round-12 registrations (4): the r12 bank — bank now EMPTY ----------
-    "dq_k_anonymity",
-    "agg_ols_trend",
-    "txt_boilerplate_lines",
-    "mm_phash_dedup",
-    # -- canaries (2): barrier-eviction + drift-saturation surfaces ---------
-    "train_token_budget_pack",
-    "dq_profile_drift",
+    "ev_seasonal_residuals",
 ]
 
-# ROUND-13 ROTATION LEDGER (tools/rotation_plan.py run AFTER the r12
+# (The round-12 composition this window replaced is recorded in
+# CORRECTNESS_r12.json and the git history, the standing convention.)
+# ROUND-14 ROTATION LEDGER (tools/rotation_plan.py run AFTER the r13
 # rebalance prints state=post_rebalance with exactly this arithmetic):
-# at the r13 gate the last two recorded windows will be
-# CORRECTNESS_r11 + this window (overlap: the two canaries
-# train_token_budget_pack / dq_profile_drift, both r11-windowed), so
-# next_round_mandatory = 47 queries (the r10-green residue: the agg_*
-# conditional-pivot/cube/distinct-counts/grouping-sets/mode/
-# percentiles rows, bm25_topk, dedup_semdedup, the ev_*
-# attribution-linear/countmin/path-transitions/quantile-sketch/
-# range-join/scd2/srm/zorder rows, the join_* anti/broadcast/
-# full-outer/semi rows, q2/q3/q4/q5/q6/q7/q10/q13/q14/q15/q18/q19/
-# q22, scalar_functions, setops_nations, sim_kmeans_lloyd,
-# st_static_zscore, st_user_totals_stateful, train_hard_negatives,
-# the txt_* bloom-contamination/dsir/lm-perplexity/rare-token rows,
-# and the window_* above-avg/percent-rank/rolling-7d/topk rows) and
-# next_round_free_slots = 3. The r13 bank (BUILT this round per the
-# SCALING.md r11 post-bank roadmap; probes + edge corpora recorded in
-# SCALING.md r12) is THREE queries — train_attention_pack,
-# dq_embedding_drift, st_dedup_lsh_index — so the registry cap
-# (145/150) needs 3 demotions; all three candidates below are in the
-# r13 mandatory set, so taking them in-mandatory yields 47 - 3 + 3 =
-# 47 window rows with 3 free canary slots. Candidates, in order:
-# agg_cube_lineitem (its Expand operator is a strict special case of
-# the registered agg_grouping_sets — the same rationale that demoted
-# agg_rollup_orders in r10; grouping_sets is the strictly-larger
-# surface), ev_countmin_users (sketch sibling of the registered
-# EXACT ev_heavy_hitters on the same key universe — the
-# agg_approx_percentile r12 precedent: keep the exact head
-# registered, the sketch keeps pytest parity), txt_bloom_contamination
-# (its 4096-bit bit_or Bloom construction is pinned by the registered
-# skip_bloom_stats and its contamination-decision head by the
-# registered txt_contamination, the exact-shingle oracle of record).
+# at the r14 gate the last two recorded windows will be
+# CORRECTNESS_r12 + this window (overlap: the dedup_embedding_cosine
+# canary, r12-windowed), so next_round_mandatory = 46 queries (the
+# r11-green residue: agg_approx_distinct, agg_rfm_segments, the
+# dedup_* components/ngram-spans/simhash rows, the ev_* funnel/
+# gap-fill/hll-overlap/rollup-multires/time-embargo/trimmed-mean/
+# user-daily rows, inverted_index, the mm_* quartet,
+# q12_shipmode_priority, the ref_* dirty-view/remove-dirty/
+# transform-full rows, search_hybrid_rrf, the sim_* ann-lsh/
+# centroids/ivfpq/knn-brute/rp-recall rows, skip_bloom_stats, the
+# st_* dedup-events/scd2/sliding/stream-stream/tumbling rows,
+# train_curriculum_order, the txt_* bpe/doc-features/fingerprint/
+# gopher-repetition/kl-drift/langid/mixture-manifest/tfidf/
+# token-stats/training-corpus/winnow rows, weighted_sample) and
+# next_round_free_slots = 4. The r14 bank (built in the round-12
+# continuation session; evidence kits in SCALING.md r12) is THREE
+# queries — train_binpack_shelves, dq_snapshot_diff,
+# st_embedding_drift — so the registry cap (145/150) needs 3
+# demotions; all three candidates below are in the r14 mandatory
+# set, so taking them in-mandatory yields 46 - 3 + 3 = 46 window
+# rows with 4 free canary slots. Candidates, in order:
+# agg_approx_distinct (HLL sketch sibling of the registered EXACT
+# agg_distinct_counts — the sketch-vs-exact precedent that demoted
+# agg_approx_percentile in r12 and ev_countmin_users in r13; its
+# hashed output already IS the exact counts plus a tolerance
+# boolean), txt_fingerprint (a bare per-doc projection of
+# fingerprint_col over corpus_with_dups — the registered dedup_exact
+# aggregates the IDENTICAL fingerprint column over the IDENTICAL
+# corpus, pinning the fingerprint multiset and survivor pairing),
+# ev_user_daily_activity (per-(day,user) rollup whose every surface
+# is pinned by registered siblings: st_tumbling_hourly's identical
+# time-truncated aggregation, ev_cuped's per-user exact dsum,
+# agg_distinct_counts' distinct heads — the rank-derivative class of
+# the r12 window_ntile demotion).
 # Registry arithmetic: 145 registered / 150 three-round slots
 # (5 slack) — the invariant stays satisfiable PROVIDED net growth
 # stays <= 0 per round (demote-one-per-add).
-# Bank queue: the bank EMPTIED this round (r12 bank registered above)
-# and refills with the r13 bank as each build lands (the prebuild
-# pattern resumes after two drain-only rounds). Post-r13 roadmap
-# candidates are argued in SCALING.md r12.
+# Bank queue after this round: 9 banked (r14/r15/r16 trios), drain
+# one trio per round through r16; the r17 roadmap trio
+# (st_snapshot_diff, train_eval_substring_decontam,
+# mm_modality_balance_manifest) stays UNBUILT per VERDICT r12 #8.
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

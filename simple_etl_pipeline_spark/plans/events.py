@@ -3163,7 +3163,13 @@ TAIL_QUERIES = {
     "ev_zscore_outliers": ev_zscore_outliers,
     "ev_hll_user_rollup": ev_hll_user_rollup,
     "ev_range_join_incidents": ev_range_join_incidents,
-    "ev_countmin_users": ev_countmin_users,
+    # ev_countmin_users DEMOTED round 13 (capacity rule, one per r13
+    # registration — matching dq_embedding_drift at
+    # plans/similarity.py TAIL_QUERIES): the count-min sketch sibling
+    # of the registered EXACT ev_heavy_hitters on the same key
+    # universe (the agg_approx_percentile r12 precedent: keep the
+    # exact head registered, the sketch keeps full pytest parity via
+    # testing.demoted_queries()).
     "ev_scd2_users": ev_scd2_users,
     "ev_zorder_layout": ev_zorder_layout,
     # round-6 registrations (prebuilt + pytest-oracle-green in round 5)
@@ -3220,7 +3226,7 @@ TAIL_ORACLES = {
     "ev_zscore_outliers": EV_ZSCORE_ORACLE,
     "ev_hll_user_rollup": EV_HLL_ROLLUP_ORACLE,
     "ev_range_join_incidents": EV_RANGE_INCIDENTS_ORACLE,
-    "ev_countmin_users": EV_COUNTMIN_ORACLE,
+    # ev_countmin_users demoted r13 — see TAIL_QUERIES comment
     "ev_scd2_users": EV_SCD2_ORACLE,
     "ev_zorder_layout": EV_ZORDER_ORACLE,
     "ev_cuped": EV_CUPED_ORACLE,

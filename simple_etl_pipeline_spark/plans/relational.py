@@ -1473,7 +1473,13 @@ QUERIES = {
     "join_semi_discounted": join_semi_discounted,
     "join_anti_customers_without_orders": join_anti_customers_without_orders,
     "agg_distinct_counts": agg_distinct_counts,
-    "agg_cube_lineitem": agg_cube_lineitem,
+    # agg_cube_lineitem DEMOTED round 13 (capacity rule, one per r13
+    # registration — matching st_dedup_lsh_index at
+    # streaming/stateful.py QUERIES): its Expand operator is a strict
+    # special case of the registered agg_grouping_sets (the rationale
+    # that demoted agg_rollup_orders in r10 — grouping_sets is the
+    # strictly-larger surface). Full pytest parity via
+    # testing.demoted_queries().
     "agg_grouping_sets": agg_grouping_sets,
     "agg_conditional_pivot": agg_conditional_pivot,
     "agg_percentiles": agg_percentiles,
@@ -1518,7 +1524,7 @@ ORACLES = {
     "join_anti_customers_without_orders": JOIN_ANTI_ORACLE,
     "join_broadcast_brand_revenue": JOIN_BROADCAST_ORACLE,
     "agg_distinct_counts": AGG_DISTINCT_ORACLE,
-    "agg_cube_lineitem": AGG_CUBE_ORACLE,
+    # agg_cube_lineitem demoted r13 — see QUERIES comment
     "agg_grouping_sets": AGG_GROUPING_SETS_ORACLE,
     "agg_approx_distinct": AGG_APPROX_DISTINCT_ORACLE,
     "agg_conditional_pivot": AGG_PIVOT_ORACLE,

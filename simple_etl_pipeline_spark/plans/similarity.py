@@ -2125,6 +2125,15 @@ TAIL_QUERIES = {
     # 0.95-boundary fuzz swept r9; matching demotion:
     # agg_salted_sum at plans/relational.py QUERIES)
     "train_hard_negatives": train_hard_negatives,
+    # round-13 registration (r13 bank, built round 12 with its full
+    # evidence kit — pytest-oracle at 3 SFs, corruption-zoo edge
+    # corpus, NaN/Inf/clamp hypothesis fuzz, no-join/no-window plan
+    # row, probe 0.21/0.34@256 under the fixed instrument; matching
+    # demotion: ev_countmin_users at plans/events.py TAIL_QUERIES —
+    # capacity rule, net registry growth zero). Per-dimension
+    # embedding-snapshot drift: the dq_profile_drift cap discipline
+    # on vectors.
+    "dq_embedding_drift": dq_embedding_drift,
 }
 TAIL_ORACLES = {
     "sim_quantize_int8": SIM_QUANTIZE_ORACLE,
@@ -2135,4 +2144,5 @@ TAIL_ORACLES = {
     "sim_kmeans_lloyd": SIM_KMEANS_ORACLE,
     "sim_rp_recall": SIM_RP_RECALL_ORACLE,
     "train_hard_negatives": TRAIN_HARD_NEGATIVES_ORACLE,
+    "dq_embedding_drift": DQ_EMBEDDING_DRIFT_ORACLE,
 }

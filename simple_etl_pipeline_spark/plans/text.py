@@ -5134,7 +5134,13 @@ TAIL_QUERIES = {
     "txt_pagerank": txt_pagerank,
     "dedup_components_lsh": dedup_components_lsh,
     "txt_rare_token_ratio": txt_rare_token_ratio,
-    "txt_bloom_contamination": txt_bloom_contamination,
+    # txt_bloom_contamination DEMOTED round 13 (capacity rule, one per
+    # r13 registration — matching train_attention_pack below): its
+    # 4096-bit bit_or Bloom construction stays pinned by the registered
+    # skip_bloom_stats (the same shared word fold) and its
+    # contamination-decision head by the registered txt_contamination,
+    # the exact-shingle oracle of record; full pytest parity continues
+    # via testing.demoted_queries().
     "txt_triangle_count": txt_triangle_count,
     "dedup_ngram_spans": dedup_ngram_spans,
     "txt_dsir_weights": txt_dsir_weights,
@@ -5179,6 +5185,14 @@ TAIL_QUERIES = {
     # cross-document boilerplate-line removal: line-hash agg +
     # join-back, never a window on heavy line keys.
     "txt_boilerplate_lines": txt_boilerplate_lines,
+    # round-13 registration (r13 bank, built round 12 with its full
+    # evidence kit — pytest-oracle at 3 SFs, boundary-exact/straddler
+    # edge corpus, barrier plan-shape row, probe 0.16/0.29@256 under
+    # the fixed instrument; matching demotion:
+    # txt_bloom_contamination above — capacity rule, net registry
+    # growth zero). Attention-mask sequence packing:
+    # global_prefix_sum's fifth driver surface.
+    "train_attention_pack": train_attention_pack,
 }
 
 TAIL_ORACLES = {
@@ -5196,7 +5210,6 @@ TAIL_ORACLES = {
     "txt_pagerank": TXT_PAGERANK_ORACLE,
     "dedup_components_lsh": DEDUP_COMPONENTS_LSH_ORACLE,
     "txt_rare_token_ratio": TXT_RARE_TOKEN_ORACLE,
-    "txt_bloom_contamination": TXT_BLOOM_CONTAMINATION_ORACLE,
     "txt_triangle_count": TXT_TRIANGLES_ORACLE,
     "dedup_ngram_spans": DEDUP_NGRAM_SPANS_ORACLE,
     "txt_dsir_weights": TXT_DSIR_ORACLE,
@@ -5213,4 +5226,5 @@ TAIL_ORACLES = {
     "txt_lm_perplexity": TXT_LM_PERPLEXITY_ORACLE,
     "train_token_budget_pack": TRAIN_TOKEN_BUDGET_ORACLE,
     "txt_boilerplate_lines": TXT_BOILERPLATE_ORACLE,
+    "train_attention_pack": TRAIN_ATTENTION_PACK_ORACLE,
 }

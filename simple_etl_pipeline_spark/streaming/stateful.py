@@ -937,8 +937,24 @@ def st_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(key, prev)
 
 
-QUERIES: dict[str, Any] = {"st_user_totals_stateful": st_user_totals_stateful}
-ORACLES = {"st_user_totals_stateful": ST_USER_TOTALS_ORACLE}
+QUERIES: dict[str, Any] = {
+    "st_user_totals_stateful": st_user_totals_stateful,
+    # round-13 registration (r13 bank, built round 12 with its full
+    # evidence kit — pytest-oracle, 2-file cross-batch split corpus,
+    # batch-equivalence row, probe 0.63@256 under the fixed
+    # instrument with the terminal leg attributed; matching demotion:
+    # agg_cube_lineitem at plans/relational.py QUERIES — capacity
+    # rule, net registry growth zero). The first registered query in
+    # the streaming package: incremental MinHash-LSH band-bucket
+    # index under applyInPandasWithState, full replay equals the
+    # batch band index so its oracle is the real DuckDB minhash CTE
+    # chain, not a rows-only check.
+    "st_dedup_lsh_index": st_dedup_lsh_index,
+}
+ORACLES = {
+    "st_user_totals_stateful": ST_USER_TOTALS_ORACLE,
+    "st_dedup_lsh_index": ST_DEDUP_LSH_ORACLE,
+}
 TAIL_QUERIES: dict[str, Any] = {"st_scd2_users": st_scd2_users}
 TAIL_ORACLES = {"st_scd2_users": ST_SCD2_ORACLE}
 if tws_available():  # see tws_available docstring — env-gated feature

@@ -115,6 +115,18 @@ def demoted_queries() -> dict:
         agg_approx_percentile,
         window_ntile_customer_deciles,
     )
+    from simple_etl_pipeline_spark.plans.events import (
+        EV_COUNTMIN_ORACLE,
+        ev_countmin_users,
+    )
+    from simple_etl_pipeline_spark.plans.relational import (
+        AGG_CUBE_ORACLE,
+        agg_cube_lineitem,
+    )
+    from simple_etl_pipeline_spark.plans.text import (
+        TXT_BLOOM_CONTAMINATION_ORACLE,
+        txt_bloom_contamination,
+    )
 
     return {
         "sim_ivf_recall": (sim_ivf_recall, SIM_IVF_RECALL_ORACLE),
@@ -233,6 +245,25 @@ def demoted_queries() -> dict:
             WINDOW_NTILE_ORACLE,
         ),
         "ev_attribution": (ev_attribution, EV_ATTRIBUTION_ORACLE),
+        # round-13 demotions (one per round-13 registration; rationale
+        # at each module's QUERIES/TAIL_QUERIES comment — all three are
+        # also IN the r13 mandatory set, freeing the window slots the
+        # r13 ledger arithmetic needs):
+        #   - agg_cube_lineitem: its Expand operator is a strict
+        #     special case of the registered agg_grouping_sets (the
+        #     agg_rollup_orders r10 rationale).
+        #   - ev_countmin_users: count-min sketch sibling of the
+        #     registered EXACT ev_heavy_hitters on the same key
+        #     universe (the agg_approx_percentile r12 precedent).
+        #   - txt_bloom_contamination: its 4096-bit bit_or Bloom build
+        #     is pinned by the registered skip_bloom_stats and its
+        #     contamination head by the registered txt_contamination.
+        "agg_cube_lineitem": (agg_cube_lineitem, AGG_CUBE_ORACLE),
+        "ev_countmin_users": (ev_countmin_users, EV_COUNTMIN_ORACLE),
+        "txt_bloom_contamination": (
+            txt_bloom_contamination,
+            TXT_BLOOM_CONTAMINATION_ORACLE,
+        ),
     }
 
 

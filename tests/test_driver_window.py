@@ -178,3 +178,42 @@ def test_every_banked_prebuild_has_a_sweep_entry():
     for name in entrymod._BANKED_PREBUILDS:
         fn, sql = mod._resolve(name)
         assert callable(fn) and isinstance(sql, str) and sql.strip()
+
+
+def test_banked_sweep_negative_control(spark):
+    """The sweep's comparison path must be able to FAIL (VERDICT r12
+    #6 — the FP_RESIDUAL discipline applied to the one instrument not
+    yet negative-controlled): a deliberately-wrong banked result fed
+    through the exact compare_with_oracle call tools/banked_sweep.py
+    makes must raise, on each divergence class the driver's gate
+    hashes — a value perturbation, a dropped row, and a renamed
+    column. If any of these passes silently, every 'hash_ok' line the
+    sweep ever printed is meaningless."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from simple_etl_pipeline_spark.plans.events import (
+        EV_CHANGEPOINT_CUSUM_ORACLE,
+        ev_changepoint_cusum,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    sf = "/root/testdata/sf0.001"
+    good = ev_changepoint_cusum(spark, sf)
+    # control arm: the genuine result passes (so the failures below
+    # are attributable to the mutations, not the fixture)
+    compare_with_oracle(good, EV_CHANGEPOINT_CUSUM_ORACLE, sf)
+    wrong_value = ev_changepoint_cusum(spark, sf).withColumn(
+        "n_events", F.col("n_events") + F.lit(1)
+    )
+    with pytest.raises(AssertionError):
+        compare_with_oracle(wrong_value, EV_CHANGEPOINT_CUSUM_ORACLE, sf)
+    n = good.count()
+    dropped_row = ev_changepoint_cusum(spark, sf).limit(n - 1)
+    with pytest.raises(AssertionError):
+        compare_with_oracle(dropped_row, EV_CHANGEPOINT_CUSUM_ORACLE, sf)
+    renamed = ev_changepoint_cusum(spark, sf).withColumnRenamed(
+        "n_events", "n_event"
+    )
+    with pytest.raises(AssertionError):
+        compare_with_oracle(renamed, EV_CHANGEPOINT_CUSUM_ORACLE, sf)

@@ -758,6 +758,46 @@ def test_streaming_lsh_index_matches_oracle_on_testdata(spark, sf_dir):
     )
 
 
+def test_streaming_lsh_index_shuffle_partition_invariance(spark, sf_dir):
+    """The r13 registration-gate hard case (VERDICT r12 #2): the
+    DRIVER's session config must not be able to reorder or drop late
+    bucket state. The stateful shuffle keys on skey = hash(band, bkey)
+    mod 256, so spark.sql.shuffle.partitions decides which TASK a
+    state group lands in and in what order micro-batch rows reach it —
+    if the min/+= state folding were order- or placement-dependent,
+    1 vs 32 partitions would diverge. Pin bit-identical results across
+    the extremes, plus oracle parity under the non-default layout (the
+    batch-replay-equals-batch row re-proved under a config the test
+    session never otherwise uses; the sf0.01/16-partition twin is the
+    driver_sim gate itself, recorded in CORRECTNESS_r13)."""
+    from simple_etl_pipeline_spark.streaming.stateful import (
+        ST_DEDUP_LSH_ORACLE,
+        st_dedup_lsh_index,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    conf = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(conf)
+    try:
+        spark.conf.set(conf, "1")
+        rows_1 = [
+            tuple(r) for r in st_dedup_lsh_index(spark, sf_dir).collect()
+        ]
+        spark.conf.set(conf, "32")
+        rows_32 = [
+            tuple(r) for r in st_dedup_lsh_index(spark, sf_dir).collect()
+        ]
+        assert rows_1 == rows_32, (
+            "st_dedup_lsh_index diverges between 1 and 32 shuffle "
+            "partitions — state placement leaked into the index"
+        )
+        compare_with_oracle(
+            st_dedup_lsh_index(spark, sf_dir), ST_DEDUP_LSH_ORACLE, sf_dir
+        )
+    finally:
+        spark.conf.set(conf, before)
+
+
 # --- r14 bank: streaming embedding-drift monitor ---------------------------
 def _emb_edge_dir(tmp_path, name: str, vecs: dict, split: bool) -> str:
     """Embeddings-only corpus for the streaming drift monitor; when
