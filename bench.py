@@ -157,6 +157,14 @@ HEADLINE = [
     "agg_ols_trend",
     "txt_boilerplate_lines",
     "mm_phash_dedup",
+    # round 13: the registered r13 trio (attention-mask sequence
+    # packing — global_prefix_sum's fifth surface —, per-dimension
+    # embedding-snapshot drift, and the incremental streaming
+    # MinHash-LSH band-bucket index: the first streaming-package
+    # bench row).
+    "train_attention_pack",
+    "dq_embedding_drift",
+    "st_dedup_lsh_index",
 ]
 
 # The per-query map on the LAST stdout line (the one the driver's
@@ -165,10 +173,9 @@ HEADLINE = [
 # capture at 71 queries and BENCH_r11 recorded parsed:null (VERDICT
 # r11 #7). The full map always rides the detail line + BENCH_DETAIL.
 NEW_THIS_ROUND = [
-    "dq_k_anonymity",
-    "agg_ols_trend",
-    "txt_boilerplate_lines",
-    "mm_phash_dedup",
+    "train_attention_pack",
+    "dq_embedding_drift",
+    "st_dedup_lsh_index",
 ]
 
 # Robust measurement protocol for the four drilled noisy queries
