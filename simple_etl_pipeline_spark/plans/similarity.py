@@ -1962,7 +1962,17 @@ def emb_coords(emb: DataFrame) -> DataFrame:
     non-finite coordinates (NULL elements stay NULL `finite` — they
     count in NEITHER the means nor n_bad, the pinned NULL-skip
     semantics), and clamp the rounded micros at ±EMB_MICROS_CAP.
-    Works unchanged on a streaming frame (narrow expressions only)."""
+    Works unchanged on a streaming frame (narrow expressions only).
+
+    The split flag is materialized in a Project BELOW the Generate
+    (the two-select staging is load-bearing: selecting the md5
+    expression ALONGSIDE posexplode places it in the Project above
+    Generate, evaluating one md5 per EXPLODED row — 64x the work, and
+    a measured ~60% of the whole op's wall at the 512k-vector probe
+    point. Staged, Generate passes in_b through as a join column and
+    the md5 runs once per vector; CollapseProject does not merge
+    Projects through Generate, so the staging is stable —
+    test_plan_shapes pins it.)"""
     from simple_etl_pipeline_spark.functions.text import md5_hash60
 
     snap_b = (
@@ -1971,6 +1981,9 @@ def emb_coords(emb: DataFrame) -> DataFrame:
     )
     return emb.select(
         snap_b.alias("in_b"),
+        "embedding",
+    ).select(
+        "in_b",
         F.posexplode("embedding").alias("dim", "x"),
     ).select(
         "in_b",

@@ -903,6 +903,18 @@ def test_embedding_drift_single_agg_pass_no_join_no_window(
     assert plan.count("HashAggregate") >= 2, plan  # partial + final
     rs = plan.split("ReadSchema")[1][:200]
     assert "embedding" in rs and "label" not in rs, rs
+    # the md5 snapshot split must be evaluated BELOW the Generate
+    # (once per VECTOR, passed through as a Generate join column) —
+    # selecting it alongside posexplode puts it in the Project above
+    # Generate, one md5 per exploded row: 64x the evaluations and a
+    # measured ~60% of the op's wall at the 512k probe point (the r13
+    # drill). Plan text prints parents first, so the Generate line
+    # must appear before the md5 expression.
+    assert "md5" in plan, plan
+    assert plan.index("Generate posexplode") < plan.index("md5"), (
+        "md5 snapshot split evaluated above the Generate — "
+        "per-exploded-row, 64x the needed work"
+    )
 
 
 def test_binpack_shelves_row_number_barrier_no_band_window(
