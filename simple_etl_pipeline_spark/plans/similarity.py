@@ -429,7 +429,19 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     precursor of SemDeDup-style graph clustering and of every
     diversity/coverage analysis over an embedded corpus: each vector's
     top-K nearest neighbors among the vectors sharing its sign-bit LSH
-    bucket. This is CORPUS x CORPUS semantics made scale-safe the only
+    bucket.
+
+    CONTRACT (measured r13, SCALING.md "recall truth"): this is a
+    NEAR-DUPLICATE / eps-ball graph, not a general ANN graph.
+    Sign-invariant duplicates share a bucket with probability 1 at
+    any bit width (P(bit agree) = 1 - acos(cos)/pi -> 1 as cos -> 1),
+    eps=0.9 neighbors have ~18% single-probe recall at 11 auto-bits,
+    and random top-5 neighbors ~0 (measured 0.00-0.02 vs exact
+    brute-force at the 128k probe point). For general recall use
+    multi-band OR-amplification (the mm_phash 3x20-bit device; B
+    bands multiply candidate volume ~Bx at the measured ~16 us per
+    candidate) or the registered IVF/PQ family with its recall
+    meters. This is CORPUS x CORPUS semantics made scale-safe the only
     way it ever is at 100 TB: candidate generation is the bucket-keyed
     equi-self-join (the dedup_embedding_cosine banding — compared
     pairs cut ~|buckets|x, never a cross join), exact bit-identical
