@@ -350,6 +350,80 @@ KNN_COMPONENTS_MIN_SIM = 0.9
 KNN_TARGET_BUCKET = 64
 
 
+def knn_nbits_case_sql(target: int) -> str:
+    """The auto-scaled sign-bit-count CASE expression over a 1-row
+    `_n` count aggregate, parameterized by the target expected bucket
+    width: nbits = clamp(LSH_BITS, bits(ceil(_n / target)), 32) in
+    exact integer arithmetic (length(bin(q-1)), never floating log2).
+    Single definition consumed by BOTH the production edge stage
+    (_knn_edges_from / _knn_candidates_from below) and
+    tools/knn_cost_probe.py's candidate histogram (ADVICE r13: a probe
+    with its own inline copy would silently diverge from what the edge
+    stage actually buckets if this expression ever changes)."""
+    q = f"((_n + {target - 1}) div {target})"
+    return (
+        f"CASE WHEN {q} <= 1 THEN {LSH_BITS}"
+        f" ELSE least(greatest({LSH_BITS},"
+        f" length(bin({q} - 1))), 32) END"
+    )
+
+
+# Sign-bit bucket fold over (v, nbits) — the one definition of the
+# bucket key, shared with the probe for the same single-definition
+# reason as knn_nbits_case_sql.
+KNN_BUCKET_FOLD_SQL = (
+    "aggregate(sequence(0, nbits - 1), CAST(0 AS BIGINT),"
+    " (acc, j) -> acc + CASE WHEN element_at(v, j + 1) > 0"
+    " THEN CAST(shiftleft(CAST(1 AS BIGINT), j) AS BIGINT)"
+    " ELSE CAST(0 AS BIGINT) END)"
+)
+
+
+def knn_bucketed(corpus: DataFrame, target: int) -> DataFrame:
+    """(vec_id, v, bucket) over the corpus at the given target bucket
+    width — the shared bucketing stage of _knn_candidates_from, also
+    consumed directly by tools/knn_cost_probe.py's candidate
+    histogram. nbits derives IN-PLAN from a 1-row scalar aggregate
+    (the adjudicated bounds-broadcast class — no driver job, plan
+    stays lazy)."""
+    bparam = corpus.agg(F.count(F.lit(1)).alias("_n")).select(
+        F.expr(knn_nbits_case_sql(target)).alias("nbits")
+    )
+    return (
+        corpus.crossJoin(F.broadcast(bparam))
+        .withColumn("bucket", F.expr(KNN_BUCKET_FOLD_SQL))
+        .drop("nbits")
+    )
+
+
+def _knn_candidates_from(corpus: DataFrame) -> DataFrame:
+    """The candidate+cosine stage of the edge pipeline — bucket-keyed
+    equi-self-join plus the fixed-point cosine on candidates only,
+    BEFORE the per-node top-K window. Split out so
+    tools/knn_cost_probe.py can time the per-candidate cosine cost
+    separately from the window/top-K stage (ADVICE r13: dividing the
+    FULL edge wall by candidate count overattributes window time to
+    the cosine). Production consumers go through _knn_edges_from,
+    whose plan is unchanged by this split."""
+    emb = knn_bucketed(corpus, KNN_TARGET_BUCKET)
+    a, b = emb.alias("a"), emb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("node"),
+            F.col("b.vec_id").alias("nbr"),
+            F.round(cosine_dec(F.col("a.v"), F.col("b.v")), 6).alias(
+                "sim"
+            ),
+        )
+        .filter(F.col("sim").isNotNull())
+    )
+
+
 def _knn_edges_from(corpus: DataFrame) -> DataFrame:
     """The directed top-K edge stage shared by sim_knn_graph (r15
     bank) and sim_knn_components (r16 bank) — parameterized by the
@@ -365,51 +439,15 @@ def _knn_edges_from(corpus: DataFrame) -> DataFrame:
     8-bit bucket space, candidates per node grow ∝ N/256 and the
     cosine stage — a CodegenFallback higher-order-function at ~14 µs
     per candidate — paid 64M evaluations (~16 minutes) at the 128k
-    probe point. The sign-bit count now grows with the corpus,
-    nbits = clamp(LSH_BITS, bits(ceil(N / KNN_TARGET_BUCKET)), 32),
-    so expected bucket width stays ~KNN_TARGET_BUCKET at any N and
-    candidate work stays linear. nbits derives IN-PLAN from a 1-row
-    scalar aggregate (the adjudicated bounds-broadcast class — no
-    driver job, plan stays lazy) via exact integer arithmetic
-    (length(bin(q-1)), not floating log2, so both engines compute
-    the identical nbits); at every test/gate SF the clamp floors at
-    LSH_BITS = 8, keeping driver-gate values identical to the fixed
-    layout. More bits trade recall exactly like the paper's K knob —
-    the registered recall meters are the tuning loop."""
-    bparam = corpus.agg(F.count(F.lit(1)).alias("_n")).select(
-        F.expr(
-            f"CASE WHEN ((_n + {KNN_TARGET_BUCKET - 1})"
-            f" div {KNN_TARGET_BUCKET}) <= 1 THEN {LSH_BITS}"
-            " ELSE least(greatest("
-            f"{LSH_BITS}, length(bin((_n + {KNN_TARGET_BUCKET - 1})"
-            f" div {KNN_TARGET_BUCKET} - 1))), 32) END"
-        ).alias("nbits")
-    )
-    emb = corpus.crossJoin(F.broadcast(bparam)).withColumn(
-        "bucket",
-        F.expr(
-            "aggregate(sequence(0, nbits - 1), CAST(0 AS BIGINT),"
-            " (acc, j) -> acc + CASE WHEN element_at(v, j + 1) > 0"
-            " THEN CAST(shiftleft(CAST(1 AS BIGINT), j) AS BIGINT)"
-            " ELSE CAST(0 AS BIGINT) END)"
-        ),
-    ).drop("nbits")
-    a, b = emb.alias("a"), emb.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("node"),
-            F.col("b.vec_id").alias("nbr"),
-            F.round(cosine_dec(F.col("a.v"), F.col("b.v")), 6).alias(
-                "sim"
-            ),
-        )
-        .filter(F.col("sim").isNotNull())
-    )
+    probe point. The sign-bit count now grows with the corpus via
+    knn_nbits_case_sql (exact integer arithmetic, identical on both
+    engines), so expected bucket width stays ~KNN_TARGET_BUCKET at
+    any N and candidate work stays linear; at every test/gate SF the
+    clamp floors at LSH_BITS = 8, keeping driver-gate values
+    identical to the fixed layout. More bits trade recall exactly
+    like the paper's K knob — the registered recall meters are the
+    tuning loop."""
+    cand = _knn_candidates_from(corpus)
     w = Window.partitionBy("node").orderBy(F.desc("sim"), F.asc("nbr"))
     return cand.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= KNN_GRAPH_K

@@ -144,3 +144,40 @@ def edge_emb_dir(spark, sf_dir, tmp_path_factory) -> str:
 def test_edge_embeddings_oracle_parity(spark, edge_emb_dir, name):
     df = QUERIES[name](spark, edge_emb_dir)
     compare_with_oracle(df, ORACLES[name], edge_emb_dir)
+
+
+# ADVICE r13 (similarity.py DUP_INJECT_OFFSET): the injection device's
+# domain assumption — every REAL vec_id sits below 2^40, so
+# `vec_id + DUP_INJECT_OFFSET` can never alias a real id — was
+# documented in a comment but enforced nowhere. Pin it over every gate
+# corpus: a future corpus with larger ids now fails loudly here
+# instead of silently reintroducing the ADVICE-r12 collision class.
+GATE_SF_DIRS = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+]
+
+
+@pytest.mark.parametrize("gate_dir", GATE_SF_DIRS)
+def test_gate_vec_ids_below_dup_inject_offset(gate_dir):
+    import duckdb
+
+    from simple_etl_pipeline_spark.plans.similarity import (
+        DUP_INJECT_OFFSET,
+    )
+
+    if not os.path.exists(gate_dir):
+        pytest.skip(f"{gate_dir} not present in this environment")
+    path = f"{gate_dir}/embeddings.parquet"
+    if os.path.isdir(path):
+        path = f"{path}/*.parquet"
+    mx = duckdb.sql(
+        f"SELECT max(vec_id) FROM read_parquet('{path}')"
+    ).fetchone()[0]
+    assert mx is not None and mx < DUP_INJECT_OFFSET, (
+        f"max vec_id {mx} in {gate_dir} >= DUP_INJECT_OFFSET "
+        f"{DUP_INJECT_OFFSET}: injected duplicate ids could collide "
+        "with real ones — raise the offset before trusting any "
+        "dup-injection op on this corpus"
+    )

@@ -899,7 +899,15 @@ def test_embedding_drift_single_agg_pass_no_join_no_window(
     assert "CartesianProduct" not in plan
     assert "Join" not in plan, plan
     assert "windowspecdefinition" not in plan, plan
-    assert "Generate posexplode" in plan, plan
+    # ADVICE r13: assert the literals BEFORE the index() ordering
+    # comparison below, with explicit messages — if Spark's plan
+    # rendering of the Generate (or of md5) ever changes, the failure
+    # says so instead of index() raising a bare ValueError.
+    assert "Generate posexplode" in plan, (
+        "no 'Generate posexplode' line in the executed plan — Spark "
+        "changed the Generate rendering or the explode was rewritten:\n"
+        + plan
+    )
     assert plan.count("HashAggregate") >= 2, plan  # partial + final
     rs = plan.split("ReadSchema")[1][:200]
     assert "embedding" in rs and "label" not in rs, rs
@@ -910,7 +918,11 @@ def test_embedding_drift_single_agg_pass_no_join_no_window(
     # measured ~60% of the op's wall at the 512k probe point (the r13
     # drill). Plan text prints parents first, so the Generate line
     # must appear before the md5 expression.
-    assert "md5" in plan, plan
+    assert "md5" in plan, (
+        "no 'md5' expression in the executed plan — the snapshot "
+        "split changed hash function or was constant-folded away:\n"
+        + plan
+    )
     assert plan.index("Generate posexplode") < plan.index("md5"), (
         "md5 snapshot split evaluated above the Generate — "
         "per-exploded-row, 64x the needed work"

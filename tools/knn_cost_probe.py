@@ -10,11 +10,14 @@ the edge stage runs on the raw corpus):
     - n_candidates: exact candidate-pair volume of the bucket-keyed
       equi-self-join (sum over buckets of n*(n-1)) — computed WITHOUT
       evaluating the cosine, so it times nothing it shouldn't;
+    - cand_wall_s: materialization of the candidate+cosine stage
+      ALONE (_knn_candidates_from — no top-K window), so
+      us_per_cand = cand_wall_s * 1e6 / n_candidates attributes only
+      cosine work to the per-candidate cost (ADVICE r13);
     - wall_s: full materialization of the top-K edge output (the
-      scale_probe _force action: xxhash64 every column, bit_xor fold);
-    - us_per_cand: wall_s * 1e6 / n_candidates — the interpreted
-      CodegenFallback HOF cosine dominates this, so the row IS the
-      per-candidate cost the SCALING.md watch-item cites (~14 µs).
+      scale_probe _force action: xxhash64 every column, bit_xor
+      fold); us_per_cand_full_upper divides THIS by candidates — the
+      pre-fix figure, kept as the explicit upper bound.
 
 The sweep demonstrates the bounded-work knob: candidate volume (and
 therefore wall) scales ~1/TARGET while the auto-bits expression keeps
@@ -73,36 +76,15 @@ def main() -> None:
             try:
                 # candidate volume WITHOUT cosine evaluation: bucket
                 # histogram -> sum n*(n-1) (ordered pairs, matching
-                # the a.vec_id != b.vec_id join)
+                # the a.vec_id != b.vec_id join). The bucketing is the
+                # PRODUCTION stage itself (knn_bucketed consumes the
+                # shared knn_nbits_case_sql / KNN_BUCKET_FOLD_SQL
+                # definitions — ADVICE r13: no inline copy that could
+                # silently diverge from what the edge stage buckets).
                 edges_df = simmod._knn_edges_from(corpus)
-                bucketed = corpus.crossJoin(
-                    F.broadcast(
-                        corpus.agg(
-                            F.count(F.lit(1)).alias("_n")
-                        ).select(
-                            F.expr(
-                                f"CASE WHEN ((_n + {target - 1})"
-                                f" div {target}) <= 1"
-                                f" THEN {simmod.LSH_BITS}"
-                                " ELSE least(greatest("
-                                f"{simmod.LSH_BITS},"
-                                f" length(bin((_n + {target - 1})"
-                                f" div {target} - 1))), 32) END"
-                            ).alias("nbits")
-                        )
-                    )
-                ).withColumn(
-                    "bucket",
-                    F.expr(
-                        "aggregate(sequence(0, nbits - 1),"
-                        " CAST(0 AS BIGINT), (acc, j) -> acc +"
-                        " CASE WHEN element_at(v, j + 1) > 0"
-                        " THEN CAST(shiftleft(CAST(1 AS BIGINT), j)"
-                        " AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-                    ),
-                )
                 hist = (
-                    bucketed.groupBy("bucket")
+                    simmod.knn_bucketed(corpus, target)
+                    .groupBy("bucket")
                     .agg(F.count(F.lit(1)).alias("bn"))
                     .agg(
                         F.sum(
@@ -113,6 +95,14 @@ def main() -> None:
                     )
                     .collect()[0]
                 )
+                # ADVICE r13: time the candidate+cosine stage apart
+                # from the per-node top-K window, so us_per_cand
+                # attributes only cosine work to the per-candidate
+                # cost; the full-edge wall (window + hash force
+                # included) is reported separately as the upper bound.
+                t0 = time.time()
+                cand_rows = _force(simmod._knn_candidates_from(corpus))
+                cand_wall = time.time() - t0
                 t0 = time.time()
                 rows = _force(edges_df)
                 wall = time.time() - t0
@@ -126,9 +116,18 @@ def main() -> None:
                             "n_buckets": int(hist["n_buckets"]),
                             "max_bucket": int(hist["max_bucket"]),
                             "n_candidates": cands,
+                            "cand_rows": cand_rows,
                             "edge_rows": rows,
+                            "cand_wall_s": round(cand_wall, 2),
                             "wall_s": round(wall, 2),
                             "us_per_cand": round(
+                                cand_wall * 1e6 / max(cands, 1), 2
+                            ),
+                            # full edge wall / candidates — includes
+                            # the top-K window shuffle and the xxhash
+                            # force, so read as an UPPER BOUND on the
+                            # cosine cost (the pre-fix figure).
+                            "us_per_cand_full_upper": round(
                                 wall * 1e6 / max(cands, 1), 2
                             ),
                         }
