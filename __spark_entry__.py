@@ -63,29 +63,15 @@ def _all_modules():
 # fails. Names move OUT of this list in the same commit that registers
 # them into the rebalanced window.
 _BANKED_PREBUILDS: list[str] = [
-    # The r13 bank (train_attention_pack, dq_embedding_drift,
-    # st_dedup_lsh_index — built round 12 per the SCALING.md r11
-    # post-bank roadmap) REGISTERED into the round-13 window below,
-    # leaving this list in the same commit — the ninth consecutive
-    # banked-then-register round. The bank drains one trio per round
-    # across r13-r16 (VERDICT r12 #1/#8: register on schedule, do NOT
-    # build the r17 bank early), so this list holds 9 here, 6 at r14
-    # close, 3 at r15 close, 0 at r16 close.
-    # r14 bank (built in the round-12 continuation session, AHEAD of
-    # the cadence — the SCALING.md r12 post-r13 roadmap trio, so r13
-    # only registers and roadmaps instead of building): pad-minimizing
-    # whole-document shelf packing (global_row_number's sixth
-    # surface), content-level corpus snapshot diff (the CDC twin of
-    # dq_embedding_drift on text), and the streaming embedding-drift
-    # monitor (st_static_zscore topology, batch expressions imported).
-    # Registration plan: r13 registers the r13 trio into its 3 free
-    # slots per the ROUND-13 LEDGER below; the r14 trio registers in
-    # r14 with 3 in-mandatory demotions named in the r14 ledger
-    # (written at r13 close, the standing cadence).
-    "train_binpack_shelves",
-    "dq_snapshot_diff",
-    "st_embedding_drift",
-    # r15 bank (also built in the round-12 continuation session — the
+    # The r14 bank (train_binpack_shelves, dq_snapshot_diff,
+    # st_embedding_drift — built in the round-12 continuation session
+    # per the SCALING.md r12 post-r13 roadmap) REGISTERED into the
+    # round-14 window below, leaving this list in the same commit —
+    # the tenth consecutive banked-then-register round. The bank
+    # drains one trio per round across r13-r16 (VERDICT r12 #1/#8:
+    # register on schedule, do NOT build the r17 bank early), so this
+    # list holds 6 here, 3 at r15 close, 0 at r16 close.
+    # r15 bank (built in the round-12 continuation session — the
     # SCALING.md post-r14 roadmap trio): exact median/MAD robust
     # anomaly monitor (global_row_number's 7th/8th surfaces: exact
     # order statistics without a |types|-key window), LSH-bucketed
@@ -116,142 +102,158 @@ _BANKED_PREBUILDS: list[str] = [
 ]
 
 _WINDOW = [
-    # ROUND-13 COMPOSITION (rotation_plan.py pre-rebalance output at
-    # round-13 open, verified by the r12 judge: 47 mandatory / 3
-    # free — exactly the ROUND-13 LEDGER the r12 close wrote):
-    #   1. The r13 MANDATORY set minus the three round-13 demotions —
-    #      44 queries: the r10-green residue whose last driver row was
-    #      round 10, exactly the list rotation_plan.py printed minus
-    #      agg_cube_lineitem, ev_countmin_users and
-    #      txt_bloom_contamination (all three r13 demotions are IN the
+    # ROUND-14 COMPOSITION (rotation_plan.py pre-rebalance output at
+    # round-14 open, verified by the r13 judge: 46 mandatory / 4
+    # free — exactly the ROUND-14 LEDGER the r13 close wrote):
+    #   1. The r14 MANDATORY set minus the three round-14 demotions —
+    #      43 queries: the r11-green residue whose last driver row was
+    #      round 11, exactly the list rotation_plan.py printed minus
+    #      agg_approx_distinct, txt_fingerprint and
+    #      ev_user_daily_activity (all three r14 demotions are IN the
     #      mandatory set — demoting an in-mandatory query frees its
     #      window slot, the r7 device; the same three demotions
     #      satisfy the registry capacity rule for the three
     #      registrations; rationale at each module's
     #      QUERIES/TAIL_QUERIES and testing.demoted_queries()).
-    #   2. The 3 round-12-banked prebuilds (the r13 bank), now
-    #      registered (the banked-then-register staging, ninth
-    #      consecutive round): train_attention_pack (global_prefix_sum
-    #      consumer), dq_embedding_drift, st_dedup_lsh_index (the
-    #      FIRST streaming-package registration — its oracle is the
-    #      real batch band-index CTE chain via replay-equals-batch).
-    #   3. THREE canary slots, one per r13-changed registered surface
-    #      (the changed-code rule): txt_domain_split — its salted
-    #      split assignment was extracted into the shared
-    #      domain_split_cols/sql_domain_split_case helper pair this
-    #      round (ADVICE r12: one definition for the split and its
-    #      decontamination audit); values at every SF are identical
-    #      by construction and the driver row pins exactly that.
-    #      dedup_embedding_cosine — its duplicate-injection offset
-    #      moved from +100000 to the far-disjoint DUP_INJECT_OFFSET
-    #      (2^40) so injected ids can never collide with real vec_ids
-    #      (ADVICE r12); its VALUES change (injected pair ids), so the
-    #      changed registered query re-pins under a fresh driver row.
-    #      ev_seasonal_residuals — the registered floor-div/grid
-    #      convention holder in plans/events.py, which changed this
-    #      round (the ev_changepoint_cusum trunc-vs-floor hour-bucket
-    #      fix, ADVICE r12 high); its row pins that the shared
-    #      floor_div surface still hashes identically.
+    #   2. The 3 round-12-banked prebuilds (the r14 bank), now
+    #      registered (the banked-then-register staging, tenth
+    #      consecutive round): train_binpack_shelves
+    #      (global_row_number's sixth driver surface),
+    #      dq_snapshot_diff (the CDC twin of dq_embedding_drift on
+    #      text), st_embedding_drift (the SECOND streaming-package
+    #      registration — its oracle is the real batch
+    #      DQ_EMBEDDING_DRIFT_ORACLE via replay-equals-batch).
+    #   3. FOUR canary slots (the changed-code rule, plus rotation
+    #      smoothing — three of the four are r12-window-only rows, so
+    #      the r15 arithmetic stays at 46 mandatory / 4 free instead
+    #      of degrading toward 49/1): dq_embedding_drift —
+    #      plans/similarity.py changed this round (the shared
+    #      knn_nbits_case_sql/knn_bucketed extraction, ADVICE r13)
+    #      and the new streaming registration SHARES its oracle, so
+    #      this row pins the edited file's registered surface AND the
+    #      replay-equals-batch anchor at the same gate.
+    #      st_session_windows — streaming/events.py gained the
+    #      st_embedding_drift registration this round; this is that
+    #      file's registered row not already in the mandatory set.
+    #      txt_boilerplate_lines — plans/text.py changed (the
+    #      train_binpack_shelves registration + txt_fingerprint
+    #      demotion edits); the file's newest registered row re-pins.
+    #      dq_profile_drift — plans/relational.py changed (the
+    #      dq_snapshot_diff registration + agg_approx_distinct
+    #      demotion edits), and the snapshot diff reuses its
+    #      decimal-staged ppm-ratio discipline; the drift monitor's
+    #      row pins that shared convention.
     #   Net registry growth ZERO: 3 demotions for 3 registrations,
     #   registry stays at 145.
-    # -- mandatory (44): last driver row in round 10 ------------------------
-    "agg_conditional_pivot",
-    "agg_distinct_counts",
-    "agg_grouping_sets",
-    "agg_mode_source_by_lang",
-    "agg_percentiles",
-    "bm25_topk",
-    "dedup_semdedup",
-    "ev_attribution_linear",
-    "ev_path_transitions",
-    "ev_quantile_sketch",
-    "ev_range_join_incidents",
-    "ev_scd2_users",
-    "ev_srm_check",
-    "ev_zorder_layout",
-    "join_anti_customers_without_orders",
-    "join_broadcast_brand_revenue",
-    "join_full_outer_nation_presence",
-    "join_semi_discounted",
-    "q10_returned_items",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q18_large_volume_customers",
-    "q19_disjunctive_filter",
-    "q22_idle_customers",
-    "q2_top_supplier_per_nation",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_region_revenue",
-    "q6_revenue_filter",
-    "q7_nation_volume",
-    "scalar_functions",
-    "setops_nations",
-    "sim_kmeans_lloyd",
-    "st_static_zscore",
-    "st_user_totals_stateful",
-    "train_hard_negatives",
-    "txt_dsir_weights",
-    "txt_lm_perplexity",
-    "txt_rare_token_ratio",
-    "window_above_customer_avg",
-    "window_percent_rank_suppliers",
-    "window_rolling_7d",
-    "window_topk_orders_per_customer",
-    # -- round-13 registrations (3): the r13 bank — bank drops to 9 ---------
-    "train_attention_pack",
+    # (The round-13 composition this window replaced — 44-query r10
+    # residue + the r13 trio + 3 canaries — is recorded in
+    # CORRECTNESS_r13.json and the git history, the standing
+    # convention.)
+    # -- mandatory (43): last driver row in round 11 ------------------------
+    "agg_rfm_segments",
+    "dedup_components",
+    "dedup_ngram_spans",
+    "dedup_simhash",
+    "ev_funnel",
+    "ev_gap_fill",
+    "ev_hll_overlap",
+    "ev_rollup_multires",
+    "ev_time_embargo_split",
+    "ev_trimmed_mean",
+    "inverted_index",
+    "mm_binary_meta",
+    "mm_blob_features",
+    "mm_frame_sample",
+    "mm_resize",
+    "q12_shipmode_priority",
+    "ref_dirty_view",
+    "ref_remove_dirty",
+    "ref_transform_full",
+    "search_hybrid_rrf",
+    "sim_ann_lsh",
+    "sim_centroids_by_label",
+    "sim_ivfpq_topk",
+    "sim_knn_brute",
+    "sim_rp_recall",
+    "skip_bloom_stats",
+    "st_dedup_events",
+    "st_scd2_users",
+    "st_sliding_windows",
+    "st_stream_stream_join",
+    "st_tumbling_hourly",
+    "train_curriculum_order",
+    "txt_bpe_tokens",
+    "txt_doc_features",
+    "txt_gopher_repetition",
+    "txt_kl_drift",
+    "txt_langid",
+    "txt_mixture_manifest",
+    "txt_tfidf_top_term",
+    "txt_token_stats",
+    "txt_training_corpus",
+    "txt_winnow_fingerprint",
+    "weighted_sample",
+    # -- round-14 registrations (3): the r14 bank -- bank drops to 6 ---------
+    "train_binpack_shelves",
+    "dq_snapshot_diff",
+    "st_embedding_drift",
+    # -- canaries (4): changed-file pins + rotation smoothing ----------------
     "dq_embedding_drift",
-    "st_dedup_lsh_index",
-    # -- canaries (3): split-helper + dup-offset + floor-div surfaces --------
-    "txt_domain_split",
-    "dedup_embedding_cosine",
-    "ev_seasonal_residuals",
+    "st_session_windows",
+    "txt_boilerplate_lines",
+    "dq_profile_drift",
 ]
 
 # (The round-12 composition this window replaced is recorded in
 # CORRECTNESS_r12.json and the git history, the standing convention.)
-# ROUND-14 ROTATION LEDGER (tools/rotation_plan.py run AFTER the r13
+# ROUND-15 ROTATION LEDGER (tools/rotation_plan.py run AFTER the r14
 # rebalance prints state=post_rebalance with exactly this arithmetic):
-# at the r14 gate the last two recorded windows will be
-# CORRECTNESS_r12 + this window (overlap: the dedup_embedding_cosine
-# canary, r12-windowed), so next_round_mandatory = 46 queries (the
-# r11-green residue: agg_approx_distinct, agg_rfm_segments, the
-# dedup_* components/ngram-spans/simhash rows, the ev_* funnel/
-# gap-fill/hll-overlap/rollup-multires/time-embargo/trimmed-mean/
-# user-daily rows, inverted_index, the mm_* quartet,
-# q12_shipmode_priority, the ref_* dirty-view/remove-dirty/
-# transform-full rows, search_hybrid_rrf, the sim_* ann-lsh/
-# centroids/ivfpq/knn-brute/rp-recall rows, skip_bloom_stats, the
-# st_* dedup-events/scd2/sliding/stream-stream/tumbling rows,
-# train_curriculum_order, the txt_* bpe/doc-features/fingerprint/
-# gopher-repetition/kl-drift/langid/mixture-manifest/tfidf/
-# token-stats/training-corpus/winnow rows, weighted_sample) and
-# next_round_free_slots = 4. The r14 bank (built in the round-12
+# at the r15 gate the last two recorded windows will be
+# CORRECTNESS_r13 + this window (overlap: the dq_embedding_drift
+# canary, r13-windowed — the other three canaries are r12-window-only
+# rows chosen so the overlap stays at 1), so next_round_mandatory =
+# 46 queries (the r12-green residue: agg_basket_lift, agg_ols_trend,
+# the dedup_* components-lsh/exact/incremental/minhash-lsh/
+# ngram-jaccard/paragraphs/survivors rows, dq_expectations,
+# dq_k_anonymity, the ev_* asof/conversion-windows/cuped/
+# heavy-hitters/hll-user-rollup/json-variant/retention/zscore rows,
+# join_fuzzy_part_names, mm_phash_dedup, q1/q8/q9/q11/q16/q17/q20/
+# q21, the sim_* mrl-recall/pq-adc/quantize-int8 rows,
+# st_dedup_index, train_shard_manifest, train_token_budget_pack, the
+# txt_* chunk-windows/contamination/dataset-card/gopher-quality/
+# pack-sequences/pagerank/pii-redact/repetition-filter/
+# sample-stratified/triangle-count rows, unpivot_lineitem_measures)
+# and next_round_free_slots = 4. The r15 bank (built in the round-12
 # continuation session; evidence kits in SCALING.md r12) is THREE
-# queries — train_binpack_shelves, dq_snapshot_diff,
-# st_embedding_drift — so the registry cap (145/150) needs 3
-# demotions; all three candidates below are in the r14 mandatory
-# set, so taking them in-mandatory yields 46 - 3 + 3 = 46 window
-# rows with 4 free canary slots. Candidates, in order:
-# agg_approx_distinct (HLL sketch sibling of the registered EXACT
-# agg_distinct_counts — the sketch-vs-exact precedent that demoted
-# agg_approx_percentile in r12 and ev_countmin_users in r13; its
-# hashed output already IS the exact counts plus a tolerance
-# boolean), txt_fingerprint (a bare per-doc projection of
-# fingerprint_col over corpus_with_dups — the registered dedup_exact
-# aggregates the IDENTICAL fingerprint column over the IDENTICAL
-# corpus, pinning the fingerprint multiset and survivor pairing),
-# ev_user_daily_activity (per-(day,user) rollup whose every surface
-# is pinned by registered siblings: st_tumbling_hourly's identical
-# time-truncated aggregation, ev_cuped's per-user exact dsum,
-# agg_distinct_counts' distinct heads — the rank-derivative class of
-# the r12 window_ntile demotion).
+# queries — ev_mad_outliers, sim_knn_graph (register with the
+# eps-ball/near-dup CONTRACT stated and its recall meter pinned —
+# VERDICT r13 #3), mm_bytes_shard_pack (whose registration touches
+# plans/multimodal.py: land the scheduled mm_phash decimal(38,0)
+# weight staging in the same change, the carried r12 watch-item) —
+# so the registry cap (145/150) needs 3 demotions; all three
+# candidates below are in the r15 mandatory set, so taking them
+# in-mandatory yields 46 - 3 + 3 = 46 window rows with 4 free canary
+# slots. Candidates, in order:
+# ev_hll_user_rollup (HLL-sketch sibling of the registered EXACT
+# per-user rollups — agg_distinct_counts' distinct heads and
+# ev_rollup_multires' exact multiresolution counts pin the surface;
+# the sketch-vs-exact precedent that demoted agg_approx_percentile
+# in r12, ev_countmin_users in r13 and agg_approx_distinct in r14),
+# sim_mrl_recall (recall-meter rank-derivative: the registered
+# sim_rp_recall pins the identical exact-brute-force-vs-projection
+# recall harness — same corpus, same top-k join, same ratio head —
+# with random projection in place of Matryoshka truncation, and the
+# truncation arithmetic itself is a two-line prefix slice),
+# st_dedup_index (its oracle IS the shared DEDUP_EXACT_ORACLE; the
+# registered st_dedup_lsh_index is the strictly-larger streaming
+# dedup surface — stateful MinHash-LSH band index vs exact
+# fingerprint index — and the registered dedup_exact keeps the
+# shared oracle pinned on the batch side).
 # Registry arithmetic: 145 registered / 150 three-round slots
 # (5 slack) — the invariant stays satisfiable PROVIDED net growth
 # stays <= 0 per round (demote-one-per-add).
-# Bank queue after this round: 9 banked (r14/r15/r16 trios), drain
-# one trio per round through r16; the r17 roadmap trio
+# Bank queue after this round: 6 banked (r15/r16 trios), drain one
+# trio per round through r16; the r17 roadmap trio
 # (st_snapshot_diff, train_eval_substring_decontam,
 # mm_modality_balance_manifest) stays UNBUILT per VERDICT r12 #8.
 

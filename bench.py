@@ -165,6 +165,13 @@ HEADLINE = [
     "train_attention_pack",
     "dq_embedding_drift",
     "st_dedup_lsh_index",
+    # round 14: the registered r14 trio (pad-minimizing shelf binpack
+    # packing — global_row_number's sixth surface —, content-level
+    # corpus snapshot diff, and the streaming embedding-drift
+    # monitor: the second streaming-package bench row).
+    "train_binpack_shelves",
+    "dq_snapshot_diff",
+    "st_embedding_drift",
 ]
 
 # The per-query map on the LAST stdout line (the one the driver's
@@ -173,9 +180,9 @@ HEADLINE = [
 # capture at 71 queries and BENCH_r11 recorded parsed:null (VERDICT
 # r11 #7). The full map always rides the detail line + BENCH_DETAIL.
 NEW_THIS_ROUND = [
-    "train_attention_pack",
-    "dq_embedding_drift",
-    "st_dedup_lsh_index",
+    "train_binpack_shelves",
+    "dq_snapshot_diff",
+    "st_embedding_drift",
 ]
 
 # Robust measurement protocol for the four drilled noisy queries

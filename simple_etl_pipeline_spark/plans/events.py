@@ -376,16 +376,22 @@ QUERIES = {
     # registered, the side whose _run_to_memory adapter carries the
     # unique machinery). Full pytest parity via
     # testing.demoted_queries(); bench row kept.
-    "ev_user_daily_activity": ev_user_daily_activity,
+    # ev_user_daily_activity DEMOTED round 14 (capacity rule, matching
+    # the st_embedding_drift registration at streaming/events.py
+    # QUERIES): a per-(day, user) rollup whose every surface is pinned
+    # by registered siblings — st_tumbling_hourly's identical
+    # time-truncated aggregation, ev_cuped's per-user exact
+    # decimal-sum, agg_distinct_counts' distinct heads — the
+    # rank-derivative class of the r12 window_ntile demotion. Full
+    # pytest parity via testing.demoted_queries(); bench row kept.
 }
 
 ORACLES = {
     "ev_asof_purchase_click": EV_ASOF_ORACLE,
     "ev_funnel": EV_FUNNEL_ORACLE,
     "ev_rollup_multires": EV_ROLLUP_MULTIRES_ORACLE,
-    # ev_sliding_windows demoted r11, ev_session_windows demoted r12
-    # — see QUERIES comment
-    "ev_user_daily_activity": EV_DAILY_ORACLE,
+    # ev_sliding_windows demoted r11, ev_session_windows demoted r12,
+    # ev_user_daily_activity demoted r14 — see QUERIES comment
 }
 
 

@@ -1432,10 +1432,18 @@ LIMIT 100
 QUERIES = {
     # Registration order is meaningful: the driver's correctness gate
     # checks a prefix window of queries() in registration order, so the
-    # entries most in need of a fresh driver row (q12 after the oracle
-    # CAST fix, agg_approx_distinct after gaining an oracle) come first.
+    # entries most in need of a fresh driver row (historically q12
+    # after the oracle CAST fix) come first.
     "q12_shipmode_priority": q12_shipmode_priority,
-    "agg_approx_distinct": agg_approx_distinct,
+    # agg_approx_distinct DEMOTED round 14 (capacity rule, one per r14
+    # registration — matching dq_snapshot_diff at TAIL_QUERIES): the
+    # HLL-sketch sibling of the registered EXACT agg_distinct_counts
+    # on the same key universe — the sketch-vs-exact precedent that
+    # demoted agg_approx_percentile (r12) and ev_countmin_users (r13);
+    # its hashed output already IS the exact counts plus a tolerance
+    # boolean, so the registered exact row pins the whole surface.
+    # Full pytest parity continues via testing.demoted_queries(), and
+    # its bench row survives (bench resolves demoted queries).
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_revenue": q5_region_revenue,
@@ -1526,7 +1534,7 @@ ORACLES = {
     "agg_distinct_counts": AGG_DISTINCT_ORACLE,
     # agg_cube_lineitem demoted r13 — see QUERIES comment
     "agg_grouping_sets": AGG_GROUPING_SETS_ORACLE,
-    "agg_approx_distinct": AGG_APPROX_DISTINCT_ORACLE,
+    # agg_approx_distinct demoted r14 — see QUERIES comment
     "agg_conditional_pivot": AGG_PIVOT_ORACLE,
     "agg_percentiles": AGG_PERCENTILES_ORACLE,
     # agg_histogram demoted r11 — see QUERIES comment
@@ -3396,6 +3404,18 @@ TAIL_QUERIES = {
     # arithmetic needs (48 - 4 + 4 = 48 with 2 canaries).
     "dq_k_anonymity": dq_k_anonymity,
     "agg_ols_trend": agg_ols_trend,
+    # round-14 registration (r14 bank, built in the round-12
+    # continuation session with its full evidence kit — pytest-oracle
+    # at 3 SFs, add/remove/change/no-op edge corpora, sf0.1
+    # judge-swept every round since; matching demotion:
+    # agg_approx_distinct at QUERIES above — capacity rule, net
+    # registry growth zero). Content-level corpus snapshot diff — the
+    # CDC twin of dq_embedding_drift on text: each snapshot reduces to
+    # (doc_id, source, md5(text), chars), the reductions FULL OUTER
+    # equi-join on doc_id (32-byte digests through the shuffle, never
+    # document bodies), and every doc classifies exactly one way into
+    # added/deleted/changed/unchanged with null-safe hash compare.
+    "dq_snapshot_diff": dq_snapshot_diff,
 }
 TAIL_ORACLES = {
     "join_fuzzy_part_names": JOIN_FUZZY_ORACLE,
@@ -3408,4 +3428,5 @@ TAIL_ORACLES = {
     "dq_profile_drift": DQ_PROFILE_DRIFT_ORACLE,
     "dq_k_anonymity": DQ_K_ANONYMITY_ORACLE,
     "agg_ols_trend": AGG_OLS_TREND_ORACLE,
+    "dq_snapshot_diff": DQ_SNAPSHOT_DIFF_ORACLE,
 }

@@ -1242,7 +1242,14 @@ QUERIES = {
     # TakeOrderedAndProject rows; full pytest parity continues via
     # testing.demoted_queries(), and its bench row survives.
     "txt_tfidf_top_term": txt_tfidf_top_term,
-    "txt_fingerprint": txt_fingerprint,
+    # txt_fingerprint DEMOTED round 14 (capacity rule, one per r14
+    # registration — matching train_binpack_shelves at TAIL_QUERIES):
+    # a bare per-doc projection of fingerprint_col over
+    # corpus_with_dups — the registered dedup_exact aggregates the
+    # IDENTICAL fingerprint column over the IDENTICAL corpus, pinning
+    # the fingerprint multiset and the survivor pairing; full pytest
+    # parity continues via testing.demoted_queries(), and its bench
+    # row survives (bench resolves demoted queries).
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1265,7 +1272,7 @@ ORACLES = {
     "txt_langid": _langid_oracle(),
     # txt_ngram_freq demoted r11 — see QUERIES comment
     "txt_tfidf_top_term": TXT_TFIDF_ORACLE,
-    "txt_fingerprint": TXT_FINGERPRINT_ORACLE,
+    # txt_fingerprint demoted r14 — see QUERIES comment
     "dedup_exact": DEDUP_EXACT_ORACLE,
     "dedup_ngram_jaccard": DEDUP_JACCARD_ORACLE,
     "dedup_minhash_lsh": DEDUP_MINHASH_ORACLE,
@@ -5193,6 +5200,17 @@ TAIL_QUERIES = {
     # growth zero). Attention-mask sequence packing:
     # global_prefix_sum's fifth driver surface.
     "train_attention_pack": train_attention_pack,
+    # round-14 registration (r14 bank, built in the round-12
+    # continuation session with its full evidence kit — pytest-oracle
+    # at 3 SFs, boundary/degenerate edge corpus, barrier plan-shape
+    # row forbidding any band-partitioned window, sf0.1 judge-swept
+    # every round since; matching demotion: txt_fingerprint at
+    # QUERIES above — capacity rule, net registry growth zero).
+    # Pad-minimizing whole-document shelf packing:
+    # global_row_number's sixth driver surface, ranked over the
+    # (band_len, doc_id) total order with the <= 13-row band-offsets
+    # frame coming back on broadcast joins.
+    "train_binpack_shelves": train_binpack_shelves,
 }
 
 TAIL_ORACLES = {
@@ -5227,4 +5245,5 @@ TAIL_ORACLES = {
     "train_token_budget_pack": TRAIN_TOKEN_BUDGET_ORACLE,
     "txt_boilerplate_lines": TXT_BOILERPLATE_ORACLE,
     "train_attention_pack": TRAIN_ATTENTION_PACK_ORACLE,
+    "train_binpack_shelves": TRAIN_BINPACK_SHELVES_ORACLE,
 }

@@ -565,12 +565,28 @@ QUERIES = {
     "st_stream_stream_join": st_stream_stream_join,
     "st_dedup_index": st_dedup_index,
     "st_static_zscore": st_static_zscore,
+    # round-14 registration (r14 bank, built in the round-12
+    # continuation session with its full evidence kit —
+    # replay-equals-batch at 3 SFs against the REAL batch oracle,
+    # re-earned in r13 after the emb_coords staging fix, sf0.1
+    # judge-swept every round since; matching demotion:
+    # ev_user_daily_activity at plans/events.py QUERIES — capacity
+    # rule, net registry growth zero). Streaming embedding-drift
+    # monitor: the st_static_zscore topology with every expression
+    # IMPORTED from the batch dq_embedding_drift, complete-mode
+    # per-dim state bounded at 64 keys forever; full replay equals
+    # the batch monitor row-for-row, so it SHARES
+    # DQ_EMBEDDING_DRIFT_ORACLE (a real value oracle, not rows-only).
+    "st_embedding_drift": st_embedding_drift,
 }
 
 # Top-level imports: no cycle exists (plans.text / plans.events import
 # nothing from the streaming package), and these are resolved at module
 # load inside the ORACLES literal anyway — indirection would add nothing.
 from simple_etl_pipeline_spark.plans.events import EV_ZSCORE_ORACLE
+from simple_etl_pipeline_spark.plans.similarity import (
+    DQ_EMBEDDING_DRIFT_ORACLE,
+)
 from simple_etl_pipeline_spark.plans.text import DEDUP_EXACT_ORACLE
 
 ORACLES = {
@@ -585,4 +601,8 @@ ORACLES = {
     "st_dedup_index": DEDUP_EXACT_ORACLE,
     # Full replay of the stream-static scoring equals the batch monitor.
     "st_static_zscore": EV_ZSCORE_ORACLE,
+    # Full replay of the streaming drift monitor equals the batch twin
+    # (every expression imported from plans/similarity — see the
+    # registration comment in QUERIES).
+    "st_embedding_drift": DQ_EMBEDDING_DRIFT_ORACLE,
 }

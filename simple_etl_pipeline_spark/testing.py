@@ -127,6 +127,18 @@ def demoted_queries() -> dict:
         TXT_BLOOM_CONTAMINATION_ORACLE,
         txt_bloom_contamination,
     )
+    from simple_etl_pipeline_spark.plans.events import (
+        EV_DAILY_ORACLE,
+        ev_user_daily_activity,
+    )
+    from simple_etl_pipeline_spark.plans.relational import (
+        AGG_APPROX_DISTINCT_ORACLE,
+        agg_approx_distinct,
+    )
+    from simple_etl_pipeline_spark.plans.text import (
+        TXT_FINGERPRINT_ORACLE,
+        txt_fingerprint,
+    )
 
     return {
         "sim_ivf_recall": (sim_ivf_recall, SIM_IVF_RECALL_ORACLE),
@@ -263,6 +275,31 @@ def demoted_queries() -> dict:
         "txt_bloom_contamination": (
             txt_bloom_contamination,
             TXT_BLOOM_CONTAMINATION_ORACLE,
+        ),
+        # round-14 demotions (one per round-14 registration; rationale
+        # at each module's QUERIES comment — all three are also IN the
+        # r14 mandatory set, freeing the window slots the r14 ledger
+        # arithmetic needs):
+        #   - agg_approx_distinct: HLL-sketch sibling of the
+        #     registered EXACT agg_distinct_counts on the same key
+        #     universe (the sketch-vs-exact precedent of the r12/r13
+        #     approx_percentile / countmin demotions).
+        #   - txt_fingerprint: bare per-doc projection of
+        #     fingerprint_col; the registered dedup_exact aggregates
+        #     the identical column over the identical corpus.
+        #   - ev_user_daily_activity: per-(day,user) rollup pinned
+        #     surface-by-surface by registered siblings
+        #     (st_tumbling_hourly's time truncation, ev_cuped's
+        #     per-user exact sums, agg_distinct_counts' distinct
+        #     heads).
+        "agg_approx_distinct": (
+            agg_approx_distinct,
+            AGG_APPROX_DISTINCT_ORACLE,
+        ),
+        "txt_fingerprint": (txt_fingerprint, TXT_FINGERPRINT_ORACLE),
+        "ev_user_daily_activity": (
+            ev_user_daily_activity,
+            EV_DAILY_ORACLE,
         ),
     }
 

@@ -6369,3 +6369,109 @@ def test_cusum_pre1970_bucket_parity(spark, tmp_path):
     compare_with_oracle(
         ev_changepoint_cusum(spark, d), EV_CHANGEPOINT_CUSUM_ORACLE, d
     )
+
+
+# --- sim_knn_graph recall CONTRACT meter (VERDICT r13 #3c) ------------------
+def test_knn_graph_recall_contract(spark, sf_dir):
+    """Pins sim_knn_graph's measured recall contract (SCALING.md r13
+    "recall truth") as an executable meter at every gate, ahead of its
+    r15 registration: the op is a NEAR-DUPLICATE / eps-ball graph, not
+    a general ANN graph.
+
+    (a) DUPLICATE RECALL = 1.0 by construction: a positively-scaled
+        copy has the identical sign pattern, so it shares its
+        original's bucket at ANY bit width and lands in the top-K at
+        cosine ~1 — every planted x1.5 duplicate pair (the
+        dedup_embedding_cosine injection device, far-disjoint ids)
+        must appear as an edge in BOTH directions.
+    (b) GENERAL RECALL is LOW: bucketed top-5 vs exact brute-force
+        top-5 (same cosine, same tie-break) over deterministic query
+        nodes of the stock corpus — single-probe sign buckets were
+        measured at 0.000-0.016 recall@5 at the 128k point; assert
+        the meter stays below 0.5 so this test FAILS if the op ever
+        silently becomes (or is mistaken for) a general ANN graph
+        without re-stating the contract."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from simple_etl_pipeline_spark.functions.vectors import cosine_dec
+    from simple_etl_pipeline_spark.plans.similarity import (
+        DUP_INJECT_OFFSET,
+        KNN_GRAPH_K,
+        _knn_edges_from,
+    )
+    from simple_etl_pipeline_spark.schemas import load_table
+
+    base = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "CAST(embedding AS array<double>) AS v"
+    )
+    # (a) plant scale-invariant duplicates of every 10th vector with a
+    # comfortably nonzero norm (zero-norm cosine is NULL -> no edges,
+    # a separate, already-pinned behavior)
+    nonzero = F.expr("aggregate(v, 0D, (a, x) -> a + abs(x)) > 0.001")
+    originals = base.filter((F.col("vec_id") % 10 == 0) & nonzero)
+    dups = originals.select(
+        (F.col("vec_id") + DUP_INJECT_OFFSET).alias("vec_id"),
+        F.expr("transform(v, x -> x * 1.5)").alias("v"),
+    )
+    corpus = base.unionByName(dups)
+    planted = [r.vec_id for r in originals.select("vec_id").collect()]
+    assert len(planted) >= 10, "corpus too small to plant duplicates"
+    edge_set = {
+        (r.node, r.nbr)
+        for r in _knn_edges_from(corpus).select("node", "nbr").collect()
+    }
+    missing = [
+        vid
+        for vid in planted
+        if (vid, vid + DUP_INJECT_OFFSET) not in edge_set
+        or (vid + DUP_INJECT_OFFSET, vid) not in edge_set
+    ]
+    assert not missing, (
+        f"duplicate recall < 1.0: {len(missing)}/{len(planted)} planted "
+        f"x1.5 pairs missing from the edge set (e.g. {missing[:5]}) — "
+        "the eps-ball contract is broken"
+    )
+
+    # (b) general recall@K meter on the ORIGINAL corpus
+    queries = base.filter(nonzero).orderBy("vec_id").limit(40)
+    exact = (
+        queries.alias("q")
+        .crossJoin(base.alias("c"))
+        .filter(F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("node"),
+            F.col("c.vec_id").alias("nbr"),
+            F.round(cosine_dec(F.col("q.v"), F.col("c.v")), 6).alias(
+                "sim"
+            ),
+        )
+        .filter(F.col("sim").isNotNull())
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("node").orderBy(
+                    F.desc("sim"), F.asc("nbr")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= KNN_GRAPH_K)
+    )
+    truth: dict = {}
+    for r in exact.collect():
+        truth.setdefault(r.node, set()).add(r.nbr)
+    bucketed: dict = {}
+    for r in _knn_edges_from(base).select("node", "nbr").collect():
+        if r.node in truth:
+            bucketed.setdefault(r.node, set()).add(r.nbr)
+    hits = sum(
+        len(truth[n] & bucketed.get(n, set())) for n in truth
+    )
+    total = sum(len(truth[n]) for n in truth)
+    recall = hits / total
+    assert recall < 0.5, (
+        f"general recall@{KNN_GRAPH_K} = {recall:.3f} — the single-probe "
+        "sign-bucket graph is behaving like a general ANN index, which "
+        "contradicts the documented eps-ball contract; re-measure and "
+        "re-state the contract before trusting either claim"
+    )

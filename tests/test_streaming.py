@@ -948,3 +948,74 @@ def test_streaming_embedding_drift_empty_stream_half(spark, tmp_path):
     compare_with_oracle(
         st_embedding_drift(spark, d), DQ_EMBEDDING_DRIFT_ORACLE, d
     )
+
+
+def test_streaming_embedding_drift_shuffle_partition_invariance(
+    spark, sf_dir, tmp_path
+):
+    """The r14 registration-gate hard case (VERDICT r13 #2): unlike
+    st_dedup_lsh_index's 256 hash-packed state groups, this op's state
+    is complete-mode per-DIM aggregates — exactly 64 keys — so
+    spark.sql.shuffle.partitions decides whether all dims share one
+    task or spread across 32, and the micro-batch cut decides how many
+    partial (count, decimal-sum, bad-count) folds each dim absorbs.
+    If the folding were placement- or order-dependent (a float sum
+    would be!), 1 vs 32 partitions or a different batch split would
+    diverge. Pin bit-identical rows across the partition extremes on
+    BOTH replay shapes — the stock single-file corpus (one micro-batch)
+    and a two-file constructed corpus (two micro-batches, cross-batch
+    state merge) — plus oracle parity under the non-default layout
+    (the replay-equals-batch row re-proved under a config the test
+    session never otherwise uses; the sf0.01/16-partition twin is the
+    driver_sim gate itself, recorded in CORRECTNESS_r14)."""
+    from tests.test_new_ops_invariants import _emb_parity
+
+    from simple_etl_pipeline_spark.plans.similarity import (
+        DQ_EMBEDDING_DRIFT_ORACLE,
+    )
+    from simple_etl_pipeline_spark.streaming.events import (
+        st_embedding_drift,
+    )
+    from simple_etl_pipeline_spark.testing import compare_with_oracle
+
+    a_ids = [i for i in range(100) if _emb_parity(i) == 0]
+    b_ids = [i for i in range(100) if _emb_parity(i) == 1]
+    vecs = {
+        a_ids[0]: [0.125, -0.5, 0.75],
+        a_ids[1]: [0.375, 1.25, -0.25],
+        b_ids[0]: [0.625, -1.5, 0.5],
+        b_ids[1]: [0.875, 2.0, -1.0],
+        b_ids[2]: [0.0625, 0.25, 0.125],
+    }
+    two_batch_dir = _emb_edge_dir(tmp_path, "stdrift_inv", vecs, True)
+
+    conf = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(conf)
+    try:
+        results = {}
+        for parts in ("1", "32"):
+            spark.conf.set(conf, parts)
+            results[parts] = (
+                [
+                    tuple(r)
+                    for r in st_embedding_drift(spark, sf_dir).collect()
+                ],
+                [
+                    tuple(r)
+                    for r in st_embedding_drift(
+                        spark, two_batch_dir
+                    ).collect()
+                ],
+            )
+        assert results["1"] == results["32"], (
+            "st_embedding_drift diverges between 1 and 32 shuffle "
+            "partitions — per-dim state folding leaked placement or "
+            "order into the drift profile"
+        )
+        compare_with_oracle(
+            st_embedding_drift(spark, sf_dir),
+            DQ_EMBEDDING_DRIFT_ORACLE,
+            sf_dir,
+        )
+    finally:
+        spark.conf.set(conf, before)
