@@ -476,10 +476,15 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     eps=0.9 neighbors have ~18% single-probe recall at 11 auto-bits,
     and random top-5 neighbors ~0 (measured 0.00-0.02 vs exact
     brute-force at the 128k probe point). For general recall use
-    multi-band OR-amplification (the mm_phash 3x20-bit device; B
-    bands multiply candidate volume ~Bx at the measured ~16 us per
-    candidate) or the registered IVF/PQ family with its recall
-    meters. This is CORPUS x CORPUS semantics made scale-safe the only
+    multi-band OR-amplification (the mm_phash 3x20-bit device) — now
+    MEASURED, not just predicted (tools/knn_band_recall_probe.py at
+    the 128k point, 11 production bits: eps-0.9 recall 0.18 -> 0.34 ->
+    0.54 -> 0.79 at B = 1/2/4/8, matching 1-(1-0.18)^B within 0.015;
+    candidate volume ~Bx at the measured per-candidate cosine cost) —
+    or the registered IVF/PQ family with its recall meters for
+    general top-K (even B=8 bands only reach recall@5 = 0.11 on the
+    unstructured corpus: OR-amplification widens the eps-ball, it
+    does not make this a general ANN index). This is CORPUS x CORPUS semantics made scale-safe the only
     way it ever is at 100 TB: candidate generation is the bucket-keyed
     equi-self-join (the dedup_embedding_cosine banding — compared
     pairs cut ~|buckets|x, never a cross join), exact bit-identical
