@@ -366,7 +366,8 @@ QUERIES = {
     # st_sliding_windows shares the IDENTICAL oracle and stays
     # registered — the same keep-one-per-surface rationale as the r9
     # ev_tumbling_hourly demotion above. Full pytest parity via
-    # testing.demoted_queries(); bench row kept.
+    # testing.demoted_queries() (never a bench HEADLINE member; note
+    # corrected r14).
     # ev_session_windows DEMOTED round 12 (capacity rule, matching the
     # txt_boilerplate_lines registration): its streaming twin
     # st_session_windows shares the IDENTICAL oracle and stays
@@ -383,7 +384,8 @@ QUERIES = {
     # time-truncated aggregation, ev_cuped's per-user exact
     # decimal-sum, agg_distinct_counts' distinct heads — the
     # rank-derivative class of the r12 window_ntile demotion. Full
-    # pytest parity via testing.demoted_queries(); bench row kept.
+    # pytest parity via testing.demoted_queries() (not a bench
+    # HEADLINE member — no perf trend ends with this demotion).
 }
 
 ORACLES = {

@@ -293,7 +293,8 @@ ORACLES = {
     # class — its size/gender prefix-strips are pinned by
     # ref_transform_full's pipeline hash (registered, in the r11
     # window) plus the per-cleaner differential + hypothesis suites.
-    # Full pytest parity via testing.demoted_queries(); bench row kept.
+    # Full pytest parity via testing.demoted_queries() (never a bench
+    # HEADLINE member; note corrected r14).
     "ref_remove_dirty": _with_view(
         f"SELECT p_partkey, title, price, rating FROM dirty WHERE {SQL_DIRTY_KEEP} ORDER BY p_partkey"
     ),

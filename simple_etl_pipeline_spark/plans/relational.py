@@ -1442,8 +1442,9 @@ QUERIES = {
     # demoted agg_approx_percentile (r12) and ev_countmin_users (r13);
     # its hashed output already IS the exact counts plus a tolerance
     # boolean, so the registered exact row pins the whole surface.
-    # Full pytest parity continues via testing.demoted_queries(), and
-    # its bench row survives (bench resolves demoted queries).
+    # Full pytest parity continues via testing.demoted_queries()
+    # (never a bench HEADLINE member, so no perf trend ends here —
+    # the r14 review corrected this note class repo-wide).
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_revenue": q5_region_revenue,
@@ -1496,7 +1497,8 @@ QUERIES = {
     # of the registered percentile heads — agg_percentiles pins the
     # same numeric-distribution scan, and dq_profile_drift itself
     # registers a histogram-per-window comparison this round. Full
-    # pytest parity via testing.demoted_queries(); bench row kept.
+    # pytest parity via testing.demoted_queries() (never a bench
+    # HEADLINE member; note corrected r14).
     "window_above_customer_avg": window_above_customer_avg,
     "window_topk_orders_per_customer": window_topk_orders_per_customer,
     "setops_nations": setops_nations,
@@ -3369,7 +3371,8 @@ TAIL_QUERIES = {
     # the dq_k_anonymity registration): sketch sibling of the
     # registered exact-percentile heads, and its approx_percentile
     # surface stays pinned by the registered ev_quantile_sketch. Full
-    # pytest parity via testing.demoted_queries(); bench row kept.
+    # pytest parity via testing.demoted_queries() (never a bench
+    # HEADLINE member; note corrected r14).
     # window_ntile_customer_deciles DEMOTED round 12 (capacity rule,
     # matching the agg_ols_trend registration): rank-derivative of the
     # registered window_percent_rank_suppliers — the same

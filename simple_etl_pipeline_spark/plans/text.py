@@ -1240,7 +1240,8 @@ QUERIES = {
     # dedup_ngram_jaccard / dedup_ngram_spans shingle pipeline, and
     # its global top-K head by the registered q15/q18
     # TakeOrderedAndProject rows; full pytest parity continues via
-    # testing.demoted_queries(), and its bench row survives.
+    # testing.demoted_queries() (never a bench HEADLINE member;
+    # note corrected r14).
     "txt_tfidf_top_term": txt_tfidf_top_term,
     # txt_fingerprint DEMOTED round 14 (capacity rule, one per r14
     # registration — matching train_binpack_shelves at TAIL_QUERIES):
@@ -1248,8 +1249,8 @@ QUERIES = {
     # corpus_with_dups — the registered dedup_exact aggregates the
     # IDENTICAL fingerprint column over the IDENTICAL corpus, pinning
     # the fingerprint multiset and the survivor pairing; full pytest
-    # parity continues via testing.demoted_queries(), and its bench
-    # row survives (bench resolves demoted queries).
+    # parity continues via testing.demoted_queries() (not a bench
+    # HEADLINE member — no perf trend ends with this demotion).
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,

@@ -157,6 +157,15 @@ GATE_SF_DIRS = [
     "/root/testdata/sf0.01",
     "/root/testdata/sf0.1",
 ]
+# The corpus this session ACTUALLY tests against (conftest SF_DIR,
+# env-overridable) must be guarded too — r14 review: a relocated
+# corpus would otherwise skip every hardcoded dir while the
+# dup-injection ops run unguarded on the override (dedup via set so
+# the default layout keeps three parametrizations).
+from tests.conftest import SF_DIR as _SESSION_SF_DIR  # noqa: E402
+
+if _SESSION_SF_DIR not in GATE_SF_DIRS:
+    GATE_SF_DIRS.append(_SESSION_SF_DIR)
 
 
 @pytest.mark.parametrize("gate_dir", GATE_SF_DIRS)

@@ -10,14 +10,17 @@ the edge stage runs on the raw corpus):
     - n_candidates: exact candidate-pair volume of the bucket-keyed
       equi-self-join (sum over buckets of n*(n-1)) — computed WITHOUT
       evaluating the cosine, so it times nothing it shouldn't;
-    - cand_wall_s: materialization of the candidate+cosine stage
-      ALONE (_knn_candidates_from — no top-K window), so
-      us_per_cand = cand_wall_s * 1e6 / n_candidates attributes only
-      cosine work to the per-candidate cost (ADVICE r13);
-    - wall_s: full materialization of the top-K edge output (the
-      scale_probe _force action: xxhash64 every column, bit_xor
-      fold); us_per_cand_full_upper divides THIS by candidates — the
-      pre-fix figure, kept as the explicit upper bound.
+    - cand_wall_s: warm materialization of the candidate+cosine stage
+      ALONE (_knn_candidates_from — no top-K window; one warmup run
+      per shape absorbs codegen/shuffle spin-up, the bench.py
+      discipline), so us_per_cand = cand_wall_s * 1e6 / n_candidates
+      attributes candidate-stage work — cosine plus the hash force
+      over candidate rows — to the per-candidate cost (ADVICE r13);
+    - wall_s: warm full materialization of the top-K edge output;
+      us_per_cand_full divides THIS by candidates — the pre-fix
+      figure kept for comparability. The two walls are independent
+      materializations (different forced row counts), so neither
+      strictly bounds the other.
 
 The sweep demonstrates the bounded-work knob: candidate volume (and
 therefore wall) scales ~1/TARGET while the auto-bits expression keeps
@@ -97,12 +100,19 @@ def main() -> None:
                 )
                 # ADVICE r13: time the candidate+cosine stage apart
                 # from the per-node top-K window, so us_per_cand
-                # attributes only cosine work to the per-candidate
-                # cost; the full-edge wall (window + hash force
-                # included) is reported separately as the upper bound.
+                # attributes candidate-stage work (cosine + the hash
+                # force over candidate rows) to the per-candidate
+                # cost, instead of also charging the window shuffle.
+                # One warmup per shape before timing — the r14 review
+                # caught the cold first run paying codegen/shuffle
+                # spin-up and inverting the two figures at small K
+                # (the bench.py warmup discipline, applied here).
+                cand_df = simmod._knn_candidates_from(corpus)
+                _force(cand_df)
                 t0 = time.time()
-                cand_rows = _force(simmod._knn_candidates_from(corpus))
+                cand_rows = _force(cand_df)
                 cand_wall = time.time() - t0
+                _force(edges_df)
                 t0 = time.time()
                 rows = _force(edges_df)
                 wall = time.time() - t0
@@ -123,11 +133,17 @@ def main() -> None:
                             "us_per_cand": round(
                                 cand_wall * 1e6 / max(cands, 1), 2
                             ),
-                            # full edge wall / candidates — includes
-                            # the top-K window shuffle and the xxhash
-                            # force, so read as an UPPER BOUND on the
-                            # cosine cost (the pre-fix figure).
-                            "us_per_cand_full_upper": round(
+                            # full edge wall / candidates — the
+                            # pre-fix figure, kept for comparability
+                            # with the r13 evidence rows. The two
+                            # walls are independent materializations
+                            # (the edge force touches only K-per-node
+                            # rows where the candidate force touches
+                            # every candidate), so neither strictly
+                            # bounds the other; at probe scale the
+                            # full figure includes the window shuffle
+                            # the split exists to exclude.
+                            "us_per_cand_full": round(
                                 wall * 1e6 / max(cands, 1), 2
                             ),
                         }
