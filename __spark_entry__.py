@@ -63,28 +63,15 @@ def _all_modules():
 # fails. Names move OUT of this list in the same commit that registers
 # them into the rebalanced window.
 _BANKED_PREBUILDS: list[str] = [
-    # The r14 bank (train_binpack_shelves, dq_snapshot_diff,
-    # st_embedding_drift — built in the round-12 continuation session
-    # per the SCALING.md r12 post-r13 roadmap) REGISTERED into the
-    # round-14 window below, leaving this list in the same commit —
-    # the tenth consecutive banked-then-register round. The bank
+    # The r15 bank (ev_mad_outliers, sim_knn_graph,
+    # mm_bytes_shard_pack — built in the round-12 continuation session
+    # per the SCALING.md r12 post-r14 roadmap) REGISTERED into the
+    # round-15 window below, leaving this list in the same commit —
+    # the eleventh consecutive banked-then-register round. The bank
     # drains one trio per round across r13-r16 (VERDICT r12 #1/#8:
     # register on schedule, do NOT build the r17 bank early), so this
-    # list holds 6 here, 3 at r15 close, 0 at r16 close.
-    # r15 bank (built in the round-12 continuation session — the
-    # SCALING.md post-r14 roadmap trio): exact median/MAD robust
-    # anomaly monitor (global_row_number's 7th/8th surfaces: exact
-    # order statistics without a |types|-key window), LSH-bucketed
-    # corpus k-NN graph construction (the SemDeDup precursor), and
-    # byte-budget WebDataset-style shard layout for blobs
-    # (global_prefix_sum on bytes). Registration: r15, with 3
-    # in-mandatory demotions named in the r15 ledger (written at r14
-    # close); the bank drains 3 per round across r13/r14/r15 under
-    # the demote-one-per-add registry rule.
-    "ev_mad_outliers",
-    "sim_knn_graph",
-    "mm_bytes_shard_pack",
-    # r16 bank (also built in the round-12 continuation session — the
+    # list holds 3 here and 0 at r16 close.
+    # r16 bank (built in the round-12 continuation session — the
     # SCALING.md post-r15 roadmap trio, all three COMPOSITIONS of
     # already-verified primitives): SemDeDup-style cluster pruning
     # (connected_components over the mutual-kNN edges of the r15
@@ -102,160 +89,164 @@ _BANKED_PREBUILDS: list[str] = [
 ]
 
 _WINDOW = [
-    # ROUND-14 COMPOSITION (rotation_plan.py pre-rebalance output at
-    # round-14 open, verified by the r13 judge: 46 mandatory / 4
-    # free — exactly the ROUND-14 LEDGER the r13 close wrote):
-    #   1. The r14 MANDATORY set minus the three round-14 demotions —
-    #      43 queries: the r11-green residue whose last driver row was
-    #      round 11, exactly the list rotation_plan.py printed minus
-    #      agg_approx_distinct, txt_fingerprint and
-    #      ev_user_daily_activity (all three r14 demotions are IN the
-    #      mandatory set — demoting an in-mandatory query frees its
-    #      window slot, the r7 device; the same three demotions
-    #      satisfy the registry capacity rule for the three
-    #      registrations; rationale at each module's
+    # ROUND-15 COMPOSITION (rotation_plan.py pre-rebalance output at
+    # round-15 open, verified by the r14 judge: 46 mandatory / 4
+    # free — exactly the ROUND-15 LEDGER the r14 close wrote):
+    #   1. The r15 MANDATORY set minus the three round-15 demotions —
+    #      43 queries: the r12-green residue whose last driver row was
+    #      round 12, exactly the list rotation_plan.py printed minus
+    #      ev_hll_user_rollup, sim_mrl_recall and st_dedup_index (all
+    #      three r15 demotions are IN the mandatory set — demoting an
+    #      in-mandatory query frees its window slot, the r7 device;
+    #      the same three demotions satisfy the registry capacity rule
+    #      for the three registrations; rationale at each module's
     #      QUERIES/TAIL_QUERIES and testing.demoted_queries()).
-    #   2. The 3 round-12-banked prebuilds (the r14 bank), now
-    #      registered (the banked-then-register staging, tenth
-    #      consecutive round): train_binpack_shelves
-    #      (global_row_number's sixth driver surface),
-    #      dq_snapshot_diff (the CDC twin of dq_embedding_drift on
-    #      text), st_embedding_drift (the SECOND streaming-package
-    #      registration — its oracle is the real batch
-    #      DQ_EMBEDDING_DRIFT_ORACLE via replay-equals-batch).
+    #   2. The 3 round-12-banked prebuilds (the r15 bank), now
+    #      registered (the banked-then-register staging, eleventh
+    #      consecutive round): ev_mad_outliers (global_row_number's
+    #      7th/8th surfaces — exact median/MAD without a |types|-key
+    #      window), sim_knn_graph (the SemDeDup precursor, registered
+    #      WITH its pinned eps-ball/near-dup recall contract — VERDICT
+    #      r13 #3 / r14 watch-item #1), mm_bytes_shard_pack
+    #      (global_prefix_sum on blob bytes + the closed-form
+    #      start-offset shard rule; its registration commit also lands
+    #      the carried mm_phash decimal(38,0) weight staging).
     #   3. FOUR canary slots (the changed-code rule, plus rotation
-    #      smoothing — three of the four are r12-window-only rows, so
-    #      the r15 arithmetic stays at 46 mandatory / 4 free instead
-    #      of degrading toward 49/1): dq_embedding_drift —
-    #      plans/similarity.py changed this round (the shared
-    #      knn_nbits_case_sql/knn_bucketed extraction, ADVICE r13)
-    #      and the new streaming registration SHARES its oracle, so
-    #      this row pins the edited file's registered surface AND the
-    #      replay-equals-batch anchor at the same gate.
-    #      st_session_windows — streaming/events.py gained the
-    #      st_embedding_drift registration this round; this is that
-    #      file's registered row not already in the mandatory set.
-    #      txt_boilerplate_lines — plans/text.py changed (the
-    #      train_binpack_shelves registration + txt_fingerprint
-    #      demotion edits); the file's newest registered row re-pins.
-    #      dq_profile_drift — plans/relational.py changed (the
-    #      dq_snapshot_diff registration + agg_approx_distinct
-    #      demotion edits), and the snapshot diff reuses its
-    #      decimal-staged ppm-ratio discipline; the drift monitor's
-    #      row pins that shared convention.
+    #      smoothing — all four are r13-window-only rows, so the r16
+    #      arithmetic lands at 45 mandatory / 5 free with ZERO overlap
+    #      between the r14 and r15 windows):
+    #      dedup_semdedup — plans/similarity.py changed this round
+    #      (sim_knn_graph registration + sim_mrl_recall demotion) and
+    #      SemDeDup is the direct downstream consumer of the knn
+    #      machinery the registration exposes; strongest possible pin
+    #      on the edited file's registered surface.
+    #      sim_kmeans_lloyd — second plans/similarity.py pin (the file
+    #      hosts two independent edits this round) and the centroid
+    #      builder the SemDeDup family assigns against.
+    #      ev_seasonal_residuals — plans/events.py changed
+    #      (ev_mad_outliers registration + ev_hll_user_rollup
+    #      demotion); the file's newest previously-registered row
+    #      re-pins.
+    #      st_static_zscore — streaming/events.py changed (the
+    #      st_dedup_index demotion edit); this is that file's
+    #      registered row not already covered by the r14 window.
     #   Net registry growth ZERO: 3 demotions for 3 registrations,
     #   registry stays at 145.
-    # (The round-13 composition this window replaced — 44-query r10
-    # residue + the r13 trio + 3 canaries — is recorded in
-    # CORRECTNESS_r13.json and the git history, the standing
+    # (The round-14 composition this window replaced — 43-query r11
+    # residue + the r14 trio + 4 canaries — is recorded in
+    # CORRECTNESS_r14.json and the git history, the standing
     # convention.)
-    # -- mandatory (43): last driver row in round 11 ------------------------
-    "agg_rfm_segments",
-    "dedup_components",
-    "dedup_ngram_spans",
-    "dedup_simhash",
-    "ev_funnel",
-    "ev_gap_fill",
-    "ev_hll_overlap",
-    "ev_rollup_multires",
-    "ev_time_embargo_split",
-    "ev_trimmed_mean",
-    "inverted_index",
-    "mm_binary_meta",
-    "mm_blob_features",
-    "mm_frame_sample",
-    "mm_resize",
-    "q12_shipmode_priority",
-    "ref_dirty_view",
-    "ref_remove_dirty",
-    "ref_transform_full",
-    "search_hybrid_rrf",
-    "sim_ann_lsh",
-    "sim_centroids_by_label",
-    "sim_ivfpq_topk",
-    "sim_knn_brute",
-    "sim_rp_recall",
-    "skip_bloom_stats",
-    "st_dedup_events",
-    "st_scd2_users",
-    "st_sliding_windows",
-    "st_stream_stream_join",
-    "st_tumbling_hourly",
-    "train_curriculum_order",
-    "txt_bpe_tokens",
-    "txt_doc_features",
-    "txt_gopher_repetition",
-    "txt_kl_drift",
-    "txt_langid",
-    "txt_mixture_manifest",
-    "txt_tfidf_top_term",
-    "txt_token_stats",
-    "txt_training_corpus",
-    "txt_winnow_fingerprint",
-    "weighted_sample",
-    # -- round-14 registrations (3): the r14 bank -- bank drops to 6 ---------
-    "train_binpack_shelves",
-    "dq_snapshot_diff",
-    "st_embedding_drift",
+    # -- mandatory (43): last driver row in round 12 ------------------------
+    "agg_basket_lift",
+    "agg_ols_trend",
+    "dedup_components_lsh",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_paragraphs",
+    "dedup_survivors_quality",
+    "dq_expectations",
+    "dq_k_anonymity",
+    "ev_asof_purchase_click",
+    "ev_conversion_windows",
+    "ev_cuped",
+    "ev_heavy_hitters",
+    "ev_json_variant",
+    "ev_retention_cohorts",
+    "ev_zscore_outliers",
+    "join_fuzzy_part_names",
+    "mm_phash_dedup",
+    "q11_important_parts",
+    "q16_supplier_cardinality",
+    "q17_small_qty_revenue",
+    "q1_pricing_summary",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
+    "q8_market_share",
+    "q9_product_profit",
+    "sim_pq_adc",
+    "sim_quantize_int8",
+    "train_shard_manifest",
+    "train_token_budget_pack",
+    "txt_chunk_windows",
+    "txt_contamination",
+    "txt_dataset_card",
+    "txt_gopher_quality",
+    "txt_pack_sequences",
+    "txt_pagerank",
+    "txt_pii_redact",
+    "txt_repetition_filter",
+    "txt_sample_stratified",
+    "txt_triangle_count",
+    "unpivot_lineitem_measures",
+    # -- round-15 registrations (3): the r15 bank -- bank drops to 3 ---------
+    "ev_mad_outliers",
+    "sim_knn_graph",
+    "mm_bytes_shard_pack",
     # -- canaries (4): changed-file pins + rotation smoothing ----------------
-    "dq_embedding_drift",
-    "st_session_windows",
-    "txt_boilerplate_lines",
-    "dq_profile_drift",
+    "dedup_semdedup",
+    "sim_kmeans_lloyd",
+    "ev_seasonal_residuals",
+    "st_static_zscore",
 ]
 
-# (The round-12 composition this window replaced is recorded in
-# CORRECTNESS_r12.json and the git history, the standing convention.)
-# ROUND-15 ROTATION LEDGER (tools/rotation_plan.py run AFTER the r14
+# (The round-13 composition two windows back is recorded in
+# CORRECTNESS_r13.json and the git history, the standing convention.)
+# ROUND-16 ROTATION LEDGER (tools/rotation_plan.py run AFTER the r15
 # rebalance prints state=post_rebalance with exactly this arithmetic):
-# at the r15 gate the last two recorded windows will be
-# CORRECTNESS_r13 + this window (overlap: the dq_embedding_drift
-# canary, r13-windowed — the other three canaries are r12-window-only
-# rows chosen so the overlap stays at 1), so next_round_mandatory =
-# 46 queries (the r12-green residue: agg_basket_lift, agg_ols_trend,
-# the dedup_* components-lsh/exact/incremental/minhash-lsh/
-# ngram-jaccard/paragraphs/survivors rows, dq_expectations,
-# dq_k_anonymity, the ev_* asof/conversion-windows/cuped/
-# heavy-hitters/hll-user-rollup/json-variant/retention/zscore rows,
-# join_fuzzy_part_names, mm_phash_dedup, q1/q8/q9/q11/q16/q17/q20/
-# q21, the sim_* mrl-recall/pq-adc/quantize-int8 rows,
-# st_dedup_index, train_shard_manifest, train_token_budget_pack, the
-# txt_* chunk-windows/contamination/dataset-card/gopher-quality/
-# pack-sequences/pagerank/pii-redact/repetition-filter/
-# sample-stratified/triangle-count rows, unpivot_lineitem_measures)
-# and next_round_free_slots = 4. The r15 bank (built in the round-12
+# at the r16 gate the last two recorded windows will be
+# CORRECTNESS_r14 + this window (overlap: ZERO — the four canaries
+# above are r13-window-only rows, the 43 mandatory are r12-residue,
+# the trio is new), so next_round_mandatory = 45 queries (the
+# r13-green residue: agg_conditional_pivot, agg_distinct_counts,
+# agg_grouping_sets, agg_mode_source_by_lang, agg_percentiles,
+# bm25_topk, dedup_embedding_cosine, the ev_* attribution-linear/
+# path-transitions/quantile-sketch/range-join-incidents/scd2-users/
+# srm-check/zorder-layout rows, the join_* anti/broadcast/full-outer/
+# semi rows, q2/q3/q4/q5/q6/q7/q10/q13/q14/q15/q18/q19/q22,
+# scalar_functions, setops_nations, st_dedup_lsh_index,
+# st_user_totals_stateful, train_attention_pack, train_hard_negatives,
+# the txt_* domain-split/dsir-weights/lm-perplexity/rare-token-ratio
+# rows, window_above_customer_avg, window_percent_rank_suppliers,
+# window_rolling_7d, window_topk_orders_per_customer) and
+# next_round_free_slots = 5. The r16 bank (built in the round-12
 # continuation session; evidence kits in SCALING.md r12) is THREE
-# queries — ev_mad_outliers, sim_knn_graph (register with the
-# eps-ball/near-dup CONTRACT stated and its recall meter pinned —
-# VERDICT r13 #3), mm_bytes_shard_pack (whose registration touches
-# plans/multimodal.py: land the scheduled mm_phash decimal(38,0)
-# weight staging in the same change, the carried r12 watch-item) —
-# so the registry cap (145/150) needs 3 demotions; all three
-# candidates below are in the r15 mandatory set, so taking them
-# in-mandatory yields 46 - 3 + 3 = 46 window rows with 4 free canary
-# slots. Candidates, in order:
-# ev_hll_user_rollup (HLL-sketch sibling of the registered EXACT
-# per-user rollups — agg_distinct_counts' distinct heads and
-# ev_rollup_multires' exact multiresolution counts pin the surface;
-# the sketch-vs-exact precedent that demoted agg_approx_percentile
-# in r12, ev_countmin_users in r13 and agg_approx_distinct in r14),
-# sim_mrl_recall (recall-meter rank-derivative: the registered
-# sim_rp_recall pins the identical exact-brute-force-vs-projection
-# recall harness — same corpus, same top-k join, same ratio head —
-# with random projection in place of Matryoshka truncation, and the
-# truncation arithmetic itself is a two-line prefix slice),
-# st_dedup_index (its oracle IS the shared DEDUP_EXACT_ORACLE; the
-# registered st_dedup_lsh_index is the strictly-larger streaming
-# dedup surface — stateful MinHash-LSH band index vs exact
-# fingerprint index — and the registered dedup_exact keeps the
-# shared oracle pinned on the batch side).
+# queries — sim_knn_components (connected_components over the mutual
+# edges of the NOW-REGISTERED sim_knn_graph — register with the same
+# eps-ball contract language: it clusters near-duplicates, it is not
+# a general ANN index), train_eval_decontam_report (txt_domain_split's
+# assignment x the registered shingle machinery), ev_changepoint_cusum
+# (the CUSUM level-shift scan over the ev_gap_fill hourly grid) — so
+# the registry cap (145/150) needs 3 demotions; all three candidates
+# below are in the r16 mandatory set, so taking them in-mandatory
+# yields 45 - 3 + 3 = 45 window rows with 5 free canary slots.
+# Candidates, in order:
+# dedup_embedding_cosine (the brute banded eps-ball cosine pair
+# dedup: its bucket-keyed candidate generation + fixed-point cosine
+# stage is now pinned REGISTERED by sim_knn_graph — the same
+# _knn_candidates class over the same corpus — and its
+# dedup/survivor head by the registered dedup_semdedup; the
+# component-of-a-registered-composition precedent that demoted
+# sim_ivf_topk in r8, strengthened because the registering
+# sim_knn_components is itself the composition's next stage),
+# txt_domain_split (the registering train_eval_decontam_report
+# COMPOSES its leakage-safe split assignment with the registered
+# shingle machinery — the same component-pinned-by-composition
+# precedent; the split's hash-assignment arithmetic is also pinned
+# by the registered ev_time_embargo_split's split-audit head),
+# ev_scd2_users (its streaming twin st_scd2_users is registered with
+# the IDENTICAL compaction oracle — the streaming-twin precedent
+# that demoted ev_tumbling_hourly in r9, ev_sliding_windows in r11
+# and ev_session_windows in r12, completing the batch/streaming
+# keep-one-per-surface set).
 # Registry arithmetic: 145 registered / 150 three-round slots
 # (5 slack) — the invariant stays satisfiable PROVIDED net growth
 # stays <= 0 per round (demote-one-per-add).
-# Bank queue after this round: 6 banked (r15/r16 trios), drain one
-# trio per round through r16; the r17 roadmap trio
-# (st_snapshot_diff, train_eval_substring_decontam,
-# mm_modality_balance_manifest) stays UNBUILT per VERDICT r12 #8.
+# Bank queue after this round: 3 banked (the r16 trio), draining to 0
+# at r16 close; the r17 roadmap trio (st_snapshot_diff,
+# train_eval_substring_decontam, mm_modality_balance_manifest) stays
+# UNBUILT per VERDICT r12 #8 until the bank hits zero.
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

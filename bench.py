@@ -172,6 +172,13 @@ HEADLINE = [
     "train_binpack_shelves",
     "dq_snapshot_diff",
     "st_embedding_drift",
+    # round 15: the registered r15 trio (exact median/MAD robust
+    # outliers — global_row_number's 7th/8th surfaces —, the
+    # LSH-bucketed corpus k-NN graph, and the byte-budget WebDataset
+    # shard layout — global_prefix_sum on blob bytes).
+    "ev_mad_outliers",
+    "sim_knn_graph",
+    "mm_bytes_shard_pack",
 ]
 
 # The per-query map on the LAST stdout line (the one the driver's
@@ -180,9 +187,9 @@ HEADLINE = [
 # capture at 71 queries and BENCH_r11 recorded parsed:null (VERDICT
 # r11 #7). The full map always rides the detail line + BENCH_DETAIL.
 NEW_THIS_ROUND = [
-    "train_binpack_shelves",
-    "dq_snapshot_diff",
-    "st_embedding_drift",
+    "ev_mad_outliers",
+    "sim_knn_graph",
+    "mm_bytes_shard_pack",
 ]
 
 # Robust measurement protocol for the four drilled noisy queries

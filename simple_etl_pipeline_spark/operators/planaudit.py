@@ -88,6 +88,274 @@ def plan_fingerprint(df: DataFrame) -> str:
     return hashlib.md5(s.encode()).hexdigest()[:12]
 
 
+# Row-count-preserving (or row-count-REDUCING) single-child nodes: if
+# every node between a BroadcastExchange and its bounding aggregate is
+# in this set, the broadcast frame has at most the aggregate's output
+# rows. Joins / Generate / Expand / Union are deliberately absent —
+# they can multiply rows, so hitting one is an audit failure.
+_ROW_BOUND_PRESERVING = {
+    "BroadcastExchange",
+    "Exchange",
+    "AQEShuffleRead",
+    "ShuffleQueryStage",
+    "BroadcastQueryStage",
+    "TableCacheQueryStage",
+    "ResultQueryStage",
+    "Project",
+    "Filter",
+    "Sort",
+    "Coalesce",
+    "ColumnarToRow",
+    "RowToColumnar",
+    "InputAdapter",
+    "WholeStageCodegen",
+    "AdaptiveSparkPlan",
+    "Subquery",
+    "GlobalLimit",
+    "LocalLimit",
+    "TakeOrderedAndProject",
+    # cache substitution wrappers (a rebuilt query whose subtree is
+    # persisted): both preserve the cached plan's rows and the
+    # formatted explain expands the relation beneath them
+    "InMemoryTableScan",
+    "InMemoryRelation",
+}
+
+_AGGREGATES = {"HashAggregate", "SortAggregate", "ObjectHashAggregate"}
+
+# Leaves that are constant-size by construction (driver-side literal
+# rows), so a broadcast built purely over them is bounded without an
+# aggregate. "Scan ExistingRDD" is a createDataFrame literal in this
+# engine: the data path is exclusively parquet + derived frames (the
+# no-.rdd/no-.collect rule, pinned by the repo grep audits), so the
+# only RDD-backed scans are driver-literal parameter frames (e.g. the
+# percentile list ev_quantile_sketch probes with).
+_CONSTANT_LEAVES = {"LocalTableScan", "Scan ExistingRDD"}
+
+# Primary-key columns of the testdata tables (schemas.py), unique by
+# construction (pinned by the schema registry and the corpus
+# generators; dedup_exact et al. depend on the same fact). Two textual
+# bounds follow:
+#   - a Filter conjunct `pk < literal` / `pk IN (list)` bounds output
+#     rows by the literal / list size (the N_QUERIES query-vector
+#     broadcasts of the similarity family);
+#   - a BroadcastHashJoin whose RIGHT keys are all pks matches at most
+#     one build row per probe row, so LeftOuter/Inner output is
+#     bounded by the (bounded) left side (train_hard_negatives'
+#     anchor-source decoration).
+UNIQUE_ID_COLUMNS = frozenset({"vec_id", "doc_id"})
+
+# Documented K-row-bounded aggregate keys: a keyed aggregate is only
+# accepted as a bounded broadcast when EVERY key is in this set, each
+# entry citing why its domain is dimension-sized (constant in the
+# corpus row count). Anything else keyed is a violation — that is the
+# point of the rule: a new data-dependent-keyed BNLJ cannot ride in
+# behind the approved count.
+#   c_label / c_id / code — the centroid / cell / codebook ids of the
+#     k-means family (plans/similarity.py sim_centroids_by_label,
+#     sim_kmeans_lloyd, dedup_semdedup, sim_ivf*/sim_ivfpq_topk):
+#     seeded from the label VOCABULARY (a bounded categorical
+#     dimension — ~|languages|, never corpus-sized), so the
+#     collect_list centroid-array frames they key hold at most
+#     |labels| rows at any corpus size — the "deliberate K-row
+#     centroid broadcast" test_plan_shapes pins.
+#   event_type — the events-table type enum (a bounded vocabulary by
+#     the table's data model; the pairwise-overlap ops keyed on it —
+#     ev_hll_overlap's |types|^2 sketch join — are only meaningful
+#     under that bound, and the sketch rows are ~1 KB each).
+K_BOUNDED_KEYS = frozenset({"c_label", "c_id", "code", "event_type"})
+
+
+def _summary_nodes(plan: str) -> list[tuple[int, str, int]]:
+    """Parse the formatted plan's summary tree into (col, name, id)
+    triples in pre-order. col is the node's column in the tree art
+    (direct children sit at col + 3), name has the codegen '* ' marker
+    stripped, id is the '(N)' detail-section key."""
+    import re
+
+    out: list[tuple[int, str, int]] = []
+    for ln in plan.splitlines():
+        if ln.startswith("=="):
+            continue
+        if not ln.strip():
+            break  # end of the summary section
+        # AQE query-stage nodes carry trailing ", Statistics(...)"
+        # after the id — tolerate it, or the stage node drops out of
+        # the parsed tree and its child's column no longer reads as
+        # parent+3 (the round-15 cached-semdedup find)
+        m = re.search(r"\((\d+)\)(?:, Statistics\(.*\))?\s*$", ln)
+        if not m:
+            continue
+        stripped = re.sub(r"^[\s:+\-]*", "", ln)
+        col = len(ln) - len(stripped)
+        name = stripped[2:] if stripped.startswith("* ") else stripped
+        out.append((col, name, int(m.group(1))))
+    return out
+
+
+def _detail_sections(plan: str) -> dict[int, str]:
+    """Map node id -> its '(N) NodeName\\n...' detail segment."""
+    import re
+
+    out: dict[int, str] = {}
+    for seg in re.split(r"\n\n+", plan):
+        m = re.match(r"\((\d+)\) ", seg.strip())
+        if m:
+            out[int(m.group(1))] = seg.strip()
+    return out
+
+
+def scalar_bnlj_violations(plan: str) -> list[str]:
+    """VERDICT r14 watch-item #3: every BroadcastNestedLoopJoin in a
+    FORMATTED plan must broadcast a provably row-bounded frame, so the
+    repo's approved-BNLJ count can never silently absorb a non-scalar
+    nested-loop join. The build-side subtree passes iff, descending
+    from the join's build child through row-count-preserving nodes
+    only, it reaches either
+
+    - an aggregate with ``Keys: []`` (exactly one output row — the
+      scalar-statistic broadcast the approved carriers use),
+    - an aggregate whose every key is in :data:`K_BOUNDED_KEYS` (a
+      documented compile-time-constant domain, at most K rows — the
+      k-means centroid-array broadcast),
+    - a constant leaf (``LocalTableScan`` — driver-side literal rows),
+    - or a nested BNLJ BOTH of whose children are bounded (a cross of
+      two constant-size frames is constant-size).
+
+    Anything else — a keyed aggregate over a data-dependent domain, a
+    Generate/Union/multiplying join inside the build subtree, a bare
+    parquet scan — is reported. Returns one message per violating BNLJ
+    node id (a shared subtree printed multiple times by the formatted
+    explain is reported once; empty == every nested-loop broadcast is
+    row-bounded). Operates on the formatted plan TEXT so tools
+    (plan_dump) can audit without rebuilding DataFrames."""
+    nodes = _summary_nodes(plan)
+    details = _detail_sections(plan)
+    out: list[str] = []
+
+    def subtree(i: int) -> list[int]:
+        col = nodes[i][0]
+        j = i + 1
+        idx = []
+        while j < len(nodes) and nodes[j][0] > col:
+            idx.append(j)
+            j += 1
+        return idx
+
+    def direct_children(i: int) -> list[int]:
+        col = nodes[i][0]
+        return [j for j in subtree(i) if nodes[j][0] == col + 3]
+
+    def check_build(i: int) -> str | None:
+        """None if bounded, else the reason."""
+        import re
+
+        cur = i
+        while True:
+            col, name, nid = nodes[cur]
+            head = name.split(" ")[0].split("(")[0]
+            if head in _AGGREGATES:
+                det = details.get(nid, "")
+                if "Keys: []" in det or "Keys []" in det:
+                    return None
+                m = re.search(r"Keys \[\d+\]: \[([^\]]*)\]", det)
+                if m:
+                    keys = {
+                        k.strip().split("#")[0]
+                        for k in m.group(1).split(",")
+                    }
+                    if keys and keys <= K_BOUNDED_KEYS:
+                        return None
+                return f"keyed aggregate ({name}) — data-dependent rows"
+            if any(name.startswith(leaf) for leaf in _CONSTANT_LEAVES):
+                return None
+            if head == "Filter":
+                # a conjunct bounding a unique-id column by a literal
+                # bounds output rows by that literal — the N_QUERIES
+                # query-vector broadcast shape; the subtree below is
+                # then irrelevant to the bound
+                cond = details.get(nid, "")
+                for col_name in re.findall(
+                    r"(\w+)#\d+L? (?:<|<=) \d+", cond
+                ) + re.findall(r"(\w+)#\d+L? IN \(", cond):
+                    if col_name in UNIQUE_ID_COLUMNS:
+                        return None
+                # not bounding — fall through as a pass-through node
+            if head == "BroadcastHashJoin":
+                det = details.get(nid, "")
+                jt = re.search(r"Join type: (\w+)", det)
+                jtype = jt.group(1) if jt else ""
+                kids = direct_children(cur)
+                if len(kids) != 2:
+                    return f"{name} has {len(kids)} children"
+                left_ok = check_build(kids[0])
+                if jtype in ("LeftSemi", "LeftAnti"):
+                    return left_ok  # never exceeds the left side
+                rk = re.search(r"Right keys \[\d+\]: \[([^\]]*)\]", det)
+                rkeys = (
+                    {k.strip().split("#")[0] for k in rk.group(1).split(",")}
+                    if rk
+                    else set()
+                )
+                if (
+                    jtype in ("LeftOuter", "Inner")
+                    and rkeys
+                    and rkeys <= UNIQUE_ID_COLUMNS
+                ):
+                    # unique right key: at most one match per probe row
+                    return left_ok
+                return (
+                    f"join in build subtree not provably row-bounded: "
+                    f"{name} ({jtype})"
+                )
+            if head == "BroadcastNestedLoopJoin":
+                kids = direct_children(cur)
+                if len(kids) == 2:
+                    w1, w2 = check_build(kids[0]), check_build(kids[1])
+                    if w1 is None and w2 is None:
+                        return None
+                    return w1 or w2
+                return f"{name} has {len(kids)} children"
+            if head == "ReusedExchange":
+                # detail cites the reused exchange's plan id; resolve by
+                # matching any BroadcastExchange/Exchange whose subtree
+                # bounds — conservatively: accept only if SOME exchange
+                # in this plan has a bounded subtree with identical
+                # output columns (the reuse source).
+                det = details.get(nid, "")
+                for j, (_c, n2, _id2) in enumerate(nodes):
+                    if n2.split(" ")[0] in (
+                        "BroadcastExchange",
+                        "Exchange",
+                    ) and j != cur:
+                        if check_build(j) is None:
+                            return None
+                return "ReusedExchange with no bounded source exchange"
+            if head not in _ROW_BOUND_PRESERVING:
+                return f"non-row-bounded node in build subtree: {name}"
+            kids = direct_children(cur)
+            if len(kids) != 1:
+                return (
+                    f"{name} has {len(kids)} children — cannot bound rows"
+                )
+            cur = kids[0]
+
+    seen: set[int] = set()
+    for i, (_col, name, nid) in enumerate(nodes):
+        if not name.startswith("BroadcastNestedLoopJoin") or nid in seen:
+            continue
+        seen.add(nid)
+        kids = direct_children(i)
+        if len(kids) != 2:
+            out.append(f"BNLJ ({nid}): expected 2 children, saw {len(kids)}")
+            continue
+        build = kids[1] if "BuildRight" in name else kids[0]
+        why = check_build(build)
+        if why is not None:
+            out.append(f"BNLJ ({nid}) build side not scalar-bounded: {why}")
+    return out
+
+
 @dataclass
 class PlanAudit:
     """Result of :func:`audit_plan`: findings is empty iff the plan
@@ -139,6 +407,10 @@ def audit_plan(
             out.findings.append(
                 f"non-Cross BroadcastNestedLoopJoin: {bad[0].strip()}"
             )
+        # every surviving (Cross) BNLJ must broadcast a scalar-bounded
+        # frame — the rule that keeps the approved-carrier count from
+        # silently absorbing a non-scalar nested-loop join
+        out.findings.extend(scalar_bnlj_violations(plan))
 
     if forbid_python_row_udf and "BatchEvalPython" in plan:
         out.findings.append(

@@ -3169,7 +3169,15 @@ TAIL_QUERIES = {
     "ev_json_variant": ev_json_variant,
     "ev_retention_cohorts": ev_retention_cohorts,
     "ev_zscore_outliers": ev_zscore_outliers,
-    "ev_hll_user_rollup": ev_hll_user_rollup,
+    # ev_hll_user_rollup DEMOTED round 15 (capacity rule, matching the
+    # ev_mad_outliers registration below): the HLL-sketch sibling of
+    # the registered EXACT per-user rollups — agg_distinct_counts'
+    # distinct heads and ev_rollup_multires' exact multiresolution
+    # counts pin the surface; the sketch-vs-exact precedent that
+    # demoted agg_approx_percentile (r12), ev_countmin_users (r13) and
+    # agg_approx_distinct (r14). Full pytest parity via
+    # testing.demoted_queries(); bench row kept (bench resolves
+    # demoted queries).
     "ev_range_join_incidents": ev_range_join_incidents,
     # ev_countmin_users DEMOTED round 13 (capacity rule, one per r13
     # registration — matching dq_embedding_drift at
@@ -3225,6 +3233,17 @@ TAIL_QUERIES = {
     # rule, net registry growth zero.
     "ev_time_embargo_split": ev_time_embargo_split,
     "ev_seasonal_residuals": ev_seasonal_residuals,
+    # round-15 registration (r15 bank, built in the round-12
+    # continuation session with its full evidence kit — pytest-oracle
+    # at 3 SFs, MAD-degeneracy / saturation edge corpora, sf0.1
+    # judge-swept every round since; matching demotion:
+    # ev_hll_user_rollup above — capacity rule, net registry growth
+    # zero). Exact median/MAD robust outlier monitor:
+    # global_row_number's 7th/8th surfaces — per-type exact order
+    # statistics via two range shuffles + |types|-row broadcast
+    # offsets, never a |types|-key window; deviations decimal-staged
+    # and saturated at DQ_DELTA_CAP on both engines.
+    "ev_mad_outliers": ev_mad_outliers,
 }
 TAIL_ORACLES = {
     "skip_bloom_stats": SKIP_BLOOM_STATS_ORACLE,
@@ -3232,7 +3251,7 @@ TAIL_ORACLES = {
     "ev_json_variant": EV_JSON_VARIANT_ORACLE,
     "ev_retention_cohorts": EV_RETENTION_ORACLE,
     "ev_zscore_outliers": EV_ZSCORE_ORACLE,
-    "ev_hll_user_rollup": EV_HLL_ROLLUP_ORACLE,
+    # ev_hll_user_rollup demoted r15 — see TAIL_QUERIES comment
     "ev_range_join_incidents": EV_RANGE_INCIDENTS_ORACLE,
     # ev_countmin_users demoted r13 — see TAIL_QUERIES comment
     "ev_scd2_users": EV_SCD2_ORACLE,
@@ -3249,4 +3268,5 @@ TAIL_ORACLES = {
     "ev_trimmed_mean": EV_TRIMMED_MEAN_ORACLE,
     "ev_time_embargo_split": EV_TIME_EMBARGO_ORACLE,
     "ev_seasonal_residuals": EV_SEASONAL_RESIDUALS_ORACLE,
+    "ev_mad_outliers": EV_MAD_OUTLIERS_ORACLE,
 }

@@ -2186,7 +2186,14 @@ TAIL_QUERIES = {
     "sim_pq_adc": sim_pq_adc,
     "sim_ivfpq_topk": sim_ivfpq_topk,
     "dedup_semdedup": dedup_semdedup,
-    "sim_mrl_recall": sim_mrl_recall,
+    # sim_mrl_recall DEMOTED round 15 (capacity rule, matching the
+    # sim_knn_graph registration below): a recall-meter
+    # rank-derivative — the registered sim_rp_recall pins the
+    # IDENTICAL exact-brute-force-vs-projection recall harness (same
+    # corpus, same top-k join, same ratio head) with random projection
+    # in place of Matryoshka truncation, and the truncation arithmetic
+    # itself is a two-line prefix slice. Full pytest parity via
+    # testing.demoted_queries(); bench row kept.
     "sim_kmeans_lloyd": sim_kmeans_lloyd,
     "sim_rp_recall": sim_rp_recall,
     # round-10 registration (prebuilt + pytest-oracle-green since r8,
@@ -2202,15 +2209,30 @@ TAIL_QUERIES = {
     # embedding-snapshot drift: the dq_profile_drift cap discipline
     # on vectors.
     "dq_embedding_drift": dq_embedding_drift,
+    # round-15 registration (r15 bank, built in the round-12
+    # continuation session with its full evidence kit — pytest-oracle
+    # at 3 SFs, dup-injected recall corpus, sf0.1 judge-swept every
+    # round since; matching demotion: sim_mrl_recall above — capacity
+    # rule, net registry growth zero). Corpus k-NN graph construction,
+    # the SemDeDup precursor, registered WITH its measured recall
+    # CONTRACT (VERDICT r13 #3 / r14 watch-item #1): this is a
+    # NEAR-DUPLICATE / eps-ball graph, NOT a general ANN index —
+    # planted-duplicate recall 1.0 and general recall@5 < 0.5 are
+    # pinned executable in
+    # tests/test_new_ops_invariants.py::test_knn_graph_recall_contract,
+    # and the multi-band OR-amplification measurement routing general
+    # ANN use to the IVF/PQ family is cited in the function docstring.
+    "sim_knn_graph": sim_knn_graph,
 }
 TAIL_ORACLES = {
     "sim_quantize_int8": SIM_QUANTIZE_ORACLE,
     "sim_pq_adc": SIM_PQ_ORACLE,
     "sim_ivfpq_topk": SIM_IVFPQ_ORACLE,
     "dedup_semdedup": DEDUP_SEMDEDUP_ORACLE,
-    "sim_mrl_recall": SIM_MRL_RECALL_ORACLE,
+    # sim_mrl_recall demoted r15 — see TAIL_QUERIES comment
     "sim_kmeans_lloyd": SIM_KMEANS_ORACLE,
     "sim_rp_recall": SIM_RP_RECALL_ORACLE,
     "train_hard_negatives": TRAIN_HARD_NEGATIVES_ORACLE,
     "dq_embedding_drift": DQ_EMBEDDING_DRIFT_ORACLE,
+    "sim_knn_graph": SIM_KNN_GRAPH_ORACLE,
 }

@@ -563,7 +563,16 @@ QUERIES = {
     "st_session_windows": st_session_windows,
     "st_dedup_events": st_dedup_events,
     "st_stream_stream_join": st_stream_stream_join,
-    "st_dedup_index": st_dedup_index,
+    # st_dedup_index DEMOTED round 15 (capacity rule, matching the
+    # mm_bytes_shard_pack registration at plans/multimodal.py
+    # TAIL_QUERIES): its oracle IS the shared DEDUP_EXACT_ORACLE — the
+    # registered st_dedup_lsh_index (streaming/stateful.py) is the
+    # strictly-larger streaming dedup surface (stateful MinHash-LSH
+    # band index vs exact fingerprint index) and the registered
+    # dedup_exact keeps the shared oracle pinned on the batch side.
+    # Full pytest parity via testing.demoted_queries(); bench has
+    # never carried this row (the streaming bench rows are the two
+    # stateful registrations).
     "st_static_zscore": st_static_zscore,
     # round-14 registration (r14 bank, built in the round-12
     # continuation session with its full evidence kit —
@@ -587,7 +596,8 @@ from simple_etl_pipeline_spark.plans.events import EV_ZSCORE_ORACLE
 from simple_etl_pipeline_spark.plans.similarity import (
     DQ_EMBEDDING_DRIFT_ORACLE,
 )
-from simple_etl_pipeline_spark.plans.text import DEDUP_EXACT_ORACLE
+# (plans.text's DEDUP_EXACT_ORACLE left with the r15 st_dedup_index
+# demotion — testing.demoted_queries() now pairs them directly.)
 
 ORACLES = {
     "st_tumbling_hourly": ST_TUMBLING_ORACLE,
@@ -597,8 +607,7 @@ ORACLES = {
     "st_session_windows": EV_SESSION_ORACLE,
     "st_dedup_events": ST_DEDUP_ORACLE,
     "st_stream_stream_join": ST_STREAM_JOIN_ORACLE,
-    # Full replay of the incremental index equals batch exact dedup.
-    "st_dedup_index": DEDUP_EXACT_ORACLE,
+    # st_dedup_index demoted r15 — see QUERIES comment
     # Full replay of the stream-static scoring equals the batch monitor.
     "st_static_zscore": EV_ZSCORE_ORACLE,
     # Full replay of the streaming drift monitor equals the batch twin

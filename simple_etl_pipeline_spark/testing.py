@@ -139,6 +139,16 @@ def demoted_queries() -> dict:
         TXT_FINGERPRINT_ORACLE,
         txt_fingerprint,
     )
+    from simple_etl_pipeline_spark.plans.events import (
+        EV_HLL_ROLLUP_ORACLE,
+        ev_hll_user_rollup,
+    )
+    from simple_etl_pipeline_spark.plans.similarity import (
+        SIM_MRL_RECALL_ORACLE,
+        sim_mrl_recall,
+    )
+    from simple_etl_pipeline_spark.plans.text import DEDUP_EXACT_ORACLE
+    from simple_etl_pipeline_spark.streaming.events import st_dedup_index
 
     return {
         "sim_ivf_recall": (sim_ivf_recall, SIM_IVF_RECALL_ORACLE),
@@ -301,6 +311,29 @@ def demoted_queries() -> dict:
             ev_user_daily_activity,
             EV_DAILY_ORACLE,
         ),
+        # round-15 demotions (one per round-15 registration; rationale
+        # at each module's QUERIES/TAIL_QUERIES comment — all three
+        # are also IN the r15 mandatory set, freeing the window slots
+        # the r15 ledger arithmetic needs):
+        #   - ev_hll_user_rollup: HLL-sketch sibling of the registered
+        #     EXACT per-user rollups (agg_distinct_counts,
+        #     ev_rollup_multires) — the sketch-vs-exact precedent of
+        #     the r12/r13/r14 approx_percentile / countmin /
+        #     approx_distinct demotions.
+        #   - sim_mrl_recall: recall-meter rank-derivative — the
+        #     registered sim_rp_recall pins the identical
+        #     brute-force-vs-projection harness; the Matryoshka
+        #     truncation is a two-line prefix slice.
+        #   - st_dedup_index: its oracle IS the shared
+        #     DEDUP_EXACT_ORACLE; the registered st_dedup_lsh_index is
+        #     the strictly-larger streaming dedup surface and the
+        #     registered dedup_exact pins the shared oracle batch-side.
+        "ev_hll_user_rollup": (
+            ev_hll_user_rollup,
+            EV_HLL_ROLLUP_ORACLE,
+        ),
+        "sim_mrl_recall": (sim_mrl_recall, SIM_MRL_RECALL_ORACLE),
+        "st_dedup_index": (st_dedup_index, DEDUP_EXACT_ORACLE),
     }
 
 

@@ -1146,3 +1146,34 @@ def test_cusum_grid_window_and_bounded_broadcasts(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
     assert "Generate explode" in plan, plan  # the grid, bounds-sized
+
+
+def test_approved_bnlj_carriers_are_row_bounded(spark, sf_dir):
+    """The r15 scalar-BNLJ audit (VERDICT r14 watch-item #3) over one
+    representative of every approved-carrier SHAPE class: zero-key
+    scalar aggregate (agg_basket_lift), K-row centroid collect_list
+    (dedup_semdedup, sim_ivfpq_topk), literal-pk-filtered query
+    vectors (sim_knn_brute, search_hybrid_rrf), driver-literal
+    parameter frame (ev_quantile_sketch), |types|-keyed sketch pairs
+    (ev_hll_overlap), unique-right-key decorated anchors
+    (train_hard_negatives). The FULL 145-plan sweep is
+    tools/plan_dump.py, which records any violation per query in
+    PLANS_ALL.json (`bnlj_unbounded` on its stdout line)."""
+    from simple_etl_pipeline_spark.operators.planaudit import (
+        formatted_plan,
+        scalar_bnlj_violations,
+    )
+
+    for name in (
+        "agg_basket_lift",
+        "dedup_semdedup",
+        "sim_ivfpq_topk",
+        "sim_knn_brute",
+        "search_hybrid_rrf",
+        "ev_quantile_sketch",
+        "ev_hll_overlap",
+        "train_hard_negatives",
+    ):
+        df = QUERIES[name](spark, sf_dir)
+        v = scalar_bnlj_violations(formatted_plan(df))
+        assert not v, (name, v)

@@ -98,3 +98,35 @@ def test_bench_fp_residual_names_never_read_as_plan_changes():
         "txt_dataset_card",
         "dq_profile_drift",
     }
+
+
+def test_scalar_bnlj_bound_accepts_scalar_rejects_raw(spark, sf_dir):
+    """The r15 scalar-BNLJ rule (VERDICT r14 watch-item #3): a
+    zero-key scalar-aggregate cross broadcast passes; a raw-scan
+    (data-dependent-row) cross broadcast is flagged — so the repo's
+    approved-BNLJ count can never silently absorb a non-scalar
+    nested-loop join behind the Cross label."""
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+
+    scalar = orders.agg(F.count(F.lit(1)).alias("n_orders"))
+    ok = audit_plan(nation.crossJoin(F.broadcast(scalar)))
+    assert ok.ok, ok.findings
+
+    raw = audit_plan(
+        nation.crossJoin(F.broadcast(orders.select("o_orderkey")))
+    )
+    assert any("not scalar-bounded" in f for f in raw.findings), (
+        raw.findings
+    )
+
+
+def test_scalar_bnlj_bound_accepts_literal_pk_filter(spark, sf_dir):
+    """The N_QUERIES shape: a broadcast of `embeddings WHERE vec_id <
+    literal` is bounded by the literal (vec_id is the table pk), so the
+    similarity family's query-vector broadcasts pass the audit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+    corpus = emb.select(F.col("vec_id").alias("c_id2"))
+    ok = audit_plan(corpus.crossJoin(F.broadcast(q)))
+    assert ok.ok, ok.findings

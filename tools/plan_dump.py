@@ -18,7 +18,11 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod
-from simple_etl_pipeline_spark.operators.planaudit import plan_fingerprint
+from simple_etl_pipeline_spark.operators.planaudit import (
+    formatted_plan,
+    plan_fingerprint,
+    scalar_bnlj_violations,
+)
 from simple_etl_pipeline_spark.session import get_spark
 
 NODES = [
@@ -63,13 +67,26 @@ def main() -> None:
                 "fp": plan_fingerprint(df),
                 "nodes": {n: plan.count(n) for n in NODES if plan.count(n)},
             }
+            # the scalar-BNLJ bound (VERDICT r14 #3): every nested-loop
+            # broadcast must be provably row-bounded; violations are
+            # recorded per query so the inventory can't silently absorb
+            # a non-scalar BNLJ behind the approved-carrier count
+            if out[name]["nodes"].get("BroadcastNestedLoopJoin"):
+                v = scalar_bnlj_violations(formatted_plan(df))
+                if v:
+                    out[name]["bnlj_violations"] = v
         except Exception as ex:  # streaming entries have no batch plan
             out[name] = {"err": str(ex)[:80]}
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS_ALL.json"), "w") as f:
         json.dump({"sf_dir": sf_dir, "plans": out}, f, indent=1, sort_keys=True)
     bad = [n for n, v in out.items() if v.get("nodes", {}).get("CartesianProduct")]
-    print(json.dumps({"queries": len(out), "cartesian_products": bad}))
+    bnlj_bad = [n for n, v in out.items() if v.get("bnlj_violations")]
+    print(json.dumps({
+        "queries": len(out),
+        "cartesian_products": bad,
+        "bnlj_unbounded": bnlj_bad,
+    }))
     spark.stop()
 
 
