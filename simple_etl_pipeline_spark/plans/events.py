@@ -3176,8 +3176,8 @@ TAIL_QUERIES = {
     # counts pin the surface; the sketch-vs-exact precedent that
     # demoted agg_approx_percentile (r12), ev_countmin_users (r13) and
     # agg_approx_distinct (r14). Full pytest parity via
-    # testing.demoted_queries(); bench row kept (bench resolves
-    # demoted queries).
+    # testing.demoted_queries(); the op never had a bench HEADLINE
+    # row (ev_hll_overlap carries the HLL-sketch perf trend).
     "ev_range_join_incidents": ev_range_join_incidents,
     # ev_countmin_users DEMOTED round 13 (capacity rule, one per r13
     # registration — matching dq_embedding_drift at

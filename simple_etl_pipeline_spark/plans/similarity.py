@@ -2193,7 +2193,8 @@ TAIL_QUERIES = {
     # corpus, same top-k join, same ratio head) with random projection
     # in place of Matryoshka truncation, and the truncation arithmetic
     # itself is a two-line prefix slice. Full pytest parity via
-    # testing.demoted_queries(); bench row kept.
+    # testing.demoted_queries(); the op never had a bench HEADLINE
+    # row (sim_rp_recall carries the recall-harness perf trend).
     "sim_kmeans_lloyd": sim_kmeans_lloyd,
     "sim_rp_recall": sim_rp_recall,
     # round-10 registration (prebuilt + pytest-oracle-green since r8,
