@@ -317,19 +317,40 @@ def scalar_bnlj_violations(plan: str) -> list[str]:
                     return w1 or w2
                 return f"{name} has {len(kids)} children"
             if head == "ReusedExchange":
-                # detail cites the reused exchange's plan id; resolve by
-                # matching any BroadcastExchange/Exchange whose subtree
-                # bounds — conservatively: accept only if SOME exchange
-                # in this plan has a bounded subtree with identical
-                # output columns (the reuse source).
+                # resolve the reuse source by OUTPUT COLUMN NAMES: a
+                # candidate exchange counts only when its detail lists
+                # the same column-name set (expression ids stripped)
+                # AND its own subtree bounds — matching "any bounded
+                # exchange anywhere" would let an unbounded reuse hide
+                # behind an unrelated scalar broadcast.
                 det = details.get(nid, "")
-                for j, (_c, n2, _id2) in enumerate(nodes):
-                    if n2.split(" ")[0] in (
+                m = re.search(r"Output \[\d+\]: \[([^\]]*)\]", det)
+                want = (
+                    {c.strip().split("#")[0] for c in m.group(1).split(",")}
+                    if m
+                    else None
+                )
+                for j, (_c, n2, id2) in enumerate(nodes):
+                    if j == cur or n2.split(" ")[0] not in (
                         "BroadcastExchange",
                         "Exchange",
-                    ) and j != cur:
-                        if check_build(j) is None:
-                            return None
+                    ):
+                        continue
+                    if want is not None:
+                        d2 = details.get(id2, "")
+                        m2 = re.search(r"Input \[\d+\]: \[([^\]]*)\]", d2)
+                        got = (
+                            {
+                                c.strip().split("#")[0]
+                                for c in m2.group(1).split(",")
+                            }
+                            if m2
+                            else None
+                        )
+                        if got != want:
+                            continue
+                    if check_build(j) is None:
+                        return None
                 return "ReusedExchange with no bounded source exchange"
             if head not in _ROW_BOUND_PRESERVING:
                 return f"non-row-bounded node in build subtree: {name}"
