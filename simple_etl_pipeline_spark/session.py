@@ -62,6 +62,24 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Fault the whole heap in at JVM start (-Xms == -Xmx +
+        # AlwaysPreTouch): the r15 host probe (tools/host_memory_probe.py)
+        # measured the hypervisor page-supply path fluctuating 0.06-3.4
+        # GB/s between reps while warm memory holds ~7.5 GB/s, and heap
+        # pages faulted lazily MID-QUERY were the largest Spark exposure
+        # to that noise (15-27% of the degraded-phase inflation in the
+        # A/B, SCALING.md r15). Pre-touching moves the cost to one
+        # bounded startup step so per-query timings measure the queries.
+        # On a real cluster the same flags go in
+        # spark.executor.extraJavaOptions. SPARK_GRAFT_PRETOUCH=0 opts
+        # out (e.g. for many short-lived throwaway sessions).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Xms%s -XX:+AlwaysPreTouch"
+            % os.environ.get("SPARK_DRIVER_MEMORY", "8g")
+            if os.environ.get("SPARK_GRAFT_PRETOUCH", "1") == "1"
+            else "",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         # static config — must be set before the session exists (bucketed
