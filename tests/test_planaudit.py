@@ -130,3 +130,52 @@ def test_scalar_bnlj_bound_accepts_literal_pk_filter(spark, sf_dir):
     corpus = emb.select(F.col("vec_id").alias("c_id2"))
     ok = audit_plan(corpus.crossJoin(F.broadcast(q)))
     assert ok.ok, ok.findings
+
+
+def _fixture_plan(agg_keys_line: str) -> str:
+    """Synthetic formatted-plan text exercising every parser hazard the
+    round-15 audit hit live: AQE query-stage nodes with trailing
+    ', Statistics(...)' after the id, codegen '* ' markers shifting the
+    name column, and a two-level detail section."""
+    return (
+        "== Physical Plan ==\n"
+        "AdaptiveSparkPlan (10)\n"
+        "+- BroadcastNestedLoopJoin Cross BuildRight (9)\n"
+        "   :- Project (2)\n"
+        "   :  +- Scan parquet  (1)\n"
+        "   +- BroadcastQueryStage (8), Statistics(sizeInBytes=16.0 B,"
+        " rowCount=1)\n"
+        "      +- BroadcastExchange (7)\n"
+        "         +- * HashAggregate (6)\n"
+        "            +- Exchange (5)\n"
+        "               +- * HashAggregate (4)\n"
+        "                  +- Scan parquet  (3)\n"
+        "\n"
+        "(4) HashAggregate\n"
+        "Keys: []\n"
+        "Functions [1]: [partial_count(1)]\n"
+        "\n"
+        f"(6) HashAggregate\n{agg_keys_line}\n"
+        "Functions [1]: [count(1)]\n"
+    )
+
+
+def test_scalar_bnlj_text_parser_statistics_and_codegen():
+    """Text-level pins for the audit parser: a zero-key aggregate
+    behind a Statistics-suffixed BroadcastQueryStage passes; the same
+    tree with a data-keyed aggregate is reported. No Spark session —
+    this is the parsing contract itself."""
+    from simple_etl_pipeline_spark.operators.planaudit import (
+        scalar_bnlj_violations,
+    )
+
+    ok = _fixture_plan("Keys: []")
+    assert scalar_bnlj_violations(ok) == []
+
+    keyed = _fixture_plan("Keys [1]: [user_id#5L]")
+    v = scalar_bnlj_violations(keyed)
+    assert len(v) == 1 and "keyed aggregate" in v[0], v
+
+    # dimension-bounded key names are the documented exception
+    centroid = _fixture_plan("Keys [1]: [c_id#5]")
+    assert scalar_bnlj_violations(centroid) == []
