@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from simple_etl_pipeline_spark.functions.vectors import (
     as_double_array,
     cosine_dec,
+    dot_dec,
     sql_cosine_dec,
     sql_dot_dec,
 )
@@ -39,9 +40,18 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sim_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
+    # per-vector norm precompute (r15, the _knn_candidates_from
+    # device): one fold per corpus vector instead of one per
+    # (query, vector) pair; bit-identical — same sqrt(dot_dec(v, v))
+    # double, same try_divide(dot, qnrm * nrm) operation order as
+    # cosine_dec spelled inline
+    emb = _emb(spark, sf_dir).withColumn(
+        "nrm", F.sqrt(dot_dec(F.col("v"), F.col("v")))
+    )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
     )
     sims = (
         emb.crossJoin(F.broadcast(q))
@@ -49,7 +59,13 @@ def sim_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "vec_id",
-            F.round(cosine_dec(F.col("qv"), F.col("v")), 6).alias("sim"),
+            F.round(
+                F.try_divide(
+                    dot_dec(F.col("qv"), F.col("v")),
+                    F.col("qnrm") * F.col("nrm"),
+                ),
+                6,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
@@ -93,9 +109,18 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3: candidates restricted to the query's sign-bit
     bucket. The join is bucket-keyed (shuffle by bucket, no cross join).
     """
-    emb = _emb(spark, sf_dir).withColumn("bucket", _bucket_col())
+    emb = (
+        _emb(spark, sf_dir)
+        .withColumn("bucket", _bucket_col())
+        # per-vector norm precompute (r15): bit-identical, see
+        # sim_knn_brute
+        .withColumn("nrm", F.sqrt(dot_dec(F.col("v"), F.col("v"))))
+    )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("bucket")
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket"),
+        F.col("nrm").alias("qnrm"),
     )
     sims = (
         emb.join(F.broadcast(q), "bucket")
@@ -104,7 +129,13 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id",
             "bucket",
             "vec_id",
-            F.round(cosine_dec(F.col("qv"), F.col("v")), 6).alias("sim"),
+            F.round(
+                F.try_divide(
+                    dot_dec(F.col("qv"), F.col("v")),
+                    F.col("qnrm") * F.col("nrm"),
+                ),
+                6,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
@@ -295,7 +326,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + DUP_INJECT_OFFSET).alias("vec_id"),
         F.transform("v", lambda x: x * 1.5).alias("v"),
     )
-    corpus = emb.unionByName(dups).withColumn("bucket", _bucket_col())
+    corpus = (
+        emb.unionByName(dups)
+        .withColumn("bucket", _bucket_col())
+        # per-vector norm precompute (r15): one fold per corpus vector
+        # (including the scaled injected copies — norm of the SCALED
+        # array) instead of two folds per candidate pair; bit-identical
+        # — see _knn_candidates_from
+        .withColumn("nrm", F.sqrt(dot_dec(F.col("v"), F.col("v"))))
+    )
     a, b = corpus.alias("a"), corpus.alias("b")
     pairs = (
         a.join(
@@ -306,7 +345,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(cosine_dec(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+            F.round(
+                F.try_divide(
+                    dot_dec(F.col("a.v"), F.col("b.v")),
+                    F.col("a.nrm") * F.col("b.nrm"),
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
         .orderBy("vec_a", "vec_b")
@@ -403,9 +448,22 @@ def _knn_candidates_from(corpus: DataFrame) -> DataFrame:
     tools/knn_cost_probe.py can time the per-candidate cosine cost
     separately from the window/top-K stage (ADVICE r13: dividing the
     FULL edge wall by candidate count overattributes window time to
-    the cosine). Production consumers go through _knn_edges_from,
-    whose plan is unchanged by this split."""
-    emb = knn_bucketed(corpus, KNN_TARGET_BUCKET)
+    the cosine).
+
+    Norms are precomputed PER VECTOR before the self-join (r15): the
+    naive cosine_dec(a.v, b.v) re-folds dot_dec(v, v) for both sides
+    of every candidate pair — at ~KNN_TARGET_BUCKET candidates per
+    node that is ~2 x 64 norm folds per vector where ONE suffices, and
+    the fold is the measured per-candidate cost driver. The value is
+    BIT-IDENTICAL by construction, not by tolerance: nrm is the same
+    sqrt(dot_dec(v, v)) double computed from the same array, and the
+    pair expression preserves cosine_dec's exact operation order
+    (try_divide(dot, sqrt_a * sqrt_b)) — so the 6-dp rounded sim, the
+    oracle hashes, and the zero-norm NULL guard are unchanged while
+    the candidate stage drops from 3 folds per pair to ~1."""
+    emb = knn_bucketed(corpus, KNN_TARGET_BUCKET).withColumn(
+        "nrm", F.sqrt(dot_dec(F.col("v"), F.col("v")))
+    )
     a, b = emb.alias("a"), emb.alias("b")
     return (
         a.join(
@@ -416,9 +474,13 @@ def _knn_candidates_from(corpus: DataFrame) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("node"),
             F.col("b.vec_id").alias("nbr"),
-            F.round(cosine_dec(F.col("a.v"), F.col("b.v")), 6).alias(
-                "sim"
-            ),
+            F.round(
+                F.try_divide(
+                    dot_dec(F.col("a.v"), F.col("b.v")),
+                    F.col("a.nrm") * F.col("b.nrm"),
+                ),
+                6,
+            ).alias("sim"),
         )
         .filter(F.col("sim").isNotNull())
     )
@@ -1297,10 +1359,27 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s.c
         ).alias("cv")
     )
-    assign = corpus.crossJoin(F.broadcast(cent_arr)).select(
+    # norm precompute (r15, bit-identical — see _knn_candidates_from):
+    # centroid norms once per K-row frame, vector norms once per corpus
+    # row; the argmax pair expression preserves cosine_dec's exact
+    # try_divide(dot, sqrt_v * sqrt_cv) operation order, so the 6-dp
+    # rounded ccos and the argmax winner cannot move
+    cent_arr = cent_arr.withColumn(
+        "cnrm", F.sqrt(dot_dec(F.col("cv"), F.col("cv")))
+    )
+    corpus_n = corpus.withColumn(
+        "vnrm", F.sqrt(dot_dec(F.col("v"), F.col("v")))
+    )
+    assign = corpus_n.crossJoin(F.broadcast(cent_arr)).select(
         "vec_id",
         "c_label",
-        F.round(cosine_dec(F.col("v"), F.col("cv")), 6).alias("ccos"),
+        F.round(
+            F.try_divide(
+                dot_dec(F.col("v"), F.col("cv")),
+                F.col("vnrm") * F.col("cnrm"),
+            ),
+            6,
+        ).alias("ccos"),
     )
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.desc("ccos"), F.asc("c_label")
@@ -1368,7 +1447,14 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.join(cells, "vec_id")
         .join(buckets, "vec_id", "left")
         .select(
-            "vec_id", "v", "cell", F.coalesce("bucket", F.lit(0)).alias("bucket")
+            "vec_id",
+            "v",
+            "cell",
+            F.coalesce("bucket", F.lit(0)).alias("bucket"),
+            # norm precompute rides the persist barrier: computed once
+            # per vector at materialization, read twice per pair below
+            # (r15, bit-identical — see _knn_candidates_from)
+            F.sqrt(dot_dec(F.col("v"), F.col("v"))).alias("nrm"),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -1381,7 +1467,13 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .filter(
-            F.round(cosine_dec(F.col("a.v"), F.col("b.v")), 6)
+            F.round(
+                F.try_divide(
+                    dot_dec(F.col("a.v"), F.col("b.v")),
+                    F.col("a.nrm") * F.col("b.nrm"),
+                ),
+                6,
+            )
             >= SEMDEDUP_THRESHOLD
         )
         .select(F.col("b.vec_id").alias("vec_id"))
