@@ -3641,7 +3641,7 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate join (sim_ivf*) — the fusion algebra is unchanged."""
     from pyspark.sql import Window
 
-    from simple_etl_pipeline_spark.functions.vectors import cosine_dec
+    from simple_etl_pipeline_spark.functions.vectors import dot_dec
     from simple_etl_pipeline_spark.plans.similarity import _emb
 
     sparse_w = Window.partitionBy("q_id").orderBy(
@@ -3653,9 +3653,17 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= FUSION_POOL)
         .select("q_id", "doc_id", "rank", F.lit("bm25").alias("src"))
     )
-    emb = _emb(spark, sf_dir)
+    # per-vector norm precompute (r15, the sim_knn_brute device): one
+    # fold per corpus vector instead of one per (query, vector) pair;
+    # bit-identical — same sqrt(dot_dec(v, v)) doubles through
+    # cosine_dec's exact try_divide(dot, qnrm * nrm) operation order
+    emb = _emb(spark, sf_dir).withColumn(
+        "nrm", F.sqrt(dot_dec(F.col("v"), F.col("v")))
+    )
     q = emb.filter(F.col("vec_id").isin(*BM25_QUERY_DOCS)).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
     )
     dense_w = Window.partitionBy("q_id").orderBy(
         F.desc("sim"), F.asc("doc_id")
@@ -3666,7 +3674,13 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             F.col("vec_id").alias("doc_id"),
-            F.round(cosine_dec(F.col("qv"), F.col("v")), 6).alias("sim"),
+            F.round(
+                F.try_divide(
+                    dot_dec(F.col("qv"), F.col("v")),
+                    F.col("qnrm") * F.col("nrm"),
+                ),
+                6,
+            ).alias("sim"),
         )
         .withColumn("rank", F.row_number().over(dense_w))
         .filter(F.col("rank") <= FUSION_POOL)
