@@ -243,7 +243,32 @@ def _plan_fingerprint(df) -> str:
     return plan_fingerprint(df)
 
 
+def _host_probe() -> dict:
+    """One-line host health reading taken BEFORE the JVM exists (the
+    r15 finding: the hypervisor page-supply path fluctuates 25x and
+    inflates every query uniformly at identical plan fingerprints —
+    SCALING.md 'the chronic variance mechanism, measured'). Recorded in
+    the detail JSON and, compressed, on the driver-parsed last line so
+    every BENCH_r{N}.json self-attributes: first_touch_min < ~0.5 GB/s
+    means the total is a host ceiling, not a code signal. Never fails
+    the bench (probe errors record as absent)."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "tools", "host_memory_probe.py",
+            )],
+            capture_output=True, text=True, timeout=120,
+        )
+        return json.loads(out.stdout.strip().splitlines()[-1])
+    except Exception:
+        return {}
+
+
 def main() -> None:
+    host = _host_probe()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     os.environ["SPARK_GRAFT_CPUS"] = cpus
     spark = get_spark(
@@ -423,6 +448,7 @@ def main() -> None:
         "plan_fp": plan_fps,
         "drift_flags": drift_flags,
         "sf": sf_val,
+        "host": host,
     }
     # A loud run must never become the tripwire's new baseline: when
     # every flag is plan-fp-SAME (the pure box-noise signature — the
@@ -478,6 +504,10 @@ def main() -> None:
     }
     if drift_flags:
         short["drift"] = [d["name"] for d in drift_flags]
+    if host:
+        # one number on the driver-parsed line: the degraded-phase
+        # discriminator (SCALING.md r15 — < ~0.5 GB/s == host ceiling)
+        short["host_ft_min"] = host.get("first_touch_min")
     line = json.dumps(short)
     assert len(line) < 1024, (
         f"final headline line is {len(line)} bytes — it must stay "
