@@ -1708,11 +1708,16 @@ def sim_rp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("q_id", "vec_id")
     )
+    # projected-space norm precompute (r15, the sim_knn_brute device —
+    # bit-identical): one 16-dim fold per corpus vector, not one per
+    # (query, vector) pair
     embp = _emb(spark, sf_dir).select(
         "vec_id", _rp_project(F.col("v")).alias("vp")
-    )
+    ).withColumn("pnrm", F.sqrt(dot_dec(F.col("vp"), F.col("vp"))))
     qp = embp.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("vp").alias("qvp")
+        F.col("vec_id").alias("q_id"),
+        F.col("vp").alias("qvp"),
+        F.col("pnrm").alias("qpnrm"),
     )
     simsp = (
         embp.crossJoin(F.broadcast(qp))
@@ -1720,7 +1725,13 @@ def sim_rp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "vec_id",
-            F.round(cosine_dec(F.col("qvp"), F.col("vp")), 6).alias("sim"),
+            F.round(
+                F.try_divide(
+                    dot_dec(F.col("qvp"), F.col("vp")),
+                    F.col("qpnrm") * F.col("pnrm"),
+                ),
+                6,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
