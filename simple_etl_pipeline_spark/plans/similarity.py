@@ -1808,23 +1808,31 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     actual assign/update iterations and emits the per-iteration
     convergence summary: cells in use, inertia).
 
-    Scale shape per iteration: the K centroid arrays are BROADCAST and
-    assignment is a map-side |corpus| x K fold (no posexplode of the
-    corpus against centroids — that formulation shuffles
-    |corpus| x K x dims rows); the argmin is one keyed shuffle on
-    vec_id; the update step is one explode+groupBy keyed by (cell,
-    dim). Iterations are unrolled lazily like txt_pagerank — one
-    Catalyst plan, no driver-side actions between iterations. At 100 TB
-    with K ~ sqrt(N) this is the standard shuffle k-means; the
-    broadcast-assign variant here is exactly FAISS's train() loop
-    re-expressed declaratively.
+    Scale shape per iteration: the K centroid arrays are BROADCAST
+    (collected into ONE sorted array-of-structs row, a scalar
+    broadcast) and assignment is a map-side |corpus| x K argmin fold —
+    no posexplode of the corpus against centroids (that formulation
+    shuffles |corpus| x K x dims rows) and, since r15, no per-vector
+    row_number window either: the old plan shuffled K copies of every
+    64-dim vector through a vec_id exchange just to pick the smallest
+    d2, where a fold over the broadcast centroid array picks it in the
+    map task (guide §2.3/§2.4 — measured 4.09 -> 0.89 s at sf0.1,
+    interleaved A/B, rows identical). The update step stays one
+    explode+groupBy keyed by (cell, dim). Iterations are unrolled
+    lazily like txt_pagerank — one Catalyst plan, no driver-side
+    actions between iterations. At 100 TB with K ~ sqrt(N) this is the
+    standard shuffle k-means; the broadcast-assign variant here is
+    exactly FAISS's train() loop re-expressed declaratively.
 
     Determinism: seeds are per-label dimension means, distances are
     _l2_dec decimal folds (engine-exact), argmin ties break on c_id
-    asc — both engines produce identical assignments, so the
-    per-iteration inertia hash-matches. Lloyd guarantees inertia is
-    non-increasing across iterations; with exact seeds + exact argmin
-    both engines agree on the value either way."""
+    asc — the centroid array is sorted by c_id, so the fold's strict
+    "<" keeps the FIRST (lowest-c_id) minimum, exactly the old
+    row_number(ORDER BY d2 ASC, c_id ASC) = 1 row; the d2 doubles are
+    the same _l2_dec expression over the same inputs, so assignments
+    and the per-iteration inertia hash-match. Lloyd guarantees inertia
+    is non-increasing across iterations; with exact seeds + exact
+    argmin both engines agree on the value either way."""
     emb = _emb(spark, sf_dir)
     dims = emb.select("vec_id", "label", F.posexplode("v").alias("pos", "x"))
     cmeans = dims.groupBy(F.col("label").alias("c_id"), "pos").agg(
@@ -1836,14 +1844,37 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = cmeans.groupBy("c_id").agg(_ordered_vals("pos", "c").alias("cv"))
     out = None
     for it in range(1, KMEANS_ITERS + 1):
-        d2 = emb.crossJoin(F.broadcast(cent)).select(
-            "vec_id", "v", "c_id", _l2_dec("v", "cv").alias("d2")
+        # All K centroids as ONE sorted array row (scalar broadcast,
+        # the audited <=1-row BNLJ pattern): argmin folds over it in
+        # the map task — zero exchange for the assignment stage.
+        cents1 = cent.agg(
+            F.array_sort(F.collect_list(F.struct("c_id", "cv"))).alias(
+                "cents"
+            )
         )
-        w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("c_id"))
+        ds = F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                _l2_dec(F.col("v"), c.getField("cv")).alias("d2"),
+                c.getField("c_id").alias("c_id"),
+            ),
+        )
+        best = F.aggregate(
+            ds,
+            F.lit(None).cast("struct<d2:double,c_id:int>"),
+            lambda acc, x: F.when(
+                acc.isNull() | (x.getField("d2") < acc.getField("d2")), x
+            ).otherwise(acc),
+        )
         assign = (
-            d2.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "v", "c_id", "d2")
+            emb.crossJoin(F.broadcast(cents1))
+            .select("vec_id", "v", best.alias("b"))
+            .select(
+                "vec_id",
+                "v",
+                F.col("b.c_id").alias("c_id"),
+                F.col("b.d2").alias("d2"),
+            )
         )
         summary = assign.agg(
             F.countDistinct("c_id").alias("n_cells"),
