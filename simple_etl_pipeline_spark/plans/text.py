@@ -444,7 +444,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
+    # The VERIFIED pair list is PERSISTED (r15, the _shingle_sets
+    # device one stage later): its consumers replay this subtree many
+    # times — dedup_components / txt_pagerank build the symmetric edge
+    # set as pairs UNION pairs.swap (the pair pipeline appears in BOTH
+    # union branches), txt_triangle_count feeds three join sides, and
+    # all of them plus this query's own output share ONE session. The
+    # cache manager dedupes by canonicalized plan, so the candidate
+    # join + Jaccard verification run once per corpus instead of once
+    # per consumer branch (guide §2.4/§5: a reused intermediate whose
+    # recompute is a full shuffle pipeline is exactly what persist is
+    # for; at cluster scale the verified pair list is checkpointed
+    # storage — the txt_triangle_count rationale, now hoisted to the
+    # producer so every graph consumer shares it).
+    from pyspark import StorageLevel
+
+    verified = (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn(
@@ -454,8 +469,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    return verified.orderBy("doc_a", "doc_b")
 
 
 # CTE chain producing the exact-Jaccard near-dup pairs; shared by the
@@ -561,7 +577,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
+    # Verified pair list persisted — same rationale as
+    # dedup_ngram_jaccard's persist above: dedup_components_lsh replays
+    # this subtree in both branches of its symmetric-edge union, and
+    # the banded candidate join + verification is the expensive stage.
+    from pyspark import StorageLevel
+
+    verified = (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn(
@@ -571,8 +593,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    return verified.orderBy("doc_a", "doc_b")
 
 
 def minhash_band_keys_stateless(docs: DataFrame) -> DataFrame:
@@ -1009,11 +1032,17 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
 
     Convergence is structural, not label-diffing: the edge set is a
     star forest iff no src carries two edges and no node is both a src
-    and a dst. Both checks are metadata-sized counts on the
-    checkpointed frame (driver control flow). Lineage is truncated per
-    round with localCheckpoint so round N does not replay rounds
-    1..N-1. Raises instead of returning silently-unconverged labels if
-    max_iters is hit.
+    and a dst. Both checks fold into ONE aggregation job per round
+    (r15 — tag each endpoint side, count per-node src/dst edges, flag
+    violations of either condition; the old shape ran an eager
+    checkpoint job plus up to two separate count jobs per round, i.e.
+    3 driver barriers where 1 suffices — guide §1.2: the driver
+    round-trips are pure overhead at any scale). The checkpoint is
+    LAZY: the round's single convergence count materializes it as a
+    side effect. Lineage is still truncated per round with
+    localCheckpoint so round N does not replay rounds 1..N-1. Raises
+    instead of returning silently-unconverged labels if max_iters is
+    hit.
 
     `edges` must be symmetric (both (a,b) and (b,a) present) with
     columns (src, dst).
@@ -1025,7 +1054,7 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
             F.least("src", "dst").alias("dst"),
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iters):
         sym = cur.unionByName(
@@ -1056,29 +1085,44 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
             )
             .distinct()
             .select(F.col("a").alias("src"), F.col("b").alias("dst"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur = nxt
         # star forest iff every src has exactly one edge AND no node is
-        # on both sides; two tiny counts over the checkpointed edges
-        multi = cur.groupBy("src").count().filter(F.col("count") > 1).count()
-        if multi == 0:
-            overlap = cur.join(
-                cur.select(F.col("dst").alias("src")).distinct(),
-                "src",
-                "left_semi",
-            ).count()
-            if overlap == 0:
-                leaves = cur.select(
-                    F.col("src").alias("doc_id"),
-                    F.col("dst").alias("component"),
+        # on both sides; ONE combined count job over the (lazily)
+        # checkpointed edges — the count also materializes the round's
+        # checkpoint, so each round is a single driver barrier
+        violations = (
+            cur.select(
+                F.col("src").alias("n"),
+                F.lit(1).alias("s"),
+                F.lit(0).alias("d"),
+            )
+            .unionByName(
+                cur.select(
+                    F.col("dst").alias("n"),
+                    F.lit(0).alias("s"),
+                    F.lit(1).alias("d"),
                 )
-                roots = (
-                    cur.select(F.col("dst").alias("doc_id"))
-                    .distinct()
-                    .withColumn("component", F.col("doc_id"))
-                )
-                return leaves.unionByName(roots)
+            )
+            .groupBy("n")
+            .agg(F.sum("s").alias("ns"), F.sum("d").alias("nd"))
+            .filter(
+                (F.col("ns") > 1) | ((F.col("ns") >= 1) & (F.col("nd") >= 1))
+            )
+            .count()
+        )
+        if violations == 0:
+            leaves = cur.select(
+                F.col("src").alias("doc_id"),
+                F.col("dst").alias("component"),
+            )
+            roots = (
+                cur.select(F.col("dst").alias("doc_id"))
+                .distinct()
+                .withColumn("component", F.col("doc_id"))
+            )
+            return leaves.unionByName(roots)
     raise RuntimeError(
         f"connected_components: no convergence in {max_iters} rounds -- "
         "component diameter exceeds the halving bound; raise max_iters"
@@ -2279,15 +2323,16 @@ def txt_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded on a hub-heavy dup graph. Three keyed equi-joins total
     (wedge build + closure probe), no cartesian anywhere.
 
-    The pair list is persisted: the oriented edge set has three
-    consumers (both wedge sides + the closure probe) and each would
-    otherwise replay the full shingle-join pair generation — measured
-    35 s -> ~2 s at sf0.1 from this persist alone. Same device as
-    _shingle_sets / sim_pq_adc's codebook; at cluster scale the
-    verified pair list is checkpointed storage, not a recomputation."""
-    pairs = (
-        dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").persist()
-    )
+    The pair list is persisted INSIDE dedup_ngram_jaccard (r15 — the
+    persist this query carried since round 3, hoisted to the producer
+    so dedup_components and txt_pagerank share it too): the oriented
+    edge set has three consumers (both wedge sides + the closure
+    probe) and each would otherwise replay the full shingle-join pair
+    generation — measured 35 s -> ~2 s at sf0.1 from that persist
+    alone. Same device as _shingle_sets / sim_pq_adc's codebook; at
+    cluster scale the verified pair list is checkpointed storage, not
+    a recomputation."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
@@ -2305,7 +2350,18 @@ def txt_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(a_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("u"),
         F.when(a_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("w"),
         F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_w"),
-    )
+        # Lazy localCheckpoint (r15): oriented has three consumers and
+        # each reference inlines the whole pairs->deg->ranked subtree,
+        # so the logical plan grew ~3^depth — 195 cached-leaf scans and
+        # a 4,800-line tree whose per-run ANALYSIS/OPTIMIZATION on the
+        # driver dominated the query (guide §3.3/§7.3: very large
+        # plans make planning itself the bottleneck; materialise an
+        # intermediate to truncate). The checkpoint turns oriented into
+        # a leaf: plan collapses to the wedge/closure joins, measured
+        # 1.71 -> 1.37 s at sf0.1 (A/B same session, rows identical).
+        # eager=False so building the frame stays action-free (bench
+        # fingerprints and tests construct without executing).
+    ).localCheckpoint(eager=False)
     e1 = oriented.select(
         "u", F.col("w").alias("w1"), F.col("deg_w").alias("dw1")
     )
