@@ -161,12 +161,82 @@ def _events_ts_is_nanos(sf_dir: str) -> bool:
     return cached
 
 
+# --- size-conditional scan parallelization (r15, guide §2.5/§6) ----------
+# Every testdata table is ONE parquet file with ONE row group, so every
+# scan's map stage — and with it the engine's heaviest per-row compute
+# (tokenize/md5/shingle/fold in the text family, array folds in the
+# similarity family) — ran as a SINGLE task while the other cores sat
+# idle; a split below row-group granularity cannot help (the row group
+# lands in one split, the rest read zero rows). The honest fix is the
+# guide's input-skew remedy: repartition immediately after the read —
+# but ONLY when the table is small enough that its scan cannot feed the
+# cluster's map parallelism anyway. The bounds are parameterised:
+#   * below MIN (default 32 KB) the table's map work is trivial and the
+#     exchange would be pure overhead (region/nation/supplier class);
+#   * at/above MAX (default 256 MB) a real deployment's table has
+#     enough native splits that the repartition would be a pointless
+#     full shuffle — at 100 TB this branch NEVER fires, so the
+#     production plan shape is unchanged;
+#   * the partition count is the session's defaultParallelism, so the
+#     driver's lower-core bench runs scale it down automatically;
+#   * only PAYLOAD tables qualify — documents/embeddings/events carry
+#     per-row array/string fold compute (shingling + md5 per token,
+#     64-dim decimal folds, sketch arithmetic) that dwarfs the exchange
+#     of their raw bytes; the relational tables' scans are column-
+#     pruned numeric reads where the measured A/B showed the exchange
+#     costs MORE than the map work it parallelizes (q1 0.40 -> 0.52 s,
+#     agg_basket_lift ~flat-to-worse), so they keep their plain scans.
+# Round-robin repartition is safe here because nothing in the engine is
+# partition-dependent: no rand(), global ranks go through the
+# range-shuffle barrier (operators/relational.global_row_number), and
+# every collect_list is sort-normalized (the _ordered_vals discipline).
+SMALL_SCAN_MIN_BYTES = int(
+    __import__("os").environ.get("SPARK_GRAFT_SMALL_SCAN_MIN_BYTES", 32 << 10)
+)
+SMALL_SCAN_MAX_BYTES = int(
+    __import__("os").environ.get(
+        "SPARK_GRAFT_SMALL_SCAN_MAX_BYTES", 256 << 20
+    )
+)
+PARALLELIZE_SCAN_TABLES = frozenset({"documents", "embeddings", "events"})
+
+
+def _table_disk_bytes(sf_dir: str, name: str) -> int:
+    import os
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            return sum(
+                e.stat().st_size
+                for e in os.scandir(path)
+                if e.name.endswith(".parquet")
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
+def _parallelize_small_scan(
+    spark: SparkSession, df: DataFrame, sf_dir: str, name: str
+) -> DataFrame:
+    if name not in PARALLELIZE_SCAN_TABLES:
+        return df
+    size = _table_disk_bytes(sf_dir, name)
+    p = spark.sparkContext.defaultParallelism
+    if p > 1 and SMALL_SCAN_MIN_BYTES <= size < SMALL_SCAN_MAX_BYTES:
+        return df.repartition(p)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata parquet table.
 
     Parquet keeps its embedded schema; Catalyst prunes columns and pushes
     filters into the scan, so callers should select/filter as early as
-    possible and let the optimizer do the rest.
+    possible and let the optimizer do the rest. Small single-file tables
+    are repartitioned right after the read so their map-stage compute
+    parallelizes (see _parallelize_small_scan above).
     """
     if name not in TESTDATA_TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
@@ -190,9 +260,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             ("props", T.StringType()),
         )
         df = spark.read.schema(schema).parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return _parallelize_small_scan(spark, df, sf_dir, name)
     # Explicit schema: no footer-inference job at plan-build time.
-    return spark.read.schema(TABLE_SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.schema(TABLE_SCHEMAS[name]).parquet(
+        f"{sf_dir}/{name}.parquet"
+    )
+    return _parallelize_small_scan(spark, df, sf_dir, name)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
