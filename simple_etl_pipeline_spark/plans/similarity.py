@@ -982,6 +982,52 @@ def _ordered_vals(pos_col: str, val_col: str) -> F.Column:
     )
 
 
+def _best_code_fold(
+    entries, score_fn, id_field: str, descending: bool = False
+) -> F.Column:
+    """Map-side arg-min/arg-max over a broadcast array of candidate
+    structs (r15, the sim_kmeans_lloyd device generalized): `entries`
+    is an array of structs carrying the candidate id in `id_field` as
+    the struct's FIRST field, so array_sort orders the array by id —
+    the precondition for the tie rule below. `score_fn(entry) ->
+    Column` scores one candidate against the current row. Returns
+    struct(s=score, k=candidate id) of the best entry.
+
+    Replaces the row_number()-over-Window argmin: that shape shuffles
+    |rows| x |candidates| scored rows through an exchange just to pick
+    one per row, where this fold picks it inside the map task — zero
+    exchange, zero sort (guide §2.3/§2.4).
+
+    Tie/NULL semantics EQUAL the window's ORDER BY (score, id ASC)
+    with Spark's default null placement for the chosen direction:
+    strict comparison keeps the FIRST (lowest-id) extreme; for
+    descending (nulls-last, e.g. a cosine whose try_divide can yield
+    NULL on zero norms) a non-null score always beats a null one and a
+    null never displaces a non-null. Ascending assumes non-null scores
+    (all _l2_dec callers — a decimal fold over non-null arrays)."""
+    ds = F.transform(
+        entries,
+        lambda c: F.struct(
+            score_fn(c).alias("s"), c.getField(id_field).alias("k")
+        ),
+    )
+    if descending:
+        take = lambda acc, x: (  # noqa: E731 — tight fold lambda
+            acc.isNull()
+            | (acc.getField("s").isNull() & x.getField("s").isNotNull())
+            | (x.getField("s") > acc.getField("s"))
+        )
+    else:
+        take = lambda acc, x: (  # noqa: E731
+            acc.isNull() | (x.getField("s") < acc.getField("s"))
+        )
+    return F.aggregate(
+        ds,
+        F.lit(None).cast("struct<s:double,k:int>"),
+        lambda acc, x: F.when(take(acc, x), x).otherwise(acc),
+    )
+
+
 def _subvectors(frame: DataFrame, id_col: str = "vec_id") -> DataFrame:
     """(id, sub, sv): each vector split into PQ_SUBSPACES slices —
     narrow array ops, no shuffle."""
@@ -1051,14 +1097,26 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     subv = _subvectors(emb)
     # code assignment: nearest subspace centroid per (vector, subspace)
-    sub_d2 = subv.join(F.broadcast(cb_arr), "sub").select(
-        "vec_id", "sub", "code", _l2_dec("sv", "cv").alias("d2")
+    # as a map-side fold over the per-subspace codebook array (r15,
+    # _best_code_fold): the old shape shuffled |corpus| x subs x codes
+    # scored rows through a (vec_id, sub) window exchange just to pick
+    # one; the fold picks it in the map task with the identical
+    # (d2 asc, code asc) tie rule and the identical _l2_dec doubles
+    cb_by_sub = cb_arr.groupBy("sub").agg(
+        F.array_sort(F.collect_list(F.struct("code", "cv"))).alias("cbs")
     )
-    w_code = Window.partitionBy("vec_id", "sub").orderBy(F.asc("d2"), F.asc("code"))
     codes = (
-        sub_d2.withColumn("rn", F.row_number().over(w_code))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "sub", "code")
+        subv.join(F.broadcast(cb_by_sub), "sub")
+        .select(
+            "vec_id",
+            "sub",
+            _best_code_fold(
+                F.col("cbs"),
+                lambda c: _l2_dec(F.col("sv"), c.getField("cv")),
+                "code",
+            ).alias("b"),
+        )
+        .select("vec_id", "sub", F.col("b.k").alias("code"))
     )
     # per-query ADC table: exact query subvector vs every codebook entry
     adc_table = (
