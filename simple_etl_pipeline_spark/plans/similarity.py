@@ -1218,14 +1218,6 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
 
-    def _argmin(d2_frame, part_cols, out_alias):
-        w = Window.partitionBy(*part_cols).orderBy(F.asc("d2"), F.asc("code"))
-        return (
-            d2_frame.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(*part_cols, F.col("code").alias(out_alias))
-        )
-
     # Both quantizers broadcast as ARRAYS (the same persisted per-label
     # means, re-shaped): full-dim centroid arrays for cells, per-subspace
     # codebook arrays for codes/ADC. Every distance is then a map-only
@@ -1234,25 +1226,53 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two exchanges; at sf0.1 wall only drops 2.9 -> 2.4 s because stage
     # overhead dominates at test scale, but the removed exchanges are
     # exactly what charges at 100 TB). _l2_dec equals the oracle's
-    # decimal-summed join values bit-for-bit.
+    # decimal-summed join values bit-for-bit. Both argmins are map-side
+    # folds over the broadcast quantizer arrays (r15, _best_code_fold):
+    # the old windows shuffled |corpus| x codes scored rows through
+    # vec_id-keyed exchanges just to rank-1 them; the fold picks the
+    # same (d2 asc, code asc) winner inside the map task.
     cell_arr = centroids.groupBy("code").agg(
         _ordered_vals("pos", "c").alias("cv")
     )
     cb_arr = centroids.groupBy("code", "sub").agg(
         _ordered_vals("pos", "c").alias("cv")
     )
-    full_d2 = emb.crossJoin(F.broadcast(cell_arr)).select(
-        "vec_id", "code", _l2_dec("v", "cv").alias("d2")
+    cell_list = cell_arr.agg(
+        F.array_sort(F.collect_list(F.struct("code", "cv"))).alias("cvs")
     )
     # cells feeds two consumers (q_cells + the candidate join): persist
-    # the tiny (vec_id, cell) frame so the fold+argmin subtree runs
-    # once, same cache-manager sharing as the centroid aggregate.
-    cells = _argmin(full_d2, ["vec_id"], "cell").persist()
-    subv = _subvectors(emb)
-    sub_d2 = subv.join(F.broadcast(cb_arr), "sub").select(
-        "vec_id", "sub", "code", _l2_dec("sv", "cv").alias("d2")
+    # the tiny (vec_id, cell) frame so the fold subtree runs once, same
+    # cache-manager sharing as the centroid aggregate.
+    cells = (
+        emb.crossJoin(F.broadcast(cell_list))
+        .select(
+            "vec_id",
+            _best_code_fold(
+                F.col("cvs"),
+                lambda c: _l2_dec(F.col("v"), c.getField("cv")),
+                "code",
+            ).alias("b"),
+        )
+        .select("vec_id", F.col("b.k").alias("cell"))
+        .persist()
     )
-    codes = _argmin(sub_d2, ["vec_id", "sub"], "code")
+    subv = _subvectors(emb)
+    cb_by_sub = cb_arr.groupBy("sub").agg(
+        F.array_sort(F.collect_list(F.struct("code", "cv"))).alias("cbs")
+    )
+    codes = (
+        subv.join(F.broadcast(cb_by_sub), "sub")
+        .select(
+            "vec_id",
+            "sub",
+            _best_code_fold(
+                F.col("cbs"),
+                lambda c: _l2_dec(F.col("sv"), c.getField("cv")),
+                "code",
+            ).alias("b"),
+        )
+        .select("vec_id", "sub", F.col("b.k").alias("code"))
+    )
     adc_table = (
         subv.filter(F.col("vec_id") < N_QUERIES)
         .withColumnRenamed("vec_id", "q_id")
@@ -1428,24 +1448,35 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_n = corpus.withColumn(
         "vnrm", F.sqrt(dot_dec(F.col("v"), F.col("v")))
     )
-    assign = corpus_n.crossJoin(F.broadcast(cent_arr)).select(
-        "vec_id",
-        "c_label",
-        F.round(
-            F.try_divide(
-                dot_dec(F.col("v"), F.col("cv")),
-                F.col("vnrm") * F.col("cnrm"),
-            ),
-            6,
-        ).alias("ccos"),
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("ccos"), F.asc("c_label")
+    # Argmax as a map-side fold over the K sorted centroid structs
+    # (r15, _best_code_fold descending): the old shape shuffled
+    # |corpus| x K scored rows through a vec_id window exchange to
+    # rank-1 them. The fold's (ccos desc nulls-last, c_label asc) tie
+    # rule and the 6-dp round BEFORE comparison equal the window's
+    # ORDER BY exactly, so the winning cell is bit-identical.
+    cent_list = cent_arr.agg(
+        F.array_sort(
+            F.collect_list(F.struct("c_label", "cv", "cnrm"))
+        ).alias("cents")
     )
     cells = (
-        assign.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("c_label").alias("cell"))
+        corpus_n.crossJoin(F.broadcast(cent_list))
+        .select(
+            "vec_id",
+            _best_code_fold(
+                F.col("cents"),
+                lambda c: F.round(
+                    F.try_divide(
+                        dot_dec(F.col("v"), c.getField("cv")),
+                        F.col("vnrm") * c.getField("cnrm"),
+                    ),
+                    6,
+                ),
+                "c_label",
+                descending=True,
+            ).alias("b"),
+        )
+        .select("vec_id", F.col("b.k").alias("cell"))
     )
     # Sub-bucket width sizing, entirely in-plan: q = ceil(N / (L*W))
     # cells needed per centroid cell, B = bits to address them
