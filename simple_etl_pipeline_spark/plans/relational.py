@@ -2748,9 +2748,16 @@ def agg_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_partkey").isNotNull())
         .distinct()
     )
-    baskets = items.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_list("l_partkey")).alias("ds")
-    ).filter(F.size("ds") <= MAX_BASKET)
+    # Persisted: three consumers (the pair expansion, the per-part
+    # supports, the 1-row basket total) would otherwise each replay
+    # the distinct + collect_list corpus subtree — the shared-stage
+    # barrier device (guide §5: reused AND expensive to recompute).
+    baskets = (
+        items.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("ds"))
+        .filter(F.size("ds") <= MAX_BASKET)
+        .persist()
+    )
     pairs = (
         _pairs_from_sorted_list(baskets.select("ds"))
         .groupBy(

@@ -3551,7 +3551,16 @@ def _bm25_per_doc_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # dl and tf are persisted: both are metadata-sized (one row per
+    # doc / per panel posting) yet each feeds two consumers (dl: the
+    # avgdl stats and the scored join; tf: the df aggregation and the
+    # scored join), and every unshared consumer replays the corpus
+    # tokenize+explode behind it — measured 4 corpus passes per query
+    # without the barriers, 2 with (guide §5; at ingest scale dl is a
+    # stored column, making this the honest production shape).
+    dl = (
+        toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).persist()
+    )
     # exact bigint sum / count, one correctly-rounded division — NOT
     # avg(): the engines' internal avg accumulation orders can differ
     stats = dl.agg(
@@ -3559,8 +3568,10 @@ def _bm25_per_doc_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("n"),
     )
     hits = toks.join(F.broadcast(panel), "term")
-    tf = hits.groupBy("q_id", "term", "doc_id").agg(
-        F.count(F.lit(1)).alias("tf")
+    tf = (
+        hits.groupBy("q_id", "term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
     df_ = (
         tf.select("term", "doc_id")
