@@ -2350,18 +2350,16 @@ def txt_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(a_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("u"),
         F.when(a_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("w"),
         F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_w"),
-        # Lazy localCheckpoint (r15): oriented has three consumers and
-        # each reference inlines the whole pairs->deg->ranked subtree,
-        # so the logical plan grew ~3^depth — 195 cached-leaf scans and
-        # a 4,800-line tree whose per-run ANALYSIS/OPTIMIZATION on the
-        # driver dominated the query (guide §3.3/§7.3: very large
-        # plans make planning itself the bottleneck; materialise an
-        # intermediate to truncate). The checkpoint turns oriented into
-        # a leaf: plan collapses to the wedge/closure joins, measured
-        # 1.71 -> 1.37 s at sf0.1 (A/B same session, rows identical).
-        # eager=False so building the frame stays action-free (bench
-        # fingerprints and tests construct without executing).
-    ).localCheckpoint(eager=False)
+        # oriented has three consumers (both wedge sides + the closure
+        # probe) and each reference inlines the whole pairs->deg->
+        # ranked subtree; persist dedupes that execution so the
+        # orientation join runs once per corpus (guide §2.4/§5). NOT
+        # localCheckpoint: even eager=False calls queryExecution.toRdd
+        # at build time, and under AQE that materializes every shuffle
+        # stage of the subtree — 29 driver-visible jobs during plan
+        # CONSTRUCTION, breaking the zero-job build contract
+        # (tests/test_laziness.py; the r15 inherited-state fix).
+    ).persist()
     e1 = oriented.select(
         "u", F.col("w").alias("w1"), F.col("deg_w").alias("dw1")
     )
