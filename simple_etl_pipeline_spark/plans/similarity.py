@@ -221,29 +221,43 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("c")
         )
     )
-    # nearest centroid per vector: decimal-summed squared L2 per (vec, centroid)
-    dists = (
-        dims.join(centroids, "pos")
-        .groupBy("vec_id", "c_label")
-        .agg(
-            F.sum(
-                ((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).cast(
-                    "decimal(38,12)"
-                )
-            )
-            .cast("double")
-            .alias("d2")
+    # nearest centroid per vector as a map-side fold over the K sorted
+    # centroid arrays (r15, the sim_ivfpq_topk device): the old shape
+    # joined the exploded corpus to centroids ON pos — |corpus| x 64 x
+    # K intermediate rows through a (vec_id, c_label) aggregation
+    # exchange — then window-argmin'd through a second exchange, then
+    # joined the cells BACK to the corpus on vec_id (a third corpus
+    # shuffle). The fold computes the identical decimal-summed d2
+    # (_l2_dec == SUM(CAST((x-c)^2 AS DECIMAL(38,12)))) with the
+    # identical (d2 asc, c_label asc) tie rule inside the map task and
+    # keeps `v` in-row, so assignment needs NO join at all.
+    cent_arr = centroids.groupBy("c_label").agg(
+        _ordered_vals("pos", "c").alias("cv")
+    )
+    cent_list = cent_arr.agg(
+        F.array_sort(F.collect_list(F.struct("c_label", "cv"))).alias("cvs")
+    )
+    # norm precompute (r15, bit-identical — the _knn_candidates_from
+    # device): one norm fold per vector, not two per candidate pair
+    assigned = (
+        emb.crossJoin(F.broadcast(cent_list))
+        .select(
+            "vec_id",
+            "v",
+            _best_code_fold(
+                F.col("cvs"),
+                lambda c: _l2_dec(F.col("v"), c.getField("cv")),
+                "c_label",
+            ).alias("b"),
         )
+        .select("vec_id", "v", F.col("b.k").alias("cell"))
+        .withColumn("vnrm", F.sqrt(dot_dec(F.col("v"), F.col("v"))))
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("c_label"))
-    cells = (
-        dists.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("c_label").alias("cell"))
-    )
-    assigned = emb.join(cells, "vec_id").select("vec_id", "v", "cell")
     q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "cell"
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("vnrm").alias("qnrm"),
+        "cell",
     )
     sims = (
         assigned.join(F.broadcast(q), "cell")
@@ -252,7 +266,13 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id",
             "cell",
             "vec_id",
-            F.round(cosine_dec(F.col("qv"), F.col("v")), 6).alias("sim"),
+            F.round(
+                F.try_divide(
+                    dot_dec(F.col("qv"), F.col("v")),
+                    F.col("qnrm") * F.col("vnrm"),
+                ),
+                6,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
@@ -1666,11 +1686,19 @@ def sim_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("q_id", "vec_id")
     )
-    emb16 = _emb(spark, sf_dir).select(
-        "vec_id", F.slice("v", 1, MRL_DIMS).alias("v16")
+    # truncated-norm precompute (r15, the sim_knn_brute device — bit-
+    # identical: the pair expression keeps cosine_dec's exact
+    # try_divide(dot, sqrt * sqrt) operation order): one 16-dim norm
+    # fold per vector instead of two per (query, vector) pair
+    emb16 = (
+        _emb(spark, sf_dir)
+        .select("vec_id", F.slice("v", 1, MRL_DIMS).alias("v16"))
+        .withColumn("nrm16", F.sqrt(dot_dec(F.col("v16"), F.col("v16"))))
     )
     q16 = emb16.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("v16").alias("qv16")
+        F.col("vec_id").alias("q_id"),
+        F.col("v16").alias("qv16"),
+        F.col("nrm16").alias("qnrm16"),
     )
     sims16 = (
         emb16.crossJoin(F.broadcast(q16))
@@ -1678,22 +1706,36 @@ def sim_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "vec_id",
-            F.round(cosine_dec(F.col("qv16"), F.col("v16")), 6).alias("sim"),
+            F.round(
+                F.try_divide(
+                    dot_dec(F.col("qv16"), F.col("v16")),
+                    F.col("qnrm16") * F.col("nrm16"),
+                ),
+                6,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
-    mrl3 = (
+    # ONE ranked pass serves both consumers (r15, the sim_rp_recall
+    # device): mrl_top1_sim == max(sim) == the rn=1 row's sim under
+    # this ORDER BY, so the old groupBy-max — a second replay of the
+    # whole corpus x panel cosine subtree — derives from the window.
+    # Bounded N_QUERIES x 3 frame: persisted, broadcast into the joins.
+    ranked = (
         sims16.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("q_id", F.col("vec_id").alias("mrl_vec_id"))
+        .persist()
     )
+    mrl3 = ranked.select("q_id", F.col("vec_id").alias("mrl_vec_id"))
     # per-query best truncated similarity: varies per query, so the
     # value-hash checks real numeric work even when recall is 0 on the
     # random testdata (see docstring).
-    top_sim = sims16.groupBy("q_id").agg(F.max("sim").alias("mrl_top1_sim"))
+    top_sim = ranked.filter(F.col("rn") == 1).select(
+        "q_id", F.col("sim").alias("mrl_top1_sim")
+    )
     return (
         brute3.join(
-            mrl3,
+            F.broadcast(mrl3),
             (brute3.q_id == mrl3.q_id) & (brute3.vec_id == mrl3.mrl_vec_id),
             "left",
         )
@@ -1702,7 +1744,7 @@ def sim_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("mrl_vec_id").alias("mrl_hits"),
             (F.count("mrl_vec_id").cast("double") / 3.0).alias("mrl_recall_at_3"),
         )
-        .join(top_sim, "q_id")
+        .join(F.broadcast(top_sim), "q_id")
         .select("q_id", "mrl_hits", "mrl_recall_at_3", "mrl_top1_sim")
         .orderBy("q_id")
     )
@@ -1824,15 +1866,26 @@ def sim_rp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
-    rp3 = (
+    # ONE ranked pass serves both consumers (r15): rp_top1_sim ==
+    # max(sim) == the sim of the rn=1 row under this exact ORDER BY
+    # (sim desc nulls-last, vec_id asc), so the old separate
+    # groupBy-max — which replayed the whole corpus x panel projected
+    # cosine subtree a second time — is derived from the same window.
+    # The 3-rows-per-query frame is persisted (bounded: N_QUERIES x 3)
+    # so its two readers share the single corpus pass, and broadcast
+    # into the joins (the old plan SortMergeJoined two ~75-row sides).
+    ranked = (
         simsp.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("q_id", F.col("vec_id").alias("rp_vec_id"))
+        .persist()
     )
-    top_sim = simsp.groupBy("q_id").agg(F.max("sim").alias("rp_top1_sim"))
+    rp3 = ranked.select("q_id", F.col("vec_id").alias("rp_vec_id"))
+    top_sim = ranked.filter(F.col("rn") == 1).select(
+        "q_id", F.col("sim").alias("rp_top1_sim")
+    )
     return (
         brute3.join(
-            rp3,
+            F.broadcast(rp3),
             (brute3.q_id == rp3.q_id) & (brute3.vec_id == rp3.rp_vec_id),
             "left",
         )
@@ -1843,7 +1896,7 @@ def sim_rp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "rp_recall_at_3"
             ),
         )
-        .join(top_sim, "q_id")
+        .join(F.broadcast(top_sim), "q_id")
         .select("q_id", "rp_hits", "rp_recall_at_3", "rp_top1_sim")
         .orderBy("q_id")
     )
