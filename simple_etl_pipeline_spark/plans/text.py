@@ -3556,8 +3556,20 @@ def _bm25_per_doc_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenize+explode behind it — measured 4 corpus passes per query
     # without the barriers, 2 with (guide §5; at ingest scale dl is a
     # stored column, making this the honest production shape).
+    #
+    # dl itself is a map-side size() over the tokenized text, NOT an
+    # explode+groupBy-count: identical by construction, because
+    # tokens_col yields [] for blank text (size 0) and NULL for null
+    # text (size NULL) — exactly the rows the explode would drop, which
+    # the dl > 0 filter removes here (NULL > 0 is NULL -> dropped). The
+    # int-vs-bigint dl promotes identically into the exact bigint
+    # sum/double division below. Removes the only doc_id-keyed corpus
+    # exchange in the pipeline; the token explode now runs once (the
+    # panel probe), not twice.
     dl = (
-        toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).persist()
+        docs.select("doc_id", F.size(tokens_col("text")).alias("dl"))
+        .filter(F.col("dl") > 0)
+        .persist()
     )
     # exact bigint sum / count, one correctly-rounded division — NOT
     # avg(): the engines' internal avg accumulation orders can differ
