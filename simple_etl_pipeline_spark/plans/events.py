@@ -3063,7 +3063,11 @@ def ev_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("g1") - F.col("s1") == F.expr("(n + 1) div 2"))
         .select("et", F.col("z").alias("med_micros"), "n")
     )
-    dev = z.join(F.broadcast(med), "et").select(
+    # dev reads (et, z, tie) back off r1's persisted rank barrier
+    # instead of re-scanning events (r15): r1 carries exactly z's
+    # columns plus g1, so the second corpus scan + filter + cast
+    # pipeline is replaced by a cache read — same rows by construction.
+    dev = r1.select("et", "z", "tie").join(F.broadcast(med), "et").select(
         "et",
         "tie",
         "n",

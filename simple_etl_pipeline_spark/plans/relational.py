@@ -2024,9 +2024,19 @@ def global_row_number(
       1. range-shuffle on the sort key (`repartitionByRange`), so
          partition i holds a contiguous key range and partition order
          equals key order;
-      2. local `row_number` per range partition (window PARTITIONED by
-         `spark_partition_id()` — a keyed, data-parallel window, each
-         task sorting ~N/P rows);
+      2. ONE explicit in-partition sort (`sortWithinPartitions`), then
+         the local rank is read off `monotonically_increasing_id()` —
+         its low 33 bits are the row's ORDINAL WITHIN ITS PARTITION,
+         assigned in row order, so after the local sort they ARE the
+         local row_number minus 1 (the classic zipWithIndex device).
+         The r15 shape before this: a window PARTITIONED BY
+         `spark_partition_id()` — but the range-partitioned barrier
+         cannot satisfy that window's ClusteredDistribution(_gpid), so
+         EVERY consumer of the ranked frame re-paid a corpus-sized
+         hashpartitioning(_gpid) Exchange + Sort + Window above the
+         cache (ev_mad_outliers ran five such passes; plan audit
+         plans/r15/ev_mad_outliers_*). Now there is no Window node and
+         no second exchange at all;
       3. per-partition counts -> cumulative offsets. The counts frame
          is |partitions| rows of METADATA; its running-sum window is
          the adjudicated bounded-universe single-partition class (like
@@ -2034,38 +2044,49 @@ def global_row_number(
       4. broadcast-join the offsets back: rn = local_rn + offset.
 
     Determinism: the output must depend only on the total order, not
-    on where the sampled range boundaries land. Both consumers of the
-    pid-stamped frame (the window and the counts agg) MUST see one
-    materialization — range-boundary sampling reads its input via
-    shuffle fetch, whose row order is not deterministic across
-    re-executions on a cluster, so a re-run of the exchange could
-    place boundary-adjacent rows differently and break the
-    offsets/pid agreement. AQE's stage reuse does NOT dedup this
-    exchange (verified on the physical plan: the counts branch
-    re-plans it), so the barrier is explicit: the pid-stamped frame is
-    persisted (MEMORY_AND_DISK), materialized once and read by both
-    branches — the same barrier-under-branching device the
-    checkpointed PageRank rounds use, chosen over localCheckpoint so
-    the range-shuffle subtree stays visible to plan audits. Once the
-    shuffle map stage has run its boundaries are fixed, so even a
-    lost-cache-partition recompute re-reads the same pids.
-    `sort_cols` must be a total order (include a
-    unique tiebreaker) and null placement must be encoded explicitly
-    (e.g. a null-flag column) — range partitioning and the window sort
-    both use plain ascending order."""
+    on where the sampled range boundaries land. Range-boundary
+    sampling reads its input via shuffle fetch, whose row order is not
+    deterministic across re-executions on a cluster, so two
+    independent executions of the exchange could place
+    boundary-adjacent rows differently and break the offsets/pid
+    agreement. The barrier is therefore explicit AND sits ABOVE the
+    rank assignment: the sorted, pid- and rank-stamped frame is
+    persisted (MEMORY_AND_DISK) and materialized once; the counts agg
+    and every downstream consumer read that one materialization (the
+    pre-r15 barrier sat BELOW the per-consumer windows, which both
+    re-sorted per consumer and left the window/counts branches as the
+    two readers the old comment worried about — now the exchange has
+    exactly one consumer by construction). persist() is chosen over
+    localCheckpoint so the range-shuffle subtree stays visible to plan
+    audits, and a lost-cache-partition recompute re-reads the same
+    pids (the shuffle map output fixes the boundaries) and re-sorts to
+    the same order (sort_cols is a total order), reproducing identical
+    ranks. `monotonically_increasing_id` / `spark_partition_id` are
+    nondeterministic-MARKED (order-dependent), which additionally
+    pins them against optimizer reordering; their VALUES here are
+    fully determined by the total order. `sort_cols` must be a total
+    order (include a unique tiebreaker) and null placement must be
+    encoded explicitly (e.g. a null-flag column) — range partitioning
+    and the local sort both use plain ascending order."""
     spark = df.sparkSession
     n = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
-    ranged = (
+    local = (
         df.repartitionByRange(n, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
         .withColumn("_gpid", F.spark_partition_id())
+        .withColumn(
+            "_lrn",
+            F.monotonically_increasing_id().bitwiseAND(
+                F.lit((1 << 33) - 1)
+            )
+            + 1,
+        )
         .persist()
     )
-    _ROW_NUMBER_BARRIERS.append(ranged)
-    w = Window.partitionBy("_gpid").orderBy(*sort_cols)
-    local = ranged.withColumn("_lrn", F.row_number().over(w))
-    counts = ranged.groupBy("_gpid").agg(F.count(F.lit(1)).alias("_cnt"))
+    _ROW_NUMBER_BARRIERS.append(local)
+    counts = local.groupBy("_gpid").agg(F.count(F.lit(1)).alias("_cnt"))
     wo = Window.orderBy("_gpid").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -2121,20 +2142,31 @@ def global_prefix_sum(
     n = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
-    ranged = (
-        df.repartitionByRange(n, *sort_cols)
-        .withColumn("_gpid", F.spark_partition_id())
+    ranged = df.repartitionByRange(n, *sort_cols).withColumn(
+        "_gpid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_gpid").orderBy(*sort_cols)
+    # The barrier persists the POST-window frame (r15): the range-
+    # partitioned child cannot satisfy the window's
+    # ClusteredDistribution(_gpid), so the window pays one
+    # hashpartitioning(_gpid) exchange + sort — persisting BELOW it
+    # (the pre-r15 shape) re-paid that exchange+sort per consumer of
+    # the ranked frame. Above it, the local running sum materializes
+    # once and every consumer (counts agg included) reads the cache;
+    # the range exchange now has exactly ONE consumer, which is the
+    # whole determinism argument (see global_row_number).
+    local = (
+        ranged.withColumn("_lrn", F.row_number().over(w))
+        .withColumn(
+            "_lcum",
+            F.sum(F.col(val_col)).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
         .persist()
     )
-    _ROW_NUMBER_BARRIERS.append(ranged)
-    w = Window.partitionBy("_gpid").orderBy(*sort_cols)
-    local = ranged.withColumn("_lrn", F.row_number().over(w)).withColumn(
-        "_lcum",
-        F.sum(F.col(val_col)).over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
-    counts = ranged.groupBy("_gpid").agg(
+    _ROW_NUMBER_BARRIERS.append(local)
+    counts = local.groupBy("_gpid").agg(
         F.count(F.lit(1)).alias("_cnt"),
         F.sum(F.col(val_col)).alias("_vsum"),
     )

@@ -2531,10 +2531,12 @@ def txt_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE explode emits (n, gram) tagged rows for all three
     n in a single pass, one (doc, n, gram) count aggregation (map-side
-    partials collapse the Zipf head), a per-(doc, n) argmax folded
-    into the same aggregation (struct max — no second shuffle), then
-    doc-keyed joins of three doc-sized profiles — linear in corpus
-    tokens, never gram x gram."""
+    partials collapse the Zipf head), then ONE doc-keyed conditional
+    aggregation computes all three profile columns (struct-max argmax
+    for n=2/3, dup-cover sum for n=5) and joins back to the doc frame
+    once — linear in corpus tokens, never gram x gram, and the gram
+    table is consumed exactly once (r15; the previous three-branch
+    shape re-ran the corpus explode per branch)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens_col("text")
     n_words = F.size(toks).cast("bigint")
@@ -2603,33 +2605,44 @@ def txt_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"), F.max("glen").alias("glen"))
         .withColumn("cover", F.col("c") * F.col("glen"))
     )
-    # argmax-by-(count, cover) as ONE lexicographic struct max — no
-    # second shuffle: a per-(doc, n) max window over the gram-count
-    # table would re-partition it; the struct max folds into the same
-    # aggregation pass (and both engines order structs field-by-field,
-    # so the count-then-cover tie-break is engine-identical)
-    tops = (
-        pc.filter(F.col("n") != 5)
-        .groupBy("doc_id", "n")
-        .agg(F.max(F.struct("c", "cover")).alias("m"))
-        .select("doc_id", "n", F.col("m.cover").alias("top_cover"))
+    # argmax-by-(count, cover) as ONE lexicographic struct max (both
+    # engines order structs field-by-field, so the count-then-cover
+    # tie-break is engine-identical). All three per-doc profiles fold
+    # into ONE conditional aggregation over pc (r15): the previous
+    # shape consumed pc in three branches (top2/top3 filters + dup5),
+    # and because the n-filters push BELOW pc's gram aggregation the
+    # exchanges are not plan-identical, so nothing reuses — the corpus
+    # explode+hash ran once PER BRANCH (4 FileScans in the plan).
+    # max(when(n=2, ...)) / sum(when(n=5 & c>=2, ...)) give the same
+    # values with pc consumed exactly once (guide §2.4: one exchange,
+    # shared; §1.2: don't compute things twice), and the three
+    # doc-keyed joins collapse to one.
+    prof = (
+        pc.groupBy("doc_id")
+        .agg(
+            F.max(
+                F.when(F.col("n") == 2, F.struct("c", "cover"))
+            ).alias("m2"),
+            F.max(
+                F.when(F.col("n") == 3, F.struct("c", "cover"))
+            ).alias("m3"),
+            F.sum(
+                F.when(
+                    (F.col("n") == 5) & (F.col("c") >= 2), F.col("cover")
+                )
+            )
+            .cast("bigint")
+            .alias("dup5_cover"),
+        )
+        .select(
+            "doc_id",
+            F.col("m2.cover").alias("top2_cover"),
+            F.col("m3.cover").alias("top3_cover"),
+            "dup5_cover",
+        )
     )
-    top2 = tops.filter(F.col("n") == 2).select(
-        "doc_id", F.col("top_cover").alias("top2_cover")
-    )
-    top3 = tops.filter(F.col("n") == 3).select(
-        "doc_id", F.col("top_cover").alias("top3_cover")
-    )
-    dup5 = (
-        pc.filter((F.col("n") == 5) & (F.col("c") >= 2))
-        .groupBy("doc_id")
-        .agg(F.sum("cover").cast("bigint").alias("dup5_cover"))
-    )
-    zero = F.lit(0).cast("bigint")
     return (
-        base.join(top2, "doc_id", "left")
-        .join(top3, "doc_id", "left")
-        .join(dup5, "doc_id", "left")
+        base.join(prof, "doc_id", "left")
         .select(
             "doc_id",
             "n_words",
