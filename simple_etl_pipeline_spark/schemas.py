@@ -179,13 +179,25 @@ def _events_ts_is_nanos(sf_dir: str) -> bool:
 #     production plan shape is unchanged;
 #   * the partition count is the session's defaultParallelism, so the
 #     driver's lower-core bench runs scale it down automatically;
-#   * only PAYLOAD tables qualify — documents/embeddings/events carry
-#     per-row array/string fold compute (shingling + md5 per token,
-#     64-dim decimal folds, sketch arithmetic) that dwarfs the exchange
-#     of their raw bytes; the relational tables' scans are column-
-#     pruned numeric reads where the measured A/B showed the exchange
-#     costs MORE than the map work it parallelizes (q1 0.40 -> 0.52 s,
-#     agg_basket_lift ~flat-to-worse), so they keep their plain scans.
+#   * only PAYLOAD tables with heavy PER-ROW fold compute qualify —
+#     documents (shingling + md5 per token) and embeddings (64-dim
+#     decimal folds): there the map work dwarfs the exchange of their
+#     raw bytes. The relational tables' scans are column-pruned numeric
+#     reads where the measured A/B showed the exchange costs MORE than
+#     the map work it parallelizes (q1 0.40 -> 0.52 s, agg_basket_lift
+#     ~flat-to-worse), so they keep their plain scans. EVENTS was in
+#     the set through most of r15 and is now OUT on the same evidence
+#     (session-3 interleaved A/B, tools/scan_repart_ab.py): its per-row
+#     work is timestamp/window arithmetic — relational-class, not
+#     fold-class — and the repartition exchange lost on EVERY probed
+#     events consumer, including the heavy ones (ev_tumbling_hourly
+#     0.458 -> 0.311 s, ev_retention_cohorts 0.709 -> 0.468,
+#     ev_scd2_users 0.596 -> 0.441, ev_gap_fill 0.426 -> 0.319,
+#     ev_quantile_sketch 0.970 -> 0.879, ev_session_windows 0.341 ->
+#     0.269 median with events dropped). The embeddings membership was
+#     re-confirmed by the same protocol (sim_ivfpq_topk 2.19 vs 3.80,
+#     sim_knn_graph 1.32 vs 1.67, sim_knn_brute 0.49 vs 0.64 with vs
+#     without), as was documents (txt_dsir_weights 0.80 vs 1.66).
 # Round-robin repartition is safe here because nothing in the engine is
 # partition-dependent: no rand(), global ranks go through the
 # range-shuffle barrier (operators/relational.global_row_number), and
@@ -198,7 +210,7 @@ SMALL_SCAN_MAX_BYTES = int(
         "SPARK_GRAFT_SMALL_SCAN_MAX_BYTES", 256 << 20
     )
 )
-PARALLELIZE_SCAN_TABLES = frozenset({"documents", "embeddings", "events"})
+PARALLELIZE_SCAN_TABLES = frozenset({"documents", "embeddings"})
 
 
 def _table_disk_bytes(sf_dir: str, name: str) -> int:
