@@ -1221,9 +1221,22 @@ def txt_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole training-data prep pipeline as ONE lazy plan:
     corpus (with injected dups) -> token-count quality filter -> exact
     dedup (min-doc_id survivor per fingerprint) -> per-language corpus
-    stats. Every stage is narrow or a keyed shuffle; nothing
-    materializes between stages, so Catalyst fuses the filter into the
-    scan and pipelines the dedup into the final rollup."""
+    stats.
+
+    r15 shape: the survivor ROW is selected in the fingerprint
+    aggregation itself — min(struct(doc_id, lang, n_tokens)) orders by
+    doc_id first, so the struct min IS the min-doc_id survivor's row
+    (doc_id is unique in the corpus: base ids plus +1M clones; the
+    isNotNull guard mirrors MIN's null-skipping in the oracle). The
+    old shape re-tokenized the corpus on a second `quality` branch and
+    semi-joined corpus-scale sides on doc_id (at 100 TB the survivor
+    list does not broadcast, so that was two more corpus exchanges +
+    a sort-merge join). Now ONE tokenize+fingerprint pass feeds ONE
+    fp-keyed exchange whose map-side partial aggregation collapses
+    rows to distinct-fingerprints-per-task before the shuffle
+    (guide §2.3/§2.4, the same aggregation-over-join device as the
+    round's argmin folds); the lang rollup re-aggregates the
+    survivor-sized result."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     exact = docs.filter(F.col("doc_id") % 17 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
@@ -1233,14 +1246,17 @@ def txt_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens") >= MIN_TOKENS
     )
     survivors = (
-        quality.select("doc_id", fingerprint_col("text").alias("fp"))
+        quality.filter(F.col("doc_id").isNotNull())
+        .select(
+            fingerprint_col("text").alias("fp"),
+            F.struct("doc_id", "lang", "n_tokens").alias("r"),
+        )
         .groupBy("fp")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+        .agg(F.min("r").alias("r"))
+        .select("r.lang", "r.n_tokens")
     )
     return (
-        quality.join(survivors, "doc_id", "left_semi")
-        .groupBy("lang")
+        survivors.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
