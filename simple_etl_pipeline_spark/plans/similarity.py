@@ -1805,15 +1805,37 @@ def _rp_signs() -> list[list[float]]:
 _RP_SIGNS = _rp_signs()
 
 
+_RP_PROJECT_COL: "F.Column | None" = None
+
+
 def _rp_project(v) -> "F.Column":
+    """RP_DIMS sign-projected coordinates of embedding column `v`.
+
+    The expression is a COMPILE-TIME CONSTANT over the input column
+    name (16 rows x 64 +-1 literals + 16 fixed-point fold lambdas):
+    building it costs ~1 s of py4j traffic per call — more than the
+    query's own execution — so the unresolved Column is memoized at
+    module level (r15, guide §1.2: driver overhead). Column objects
+    are immutable expression trees with no session or data reference;
+    reuse across plans is the same as writing the expression twice.
+    The memo is only valid for the canonical input column name `v`,
+    which the single call site uses; any other input falls back to a
+    fresh build."""
     from simple_etl_pipeline_spark.functions.vectors import dot_dec
 
-    return F.array(
+    global _RP_PROJECT_COL
+    is_canonical = str(v) == str(F.col("v"))
+    if is_canonical and _RP_PROJECT_COL is not None:
+        return _RP_PROJECT_COL
+    built = F.array(
         *[
             dot_dec(v, F.array(*[F.lit(s) for s in row]))
             for row in _RP_SIGNS
         ]
     )
+    if is_canonical:
+        _RP_PROJECT_COL = built
+    return built
 
 
 def sim_rp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:

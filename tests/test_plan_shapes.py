@@ -239,6 +239,35 @@ def test_rp_projection_is_mapside_with_broadcast_panel(spark, sf_dir):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def test_rp_project_memo_is_plan_identical(spark, sf_dir):
+    """The r15 construction memo of the constant JL projection Column
+    must be invisible to the plan: a memo hit for the canonical input
+    returns the identical expression object, non-canonical inputs fall
+    back to a fresh build, and a query built from the memo analyzes to
+    the same plan as one built from scratch (the memo can never change
+    what the query computes)."""
+    import pyspark.sql.functions as F
+
+    from simple_etl_pipeline_spark.plans import similarity as simmod
+
+    c1 = simmod._rp_project(F.col("v"))
+    c2 = simmod._rp_project(F.col("v"))
+    assert c1 is c2  # memo hit
+    c3 = simmod._rp_project(F.col("other"))
+    assert c3 is not c1  # non-canonical input never served from memo
+    df_memo = simmod.sim_rp_recall(spark, sf_dir)
+    saved, simmod._RP_PROJECT_COL = simmod._RP_PROJECT_COL, None
+    try:
+        df_fresh = simmod.sim_rp_recall(spark, sf_dir)
+    finally:
+        simmod._RP_PROJECT_COL = saved
+    assert (
+        df_memo._jdf.queryExecution()
+        .analyzed()
+        .sameResult(df_fresh._jdf.queryExecution().analyzed())
+    )
+
+
 def test_kl_drift_joins_aggregates_not_tokens(spark, sf_dir):
     # the token-keyed join runs over two PRE-AGGREGATED count tables;
     # totals arrive as broadcasts. A cartesian anywhere (beyond the
