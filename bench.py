@@ -10,12 +10,16 @@ recorded parsed:null AGAIN, front-truncated):
                                 {"metric","value","unit","queries","sf"}
   BENCH_DETAIL.json           : same detail JSON, written next to this file
 
-The final line carries ONLY the queries new to the current round's
-registrations in its per-query map (VERDICT r11 #7), plus the total and
-the query count, so it stays under ~1 KB no matter how many rounds of
-registrations accumulate; the detail line/file keeps the FULL 3dp
-timing map, spreads and plan fingerprints for round-over-round
-attribution.
+The final line carries a SAMPLE in its per-query map — the current
+round's new registrations (VERDICT r11 #7) plus the shuffle-bound
+scaling probes (VERDICT r15 #1) — along with the total, the query
+count, a sorted-name hash of the full timed set and an explicit
+`removed` list (VERDICT r15 #2: phantom drops), the effective
+cpus/defaultParallelism (VERDICT r15 #1: the scaling contract made
+legible), and the cold-path meter rows (VERDICT r15 #9), so it stays
+under ~1 KB no matter how many rounds of registrations accumulate;
+the detail line/file keeps the FULL 3dp timing map, spreads and plan
+fingerprints for round-over-round attribution.
 
 Each query is fully executed via a count-style action over the final
 result (write.noop would skip the orderBy/limit semantics; collect on
@@ -192,6 +196,37 @@ NEW_THIS_ROUND = [
     "mm_bytes_shard_pack",
 ]
 
+# Scaling probes (VERDICT r15 #1): the driver re-runs the bench at a
+# lower core count to measure core-count scaling, but the final-line
+# map used to carry only the newest (sub-second, construction-bound)
+# registrations, whose low/high-core ratio is ~1.0 by construction —
+# `suspect_cpus_ignored` stood unrefutable from outside. These rows
+# are genuinely shuffle-bound multi-second queries whose wall moves
+# with the core count, so the driver's c8-vs-c32 comparison has
+# signal. ADDITIVE to NEW_THIS_ROUND (final-line entries are never
+# removed or renamed).
+SCALING_PROBES = [
+    "dedup_components",
+    "dedup_ngram_spans",
+    "sim_ivfpq_topk",
+]
+
+# Cold-path meter (VERDICT r15 #9): the graph family shares one
+# persisted verified-pair list across queries (text.py pair persists —
+# a real corpus pipeline shares this stage), so their steady-state
+# medians measure cache reads, not the cold pipeline. One extra
+# clearCache()-then-run pass per row records the COLD cost as a second
+# column (detail "cold" + final line) without touching the default
+# protocol or the round-over-round comparability of the medians. These
+# cold numbers are also core-count-sensitive (full shuffle pipeline),
+# reinforcing the scaling probes above.
+COLD_METER = [
+    "dedup_components",
+    "dedup_components_lsh",
+    "txt_pagerank",
+    "txt_triangle_count",
+]
+
 # Robust measurement protocol for the four drilled noisy queries
 # (ADVICE r11): (warmup_runs, timed_runs). Everything else keeps the
 # historical 1 warmup + 3 timed reps so round-over-round medians stay
@@ -354,6 +389,28 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Cold-path meter (VERDICT r15 #9): after the steady-state loop so
+    # it cannot perturb the medians above. clearCache() before each
+    # row drops every persisted frame (pair lists, rank barriers, the
+    # bm25 dl/tf barriers); the fresh fn() build re-persists its own,
+    # so the timed run pays the full cold pipeline exactly once.
+    from simple_etl_pipeline_spark.plans.relational import (
+        release_barriers_for as _release,
+    )
+
+    cold: dict[str, float] = {}
+    for name in COLD_METER:
+        if name not in queries:
+            continue
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        df = queries[name](spark, SF_DIR)
+        df.count()
+        cold[name] = round(time.perf_counter() - t0, 3)
+        _release(df)
+        print(f"# cold {name}: {cold[name]:.3f}s", file=sys.stderr)
+    spark.catalog.clearCache()
+
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Drift tripwire (VERDICT r8 #8): compare each median against the
     # PREVIOUS committed BENCH_DETAIL.json — flag any query whose
@@ -447,6 +504,9 @@ def main() -> None:
         "reps": reps_map,
         "plan_fp": plan_fps,
         "drift_flags": drift_flags,
+        "cold": cold,
+        "cpus": int(cpus),
+        "parallelism": spark.sparkContext.defaultParallelism,
         "sf": sf_val,
         "host": host,
     }
@@ -490,16 +550,36 @@ def main() -> None:
     # n_queries records how many medians the total sums over; drift
     # names ride along only when non-empty so the judge sees them in
     # BENCH_r{N}.json without growing the quiet-box line.
+    # Full-set signature (VERDICT r15 #2): the per-query map below is a
+    # SAMPLE (new registrations + scaling probes), so the driver used
+    # to read the previous round's sample rotating away as phantom
+    # "dropped_from_bench" entries every round. n_queries + a sorted-
+    # name hash identify the full timed set, and `removed` names any
+    # query actually gone vs the committed baseline (normally empty) —
+    # all within the 1 KB cap.
+    import hashlib
+
+    set_sig = hashlib.sha256(
+        ",".join(sorted(timings)).encode()
+    ).hexdigest()[:12]
+    removed = sorted(
+        set((prev or {}).get("queries", {})) - set(timings)
+    )
     short = {
         "metric": "headline_queries_total_wall",
         "value": round(total, 3),
         "unit": "sec",
         "queries": {
             k: round(timings[k], 2)
-            for k in NEW_THIS_ROUND
+            for k in (*NEW_THIS_ROUND, *SCALING_PROBES)
             if k in timings
         },
+        "cold": {k: round(v, 2) for k, v in cold.items()},
         "n_queries": len(timings),
+        "set_sig": set_sig,
+        "removed": removed,
+        "cpus": int(cpus),
+        "parallelism": spark.sparkContext.defaultParallelism,
         "sf": sf_val,
     }
     if drift_flags:

@@ -967,6 +967,34 @@ def test_row_number_barrier_release_is_per_frame(spark, sf_dir):
     assert release_barriers_for(df_b) == 0
 
 
+def test_row_number_ordinal_width_guard(spark):
+    """VERDICT r15 #4: global_row_number's local ordinal is MID's low
+    33 bits, which wrap SILENTLY at 2^33 rows per range partition —
+    reachable at 100 TB when a skewed key range concentrates ~8.6B
+    rows. The guard expression rides the existing |partitions|-row
+    offsets projection (zero extra jobs); pin both sides of it on
+    literal counts, since materializing 2^33 rows is not testable."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from simple_etl_pipeline_spark.plans.relational import (
+        _ordinal_width_guard,
+    )
+
+    one = spark.range(1)
+    # fits: contributes exactly 0 to the offset arithmetic
+    ok = one.select(
+        _ordinal_width_guard(F.lit(7), F.lit((1 << 33) - 1)).alias("g")
+    ).collect()
+    assert ok[0]["g"] == 0
+    # wraps: fails loudly, naming the partition and the remedy
+    with _pytest.raises(Exception) as exc:
+        one.select(
+            _ordinal_width_guard(F.lit(7), F.lit(1 << 33)).alias("g")
+        ).collect()
+    assert "2^33" in str(exc.value) and "num_partitions" in str(exc.value)
+
+
 def test_barrier_release_keeps_live_barrier_on_check_failure(
     spark, sf_dir, monkeypatch
 ):
