@@ -3578,10 +3578,10 @@ def _bm25_per_doc_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # dl and tf are persisted: both are metadata-sized (one row per
+    # dl and tf_td are persisted: both are metadata-sized (one row per
     # doc / per panel posting) yet each feeds two consumers (dl: the
-    # avgdl stats and the scored join; tf: the df aggregation and the
-    # scored join), and every unshared consumer replays the corpus
+    # avgdl stats and the scored join; tf_td: the df aggregation and
+    # the scored join), and every unshared consumer replays the corpus
     # tokenize+explode behind it — measured 4 corpus passes per query
     # without the barriers, 2 with (guide §5; at ingest scale dl is a
     # stored column, making this the honest production shape).
@@ -3606,18 +3606,27 @@ def _bm25_per_doc_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
         F.count(F.lit(1)).cast("double").alias("n"),
     )
-    hits = toks.join(F.broadcast(panel), "term")
-    tf = (
-        hits.groupBy("q_id", "term", "doc_id")
+    # tf/df in ONE aggregated pass over the panel-probe explode
+    # (VERDICT r15 #4): tf(q, t, d) never depends on q — it is the
+    # occurrence count of t in d — so aggregate per (term, doc_id)
+    # FIRST (the corpus-volume shuffle no longer fans each matching
+    # token row out per panel query sharing the term) and attach q_id
+    # AFTER aggregation via the broadcast panel (posting-list-sized,
+    # no exchange). df then needs NO distinct pass: tf_td already has
+    # exactly one row per (term, doc_id), so df(t) is a plain count
+    # rollup of the persisted frame. Identical keys and values by
+    # construction: hits(q,t,d) multiplicity = occurrences(t in d)
+    # for every q whose panel holds t — the same (q,t,d) universe the
+    # old q-keyed aggregation produced.
+    panel_terms = panel.select("term").distinct()
+    tf_td = (
+        toks.join(F.broadcast(panel_terms), "term")
+        .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
         .persist()
     )
-    df_ = (
-        tf.select("term", "doc_id")
-        .distinct()
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
+    df_ = tf_td.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tf = tf_td.join(F.broadcast(panel), "term")
     scored = (
         tf.join(F.broadcast(df_), "term")
         .join(dl, "doc_id")
