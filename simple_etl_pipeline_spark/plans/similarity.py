@@ -1260,38 +1260,62 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell_list = cell_arr.agg(
         F.array_sort(F.collect_list(F.struct("code", "cv"))).alias("cvs")
     )
-    # cells feeds two consumers (q_cells + the candidate join): persist
-    # the tiny (vec_id, cell) frame so the fold subtree runs once, same
-    # cache-manager sharing as the centroid aggregate.
-    cells = (
+    subv = _subvectors(emb)
+    cb_by_sub = cb_arr.groupBy("sub").agg(
+        F.array_sort(F.collect_list(F.struct("code", "cv"))).alias("cbs")
+    )
+    # ONE corpus pass assigns BOTH the coarse cell and every subspace
+    # code per vector (VERDICT r15 #5): the old shape computed cells
+    # and codes as separate frames over the same scan and re-attached
+    # them with a codes-⋈-cells self-join on vec_id — locally a
+    # broadcast, but at 100 TB a (vec_id, cell) frame for the full
+    # corpus cannot broadcast and that join becomes a sort-merge with
+    # two corpus-metadata exchanges. Both quantizers ride the row as
+    # broadcast arrays (cball: the per-sub codebooks collected into
+    # one sub-ordered array), each code is the identical
+    # _best_code_fold over the identical F.slice sub-vector — same
+    # doubles through the same decimal fold, bit-identical — and the
+    # per-sub explode now happens AFTER the cell filter, so only
+    # candidate vectors fan out 4-ways.
+    cb_all = cb_by_sub.agg(
+        F.array_sort(F.collect_list(F.struct("sub", "cbs"))).alias("cball")
+    )
+    assigned = (
         emb.crossJoin(F.broadcast(cell_list))
+        .crossJoin(F.broadcast(cb_all))
         .select(
             "vec_id",
             _best_code_fold(
                 F.col("cvs"),
                 lambda c: _l2_dec(F.col("v"), c.getField("cv")),
                 "code",
-            ).alias("b"),
+            )
+            .getField("k")
+            .alias("cell"),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("int").alias("sub"),
+                        _best_code_fold(
+                            F.col("cball")
+                            .getItem(s)
+                            .getField("cbs"),
+                            lambda c, _s=s: _l2_dec(
+                                F.slice(
+                                    "v", _s * PQ_SUBDIM + 1, PQ_SUBDIM
+                                ),
+                                c.getField("cv"),
+                            ),
+                            "code",
+                        )
+                        .getField("k")
+                        .alias("code"),
+                    )
+                    for s in range(PQ_SUBSPACES)
+                ]
+            ).alias("codes"),
         )
-        .select("vec_id", F.col("b.k").alias("cell"))
         .persist()
-    )
-    subv = _subvectors(emb)
-    cb_by_sub = cb_arr.groupBy("sub").agg(
-        F.array_sort(F.collect_list(F.struct("code", "cv"))).alias("cbs")
-    )
-    codes = (
-        subv.join(F.broadcast(cb_by_sub), "sub")
-        .select(
-            "vec_id",
-            "sub",
-            _best_code_fold(
-                F.col("cbs"),
-                lambda c: _l2_dec(F.col("sv"), c.getField("cv")),
-                "code",
-            ).alias("b"),
-        )
-        .select("vec_id", "sub", F.col("b.k").alias("code"))
     )
     adc_table = (
         subv.filter(F.col("vec_id") < N_QUERIES)
@@ -1299,14 +1323,21 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cb_arr), "sub")
         .select("q_id", "sub", "code", _l2_dec("sv", "cv").alias("dq"))
     )
-    q_cells = cells.filter(F.col("vec_id") < N_QUERIES).select(
+    q_cells = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("cell").alias("q_cell")
     )
     # candidate set: same cell as the query (IVF pruning), then ADC sum
     candidates = (
-        codes.join(cells, "vec_id")
-        .join(F.broadcast(q_cells), F.col("cell") == F.col("q_cell"))
+        assigned.join(F.broadcast(q_cells), F.col("cell") == F.col("q_cell"))
         .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "q_cell", "vec_id", F.explode("codes").alias("z"))
+        .select(
+            "q_id",
+            "q_cell",
+            "vec_id",
+            F.col("z.sub").alias("sub"),
+            F.col("z.code").alias("code"),
+        )
     )
     approx = (
         candidates.join(F.broadcast(adc_table), ["q_id", "sub", "code"])
