@@ -92,7 +92,7 @@ def txt_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality features. The quality score uses only
     rational arithmetic (+,-,*,/) — transcendental functions are not
     bit-identical across engines and would break the value hash."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=False)
     toks = tokens_col("text")
     n_tokens = F.size(toks)
     nonspace = F.length(F.regexp_replace("text", "[\\t\\n\\f\\r ]", ""))
@@ -2834,7 +2834,7 @@ def txt_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus counts (both already aggregated, far below corpus size), a
     lang-sized rollup, and two 1-row/L-row broadcasts. Nothing is ever
     token x token."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=False)
     toks = docs.select(
         "lang", F.explode(tokens_col("text")).alias("t")
     )
@@ -4019,7 +4019,7 @@ def train_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle moves only (shard, 3×bigint) partial aggregates."""
     from simple_etl_pipeline_spark.operators.training import epoch_order
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = load_table(spark, sf_dir, "documents", parallelize=False).select("doc_id")
     ordered = epoch_order(
         docs, "doc_id", seed=TRAIN_SEED, epoch=TRAIN_EPOCH,
         n_shards=TRAIN_SHARDS,
@@ -4670,7 +4670,7 @@ def txt_domain_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys, bounded by |domains|, not documents), and a window over the
     <= 3-row result for the ppm share. At 100 TB nothing after the
     scan exceeds the domain universe."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=False)
     split, src = domain_split_cols()
     tagged = docs.select(
         split.alias("split"),

@@ -232,6 +232,22 @@ def _table_disk_bytes(sf_dir: str, name: str) -> int:
 def _parallelize_small_scan(
     spark: SparkSession, df: DataFrame, sf_dir: str, name: str
 ) -> DataFrame:
+    """See the membership note above. Per-CALL opt-out (r16): the
+    membership is per-table, but the cost/benefit is per-CONSUMER —
+    metadata-light documents consumers (a size(tokens) count, a
+    doc_id-only projection, a single exploded aggregation whose
+    shuffle re-spreads the rows anyway) pay the exchange without
+    fold work to parallelize. Those call load_table(...,
+    parallelize=False); the r16 interleaved cold A/B
+    (tools/docrep_ab_r16.py, 5 reps, clearCache per rep):
+      txt_kl_drift        0.793 -> 0.664 s median without the exchange
+      txt_domain_split    0.293 -> 0.261
+      txt_doc_features    0.232 -> 0.200
+      train_shard_manifest 0.228 -> 0.190
+    while the fold-heavy control kept its win WITH the exchange
+    (txt_dsir_weights 0.930 vs 2.103 without). txt_winnow_fingerprint
+    and sim_quantize_int8 measured flat (0.506/0.498, 0.281/0.266)
+    and keep the default."""
     if name not in PARALLELIZE_SCAN_TABLES:
         return df
     size = _table_disk_bytes(sf_dir, name)
@@ -241,14 +257,18 @@ def _parallelize_small_scan(
     return df
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, parallelize: bool = True
+) -> DataFrame:
     """Read one testdata parquet table.
 
     Parquet keeps its embedded schema; Catalyst prunes columns and pushes
     filters into the scan, so callers should select/filter as early as
     possible and let the optimizer do the rest. Small single-file tables
     are repartitioned right after the read so their map-stage compute
-    parallelizes (see _parallelize_small_scan above).
+    parallelizes (see _parallelize_small_scan above); metadata-light
+    consumers pass parallelize=False to skip the exchange (measured
+    per-call opt-out, r16 — see _parallelize_small_scan).
     """
     if name not in TESTDATA_TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
@@ -273,11 +293,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         )
         df = spark.read.schema(schema).parquet(f"{sf_dir}/{name}.parquet")
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if not parallelize:
+            return df
         return _parallelize_small_scan(spark, df, sf_dir, name)
     # Explicit schema: no footer-inference job at plan-build time.
     df = spark.read.schema(TABLE_SCHEMAS[name]).parquet(
         f"{sf_dir}/{name}.parquet"
     )
+    if not parallelize:
+        return df
     return _parallelize_small_scan(spark, df, sf_dir, name)
 
 
