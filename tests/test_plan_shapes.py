@@ -268,6 +268,77 @@ def test_rp_project_memo_is_plan_identical(spark, sf_dir):
     )
 
 
+def test_text_constant_memos_plan_identical(spark, sf_dir):
+    """The r16 construction memos of the constant text expressions
+    (tokens_col/shingles_col on the canonical "text" input, the K
+    affine min-hash aggregates, the band-key structs and their
+    stateless twins) must be invisible to the plan: memo hits return
+    the identical objects, non-canonical inputs build fresh, and a
+    query built from the memos analyzes to the same plan as one built
+    from scratch — the memos can never change what a query computes."""
+    import pyspark.sql.functions as F
+
+    from simple_etl_pipeline_spark.functions import text as ftext
+    from simple_etl_pipeline_spark.plans import text as txtmod
+
+    # memo hits are identical objects; non-canonical inputs are fresh
+    assert ftext.tokens_col("text") is ftext.tokens_col("text")
+    assert ftext.tokens_col("other") is not ftext.tokens_col("text")
+    assert ftext.shingles_col("text") is ftext.shingles_col("text")
+    assert ftext.shingles_col("text", 2) is ftext.shingles_col("text", 2)
+    assert ftext.shingles_col("text", 2) is not ftext.shingles_col("text")
+    assert ftext.shingles_col(F.col("o")) is not ftext.shingles_col("text")
+    assert txtmod._mh_agg_cols() is txtmod._mh_agg_cols()
+    assert txtmod._band_struct_cols() is txtmod._band_struct_cols()
+
+    def _reset():
+        saved = (
+            ftext._TOKENS_TEXT_MEMO,
+            dict(ftext._SHINGLES_TEXT_MEMO),
+            txtmod._MH_AGG_COLS,
+            txtmod._BAND_STRUCT_COLS,
+            txtmod._MH_STATELESS_COLS,
+            txtmod._BAND_STRUCT_BIGINT_COLS,
+        )
+        ftext._TOKENS_TEXT_MEMO = None
+        ftext._SHINGLES_TEXT_MEMO.clear()
+        txtmod._MH_AGG_COLS = None
+        txtmod._BAND_STRUCT_COLS = None
+        txtmod._MH_STATELESS_COLS = None
+        txtmod._BAND_STRUCT_BIGINT_COLS = None
+        return saved
+
+    def _restore(saved):
+        ftext._TOKENS_TEXT_MEMO = saved[0]
+        ftext._SHINGLES_TEXT_MEMO.clear()
+        ftext._SHINGLES_TEXT_MEMO.update(saved[1])
+        txtmod._MH_AGG_COLS = saved[2]
+        txtmod._BAND_STRUCT_COLS = saved[3]
+        txtmod._MH_STATELESS_COLS = saved[4]
+        txtmod._BAND_STRUCT_BIGINT_COLS = saved[5]
+
+    from simple_etl_pipeline_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    df_memo_batch = txtmod.dedup_minhash_lsh(spark, sf_dir)
+    df_memo_stateless = txtmod.minhash_band_keys_stateless(docs)
+    saved = _reset()
+    try:
+        df_fresh_batch = txtmod.dedup_minhash_lsh(spark, sf_dir)
+        df_fresh_stateless = txtmod.minhash_band_keys_stateless(docs)
+    finally:
+        _restore(saved)
+    for memo_df, fresh_df in (
+        (df_memo_batch, df_fresh_batch),
+        (df_memo_stateless, df_fresh_stateless),
+    ):
+        assert (
+            memo_df._jdf.queryExecution()
+            .analyzed()
+            .sameResult(fresh_df._jdf.queryExecution().analyzed())
+        )
+
+
 def test_kl_drift_joins_aggregates_not_tokens(spark, sf_dir):
     # the token-keyed join runs over two PRE-AGGREGATED count tables;
     # totals arrive as broadcasts. A cartesian anywhere (beyond the
