@@ -44,16 +44,63 @@ from simple_etl_pipeline_spark.schemas import load_table
 NEAR_DUP_TAIL = " nearly duplicated tail token"
 
 
+# Constant-expression memo for the dup-variant array (r16; see the
+# minhash memo note below for the device and its safety argument).
+_DUP_VARIANTS_COL = None
+
+
+def _dup_variants_col():
+    global _DUP_VARIANTS_COL
+    if _DUP_VARIANTS_COL is None:
+        base = F.struct(
+            F.col("doc_id").alias("doc_id"), F.col("text").alias("text")
+        )
+        exact = F.struct(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.col("text").alias("text"),
+        )
+        near = F.struct(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(NEAR_DUP_TAIL)).alias("text"),
+        )
+        empty = F.array().cast("array<struct<doc_id:bigint,text:string>>")
+        _DUP_VARIANTS_COL = F.concat(
+            F.array(base),
+            F.when(F.col("doc_id") % 17 == 0, F.array(exact)).otherwise(
+                empty
+            ),
+            F.when(F.col("doc_id") % 23 == 0, F.array(near)).otherwise(
+                empty
+            ),
+        )
+    return _DUP_VARIANTS_COL
+
+
+def inject_dup_variants(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> the corpus with injected duplicates, in ONE
+    scan: each row explodes into its 1-3 variants (itself; the +1M
+    exact copy when doc_id % 17 == 0; the +2M near-copy with
+    NEAR_DUP_TAIL when doc_id % 23 == 0) via a conditional array.
+    Replaces the 3-branch union that read the documents source once
+    PER BRANCH — measured directly on the streaming twin
+    (numInputRows = 3x the file rows per micro-batch); in batch the
+    three differently-filtered branch scans cannot share an exchange,
+    so at 100 TB the union costs two extra corpus reads per pipeline.
+    The row MULTISET is identical to the union (same variant
+    conditions, same transforms; a NULL doc_id fails both branch
+    filters there and both WHEN conditions here), only row ORDER
+    differs — which nothing in the engine depends on (the
+    partition-invariance discipline). Shared by the batch
+    corpus_with_dups and both streaming dup-injection adapters, so
+    batch and stream keep replaying the same corpus by construction."""
+    return docs.select(F.explode(_dup_variants_col()).alias("r")).select(
+        F.col("r.doc_id").alias("doc_id"), F.col("r.text").alias("text")
+    )
+
+
 def corpus_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    exact = docs.filter(F.col("doc_id") % 17 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
-    )
-    near = docs.filter(F.col("doc_id") % 23 == 0).select(
-        (F.col("doc_id") + 2000000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(NEAR_DUP_TAIL)).alias("text"),
-    )
-    return docs.unionByName(exact).unionByName(near)
+    return inject_dup_variants(docs)
 
 
 CORPUS_SQL = f"""

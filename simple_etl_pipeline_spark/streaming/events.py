@@ -410,7 +410,7 @@ def st_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest touches only the new keys, never re-reads the corpus.
     """
     from simple_etl_pipeline_spark.functions.text import fingerprint_col
-    from simple_etl_pipeline_spark.plans.text import NEAR_DUP_TAIL
+    from simple_etl_pipeline_spark.plans.text import inject_dup_variants
     from simple_etl_pipeline_spark.schemas import TABLE_SCHEMAS
 
     stream_dir, glob = _table_stream_source(sf_dir, "documents")
@@ -420,14 +420,10 @@ def st_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(stream_dir)
         .select("doc_id", "text")
     )
-    exact = docs.filter(F.col("doc_id") % 17 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
-    )
-    near = docs.filter(F.col("doc_id") % 23 == 0).select(
-        (F.col("doc_id") + 2000000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(NEAR_DUP_TAIL)).alias("text"),
-    )
-    corpus = docs.unionByName(exact).unionByName(near)
+    # single-scan dup injection (r16): the 3-branch union read the
+    # file source once per branch every micro-batch — see
+    # inject_dup_variants
+    corpus = inject_dup_variants(docs)
     index = (
         corpus.select("doc_id", fingerprint_col("text").alias("fingerprint"))
         .groupBy("fingerprint")

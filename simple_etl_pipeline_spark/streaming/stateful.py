@@ -758,7 +758,7 @@ def st_dedup_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the oracle is the REAL DuckDB minhash band chain, not a
     rows-only check."""
     from simple_etl_pipeline_spark.plans.text import (
-        NEAR_DUP_TAIL,
+        inject_dup_variants,
         minhash_band_keys_stateless,
     )
     from simple_etl_pipeline_spark.schemas import TABLE_SCHEMAS
@@ -781,14 +781,11 @@ def st_dedup_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(stream_dir)
         .select("doc_id", "text")
     )
-    exact = docs.filter(F.col("doc_id") % 17 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
-    )
-    near = docs.filter(F.col("doc_id") % 23 == 0).select(
-        (F.col("doc_id") + 2000000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(NEAR_DUP_TAIL)).alias("text"),
-    )
-    corpus = docs.unionByName(exact).unionByName(near)
+    # single-scan dup injection (r16): the 3-branch union read the
+    # file source once per branch every micro-batch (measured:
+    # numInputRows was 3x the file rows); inject_dup_variants explodes
+    # each row into its variants instead — same multiset, one scan
+    corpus = inject_dup_variants(docs)
     out = _run_to_memory(
         lsh_bucket_index(minhash_band_keys_stateless(corpus)), "update"
     )
