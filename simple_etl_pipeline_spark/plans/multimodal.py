@@ -238,16 +238,40 @@ def phash_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     imgs = docs.filter(
         (F.col("doc_id") % 3 == 0) & F.col("text").isNotNull()
     ).select("doc_id", "text")
-    exact = imgs.filter(F.col("doc_id") % 15 == 0).select(
-        (F.col("doc_id") + 3_000_000).alias("doc_id"), "text"
+    # single-scan dup injection (r16, the plans.text
+    # inject_dup_variants device — this corpus's spec: %15 exact
+    # +3M, %21 chrome-shifted near +6M): the 3-branch union read the
+    # documents source once per branch
+    _ph_base = F.struct(
+        F.col("doc_id").alias("doc_id"), F.col("text").alias("text")
     )
-    near = imgs.filter(F.col("doc_id") % 21 == 0).select(
+    _ph_exact = F.struct(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.col("text").alias("text"),
+    )
+    _ph_near = F.struct(
         (F.col("doc_id") + 6_000_000).alias("doc_id"),
         F.concat(F.lit("zzz"), F.expr("substr(text, 4)")).alias("text"),
     )
+    _ph_empty = F.array().cast("array<struct<doc_id:bigint,text:string>>")
     return (
-        imgs.unionByName(exact)
-        .unionByName(near)
+        imgs.select(
+            F.explode(
+                F.concat(
+                    F.array(_ph_base),
+                    F.when(
+                        F.col("doc_id") % 15 == 0, F.array(_ph_exact)
+                    ).otherwise(_ph_empty),
+                    F.when(
+                        F.col("doc_id") % 21 == 0, F.array(_ph_near)
+                    ).otherwise(_ph_empty),
+                )
+            ).alias("r")
+        )
+        .select(
+            F.col("r.doc_id").alias("doc_id"),
+            F.col("r.text").alias("text"),
+        )
         .filter(F.length(F.encode(F.col("text"), "UTF-8")) > 0)
     )
 

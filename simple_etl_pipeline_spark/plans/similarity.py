@@ -334,6 +334,47 @@ COSINE_DUP_THRESHOLD = 0.999
 # components still elect the base vector.
 DUP_INJECT_OFFSET = 1 << 40
 
+# Constant-expression memo for the scaled-copy variant array (r16; the
+# plans.text._dup_variants_col device).
+_SCALED_DUP_VARIANTS_COL = None
+
+
+def _scaled_dup_variants_col():
+    global _SCALED_DUP_VARIANTS_COL
+    if _SCALED_DUP_VARIANTS_COL is None:
+        base = F.struct(
+            F.col("vec_id").alias("vec_id"), F.col("v").alias("v")
+        )
+        dup = F.struct(
+            (F.col("vec_id") + DUP_INJECT_OFFSET).alias("vec_id"),
+            F.transform("v", lambda x: x * 1.5).alias("v"),
+        )
+        empty = F.array().cast(
+            "array<struct<vec_id:bigint,v:array<double>>>"
+        )
+        _SCALED_DUP_VARIANTS_COL = F.concat(
+            F.array(base),
+            F.when(F.col("vec_id") % 11 == 0, F.array(dup)).otherwise(
+                empty
+            ),
+        )
+    return _SCALED_DUP_VARIANTS_COL
+
+
+def _with_scaled_dups(emb: DataFrame) -> DataFrame:
+    """(vec_id, v) -> the corpus with the injected x1.5 scaled copies
+    in ONE scan: each row explodes into itself plus (when vec_id % 11
+    == 0) its +DUP_INJECT_OFFSET scaled copy, replacing the
+    base-union-dups shape that scanned embeddings once per branch —
+    one extra corpus read at 100 TB (the plans.text
+    inject_dup_variants argument: identical row multiset — a NULL
+    vec_id fails the branch filter there and the WHEN here — and row
+    order is free under the partition-invariance discipline). Shared
+    by dedup_embedding_cosine and sim_knn_components."""
+    return emb.select(
+        F.explode(_scaled_dup_variants_col()).alias("r")
+    ).select(F.col("r.vec_id").alias("vec_id"), F.col("r.v").alias("v"))
+
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection: a corpus with injected
@@ -342,12 +383,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine ≥ threshold. The bucket join keeps this linear-ish at
     100 TB — never an all-pairs scan."""
     emb = _emb(spark, sf_dir).select("vec_id", "v")
-    dups = emb.filter(F.col("vec_id") % 11 == 0).select(
-        (F.col("vec_id") + DUP_INJECT_OFFSET).alias("vec_id"),
-        F.transform("v", lambda x: x * 1.5).alias("v"),
-    )
     corpus = (
-        emb.unionByName(dups)
+        _with_scaled_dups(emb)
         .withColumn("bucket", _bucket_col())
         # per-vector norm precompute (r15): one fold per corpus vector
         # (including the scaled injected copies — norm of the SCALED
@@ -720,11 +757,7 @@ def sim_knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     base = _emb(spark, sf_dir).select("vec_id", "v")
-    dups = base.filter(F.col("vec_id") % 11 == 0).select(
-        (F.col("vec_id") + DUP_INJECT_OFFSET).alias("vec_id"),
-        F.transform("v", lambda x: x * 1.5).alias("v"),
-    )
-    corpus = base.unionByName(dups)
+    corpus = _with_scaled_dups(base)
     fwd = (
         _knn_edges_from(corpus)
         .filter(F.col("sim") >= KNN_COMPONENTS_MIN_SIM)
@@ -1465,12 +1498,35 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax/threshold can never flip between engines.
     """
     emb = _emb(spark, sf_dir).select("vec_id", "v", "label")
-    dups = emb.filter(F.col("vec_id") % 7 == 0).select(
+    # single-scan dup injection (r16, the _with_scaled_dups device —
+    # semdedup's own variant spec: %7, x0.5, +200000, label carried)
+    _sd_base = F.struct(
+        F.col("vec_id").alias("vec_id"),
+        F.col("v").alias("v"),
+        F.col("label").alias("label"),
+    )
+    _sd_dup = F.struct(
         (F.col("vec_id") + 200000).alias("vec_id"),
         F.transform("v", lambda x: x * 0.5).alias("v"),
-        "label",
+        F.col("label").alias("label"),
     )
-    corpus = emb.unionByName(dups)
+    _sd_empty = F.array().cast(
+        "array<struct<vec_id:bigint,v:array<double>,label:int>>"
+    )
+    corpus = emb.select(
+        F.explode(
+            F.concat(
+                F.array(_sd_base),
+                F.when(F.col("vec_id") % 7 == 0, F.array(_sd_dup)).otherwise(
+                    _sd_empty
+                ),
+            )
+        ).alias("r")
+    ).select(
+        F.col("r.vec_id").alias("vec_id"),
+        F.col("r.v").alias("v"),
+        F.col("r.label").alias("label"),
+    )
     dims = corpus.select("vec_id", "label", F.posexplode("v").alias("pos", "x"))
     centroids = dims.groupBy(F.col("label").alias("c_label"), "pos").agg(
         (

@@ -1338,10 +1338,35 @@ def txt_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     round's argmin folds); the lang rollup re-aggregates the
     survivor-sized result."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    exact = docs.filter(F.col("doc_id") % 17 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
+    # single-scan dup injection (r16, the inject_dup_variants device —
+    # this query's spec: exact copies only, lang carried)
+    _tc_base = F.struct(
+        F.col("doc_id").alias("doc_id"),
+        F.col("text").alias("text"),
+        F.col("lang").alias("lang"),
     )
-    corpus = docs.unionByName(exact)
+    _tc_dup = F.struct(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.col("text").alias("text"),
+        F.col("lang").alias("lang"),
+    )
+    _tc_empty = F.array().cast(
+        "array<struct<doc_id:bigint,text:string,lang:string>>"
+    )
+    corpus = docs.select(
+        F.explode(
+            F.concat(
+                F.array(_tc_base),
+                F.when(
+                    F.col("doc_id") % 17 == 0, F.array(_tc_dup)
+                ).otherwise(_tc_empty),
+            )
+        ).alias("r")
+    ).select(
+        F.col("r.doc_id").alias("doc_id"),
+        F.col("r.text").alias("text"),
+        F.col("r.lang").alias("lang"),
+    )
     quality = corpus.withColumn("n_tokens", F.size(tokens_col("text"))).filter(
         F.col("n_tokens") >= MIN_TOKENS
     )
