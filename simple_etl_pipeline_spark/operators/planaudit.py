@@ -228,10 +228,43 @@ def scalar_bnlj_violations(plan: str) -> list[str]:
     node id (a shared subtree printed multiple times by the formatted
     explain is reported once; empty == every nested-loop broadcast is
     row-bounded). Operates on the formatted plan TEXT so tools
-    (plan_dump) can audit without rebuilding DataFrames."""
+    (plan_dump) can audit without rebuilding DataFrames.
+
+    Specified for FRESH builds, the same convention as
+    :func:`plan_fingerprint`: when the session's cache manager splices
+    an EXECUTED persisted frame into the plan, the InMemoryRelation
+    re-prints that cache's AdaptiveSparkPlan with ``== Final Plan ==``
+    / ``== Initial Plan ==`` sections whose indentation RESTARTS at an
+    unrelated column (and nested splices interleave), so the tree-art
+    containment arithmetic below stops meaning parent/child from the
+    first such marker on (r16 find: a suite-ordering cache hit turned
+    sim_ivfpq_topk's two scalar cross joins into phantom
+    "expected 2 children" findings). Nodes printed after the first
+    marker are therefore out of audit scope — they are either the
+    splice's provenance plan (audited when the fresh build that
+    created the cache was audited; a cache hit never re-executes it)
+    or outer nodes whose child columns are no longer trustworthy.
+    Fresh plans contain no such markers and keep full coverage."""
+    import re
+
     nodes = _summary_nodes(plan)
     details = _detail_sections(plan)
     out: list[str] = []
+
+    # Index of the first node rendered at/after an executed-cache
+    # section marker; len(nodes) (everything reliable) when none.
+    n_reliable = len(nodes)
+    _cnt = 0
+    for ln in plan.splitlines():
+        if ln.startswith("=="):
+            continue
+        if not ln.strip():
+            break
+        if re.match(r"^[\s:+\-]*== (?:Final|Initial) Plan ==\s*$", ln):
+            n_reliable = _cnt
+            break
+        if re.search(r"\((\d+)\)(?:, Statistics\(.*\))?\s*$", ln):
+            _cnt += 1
 
     def subtree(i: int) -> list[int]:
         col = nodes[i][0]
@@ -365,13 +398,20 @@ def scalar_bnlj_violations(plan: str) -> list[str]:
     for i, (_col, name, nid) in enumerate(nodes):
         if not name.startswith("BroadcastNestedLoopJoin") or nid in seen:
             continue
+        if i >= n_reliable:
+            continue  # inside an executed-cache splice — see docstring
         seen.add(nid)
+        crosses_cut = i + len(subtree(i)) + 1 > n_reliable
         kids = direct_children(i)
         if len(kids) != 2:
+            if crosses_cut:
+                continue  # child columns corrupted by the splice
             out.append(f"BNLJ ({nid}): expected 2 children, saw {len(kids)}")
             continue
         build = kids[1] if "BuildRight" in name else kids[0]
         why = check_build(build)
+        if why is not None and crosses_cut:
+            continue  # descent entered the spliced region
         if why is not None:
             out.append(f"BNLJ ({nid}) build side not scalar-bounded: {why}")
     return out

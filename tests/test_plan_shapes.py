@@ -1264,6 +1264,15 @@ def test_approved_bnlj_carriers_are_row_bounded(spark, sf_dir):
         scalar_bnlj_violations,
     )
 
+    # The audit is specified for FRESH builds (planaudit docstring):
+    # an EXECUTED persisted frame left by an earlier test file splices
+    # an InMemoryRelation whose re-printed AdaptiveSparkPlan sections
+    # break the tree-art column arithmetic (r16 find — oracle-parity's
+    # collect of sim_ivfpq_topk's `assigned` persist did exactly
+    # this). Clear the session cache so the eight representatives are
+    # audited at full strictness, suite order notwithstanding.
+    spark.catalog.clearCache()
+
     for name in (
         "agg_basket_lift",
         "dedup_semdedup",

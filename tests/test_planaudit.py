@@ -179,3 +179,67 @@ def test_scalar_bnlj_text_parser_statistics_and_codegen():
     # dimension-bounded key names are the documented exception
     centroid = _fixture_plan("Keys [1]: [c_id#5]")
     assert scalar_bnlj_violations(centroid) == []
+
+
+def _spliced_plan(agg_keys_line: str) -> str:
+    """Synthetic cache-spliced plan modeled on the r16 live find: an
+    EXECUTED persisted frame re-printed under InMemoryRelation, whose
+    AdaptiveSparkPlan '== Final/Initial Plan ==' sections restart the
+    tree-art columns — the BNLJ inside them (34) renders with
+    unparseable children. A clean BNLJ (9) sits fully BEFORE the first
+    marker, where strict auditing must still apply."""
+    return (
+        "== Physical Plan ==\n"
+        "AdaptiveSparkPlan (40)\n"
+        "+- BroadcastHashJoin Inner BuildRight (39)\n"
+        "   :- Project (10)\n"
+        "   :  +- * BroadcastNestedLoopJoin Cross BuildRight (9)\n"
+        "   :     :- Scan parquet  (1)\n"
+        "   :     +- BroadcastExchange (8)\n"
+        "   :        +- HashAggregate (7)\n"
+        "   :           +- Exchange (6)\n"
+        "   :              +- HashAggregate (5)\n"
+        "   :                 +- Scan parquet  (4)\n"
+        "   +- BroadcastExchange (38)\n"
+        "      +- Filter (37)\n"
+        "         +- InMemoryTableScan (11)\n"
+        "               +- InMemoryRelation (12)\n"
+        "                     +- AdaptiveSparkPlan (36)\n"
+        "                        +- == Final Plan ==\n"
+        "                           ResultQueryStage (35)\n"
+        "                           +- * BroadcastNestedLoopJoin Cross"
+        " BuildRight (34)\n"
+        "                              :- Scan parquet  (30)\n"
+        "      +- == Initial Plan ==\n"
+        "         HashAggregate (33)\n"
+        "         +- Scan parquet  (30)\n"
+        "\n"
+        f"(7) HashAggregate\n{agg_keys_line}\n"
+        "Functions [1]: [count(1)]\n"
+        "\n"
+        "(5) HashAggregate\nKeys: []\n"
+        "Functions [1]: [partial_count(1)]\n"
+    )
+
+
+def test_scalar_bnlj_audit_skips_executed_cache_splices():
+    """r16 live find (suite-ordering failure): an executed persist
+    spliced into a later fresh build re-prints its AdaptiveSparkPlan
+    sections at RESET columns, so nodes after the first
+    '== Final/Initial Plan ==' marker have meaningless tree-art
+    parent/child columns. The audit must (a) not emit phantom
+    'expected 2 children' findings for BNLJs inside the splice — they
+    were audited at the fresh build that created the cache and never
+    re-execute — while (b) keeping full strictness for everything
+    printed before the marker."""
+    from simple_etl_pipeline_spark.operators.planaudit import (
+        scalar_bnlj_violations,
+    )
+
+    # spliced BNLJ (34) is out of scope; clean pre-marker BNLJ passes
+    assert scalar_bnlj_violations(_spliced_plan("Keys: []")) == []
+
+    # pre-marker rigor retained: the keyed aggregate is still flagged,
+    # and ONLY it — no phantom finding for the spliced node
+    v = scalar_bnlj_violations(_spliced_plan("Keys [1]: [user_id#5L]"))
+    assert len(v) == 1 and "(9)" in v[0] and "keyed aggregate" in v[0], v
