@@ -260,6 +260,12 @@ FP_RESIDUAL = {
     "agg_distinct_counts",
     "txt_dataset_card",
     "dq_profile_drift",
+    # r16 find: flips between two consecutive plan_dump runs on
+    # IDENTICAL code (node counts identical) — its 380+-node formatted
+    # text embeds an expression-id-bearing name family the normalizer
+    # doesn't cover, and the id state now depends on shared-construction
+    # memo hits earlier in the session.
+    "txt_triangle_count",
 }
 
 

@@ -244,10 +244,13 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "v",
-            _best_code_fold(
-                F.col("cvs"),
-                lambda c: _l2_dec(F.col("v"), c.getField("cv")),
-                "c_label",
+            _memo_const_col(
+                "ivf_cell",
+                lambda: _best_code_fold(
+                    F.col("cvs"),
+                    lambda c: _l2_dec(F.col("v"), c.getField("cv")),
+                    "c_label",
+                ),
             ).alias("b"),
         )
         .select("vec_id", "v", F.col("b.k").alias("cell"))
@@ -1081,6 +1084,28 @@ def _best_code_fold(
     )
 
 
+# Process-level memo for COMPILE-TIME-CONSTANT fold Columns (the r15
+# _rp_project device, generalized — guide §1.2: driver overhead is
+# still overhead). Each _best_code_fold call site below builds a deep
+# expression tree (zip_with + decimal-fold lambdas, ~0.1-0.4 s of py4j
+# traffic per build, measured r16) over FIXED column names — no
+# session, data-directory or SF reference — so the unresolved Column
+# is built once per process and reused; reuse equals writing the
+# identical expression twice. NOT a result/plan memo keyed on any
+# data: the keys are call-site tags, the values immutable expression
+# trees, pinned plan-identical by
+# tests/test_plan_shapes.py::test_similarity_fold_memos_plan_identical.
+_CONST_FOLD_MEMO: dict = {}
+
+
+def _memo_const_col(key: str, build) -> F.Column:
+    col = _CONST_FOLD_MEMO.get(key)
+    if col is None:
+        col = build()
+        _CONST_FOLD_MEMO[key] = col
+    return col
+
+
 def _subvectors(frame: DataFrame, id_col: str = "vec_id") -> DataFrame:
     """(id, sub, sv): each vector split into PQ_SUBSPACES slices —
     narrow array ops, no shuffle."""
@@ -1163,10 +1188,13 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "sub",
-            _best_code_fold(
-                F.col("cbs"),
-                lambda c: _l2_dec(F.col("sv"), c.getField("cv")),
-                "code",
+            _memo_const_col(
+                "pq_code",
+                lambda: _best_code_fold(
+                    F.col("cbs"),
+                    lambda c: _l2_dec(F.col("sv"), c.getField("cv")),
+                    "code",
+                ),
             ).alias("b"),
         )
         .select("vec_id", "sub", F.col("b.k").alias("code"))
@@ -1318,34 +1346,38 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(cb_all))
         .select(
             "vec_id",
-            _best_code_fold(
-                F.col("cvs"),
-                lambda c: _l2_dec(F.col("v"), c.getField("cv")),
-                "code",
-            )
-            .getField("k")
-            .alias("cell"),
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).cast("int").alias("sub"),
-                        _best_code_fold(
-                            F.col("cball")
-                            .getItem(s)
-                            .getField("cbs"),
-                            lambda c, _s=s: _l2_dec(
-                                F.slice(
-                                    "v", _s * PQ_SUBDIM + 1, PQ_SUBDIM
+            _memo_const_col(
+                "ivfpq_cell",
+                lambda: _best_code_fold(
+                    F.col("cvs"),
+                    lambda c: _l2_dec(F.col("v"), c.getField("cv")),
+                    "code",
+                ).getField("k"),
+            ).alias("cell"),
+            _memo_const_col(
+                "ivfpq_codes",
+                lambda: F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).cast("int").alias("sub"),
+                            _best_code_fold(
+                                F.col("cball")
+                                .getItem(s)
+                                .getField("cbs"),
+                                lambda c, _s=s: _l2_dec(
+                                    F.slice(
+                                        "v", _s * PQ_SUBDIM + 1, PQ_SUBDIM
+                                    ),
+                                    c.getField("cv"),
                                 ),
-                                c.getField("cv"),
-                            ),
-                            "code",
+                                "code",
+                            )
+                            .getField("k")
+                            .alias("code"),
                         )
-                        .getField("k")
-                        .alias("code"),
-                    )
-                    for s in range(PQ_SUBSPACES)
-                ]
+                        for s in range(PQ_SUBSPACES)
+                    ]
+                ),
             ).alias("codes"),
         )
         .persist()
@@ -1570,17 +1602,20 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_n.crossJoin(F.broadcast(cent_list))
         .select(
             "vec_id",
-            _best_code_fold(
-                F.col("cents"),
-                lambda c: F.round(
-                    F.try_divide(
-                        dot_dec(F.col("v"), c.getField("cv")),
-                        F.col("vnrm") * c.getField("cnrm"),
+            _memo_const_col(
+                "semdedup_cell",
+                lambda: _best_code_fold(
+                    F.col("cents"),
+                    lambda c: F.round(
+                        F.try_divide(
+                            dot_dec(F.col("v"), c.getField("cv")),
+                            F.col("vnrm") * c.getField("cnrm"),
+                        ),
+                        6,
                     ),
-                    6,
+                    "c_label",
+                    descending=True,
                 ),
-                "c_label",
-                descending=True,
             ).alias("b"),
         )
         .select("vec_id", F.col("b.k").alias("cell"))

@@ -339,6 +339,46 @@ def test_text_constant_memos_plan_identical(spark, sf_dir):
         )
 
 
+def test_similarity_fold_memos_plan_identical(spark, sf_dir):
+    """The r16 construction memos of the constant _best_code_fold
+    expressions (ivf/ivfpq cell assignment, pq/ivfpq code assignment,
+    semdedup cosine argmax — ~0.1-0.4 s of py4j traffic each per
+    build) must be invisible to the plan: memo hits return identical
+    objects and every consumer built from the memos analyzes to the
+    same plan as one built from scratch — the memos can never change
+    what a query computes."""
+    import pyspark.sql.functions as F
+
+    from simple_etl_pipeline_spark.plans import similarity as simmod
+
+    # memo hits are identical objects
+    a = simmod._memo_const_col("ivfpq_cell_probe", lambda: F.lit(1))
+    b = simmod._memo_const_col("ivfpq_cell_probe", lambda: F.lit(2))
+    assert a is b  # second build fn never runs on a hit
+    simmod._CONST_FOLD_MEMO.pop("ivfpq_cell_probe", None)
+
+    consumers = (
+        simmod.sim_ivf_topk,
+        simmod.sim_pq_adc,
+        simmod.sim_ivfpq_topk,
+        simmod.dedup_semdedup,
+    )
+    memo_dfs = [fn(spark, sf_dir) for fn in consumers]
+    saved = dict(simmod._CONST_FOLD_MEMO)
+    simmod._CONST_FOLD_MEMO.clear()
+    try:
+        fresh_dfs = [fn(spark, sf_dir) for fn in consumers]
+    finally:
+        simmod._CONST_FOLD_MEMO.clear()
+        simmod._CONST_FOLD_MEMO.update(saved)
+    for memo_df, fresh_df in zip(memo_dfs, fresh_dfs):
+        assert (
+            memo_df._jdf.queryExecution()
+            .analyzed()
+            .sameResult(fresh_df._jdf.queryExecution().analyzed())
+        )
+
+
 def test_kl_drift_joins_aggregates_not_tokens(spark, sf_dir):
     # the token-keyed join runs over two PRE-AGGREGATED count tables;
     # totals arrive as broadcasts. A cartesian anywhere (beyond the
