@@ -90,13 +90,16 @@ def test_bench_fp_residual_names_never_read_as_plan_changes():
     assert bench.fp_changed("agg_distinct_counts", "aaa", "bbb") is False
     assert bench.fp_changed("q1_pricing_summary", "aaa", "bbb") is True
     assert bench.fp_changed("q1_pricing_summary", "aaa", "aaa") is False
-    # every residual name justifies itself: it is either one of the
-    # three documented multi-distinct plans or the r12 finding
+    # every residual name justifies itself: the three documented
+    # multi-distinct plans, the r12 finding, or the r16 finding
+    # (txt_triangle_count's 380+-node formatted text flips between
+    # identical-code plan_dump runs — node counts identical)
     assert bench.FP_RESIDUAL <= {
         "agg_approx_distinct",
         "agg_distinct_counts",
         "txt_dataset_card",
         "dq_profile_drift",
+        "txt_triangle_count",
     }
 
 
